@@ -1,0 +1,90 @@
+package graft.core
+
+import java.net.URI
+
+
+/** Pure utilities — capability parity with the reference pipeline's helper
+  * functions (see /root/reference/pipeline.py:27-114), re-expressed as pure
+  * Scala with no side effects at object-initialization time.
+  */
+object Utils {
+
+  /** Sanitize a file name into a SQL-safe table identifier.
+    * Semantics parity with reference `sanitize_table_name`
+    * (/root/reference/pipeline.py:103-107): strip the last `.ext` (ext must be
+    * non-empty), collapse runs of non-alphanumerics to `_`, strip leading `_`.
+    */
+  def sanitizeTableName(fileName: String): String = {
+    val withoutExtension = fileName.replaceAll("\\.[^.]+$", "")
+    withoutExtension
+      .replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+", "")
+  }
+
+  /** True iff `url` parses with scheme http/https and a non-empty authority.
+    * Parity with reference `is_valid_url` (/root/reference/pipeline.py:27-33),
+    * which checks `scheme in [http, https] and netloc`.
+    */
+  def isValidUrl(url: String): Boolean =
+    try {
+      val u = new URI(url)
+      val scheme = Option(u.getScheme).map(_.toLowerCase).getOrElse("")
+      val authority = Option(u.getRawAuthority).getOrElse("")
+      (scheme == "http" || scheme == "https") && authority.nonEmpty
+    } catch { case _: Exception => false }
+
+  /** Split a comma-separated URL list, trim entries, drop empties; validation
+    * is all-or-nothing (one bad URL rejects the batch), matching the
+    * reference's stdin handling (/root/reference/pipeline.py:39-46).
+    */
+  def parseUrlList(input: String): Either[String, List[String]] = {
+    val urls = input.split(",", -1).iterator.map(_.trim).filter(_.nonEmpty).toList
+    urls.filterNot(isValidUrl) match {
+      case Nil => Right(urls)
+      case bad => Left(s"One or more provided URLs are invalid: ${bad.mkString(", ")}")
+    }
+  }
+
+  /** SQL statement prefixes the warehouse surface accepts — parity with
+    * reference `filter_sql_commands` (/root/reference/pipeline.py:110-114).
+    */
+  val SupportedSqlPrefixes: List[String] = List(
+    "CREATE", "INSERT", "DELETE", "UPDATE", "DROP", "ALTER", "TRUNCATE",
+    "SELECT", "VALUES")
+
+  /** Keep only statements starting (case-insensitively, after trim) with a
+    * supported keyword.
+    */
+  def filterSqlStatements(commands: Seq[String]): Seq[String] =
+    commands.filter { c =>
+      val t = c.trim.toUpperCase
+      SupportedSqlPrefixes.exists(t.startsWith)
+    }
+
+  /** Fixed-delay retry — parity with reference `download_file_with_retry`
+    * (/root/reference/pipeline.py:87-100) minus the `sys.exit(1)`: the final
+    * failure propagates as the exception so callers decide policy.
+    */
+  def retry[T](attempts: Int, delayMs: Long)(f: => T): T = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var remaining = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          remaining -= 1
+          if (remaining < 1) throw e
+          Thread.sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fail-fast required-config lookup — parity with `get_env_variable`
+    * (/root/reference/pipeline.py:19-24) but throwing instead of exiting so it
+    * is testable and composes with `Either`/`Try` callers.
+    */
+  def requiredEnv(name: String, env: Map[String, String] = sys.env): String =
+    env.get(name).filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(s"Environment variable $name is not set."))
+}

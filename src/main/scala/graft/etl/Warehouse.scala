@@ -1,0 +1,62 @@
+package graft.etl
+
+import graft.core.Utils
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, not}
+
+/** The SQL-statement surface. The reference whitelists statement prefixes and
+  * ships the text to an external warehouse (/root/reference/pipeline.py:
+  * 110-114,143-152); here the engine *is* the warehouse, so whitelisted
+  * statements execute in-process through Catalyst (`spark.sql`).
+  *
+  * DELETE/UPDATE are in the reference's whitelist but plain parquet tables
+  * have no row-level ops (same as Dremio pre-Iceberg); they are implemented
+  * as the documented filter-and-rewrite: materialize the surviving/updated
+  * rows and overwrite the table. At 100 TB this rewrite should target a
+  * table format with row-level deletes; the API boundary here keeps that
+  * swap localized.
+  */
+object Warehouse extends Logging {
+
+  /** Execute whitelisted statements in order; non-whitelisted statements are
+    * dropped (logged), matching `filter_sql_commands` semantics.
+    * Returns the result of each executed statement.
+    */
+  def runStatements(spark: SparkSession, statements: Seq[String]): Seq[DataFrame] = {
+    val kept = Utils.filterSqlStatements(statements)
+    val dropped = statements.diff(kept)
+    dropped.foreach(s => logWarning(s"Dropping unsupported statement: ${s.take(80)}"))
+    kept.map(spark.sql)
+  }
+
+  /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables. */
+  def deleteWhere(spark: SparkSession, table: String, condition: String): Long = {
+    val current = spark.table(table)
+    val survivors = current.filter(not(expr(condition)))
+    val removed = current.count() - survivors.count()
+    overwriteSelf(spark, survivors, table)
+    removed
+  }
+
+  /** UPDATE table SET col = expr WHERE cond — rewrite-on-write. */
+  def updateWhere(spark: SparkSession, table: String, assignments: Map[String, String],
+                  condition: String): Unit = {
+    val current = spark.table(table)
+    val updated = assignments.foldLeft(current) { case (df, (c, e)) =>
+      df.withColumn(c, org.apache.spark.sql.functions.when(expr(condition), expr(e)).otherwise(col(c)))
+    }
+    overwriteSelf(spark, updated, table)
+  }
+
+  /** TRUNCATE for managed tables. */
+  def truncate(spark: SparkSession, table: String): Unit =
+    spark.sql(s"TRUNCATE TABLE $table")
+
+  // Overwriting a table from a plan that reads the same table needs a
+  // materialization barrier; localCheckpoint keeps it executor-side (no
+  // driver collect) so the pattern survives at scale.
+  private def overwriteSelf(spark: SparkSession, df: DataFrame, table: String): Unit =
+    df.localCheckpoint(eager = true).write.mode(SaveMode.Overwrite).saveAsTable(table)
+}

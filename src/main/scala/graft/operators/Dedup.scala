@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Everything is expressed as explode/groupBy/
+  * join DataFrame code over built-in hash functions — distributed end to end,
+  * no driver collects, no cross joins.
+  *
+  * 100 TB design notes (these choices are the point, not incidental):
+  *  - exact dedup is a single hash-shuffle on a 64-bit content hash, never on
+  *    the full text;
+  *  - near-dup candidate generation is LSH-bucketed: the self-join key is
+  *    (band_id, band_hash), so comparison cost is Σ bucket² instead of n²;
+  *  - pathological buckets (a shingle-hash collision attracting millions of
+  *    docs) are capped with a per-bucket limit before the pair join — the
+  *    standard skew guard for LSH at scale.
+  */
+object Dedup {
+
+  /** Upper bound on docs considered per LSH bucket; beyond this a bucket is
+    * assumed degenerate (boilerplate/empty docs) and sampled by lowest id.
+    */
+  val MaxBucketSize = 1000
+
+  /** Exact near-clone of `dropDuplicates`, but deterministic: keeps the
+    * minimum doc_id per identical text. One shuffle, keyed by xxhash64(text)
+    * + text to be collision-safe.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** documents ∪ planted duplicates: the synthetic corpus has no exact or
+    * near dups (verified at survey time), so dedup queries plant controlled
+    * duplicates/near-duplicates of the lowest-id docs. Offset keeps ids
+    * disjoint.
+    */
+  private def withPlantedDups(docs: DataFrame, nDups: Int, dropLastWords: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") < nDups)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        (if (dropLastWords == 0) col("text")
+         else concat_ws(" ", slice(split(col("text"), " "), lit(1),
+           greatest(size(split(col("text"), " ")) - dropLastWords, lit(1))))).as("text"))
+    base.unionByName(dups)
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Exact dedup over documents + 20 planted exact copies. Deterministic and
+    * SQL-expressible → full DuckDB oracle.
+    */
+  def q30ExactDedup(spark: SparkSession, d: String): DataFrame =
+    exactDedup(withPlantedDups(Tables.documents(spark, d), 20, 0))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q30Oracle: String =
+    """WITH docs2 AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20)
+       SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM docs2 GROUP BY text ORDER BY keep_id"""
+
+  // ------------------------------------------------------- MinHash + LSH
+  /** 3-word shingles → H minhashes (affine reshuffles of xxhash64 shingle
+    * hashes) → B bands of R rows; docs sharing any band bucket are
+    * candidates; candidates are verified with exact shingle-set Jaccard.
+    * H=16, B=4, R=4 targets ~0.72+ similarity with high recall.
+    */
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** doc_id, shingles(array<string>), sig(array<long>) */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), i -> concat_ws(' ', slice(toks, i + 1, 3))))"))
+      .withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
+      // hash family: xxhash64(h, i) — i-indexed permutations with no
+      // multiply, so it is safe under ANSI overflow checking
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumHashes - 1}, 1), i ->
+              array_min(transform(shash, h -> xxhash64(h, i))))"""))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+
+  /** Candidate pairs from band-bucket collisions, verified by exact Jaccard
+    * over shingle sets; skew-guarded via MaxBucketSize.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs).cache()
+    val banded = sigs.select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band_id", "band_key")))
+    // Skew guard: cap bucket size (rank by doc_id inside bucket).
+    val guarded = banded
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_key")).orderBy(col("doc_id"))))
+      .filter(col("rnk") <= MaxBucketSize)
+      .drop("rnk")
+    val a = guarded.as("a")
+    val b = guarded.as("b")
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** MinHash-LSH near-dup detection with 50 planted near-dups (last 3 words
+    * dropped). Hash-dependent candidate set → rows-only driver check; the
+    * planted pairs are asserted exactly in ScalaTest.
+    */
+  def q31MinhashLsh(spark: SparkSession, d: String): DataFrame =
+    minhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 3), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over word hashes: per bit, sum ±1 weighted by token
+    * hash bit, sign → fingerprint bit. Hamming-close fingerprints = near
+    * dups. Candidates via 4×16-bit band tables (hamming ≤ 3 must match at
+    * least one full band by pigeonhole).
+    */
+  def simhash64(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("thash", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63),
+             0L,
+             (acc, b) -> acc + CASE WHEN
+               aggregate(thash, 0L, (s, h) -> s + CASE WHEN ((h >> b) & 1L) = 1L THEN 1L ELSE -1L END) > 0
+               THEN shiftleft(1L, b) ELSE 0L END)"""))
+      .select(col("doc_id"), col("simhash"))
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = simhash64(docs).cache()
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)")).as(Seq("band_id", "band_key")))
+      // same skew guard as MinHash: correlated corpora concentrate band
+      // values, and an uncapped bucket self-join is quadratic in bucket size
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_key")).orderBy(col("doc_id"))))
+      .filter(col("rnk") <= MaxBucketSize)
+      .drop("rnk")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** SimHash near-dup detection, 50 planted near-dups. Rows-only check
+    * (fingerprint bits are hash-defined); planted pairs asserted in tests.
+    * maxHamming=3 both matches the 4-band pigeonhole guarantee and filters
+    * the organically-correlated word-soup pairs.
+    */
+  def q32SimhashDedup(spark: SparkSession, d: String): DataFrame =
+    simhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 3), 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- q33
+  /** Word-set Jaccard similarity on a bounded candidate window (doc_id<100):
+    * fully deterministic (no hashing) → full DuckDB oracle. The unbounded
+    * version is what MinHash-LSH (q31) approximates; this exact variant
+    * doubles as its ground truth on the windowed subset.
+    */
+  def q33NgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 100)
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = words.as("a")
+    val b = words.as("b")
+    val inter = a.join(b, col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q33Oracle: String =
+    """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                  FROM documents WHERE doc_id < 100),
+       sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> q30ExactDedup _,
+    "q31_dedup_minhash_lsh" -> q31MinhashLsh _,
+    "q32_dedup_simhash" -> q32SimhashDedup _,
+    "q33_dedup_ngram_jaccard" -> q33NgramJaccard _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Oracle,
+    "q33_dedup_ngram_jaccard" -> q33Oracle)
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.core.Utils
+import graft.crypto.CryptoFunctions
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Queries exercising the reference's own pipeline operators end-to-end
+  * (SURVEY.md §2.1): column encryption, CSV scan + whole-file schema
+  * inference, identifier sanitization.
+  */
+object EtlQueries {
+
+  /** Fixed key (test-only) so the query plan is reproducible; byte values
+    * 0..31 urlsafe-base64. Production path generates per-run keys
+    * (graft.crypto.Fernet.generateKey).
+    */
+  val TestKey: String = "AAECAwQFBgcICQoLDA0ODxAREhMUFRYXGBkaGxwdHh8="
+
+  // ---------------------------------------------------------------- q26
+  /** Encryption round-trip as a deterministic query: every customer name
+    * must survive encrypt→decrypt intact (the property the reference cannot
+    * test because it discards the key, SURVEY.md §0.2-4). Oracle: the
+    * row-count of customer.
+    */
+  def q26EncryptRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val enc = CryptoFunctions.encryptUdf(TestKey)
+    val dec = CryptoFunctions.decryptUdf(TestKey)
+    Tables.customer(spark, d)
+      .filter(dec(enc(col("c_name"))) === col("c_name"))
+      .agg(count(lit(1)).as("n_ok"))
+  }
+
+  val q26Oracle: String = "SELECT count(*) AS n_ok FROM customer"
+
+  // ---------------------------------------------------------------- q27
+  /** Raw encryption projection (nondeterministic tokens — random IV — so no
+    * value oracle; driver records the rows-only check). Mirrors
+    * `encrypt_data` semantics: targeted column replaced by Fernet tokens,
+    * other columns untouched (/root/reference/pipeline.py:76-84).
+    */
+  def q27EncryptTokens(spark: SparkSession, d: String): DataFrame =
+    CryptoFunctions.encryptColumns(
+      Tables.customer(spark, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Seq("c_name", "not_a_column"), // missing column → warn+skip, reference parity
+      TestKey)
+      .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------- q28
+  /** CSV ingest round-trip: export nation to CSV, re-read with whole-file
+    * schema inference (fixing the reference's per-chunk inference drift,
+    * SURVEY.md §0.2-7), then aggregate. The oracle runs the same aggregate
+    * on the original parquet — inference must reproduce the schema exactly
+    * for the values to hash-match.
+    */
+  def q28CsvIngestRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    Tables.nation(spark, d).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    spark.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q28Oracle: String =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  // ---------------------------------------------------------------- q29
+  /** Identifier sanitization at scale: the reference's table-name rule
+    * (strip extension, collapse non-alphanumerics, strip leading '_';
+    * /root/reference/pipeline.py:103-107) applied as a column expression.
+    * Built-ins only — regexp_replace chain, no UDF — so it stays codegen'd;
+    * Utils.sanitizeTableName is the scalar twin (asserted equal in tests).
+    */
+  def q29Sanitize(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .select(
+        col("p_partkey"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(concat(col("p_name"), lit(".csv")), "\\.[^.]+$", ""),
+            "[^A-Za-z0-9]+", "_"),
+          "^_+", "").as("table_name"))
+      .orderBy(col("p_partkey"))
+
+  val q29Oracle: String =
+    """SELECT p_partkey,
+       regexp_replace(regexp_replace(regexp_replace(p_name || '.csv', '\.[^.]+$', ''), '[^A-Za-z0-9]+', '_', 'g'), '^_+', '') AS table_name
+       FROM part ORDER BY p_partkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
+    "q27_encrypt_tokens" -> q27EncryptTokens _,
+    "q28_csv_ingest_roundtrip" -> q28CsvIngestRoundtrip _,
+    "q29_sanitize_identifiers" -> q29Sanitize _)
+
+  val oracles: Map[String, String] = Map(
+    "q26_encrypt_roundtrip" -> q26Oracle,
+    "q28_csv_ingest_roundtrip" -> q28Oracle,
+    "q29_sanitize_identifiers" -> q29Oracle)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column support: media as opaque `binary` columns with typed
+  * metadata, plus the decode/feature-extract plumbing shape.
+  *
+  * The container has no image/audio codecs, so — per the build contract —
+  * the decode itself is a STUB (`MediaCodec.decodeStub`, a deterministic
+  * fake); everything around it is real and tested: the binary column schema,
+  * the typed metadata struct, the partition-wise batch decode path
+  * (`mapPartitions`, one codec init per partition, never per row — the shape
+  * a JNI/FFI decoder needs), and the per-row expression path for cheap
+  * metadata.
+  *
+  * The reference's only brush with binary data is the BLOB→VARBINARY type
+  * mapping (/root/reference/pipeline.py:121); this module is the north-star
+  * extension of that row.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata: what a real image/audio probe would emit. */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Long, height: Long, n_frames: Long,
+      format: String)
+
+  /** STUB decode: deterministic pseudo-metadata derived from content length.
+    * A real deployment replaces this body with an actual codec probe; the
+    * signature (bytes in, metadata out) and the call sites stay unchanged.
+    */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(
+      doc_id = docId,
+      byte_len = n,
+      width = n % 640 + 1,
+      height = n % 480 + 1,
+      n_frames = n % 30 + 1,
+      format = if (n % 2 == 0) "img/fake-even" else "img/fake-odd")
+  }
+
+  /** Partition-wise batch decode over a binary column: the production shape
+    * for real codecs (per-partition init, streamed rows, no driver
+    * involvement).
+    */
+  def decodeBinaryColumn(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: initialize codec once here, then stream
+        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** documents.text → opaque binary column, the ingest shape for media blobs. */
+  def asBinaryTable(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text").cast("binary").as("content"),
+        struct(col("source"), col("lang")).as("meta"))
+
+  // ---------------------------------------------------------------- q41
+  /** Binary-column pipeline: ingest as binary + metadata struct, stub-decode,
+    * emit typed features. The stub math is pure arithmetic on byte length,
+    * so the whole path is DuckDB-oracle-checkable even though the "decode"
+    * is fake.
+    */
+  def q41MultimodalDecode(spark: SparkSession, d: String): DataFrame = {
+    val decoded = decodeBinaryColumn(spark, asBinaryTable(spark, d))
+    decoded.toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Oracle: String =
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'img/fake-even' ELSE 'img/fake-odd' END AS format
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q42
+  /** Expression-only metadata path (no mapPartitions): binary length and a
+    * frame-sampling plan (which frame indices a sampler would decode),
+    * computed as codegen'd expressions over the binary column.
+    */
+  def q42FrameSamplePlan(spark: SparkSession, d: String): DataFrame =
+    asBinaryTable(spark, d)
+      .withColumn("byte_len", expr("octet_length(content)").cast("long"))
+      .withColumn("n_frames", (col("byte_len") % 30 + 1).cast("long"))
+      // sample every 5th frame: the plan a video frame-sampler would execute
+      .withColumn("sampled_frames", expr("size(sequence(0, CAST(n_frames AS INT) - 1, 5))").cast("long"))
+      .select(col("doc_id"), col("byte_len"), col("n_frames"), col("sampled_frames"))
+      .orderBy(col("doc_id"))
+
+  val q42Oracle: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
+       CAST(floor((octet_length(encode(text)) % 30) / 5) + 1 AS BIGINT) AS sampled_frames
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_multimodal_decode" -> q41MultimodalDecode _,
+    "q42_multimodal_frame_sample" -> q42FrameSamplePlan _)
+
+  val oracles: Map[String, String] = Map(
+    "q41_multimodal_decode" -> q41Oracle,
+    "q42_multimodal_frame_sample" -> q42Oracle)
+}

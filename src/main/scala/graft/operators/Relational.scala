@@ -1,0 +1,418 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The relational query surface (SURVEY.md §2.2): the operator families the
+  * reference delegates to its warehouse via SQL-over-REST
+  * (/root/reference/pipeline.py:143-152) and that this engine answers
+  * natively through Catalyst.
+  *
+  * Determinism contract with the DuckDB oracle: every query ends in a total
+  * ORDER BY; double aggregations go through exact DECIMAL arithmetic and cast
+  * back to DOUBLE at the end, so results are bit-identical regardless of
+  * partitioning/accumulation order — which also means correctness is
+  * independent of cluster size (the property that matters at 100 TB).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: cast each value to
+    * DECIMAL(25,6) (deterministic rounding), sum exactly, cast back.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** Flagship pricing summary (TPC-H Q1 shape): scan → filter (pushed to
+    * parquet) → partial+final hash aggregate → sort. No shuffle beyond the
+    * single groupBy; at scale AQE coalesces post-shuffle partitions.
+    */
+  def q01PricingSummary(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity").cast(DecimalType(25, 6))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(DecimalType(25, 6))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + conjunctive filter; predicates and the 4-column projection
+    * both reach the parquet scan (PushedFilters / ReadSchema).
+    */
+  def q02FilterProject(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "A" && col("l_discount") < 0.03)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+       WHERE l_quantity > 45 AND l_returnflag = 'A' AND l_discount < 0.03
+       ORDER BY l_orderkey, l_linenumber"""
+
+  // ---------------------------------------------------------------- q03
+  /** Inner equi-join with an explicitly broadcast dimension side: customer is
+    * orders-of-magnitude smaller than the fact table, so the join is
+    * shuffle-free on the big side (BroadcastHashJoin) — the 100 TB-safe plan.
+    */
+  def q03JoinBroadcast(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q03Oracle: String =
+    """SELECT c_mktsegment, count(*) AS order_cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---------------------------------------------------------------- q04
+  /** Left outer join keeping customers with zero orders (count(col) skips the
+    * nulls the outer side introduces).
+    */
+  def q04JoinLeftOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q04Oracle: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q05
+  /** Left-semi join (EXISTS): big-ticket customers. */
+  def q05JoinSemi(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).filter(col("o_totalprice") > 150000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q06
+  /** Left-anti join (NOT EXISTS): customers who never placed a large order. */
+  def q06JoinAnti(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).filter(col("o_totalprice") > 200000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q06Oracle: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q07
+  /** Full outer join of two pre-aggregated sides (customer vs supplier
+    * presence per nation). Aggregating before the join keeps the shuffled
+    * data minimal — join inputs are already one row per key.
+    */
+  def q07JoinFullOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, d)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(
+        col("nk").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q07Oracle: String =
+    """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers, COALESCE(s.n_suppliers, 0) AS n_suppliers
+       FROM (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1) c
+       FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+       ON c.nk = s.nk ORDER BY nationkey"""
+
+  // ---------------------------------------------------------------- q08
+  /** Theta join: equi key plus a non-equi residual predicate — Catalyst plans
+    * the equi part as a hash join and evaluates the residual post-match, so
+    * this never degrades to a nested-loop cross product.
+    */
+  def q08JoinTheta(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val p = Tables.part(spark, d)
+    li.join(broadcast(p),
+        li("l_partkey") === p("p_partkey") && li("l_extendedprice") > p("p_retailprice") * 1.5)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_expensive"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q08Oracle: String =
+    """SELECT p_brand, count(*) AS n_expensive
+       FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 1.5
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  // ---------------------------------------------------------------- q09
+  /** Exact distinct aggregation (expand + two-phase aggregate underneath). */
+  def q09CountDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q09Oracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q10
+  /** Approximate distinct (HyperLogLog++) — the sketch path for 100 TB where
+    * exact distinct would shuffle every key. HLL implementations differ
+    * across engines, so there is deliberately no value oracle (rows-only
+    * check); the exact twin is q09.
+    */
+  def q10ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP with GROUPING() markers. */
+  def q11Rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(
+        col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q11Oracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  // ---------------------------------------------------------------- q12
+  /** CUBE over two dimensions. */
+  def q12Cube(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .orderBy(
+        col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q12Oracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status, CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  // ---------------------------------------------------------------- q13
+  /** Ranking window functions with a unique tiebreak (row_number is only
+    * deterministic with a total order per partition).
+    */
+  def q13WindowRank(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, d)
+      .select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  val q13Oracle: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, drnk FROM (
+         SELECT c_custkey, c_nationkey, c_acctbal,
+                CAST(row_number() OVER w AS INT) AS rn,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk
+         FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+       ) WHERE rn <= 5 ORDER BY c_nationkey, rn"""
+
+  // ---------------------------------------------------------------- q14
+  /** Running totals + lag/lead with an explicit ROWS frame; the running sum
+    * is decimal-exact so the prefix is order-stable.
+    */
+  def q14WindowRunning(spark: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(25, 6))).over(frame).cast("double").as("running_total"),
+        lag(col("o_orderkey"), 1).over(order).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(order).as("next_order"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q14Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order,
+       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order
+       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  // ---------------------------------------------------------------- q15
+  /** Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver, never a full sort
+    * of 100 TB.
+    */
+  def q15TopK(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val q15Oracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+
+  // ---------------------------------------------------------------- q16
+  /** Per-group top-k via ranking window + filter. */
+  def q16GroupedTopK(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  val q16Oracle: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+         SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                CAST(row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
+         FROM lineitem) WHERE rn <= 3 ORDER BY l_returnflag, rn"""
+
+  // ---------------------------------------------------------------- q17
+  /** Set operations (distinct semantics, matching SQL UNION/INTERSECT/EXCEPT). */
+  def q17SetOps(spark: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(spark, d).select(col("c_nationkey").as("nk")).distinct()
+    val sn = Tables.supplier(spark, d).select(col("s_nationkey").as("nk")).distinct()
+    val union = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val inter = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val minus = cn.except(sn).withColumn("op", lit("except"))
+    union.unionByName(inter).unionByName(minus)
+      .select(col("op"), col("nk"))
+      .orderBy(col("op"), col("nk"))
+  }
+
+  val q17Oracle: String =
+    """SELECT op, nk FROM (
+         SELECT 'union' AS op, nk FROM (SELECT DISTINCT c_nationkey AS nk FROM customer UNION SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'intersect' AS op, nk FROM (SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT 'except' AS op, nk FROM (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+       ) ORDER BY op, nk"""
+
+  // ---------------------------------------------------------------- q18
+  /** Pure-SQL surface: inline VALUES through the full Catalyst pipeline. */
+  def q18SqlValues(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS id, tag, CAST(score * 2 AS DOUBLE) AS doubled
+         FROM VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5) AS t(id, tag, score)
+         ORDER BY id""")
+
+  val q18Oracle: String =
+    """SELECT CAST(id AS BIGINT) AS id, tag, CAST(score * 2 AS DOUBLE) AS doubled
+       FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, tag, score)
+       ORDER BY id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_join_inner_broadcast" -> q03JoinBroadcast _,
+    "q04_join_left_outer" -> q04JoinLeftOuter _,
+    "q05_join_semi" -> q05JoinSemi _,
+    "q06_join_anti" -> q06JoinAnti _,
+    "q07_join_full_outer" -> q07JoinFullOuter _,
+    "q08_join_theta" -> q08JoinTheta _,
+    "q09_count_distinct" -> q09CountDistinct _,
+    "q10_approx_count_distinct" -> q10ApproxDistinct _,
+    "q11_rollup" -> q11Rollup _,
+    "q12_cube" -> q12Cube _,
+    "q13_window_rank" -> q13WindowRank _,
+    "q14_window_running" -> q14WindowRunning _,
+    "q15_topk" -> q15TopK _,
+    "q16_grouped_topk" -> q16GroupedTopK _,
+    "q17_set_ops" -> q17SetOps _,
+    "q18_sql_values" -> q18SqlValues _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing_summary" -> q01Oracle,
+    "q02_filter_project" -> q02Oracle,
+    "q03_join_inner_broadcast" -> q03Oracle,
+    "q04_join_left_outer" -> q04Oracle,
+    "q05_join_semi" -> q05Oracle,
+    "q06_join_anti" -> q06Oracle,
+    "q07_join_full_outer" -> q07Oracle,
+    "q08_join_theta" -> q08Oracle,
+    "q09_count_distinct" -> q09Oracle,
+    "q11_rollup" -> q11Oracle,
+    "q12_cube" -> q12Oracle,
+    "q13_window_rank" -> q13Oracle,
+    "q14_window_running" -> q14Oracle,
+    "q15_topk" -> q15Oracle,
+    "q16_grouped_topk" -> q16Oracle,
+    "q17_set_ops" -> q17Oracle,
+    "q18_sql_values" -> q18Oracle)
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scalar-function batteries (SURVEY.md §2.2 rows: string / date-time / math /
+  * json). All codegen'd built-ins — no UDFs in these paths, so every
+  * expression stays inside WholeStageCodegen.
+  */
+object Scalars {
+
+  // ---------------------------------------------------------------- q19
+  /** String battery: case mapping, length, substring, regexp_replace (the
+    * reference's identifier sanitizer is exactly a regexp_replace,
+    * /root/reference/pipeline.py:106), split/element_at, concat.
+    */
+  def q19StringFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      lower(col("p_brand")).as("lbrand"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      regexp_replace(col("p_name"), "[^A-Za-z0-9]+", "_").as("slug"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      element_at(split(col("p_name"), " "), 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  val q19Oracle: String =
+    """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+       CAST(length(p_name) AS BIGINT) AS name_len, substring(p_type, 1, 5) AS type5,
+       regexp_replace(p_name, '[^A-Za-z0-9]+', '_', 'g') AS slug,
+       p_brand || ':' || p_type AS brand_type,
+       string_split(p_name, ' ')[1] AS first_word
+       FROM part ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- q20
+  /** Date/time battery over the timestamp columns the reference's type table
+    * declares (DATE/TIME/TIMESTAMP, /root/reference/pipeline.py:123,129-130).
+    */
+  def q20DateFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("yr"),
+      month(col("o_orderdate")).cast("int").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms"),
+      last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  val q20Oracle: String =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo, CAST(day(o_orderdate) AS INT) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+       epoch_ms(o_orderdate) AS ts_ms, last_day(o_orderdate) AS month_end
+       FROM orders ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------- q21
+  /** Math battery — only operations with IEEE-defined results (or exact
+    * integer semantics) so values are bit-identical across engines.
+    */
+  def q21MathFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      // round() over *decimal* operands: double rounding differs across
+      // engines at representation boundaries, decimal rounding (half-up)
+      // does not. price/discount are 2-decimal quantities, so the casts are
+      // exact and the scale-4 product is exact.
+      round(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 2)), 2).cast("double").as("disc_price"),
+      abs(col("l_discount") - 0.05).as("dev"),
+      floor(col("l_quantity") / 7.0).cast("long").as("qty_div7"),
+      ceil(col("l_quantity") / 7.0).cast("long").as("qty_ceil7"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_orderkey") % 7).as("ord_mod7"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+      least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q21Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)), 2) AS DOUBLE) AS disc_price,
+       abs(l_discount - 0.05) AS dev,
+       CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_orderkey % 7 AS ord_mod7,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  // ---------------------------------------------------------------- q22
+  /** JSON extraction over `events.props` (schema'd from_json plus path-based
+    * get_json_object), then a grouped aggregate over the parsed value.
+    */
+  def q22JsonFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(
+        col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_val"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val2"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k_val")).cast("long").as("sum_k"),
+        sum(col("k_val2")).cast("long").as("sum_k2"),
+        count(col("k_val")).as("n"))
+      .orderBy(col("event_type"))
+
+  val q22Oracle: String =
+    """SELECT event_type,
+       CAST(sum(k_val) AS BIGINT) AS sum_k, CAST(sum(k_val) AS BIGINT) AS sum_k2,
+       count(k_val) AS n
+       FROM (SELECT event_type, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k_val FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_string_funcs" -> q19StringFuncs _,
+    "q20_date_funcs" -> q20DateFuncs _,
+    "q21_math_funcs" -> q21MathFuncs _,
+    "q22_json_funcs" -> q22JsonFuncs _)
+
+  val oracles: Map[String, String] = Map(
+    "q19_string_funcs" -> q19Oracle,
+    "q20_date_funcs" -> q20Oracle,
+    "q21_math_funcs" -> q21Oracle,
+    "q22_json_funcs" -> q22Oracle)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim). Two paths, per the scale plan:
+  *
+  *  - brute-force cosine top-k: one scan, per-row codegen'd array math, a
+  *    TakeOrderedAndProject for the top-k — the exact baseline; linear in
+  *    corpus size, embarrassingly parallel, no shuffle except the k-row
+  *    merge. Fine even at 100 TB when the query set is small.
+  *  - LSH-bucketed ANN (random hyperplanes): signatures computed per row from
+  *    seed-derived planes (no driver-side model object), candidates found by
+  *    multi-table bucket join, then exact cosine only within candidates.
+  *    This is the scale path: comparison cost drops from n to Σ bucket
+  *    sizes of the probed buckets.
+  *
+  * All vector math is built-in higher-order functions (zip_with/aggregate)
+  * over doubles — no UDFs, stays in codegen.
+  */
+object Similarity {
+
+  /** embedding (array<float>) → array<double>, plus norm. */
+  private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** Cosine similarity of every row against the vector with `queryId`,
+    * exact, streaming over the corpus once.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(expr(toDouble).as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q)) // 1-row build side: a broadcast, not a shuffle
+      .withColumn("ed", expr(toDouble))
+      .withColumn("dot", expr("aggregate(zip_with(ed, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na", expr("sqrt(aggregate(transform(ed, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nq", expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nq")))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Brute-force cosine top-10 vs vec_id=0 — deterministic double math →
+    * full DuckDB oracle.
+    */
+  def q34CosineTopK(spark: SparkSession, d: String): DataFrame =
+    cosineTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
+
+  val q34Oracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       p AS (SELECT e.vec_id, CAST(e.embedding[r.j + 1] AS DOUBLE) AS ed,
+                    CAST(q.qe[r.j + 1] AS DOUBLE) AS qd
+             FROM embeddings e, q, range(64) r(j) WHERE e.vec_id <> 0),
+       s AS (SELECT vec_id, sum(ed * qd) AS dot,
+                    sqrt(sum(ed * ed)) AS na, sqrt(sum(qd * qd)) AS nq
+             FROM p GROUP BY vec_id)
+       SELECT vec_id, round(dot / (na * nq), 4) AS cos_sim
+       FROM s ORDER BY dot / (na * nq) DESC, vec_id ASC LIMIT 10"""
+
+  // ------------------------------------------------------------- LSH ANN
+  /** Random-hyperplane signatures. The ±1 plane matrix is deterministic
+    * (splitmix64 of the component index), materialized ONCE driver-side and
+    * embedded as a literal array constant in the plan — every executor sees
+    * the same planes with zero broadcast state and zero per-row hash calls.
+    * (An earlier version computed each component with per-row xxhash64
+    * expressions: 2048 interpreted hash evals per row, ~25× slower.)
+    * `NumTables` independent 8-bit bucket tables give multi-probe recall.
+    */
+  val PlanesPerTable = 8
+  val NumTables = 4
+  val Dim = 64
+
+  /** splitmix64 — deterministic pseudo-random ±1 components. */
+  private def mix64(z0: Long): Double = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** planes(p)(i): component i of hyperplane p. */
+  val Planes: Seq[Seq[Double]] =
+    (0 until NumTables * PlanesPerTable).map(p => (0 until Dim).map(i => mix64(p.toLong * Dim + i)))
+
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val planesLit = typedlit(Planes)
+    emb
+      .withColumn("ed", expr(toDouble))
+      .withColumn("planes", planesLit)
+      .withColumn("bits", expr(
+        """transform(planes, pl ->
+             CASE WHEN aggregate(zip_with(ed, pl, (x, w) -> x * w), 0D, (a, x) -> a + x) >= 0D
+                  THEN 1L ELSE 0L END)"""))
+      .withColumn("buckets", expr(
+        s"""transform(sequence(0, ${NumTables - 1}, 1), t ->
+              aggregate(sequence(0, ${PlanesPerTable - 1}, 1), 0L,
+                (acc, j) -> acc * 2 + element_at(bits, t * $PlanesPerTable + j + 1)))"""))
+      .select(col("vec_id"), col("ed"),
+        posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+  }
+
+  /** ANN top-k for `queryId`: candidates share any (table, bucket) with the
+    * query, exact cosine re-rank inside candidates only.
+    */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val buckets = lshBuckets(emb)
+    val qb = buckets.filter(col("vec_id") === queryId)
+      .select(col("table_id").as("q_table"), col("bucket").as("q_bucket"),
+        col("ed").as("qe"))
+    val candidates = buckets
+      .join(broadcast(qb),
+        col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("ed"), col("qe"))
+      .dropDuplicates("vec_id")
+    candidates
+      .withColumn("dot", expr("aggregate(zip_with(ed, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na", expr("sqrt(aggregate(transform(ed, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nq", expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nq")))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** LSH-bucketed approximate top-5 for vec_id=0. Bucket membership is
+    * hash-defined → rows-only driver check; recall vs the exact q34 answer
+    * is asserted in ScalaTest.
+    */
+  def q35AnnLsh(spark: SparkSession, d: String): DataFrame =
+    annTopK(Tables.embeddings(spark, d), queryId = 0L, k = 5)
+
+  // ---------------------------------------------------------------- q36
+  /** All-pairs high-similarity search within each label group (embedding
+    * near-dup detection): group-bounded pair join + exact cosine, the
+    * embedding-space twin of q33. Deterministic → oracle.
+    * Bounded to vec_id < 200 per side to keep the pair count fixed.
+    */
+  def q36EmbeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d).filter(col("vec_id") < 200)
+      .withColumn("ed", expr(toDouble))
+      .select(col("vec_id"), col("label"), col("ed"))
+    val a = emb.select(col("vec_id").as("id_a"), col("label"), col("ed").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("ed").as("eb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na", expr("sqrt(aggregate(transform(ea, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nb", expr("sqrt(aggregate(transform(eb, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
+      // within-label cosine tops out near 0.45 in this corpus; 0.3 keeps the
+      // high-similarity tail (~p99) without going empty
+      .filter(col("cos_raw") >= 0.3)
+      .select(col("label"), col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  val q36Oracle: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+       p AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                    CAST(a.embedding[r.j + 1] AS DOUBLE) AS xa,
+                    CAST(b.embedding[r.j + 1] AS DOUBLE) AS xb
+             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id, range(64) r(j)),
+       s AS (SELECT label, id_a, id_b, sum(xa * xb) AS dot,
+                    sqrt(sum(xa * xa)) AS na, sqrt(sum(xb * xb)) AS nb
+             FROM p GROUP BY label, id_a, id_b)
+       SELECT label, id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
+       FROM s WHERE dot / (na * nb) >= 0.3
+       ORDER BY label, id_a, id_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_similarity_cosine_topk" -> q34CosineTopK _,
+    "q35_similarity_ann_lsh" -> q35AnnLsh _,
+    "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _)
+
+  val oracles: Map[String, String] = Map(
+    "q34_similarity_cosine_topk" -> q34Oracle,
+    "q36_similarity_embedding_neardup" -> q36Oracle)
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis battery over `documents`: language ID, quality scoring,
+  * token counting, fingerprinting. All built-in expressions (split /
+  * higher-order array functions / regexp) — fully codegen'd, no UDFs, scales
+  * linearly with the corpus.
+  */
+object TextAnalysis {
+
+  /** Stopword-marker lexicons per language. The corpus is synthetic word
+    * soup, so the interesting property is the *operator* (deterministic
+    * argmax over per-language evidence counts), not linguistic accuracy.
+    */
+  val Lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def scoreExpr(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(text, ' '), x -> x IN ($list)))"
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Language ID: argmax of marker counts with a fixed tie-break order
+    * (en > de > es > fr > zh on >=). Deterministic → DuckDB oracle with the
+    * same CASE chain.
+    */
+  def q37LangId(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("s_en", expr(scoreExpr(Lexicons("en"))))
+      .withColumn("s_de", expr(scoreExpr(Lexicons("de"))))
+      .withColumn("s_es", expr(scoreExpr(Lexicons("es"))))
+      .withColumn("s_fr", expr(scoreExpr(Lexicons("fr"))))
+      .withColumn("s_zh", expr(scoreExpr(Lexicons("zh"))))
+      .withColumn("predicted", expr(
+        """CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END"""))
+      .select(col("doc_id"), col("predicted"), col("lang").as("labeled"),
+        col("s_en").cast("long").as("evidence"))
+      .orderBy(col("doc_id"))
+
+  val q37Oracle: String = {
+    def duckScore(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($list)))"
+    }
+    s"""WITH scored AS (SELECT doc_id, lang,
+          ${duckScore(Lexicons("en"))} AS s_en, ${duckScore(Lexicons("de"))} AS s_de,
+          ${duckScore(Lexicons("es"))} AS s_es, ${duckScore(Lexicons("fr"))} AS s_fr,
+          ${duckScore(Lexicons("zh"))} AS s_zh FROM documents)
+        SELECT doc_id,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted,
+          lang AS labeled, CAST(s_en AS BIGINT) AS evidence
+        FROM scored ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Quality scoring: token counts, average token length, stopword ratio,
+    * composite score — the standard pre-training corpus filters.
+    */
+  def q38QualityScore(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withColumn("avg_token_len",
+        round((col("text_len") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
+      .withColumn("stop_cnt", expr(scoreExpr(Lexicons("en"))).cast("long"))
+      .withColumn("stopword_ratio", round(col("stop_cnt").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality_score", round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")), 4))
+      .select(col("doc_id"), col("n_tokens"), col("text_len"), col("avg_token_len"),
+        col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val q38Oracle: String = {
+    val stop = Lexicons("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS text_len,
+        round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+        round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+              (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stop))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score
+        FROM documents ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** Token counting, whitespace + BPE-ish regex segmentation (letter runs /
+    * digit runs / single other), aggregated per source.
+    */
+  def q39TokenCount(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).cast("long").as("total_ws_tokens"),
+        sum(col("re_tokens")).cast("long").as("total_re_tokens"))
+      .orderBy(col("source"))
+
+  val q39Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_re_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
+  // ---------------------------------------------------------------- q40
+  /** Document fingerprinting: 64-bit content hash (xxhash64) plus a
+    * positional rolling fingerprint folding word hashes with their position.
+    * Hash-valued output → rows-only driver check; stability and
+    * collision-freedom asserted in ScalaTest.
+    */
+  def q40Fingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("content_hash", expr("xxhash64(text)"))
+      // positional rolling fold: xxhash64(acc, w) chains position into the
+      // state (overflow-free under ANSI, unlike a polynomial multiply)
+      .withColumn("rolling_fp", expr(
+        """aggregate(split(text, ' '), CAST(-3750763034362895579 AS BIGINT),
+             (acc, w) -> xxhash64(acc, w))"""))
+      .select(col("doc_id"), col("content_hash"), col("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_text_lang_id" -> q37LangId _,
+    "q38_text_quality_score" -> q38QualityScore _,
+    "q39_text_token_count" -> q39TokenCount _,
+    "q40_text_fingerprint" -> q40Fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "q37_text_lang_id" -> q37Oracle,
+    "q38_text_quality_score" -> q38Oracle,
+    "q39_text_token_count" -> q39Oracle)
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the warehouse's parquet tables. Scans are plain
+  * `spark.read.parquet` so Catalyst keeps full pushdown/pruning freedom —
+  * filters and projections land in the parquet scan (`PushedFilters`,
+  * `ReadSchema`), which is the property that matters at 100 TB.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy long mode) and truncate
+    * to microseconds — the same ns→µs floor DuckDB applies natively, so both
+    * engines see identical values.
+    */
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** ns(long) → µs timestamp; `div` is integer division (a double division
+    * would lose precision above 2^53 ns).
+    */
+  val EventsTsToMicros = "timestamp_micros(ts div 1000)"
+
+  private def withEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.withColumn("ts", expr(EventsTsToMicros))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = withEventTs(eventsRaw(spark, d))
+
+  /** Schema of the raw events file (ts as long nanos) for readStream. */
+  def eventsRawSchema(spark: SparkSession, d: String): org.apache.spark.sql.types.StructType =
+    eventsRaw(spark, d).schema
+
+  /** Streaming twin of `events`: file-source readStream + the same ns→µs
+    * conversion. Spark's file stream source wants a directory to monitor;
+    * the single-file fixture is staged into a temp dir via hardlink (a real
+    * deployment streams from a landing directory already).
+    */
+  def eventsStream(spark: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.createLink(dir.resolve("events.parquet"), Paths.get(s"$d/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTs(
+      spark.readStream.schema(eventsRawSchema(spark, d)).parquet(dir.toString))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

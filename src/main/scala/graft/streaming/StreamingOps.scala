@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming row). The batch
+  * event-time queries in graft.operators.EventTime use the same window
+  * functions; these are their streaming twins: file-source `readStream` →
+  * watermarked windowed aggregation → memory sink. For deterministic local
+  * verification the stream is driven to completion with
+  * `processAllAvailable()` — the query shape is identical to what a
+  * continuous deployment would run with a real sink and trigger.
+  */
+object StreamingOps {
+
+  private def eventsStream(spark: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.eventsStream(spark, d)
+
+  /** Run a streaming DataFrame to completion into an in-memory table and
+    * return the result. `complete` mode for aggregations.
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming tumbling-window aggregation with a 10-minute watermark —
+    * twin of EventTime.q23 and checked against the same DuckDB oracle.
+    * (With complete output the watermark does not drop anything here; it
+    * declares the lateness bound a production append-mode run would use.)
+    */
+  def q43StreamTumbling(spark: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+    runToMemory(spark, agg, s"stream_tumbling_${System.nanoTime()}")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
+  /** Streaming session windows (30-minute gap) — twin of EventTime.q25. */
+  def q44StreamSession(spark: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+    runToMemory(spark, agg, s"stream_session_${System.nanoTime()}")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Streaming exact dedup with watermarked state eviction
+    * (`dropDuplicates` on event_id) — the streaming member of the dedup
+    * family. Append mode; result equals batch distinct-count.
+    */
+  def q45StreamDedup(spark: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"))
+    runToMemory(spark, deduped, s"stream_dedup_${System.nanoTime()}", OutputMode.Append())
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------------- custom state machine
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class UserSessionStats(user_id: Long, n_events: Long, total_value: Double,
+                                    n_purchases: Long)
+
+  /** Arbitrary stateful processing via mapGroupsWithState: per-user running
+    * stats (the `KeyValueGroupedDataset` custom-state extension point).
+    * State is per-key and partition-local — scales with distinct users, not
+    * events.
+    */
+  def userStats(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserSessionStats] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessionStats, UserSessionStats](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionStats]) =>
+          val prev = state.getOption.getOrElse(UserSessionStats(userId, 0L, 0.0, 0L))
+          val batch = rows.toSeq
+          val updated = UserSessionStats(
+            userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            prev.n_purchases + batch.count(_.event_type == "purchase"))
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Run the stateful per-user aggregation over the events stream (update
+    * mode through a memory sink), returning final per-user stats.
+    */
+  def q46StreamStateful(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, d)
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[UserEvent]
+    val stats = userStats(spark, stream)
+    val name = s"stream_stateful_${System.nanoTime()}"
+    val q = stats.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Update mode emits one row per key per batch; keep the last per user.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"), col("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracles: streaming twins must equal their batch shapes. */
+  val q43Oracle: String = graft.operators.EventTime.q23Oracle
+  val q44Oracle: String = graft.operators.EventTime.q25Oracle
+  val q45Oracle: String =
+    """SELECT event_type, count(*) AS n FROM (SELECT DISTINCT event_id, event_type FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_stream_tumbling_window" -> q43StreamTumbling _,
+    "q44_stream_session_window" -> q44StreamSession _,
+    "q45_stream_dedup" -> q45StreamDedup _,
+    "q46_stream_stateful" -> q46StreamStateful _)
+
+  val oracles: Map[String, String] = Map(
+    "q43_stream_tumbling_window" -> q43Oracle,
+    "q44_stream_session_window" -> q44Oracle,
+    "q45_stream_dedup" -> q45Oracle)
+}
