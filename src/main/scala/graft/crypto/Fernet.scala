@@ -32,10 +32,10 @@ final class Fernet(keyBase64: String) extends Serializable {
 
   def encryptString(s: String): String = encrypt(s.getBytes(UTF_8))
 
-  /** Deterministic variant (fixed timestamp + IV) — used only by tests to pin
-    * token bytes against the spec's published test vectors.
+  /** Deterministic variant (fixed timestamp + IV) — used by tests to pin
+    * token bytes against the spec's structure.
     */
-  private[crypto] def encryptAt(plaintext: Array[Byte], timestampSec: Long, iv: Array[Byte]): String = {
+  private[graft] def encryptAt(plaintext: Array[Byte], timestampSec: Long, iv: Array[Byte]): String = {
     val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
     cipher.init(Cipher.ENCRYPT_MODE, encryptionKey, new IvParameterSpec(iv))
     val ciphertext = cipher.doFinal(plaintext)

@@ -68,13 +68,14 @@ object Dedup {
        FROM docs2 GROUP BY text ORDER BY keep_id"""
 
   // ------------------------------------------------------- MinHash + LSH
-  /** 3-word shingles → H minhashes (affine reshuffles of xxhash64 shingle
-    * hashes) → B bands of R rows; docs sharing any band bucket are
-    * candidates; candidates are verified with exact shingle-set Jaccard.
-    * H=16, B=4, R=4 targets ~0.72+ similarity with high recall.
+  /** 3-word shingles → H minhashes (xxhash64(h, i) family) → B bands of R
+    * rows; docs sharing any band bucket are candidates; candidates are
+    * verified with exact shingle-set Jaccard. H=32, B=8, R=4: band-match
+    * probability 1-(1-s⁴)⁸ ≈ 0.99 at s=0.8 — high recall at the ~0.7+
+    * similarity range a near-dup pass targets.
     */
-  val NumHashes = 16
-  val NumBands = 4
+  val NumHashes = 32
+  val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
   /** doc_id, shingles(array<string>), sig(array<long>) */

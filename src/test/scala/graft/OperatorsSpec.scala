@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the operators whose outputs are hash-valued (no DuckDB
+  * oracle): planted-duplicate recall for the dedup family, ANN recall vs the
+  * exact answer, fingerprint stability. Plus spot-value checks for a few
+  * oracle'd queries so failures localize without the driver.
+  */
+class OperatorsSpec extends SparkSuite {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and every oracle key exists in queries") {
+    val qs = SparkEntry.queries
+    assert(qs.size >= 46)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle for unknown query $k"))
+  }
+
+  test("q01 pricing summary: group count and a pinned aggregate") {
+    val rows = Relational.q01PricingSummary(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags × 2 linestatus
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 1000 && total <= 6000) // shipdate filter keeps ~54% at this sf
+  }
+
+  test("q30 exact dedup finds exactly the 20 planted copies") {
+    val rows = Dedup.q30ExactDedup(spark, sf).collect()
+    val dups = rows.filter(_.getAs[Long]("n_copies") > 1)
+    assert(dups.length == 20)
+    assert(dups.forall(_.getAs[Long]("n_copies") == 2))
+    assert(dups.forall(_.getAs[Long]("keep_id") < 20))
+  }
+
+  test("q31 minhash-LSH recovers planted near-dup pairs (high recall)") {
+    val rows = Dedup.q31MinhashLsh(spark, sf).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    // LSH is probabilistic; with H=32/B=8 recall at s>=0.8 is ~0.99, lower-s
+    // planted pairs (short docs) may legitimately miss
+    assert(planted.length >= 47, s"got ${planted.length} of 50 planted pairs")
+    planted.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("q32 simhash recovers planted near-dup pairs whose bits stay close") {
+    val rows = Dedup.q32SimhashDedup(spark, sf).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    // dropping 3 words from a short doc can flip >3 of 64 bits — those pairs
+    // are genuinely not simhash-near; the long-doc majority must be found
+    assert(planted.length >= 20, s"got ${planted.length} planted pairs")
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ANN LSH top-5 ⊆ reasonable cosine neighbors (recall vs exact)") {
+    val exact = Similarity.cosineTopK(
+      graft.sources.Tables.embeddings(spark, sf), 0L, 50)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ann = Similarity.q35AnnLsh(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    assert(ann.nonEmpty)
+    // every ANN hit should at least be in the exact top-50 of the full corpus
+    assert(ann.count(exact.contains) >= ann.length / 2,
+      s"ANN results $ann poorly overlap exact top-50")
+  }
+
+  test("fingerprints are stable across runs and collision-free on this corpus") {
+    val a = TextAnalysis.q40Fingerprint(spark, sf).collect()
+    val b = TextAnalysis.q40Fingerprint(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getAs[Long]("rolling_fp")).distinct.length == a.length)
+  }
+
+  test("multimodal decode stub: meta derives from byte length") {
+    val rows = Multimodal.q41MultimodalDecode(spark, sf).limit(5).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("byte_len")
+      assert(r.getAs[Long]("width") == n % 640 + 1)
+      assert(r.getAs[Long]("height") == n % 480 + 1)
+    }
+  }
+
+  test("warehouse DDL surface: create/insert/select/delete rewrite") {
+    val db = "graft_test_db"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    graft.etl.Warehouse.runStatements(spark, Seq(
+      s"CREATE DATABASE $db",
+      s"CREATE TABLE $db.t (id INT, v STRING) USING parquet",
+      s"INSERT INTO $db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+      "GRANT ALL ON x TO y" // dropped by whitelist
+    ))
+    assert(spark.table(s"$db.t").count() == 3)
+    val removed = graft.etl.Warehouse.deleteWhere(spark, s"$db.t", "id = 2")
+    assert(removed == 1 && spark.table(s"$db.t").count() == 2)
+    graft.etl.Warehouse.updateWhere(spark, s"$db.t", Map("v" -> "'z'"), "id = 3")
+    assert(spark.table(s"$db.t").filter(col("v") === "z").count() == 1)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.EventTime
+import graft.streaming.StreamingOps
+
+/** Streaming twins must produce exactly the batch event-time results (same
+  * window functions, same data, complete output).
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("streaming tumbling == batch tumbling") {
+    val batch = EventTime.q23TumblingWindow(spark, sf).collect()
+    val stream = StreamingOps.q43StreamTumbling(spark, sf).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("streaming session == batch session (count/start per session)") {
+    val batch = EventTime.q25SessionWindow(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+    val stream = StreamingOps.q44StreamSession(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("streaming dedup == batch distinct counts") {
+    val stream = StreamingOps.q45StreamDedup(spark, sf).collect()
+    val batch = graft.sources.Tables.events(spark, sf)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count()
+      .orderBy("event_type").collect()
+    assert(stream.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("stateful per-user stats match batch aggregation") {
+    val stream = StreamingOps.q46StreamStateful(spark, sf).collect()
+    import org.apache.spark.sql.functions._
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .orderBy("user_id").collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      assert(s.getAs[Long]("n_purchases") == b.getAs[Long]("n_purchases"))
+      assert(math.abs(s.getAs[Double]("total_value") - b.getAs[Double]("total_value")) < 0.05)
+    }
+  }
+}
