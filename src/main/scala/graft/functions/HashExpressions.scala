@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expressions for the hash-heavy dedup/ANN kernels.
+  *
+  * The same logic is expressible with built-in higher-order functions
+  * (transform/aggregate lambdas), but those evaluate interpreted — per-token
+  * lambda dispatch and boxed accumulators. These expressions run the loops
+  * as tight JVM code and participate in whole-stage codegen via a static
+  * call (`defineCodeGen`), which measured 3-10× faster on the sf0.1 corpus.
+  * Token hashing uses Spark's own XXH64 (`XxHash64Function`, seed 42) so
+  * values are identical to the built-in `xxhash64(token)` expression.
+  */
+object HashKernels {
+
+  /** 64-bit SimHash over an array of token strings. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** splitmix64 finalizer — cheap deterministic per-index hash family. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: sig(i) = min over shingles of mix(xxh64(s) ^ seed_i). */
+  def minhashSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val v = mix(h ^ (k.toLong * 0xC2B2AE3D27D4EB4FL))
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Random-hyperplane LSH bucket ids for a float-vector embedding:
+    * `numTables` buckets of `planesPerTable` sign bits each. The ±1 plane
+    * matrix is deterministic (splitmix64 of the component index) — identical
+    * on every executor, no broadcast state.
+    */
+  def lshBuckets(vec: ArrayData, numTables: Int, planesPerTable: Int): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = (t * planesPerTable + p).toLong
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          val w = if ((mix(plane * 64L + i) & 1L) == 1L) 1.0 else -1.0
+          dot += vec.getFloat(i) * w
+          i += 1
+        }
+        bucket = bucket * 2 + (if (dot >= 0.0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** simhash64(array<string>) → bigint */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels$$.MODULE$$.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** minhash_signature(array<string>) → array<bigint> of length numHashes */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels$$.MODULE$$.minhashSignature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** lsh_buckets(array<float>) → array<bigint> of length numTables */
+case class LshBucketsExpr(child: Expression, numTables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.lshBuckets(input.asInstanceOf[ArrayData], numTables, planesPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels$$.MODULE$$.lshBuckets($c, $numTables, $planesPerTable)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-facing API (call_function is the public
+  * route from a registered Catalyst expression to a Column in Spark 4).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_signature",
+      exprs => MinHashSignatureExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_buckets",
+      exprs => LshBucketsExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+  }
+
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_simhash64", tokens)
+  }
+
+  def minhashSignature(spark: SparkSession, shingles: Column, numHashes: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_minhash_signature",
+      shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def lshBuckets(spark: SparkSession, vec: Column, numTables: Int, planesPerTable: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_lsh_buckets",
+      vec, org.apache.spark.sql.functions.lit(numTables),
+      org.apache.spark.sql.functions.lit(planesPerTable))
+  }
+}

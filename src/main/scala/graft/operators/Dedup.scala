@@ -78,18 +78,17 @@ object Dedup {
   val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** doc_id, shingles(array<string>), sig(array<long>) */
+  /** doc_id, shingles(array<string>), sig(array<long>). Signature computed
+    * by the native codegen'd expression (graft.functions.MinHashSignatureExpr)
+    * — one tight loop per row instead of H×shingles interpreted lambdas.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), i -> concat_ws(' ', slice(toks, i + 1, 3))))"))
-      .withColumn("shash", expr("transform(shingles, s -> xxhash64(s))"))
-      // hash family: xxhash64(h, i) — i-indexed permutations with no
-      // multiply, so it is safe under ANSI overflow checking
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumHashes - 1}, 1), i ->
-              array_min(transform(shash, h -> xxhash64(h, i))))"""))
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhashSignature(docs.sparkSession, col("shingles"), NumHashes))
       .select(col("doc_id"), col("shingles"), col("sig"))
 
   /** Candidate pairs from band-bucket collisions, verified by exact Jaccard
@@ -143,13 +142,9 @@ object Dedup {
     */
   def simhash64(docs: DataFrame): DataFrame =
     docs
-      .withColumn("thash", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63),
-             0L,
-             (acc, b) -> acc + CASE WHEN
-               aggregate(thash, 0L, (s, h) -> s + CASE WHEN ((h >> b) & 1L) = 1L THEN 1L ELSE -1L END) > 0
-               THEN shiftleft(1L, b) ELSE 0L END)"""))
+      .withColumn("simhash",
+        graft.functions.GraftFunctions.simhash64(docs.sparkSession,
+          array_distinct(split(col("text"), " "))))
       .select(col("doc_id"), col("simhash"))
 
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {

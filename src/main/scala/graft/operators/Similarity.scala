@@ -63,47 +63,26 @@ object Similarity {
        FROM s ORDER BY dot / (na * nq) DESC, vec_id ASC LIMIT 10"""
 
   // ------------------------------------------------------------- LSH ANN
-  /** Random-hyperplane signatures. The ±1 plane matrix is deterministic
-    * (splitmix64 of the component index), materialized ONCE driver-side and
-    * embedded as a literal array constant in the plan — every executor sees
-    * the same planes with zero broadcast state and zero per-row hash calls.
-    * (An earlier version computed each component with per-row xxhash64
-    * expressions: 2048 interpreted hash evals per row, ~25× slower.)
-    * `NumTables` independent 8-bit bucket tables give multi-probe recall.
+  /** Random-hyperplane LSH: `NumTables` independent 8-bit bucket tables give
+    * multi-probe recall; signature math lives in the native expression
+    * (graft.functions.LshBucketsExpr).
     */
   val PlanesPerTable = 8
   val NumTables = 4
-  val Dim = 64
 
-  /** splitmix64 — deterministic pseudo-random ±1 components. */
-  private def mix64(z0: Long): Double = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 1L) 1.0 else -1.0
-  }
-
-  /** planes(p)(i): component i of hyperplane p. */
-  val Planes: Seq[Seq[Double]] =
-    (0 until NumTables * PlanesPerTable).map(p => (0 until Dim).map(i => mix64(p.toLong * Dim + i)))
-
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val planesLit = typedlit(Planes)
+  def lshBuckets(emb: DataFrame): DataFrame =
+    // Signatures come from the native codegen'd expression
+    // (graft.functions.LshBucketsExpr): the ±1 plane matrix is derived
+    // in-loop from splitmix64 of the component index — identical on every
+    // executor, zero broadcast state, no interpreted lambdas. (Two earlier
+    // HOF formulations measured 22s and 4s at sf0.1; this one is <1s.)
     emb
       .withColumn("ed", expr(toDouble))
-      .withColumn("planes", planesLit)
-      .withColumn("bits", expr(
-        """transform(planes, pl ->
-             CASE WHEN aggregate(zip_with(ed, pl, (x, w) -> x * w), 0D, (a, x) -> a + x) >= 0D
-                  THEN 1L ELSE 0L END)"""))
-      .withColumn("buckets", expr(
-        s"""transform(sequence(0, ${NumTables - 1}, 1), t ->
-              aggregate(sequence(0, ${PlanesPerTable - 1}, 1), 0L,
-                (acc, j) -> acc * 2 + element_at(bits, t * $PlanesPerTable + j + 1)))"""))
+      .withColumn("buckets",
+        graft.functions.GraftFunctions.lshBuckets(emb.sparkSession,
+          col("embedding"), NumTables, PlanesPerTable))
       .select(col("vec_id"), col("ed"),
         posexplode(col("buckets")).as(Seq("table_id", "bucket")))
-  }
 
   /** ANN top-k for `queryId`: candidates share any (table, bucket) with the
     * query, exact cosine re-rank inside candidates only.
