@@ -105,9 +105,27 @@ object Multimodal {
        CAST(floor((octet_length(encode(text)) % 30) / 5) + 1 AS BIGINT) AS sampled_frames
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q50
+  /** `binaryFile` source: whole-file binary ingest (the landing path for
+    * real media blobs — images/audio arrive as files). Reads the region table
+    * file itself as an opaque blob. File length and a content hash are
+    * emitted; modification time is env-dependent and excluded. Rows-only
+    * check (no SQL-accessible file metadata in the oracle engine).
+    */
+  def q50BinaryFileSource(spark: SparkSession, d: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "region.parquet")
+      .load(d)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"),
+        expr("xxhash64(content)").as("content_hash"))
+      .orderBy(col("file_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_decode" -> q41MultimodalDecode _,
-    "q42_multimodal_frame_sample" -> q42FrameSamplePlan _)
+    "q42_multimodal_frame_sample" -> q42FrameSamplePlan _,
+    "q50_multimodal_binaryfile_source" -> q50BinaryFileSource _)
 
   val oracles: Map[String, String] = Map(
     "q41_multimodal_decode" -> q41Oracle,

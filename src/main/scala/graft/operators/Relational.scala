@@ -377,7 +377,72 @@ object Relational {
        FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5)) t(id, tag, score)
        ORDER BY id"""
 
+  // ---------------------------------------------------------------- q47
+  /** Right outer join: every part kept, fact side nullable. The aggregate
+    * runs BELOW the join (per-key counts first), so the preserved/part side
+    * right-joins a small pre-aggregated build side that Spark can broadcast
+    * — a raw `lineitem RIGHT JOIN part` would shuffle the whole fact table
+    * because the preserved side of an outer join can't be the broadcast
+    * side.
+    */
+  def q47JoinRightOuter(spark: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(spark, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val p = Tables.part(spark, d)
+    counts.join(p, counts("l_partkey") === p("p_partkey"), "right")
+      .select(col("p_partkey"), coalesce(col("n"), lit(0L)).as("n_lines"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q47Oracle: String =
+    """SELECT p_partkey, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_lines
+       FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1) c
+       RIGHT JOIN part ON l_partkey = p_partkey
+       ORDER BY p_partkey"""
+
+  // ---------------------------------------------------------------- q48
+  /** Explicit GROUPING SETS through the SQL surface. */
+  def q48GroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  val q48Oracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  // ---------------------------------------------------------------- q49
+  /** RANGE window frame (value-based): orders within ±1000 of each order's
+    * totalprice for the same customer.
+    */
+  def q49WindowRangeFrame(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 1000L)
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_close"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q49Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_close
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_join_right_outer" -> q47JoinRightOuter _,
+    "q48_grouping_sets" -> q48GroupingSets _,
+    "q49_window_range_frame" -> q49WindowRangeFrame _,
     "q01_agg_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_join_inner_broadcast" -> q03JoinBroadcast _,
@@ -398,6 +463,9 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _)
 
   val oracles: Map[String, String] = Map(
+    "q47_join_right_outer" -> q47Oracle,
+    "q48_grouping_sets" -> q48Oracle,
+    "q49_window_range_frame" -> q49Oracle,
     "q01_agg_pricing_summary" -> q01Oracle,
     "q02_filter_project" -> q02Oracle,
     "q03_join_inner_broadcast" -> q03Oracle,

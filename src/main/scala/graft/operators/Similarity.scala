@@ -3,7 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
   * 64-dim). Two paths, per the scale plan:
@@ -153,12 +153,96 @@ object Similarity {
        FROM s WHERE dot / (na * nb) >= 0.3
        ORDER BY label, id_a, id_b"""
 
+  // ------------------------------------------------------------- IVF ANN
+  /** IVF (inverted-file) ANN — the partition-pruning scale path: vectors are
+    * assigned to their nearest of K centroids once at ingest; a query probes
+    * only the `nprobe` closest centroid lists. At 100 TB the assignment
+    * column becomes the table's partition key, so a probe reads nprobe/K of
+    * the data — here the pruning happens via an equi-join on the probed
+    * centroid ids. Centroids are the first K vectors (deterministic; a
+    * k-means refinement would slot in without changing the query shape).
+    */
+  val IvfK = 16
+  val IvfNProbe = 4
+
+  private def cosineCols(aVec: String, bVec: String): Column =
+    expr(s"""aggregate(zip_with($aVec, $bVec, (x, y) -> x * y), 0D, (a, x) -> a + x)
+             / (sqrt(aggregate(transform($aVec, x -> x * x), 0D, (a, x) -> a + x))
+              * sqrt(aggregate(transform($bVec, x -> x * x), 0D, (a, x) -> a + x)))""")
+
+  /** (vec_id, ed, cid): each vector with its nearest-centroid assignment. */
+  def ivfAssignments(emb: DataFrame): DataFrame = {
+    val cent = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
+    emb.select(col("vec_id"), expr(toDouble).as("ed"))
+      .crossJoin(broadcast(cent)) // K rows: broadcast, the per-row argmin pass
+      .withColumn("sim", cosineCols("ed", "ce"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ed"), col("cid"))
+  }
+
+  /** IVF top-k for `queryId`: rank centroids for the query, keep nprobe,
+    * search only vectors assigned to those lists, exact cosine re-rank.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val assigned = ivfAssignments(emb)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("ed").as("qe"))
+    val cent = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("sim", cosineCols("ce", "qe"))
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(IvfNProbe)
+      .select(col("cid"), col("qe"))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), "cid") // prunes to the probed inverted lists
+      .withColumn("cos_raw", cosineCols("ed", "qe"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** IVF ANN top-5 for vec_id=0 — deterministic double math end to end →
+    * full DuckDB oracle (assignment argmax, probe ranking, pruned search).
+    */
+  def q51IvfTopK(spark: SparkSession, d: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, d), queryId = 0L, k = 5)
+
+  val q51Oracle: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
+       pair AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
+                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assigned AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pair) WHERE rn = 1),
+       probes AS (SELECT cid FROM pair WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT $IvfNProbe),
+       cand AS (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
+       scored AS (SELECT e.vec_id,
+                         sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                         (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                          sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)))) AS cos_raw
+                  FROM ev e JOIN cand ON e.vec_id = cand.vec_id, ev q, range(64) r(j)
+                  WHERE q.vec_id = 0 GROUP BY e.vec_id)
+       SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM scored
+       ORDER BY cos_raw DESC, vec_id ASC LIMIT 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q35_similarity_ann_lsh" -> q35AnnLsh _,
     "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q51_similarity_ivf_topk" -> q51Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q36_similarity_embedding_neardup" -> q36Oracle)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * scale (broadcast joins, parquet pushdown, top-k instead of global sort)
+  * are enforced here, so a refactor that silently degrades the plan fails
+  * the build rather than the 100 TB run.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: dimension join is a broadcast hash join (no fact-side shuffle)") {
+    val plan = planOf(Relational.q03JoinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), "fact table must not shuffle for a dim join")
+  }
+
+  test("q08: theta join stays a hash join with residual, not nested-loop") {
+    val plan = planOf(Relational.q08JoinTheta(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "equi part must drive the join")
+  }
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val df = Relational.q02FilterProject(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: ["), scan)
+    assert(scan.contains("GreaterThan(l_quantity") || scan.contains("EqualTo(l_returnflag"),
+      s"expected pushed predicates, got: $scan")
+    // only the 6 referenced columns are read, not all 11
+    assert(!scan.contains("l_tax"), "projection pruning failed: reading unused columns")
+  }
+
+  test("q15: global top-k plans as TakeOrderedAndProject, not full sort") {
+    val plan = planOf(Relational.q15TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q34: brute-force cosine broadcasts the 1-row query side") {
+    val plan = planOf(Similarity.q34CosineTopK(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(500))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort the corpus")
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val plan = planOf(Relational.q01PricingSummary(spark, sf))
+    val aggs = "HashAggregate|SortAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final aggregate, got $aggs aggregate nodes")
+  }
+
+  test("native hash expressions participate in codegen (no CodegenFallback)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.GraftFunctions.simhash64(spark, split(col("text"), " ")))
+    val plan = planOf(df)
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("simhash64expr")),
+      plan.take(500))
+  }
+}
