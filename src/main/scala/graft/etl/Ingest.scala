@@ -37,6 +37,24 @@ final case class IngestResult(url: String, table: String, rows: Long)
   */
 object Ingest extends Logging {
 
+  /** Dispatch on file extension. CSV is the reference's actual format; XLSX
+    * is claimed in its README (README.md:69) but its code feeds any URL to
+    * the CSV parser (pd.read_csv, pipeline.py:205) — SURVEY.md §0.1. Here
+    * .xlsx fails fast with a clear message instead of producing garbage
+    * (no spreadsheet codec is available offline; the dispatch point is
+    * where one would plug in).
+    */
+  def ingestFile(spark: SparkSession, path: String, source: String,
+                 options: IngestOptions = IngestOptions(),
+                 encryptionKey: Option[String] = None,
+                 mode: SaveMode = SaveMode.Overwrite): IngestResult = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+      throw new UnsupportedOperationException(
+        s"XLSX ingest is not supported (reference README-only claim; no codec offline): $path")
+    ingestCsv(spark, path, source, options, encryptionKey, mode)
+  }
+
   /** Read a CSV with whole-file schema inference, optionally Fernet-encrypt
     * sensitive columns, and save as `source`.`table`.
     * Returns the qualified table name.
@@ -97,7 +115,7 @@ object Ingest extends Logging {
           if (url.startsWith("http://") || url.startsWith("https://"))
             Fetch.downloadWithRetry(url, stage).toString
           else url // local/FS path: no staging needed
-        ingestCsv(spark, local, source, optionsFor(url), encryptionKey)
+        ingestFile(spark, local, source, optionsFor(url), encryptionKey)
       }
     }
     val results = futures.map(f => Try(Await.result(f, Duration.Inf)))

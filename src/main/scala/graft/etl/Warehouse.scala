@@ -20,15 +20,35 @@ import org.apache.spark.sql.functions.{col, expr, not}
   */
 object Warehouse extends Logging {
 
+  private val DeleteStmt =
+    """(?is)\s*DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateStmt =
+    """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+
   /** Execute whitelisted statements in order; non-whitelisted statements are
-    * dropped (logged), matching `filter_sql_commands` semantics.
-    * Returns the result of each executed statement.
+    * dropped (logged), matching `filter_sql_commands` semantics. DELETE and
+    * UPDATE — whitelisted by the reference but unsupported on plain parquet
+    * tables (as on pre-Iceberg Dremio) — are routed to the
+    * filter-and-rewrite implementations below instead of failing in the
+    * parser. Returns the result of each executed statement.
     */
   def runStatements(spark: SparkSession, statements: Seq[String]): Seq[DataFrame] = {
     val kept = Utils.filterSqlStatements(statements)
     val dropped = statements.diff(kept)
     dropped.foreach(s => logWarning(s"Dropping unsupported statement: ${s.take(80)}"))
-    kept.map(spark.sql)
+    kept.map {
+      case DeleteStmt(table, cond) =>
+        deleteWhere(spark, table, cond)
+        spark.emptyDataFrame
+      case UpdateStmt(table, assignments, cond) =>
+        val parsed = assignments.split(",").map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim -> e.trim
+        }.toMap
+        updateWhere(spark, table, parsed, cond)
+        spark.emptyDataFrame
+      case sql => spark.sql(sql)
+    }
   }
 
   /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables. */

@@ -103,6 +103,43 @@ object HashKernels {
   }
 }
 
+object VectorKernels {
+  /** Cosine similarity of two double vectors — same accumulation order
+    * (left-to-right per sum) as the higher-order-function formulation
+    * `aggregate(zip_with(a,b,*),0D,+) / (sqrt(Σa²)·sqrt(Σb²))`, so results
+    * are bit-identical to the DuckDB oracle's grouped-sum version.
+    */
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** cosine_similarity(array<double>, array<double>) → double */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineSimilarity(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels$$.MODULE$$.cosineSimilarity($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(array<string>) → bigint */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -154,6 +191,13 @@ object GraftFunctions {
       exprs => LshBucketsExpr(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
         exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine_similarity",
+      exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "scala_udf")
+  }
+
+  def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_cosine_similarity", a, b)
   }
 
   def simhash64(spark: SparkSession, tokens: Column): Column = {

@@ -18,8 +18,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    This is the scale path: comparison cost drops from n to Σ bucket
   *    sizes of the probed buckets.
   *
-  * All vector math is built-in higher-order functions (zip_with/aggregate)
-  * over doubles — no UDFs, stays in codegen.
+  * Vector math runs through the native codegen'd cosine expression
+  * (graft.functions.CosineSimilarityExpr) — same left-to-right double
+  * accumulation as the HOF formulation (oracle values unchanged), but a
+  * tight JVM loop instead of per-element interpreted lambdas.
   */
 object Similarity {
 
@@ -35,10 +37,8 @@ object Similarity {
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q)) // 1-row build side: a broadcast, not a shuffle
       .withColumn("ed", expr(toDouble))
-      .withColumn("dot", expr("aggregate(zip_with(ed, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("na", expr("sqrt(aggregate(transform(ed, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nq", expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("cos_raw", col("dot") / (col("na") * col("nq")))
+      .withColumn("cos_raw",
+        graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ed"), col("qe")))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
@@ -99,10 +99,8 @@ object Similarity {
       .select(col("vec_id"), col("ed"), col("qe"))
       .dropDuplicates("vec_id")
     candidates
-      .withColumn("dot", expr("aggregate(zip_with(ed, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("na", expr("sqrt(aggregate(transform(ed, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nq", expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("cos_raw", col("dot") / (col("na") * col("nq")))
+      .withColumn("cos_raw",
+        graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ed"), col("qe")))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
@@ -129,10 +127,8 @@ object Similarity {
     val a = emb.select(col("vec_id").as("id_a"), col("label"), col("ed").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("ed").as("eb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("na", expr("sqrt(aggregate(transform(ea, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nb", expr("sqrt(aggregate(transform(eb, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
+      .withColumn("cos_raw",
+        graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ea"), col("eb")))
       // within-label cosine tops out near 0.45 in this corpus; 0.3 keeps the
       // high-similarity tail (~p99) without going empty
       .filter(col("cos_raw") >= 0.3)
@@ -165,10 +161,8 @@ object Similarity {
   val IvfK = 16
   val IvfNProbe = 4
 
-  private def cosineCols(aVec: String, bVec: String): Column =
-    expr(s"""aggregate(zip_with($aVec, $bVec, (x, y) -> x * y), 0D, (a, x) -> a + x)
-             / (sqrt(aggregate(transform($aVec, x -> x * x), 0D, (a, x) -> a + x))
-              * sqrt(aggregate(transform($bVec, x -> x * x), 0D, (a, x) -> a + x)))""")
+  private def cosineCols(spark: SparkSession, aVec: String, bVec: String): Column =
+    graft.functions.GraftFunctions.cosineSimilarity(spark, col(aVec), col(bVec))
 
   /** (vec_id, ed, cid): each vector with its nearest-centroid assignment. */
   def ivfAssignments(emb: DataFrame): DataFrame = {
@@ -178,7 +172,7 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
     emb.select(col("vec_id"), expr(toDouble).as("ed"))
       .crossJoin(broadcast(cent)) // K rows: broadcast, the per-row argmin pass
-      .withColumn("sim", cosineCols("ed", "ce"))
+      .withColumn("sim", cosineCols(emb.sparkSession, "ed", "ce"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("ed"), col("cid"))
@@ -194,13 +188,13 @@ object Similarity {
     val cent = emb.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
     val probes = cent.crossJoin(broadcast(q))
-      .withColumn("sim", cosineCols("ce", "qe"))
+      .withColumn("sim", cosineCols(emb.sparkSession, "ce", "qe"))
       .orderBy(col("sim").desc, col("cid").asc)
       .limit(IvfNProbe)
       .select(col("cid"), col("qe"))
     assigned.filter(col("vec_id") =!= queryId)
       .join(broadcast(probes), "cid") // prunes to the probed inverted lists
-      .withColumn("cos_raw", cosineCols("ed", "qe"))
+      .withColumn("cos_raw", cosineCols(emb.sparkSession, "ed", "qe"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))

@@ -78,6 +78,18 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming sliding windows (1h / 30min) — twin of EventTime.q24. */
+  def q52StreamSliding(spark: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+    runToMemory(spark, agg, s"stream_sliding_${System.nanoTime()}")
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+      .orderBy(col("ws"))
+  }
+
   // ------------------------------------------------- custom state machine
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class UserSessionStats(user_id: Long, n_events: Long, total_value: Double,
@@ -129,9 +141,44 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Long)
+
+  /** Sessionization via flatMapGroupsWithState — the 0..N-outputs custom
+    * state machine (vs mapGroupsWithState's exactly-1). Emits one row per
+    * closed 30-minute-gap session; the still-open session stays in state
+    * (flushed here by a final empty pass in the test harness since the
+    * fixture stream ends). Demonstrates per-key state that scales with
+    * open sessions, not events.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[UserEvent],
+                 gapMinutes: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[UserEvent], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[List[UserEvent]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ rows.toList)
+            .sortBy(e => (e.ts.getTime, e.event_type))
+          // split into gap-separated sessions; keep the last (possibly open)
+          val sessions = all.foldLeft(List.empty[List[UserEvent]]) { (acc, e) =>
+            acc match {
+              case cur :: rest if e.ts.getTime - cur.last.ts.getTime < gapMs =>
+                (cur :+ e) :: rest
+              case _ => List(e) :: acc
+            }
+          }.reverse
+          val (closed, open) = (sessions.dropRight(1), sessions.takeRight(1))
+          state.update(open.headOption.getOrElse(Nil))
+          closed.iterator.map(s => SessionOut(userId, s.head.ts, s.size.toLong))
+      }
+  }
+
   /** Oracles: streaming twins must equal their batch shapes. */
   val q43Oracle: String = graft.operators.EventTime.q23Oracle
   val q44Oracle: String = graft.operators.EventTime.q25Oracle
+  val q52Oracle: String = graft.operators.EventTime.q24Oracle
   val q45Oracle: String =
     """SELECT event_type, count(*) AS n FROM (SELECT DISTINCT event_id, event_type FROM events)
        GROUP BY event_type ORDER BY event_type"""
@@ -140,10 +187,12 @@ object StreamingOps {
     "q43_stream_tumbling_window" -> q43StreamTumbling _,
     "q44_stream_session_window" -> q44StreamSession _,
     "q45_stream_dedup" -> q45StreamDedup _,
-    "q46_stream_stateful" -> q46StreamStateful _)
+    "q46_stream_stateful" -> q46StreamStateful _,
+    "q52_stream_sliding_window" -> q52StreamSliding _)
 
   val oracles: Map[String, String] = Map(
     "q43_stream_tumbling_window" -> q43Oracle,
     "q44_stream_session_window" -> q44Oracle,
-    "q45_stream_dedup" -> q45Oracle)
+    "q45_stream_dedup" -> q45Oracle,
+    "q52_stream_sliding_window" -> q52Oracle)
 }

@@ -98,4 +98,25 @@ class OperatorsSpec extends SparkSuite {
     assert(spark.table(s"$db.t").filter(col("v") === "z").count() == 1)
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
+
+  test("warehouse routes DELETE/UPDATE statement text to rewrite-on-write") {
+    val db = "graft_test_dml"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    graft.etl.Warehouse.runStatements(spark, Seq(
+      s"CREATE DATABASE $db",
+      s"CREATE TABLE $db.t (id INT, v STRING) USING parquet",
+      s"INSERT INTO $db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+      s"DELETE FROM $db.t WHERE id = 1",
+      s"UPDATE $db.t SET v = 'updated' WHERE id = 3"))
+    val rows = spark.table(s"$db.t").orderBy(col("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((2, "b"), (3, "updated")))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("xlsx ingest fails fast with a clear message (README-only claim)") {
+    val e = intercept[UnsupportedOperationException](
+      graft.etl.Ingest.ingestFile(spark, "/tmp/some.xlsx", "src"))
+    assert(e.getMessage.contains("XLSX"))
+  }
 }

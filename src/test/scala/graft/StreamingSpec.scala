@@ -32,6 +32,41 @@ class StreamingSpec extends SparkSuite {
       batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("streaming sliding == batch sliding") {
+    val batch = EventTime.q24SlidingWindow(spark, sf).collect()
+    val stream = StreamingOps.q52StreamSliding(spark, sf).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions matching batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = graft.sources.Tables.eventsStream(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[StreamingOps.UserEvent]
+    val sessions = StreamingOps.sessionize(spark, stream, 30L)
+    val name = s"sessionize_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(name)
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect()
+    // batch truth: all sessions from the session_window operator; the
+    // streaming side holds back each user's final (still-open) session
+    val batch = EventTime.q25SessionWindow(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+    val batchSet = batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val streamSeq = streamed.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(streamSeq.nonEmpty)
+    assert(streamSeq.forall(batchSet.contains),
+      "every closed session must match a batch session_window row")
+    val users = streamSeq.map(_._1).distinct.length
+    // each user should emit all but their trailing open session
+    assert(streamSeq.length >= batch.length - users - users)
+  }
+
   test("stateful per-user stats match batch aggregation") {
     val stream = StreamingOps.q46StreamStateful(spark, sf).collect()
     import org.apache.spark.sql.functions._
