@@ -439,7 +439,64 @@ object Relational {
          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_close
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
+  // ---------------------------------------------------------------- q53
+  /** Statistical aggregate battery. stddev/var/corr/covar accumulate
+    * floating moments whose low bits depend on merge order, so results are
+    * rounded to 6 decimals on both sides — the practical contract for
+    * cross-engine statistical aggregates (unlike sums, they have no exact
+    * decimal form).
+    */
+  def q53StatsAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
+  val q53Oracle: String =
+    """SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q54
+  /** Argmin/argmax, conditional counts, and order-stable string aggregation
+    * (collect_list is unordered by contract — sorting before concatenation
+    * is what makes it deterministic under any partitioning).
+    */
+  def q54ArgAgg(spark: SparkSession, d: String): DataFrame = {
+    // unique scalar ordering key: price (2-decimal) scaled to an exact
+    // integer, orderkey as tiebreak — argmin/argmax over doubles with ties
+    // would be nondeterministic
+    val rankKey = (round(col("o_totalprice") * 100).cast("long") * 10000000L +
+      col("o_orderkey")).as("rk")
+    Tables.orders(spark, d)
+      .withColumn("rk", rankKey)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("rk")).as("biggest_order"),
+        min_by(col("o_orderkey"), col("rk")).as("smallest_order"),
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        concat_ws(",", array_sort(collect_list(col("o_orderpriority")))).as("priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderstatus,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS biggest_order,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS smallest_order,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_stats_agg" -> q53StatsAgg _,
+    "q54_arg_agg" -> q54ArgAgg _,
     "q47_join_right_outer" -> q47JoinRightOuter _,
     "q48_grouping_sets" -> q48GroupingSets _,
     "q49_window_range_frame" -> q49WindowRangeFrame _,
@@ -463,6 +520,8 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _)
 
   val oracles: Map[String, String] = Map(
+    "q53_stats_agg" -> q53Oracle,
+    "q54_arg_agg" -> q54Oracle,
     "q47_join_right_outer" -> q47Oracle,
     "q48_grouping_sets" -> q48Oracle,
     "q49_window_range_frame" -> q49Oracle,

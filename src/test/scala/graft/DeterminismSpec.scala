@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Relational
+
+/** Results must be independent of partitioning — the property that makes
+  * correctness survive a 1000-executor cluster. The decimal-exact
+  * aggregation discipline is what guarantees it; this test would catch a
+  * regression to raw double sums.
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private def withShufflePartitions[T](n: String)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try { spark.conf.set("spark.sql.shuffle.partitions", n); f }
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("q01 aggregates are bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      Relational.q01PricingSummary(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      Relational.q01PricingSummary(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q14 running window totals are bit-identical across partition counts") {
+    val at3 = withShufflePartitions("3")(
+      Relational.q14WindowRunning(spark, sf).collect().toSeq)
+    val at17 = withShufflePartitions("17")(
+      Relational.q14WindowRunning(spark, sf).collect().toSeq)
+    assert(at3 == at17)
+  }
+
+  test("q34 cosine top-k is stable across repartitioned input") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val direct = graft.operators.Similarity.cosineTopK(emb, 0L, 10).collect().toSeq
+    val shuffled = graft.operators.Similarity.cosineTopK(
+      emb.repartition(13, col("vec_id")), 0L, 10).collect().toSeq
+    assert(direct == shuffled)
+  }
+}
