@@ -35,6 +35,20 @@ class FernetSpec extends AnyFunSuite {
     assert(new String(f.decrypt(tok), UTF_8) == "hello")
     // deterministic given same ts+iv
     assert(tok == f.encryptAt("hello".getBytes(UTF_8), 499162800L, iv))
+    // byte-exact with the reference library's output at the same ts/IV
+    // (python cryptography `Fernet._encrypt_from_parts(b'hello', 499162800, iv)`)
+    assert(tok ==
+      "gAAAAAAdwJ6wAAECAwQFBgcICQoLDA0OD4_9EBVfNSDZ7XtRxaHNdkW99QsUAt9pmRctkSzQxwX8ezo1JYkB0XAhlhuGaD6Beg==")
+  }
+
+  test("interop: decrypts a token produced by the reference's own library") {
+    // token generated once with python `cryptography.fernet.Fernet` (the
+    // exact library the reference uses, /root/reference/pipeline.py:13)
+    // under the fixed test key — proves token-format compatibility
+    val f = new Fernet("AAECAwQFBgcICQoLDA0ODxAREhMUFRYXGBkaGxwdHh8=")
+    val pythonToken =
+      "gAAAAABqfBZhZpipxb524TxouS5faYJmXy4DRAHcdRioZ_UXCpYr2VFODTy4T2_sjzCQd0TAt9N2cKWfJ0VACYreNNdAzGOe1w=="
+    assert(f.decryptString(pythonToken) == "John Doe")
   }
 
   test("tampered token rejected") {
