@@ -107,18 +107,23 @@ object Ingest extends Logging {
           encryptionKey: Option[String] = None,
           maxParallelFiles: Int = 4): Seq[Try[IngestResult]] = {
     val stage = Files.createTempDirectory("graft-ingest")
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(maxParallelFiles))
-    val futures = urls.map { url =>
-      Future {
-        val local =
-          if (url.startsWith("http://") || url.startsWith("https://"))
-            Fetch.downloadWithRetry(url, stage).toString
-          else url // local/FS path: no staging needed
-        ingestFile(spark, local, source, optionsFor(url), encryptionKey)
-      }
-    }
-    val results = futures.map(f => Try(Await.result(f, Duration.Inf)))
+    // pool is shut down before returning — non-daemon worker threads would
+    // otherwise keep the JVM alive after main() completes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallelFiles)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try {
+        val futures = urls.map { url =>
+          Future {
+            val local =
+              if (url.startsWith("http://") || url.startsWith("https://"))
+                Fetch.downloadWithRetry(url, stage).toString
+              else url // local/FS path: no staging needed
+            ingestFile(spark, local, source, optionsFor(url), encryptionKey)
+          }
+        }
+        futures.map(f => Try(Await.result(f, Duration.Inf)))
+      } finally pool.shutdown()
     results.foreach {
       case Success(r) => logInfo(s"Ingested ${r.url} -> ${r.table} (${r.rows} rows)")
       case Failure(e) => logError(s"Ingest failed: ${e.getMessage}")

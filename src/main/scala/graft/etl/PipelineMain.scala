@@ -1,0 +1,71 @@
+package graft.etl
+
+import graft.core.Utils
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.{Failure, Success}
+
+/** Executable pipeline entry — the engine's equivalent of running the
+  * reference's `python pipeline.py` (/root/reference/pipeline.py:252-266),
+  * non-interactive (flags instead of stdin prompts, SURVEY.md §2.1-15):
+  *
+  *   runMain graft.etl.PipelineMain <urls-or-paths-comma-separated>
+  *       [--source NAME] [--encrypt col1,col2] [--append]
+  *
+  * Environment (parity with the reference's required config,
+  * pipeline.py:49-52): GRAFT_SOURCE may replace --source. Remote http(s)
+  * URLs are validated all-or-nothing and staged with retry; local paths are
+  * ingested directly. Per-file failures are reported, not fatal.
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: PipelineMain <urls> [--source NAME] [--encrypt cols] [--append]")
+      sys.exit(2)
+    }
+    val urlArg = args(0)
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val source = flag("--source")
+      .orElse(sys.env.get("GRAFT_SOURCE"))
+      .getOrElse(Utils.requiredEnv("GRAFT_SOURCE"))
+    val sensitive = flag("--encrypt").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val mode =
+      if (args.contains("--append")) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite
+
+    // all-or-nothing URL validation, reference parity (pipeline.py:43-46):
+    // anything scheme-qualified must be valid http/https (an ftp:// input
+    // is rejected here, not handed to the filesystem); bare local paths
+    // pass through
+    val inputs = urlArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    inputs.filter(_.contains("://")).foreach { u =>
+      if (!Utils.isValidUrl(u)) {
+        System.err.println(s"One or more provided URLs are invalid: $u")
+        sys.exit(1)
+      }
+    }
+    val (remote, local) = inputs.partition(u => u.startsWith("http://") || u.startsWith("https://"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val opts = IngestOptions(anonymize = sensitive.nonEmpty, sensitiveColumns = sensitive)
+    val key = if (sensitive.nonEmpty) Some(graft.crypto.Fernet.generateKey()) else None
+    key.foreach(k => println(s"encryption key (retain to decrypt): $k"))
+
+    val results = Ingest.run(spark, remote ++ local, source, _ => opts, key)
+    results.foreach {
+      case Success(r) => println(s"OK   ${r.url} -> ${r.table} (${r.rows} rows)")
+      case Failure(e) => println(s"FAIL ${e.getMessage}")
+    }
+    spark.stop()
+    if (results.exists(_.isFailure)) sys.exit(1)
+  }
+}
