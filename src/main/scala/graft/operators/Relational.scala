@@ -494,7 +494,84 @@ object Relational {
        string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q55
+  /** Pivot: one column per l_linestatus value. Values are enumerated
+    * explicitly (F/O) — at scale an implicit pivot would first run a
+    * distinct scan to discover them.
+    */
+  def q55Pivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(25, 6))).cast("double"))
+      .na.fill(0.0, Seq("F", "O"))
+      .orderBy(col("l_returnflag"))
+
+  val q55Oracle: String =
+    """SELECT l_returnflag,
+       COALESCE(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS F,
+       COALESCE(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,6)) END) AS DOUBLE), 0.0) AS O
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q56
+  /** Correlated and uncorrelated subqueries through the SQL surface —
+    * Catalyst decorrelates the scalar subquery into a join, which is the
+    * only shape that survives at scale (per-row subquery execution would
+    * be O(n²) I/O).
+    */
+  def q56Subqueries(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(spark, d).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders_sq o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq) AS above_avg
+         FROM customer_sq c
+         WHERE c_custkey IN (SELECT o_custkey FROM orders_sq WHERE o_totalprice > 100000.0)
+         ORDER BY c_custkey""")
+  }
+
+  val q56Oracle: String =
+    """SELECT c_custkey,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       c_acctbal > (SELECT avg(c_acctbal) FROM customer) AS above_avg
+       FROM customer c
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q57
+  /** Null-handling battery over the nullable side of an outer join. */
+  def q57NullFuncs(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).filter(col("o_totalprice") > 200000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(max(col("o_totalprice")).as("max_big"))
+      .select(
+        col("c_custkey"),
+        coalesce(col("max_big"), lit(-1.0)).as("max_or_default"),
+        col("max_big").isNull.cast("int").as("is_missing"),
+        nullif(col("c_custkey") % 10, lit(0)).as("bucket_or_null"),
+        nvl2(col("max_big"), lit("has_big"), lit("none")).as("tag"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q57Oracle: String =
+    """SELECT c_custkey,
+       COALESCE(max_big, -1.0) AS max_or_default,
+       CAST(max_big IS NULL AS INT) AS is_missing,
+       NULLIF(c_custkey % 10, 0) AS bucket_or_null,
+       CASE WHEN max_big IS NOT NULL THEN 'has_big' ELSE 'none' END AS tag
+       FROM (SELECT c_custkey, max(o_totalprice) AS max_big
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_totalprice > 200000.0
+             GROUP BY c_custkey)
+       ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_pivot" -> q55Pivot _,
+    "q56_subqueries" -> q56Subqueries _,
+    "q57_null_funcs" -> q57NullFuncs _,
     "q53_stats_agg" -> q53StatsAgg _,
     "q54_arg_agg" -> q54ArgAgg _,
     "q47_join_right_outer" -> q47JoinRightOuter _,
@@ -520,6 +597,9 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _)
 
   val oracles: Map[String, String] = Map(
+    "q55_pivot" -> q55Oracle,
+    "q56_subqueries" -> q56Oracle,
+    "q57_null_funcs" -> q57Oracle,
     "q53_stats_agg" -> q53Oracle,
     "q54_arg_agg" -> q54Oracle,
     "q47_join_right_outer" -> q47Oracle,

@@ -99,6 +99,22 @@ class OperatorsSpec extends SparkSuite {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("q10 HLL approximation stays within its configured error bound") {
+    val rows = Relational.q10ApproxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error ${math.abs(approx - exact) / exact} exceeds bound")
+    }
+  }
+
+  test("q50 binaryFile source reports the real on-disk file size") {
+    val row = Multimodal.q50BinaryFileSource(spark, sf).collect().head
+    val actual = new java.io.File(s"$sf/region.parquet").length()
+    assert(row.getAs[Long]("length") == actual)
+  }
+
   test("warehouse routes DELETE/UPDATE statement text to rewrite-on-write") {
     val db = "graft_test_dml"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
