@@ -149,6 +149,45 @@ object Similarity {
        FROM s WHERE dot / (na * nb) >= 0.3
        ORDER BY label, id_a, id_b"""
 
+  /** Corpus-scale embedding near-dup detection: LSH-bucketed pair
+    * generation (same (table, bucket) ⇒ candidate) + exact cosine filter —
+    * the embedding-space member of the dedup family. q36 is its windowed
+    * exact ground truth; this is the shape that runs on the full corpus:
+    * cost Σ bucket², never n².
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val buckets = lshBuckets(emb)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.table_id") === col("b.table_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.ed").as("ea"), col("b.ed").as("eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_raw",
+        graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ea"), col("eb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- q58
+  /** Embedding near-dup over the corpus plus 20 planted exact-duplicate
+    * vectors (cos = 1.0, guaranteed same buckets). Hash-bucketed candidate
+    * set → rows-only driver check; planted recall asserted in ScalaTest.
+    */
+  def q58EmbeddingDedupLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    q58Input(emb.select(col("vec_id"), col("embedding"), col("label")).unionByName(planted))
+  }
+
+  private def q58Input(all: DataFrame): DataFrame =
+    embeddingNearDupsLsh(all, 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- IVF ANN
   /** IVF (inverted-file) ANN — the partition-pruning scale path: vectors are
     * assigned to their nearest of K centroids once at ingest; a query probes
@@ -230,6 +269,7 @@ object Similarity {
        ORDER BY cos_raw DESC, vec_id ASC LIMIT 5"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q35_similarity_ann_lsh" -> q35AnnLsh _,

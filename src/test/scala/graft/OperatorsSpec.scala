@@ -66,6 +66,14 @@ class OperatorsSpec extends SparkSuite {
       s"ANN results $ann poorly overlap exact top-50")
   }
 
+  test("q58 embedding LSH dedup recovers all 20 planted duplicate vectors") {
+    val rows = Similarity.q58EmbeddingDedupLsh(spark, sf).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+    assert(planted.length == 20, s"got ${planted.length} of 20 planted pairs")
+    planted.foreach(r => assert(r.getAs[Double]("cos_sim") >= 0.9999))
+  }
+
   test("fingerprints are stable across runs and collision-free on this corpus") {
     val a = TextAnalysis.q40Fingerprint(spark, sf).collect()
     val b = TextAnalysis.q40Fingerprint(spark, sf).collect()
