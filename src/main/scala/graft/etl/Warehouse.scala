@@ -41,6 +41,8 @@ object Warehouse extends Logging {
         deleteWhere(spark, table, cond)
         spark.emptyDataFrame
       case UpdateStmt(table, assignments, cond) =>
+        // simple `col = expr` assignment list; a SET expression containing a
+        // top-level comma (e.g. a function call) needs the updateWhere API
         val parsed = assignments.split(",").map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim -> e.trim

@@ -68,7 +68,8 @@ object Dedup {
        FROM docs2 GROUP BY text ORDER BY keep_id"""
 
   // ------------------------------------------------------- MinHash + LSH
-  /** 3-word shingles → H minhashes (xxhash64(h, i) family) → B bands of R
+  /** 3-word shingles → H minhashes (splitmix64-seeded hash family over the
+    * shingle's xxhash64, see graft.functions.HashKernels) → B bands of R
     * rows; docs sharing any band bucket are candidates; candidates are
     * verified with exact shingle-set Jaccard. H=32, B=8, R=4: band-match
     * probability 1-(1-s⁴)⁸ ≈ 0.99 at s=0.8 — high recall at the ~0.7+

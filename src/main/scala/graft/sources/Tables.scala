@@ -58,7 +58,10 @@ object Tables {
   def eventsStream(spark: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-events-stream")
-    Files.createLink(dir.resolve("events.parquet"), Paths.get(s"$d/events.parquet"))
+    val src = Paths.get(s"$d/events.parquet")
+    val dst = dir.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) } // cross-filesystem fallback
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTs(
       spark.readStream.schema(eventsRawSchema(spark, d)).parquet(dir.toString))
