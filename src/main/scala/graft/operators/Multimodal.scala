@@ -22,7 +22,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Multimodal {
 
-  /** Decoded-media metadata: what a real image/audio probe would emit. */
+  /** Deterministic BMP generator used by the q59 demo table — kept in a
+  * top-level object so executor closures serialize only this, not the whole
+  * Multimodal object graph.
+  */
+object MediaCodecDemo extends Serializable {
+  def bmpFor(id: Long): Array[Byte] =
+    Multimodal.makeBmp((id % 64 + 16).toInt, (id % 48 + 16).toInt)
+}
+
+/** Decoded-media metadata: what a real image/audio probe would emit. */
   final case class MediaMeta(
       doc_id: Long, byte_len: Long, width: Long, height: Long, n_frames: Long,
       format: String)
@@ -42,6 +51,41 @@ object Multimodal {
       format = if (n % 2 == 0) "img/fake-even" else "img/fake-odd")
   }
 
+  /** Header probe for a REAL format: BMP is plain byte layout ('BM' magic,
+    * little-endian int32 width/height at offsets 18/22), so its metadata is
+    * parseable with zero codec libraries. `decode` dispatches here when the
+    * magic matches and falls back to the stub otherwise — the dispatch
+    * structure a production probe (magic → parser) uses.
+    */
+  def parseBmpHeader(docId: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 26 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) None
+    else {
+      def le32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+          ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      Some(MediaMeta(docId, bytes.length.toLong,
+        width = le32(18), height = le32(22), n_frames = 1L, format = "image/bmp"))
+    }
+  }
+
+  /** Minimal valid 24-bit BMP for a given size (used by tests and the demo
+    * table): 54-byte header + zeroed pixel rows padded to 4 bytes.
+    */
+  def makeBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val pixelBytes = rowSize * height
+    val fileSize = 54 + pixelBytes
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
+  }
+
+  def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+    parseBmpHeader(docId, bytes).getOrElse(decodeStub(docId, bytes))
+
   /** Partition-wise batch decode over a binary column: the production shape
     * for real codecs (per-partition init, streamed rows, no driver
     * involvement).
@@ -52,7 +96,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real impl: initialize codec once here, then stream
-        rows.map { case (id, bytes) => decodeStub(id, bytes) }
+        rows.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 
@@ -122,12 +166,40 @@ object Multimodal {
         expr("xxhash64(content)").as("content_hash"))
       .orderBy(col("file_name"))
 
+  // ---------------------------------------------------------------- q59
+  /** Real image decode end to end: construct a deterministic BMP per doc
+    * (dimensions derived from doc_id), ship it as an opaque binary column,
+    * and recover the dimensions by PARSING THE BYTES in the partition-wise
+    * decode. The oracle replicates the BMP size arithmetic in SQL, so the
+    * whole ingest→binary→probe path is hash-checked.
+    */
+  def q59BmpDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, MediaCodecDemo.bmpFor(id))
+      }.toDF("doc_id", "content")
+    decodeBinaryColumn(spark, media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Oracle: String =
+    """SELECT doc_id,
+       CAST(54 + ((((doc_id % 64 + 16) * 3 + 3) // 4) * 4) * (doc_id % 48 + 16) AS BIGINT) AS byte_len,
+       CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+       CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+       'image/bmp' AS format
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_multimodal_decode" -> q41MultimodalDecode _,
     "q42_multimodal_frame_sample" -> q42FrameSamplePlan _,
-    "q50_multimodal_binaryfile_source" -> q50BinaryFileSource _)
+    "q50_multimodal_binaryfile_source" -> q50BinaryFileSource _,
+    "q59_multimodal_bmp_decode" -> q59BmpDecode _)
 
   val oracles: Map[String, String] = Map(
     "q41_multimodal_decode" -> q41Oracle,
-    "q42_multimodal_frame_sample" -> q42Oracle)
+    "q42_multimodal_frame_sample" -> q42Oracle,
+    "q59_multimodal_bmp_decode" -> q59Oracle)
 }

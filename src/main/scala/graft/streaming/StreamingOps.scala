@@ -141,6 +141,28 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** foreachBatch sink: stream → per-microbatch MERGE-style upsert into a
+    * managed table (here: append-only dedup on event_id against what's
+    * already stored — the idempotent-sink pattern that makes a replayed
+    * micro-batch safe). Returns the final table name.
+    */
+  def streamToTableForeachBatch(spark: SparkSession, d: String, table: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table (event_id BIGINT, event_type STRING, value DOUBLE) USING parquet")
+    val q = graft.sources.Tables.eventsStream(spark, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing = batch.sparkSession.table(table)
+        batch.join(existing, Seq("event_id"), "left_anti") // idempotent append
+          .write.mode("append").saveAsTable(table)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    table
+  }
+
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               n_events: Long)
 

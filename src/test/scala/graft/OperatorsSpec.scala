@@ -81,6 +81,14 @@ class OperatorsSpec extends SparkSuite {
     assert(a.map(_.getAs[Long]("rolling_fp")).distinct.length == a.length)
   }
 
+  test("BMP header probe: constructed image parses back to its dimensions") {
+    val bytes = Multimodal.makeBmp(33, 21)
+    val meta = Multimodal.parseBmpHeader(7L, bytes)
+    assert(meta.contains(Multimodal.MediaMeta(7L, bytes.length.toLong, 33L, 21L, 1L, "image/bmp")))
+    // non-BMP bytes fall back to the stub
+    assert(Multimodal.parseBmpHeader(7L, "not an image".getBytes).isEmpty)
+  }
+
   test("multimodal decode stub: meta derives from byte length") {
     val rows = Multimodal.q41MultimodalDecode(spark, sf).limit(5).collect()
     rows.foreach { r =>

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSuite {
     assert(streamSeq.length >= batch.length - users - users)
   }
 
+  test("foreachBatch sink is idempotent: rerun adds no duplicate rows") {
+    val table = "graft_stream_sink_t"
+    StreamingOps.streamToTableForeachBatch(spark, sf, table)
+    val afterFirst = spark.table(table).count()
+    assert(afterFirst == graft.sources.Tables.events(spark, sf).count())
+    // replay the same stream into the existing table: left-anti dedup
+    // must make the second load a no-op
+    val q = graft.sources.Tables.eventsStream(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val existing = batch.sparkSession.table(table)
+        batch.join(existing, Seq("event_id"), "left_anti")
+          .write.mode("append").saveAsTable(table)
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table(table).count() == afterFirst)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("stateful per-user stats match batch aggregation") {
     val stream = StreamingOps.q46StreamStateful(spark, sf).collect()
     import org.apache.spark.sql.functions._
