@@ -29,6 +29,11 @@ object Multimodal {
 object MediaCodecDemo extends Serializable {
   def bmpFor(id: Long): Array[Byte] =
     Multimodal.makeBmp((id % 64 + 16).toInt, (id % 48 + 16).toInt)
+
+  def wavFor(id: Long): Array[Byte] = {
+    val rate = (id % 3) match { case 0 => 16000; case 1 => 22050; case _ => 44100 }
+    Multimodal.makeWav(rate, (1 + id % 2).toInt, (1000 + id % 8000).toInt)
+  }
 }
 
 /** Decoded-media metadata: what a real image/audio probe would emit. */
@@ -166,6 +171,80 @@ object MediaCodecDemo extends Serializable {
         expr("xxhash64(content)").as("content_hash"))
       .orderBy(col("file_name"))
 
+  // ------------------------------------------------------------ audio path
+  /** Audio metadata: what a WAV/FLAC probe emits. */
+  final case class AudioMeta(doc_id: Long, byte_len: Long, sample_rate: Long,
+                             channels: Long, n_samples: Long, duration_ms: Long,
+                             format: String)
+
+  /** RIFF/WAVE header probe — like BMP, plain byte layout (PCM fmt chunk at
+    * fixed offsets for canonical files), zero codec dependencies.
+    */
+  def parseWavHeader(docId: Long, bytes: Array[Byte]): Option[AudioMeta] = {
+    def tag(off: Int, s: String) =
+      bytes.length >= off + s.length && s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") || !tag(36, "data")) None
+    else {
+      def le16(off: Int): Long = (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8)
+      def le32(off: Int): Long = le16(off) | (le16(off + 2) << 16)
+      val channels = le16(22)
+      val rate = le32(24)
+      val bitsPerSample = le16(34)
+      val dataSize = le32(40)
+      val nSamples = if (channels * bitsPerSample == 0) 0L
+                     else dataSize / (channels * bitsPerSample / 8)
+      val durationMs = if (rate == 0) 0L else nSamples * 1000L / rate
+      Some(AudioMeta(docId, bytes.length.toLong, rate, channels, nSamples,
+        durationMs, "audio/wav"))
+    }
+  }
+
+  /** Minimal canonical 16-bit PCM WAV with zeroed samples. */
+  def makeWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+    b.putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes).putInt(dataSize)
+    b.array()
+  }
+
+  /** Partition-wise audio probe over a binary column. */
+  def decodeAudioColumn(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseWavHeader(id, bytes) })
+  }
+
+  // ---------------------------------------------------------------- q60
+  /** Audio pipeline end to end: deterministic per-doc WAVs as opaque
+    * binary, sample rate / duration recovered by parsing bytes; oracle
+    * replicates the WAV size arithmetic.
+    */
+  def q60WavDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .map(id => (id, MediaCodecDemo.wavFor(id)))
+      .toDF("doc_id", "content")
+    decodeAudioColumn(spark, media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Oracle: String =
+    """SELECT doc_id,
+       CAST(44 + (1000 + doc_id % 8000) * (1 + doc_id % 2) * 2 AS BIGINT) AS byte_len,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 WHEN doc_id % 3 = 1 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(1000 + doc_id % 8000 AS BIGINT) AS n_samples,
+       CAST((1000 + doc_id % 8000) * 1000 // (CASE WHEN doc_id % 3 = 0 THEN 16000 WHEN doc_id % 3 = 1 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+       FROM documents ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- q59
   /** Real image decode end to end: construct a deterministic BMP per doc
     * (dimensions derived from doc_id), ship it as an opaque binary column,
@@ -196,10 +275,12 @@ object MediaCodecDemo extends Serializable {
     "q41_multimodal_decode" -> q41MultimodalDecode _,
     "q42_multimodal_frame_sample" -> q42FrameSamplePlan _,
     "q50_multimodal_binaryfile_source" -> q50BinaryFileSource _,
-    "q59_multimodal_bmp_decode" -> q59BmpDecode _)
+    "q59_multimodal_bmp_decode" -> q59BmpDecode _,
+    "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
     "q41_multimodal_decode" -> q41Oracle,
     "q42_multimodal_frame_sample" -> q42Oracle,
-    "q59_multimodal_bmp_decode" -> q59Oracle)
+    "q59_multimodal_bmp_decode" -> q59Oracle,
+    "q60_multimodal_wav_decode" -> q60Oracle)
 }
