@@ -176,6 +176,36 @@ case class LshBucketsExpr(child: Expression, numTables: Int, planesPerTable: Int
     copy(child = newChild)
 }
 
+/** Session-extension entry point: makes every graft function available to
+  * pure-SQL users with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — no Scala API
+  * required. (Scala callers go through GraftFunctions, which registers
+  * per-session on first use.)
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature", "graft_minhash_signature(shingles, h) - MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSignatureExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
+      info("graft_lsh_buckets", "graft_lsh_buckets(vec, tables, planes) - hyperplane LSH buckets"),
+      (exprs: Seq[Expression]) => LshBucketsExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_cosine_similarity"),
+      info("graft_cosine_similarity", "graft_cosine_similarity(a, b) - cosine of double arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
+  }
+}
+
 /** Session registration + Column-facing API (call_function is the public
   * route from a registered Catalyst expression to a Column in Spark 4).
   */

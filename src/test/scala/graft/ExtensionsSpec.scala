@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-only route: a session built with
+  * spark.sql.extensions=graft.functions.GraftExtensions can call every
+  * graft function from SQL text with no Scala API involvement.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("graft functions resolve in pure SQL via SparkSessionExtensions") {
+    // extensions are builder-time configuration, and getOrCreate returns any
+    // existing default session — clear it (restored below) so this builder
+    // actually constructs a session with the extensions applied
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // `.config("spark.sql.extensions", ...)` is the spark-submit route, but
+    // it's a STATIC conf — silently ignored when a SparkContext already
+    // exists (as it does under the shared test harness) — so the builder
+    // API carries the extensions here
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val sim = spark.sql(
+        "SELECT graft_simhash64(array('spark', 'native', 'engine')) AS fp").collect()(0).getLong(0)
+      assert(sim != 0L)
+      val sig = spark.sql(
+        "SELECT graft_minhash_signature(array('a b c', 'b c d'), 8) AS s").collect()(0)
+        .getSeq[Long](0)
+      assert(sig.length == 8)
+      val cos = spark.sql(
+        "SELECT graft_cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val buckets = spark.sql(
+        "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 8) AS b")
+        .collect()(0).getSeq[Long](0)
+      assert(buckets.length == 4)
+      // identical values to the Scala-API registration path
+      val viaApi = graft.functions.GraftFunctions
+        .simhash64(spark, org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("spark"),
+          org.apache.spark.sql.functions.lit("native"),
+          org.apache.spark.sql.functions.lit("engine")))
+      val apiVal = spark.range(1).select(viaApi.as("fp")).collect()(0).getLong(0)
+      assert(apiVal == sim)
+    } finally {
+      // do not stop() — that would kill the SparkContext shared with the
+      // other suites; restore the previous default/active sessions instead
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
