@@ -105,17 +105,23 @@ object Scalars {
         col("event_type"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_val"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val2"))
+        get_json_object(col("props"), "$.k").cast("int").as("k_val2"),
+        // MapType route: parse the object as MAP<STRING,INT>, look up by key
+        element_at(
+          from_json(col("props"), "MAP<STRING, INT>",
+            java.util.Collections.emptyMap[String, String]()), "k").as("k_map"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("k_val")).cast("long").as("sum_k"),
         sum(col("k_val2")).cast("long").as("sum_k2"),
+        sum(col("k_map")).cast("long").as("sum_k_map"),
         count(col("k_val")).as("n"))
       .orderBy(col("event_type"))
 
   val q22Oracle: String =
     """SELECT event_type,
        CAST(sum(k_val) AS BIGINT) AS sum_k, CAST(sum(k_val) AS BIGINT) AS sum_k2,
+       CAST(sum(k_val) AS BIGINT) AS sum_k_map,
        count(k_val) AS n
        FROM (SELECT event_type, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k_val FROM events)
        GROUP BY event_type ORDER BY event_type"""
