@@ -105,7 +105,8 @@ object Ingest extends Logging {
   def run(spark: SparkSession, urls: Seq[String], source: String,
           optionsFor: String => IngestOptions = _ => IngestOptions(),
           encryptionKey: Option[String] = None,
-          maxParallelFiles: Int = 4): Seq[Try[IngestResult]] = {
+          maxParallelFiles: Int = 4,
+          mode: SaveMode = SaveMode.Overwrite): Seq[Try[IngestResult]] = {
     val stage = Files.createTempDirectory("graft-ingest")
     // pool is shut down before returning — non-daemon worker threads would
     // otherwise keep the JVM alive after main() completes
@@ -119,7 +120,7 @@ object Ingest extends Logging {
               if (url.startsWith("http://") || url.startsWith("https://"))
                 Fetch.downloadWithRetry(url, stage).toString
               else url // local/FS path: no staging needed
-            ingestFile(spark, local, source, optionsFor(url), encryptionKey)
+            ingestFile(spark, local, source, optionsFor(url), encryptionKey, mode)
           }
         }
         futures.map(f => Try(Await.result(f, Duration.Inf)))

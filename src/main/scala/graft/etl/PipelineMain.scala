@@ -60,7 +60,7 @@ object PipelineMain {
     val key = if (sensitive.nonEmpty) Some(graft.crypto.Fernet.generateKey()) else None
     key.foreach(k => println(s"encryption key (retain to decrypt): $k"))
 
-    val results = Ingest.run(spark, remote ++ local, source, _ => opts, key)
+    val results = Ingest.run(spark, remote ++ local, source, _ => opts, key, mode = mode)
     results.foreach {
       case Success(r) => println(s"OK   ${r.url} -> ${r.table} (${r.rows} rows)")
       case Failure(e) => println(s"FAIL ${e.getMessage}")

@@ -186,22 +186,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    def info(name: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
-      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      info("graft_simhash64"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_minhash_signature"),
-      info("graft_minhash_signature", "graft_minhash_signature(shingles, h) - MinHash signature"),
+      info("graft_minhash_signature"),
       (exprs: Seq[Expression]) => MinHashSignatureExpr(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
-      info("graft_lsh_buckets", "graft_lsh_buckets(vec, tables, planes) - hyperplane LSH buckets"),
+      info("graft_lsh_buckets"),
       (exprs: Seq[Expression]) => LshBucketsExpr(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
         exprs(2).eval(InternalRow.empty).asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_cosine_similarity"),
-      info("graft_cosine_similarity", "graft_cosine_similarity(a, b) - cosine of double arrays"),
+      info("graft_cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
   }
 }

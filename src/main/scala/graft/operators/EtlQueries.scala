@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.Utils
+
 import graft.crypto.CryptoFunctions
 import graft.sources.Tables
 

@@ -57,6 +57,16 @@ class IngestSpec extends SparkSuite {
     spark.sql("DROP DATABASE testsrc3 CASCADE")
   }
 
+  test("run() honors append mode (the CLI --append path)") {
+    val p1 = writeCsv("acc2.csv", Seq("a,b", "1,x"))
+    val p2 = writeCsv("acc2.csv", Seq("a,b", "2,y"))
+    Ingest.run(spark, Seq(p1), "testsrc5")
+    Ingest.run(spark, Seq(p2), "testsrc5",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("testsrc5.acc2").count() == 2)
+    spark.sql("DROP DATABASE testsrc5 CASCADE")
+  }
+
   test("multi-file run: failures collected per-file, not fatal") {
     val good = writeCsv("ok.csv", Seq("x,y", "1,2"))
     val results = Ingest.run(spark, Seq(good, "/nonexistent/file.csv"), "testsrc4")
