@@ -568,7 +568,101 @@ object Relational {
              GROUP BY c_custkey)
        ORDER BY c_custkey"""
 
+  // ---------------------------------------------------------------- q61
+  /** Exact median without a percentile built-in: rank + count windows, then
+    * average the middle element(s). Engine-agnostic (both sides compute the
+    * same two-element mean) and scale-sane: one shuffle on the group key,
+    * one sort per group — no whole-corpus collect, unlike naive percentile.
+    */
+  def q61MedianExact(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+      .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")) // integer div, not `/`
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q61Oracle: String =
+    """WITH r AS (
+         SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM lineitem)
+       SELECT l_returnflag, sum(l_extendedprice) / count(*) AS median_price
+       FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ---------------------------------------------------------------- q62
+  /** Approximate percentiles (t-digest-style sketch): the fixed-size-state
+    * path for quantiles at 100 TB. Sketch values are implementation-defined
+    * → rows-only driver check; error vs the exact median is bounded in
+    * ScalaTest.
+    */
+  def q62ApproxPercentile(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.75, 0.99), 1000)").as("quartiles"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q63
+  /** Distribution window functions: ntile buckets, percent_rank, cume_dist.
+    * Deterministic under a unique total order; the rank ratios are single
+    * IEEE divisions, identical across engines.
+    */
+  def q63WindowDistribution(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q63Oracle: String =
+    """SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------- q64
+  /** Positional window values: first/last/nth within an explicit ROWS frame. */
+  def q64WindowPositional(spark: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q64Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_custkey, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_median_exact" -> q61MedianExact _,
+    "q62_approx_percentile" -> q62ApproxPercentile _,
+    "q63_window_distribution" -> q63WindowDistribution _,
+    "q64_window_positional" -> q64WindowPositional _,
     "q55_pivot" -> q55Pivot _,
     "q56_subqueries" -> q56Subqueries _,
     "q57_null_funcs" -> q57NullFuncs _,
@@ -597,6 +691,9 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _)
 
   val oracles: Map[String, String] = Map(
+    "q61_median_exact" -> q61Oracle,
+    "q63_window_distribution" -> q63Oracle,
+    "q64_window_positional" -> q64Oracle,
     "q55_pivot" -> q55Oracle,
     "q56_subqueries" -> q56Oracle,
     "q57_null_funcs" -> q57Oracle,

@@ -125,6 +125,17 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("q62 approx percentile stays close to the exact median") {
+    val exact = Relational.q61MedianExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Relational.q62ApproxPercentile(spark, sf).collect().foreach { r =>
+      val p50 = r.getDouble(1)
+      val truth = exact(r.getString(0))
+      assert(math.abs(p50 - truth) / truth < 0.05,
+        s"approx p50 $p50 too far from exact median $truth")
+    }
+  }
+
   test("q50 binaryFile source reports the real on-disk file size") {
     val row = Multimodal.q50BinaryFileSource(spark, sf).collect().head
     val actual = new java.io.File(s"$sf/region.parquet").length()
