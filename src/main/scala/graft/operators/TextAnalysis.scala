@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -141,13 +142,114 @@ object TextAnalysis {
       .select(col("doc_id"), col("content_hash"), col("rolling_fp"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q65
+  /** Character-n-gram language ID: score each language by occurrence counts
+    * of its characteristic bigrams/trigrams (the classic n-gram-profile
+    * heuristic, complementing q37's word-marker variant). Counting is a
+    * regexp scan per profile n-gram — single pass, codegen'd, no shuffle
+    * until the final projection.
+    */
+  val NgramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "ing", "er"),
+    "de" -> Seq("ch", "ei", "sch", "und"),
+    "es" -> Seq("os", "la", "ción", "ar"),
+    "fr" -> Seq("le", "ou", "eau", "es"),
+    "zh" -> Seq("的", "是", "不", "了"))
+
+  private def ngramScore(ngrams: Seq[String]): String =
+    ngrams.map(g => s"size(regexp_extract_all(text, '$g', 0))").mkString(" + ")
+
+  def q65LangIdNgram(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("s_en", expr(ngramScore(NgramProfiles("en"))))
+      .withColumn("s_de", expr(ngramScore(NgramProfiles("de"))))
+      .withColumn("s_es", expr(ngramScore(NgramProfiles("es"))))
+      .withColumn("s_fr", expr(ngramScore(NgramProfiles("fr"))))
+      .withColumn("s_zh", expr(ngramScore(NgramProfiles("zh"))))
+      .withColumn("predicted", expr(
+        """CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END"""))
+      .select(col("doc_id"), col("predicted"),
+        col("s_en").cast("long").as("en_ngrams"), col("s_de").cast("long").as("de_ngrams"))
+      .orderBy(col("doc_id"))
+
+  val q65Oracle: String = {
+    def duck(ngrams: Seq[String]): String =
+      ngrams.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")
+    s"""WITH scored AS (SELECT doc_id,
+          ${duck(NgramProfiles("en"))} AS s_en, ${duck(NgramProfiles("de"))} AS s_de,
+          ${duck(NgramProfiles("es"))} AS s_es, ${duck(NgramProfiles("fr"))} AS s_fr,
+          ${duck(NgramProfiles("zh"))} AS s_zh FROM documents)
+        SELECT doc_id,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted,
+          CAST(s_en AS BIGINT) AS en_ngrams, CAST(s_de AS BIGINT) AS de_ngrams
+        FROM scored ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** TF-IDF top terms per document. The idf factor is kept rational
+    * (N / df — no logarithm: libm log differs across engines in the last
+    * ulp, a ratio does not), which preserves the ranking property. Shape:
+    * one explode + two shuffles (df per word, tf per (doc, word)); the df
+    * side is a broadcastable word→df dimension at any corpus size where
+    * the vocabulary fits an executor — word-soup vocab here, subword vocab
+    * in a real pipeline.
+    */
+  def q66TfIdfTopTerms(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q66Oracle: String =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY 1, 2),
+       df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY 1),
+       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                tf.tf * CAST(n.n_docs AS DOUBLE) / df.df AS score
+         FROM tf JOIN df USING (word), n),
+       ranked AS (
+         SELECT doc_id, word, tf, df, score,
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS INT) AS rn
+         FROM scored)
+       SELECT doc_id, rn, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+              round(score, 4) AS score
+       FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_text_lang_id_ngram" -> q65LangIdNgram _,
+    "q66_text_tfidf_topterms" -> q66TfIdfTopTerms _,
     "q37_text_lang_id" -> q37LangId _,
     "q38_text_quality_score" -> q38QualityScore _,
     "q39_text_token_count" -> q39TokenCount _,
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q65_text_lang_id_ngram" -> q65Oracle,
+    "q66_text_tfidf_topterms" -> q66Oracle,
     "q37_text_lang_id" -> q37Oracle,
     "q38_text_quality_score" -> q38Oracle,
     "q39_text_token_count" -> q39Oracle)
