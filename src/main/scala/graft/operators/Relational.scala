@@ -658,7 +658,31 @@ object Relational {
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_custkey, o_orderkey"""
 
+  // ---------------------------------------------------------------- q67
+  /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
+    * each document's token array with positions (the UDTF-shaped operator
+    * class; explode is Spark's built-in Generator).
+    */
+  def q67LateralExplode(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d).createOrReplaceTempView("documents_lv")
+    spark.sql(
+      """SELECT doc_id, CAST(pos AS INT) AS pos, word
+         FROM documents_lv
+         LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+         WHERE doc_id < 50 AND pos < 5
+         ORDER BY doc_id, pos""")
+  }
+
+  val q67Oracle: String =
+    """SELECT doc_id, CAST(t.pos - 1 AS INT) AS pos, t.word
+       FROM documents,
+            LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                            generate_subscripts(string_split(text, ' '), 1) AS pos) t
+       WHERE doc_id < 50 AND t.pos <= 5
+       ORDER BY doc_id, pos"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_lateral_explode" -> q67LateralExplode _,
     "q61_median_exact" -> q61MedianExact _,
     "q62_approx_percentile" -> q62ApproxPercentile _,
     "q63_window_distribution" -> q63WindowDistribution _,
@@ -691,6 +715,7 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _)
 
   val oracles: Map[String, String] = Map(
+    "q67_lateral_explode" -> q67Oracle,
     "q61_median_exact" -> q61Oracle,
     "q63_window_distribution" -> q63Oracle,
     "q64_window_positional" -> q64Oracle,
