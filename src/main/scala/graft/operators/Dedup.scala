@@ -184,6 +184,27 @@ object Dedup {
     simhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 3), 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Dedup against a reference corpus via Bloom filter: build a bloom over
+    * the corpus's content hashes (one aggregation, fixed-size bits), then
+    * prefilter incoming docs with it — only bloom-positive docs (true dups +
+    * ~fpp false positives) pay the exact anti-join. At 100 TB this turns
+    * "join everything against the 10-billion-doc corpus" into "exact-check
+    * the ~0.1% that might match": the bloom broadcasts, the corpus is only
+    * scanned at build time.
+    */
+  def bloomDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+                        expectedCorpusSize: Long, fpp: Double = 0.01): DataFrame = {
+    val hashed = incoming.withColumn("__h", xxhash64(col("text")))
+    val corpusHashes = corpus.select(xxhash64(col("text")).as("__h"))
+    val bloom = corpusHashes.stat.bloomFilter("__h", expectedCorpusSize, fpp)
+    val bloomBc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val candidates = hashed.filter(mightMatch(col("__h")))
+    // exact confirmation only for bloom-positives
+    val confirmed = candidates.join(corpusHashes.distinct(), Seq("__h"), "left_semi")
+    hashed.join(confirmed.select(col("__h")), Seq("__h"), "left_anti").drop("__h")
+  }
+
   // ---------------------------------------------------------------- q33
   /** Word-set Jaccard similarity on a bounded candidate window (doc_id<100):
     * fully deterministic (no hashing) → full DuckDB oracle. The unbounded

@@ -35,6 +35,16 @@ class OperatorsSpec extends SparkSuite {
     assert(dups.forall(_.getAs[Long]("keep_id") < 20))
   }
 
+  test("bloom dedup against a reference corpus removes exactly the overlap") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 200)   // "already ingested"
+    val incoming = docs.filter(col("doc_id") >= 100) // 100 docs overlap
+    val fresh = graft.operators.Dedup.bloomDedupAgainst(incoming, corpus, 1000L)
+    assert(fresh.count() == incoming.count() - 100)
+    // nothing surviving is in the corpus
+    assert(fresh.join(corpus, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   test("q31 minhash-LSH recovers planted near-dup pairs (high recall)") {
     val rows = Dedup.q31MinhashLsh(spark, sf).collect()
     val planted = rows.filter(r =>
