@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The session knobs that matter at 100 TB, centralized so every entry point
+  * (Verify, Bench, PipelineMain, user code) starts from the same defaults.
+  * Values are per-knob documented because they're the difference between a
+  * plan that survives 1000 executors and one that doesn't.
+  */
+object SparkConfigs {
+
+  /** Scale-relevant defaults:
+    *  - AQE on: runtime re-planning (partition coalescing, skew-join
+    *    splitting, broadcast demotion) replaces hand-tuned shuffle counts;
+    *  - skewJoin on: oversized shuffle partitions split automatically —
+    *    first line of defense before explicit salting (graft.operators.Skew);
+    *  - 128 MB file partitions: task granularity that amortizes scheduling
+    *    without spilling typical executors;
+    *  - maxRecordsPerFile bounds produced files so downstream scans stay
+    *    balanced;
+    *  - UTC session TZ: timestamp semantics identical across engines and
+    *    clusters (and required for the correctness oracle).
+    */
+  val ScaleDefaults: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.files.maxRecordsPerFile" -> "5000000",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString)
+
+  /** Apply the defaults to a builder; caller-provided configs set after this
+    * win, and runtime-mutable ones can still be changed per query.
+    */
+  def applyScaleDefaults(builder: SparkSession.Builder): SparkSession.Builder =
+    ScaleDefaults.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+
+  /** Local-mode builder used by this repo's executables: `cpus` threads and
+    * an equal shuffle-partition count (the 200-partition default is wrong
+    * for local mode; on a real cluster AQE coalescing makes the initial
+    * number far less critical).
+    */
+  def localSession(appName: String, cpus: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    applyScaleDefaults(b).getOrCreate()
+  }
+}

@@ -48,11 +48,10 @@ object PipelineMain {
     }
     val (remote, local) = inputs.partition(u => u.startsWith("http://") || u.startsWith("https://"))
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-pipeline")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+    val spark = graft.core.SparkConfigs.applyScaleDefaults(
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-pipeline"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
