@@ -106,6 +106,34 @@ object Similarity {
       .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Batch ANN: top-k for MANY query vectors in one pass. The corpus bucket
+    * table is computed once; all queries' buckets join against it together
+    * (query side broadcast), then exact cosine + per-query ranking. At
+    * scale this replaces q-many corpus scans with one — the serving shape
+    * for "find neighbors for this whole batch of new documents".
+    */
+  def annTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val buckets = lshBuckets(emb).cache()
+    val qb = buckets.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("table_id").as("q_table"),
+        col("bucket").as("q_bucket"), col("ed").as("qe"))
+    val candidates = buckets
+      .join(broadcast(qb),
+        col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("ed"), col("qe"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id").asc)
+    candidates
+      .withColumn("cos_raw",
+        graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ed"), col("qe")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- q35
   /** LSH-bucketed approximate top-5 for vec_id=0. Bucket membership is
     * hash-defined → rows-only driver check; recall vs the exact q34 answer

@@ -76,6 +76,20 @@ class OperatorsSpec extends SparkSuite {
       s"ANN results $ann poorly overlap exact top-50")
   }
 
+  test("batch ANN equals per-query ANN for each query id") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ids = Seq(0L, 7L, 42L)
+    val batch = Similarity.annTopKBatch(emb, ids, 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq }
+    ids.foreach { q =>
+      val single = Similarity.annTopK(emb.filter(col("vec_id").isNotNull), q, 5)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(batch.getOrElse(q, Seq.empty) == single, s"mismatch for query $q")
+    }
+  }
+
   test("q58 embedding LSH dedup recovers all 20 planted duplicate vectors") {
     val rows = Similarity.q58EmbeddingDedupLsh(spark, sf).collect()
     val planted = rows.filter(r =>
