@@ -57,6 +57,41 @@ class WatermarkSpec extends SparkSuite {
     assert(rows("2024-01-01 02:00:00.0") == 1L)
   }
 
+  test("checkpointed aggregation state survives a query restart") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    def writeBatch(rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "v").coalesce(1).write.mode("append").parquet(srcDir)
+
+    def startQuery(name: String) = spark.readStream
+      .schema("ts TIMESTAMP, v BIGINT")
+      .parquet(srcDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete()).start()
+
+    writeBatch(Seq(ts("00:05") -> 1L, ts("00:10") -> 1L, ts("01:05") -> 1L))
+    val q1 = startQuery("ckpt_run1")
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second incarnation, same checkpoint: must resume state, process ONLY
+    // the new file, and still report totals over both batches
+    writeBatch(Seq(ts("00:20") -> 1L, ts("02:05") -> 1L))
+    val q2 = startQuery("ckpt_run2")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val counts = spark.table("ckpt_run2").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(counts("2024-01-01 00:00:00.0") == 3L) // 2 old + 1 new, not reread
+    assert(counts("2024-01-01 01:00:00.0") == 1L)
+    assert(counts("2024-01-01 02:00:00.0") == 1L)
+  }
+
   test("dropDuplicatesWithinWatermark evicts dedup state by event time") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup-wm").toString
