@@ -126,13 +126,48 @@ object Scalars {
        FROM (SELECT event_type, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS INT) AS k_val FROM events)
        GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q68
+  /** Array-function battery over the embedding vectors: size, min/max
+    * element, slices, sorted extremes, element predicates — the HOF toolkit
+    * (transform/filter/aggregate) applied as first-class query operators.
+    * Elements are cast float→double (exact) before any comparison so both
+    * engines rank identical values.
+    */
+  def q68ArrayFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("array_max(ed)").as("max_val"),
+        expr("array_min(ed)").as("min_val"),
+        expr("element_at(array_sort(ed), 2)").as("second_smallest"),
+        expr("size(filter(ed, x -> x > 0D))").cast("long").as("n_positive"),
+        round(expr("aggregate(slice(ed, 1, 8), 0D, (a, x) -> a + x)"), 6).as("head8_sum"),
+        expr("element_at(ed, 1)").as("first_val"),
+        expr("element_at(reverse(ed), 1)").as("last_val"))
+      .orderBy(col("vec_id"))
+
+  val q68Oracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+                         len(embedding) AS dim FROM embeddings)
+       SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         list_max(ed) AS max_val, list_min(ed) AS min_val,
+         list_sort(ed)[2] AS second_smallest,
+         CAST(len(list_filter(ed, x -> x > 0)) AS BIGINT) AS n_positive,
+         round(list_sum(ed[1:8]), 6) AS head8_sum,
+         ed[1] AS first_val, ed[len(ed)] AS last_val
+       FROM e ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_array_funcs" -> q68ArrayFuncs _,
     "q19_string_funcs" -> q19StringFuncs _,
     "q20_date_funcs" -> q20DateFuncs _,
     "q21_math_funcs" -> q21MathFuncs _,
     "q22_json_funcs" -> q22JsonFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "q68_array_funcs" -> q68Oracle,
     "q19_string_funcs" -> q19Oracle,
     "q20_date_funcs" -> q20Oracle,
     "q21_math_funcs" -> q21Oracle,
