@@ -38,7 +38,9 @@ object Fetch {
     val dest = destDir.resolve(
       if (fileName == null || fileName.toString.isEmpty) "download" else fileName.toString)
     Utils.retry(retries, delayMs) {
-      val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMinutes(5)) // bound the whole request, not just connect
+        .GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")

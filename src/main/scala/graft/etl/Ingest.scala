@@ -120,7 +120,9 @@ object Ingest extends Logging {
               if (url.startsWith("http://") || url.startsWith("https://"))
                 Fetch.downloadWithRetry(url, stage).toString
               else url // local/FS path: no staging needed
+            // report the ORIGINAL input (url), not the staged temp path
             ingestFile(spark, local, source, optionsFor(url), encryptionKey, mode)
+              .copy(url = url)
           }
         }
         futures.map(f => Try(Await.result(f, Duration.Inf)))

@@ -31,6 +31,14 @@ class DeterminismSpec extends SparkSuite {
     assert(at3 == at17)
   }
 
+  test("q66 TF-IDF ranking is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.TextAnalysis.q66TfIdfTopTerms(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.TextAnalysis.q66TfIdfTopTerms(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
+
   test("q34 cosine top-k is stable across repartitioned input") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Tables.embeddings(spark, sf)
