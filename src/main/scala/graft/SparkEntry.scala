@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ EventTime.queries ++
       EtlQueries.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ EventTime.oracles ++
       EtlQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ StreamingOps.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ StreamingOps.oracles ++
+      Curation.oracles
 }

@@ -122,6 +122,56 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("curation with near-dup removal drops planted near-duplicates") {
+    import graft.operators.Curation
+    // corpus + 30 planted near-dups (doc_id+1000000, last words dropped):
+    // near-dup-aware curation must keep the originals and drop the plants
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dups = docs.filter(col("doc_id") < 30)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", expr(
+        "concat_ws(' ', slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 3, 1)))"))
+    val corpus = docs.unionByName(dups)
+    val keptExact = Curation.curate(corpus,
+      Curation.CurationConfig(minTokens = 5, maxStopwordRatio = 1.0))
+    val keptNear = Curation.curate(corpus,
+      Curation.CurationConfig(minTokens = 5, maxStopwordRatio = 1.0,
+        nearDupThreshold = Some(0.5)))
+    val plantsExact = keptExact.filter(col("doc_id") >= 1000000L).count()
+    val plantsNear = keptNear.filter(col("doc_id") >= 1000000L).count()
+    // exact dedup can't see near-dups (a plant can still fall below the
+    // token minimum after truncation, hence >= 28)
+    assert(plantsExact >= 28)
+    assert(plantsNear <= 3,         // LSH removes (allow probabilistic misses)
+      s"$plantsNear planted near-dups survived")
+    // originals always survive (near-dup removal drops the higher id)
+    assert(keptNear.filter(col("doc_id") < 30).count() ==
+      keptExact.filter(col("doc_id") < 30).count())
+  }
+
+  test("TopKAggregator UDAF equals window-rank top-k with O(k) state") {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    // rank by extendedprice with a unique tiebreak folded into the payload
+    val viaUdaf = li
+      .select(col("l_returnflag"),
+        struct(col("l_extendedprice").as("_1"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("_2")).as("in"))
+      .groupBy(col("l_returnflag"))
+      .agg(topk(col("in._1"), col("in._2")).as("top_ids"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaWindow = Relational.q16GroupedTopK(spark, sf).collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getAs[Int]("rn")).map(r =>
+          r.getAs[Long]("l_orderkey") * 10 + r.getAs[Int]("l_linenumber")).toSeq }
+    viaWindow.foreach { case (flag, expected) =>
+      assert(viaUdaf(flag) == expected, s"flag $flag")
+    }
+  }
+
   test("warehouse DDL surface: create/insert/select/delete rewrite") {
     val db = "graft_test_db"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
