@@ -163,6 +163,29 @@ object StreamingOps {
     table
   }
 
+  /** Stream-stream inner join: click→purchase attribution per user within
+    * a 30-minute window. Both sides watermarked and the join condition
+    * carries event-time bounds — the combination that lets Spark bound the
+    * buffered state on both sides (state is evicted once the watermark
+    * passes the time range). The signature Structured Streaming stateful
+    * operator beyond aggregation.
+    */
+  def clickPurchaseAttribution(spark: SparkSession, d: String): DataFrame = {
+    val events = eventsStream(spark, d)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               n_events: Long)
 

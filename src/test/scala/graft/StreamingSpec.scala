@@ -67,6 +67,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamSeq.length >= batch.length - users - users)
   }
 
+  test("stream-stream join matches the batch join (modulo end-of-stream watermark holdback)") {
+    import org.apache.spark.sql.functions._
+    val joined = StreamingOps.clickPurchaseAttribution(spark, sf)
+      .select(col("click_id"), col("purchase_id"))
+    val name = s"ss_join_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val batchAll = c.join(p,
+        col("cu") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cid"), col("pid"), col("cts"), col("pts"))
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // pairs whose constituent times are older than final-watermark minus the
+    // join range MUST have been emitted; later pairs may be held back
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - (10 + 30 + 10) * 60000L)
+    val mustEmit = batchAll
+      .filter(col("cts") < lit(cutoff) && col("pts") < lit(cutoff))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = batchAll.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mustEmit.nonEmpty)
+    assert(mustEmit.subsetOf(streamed), s"${(mustEmit -- streamed).size} due pairs missing")
+    assert(streamed.subsetOf(all), "stream emitted pairs batch doesn't have")
+  }
+
   test("foreachBatch sink is idempotent: rerun adds no duplicate rows") {
     val table = "graft_stream_sink_t"
     StreamingOps.streamToTableForeachBatch(spark, sf, table)
