@@ -35,6 +35,13 @@ class PlanSpec extends SparkSuite {
     assert(!scan.contains("l_tax"), "projection pruning failed: reading unused columns")
   }
 
+  test("q47: right-outer join broadcasts the pre-aggregated build side") {
+    val plan = planOf(Relational.q47JoinRightOuter(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"),
+      "aggregate-below-join must keep the outer join broadcastable")
+  }
+
   test("q15: global top-k plans as TakeOrderedAndProject, not full sort") {
     val plan = planOf(Relational.q15TopK(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
