@@ -22,6 +22,23 @@ class StreamingSpec extends SparkSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("RocksDB state store produces identical results to the default store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val viaRocks = StreamingOps.q43StreamTumbling(spark, sf).collect()
+      val batch = EventTime.q23TumblingWindow(spark, sf).collect()
+      assert(viaRocks.toSeq == batch.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup == batch distinct counts") {
     val stream = StreamingOps.q45StreamDedup(spark, sf).collect()
     val batch = graft.sources.Tables.events(spark, sf)
