@@ -239,7 +239,39 @@ object TextAnalysis {
               round(score, 4) AS score
        FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn"""
 
+  // ---------------------------------------------------------------- q70
+  /** Unicode normalization + accent folding — the canonicalization step
+    * before any hashing/dedup in a multilingual corpus (two byte-different
+    * strings can be the same text). NFC/NFD come from `java.text.Normalizer`
+    * (deterministic, stdlib); the corpus is ASCII so an accented suffix is
+    * injected to make the transform observable and oracle-checkable against
+    * the oracle engine's nfc_normalize/strip_accents.
+    */
+  private val foldAccents = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+  }
+
+  def q70TextNormalize(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("augmented", concat(col("text"), lit(" Café Naïve Zürich résumé")))
+      .select(
+        col("doc_id"),
+        length(col("augmented")).cast("long").as("raw_len"),
+        foldAccents(col("augmented")).as("folded"),
+        length(foldAccents(col("augmented"))).cast("long").as("folded_len"))
+      .orderBy(col("doc_id"))
+
+  val q70Oracle: String =
+    """SELECT doc_id,
+       CAST(length(text || ' Café Naïve Zürich résumé') AS BIGINT) AS raw_len,
+       strip_accents(nfc_normalize(text || ' Café Naïve Zürich résumé')) AS folded,
+       CAST(length(strip_accents(nfc_normalize(text || ' Café Naïve Zürich résumé'))) AS BIGINT) AS folded_len
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_text_normalize" -> q70TextNormalize _,
     "q65_text_lang_id_ngram" -> q65LangIdNgram _,
     "q66_text_tfidf_topterms" -> q66TfIdfTopTerms _,
     "q37_text_lang_id" -> q37LangId _,
@@ -248,6 +280,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q70_text_normalize" -> q70Oracle,
     "q65_text_lang_id_ngram" -> q65Oracle,
     "q66_text_tfidf_topterms" -> q66Oracle,
     "q37_text_lang_id" -> q37Oracle,
