@@ -186,6 +186,27 @@ object StreamingOps {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Left-outer variant: unconverted clicks are emitted with null purchase
+    * columns once the watermark proves no purchase can still arrive for
+    * them — the outer stream-stream join's delayed-null semantics.
+    */
+  def clickPurchaseAttributionOuter(spark: SparkSession, d: String): DataFrame = {
+    val events = eventsStream(spark, d)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+  }
+
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               n_events: Long)
 

@@ -118,6 +118,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.subsetOf(all), "stream emitted pairs batch doesn't have")
   }
 
+  test("left-outer stream-stream join emits watermark-proven unmatched clicks as nulls") {
+    import org.apache.spark.sql.functions._
+    val joined = StreamingOps.clickPurchaseAttributionOuter(spark, sf)
+      .select(col("click_id"), col("purchase_id"), col("click_ts"))
+    val name = s"ss_outer_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table(name).collect()
+    val nullRows = out.filter(_.isNullAt(1))
+    assert(nullRows.nonEmpty, "expected unmatched clicks with null purchase")
+    // every null-emitted click must genuinely have no purchase within range
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val matchedClickIds = c.join(p,
+        col("cu") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"), "left_semi")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    nullRows.foreach { r =>
+      assert(!matchedClickIds.contains(r.getLong(0)),
+        s"click ${r.getLong(0)} emitted as unmatched but has a purchase in range")
+    }
+  }
+
   test("foreachBatch sink is idempotent: rerun adds no duplicate rows") {
     val table = "graft_stream_sink_t"
     StreamingOps.streamToTableForeachBatch(spark, sf, table)
