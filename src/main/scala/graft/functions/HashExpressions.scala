@@ -72,6 +72,58 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** n-token shingle hashes WITHOUT materializing shingle strings: hash each
+    * token once, fold each n-window of token hashes with the splitmix
+    * chain, dedupe. Equivalent information to distinct string shingles at a
+    * fraction of the allocation cost — strings never exist.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val count = tokens.numElements()
+    val th = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      th(i) = if (tokens.isNullAt(i)) 0L
+              else XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nShingles = math.max(count - n + 1, if (count > 0) 1 else 0)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nShingles) {
+      var acc = 0x51_7C_C1_B7_27_22_0A_95L
+      var j = 0
+      while (j < n && s + j < count) {
+        acc = mix(acc ^ th(s + j))
+        j += 1
+      }
+      seen.add(acc)
+      s += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over precomputed shingle hashes (array<long>). */
+  def minhashFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = mix(h ^ (k.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Random-hyperplane LSH bucket ids for a float-vector embedding:
     * `numTables` buckets of `planesPerTable` sign bits each. The ±1 plane
     * matrix is deterministic (splitmix64 of the component index) — identical
@@ -163,6 +215,30 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int) extends Unary
     copy(child = newChild)
 }
 
+/** shingle_hashes(array<string>, n) → array<bigint> (distinct window hashes) */
+case class ShingleHashesExpr(child: Expression, shingleSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels$$.MODULE$$.shingleHashes($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** minhash_from_hashes(array<bigint>) → array<bigint> of length numHashes */
+case class MinHashFromHashesExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashFromHashes(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels$$.MODULE$$.minhashFromHashes($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashesExpr =
+    copy(child = newChild)
+}
+
 /** lsh_buckets(array<float>) → array<bigint> of length numTables */
 case class LshBucketsExpr(child: Expression, numTables: Int, planesPerTable: Int)
     extends UnaryExpression {
@@ -223,6 +299,12 @@ object GraftFunctions {
         exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_similarity",
       exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_from_hashes",
+      exprs => MinHashFromHashesExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
   }
 
   def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {
@@ -239,6 +321,18 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_minhash_signature",
       shingles, org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def shingleHashes(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_shingle_hashes",
+      tokens, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashFromHashes(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_minhash_from_hashes",
+      hashes, org.apache.spark.sql.functions.lit(numHashes))
   }
 
   def lshBuckets(spark: SparkSession, vec: Column, numTables: Int, planesPerTable: Int): Column = {

@@ -79,18 +79,22 @@ object Dedup {
   val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** doc_id, shingles(array<string>), sig(array<long>). Signature computed
-    * by the native codegen'd expression (graft.functions.MinHashSignatureExpr)
-    * — one tight loop per row instead of H×shingles interpreted lambdas.
+  /** doc_id, shingles(array<long> — hashed 3-token windows), sig(array<long>).
+    * Both come from native codegen'd expressions; shingle STRINGS are never
+    * materialized (hash each token once, fold windows of token hashes —
+    * graft.functions.HashKernels.shingleHashes), which also makes the
+    * downstream exact-Jaccard verification an integer-array intersect
+    * instead of a string-array one.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val fns = graft.functions.GraftFunctions
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, greatest(size(toks) - 3, 0)), i -> concat_ws(' ', slice(toks, i + 1, 3))))"))
+      .withColumn("shingles",
+        fns.shingleHashes(docs.sparkSession, split(col("text"), " "), 3))
       .withColumn("sig",
-        graft.functions.GraftFunctions.minhashSignature(docs.sparkSession, col("shingles"), NumHashes))
+        fns.minhashFromHashes(docs.sparkSession, col("shingles"), NumHashes))
       .select(col("doc_id"), col("shingles"), col("sig"))
+  }
 
   /** Candidate pairs from band-bucket collisions, verified by exact Jaccard
     * over shingle sets; skew-guarded via MaxBucketSize.
