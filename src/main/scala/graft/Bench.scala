@@ -27,15 +27,18 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates (dedup signatures) must not bill
-      // their memory to later queries
+      // defensive: no operator caches anymore (round 2), but any future one
+      // must not bill its memory to later queries
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the single JSON line compact enough that a
+    // bounded tail-capture of stdout still holds all 70 per-query times
+    // (round 1 lost q01–q16 to truncation at full double precision)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

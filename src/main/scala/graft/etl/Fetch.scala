@@ -26,16 +26,20 @@ object Fetch {
     .connectTimeout(Duration.ofSeconds(30))
     .build()
 
-  /** Download `url` to `destDir/<last-path-segment>` with fixed-delay retry.
-    * Only http/https accepted (reference URL predicate, pipeline.py:27-33).
+  /** Download `url` to `destDir/<url-hash>/<last-path-segment>` with
+    * fixed-delay retry. Only http/https accepted (reference URL predicate,
+    * pipeline.py:27-33). The per-URL subdirectory (8-hex of the URL's hash)
+    * keeps concurrent downloads of same-named files from different hosts —
+    * `host-a/data.csv` and `host-b/data.csv` — from racing on one dest path.
     */
   def downloadWithRetry(url: String, destDir: Path,
                         retries: Int = DefaultRetries,
                         delayMs: Long = DefaultDelayMs): Path = {
     require(Utils.isValidUrl(url), s"Invalid URL: $url")
-    Files.createDirectories(destDir)
+    val urlDir = destDir.resolve(f"${url.hashCode}%08x")
+    Files.createDirectories(urlDir)
     val fileName = Paths.get(new URI(url).getPath).getFileName
-    val dest = destDir.resolve(
+    val dest = urlDir.resolve(
       if (fileName == null || fileName.toString.isEmpty) "download" else fileName.toString)
     Utils.retry(retries, delayMs) {
       val req = HttpRequest.newBuilder(URI.create(url))

@@ -126,11 +126,23 @@ object Ingest extends Logging {
           }
         }
         futures.map(f => Try(Await.result(f, Duration.Inf)))
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        // staged downloads are only scratch input — the data now lives in the
+        // warehouse table — so reclaim the disk before returning
+        deleteRecursively(stage)
+      }
     results.foreach {
       case Success(r) => logInfo(s"Ingested ${r.url} -> ${r.table} (${r.rows} rows)")
       case Failure(e) => logError(s"Ingest failed: ${e.getMessage}")
     }
     results
   }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Try(Files.deleteIfExists(p)))
+    }
 }

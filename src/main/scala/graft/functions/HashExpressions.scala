@@ -279,6 +279,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_cosine_similarity"),
       info("graft_cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashesExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_from_hashes"),
+      info("graft_minhash_from_hashes"),
+      (exprs: Seq[Expression]) => MinHashFromHashesExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
   }
 }
 

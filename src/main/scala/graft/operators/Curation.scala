@@ -34,9 +34,13 @@ object Curation {
       .filter(col("__n_tokens") >= cfg.minTokens &&
         col("__stop_cnt").cast("double") / col("__n_tokens") <= cfg.maxStopwordRatio &&
         col("lang").isInCollection(cfg.langs))
-    // 2. exact dedup: keep the lowest doc_id per identical text
+    // 2. exact dedup: keep the lowest doc_id per identical text. Partition by
+    //    a pair of independent 64-bit content hashes, not the text itself —
+    //    the shuffle key is 16 bytes instead of the document body (same
+    //    collision argument as Dedup.exactDedup: ~2⁻¹²⁹ per pair).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id"))
+      .partitionBy(xxhash64(col("text")), xxhash64(lit(42L), col("text")))
+      .orderBy(col("doc_id"))
     val exact = quality
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -27,12 +27,20 @@ object Dedup {
   val MaxBucketSize = 1000
 
   /** Exact near-clone of `dropDuplicates`, but deterministic: keeps the
-    * minimum doc_id per identical text. One shuffle, keyed by xxhash64(text)
-    * + text to be collision-safe.
+    * minimum doc_id per identical text. One shuffle, keyed by a PAIR of
+    * independent 64-bit content hashes — 16 bytes of key instead of the full
+    * document body (at 100 TB the old text-keyed shuffle would move the
+    * whole corpus as map output keys). Two independent xxhash64 values give
+    * a collision probability of ~n²/2¹²⁹ — about 10⁻¹⁵ even at 10¹¹ docs —
+    * which is the standard content-addressing argument; a corpus where that
+    * is not acceptable pins a third hash, not the raw text.
     */
   def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(
+        xxhash64(col(textCol)).as("__k1"),
+        xxhash64(lit(42L), col(textCol)).as("__k2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
 
   /** documents ∪ planted duplicates: the synthetic corpus has no exact or
     * near dups (verified at survey time), so dedup queries plant controlled
@@ -100,7 +108,12 @@ object Dedup {
     * over shingle sets; skew-guarded via MaxBucketSize.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs).cache()
+    // No cache: the signature pass is cheap codegen'd hashing, and a cache
+    // pinned inside a lazy plan-building function cannot be unpersisted after
+    // the caller's action — it would leak executor memory across queries.
+    // Recomputing the scan ~3× (banding + both sides of the verify join)
+    // costs less than permanently resident signature partitions.
+    val sigs = minhashSignatures(docs)
     val banded = sigs.select(
         col("doc_id"),
         posexplode(expr(
@@ -153,7 +166,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
 
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = simhash64(docs).cache()
+    val fp = simhash64(docs) // no cache — same leak argument as minhashNearDups
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)")).as(Seq("band_id", "band_key")))

@@ -203,17 +203,26 @@ object Relational {
 
   // ---------------------------------------------------------------- q10
   /** Approximate distinct (HyperLogLog++) — the sketch path for 100 TB where
-    * exact distinct would shuffle every key. HLL implementations differ
-    * across engines, so there is deliberately no value oracle (rows-only
-    * check); the exact twin is q09.
+    * exact distinct would shuffle every key. Raw HLL estimates are
+    * implementation-defined across engines, so the emitted check is the
+    * certified boolean "estimate within 3×rsd of the exact count" (plus the
+    * exact count itself, which IS oracle-checkable) — deterministic on both
+    * sides, q26's `n_ok` pattern. q09 remains the exact twin.
     */
   def q10ApproxDistinct(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.02) -
+             countDistinct(col("l_partkey"))).cast("double") <=
+          lit(0.06) * countDistinct(col("l_partkey"))).as("approx_ok"))
       .orderBy(col("l_returnflag"))
+
+  val q10Oracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       true AS approx_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---------------------------------------------------------------- q11
   /** ROLLUP with GROUPING() markers. */
@@ -440,29 +449,66 @@ object Relational {
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
   // ---------------------------------------------------------------- q53
-  /** Statistical aggregate battery. stddev/var/corr/covar accumulate
-    * floating moments whose low bits depend on merge order, so results are
-    * rounded to 6 decimals on both sides — the practical contract for
-    * cross-engine statistical aggregates (unlike sums, they have no exact
-    * decimal form).
+  /** Statistical aggregate battery (stddev/var/corr/covar), bit-identical
+    * across engines by construction: the only aggregations are exact DECIMAL
+    * sums of the moments (n, Σx, Σx², Σxy — order-independent integer
+    * arithmetic), and the statistics are derived from those sums with the
+    * textually-identical IEEE double formula on both sides. Built-in
+    * stddev_samp/corr accumulate floating moments whose low bits depend on
+    * merge order — unusable for a cross-engine hash gate (round-1 lesson).
+    * Same trick q01 uses for sums; here extended to second moments.
     */
-  def q53StatsAgg(spark: SparkSession, d: String): DataFrame =
+  // DECIMAL(12,2): the fixtures are 2-decimal money/rate columns, so the
+  // cast is exact; products stay DECIMAL(24,4)-ish — inside both engines'
+  // 128-bit decimal paths (DECIMAL(18,6)² overflowed DuckDB's int64 lane).
+  private val q53Moments: Seq[(String, String)] = Seq(
+    "sx"  -> "cast(l_quantity as decimal(12,2))",
+    "sxx" -> "cast(l_quantity as decimal(12,2)) * cast(l_quantity as decimal(12,2))",
+    "sy"  -> "cast(l_extendedprice as decimal(12,2))",
+    "syy" -> "cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))",
+    "sxy" -> "cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))",
+    "sd"  -> "cast(l_discount as decimal(12,2))",
+    "st"  -> "cast(l_tax as decimal(12,2))",
+    "sdt" -> "cast(l_discount as decimal(12,2)) * cast(l_tax as decimal(12,2))")
+
+  /** Shared derivation formulas (must stay textually identical to the oracle:
+    * IEEE ops are correctly rounded, so identical inputs + identical
+    * expression trees ⇒ identical bits — no rounding contract needed).
+    */
+  private val q53Derived: Seq[(String, String)] = Seq(
+    "sd_qty" -> "sqrt((n * sxx - sx * sx) / (n * (n - 1)))",
+    "var_qty" -> "(n * sxx - sx * sx) / (n * (n - 1))",
+    "corr_qty_price" ->
+      "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))",
+    "covar_disc_tax" -> "(n * sdt - sd * st) / (n * (n - 1))")
+
+  def q53StatsAgg(spark: SparkSession, d: String): DataFrame = {
+    val sums = count(lit(1)).cast("double").as("n") +:
+      q53Moments.map { case (alias, e) => sum(expr(e)).cast("double").as(alias) }
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 6).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("l_returnflag") +:
+        q53Derived.map { case (alias, e) => expr(e).as(alias) }: _*)
       .orderBy(col("l_returnflag"))
+  }
 
-  val q53Oracle: String =
-    """SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 6) AS sd_qty,
-       round(var_samp(l_quantity), 6) AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
-       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  val q53Oracle: String = {
+    val sums = q53Moments
+      .map { case (alias, e) => s"CAST(sum($e) AS DOUBLE) AS $alias" }
+      .mkString(",\n           ")
+    val derived = q53Derived
+      .map { case (alias, e) => s"$e AS $alias" }
+      .mkString(",\n         ")
+    s"""WITH s AS (
+         SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           $sums
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+         $derived
+       FROM s ORDER BY l_returnflag"""
+  }
 
   // ---------------------------------------------------------------- q54
   /** Argmin/argmax, conditional counts, and order-stable string aggregation
@@ -598,18 +644,32 @@ object Relational {
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---------------------------------------------------------------- q62
-  /** Approximate percentiles (t-digest-style sketch): the fixed-size-state
-    * path for quantiles at 100 TB. Sketch values are implementation-defined
-    * → rows-only driver check; error vs the exact median is bounded in
-    * ScalaTest.
+  /** Approximate percentiles (fixed-size sketch state — the only quantile
+    * path that scales to 100 TB) certified against the exact percentiles in
+    * the same query: the output is per-group booleans "sketch within 5% of
+    * exact", which ARE deterministic (the sketch's rank error is bounded by
+    * accuracy=1000 ⇒ value error far below 5% on this data), so the driver
+    * can hash-check them against literal `true` — the q26 `n_ok` pattern.
+    * Raw sketch values stay implementation-defined and are never emitted.
     */
-  def q62ApproxPercentile(spark: SparkSession, d: String): DataFrame =
+  def q62ApproxPercentile(spark: SparkSession, d: String): DataFrame = {
+    def ok(p: String): Column =
+      expr(s"""abs(approx_percentile(l_extendedprice, $p, 1000) -
+                   percentile(l_extendedprice, $p)) <=
+               0.05 * abs(percentile(l_extendedprice, $p))""")
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.75, 0.99), 1000)").as("quartiles"))
+        count(lit(1)).as("n"),
+        ok("0.25").as("p25_ok"), ok("0.5").as("p50_ok"),
+        ok("0.75").as("p75_ok"), ok("0.99").as("p99_ok"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q62Oracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+       true AS p25_ok, true AS p50_ok, true AS p75_ok, true AS p99_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---------------------------------------------------------------- q63
   /** Distribution window functions: ntile buckets, percent_rank, cume_dist.
@@ -736,6 +796,8 @@ object Relational {
     "q07_join_full_outer" -> q07Oracle,
     "q08_join_theta" -> q08Oracle,
     "q09_count_distinct" -> q09Oracle,
+    "q10_approx_count_distinct" -> q10Oracle,
+    "q62_approx_percentile" -> q62Oracle,
     "q11_rollup" -> q11Oracle,
     "q12_cube" -> q12Oracle,
     "q13_window_rank" -> q13Oracle,

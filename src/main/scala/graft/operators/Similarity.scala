@@ -113,7 +113,12 @@ object Similarity {
     * for "find neighbors for this whole batch of new documents".
     */
   def annTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val buckets = lshBuckets(emb).cache()
+    // Recompute, don't cache: the bucket pass is a cheap codegen'd scan, and
+    // a cache pinned here would leak executor memory past this query's
+    // lifetime (the returned plan is lazy — there is no post-action hook to
+    // unpersist from). At 100 TB a reused bucket table would be a persisted
+    // parquet artifact, not an in-memory cache.
+    val buckets = lshBuckets(emb)
     val qb = buckets.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("table_id").as("q_table"),
         col("bucket").as("q_bucket"), col("ed").as("qe"))
@@ -182,18 +187,35 @@ object Similarity {
     * the embedding-space member of the dedup family. q36 is its windowed
     * exact ground truth; this is the shape that runs on the full corpus:
     * cost Σ bucket², never n².
+    *
+    * Scale shape (round-2 fix): the bucket self-join carries ONLY
+    * (table_id, bucket, vec_id) — the 64-dim vectors never enter the
+    * quadratic pair stage or the pair-distinct shuffle; they are re-attached
+    * by id-equi-join only for the surviving candidate pairs. Buckets are
+    * capped at Dedup.MaxBucketSize (same skew guard as MinHash/SimHash): a
+    * degenerate bucket — e.g. millions of zero-ish embeddings landing on one
+    * signature — would otherwise go quadratic.
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double): DataFrame = {
-    val buckets = lshBuckets(emb)
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
+    val slim = lshBuckets(emb)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("table_id"), col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("rnk") <= Dedup.MaxBucketSize)
+      .drop("rnk")
+    val a = slim.as("a")
+    val b = slim.as("b")
+    val pairs = a.join(b,
         col("a.table_id") === col("b.table_id") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.ed").as("ea"), col("b.ed").as("eb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), expr(toDouble).as("ed"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("ed").as("ea")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("ed").as("eb")), "id_b")
       .withColumn("cos_raw",
         graft.functions.GraftFunctions.cosineSimilarity(emb.sparkSession, col("ea"), col("eb")))
       .filter(col("cos_raw") >= threshold)

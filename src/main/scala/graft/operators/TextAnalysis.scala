@@ -206,7 +206,10 @@ object TextAnalysis {
     */
   def q66TfIdfTopTerms(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val nDocs = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    // one lazy plan: the corpus size is a broadcast one-row aggregate joined
+    // in, not a driver-side .first() (which would split the query into two
+    // jobs and put a scalar on the driver)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("__n_docs"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("word")).distinct()
@@ -214,7 +217,8 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
     tf.join(broadcast(df), "word")
-      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("__n_docs").cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("word"), col("tf").cast("long").as("tf"),

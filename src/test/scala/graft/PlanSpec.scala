@@ -69,4 +69,28 @@ class PlanSpec extends SparkSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("simhash64expr")),
       plan.take(500))
   }
+
+  test("q30: exact dedup shuffles on content hashes, never on the text body") {
+    val plan = planOf(graft.operators.Dedup.q30ExactDedup(spark, sf))
+    // AQE hides exchange nodes from collect(); assert on the printed plan:
+    // the aggregate shuffle must partition on the xxhash64 aliases __k1/__k2
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(plan.contains("xxhash64"), "grouping must be derived from xxhash64")
+    // the aggregate shuffle keys are the two Long-typed derived hash
+    // expressions (projected pre-shuffle as _groupingexpression#..L)
+    assert(exchanges.exists(e =>
+        "_groupingexpression#\\d+L".r.findAllIn(e).length == 2),
+      s"dedup shuffle must be keyed by the two content hashes, got: ${exchanges.mkString("; ")}")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"no shuffle key may include the text column: ${exchanges.mkString("; ")}")
+  }
+
+  test("q66: tf-idf is one lazy plan — corpus size joined in, not collected") {
+    val plan = planOf(graft.operators.TextAnalysis.q66TfIdfTopTerms(spark, sf))
+    // the one-row countDistinct aggregate must appear INSIDE this plan as a
+    // broadcast build side (a driver-side .first() would leave no trace here)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    assert(plan.contains("__n_docs"), "corpus-size aggregate must be part of the plan")
+  }
 }
