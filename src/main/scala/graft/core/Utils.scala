@@ -45,6 +45,23 @@ object Utils {
     }
   }
 
+  /** Rewrite a github.com blob/page URL to its raw-content equivalent —
+    * the conversion the reference README claims (README.md:70-71) but whose
+    * code does not exist anywhere in pipeline.py (SURVEY.md §0.1): here it
+    * is real. Non-GitHub URLs and already-raw URLs pass through unchanged.
+    *
+    *   https://github.com/o/r/blob/main/d/f.csv
+    *     → https://raw.githubusercontent.com/o/r/main/d/f.csv
+    */
+  def githubRawUrl(url: String): String = {
+    val Blob = "^(https?)://(?:www\\.)?github\\.com/([^/]+)/([^/]+)/(?:blob|raw)/(.+)$".r
+    url match {
+      case Blob(scheme, owner, repo, rest) =>
+        s"$scheme://raw.githubusercontent.com/$owner/$repo/$rest"
+      case _ => url
+    }
+  }
+
   /** SQL statement prefixes the warehouse surface accepts — parity with
     * reference `filter_sql_commands` (/root/reference/pipeline.py:110-114).
     */

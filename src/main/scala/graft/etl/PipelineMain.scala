@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
 import scala.util.{Failure, Success}
 
 /** Executable pipeline entry — the engine's equivalent of running the
-  * reference's `python pipeline.py` (/root/reference/pipeline.py:252-266),
-  * non-interactive (flags instead of stdin prompts, SURVEY.md §2.1-15):
+  * reference's `python pipeline.py` (/root/reference/pipeline.py:252-266):
   *
   *   runMain graft.etl.PipelineMain <urls-or-paths-comma-separated>
-  *       [--source NAME] [--encrypt col1,col2] [--append]
+  *       [--source NAME] [--encrypt col1,col2] [--append] [--interactive]
+  *
+  * Flags are the default (testable, SURVEY.md §2.1-15); `--interactive`
+  * restores the reference's per-file stdin prompts (anonymize? which
+  * columns? — pipeline.py:186-193) for terminal parity. GitHub page URLs
+  * are rewritten to raw-content form (Utils.githubRawUrl — the README-
+  * claimed conversion the reference never implemented).
   *
   * Environment (parity with the reference's required config,
   * pipeline.py:49-52): GRAFT_SOURCE may replace --source. Remote http(s)
@@ -19,6 +24,22 @@ import scala.util.{Failure, Success}
   * ingested directly. Per-file failures are reported, not fatal.
   */
 object PipelineMain {
+
+  /** Per-file stdin prompts, reference pipeline.py:186-193 shape: a yes/no
+    * anonymize question, then a comma-separated sensitive-column list.
+    */
+  private[graft] def promptOptions(url: String,
+                                 in: java.io.BufferedReader): IngestOptions = {
+    print(s"Do you want to anonymize data for $url? (yes/no): ")
+    val anonymize = Option(in.readLine()).exists(_.trim.equalsIgnoreCase("yes"))
+    val cols =
+      if (anonymize) {
+        print("Enter sensitive columns (comma-separated): ")
+        Option(in.readLine()).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+      } else Nil
+    IngestOptions(anonymize = anonymize && cols.nonEmpty, sensitiveColumns = cols)
+  }
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: PipelineMain <urls> [--source NAME] [--encrypt cols] [--append]")
@@ -46,7 +67,9 @@ object PipelineMain {
         sys.exit(1)
       }
     }
-    val (remote, local) = inputs.partition(u => u.startsWith("http://") || u.startsWith("https://"))
+    // README-parity conversion: GitHub page links → raw content links
+    val converted = inputs.map(Utils.githubRawUrl)
+    val (remote, local) = converted.partition(u => u.startsWith("http://") || u.startsWith("https://"))
 
     val spark = graft.core.SparkConfigs.applyScaleDefaults(
       SparkSession.builder()
@@ -55,11 +78,22 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val opts = IngestOptions(anonymize = sensitive.nonEmpty, sensitiveColumns = sensitive)
-    val key = if (sensitive.nonEmpty) Some(graft.crypto.Fernet.generateKey()) else None
+    val optionsFor: String => IngestOptions =
+      if (args.contains("--interactive")) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+        // prompt up-front, once per input, in order (the reference prompts on
+        // the main thread before dispatching to workers, pipeline.py:258-259)
+        val chosen = (remote ++ local).map(u => u -> promptOptions(u, in)).toMap
+        u => chosen.getOrElse(u, IngestOptions())
+      } else {
+        val opts = IngestOptions(anonymize = sensitive.nonEmpty, sensitiveColumns = sensitive)
+        _ => opts
+      }
+    val anyEncryption = args.contains("--interactive") || sensitive.nonEmpty
+    val key = if (anyEncryption) Some(graft.crypto.Fernet.generateKey()) else None
     key.foreach(k => println(s"encryption key (retain to decrypt): $k"))
 
-    val results = Ingest.run(spark, remote ++ local, source, _ => opts, key, mode = mode)
+    val results = Ingest.run(spark, remote ++ local, source, optionsFor, key, mode = mode)
     results.foreach {
       case Success(r) => println(s"OK   ${r.url} -> ${r.table} (${r.rows} rows)")
       case Failure(e) => println(s"FAIL ${e.getMessage}")

@@ -104,4 +104,31 @@ class CoreSpec extends AnyFunSuite {
     assert(TypeMapping.toWarehouseTypeName(BinaryType) == "VARBINARY")
     assert(TypeMapping.toWarehouseTypeName(DoubleType) == "DOUBLE")
   }
+
+  test("githubRawUrl: blob/raw page links convert, everything else unchanged") {
+    assert(Utils.githubRawUrl("https://github.com/o/r/blob/main/d/f.csv") ==
+      "https://raw.githubusercontent.com/o/r/main/d/f.csv")
+    assert(Utils.githubRawUrl("https://www.github.com/o/r/raw/v1.2/f.csv") ==
+      "https://raw.githubusercontent.com/o/r/v1.2/f.csv")
+    assert(Utils.githubRawUrl("http://github.com/o/r/blob/main/f.csv") ==
+      "http://raw.githubusercontent.com/o/r/main/f.csv")
+    // already-raw, non-github, tree pages, and local paths pass through
+    Seq(
+      "https://raw.githubusercontent.com/o/r/main/f.csv",
+      "https://example.com/github.com/blob/x.csv",
+      "https://github.com/o/r/tree/main/dir",
+      "/local/path.csv"
+    ).foreach(u => assert(Utils.githubRawUrl(u) == u))
+  }
+
+  test("interactive prompts: yes + column list / no skips the column prompt") {
+    def opts(input: String) = graft.etl.PipelineMain.promptOptions("u",
+      new java.io.BufferedReader(new java.io.StringReader(input)))
+    val yes = opts("yes\nname, email\n")
+    assert(yes.anonymize && yes.sensitiveColumns == Seq("name", "email"))
+    val no = opts("no\n")
+    assert(!no.anonymize && no.sensitiveColumns.isEmpty)
+    val eof = opts("")
+    assert(!eof.anonymize)
+  }
 }
