@@ -76,6 +76,22 @@ object Warehouse extends Logging {
   def truncate(spark: SparkSession, table: String): Unit =
     spark.sql(s"TRUNCATE TABLE $table")
 
+  /** MERGE-shaped upsert (whole-row semantics): source rows replace target
+    * rows sharing `keyCols`; unmatched source rows are appended. Expressed
+    * as anti-join + union — one shuffle per side, no full-outer coalesce
+    * column plumbing. At 100 TB the same plan runs per-partition with
+    * dynamic partition overwrite so only touched partitions rewrite; on a
+    * row-level-delete table format (Iceberg/Delta) this API maps 1:1 onto
+    * native MERGE INTO.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame =
+    target.join(source, keyCols, "left_anti").unionByName(source)
+
+  /** Table-backed variant: merge `source` into managed `table` in place. */
+  def mergeIntoTable(spark: SparkSession, table: String, source: DataFrame,
+                     keyCols: Seq[String]): Unit =
+    overwriteSelf(spark, mergeUpsert(spark.table(table), source, keyCols), table)
+
   // Overwriting a table from a plan that reads the same table needs a
   // materialization barrier; localCheckpoint keeps it executor-side (no
   // driver collect) so the pattern survives at scale.

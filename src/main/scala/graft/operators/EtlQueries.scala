@@ -94,14 +94,82 @@ object EtlQueries {
        regexp_replace(regexp_replace(regexp_replace(p_name || '.csv', '\.[^.]+$', ''), '[^A-Za-z0-9]+', '_', 'g'), '^_+', '') AS table_name
        FROM part ORDER BY p_partkey"""
 
+  // ---------------------------------------------------------------- q74
+  /** JSONL sink → source round-trip (the interchange format of LLM corpora):
+    * project a compact record, write JSON lines, re-read with schema
+    * inference, aggregate. The oracle runs the same aggregate on the
+    * original parquet — values must survive the text round-trip exactly
+    * (longs and strings only; doubles would reopen float-repr questions).
+    */
+  def q74JsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .write.mode("overwrite").json(tmp)
+    spark.read.json(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("lang"))
+  }
+
+  val q74Oracle: String =
+    """SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       min(doc_id) AS min_doc_id
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ---------------------------------------------------------------- q75
+  /** MERGE upsert: a deterministic updates set (every 97th order repriced,
+    * plus brand-new synthetic orders) merged into orders via
+    * Warehouse.mergeUpsert (anti-join + union), then summarized per status.
+    * Oracle replays the same merge in ANSI SQL.
+    */
+  def q75MergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val target = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val repriced = target.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+    val fresh = target.filter(col("o_orderkey") % 103 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
+    graft.etl.Warehouse.mergeUpsert(target, repriced.unionByName(fresh), Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q75Oracle: String =
+    """WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       updates AS (
+         SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+         FROM target WHERE o_orderkey % 97 = 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N', 1.0 FROM target WHERE o_orderkey % 103 = 0),
+       merged AS (
+         SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+         UNION ALL
+         SELECT * FROM updates)
+       SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
     "q28_csv_ingest_roundtrip" -> q28CsvIngestRoundtrip _,
-    "q29_sanitize_identifiers" -> q29Sanitize _)
+    "q29_sanitize_identifiers" -> q29Sanitize _,
+    "q74_jsonl_roundtrip" -> q74JsonlRoundtrip _,
+    "q75_merge_upsert" -> q75MergeUpsert _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
     "q28_csv_ingest_roundtrip" -> q28Oracle,
-    "q29_sanitize_identifiers" -> q29Oracle)
+    "q29_sanitize_identifiers" -> q29Oracle,
+    "q74_jsonl_roundtrip" -> q74Oracle,
+    "q75_merge_upsert" -> q75Oracle)
 }

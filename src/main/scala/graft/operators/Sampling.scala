@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Sampling operators for corpus curation, built on CONSISTENT (hash-based)
+  * selection rather than seeded `rand()`: a row is kept iff
+  * `xxhash64(salt, id) mod M < fraction·M`. That makes the sample
+  *
+  *  - deterministic and partition-independent (seeded rand() draws depend on
+  *    row-to-partition placement, so the "same" sample changes when the
+  *    cluster size does),
+  *  - reproducible across runs and resumable mid-pipeline (re-running a
+  *    failed stage re-selects exactly the same rows),
+  *  - cheap: one codegen'd hash per row, no shuffle, fully pushdown-friendly.
+  *
+  * These are the properties that matter when sampling a 100 TB corpus for
+  * eval splits — "which 1% did we hold out" must be a pure function of the
+  * row id, not of the execution.
+  */
+object Sampling {
+
+  private val Modulus = 1000000L
+
+  private def keep(idCol: Column, fraction: Column, salt: Long): Column =
+    pmod(xxhash64(lit(salt), idCol), lit(Modulus)) <
+      (fraction * lit(Modulus.toDouble)).cast("long")
+
+  /** Uniform consistent sample: keep ~`fraction` of rows, selected by id hash. */
+  def consistentSample(df: DataFrame, idCol: String, fraction: Double,
+                       salt: Long = 0L): DataFrame =
+    df.filter(keep(col(idCol), lit(fraction), salt))
+
+  /** Stratified consistent sample: per-stratum fractions; strata not listed
+    * are dropped (sampleBy semantics). One pass, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val frac = fractions.foldLeft(lit(-1.0)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(keep(col(idCol), frac, salt))
+  }
+
+  // ---------------------------------------------------------------- q73
+  /** Stratified sampling certified against binomial bounds: per language,
+    * emit the exact stratum size (oracle-checkable) and the boolean
+    * "sampled count within 4.5σ of fraction·n". The sampled SET is
+    * hash-defined (DuckDB has no xxhash64), but the certification is
+    * deterministic — the q26 `n_ok` pattern. Strata sizes here are ~100 docs
+    * (sf0.01), so 4.5σ ≈ ±23 on the en stratum; xxhash64's uniformity keeps
+    * the realized deviation far inside it at every fixture SF.
+    */
+  val Q73Fractions: Map[String, Double] = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+
+  def q73StratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val totals = docs.filter(col("lang").isInCollection(Q73Fractions.keys.toSeq))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val sampled = stratifiedSample(docs, "lang", "doc_id", Q73Fractions)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val frac = Q73Fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col("lang") === stratum, lit(f)).otherwise(acc)
+    }
+    totals.join(sampled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .select(col("lang"), col("n_total"),
+        (abs(col("n_sampled") - frac * col("n_total")) <=
+          lit(4.5) * sqrt(frac * (lit(1.0) - frac) * col("n_total")) + lit(1.0))
+          .as("sample_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val q73Oracle: String =
+    """SELECT lang, count(*) AS n_total, true AS sample_ok
+       FROM documents WHERE lang IN ('en', 'de', 'fr')
+       GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_stratified_sample" -> q73StratifiedSample _)
+
+  val oracles: Map[String, String] = Map(
+    "q73_stratified_sample" -> q73Oracle)
+}
