@@ -287,6 +287,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       info("graft_minhash_from_hashes"),
       (exprs: Seq[Expression]) => MinHashFromHashesExpr(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate"),
+      (exprs: Seq[Expression]) => CountMinEstimateExpr(exprs.head, exprs(1))))
   }
 }
 
@@ -313,6 +316,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_from_hashes",
       exprs => MinHashFromHashesExpr(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cms_estimate",
+      exprs => CountMinEstimateExpr(exprs.head, exprs(1)), "scala_udf")
+  }
+
+  def cmsEstimate(spark: SparkSession, sketch: Column, item: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_cms_estimate", sketch, item)
   }
 
   def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {

@@ -720,6 +720,71 @@ object Relational {
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_custkey, o_orderkey"""
 
+  // ---------------------------------------------------------------- q76
+  /** Unpivot (wide → long): the inverse of q55's pivot. Three per-flag
+    * decimal-exact measures melt into (flag, measure, value) rows via the
+    * native `unpivot` operator (Spark's Expand node — no join, no explode
+    * UDTF, one pass). Oracle replays it as the classic UNION ALL.
+    */
+  def q76Unpivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q76Oracle: String =
+    """WITH w AS (
+         SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+       UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+       UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+       ORDER BY l_returnflag, measure"""
+
+  // ---------------------------------------------------------------- q77
+  /** Count-min-sketch heavy hitters, certified: build ONE fixed-size sketch
+    * over all part keys (the 100 TB path — sketch state is KB regardless of
+    * cardinality), broadcast the one-row binary, probe the top-20 exact
+    * heavy hitters against it. CMS guarantees estimate ≥ truth, and
+    * ≤ truth + 2·eps·N with overwhelming probability at depth ≈ ln(1/δ);
+    * the emitted booleans certify both bounds — deterministic on both
+    * sides, the q26 pattern. Exact counts are oracle-checked directly.
+    */
+  def q77CmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    // N rides on the one-row sketch aggregate — one lazy plan, no driver
+    // .count() (the q66 lesson)
+    val sketch = li.agg(
+      expr("count_min_sketch(l_partkey, 0.0001d, 0.9999d, 42)").as("cms"),
+      count(lit(1)).as("n_total"))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_partkey").asc)
+      .limit(20)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est",
+        graft.functions.GraftFunctions.cmsEstimate(spark, col("cms"), col("l_partkey")))
+      .select(col("l_partkey"), col("n"),
+        (col("est") >= col("n")).as("cms_lower_ok"),
+        (col("est") <= col("n") + ceil(lit(0.0002) * col("n_total")).cast("long"))
+          .as("cms_upper_ok"))
+      .orderBy(col("n").desc, col("l_partkey").asc)
+  }
+
+  val q77Oracle: String =
+    """SELECT l_partkey, n, true AS cms_lower_ok, true AS cms_upper_ok
+       FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+             ORDER BY n DESC, l_partkey ASC LIMIT 20)
+       ORDER BY n DESC, l_partkey ASC"""
+
   // ---------------------------------------------------------------- q67
   /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
     * each document's token array with positions (the UDTF-shaped operator
@@ -774,7 +839,9 @@ object Relational {
     "q15_topk" -> q15TopK _,
     "q16_grouped_topk" -> q16GroupedTopK _,
     "q17_set_ops" -> q17SetOps _,
-    "q18_sql_values" -> q18SqlValues _)
+    "q18_sql_values" -> q18SqlValues _,
+    "q76_unpivot" -> q76Unpivot _,
+    "q77_cms_heavy_hitters" -> q77CmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
     "q67_lateral_explode" -> q67Oracle,
@@ -807,5 +874,7 @@ object Relational {
     "q15_topk" -> q15Oracle,
     "q16_grouped_topk" -> q16Oracle,
     "q17_set_ops" -> q17Oracle,
-    "q18_sql_values" -> q18Oracle)
+    "q18_sql_values" -> q18Oracle,
+    "q76_unpivot" -> q76Oracle,
+    "q77_cms_heavy_hitters" -> q77Oracle)
 }

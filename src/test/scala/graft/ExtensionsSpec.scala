@@ -44,6 +44,21 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 8) AS b")
         .collect()(0).getSeq[Long](0)
       assert(buckets.length == 4)
+      val shingles = spark.sql(
+        "SELECT graft_shingle_hashes(array('a', 'b', 'c', 'd'), 3) AS sh")
+        .collect()(0).getSeq[Long](0)
+      assert(shingles.length == 2) // two 3-token windows
+      val mh = spark.sql(
+        "SELECT graft_minhash_from_hashes(array(1L, 2L, 3L), 16) AS m")
+        .collect()(0).getSeq[Long](0)
+      assert(mh.length == 16)
+      // sketch round-trip: build with the Spark aggregate, probe with ours
+      val est = spark.sql(
+        """SELECT graft_cms_estimate(
+             count_min_sketch(x, 0.001d, 0.999d, 1), 7L) AS e
+           FROM (SELECT explode(array(7L, 7L, 7L, 5L)) AS x)""")
+        .collect()(0).getLong(0)
+      assert(est >= 3L, s"CMS estimate $est must be >= true count 3")
       // identical values to the Scala-API registration path
       val viaApi = graft.functions.GraftFunctions
         .simhash64(spark, org.apache.spark.sql.functions.array(
