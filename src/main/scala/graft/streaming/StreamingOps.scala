@@ -99,6 +99,13 @@ object StreamingOps {
     * stats (the `KeyValueGroupedDataset` custom-state extension point).
     * State is per-key and partition-local — scales with distinct users, not
     * events.
+    *
+    * The money total accumulates as EXACT integer cents inside the state
+    * (the fixtures are 2-decimal values), so the final stats are independent
+    * of event arrival order — on a 1000-executor cluster per-key order
+    * within a batch is not guaranteed, and a double accumulator would make
+    * the "same" state replay to different low bits. This is what lets q46
+    * carry a full value oracle instead of a rows-only check.
     */
   def userStats(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserSessionStats] = {
     import spark.implicits._
@@ -107,10 +114,14 @@ object StreamingOps {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionStats]) =>
           val prev = state.getOption.getOrElse(UserSessionStats(userId, 0L, 0.0, 0L))
           val batch = rows.toSeq
+          // total_value is always N/100 for integer N, so N is recoverable
+          // exactly and the addition below is integer arithmetic
+          val cents = Math.round(prev.total_value * 100) +
+            batch.map(e => Math.round(e.value * 100)).sum
           val updated = UserSessionStats(
             userId,
             prev.n_events + batch.size,
-            prev.total_value + batch.map(_.value).sum,
+            cents / 100.0,
             prev.n_purchases + batch.count(_.event_type == "purchase"))
           state.update(updated)
           updated
@@ -118,7 +129,9 @@ object StreamingOps {
   }
 
   /** Run the stateful per-user aggregation over the events stream (update
-    * mode through a memory sink), returning final per-user stats.
+    * mode through a memory sink), returning final per-user stats. Exact-
+    * cents state (see userStats) makes the output deterministic → full
+    * DuckDB oracle (round-2 upgrade from rows-only).
     */
   def q46StreamStateful(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -137,9 +150,15 @@ object StreamingOps {
     spark.table(name)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .select(col("user_id"), col("n_events"),
-        round(col("total_value"), 2).as("total_value"), col("n_purchases"))
+        col("total_value"), col("n_purchases"))
       .orderBy(col("user_id"))
   }
+
+  val q46Oracle: String =
+    """SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+       FROM events GROUP BY user_id ORDER BY user_id"""
 
   /** foreachBatch sink: stream → per-microbatch MERGE-style upsert into a
     * managed table (here: append-only dedup on event_id against what's
@@ -260,5 +279,6 @@ object StreamingOps {
     "q43_stream_tumbling_window" -> q43Oracle,
     "q44_stream_session_window" -> q44Oracle,
     "q45_stream_dedup" -> q45Oracle,
+    "q46_stream_stateful" -> q46Oracle,
     "q52_stream_sliding_window" -> q52Oracle)
 }

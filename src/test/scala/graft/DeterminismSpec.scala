@@ -47,4 +47,20 @@ class DeterminismSpec extends SparkSuite {
       emb.repartition(13, col("vec_id")), 0L, 10).collect().toSeq
     assert(direct == shuffled)
   }
+
+  test("q71 as-of join is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Temporal.q71AsofJoin(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Temporal.q71AsofJoin(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
+
+  test("q73 consistent sample is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Sampling.q73StratifiedSample(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Sampling.q73StratifiedSample(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
 }
