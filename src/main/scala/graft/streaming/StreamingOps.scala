@@ -90,6 +90,32 @@ object StreamingOps {
       .orderBy(col("ws"))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (user → tier), then aggregated per tier. The static side
+    * broadcasts into every micro-batch — NO join state accumulates (unlike
+    * stream-stream joins), which is what makes dimension enrichment free at
+    * 100 TB: the only state is the downstream aggregation's. Deterministic
+    * (exact decimal sums) → full DuckDB oracle.
+    */
+  def q78StreamStaticJoin(spark: SparkSession, d: String): DataFrame = {
+    val dim = graft.sources.Tables.events(spark, d)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("tier_"), pmod(col("user_id"), lit(3))))
+    val agg = eventsStream(spark, d)
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+    runToMemory(spark, agg, s"stream_static_${System.nanoTime()}")
+      .orderBy(col("tier"))
+  }
+
+  val q78Oracle: String =
+    """SELECT 'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       FROM events GROUP BY tier ORDER BY tier"""
+
   // ------------------------------------------------- custom state machine
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class UserSessionStats(user_id: Long, n_events: Long, total_value: Double,
@@ -273,12 +299,14 @@ object StreamingOps {
     "q44_stream_session_window" -> q44StreamSession _,
     "q45_stream_dedup" -> q45StreamDedup _,
     "q46_stream_stateful" -> q46StreamStateful _,
-    "q52_stream_sliding_window" -> q52StreamSliding _)
+    "q52_stream_sliding_window" -> q52StreamSliding _,
+    "q78_stream_static_join" -> q78StreamStaticJoin _)
 
   val oracles: Map[String, String] = Map(
     "q43_stream_tumbling_window" -> q43Oracle,
     "q44_stream_session_window" -> q44Oracle,
     "q45_stream_dedup" -> q45Oracle,
     "q46_stream_stateful" -> q46Oracle,
-    "q52_stream_sliding_window" -> q52Oracle)
+    "q52_stream_sliding_window" -> q52Oracle,
+    "q78_stream_static_join" -> q78Oracle)
 }
