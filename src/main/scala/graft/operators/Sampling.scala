@@ -24,7 +24,10 @@ object Sampling {
 
   private val Modulus = 1000000L
 
-  private def keep(idCol: Column, fraction: Column, salt: Long): Column =
+  /** The selection predicate itself, exposed so callers can COUNT kept rows
+    * inline (one scan) instead of filtering into a second aggregation.
+    */
+  def keep(idCol: Column, fraction: Column, salt: Long = 0L): Column =
     pmod(xxhash64(lit(salt), idCol), lit(Modulus)) <
       (fraction * lit(Modulus.toDouble)).cast("long")
 
@@ -56,19 +59,22 @@ object Sampling {
   val Q73Fractions: Map[String, Double] = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
 
   def q73StratifiedSample(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    val totals = docs.filter(col("lang").isInCollection(Q73Fractions.keys.toSeq))
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
-    val sampled = stratifiedSample(docs, "lang", "doc_id", Q73Fractions)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     val frac = Q73Fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
       when(col("lang") === stratum, lit(f)).otherwise(acc)
     }
-    totals.join(sampled, Seq("lang"), "left")
-      .na.fill(0L, Seq("n_sampled"))
+    // one scan, one shuffle: the stratum size and the would-be-sampled count
+    // aggregate together (count_if over the same keep() predicate the filter
+    // operator uses), instead of two scans joined back
+    Tables.documents(spark, d)
+      .filter(col("lang").isInCollection(Q73Fractions.keys.toSeq))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(keep(col("doc_id"), frac)).as("n_sampled"),
+        first(frac).as("__frac"))
       .select(col("lang"), col("n_total"),
-        (abs(col("n_sampled") - frac * col("n_total")) <=
-          lit(4.5) * sqrt(frac * (lit(1.0) - frac) * col("n_total")) + lit(1.0))
+        (abs(col("n_sampled") - col("__frac") * col("n_total")) <=
+          lit(4.5) * sqrt(col("__frac") * (lit(1.0) - col("__frac")) * col("n_total")) + lit(1.0))
           .as("sample_ok"))
       .orderBy(col("lang"))
   }
