@@ -53,12 +53,16 @@ object Warehouse extends Logging {
     }
   }
 
-  /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables. */
+  /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables.
+    * The removed-count the API returns comes from one count_if aggregate,
+    * not two full counts.
+    */
   def deleteWhere(spark: SparkSession, table: String, condition: String): Long = {
     val current = spark.table(table)
-    val survivors = current.filter(not(expr(condition)))
-    val removed = current.count() - survivors.count()
-    overwriteSelf(spark, survivors, table)
+    val removed = current
+      .agg(org.apache.spark.sql.functions.count_if(expr(condition)))
+      .first().getLong(0)
+    overwriteSelf(spark, current.filter(not(expr(condition))), table)
     removed
   }
 

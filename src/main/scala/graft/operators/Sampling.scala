@@ -47,6 +47,39 @@ object Sampling {
     df.filter(keep(col(idCol), frac, salt))
   }
 
+  /** Weighted consistent sample: per-row acceptance probability from a
+    * weight column in [0, 1] (e.g. a quality score — downsample junk, keep
+    * everything above the bar). Same hash mechanics, so still deterministic
+    * and partition-independent; weight 1.0 always keeps, 0.0 always drops.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: Long = 0L): DataFrame =
+    df.filter(keep(col(idCol), col(weightCol), salt))
+
+  /** Cap each group at `maxRows` rows (anti-domination: no single source/
+    * domain may flood the corpus). Selection is by id-hash order, so WHICH
+    * rows survive the cap is deterministic and partitioning-independent —
+    * not "first N encountered". One shuffle on the group key; groups under
+    * the cap pass through complete.
+    */
+  def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
+                  maxRows: Int, salt: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(xxhash64(lit(salt), col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRows)
+      .drop("__rn")
+  }
+
+  /** Deterministic global shuffle: order rows by id hash — decorrelates any
+    * source/time ordering before training-data export, identically on every
+    * run and cluster size (a `rand()` sort cannot promise either). Cost is
+    * one range-partitioned sort, the same as any global orderBy.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.orderBy(xxhash64(lit(salt), col(idCol)).asc, col(idCol).asc)
+
   // ---------------------------------------------------------------- q73
   /** Stratified sampling certified against binomial bounds: per language,
     * emit the exact stratum size (oracle-checkable) and the boolean

@@ -49,6 +49,39 @@ class SamplingSpec extends SparkSuite {
     assert(merged == Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (9L, "n", 1.0)))
   }
 
+  test("weightedSample: weight 1 keeps all, 0 drops all, 0.5 keeps about half") {
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") < 1000, 1.0).when(col("id") < 2000, 0.0).otherwise(0.5).as("w"))
+    val kept = Sampling.weightedSample(df, "id", "w")
+    assert(kept.filter(col("id") < 1000).count() == 1000)
+    assert(kept.filter(col("id") >= 1000 && col("id") < 2000).count() == 0)
+    val half = kept.filter(col("id") >= 2000).count()
+    assert(math.abs(half - 4000L) < 300, s"got $half of ~4000")
+  }
+
+  test("perGroupCap: caps big groups, passes small ones, survivors stable") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 5).as("g"))
+      .filter(col("g") =!= 4 || col("id") < 50) // group 4 has only 10 rows
+    val capped = Sampling.perGroupCap(df, "g", "id", 100)
+    val sizes = capped.groupBy("g").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(0L) == 100 && sizes(3L) == 100)
+    assert(sizes(4L) == 10, "under-cap groups pass through complete")
+    // which rows survive is a pure function of the ids, not the partitioning
+    val again = Sampling.perGroupCap(df.repartition(13), "g", "id", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("deterministicShuffle: same order every run, decorrelated from input order") {
+    val df = spark.range(1000).toDF("id")
+    val once = Sampling.deterministicShuffle(df, "id").collect().map(_.getLong(0)).toSeq
+    val twice = Sampling.deterministicShuffle(df.repartition(7), "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(once == twice, "order must be a pure function of the ids")
+    assert(once != (0L until 1000L).toSeq, "order must not be the input order")
+  }
+
   test("q73 certification booleans hold at the test SF too") {
     Sampling.q73StratifiedSample(spark, sf).collect().foreach { r =>
       assert(r.getAs[Boolean]("sample_ok"), s"stratum ${r.getString(0)} outside bounds")
