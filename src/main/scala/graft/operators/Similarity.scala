@@ -253,10 +253,8 @@ object Similarity {
   private def cosineCols(spark: SparkSession, aVec: String, bVec: String): Column =
     graft.functions.GraftFunctions.cosineSimilarity(spark, col(aVec), col(bVec))
 
-  /** (vec_id, ed, cid): each vector with its nearest-centroid assignment. */
-  def ivfAssignments(emb: DataFrame): DataFrame = {
-    val cent = emb.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
+  /** Assign every vector to its nearest centroid from `cent` (cid, ce). */
+  def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
     emb.select(col("vec_id"), expr(toDouble).as("ed"))
@@ -266,6 +264,33 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("ed"), col("cid"))
   }
+
+  /** Seed centroids: the first K vectors (deterministic). */
+  def seedCentroids(emb: DataFrame, k: Int = IvfK): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
+
+  /** (vec_id, ed, cid): each vector with its nearest-centroid assignment. */
+  def ivfAssignments(emb: DataFrame): DataFrame =
+    assignToCentroids(emb, seedCentroids(emb))
+
+  /** One Lloyd (k-means) iteration at cluster scale: assign (K-row
+    * broadcast, no shuffle) → per-dimension mean per cluster (posexplode +
+    * ONE groupBy on (cid, dim) — partial aggregation makes the shuffle
+    * K·dims rows regardless of corpus size) → reassemble mean vectors.
+    * Iterating this to convergence is the standard IVF centroid training;
+    * the query shape downstream (ivfTopK) is unchanged — only the centroid
+    * table improves. Returns (cid, ce) like seedCentroids.
+    */
+  def kmeansIteration(emb: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroids(emb, cent)
+      .select(col("cid"), posexplode(col("ed")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("dim"), col("m"))).as("pairs"))
+      .select(col("cid"),
+        expr("transform(array_sort(pairs), p -> p.m)").as("ce"))
 
   /** IVF top-k for `queryId`: rank centroids for the query, keep nprobe,
     * search only vectors assigned to those lists, exact cosine re-rank.

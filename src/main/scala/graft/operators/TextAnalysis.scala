@@ -4,7 +4,7 @@ import graft.sources.Tables
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis battery over `documents`: language ID, quality scoring,
   * token counting, fingerprinting. All built-in expressions (split /
@@ -274,7 +274,82 @@ object TextAnalysis {
        CAST(length(strip_accents(nfc_normalize(text || ' Café Naïve Zürich résumé'))) AS BIGINT) AS folded_len
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q79
+  /** Document chunking: split each document into overlapping token windows
+    * (the unit fed to an embedding model — context-window-sized pieces with
+    * stride overlap so no boundary content is lost). Pure array built-ins:
+    * split → sequence of starts → explode → slice → reassemble. One
+    * generator, no shuffle until the final sort; at 100 TB this is a
+    * map-only stage. Fully deterministic → DuckDB list-slicing oracle.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame =
+    docs
+      .withColumn("__tokens", split(col("text"), " "))
+      .withColumn("chunk_start",
+        explode(expr(s"sequence(0, greatest(size(__tokens) - 1, 0), $stride)")))
+      .withColumn("chunk_id", (col("chunk_start") / stride).cast("int"))
+      .withColumn("__chunk",
+        expr(s"slice(__tokens, chunk_start + 1, $chunkTokens)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+
+  def q79ChunkDocuments(spark: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(spark, d).filter(col("doc_id") < 100),
+        ChunkTokens, ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q79Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+                   FROM documents WHERE doc_id < 100),
+       s AS (SELECT doc_id, tokens,
+                    unnest(range(0, greatest(len(tokens) - 1, 0) + 1, $ChunkStride)) AS chunk_start
+             FROM t)
+       SELECT doc_id, CAST(chunk_start / $ChunkStride AS INT) AS chunk_id,
+              CAST(len(tokens[chunk_start + 1 : chunk_start + $ChunkTokens]) AS BIGINT) AS n_chunk_tokens,
+              array_to_string(tokens[chunk_start + 1 : chunk_start + $ChunkTokens], ' ') AS chunk_text
+       FROM s ORDER BY doc_id, chunk_id"""
+
+  // ---------------------------------------------------------------- q80
+  /** PII redaction: emails and phone numbers replaced with typed
+    * placeholders — the scrub pass a corpus takes before the dedup/dedup
+    * hashing stages (PII must not survive into shuffle keys or sketches).
+    * The reference anonymizes whole columns by encryption; this is the
+    * cell-level complement for free text. RE2-compatible patterns (no
+    * lookarounds) so Spark's Java regex and the oracle's RE2 agree; the
+    * corpus has no organic PII, so a synthetic contact line is appended to
+    * make the transform observable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9() -]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def q80PiiRedact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("augmented",
+        concat(col("text"),
+          lit(" Contact jane.doe+spam@mail.example.org or +1 (555) 123-4567 now.")))
+      .select(col("doc_id"),
+        redactPii(col("augmented")).as("redacted"),
+        (!redactPii(col("augmented")).contains("@")).as("no_emails_left"))
+      .orderBy(col("doc_id"))
+
+  val q80Oracle: String = {
+    val aug = "text || ' Contact jane.doe+spam@mail.example.org or +1 (555) 123-4567 now.'"
+    val red = s"regexp_replace(regexp_replace($aug, '$EmailRe', '<EMAIL>', 'g'), '\\+[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g')"
+    s"""SELECT doc_id, $red AS redacted,
+        NOT contains($red, '@') AS no_emails_left
+        FROM documents ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_chunk_documents" -> q79ChunkDocuments _,
+    "q80_pii_redact" -> q80PiiRedact _,
     "q70_text_normalize" -> q70TextNormalize _,
     "q65_text_lang_id_ngram" -> q65LangIdNgram _,
     "q66_text_tfidf_topterms" -> q66TfIdfTopTerms _,
@@ -284,6 +359,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q79_chunk_documents" -> q79Oracle,
+    "q80_pii_redact" -> q80Oracle,
     "q70_text_normalize" -> q70Oracle,
     "q65_text_lang_id_ngram" -> q65Oracle,
     "q66_text_tfidf_topterms" -> q66Oracle,

@@ -76,6 +76,30 @@ class OperatorsSpec extends SparkSuite {
       s"ANN results $ann poorly overlap exact top-50")
   }
 
+  test("kmeans iteration recovers planted cluster centers") {
+    import spark.implicits._
+    // two tight clusters around orthogonal unit vectors e0 and e1
+    def near(base: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == base) 1.0f else 0.0f) + (if (i == (base + 1) % 4) eps else 0.0f))
+    val rows =
+      (0 until 10).map(i => (i.toLong, near(0, 0.01f * (i % 3)), "a")) ++
+      (10 until 20).map(i => (i.toLong, near(1, 0.01f * (i % 3)), "b"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    // seeds: vec 0 (cluster A) and vec 10 (cluster B) — ids 0 and 1 after remap
+    val seeds = emb.filter(col("vec_id").isin(0L, 10L))
+      .select((col("vec_id") / 10).cast("long").as("cid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val refined = Similarity.kmeansIteration(emb, seeds)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(refined.keySet == Set(0L, 1L))
+    // centroid 0 ≈ e0 (mean of cluster A), dominant dim must be dim 0
+    assert(refined(0L).zipWithIndex.maxBy(_._1)._2 == 0)
+    assert(refined(1L).zipWithIndex.maxBy(_._1)._2 == 1)
+    assert(math.abs(refined(0L).head - 1.0) < 0.05)
+    // the mean of the eps-jitter (0, .01, .02 cycling) lands on dim 1
+    assert(math.abs(refined(0L)(1) - 0.01) < 0.005)
+  }
+
   test("batch ANN equals per-query ANN for each query id") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val ids = Seq(0L, 7L, 42L)
