@@ -29,7 +29,12 @@ object SparkConfigs {
     "spark.sql.files.maxRecordsPerFile" -> "5000000",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.compression.codec" -> "zstd",
-    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString)
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // runtime bloom-filter join pruning: a shuffle join against a selective
+    // build side injects a bloom on the probe-side scan — at 100 TB this is
+    // the difference between scanning the fact table and scanning the ~1%
+    // of it that can possibly join
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
 
   /** Apply the defaults to a builder; caller-provided configs set after this
     * win, and runtime-mutable ones can still be changed per query.
