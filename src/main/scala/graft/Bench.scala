@@ -33,12 +33,15 @@ object Bench {
       name -> dt
     }
     // millisecond precision keeps the single JSON line compact enough that a
-    // bounded tail-capture of stdout still holds all 70 per-query times
-    // (round 1 lost q01–q16 to truncation at full double precision)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // bounded tail-capture of stdout still holds every per-query time
+    // (round 1 lost q01–q16 to truncation at full double precision).
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

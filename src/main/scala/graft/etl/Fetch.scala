@@ -28,15 +28,20 @@ object Fetch {
 
   /** Download `url` to `destDir/<url-hash>/<last-path-segment>` with
     * fixed-delay retry. Only http/https accepted (reference URL predicate,
-    * pipeline.py:27-33). The per-URL subdirectory (8-hex of the URL's hash)
-    * keeps concurrent downloads of same-named files from different hosts —
-    * `host-a/data.csv` and `host-b/data.csv` — from racing on one dest path.
+    * pipeline.py:27-33). The per-URL subdirectory (16-hex of the URL's
+    * SHA-256) keeps concurrent downloads of same-named files from different
+    * hosts — `host-a/data.csv` and `host-b/data.csv` — from racing on one
+    * dest path; a 64-bit prefix makes a collision across one run's URL list
+    * astronomically unlikely, where 32-bit String.hashCode would not
+    * (birthday bound ~77k URLs).
     */
   def downloadWithRetry(url: String, destDir: Path,
                         retries: Int = DefaultRetries,
                         delayMs: Long = DefaultDelayMs): Path = {
     require(Utils.isValidUrl(url), s"Invalid URL: $url")
-    val urlDir = destDir.resolve(f"${url.hashCode}%08x")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val urlDir = destDir.resolve(digest.take(8).map(b => f"$b%02x").mkString)
     Files.createDirectories(urlDir)
     val fileName = Paths.get(new URI(url).getPath).getFileName
     val dest = urlDir.resolve(

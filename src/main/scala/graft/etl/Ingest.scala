@@ -142,7 +142,9 @@ object Ingest extends Logging {
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(root) // must be closed: holds directory handles
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => Try(Files.deleteIfExists(p)))
+      finally walk.close()
     }
 }

@@ -78,19 +78,24 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val optionsFor: String => IngestOptions =
+    val chosen: Map[String, IngestOptions] =
       if (args.contains("--interactive")) {
+        if (sensitive.nonEmpty)
+          System.err.println("--interactive overrides --encrypt: using per-file prompt answers")
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
         // prompt up-front, once per input, in order (the reference prompts on
         // the main thread before dispatching to workers, pipeline.py:258-259)
-        val chosen = (remote ++ local).map(u => u -> promptOptions(u, in)).toMap
-        u => chosen.getOrElse(u, IngestOptions())
+        (remote ++ local).map(u => u -> promptOptions(u, in)).toMap
       } else {
         val opts = IngestOptions(anonymize = sensitive.nonEmpty, sensitiveColumns = sensitive)
-        _ => opts
+        (remote ++ local).map(u => u -> opts).toMap
       }
-    val anyEncryption = args.contains("--interactive") || sensitive.nonEmpty
-    val key = if (anyEncryption) Some(graft.crypto.Fernet.generateKey()) else None
+    val optionsFor: String => IngestOptions = u => chosen.getOrElse(u, IngestOptions())
+    // generate (and disclose) a key only if something will actually be
+    // encrypted — printing "retain to decrypt" for a no-op run would imply
+    // protection that never happened
+    val key =
+      if (chosen.values.exists(_.anonymize)) Some(graft.crypto.Fernet.generateKey()) else None
     key.foreach(k => println(s"encryption key (retain to decrypt): $k"))
 
     val results = Ingest.run(spark, remote ++ local, source, optionsFor, key, mode = mode)

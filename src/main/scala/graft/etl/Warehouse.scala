@@ -4,7 +4,7 @@ import graft.core.Utils
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, not}
+import org.apache.spark.sql.functions.{coalesce, col, count_if, expr, lit, not}
 
 /** The SQL-statement surface. The reference whitelists statement prefixes and
   * ships the text to an external warehouse (/root/reference/pipeline.py:
@@ -53,16 +53,18 @@ object Warehouse extends Logging {
     }
   }
 
-  /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables.
-    * The removed-count the API returns comes from one count_if aggregate,
-    * not two full counts.
+  /** DELETE FROM table WHERE cond — rewrite-on-write for parquet tables,
+    * with SQL DELETE's three-valued semantics: only rows where the
+    * condition is TRUE are removed — NULL-condition rows survive (a bare
+    * `filter(not(cond))` would silently drop them while the count missed
+    * them). The removed-count comes from one count_if aggregate, not two
+    * full counts.
     */
   def deleteWhere(spark: SparkSession, table: String, condition: String): Long = {
     val current = spark.table(table)
-    val removed = current
-      .agg(org.apache.spark.sql.functions.count_if(expr(condition)))
-      .first().getLong(0)
-    overwriteSelf(spark, current.filter(not(expr(condition))), table)
+    val condTrue = coalesce(expr(condition), lit(false))
+    val removed = current.agg(count_if(condTrue)).first().getLong(0)
+    overwriteSelf(spark, current.filter(not(condTrue)), table)
     removed
   }
 

@@ -252,6 +252,26 @@ case class LshBucketsExpr(child: Expression, numTables: Int, planesPerTable: Int
     copy(child = newChild)
 }
 
+/** Constructor-argument extraction for the SQL registration paths: the
+  * size/count parameters are expression-tree constants, so they must be
+  * foldable literals — a column reference or wrong-typed literal gets a
+  * clear error naming the function, not a ClassCastException from
+  * evaluating an attribute against an empty row.
+  */
+private[functions] object ExprArgs {
+  def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {
+    val e = exprs(i)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal integer, got non-literal ${e.sql}")
+    e.eval(InternalRow.empty) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal integer, got $other")
+    }
+  }
+}
+
 /** Session-extension entry point: makes every graft function available to
   * pure-SQL users with
   * `spark.sql.extensions=graft.functions.GraftExtensions` — no Scala API
@@ -270,23 +290,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_minhash_signature"),
       info("graft_minhash_signature"),
       (exprs: Seq[Expression]) => MinHashSignatureExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+        ExprArgs.intArg(exprs, 1, "graft_minhash_signature"))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
       info("graft_lsh_buckets"),
       (exprs: Seq[Expression]) => LshBucketsExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Int])))
+        ExprArgs.intArg(exprs, 1, "graft_lsh_buckets"),
+        ExprArgs.intArg(exprs, 2, "graft_lsh_buckets"))))
     ext.injectFunction((FunctionIdentifier("graft_cosine_similarity"),
       info("graft_cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashesExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+        ExprArgs.intArg(exprs, 1, "graft_shingle_hashes"))))
     ext.injectFunction((FunctionIdentifier("graft_minhash_from_hashes"),
       info("graft_minhash_from_hashes"),
       (exprs: Seq[Expression]) => MinHashFromHashesExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+        ExprArgs.intArg(exprs, 1, "graft_minhash_from_hashes"))))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate"),
       (exprs: Seq[Expression]) => CountMinEstimateExpr(exprs.head, exprs(1))))
@@ -303,19 +323,19 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_signature",
       exprs => MinHashSignatureExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        ExprArgs.intArg(exprs, 1, "graft_minhash_signature")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_buckets",
       exprs => LshBucketsExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        ExprArgs.intArg(exprs, 1, "graft_lsh_buckets"),
+        ExprArgs.intArg(exprs, 2, "graft_lsh_buckets")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine_similarity",
       exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashesExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        ExprArgs.intArg(exprs, 1, "graft_shingle_hashes")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_from_hashes",
       exprs => MinHashFromHashesExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        ExprArgs.intArg(exprs, 1, "graft_minhash_from_hashes")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       exprs => CountMinEstimateExpr(exprs.head, exprs(1)), "scala_udf")
   }

@@ -102,7 +102,19 @@ object EtlQueries {
     * (longs and strings only; doubles would reopen float-repr questions).
     */
   def q74JsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val tmpPath = Files.createTempDirectory("graft-jsonl")
+    // scratch interchange dir — reclaim at JVM exit (the read below is
+    // materialized by the caller's action before then; repeated bench runs
+    // must not accumulate corpus-sized copies in /tmp)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = Files.walk(tmpPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      } finally walk.close()
+    }))
+    val tmp = tmpPath.toString
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -132,8 +144,11 @@ object EtlQueries {
     val repriced = target.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+    // fresh keys in the negative range: disjoint from real orderkeys (always
+    // positive) at EVERY scale factor — a fixed positive offset would
+    // collide with organic keys once SF grows past the offset
     val fresh = target.filter(col("o_orderkey") % 103 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .select((-col("o_orderkey") - 1).as("o_orderkey"),
         lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"))
     graft.etl.Warehouse.mergeUpsert(target, repriced.unionByName(fresh), Seq("o_orderkey"))
       .groupBy(col("o_orderstatus"))
@@ -149,7 +164,7 @@ object EtlQueries {
          SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
          FROM target WHERE o_orderkey % 97 = 0
          UNION ALL
-         SELECT o_orderkey + 10000000, 'N', 1.0 FROM target WHERE o_orderkey % 103 = 0),
+         SELECT -o_orderkey - 1, 'N', 1.0 FROM target WHERE o_orderkey % 103 = 0),
        merged AS (
          SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
          UNION ALL

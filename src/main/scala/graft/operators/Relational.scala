@@ -20,10 +20,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Relational {
 
-  /** Exact, order-independent sum of a double column: cast each value to
-    * DECIMAL(25,6) (deterministic rounding), sum exactly, cast back.
-    */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+  /** Exact, order-independent sum — the shared contract (graft.core.Exact). */
+  private def dsum(c: Column): Column = graft.core.Exact.dsum(c)
 
   // ---------------------------------------------------------------- q01
   /** Flagship pricing summary (TPC-H Q1 shape): scan → filter (pushed to

@@ -27,11 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Temporal {
 
-  /** Exact, order-independent sum of a double column (same contract as
-    * Relational.dsum): DECIMAL(25,6) cast → exact sum → double.
-    */
+  /** Exact, order-independent sum — the shared contract (graft.core.Exact). */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(25, 6))).cast("double")
+    graft.core.Exact.dsum(c)
 
   /** For each left row, attach columns of the LATEST right row with the same
     * `key` and `right.ts <= left.ts` (strict "no peeking forward" — the
@@ -59,7 +57,14 @@ object Temporal {
         (Seq(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
           lit(null).cast(right.select(rightStruct).schema.head.dataType).as("__r")) ++
           lCols.map(c => col(c).as(s"__l_$c"))): _*)
+    // SQL join semantics: a NULL key never matches (`l.k = r.k` is not TRUE),
+    // and a NULL right timestamp satisfies no `r.ts <= l.ts` bound — filter
+    // such right rows out so they can't become attachments. (NULL-key/-ts
+    // LEFT rows still emit, with null attachments: a null-key left row's
+    // window partition then contains no right rows, and a null-ts left row
+    // sorts before every timestamped right row.)
     val rTagged = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
       .select(
         (Seq(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
           rightStruct.as("__r")) ++

@@ -45,7 +45,7 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+        graft.core.Exact.dsum(col("value")).as("total"))
     runToMemory(spark, agg, s"stream_tumbling_${System.nanoTime()}")
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
       .orderBy(col("ws"), col("event_type"))
@@ -57,7 +57,7 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+        graft.core.Exact.dsum(col("value")).as("total"))
     runToMemory(spark, agg, s"stream_session_${System.nanoTime()}")
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total"))
@@ -84,7 +84,7 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+        graft.core.Exact.dsum(col("value")).as("total"))
     runToMemory(spark, agg, s"stream_sliding_${System.nanoTime()}")
       .select(col("window.start").as("ws"), col("n"), col("total"))
       .orderBy(col("ws"))
@@ -105,7 +105,7 @@ object StreamingOps {
       .join(broadcast(dim), "user_id")
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(25, 6))).cast("double").as("total"))
+        graft.core.Exact.dsum(col("value")).as("total"))
     runToMemory(spark, agg, s"stream_static_${System.nanoTime()}")
       .orderBy(col("tier"))
   }

@@ -59,6 +59,18 @@ class ExtensionsSpec extends AnyFunSuite {
            FROM (SELECT explode(array(7L, 7L, 7L, 5L)) AS x)""")
         .collect()(0).getLong(0)
       assert(est >= 3L, s"CMS estimate $est must be >= true count 3")
+      // size parameters must be literals — a column reference gets a clear
+      // error naming the function, not a ClassCastException
+      val err = intercept[Exception] {
+        spark.sql(
+          "SELECT graft_shingle_hashes(array('a','b'), id) FROM range(1)").collect()
+      }
+      assert(err.getMessage.contains("graft_shingle_hashes"), err.getMessage)
+      // long literals coerce instead of ClassCastException
+      val viaLong = spark.sql(
+        "SELECT graft_minhash_from_hashes(array(1L, 2L), 8L) AS m")
+        .collect()(0).getSeq[Long](0)
+      assert(viaLong.length == 8)
       // identical values to the Scala-API registration path
       val viaApi = graft.functions.GraftFunctions
         .simhash64(spark, org.apache.spark.sql.functions.array(

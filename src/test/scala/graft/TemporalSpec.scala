@@ -64,6 +64,27 @@ class TemporalSpec extends SparkSuite {
     assert(row.isNullAt(row.fieldIndex("rv")), "rv must come from row 9 (null), not row 7")
   }
 
+  test("asofJoin: NULL keys and NULL right timestamps never match (SQL semantics)") {
+    val left = Seq(
+      (1L, Some(5L), Some(ts("2024-01-01 00:01:00"))),
+      (2L, None: Option[Long], Some(ts("2024-01-01 00:01:00"))), // null key
+      (3L, Some(5L), None: Option[java.sql.Timestamp])           // null ts
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (7L, Some(5L), Some(ts("2024-01-01 00:00:30")), 1.0),
+      (8L, None: Option[Long], Some(ts("2024-01-01 00:00:30")), 2.0), // null key: unmatchable
+      (9L, Some(5L), None: Option[java.sql.Timestamp], 3.0)           // null ts: unmatchable
+    ).toDF("rid", "k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts",
+        attach = Seq("rid" -> "rid"), rightOrder = "rid")
+      .orderBy("lid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(out.toSeq == Seq(
+      1L -> Some(7L), // only the non-null right row matches
+      2L -> None,     // null left key matches nothing (not even right rid=8)
+      3L -> None))    // null left ts has no satisfiable bound
+  }
+
   test("rangeJoinBucketed: inclusive lo, exclusive hi, multi-bucket spans") {
     val points = Seq((1L, 0.0), (2L, 49999.99), (3L, 50000.0), (4L, 125000.0))
       .toDF("pid", "v")
