@@ -96,6 +96,62 @@ class TemporalSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
   }
 
+  test("asofJoin: randomized differential vs brute force (ties, nulls, collisions)") {
+    // the DuckDB oracle covers the fixture distribution; this covers random
+    // shapes — heavy ts collisions, null keys/timestamps, empty partitions
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      def someTs() = ts(f"2024-01-01 00:0${rnd.nextInt(10)}%d:${rnd.nextInt(6) * 10}%02d")
+      val left = (0 until 150).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(10) == 0) None else Some(someTs()))
+      }
+      val right = (0 until 150).map { i =>
+        (1000L + i,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(10) == 0) None else Some(someTs()),
+          rnd.nextInt(100).toDouble)
+      }
+      val expected: Map[Long, Option[Long]] = left.map { case (lid, k, lts) =>
+        lid -> (for {
+          kk <- k; lt <- lts
+          best <- right
+            .collect { case (rid, Some(rk), Some(rt), _) if rk == kk && !rt.after(lt) => (rt.getTime, rid) }
+            .sorted.lastOption
+        } yield best._2)
+      }.toMap
+      val out = Temporal.asofJoin(
+          left.toDF("lid", "k", "ts"), right.toDF("rid", "k", "ts", "v"),
+          "k", "ts", attach = Seq("rid" -> "rid"), rightOrder = "rid")
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(out == expected, s"seed $seed mismatch")
+    }
+  }
+
+  test("rangeJoinBucketed: randomized differential vs brute force (incl. negatives)") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val points = (0 until 300).map(i => (i.toLong, (rnd.nextDouble() - 0.5) * 2000))
+      val intervals = (0 until 30).map { i =>
+        val lo = (rnd.nextDouble() - 0.5) * 2000
+        (i, lo, lo + rnd.nextDouble() * 300)
+      }
+      val expected = (for {
+        (pid, v) <- points
+        (band, lo, hi) <- intervals
+        if v >= lo && v < hi
+      } yield (pid, band)).toSet
+      val out = Temporal.rangeJoinBucketed(
+          points.toDF("pid", "v"), "v",
+          intervals.toDF("band", "lo", "hi"), "lo", "hi", bucketWidth = 75.0)
+        .select("pid", "band").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(out == expected, s"seed $seed mismatch")
+    }
+  }
+
   test("q71/q72 plans avoid the quadratic shapes") {
     val asofPlan = Temporal.q71AsofJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!asofPlan.contains("CartesianProduct") && !asofPlan.contains("BroadcastNestedLoopJoin"),
