@@ -26,7 +26,8 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ EventTime.queries ++
       EtlQueries.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries ++
-      Curation.queries ++ Temporal.queries ++ Sampling.queries
+      Curation.queries ++ Temporal.queries ++ Sampling.queries ++
+      Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
     Relational.oracles ++ Scalars.oracles ++ EventTime.oracles ++
       EtlQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ StreamingOps.oracles ++
-      Curation.oracles ++ Temporal.oracles ++ Sampling.oracles
+      Curation.oracles ++ Temporal.oracles ++ Sampling.oracles ++
+      Profiling.oracles
 }

@@ -13,6 +13,32 @@ import org.apache.spark.sql.types._
   */
 object TypeMapping {
 
+  /** One schema-drift finding between an expected and an observed schema. */
+  sealed trait SchemaDrift { def column: String }
+  final case class ColumnAdded(column: String, newType: String) extends SchemaDrift
+  final case class ColumnRemoved(column: String, oldType: String) extends SchemaDrift
+  final case class TypeChanged(column: String, oldType: String, newType: String) extends SchemaDrift
+
+  /** Compare two schemas (e.g. yesterday's ingested table vs today's
+    * inferred CSV) and report drift — the check an automated ingest runs
+    * before appending, since silent inference drift is exactly the failure
+    * mode the reference's per-chunk inference had (SURVEY.md §0.2-7) at
+    * file granularity.
+    */
+  def schemaDrift(expected: org.apache.spark.sql.types.StructType,
+                  observed: org.apache.spark.sql.types.StructType): Seq[SchemaDrift] = {
+    val exp = expected.fields.map(f => f.name -> f.dataType).toMap
+    val obs = observed.fields.map(f => f.name -> f.dataType).toMap
+    val added = observed.fields.filterNot(f => exp.contains(f.name))
+      .map(f => ColumnAdded(f.name, f.dataType.simpleString))
+    val removed = expected.fields.filterNot(f => obs.contains(f.name))
+      .map(f => ColumnRemoved(f.name, f.dataType.simpleString))
+    val changed = expected.fields
+      .filter(f => obs.get(f.name).exists(_ != f.dataType))
+      .map(f => TypeChanged(f.name, f.dataType.simpleString, obs(f.name).simpleString))
+    (added ++ removed ++ changed).toSeq.sortBy(_.column)
+  }
+
   /** Source-dialect (SQLite) type name → Spark DataType. Covers the
     * reference's full 13-entry table (/root/reference/pipeline.py:117-131).
     * TIME has no Spark equivalent and is represented as TimestampType

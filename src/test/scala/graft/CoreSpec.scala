@@ -105,6 +105,22 @@ class CoreSpec extends AnyFunSuite {
     assert(TypeMapping.toWarehouseTypeName(DoubleType) == "DOUBLE")
   }
 
+  test("schemaDrift: added, removed, and type-changed columns reported") {
+    import TypeMapping._
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val observed = StructType(Seq(
+      StructField("id", LongType), StructField("score", StringType),
+      StructField("extra", IntegerType)))
+    val drift = schemaDrift(expected, observed)
+    assert(drift == Seq(
+      ColumnAdded("extra", "int"),
+      ColumnRemoved("name", "string"),
+      TypeChanged("score", "double", "string")))
+    assert(schemaDrift(expected, expected).isEmpty)
+  }
+
   test("githubRawUrl: blob/raw page links convert, everything else unchanged") {
     assert(Utils.githubRawUrl("https://github.com/o/r/blob/main/d/f.csv") ==
       "https://raw.githubusercontent.com/o/r/main/d/f.csv")

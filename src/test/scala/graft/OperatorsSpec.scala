@@ -76,6 +76,18 @@ class OperatorsSpec extends SparkSuite {
       s"ANN results $ann poorly overlap exact top-50")
   }
 
+  test("profile: per-column null and distinct counts in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (Some(2L), Some("b")),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val p = graft.operators.Profiling.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p("k") == ((4L, 1L, 2L))) // 4 rows, 1 null, distinct {1,2}
+    assert(p("s") == ((4L, 1L, 2L))) // distinct {a,b}
+  }
+
   test("kmeans iteration recovers planted cluster centers") {
     import spark.implicits._
     // two tight clusters around orthogonal unit vectors e0 and e1
