@@ -132,6 +132,39 @@ object EtlQueries {
        min(doc_id) AS min_doc_id
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q82
+  /** ORC sink → source round-trip: the second columnar format the engine
+    * speaks natively (a warehouse migration path — ORC warehouses exist in
+    * numbers). Values must survive the cross-format trip exactly; the
+    * oracle aggregates the parquet original.
+    */
+  def q82OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val tmpPath = Files.createTempDirectory("graft-orc")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = Files.walk(tmpPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      } finally walk.close()
+    }))
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(tmpPath.toString)
+    spark.read.orc(tmpPath.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q82Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   // ---------------------------------------------------------------- q75
   /** MERGE upsert: a deterministic updates set (every 97th order repriced,
     * plus brand-new synthetic orders) merged into orders via
@@ -179,12 +212,14 @@ object EtlQueries {
     "q28_csv_ingest_roundtrip" -> q28CsvIngestRoundtrip _,
     "q29_sanitize_identifiers" -> q29Sanitize _,
     "q74_jsonl_roundtrip" -> q74JsonlRoundtrip _,
-    "q75_merge_upsert" -> q75MergeUpsert _)
+    "q75_merge_upsert" -> q75MergeUpsert _,
+    "q82_orc_roundtrip" -> q82OrcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
     "q28_csv_ingest_roundtrip" -> q28Oracle,
     "q29_sanitize_identifiers" -> q29Oracle,
     "q74_jsonl_roundtrip" -> q74Oracle,
-    "q75_merge_upsert" -> q75Oracle)
+    "q75_merge_upsert" -> q75Oracle,
+    "q82_orc_roundtrip" -> q82Oracle)
 }
