@@ -32,13 +32,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // millisecond precision keeps the single JSON line compact enough that a
-    // bounded tail-capture of stdout still holds every per-query time
-    // (round 1 lost q01–q16 to truncation at full double precision).
+    // The driver tail-captures a bounded amount of stdout; the JSON line
+    // must fit entirely inside that bound or the earliest per-query times
+    // are lost (round 1 lost q01–q28 at full double precision; round 2 still
+    // lost q01–q16 at 3 decimals with full names). Two compactions: per-query
+    // keys are the unambiguous "qNN" prefix, values are 3-decimal seconds.
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma-decimal locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -34,7 +34,12 @@ object SparkConfigs {
     // build side injects a bloom on the probe-side scan — at 100 TB this is
     // the difference between scanning the fact table and scanning the ~1%
     // of it that can possibly join
-    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // parquet TIMESTAMP(NANOS) columns (events.ts) read as raw long nanos
+    // instead of being rejected; affects ONLY nanos-typed columns. Set here
+    // at session build — not inside readers — so no reader silently mutates
+    // shared session state (Tables.events does the ns→µs conversion).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   /** Apply the defaults to a builder; caller-provided configs set after this
     * win, and runtime-mutable ones can still be changed per query.

@@ -7,8 +7,6 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.Files
-
 /** Queries exercising the reference's own pipeline operators end-to-end
   * (SURVEY.md §2.1): column encryption, CSV scan + whole-file schema
   * inference, identifier sanitization.
@@ -58,7 +56,7 @@ object EtlQueries {
     * for the values to hash-match.
     */
   def q28CsvIngestRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = graft.core.Scratch.dir("csv")
     Tables.nation(spark, d).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(tmp)
     spark.read.option("header", "true").option("inferSchema", "true").csv(tmp)
@@ -102,19 +100,9 @@ object EtlQueries {
     * (longs and strings only; doubles would reopen float-repr questions).
     */
   def q74JsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val tmpPath = Files.createTempDirectory("graft-jsonl")
-    // scratch interchange dir — reclaim at JVM exit (the read below is
-    // materialized by the caller's action before then; repeated bench runs
-    // must not accumulate corpus-sized copies in /tmp)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val walk = Files.walk(tmpPath)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
-      } finally walk.close()
-    }))
-    val tmp = tmpPath.toString
+    // one stable scratch dir per query key (overwrite-mode write replaces it
+    // on reuse; one process-wide shutdown hook reclaims all scratch dirs)
+    val tmp = graft.core.Scratch.dir("jsonl")
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -128,7 +116,7 @@ object EtlQueries {
 
   val q74Oracle: String =
     """SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        min(doc_id) AS min_doc_id
        FROM documents GROUP BY lang ORDER BY lang"""
 
@@ -139,19 +127,11 @@ object EtlQueries {
     * oracle aggregates the parquet original.
     */
   def q82OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
-    val tmpPath = Files.createTempDirectory("graft-orc")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val walk = Files.walk(tmpPath)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
-      } finally walk.close()
-    }))
+    val tmp = graft.core.Scratch.dir("orc")
     Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .write.mode("overwrite").orc(tmpPath.toString)
-    spark.read.orc(tmpPath.toString)
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         graft.core.Exact.dsum(col("o_totalprice")).as("total_price"),

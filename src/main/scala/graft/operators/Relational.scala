@@ -456,34 +456,52 @@ object Relational {
     * merge order — unusable for a cross-engine hash gate (round-1 lesson).
     * Same trick q01 uses for sums; here extended to second moments.
     */
-  // DECIMAL(12,2): the fixtures are 2-decimal money/rate columns, so the
-  // cast is exact; products stay DECIMAL(24,4)-ish — inside both engines'
-  // 128-bit decimal paths (DECIMAL(18,6)² overflowed DuckDB's int64 lane).
+  // Integer-cents moments: each 2-decimal column is scaled ONCE to exact
+  // LONG cents (one double multiply + round per column — the fixtures are
+  // 2-decimal money/rate columns so the scaling is exact), per-row products
+  // are cheap long×long multiplies (max ~5e10, far from int64 overflow),
+  // and only the SUM runs in the 128-bit DECIMAL(38,0) lane (plain int128
+  // adds). Round 2 multiplied eight DECIMAL(12,2) pairs per row through the
+  // decimal-multiply path — same exactness, 26× the CPU (15.4 s driver
+  // bench); this formulation restores the integer lane.
+  private val q53Cents: Seq[(String, String)] = Seq(
+    "qc" -> "cast(round(l_quantity * 100) as bigint)",
+    "pc" -> "cast(round(l_extendedprice * 100) as bigint)",
+    "dc" -> "cast(round(l_discount * 100) as bigint)",
+    "tc" -> "cast(round(l_tax * 100) as bigint)")
+
+  // Exact order-independent moment sums over the cents columns (shared text
+  // with the oracle — both dialects parse these identically).
   private val q53Moments: Seq[(String, String)] = Seq(
-    "sx"  -> "cast(l_quantity as decimal(12,2))",
-    "sxx" -> "cast(l_quantity as decimal(12,2)) * cast(l_quantity as decimal(12,2))",
-    "sy"  -> "cast(l_extendedprice as decimal(12,2))",
-    "syy" -> "cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))",
-    "sxy" -> "cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))",
-    "sd"  -> "cast(l_discount as decimal(12,2))",
-    "st"  -> "cast(l_tax as decimal(12,2))",
-    "sdt" -> "cast(l_discount as decimal(12,2)) * cast(l_tax as decimal(12,2))")
+    "sx"  -> "sum(cast(qc as decimal(38,0)))",
+    "sxx" -> "sum(cast(qc * qc as decimal(38,0)))",
+    "sy"  -> "sum(cast(pc as decimal(38,0)))",
+    "syy" -> "sum(cast(pc * pc as decimal(38,0)))",
+    "sxy" -> "sum(cast(qc * pc as decimal(38,0)))",
+    "sd"  -> "sum(cast(dc as decimal(38,0)))",
+    "st"  -> "sum(cast(tc as decimal(38,0)))",
+    "sdt" -> "sum(cast(dc * tc as decimal(38,0)))")
 
   /** Shared derivation formulas (must stay textually identical to the oracle:
     * IEEE ops are correctly rounded, so identical inputs + identical
     * expression trees ⇒ identical bits — no rounding contract needed).
+    * Moments are in cents, so second moments carry a 10⁴ scale and first
+    * moments 10² — the trailing divides de-scale back to original units;
+    * corr is scale-invariant and needs none.
     */
   private val q53Derived: Seq[(String, String)] = Seq(
-    "sd_qty" -> "sqrt((n * sxx - sx * sx) / (n * (n - 1)))",
-    "var_qty" -> "(n * sxx - sx * sx) / (n * (n - 1))",
+    "sd_qty" -> "sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0",
+    "var_qty" -> "(n * sxx - sx * sx) / (n * (n - 1)) / 10000.0",
     "corr_qty_price" ->
       "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))",
-    "covar_disc_tax" -> "(n * sdt - sd * st) / (n * (n - 1))")
+    "covar_disc_tax" -> "(n * sdt - sd * st) / (n * (n - 1)) / 10000.0")
 
   def q53StatsAgg(spark: SparkSession, d: String): DataFrame = {
+    val cents = q53Cents.map { case (alias, e) => expr(e).as(alias) }
     val sums = count(lit(1)).cast("double").as("n") +:
-      q53Moments.map { case (alias, e) => sum(expr(e)).cast("double").as(alias) }
+      q53Moments.map { case (alias, e) => expr(e).cast("double").as(alias) }
     Tables.lineitem(spark, d)
+      .select(col("l_returnflag") +: cents: _*)
       .groupBy(col("l_returnflag"))
       .agg(sums.head, sums.tail: _*)
       .select(col("l_returnflag") +:
@@ -492,17 +510,24 @@ object Relational {
   }
 
   val q53Oracle: String = {
+    val cents = q53Cents
+      .map { case (alias, e) => s"$e AS $alias" }
+      .mkString(",\n           ")
     val sums = q53Moments
-      .map { case (alias, e) => s"CAST(sum($e) AS DOUBLE) AS $alias" }
+      .map { case (alias, e) => s"CAST($e AS DOUBLE) AS $alias" }
       .mkString(",\n           ")
     val derived = q53Derived
       .map { case (alias, e) => s"$e AS $alias" }
       .mkString(",\n         ")
-    s"""WITH s AS (
+    s"""WITH c AS (
+         SELECT l_returnflag,
+           $cents
+         FROM lineitem),
+       s AS (
          SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
            $sums
-         FROM lineitem GROUP BY l_returnflag)
+         FROM c GROUP BY l_returnflag)
        SELECT l_returnflag,
          $derived
        FROM s ORDER BY l_returnflag"""

@@ -20,11 +20,15 @@ object Tables {
     * rejects outright. Read it as raw nanos (legacy long mode) and truncate
     * to microseconds — the same ns→µs floor DuckDB applies natively, so both
     * engines see identical values.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build by [[graft.core.SparkConfigs.ScaleDefaults]] (every repo
+    * entry point builds through it). Readers deliberately do NOT set it —
+    * a reader mutating shared session state would silently change how
+    * unrelated parquet reads treat nanos columns.
     */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
-  }
 
   /** ns(long) → µs timestamp; `div` is integer division (a double division
     * would lose precision above 2^53 ns).
@@ -62,7 +66,6 @@ object Tables {
     val dst = dir.resolve("events.parquet")
     try Files.createLink(dst, src)
     catch { case _: Exception => Files.copy(src, dst) } // cross-filesystem fallback
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTs(
       spark.readStream.schema(eventsRawSchema(spark, d)).parquet(dir.toString))
   }
