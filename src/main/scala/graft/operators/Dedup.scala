@@ -222,6 +222,30 @@ object Dedup {
     hashed.join(confirmed.select(col("__h")), Seq("__h"), "left_anti").drop("__h")
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Bloom dedup against a reference corpus, driven end-to-end: incoming =
+    * docs 0–299, corpus = docs 200–499 → the 100-doc text overlap (plus any
+    * organic exact-dup texts) must be removed, survivors listed exactly.
+    * The bloom is a prefilter only — every positive is confirmed by the
+    * exact hash anti-join — so the output equals plain text-equality
+    * dedup and carries a full oracle (xxhash64 collisions aside, which at
+    * 64 bits over 500 docs are ~1e-14).
+    */
+  def q83BloomDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val incoming = docs.filter(col("doc_id") < 300)
+    val corpus = docs.filter(col("doc_id") >= 200)
+    bloomDedupAgainst(incoming, corpus, expectedCorpusSize = 1000L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents i
+       WHERE doc_id < 300 AND NOT EXISTS (
+         SELECT 1 FROM documents c WHERE c.doc_id >= 200 AND c.text = i.text)
+       ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- q33
   /** Word-set Jaccard similarity on a bounded candidate window (doc_id<100):
     * fully deterministic (no hashing) → full DuckDB oracle. The unbounded
@@ -263,9 +287,11 @@ object Dedup {
     "q30_dedup_exact" -> q30ExactDedup _,
     "q31_dedup_minhash_lsh" -> q31MinhashLsh _,
     "q32_dedup_simhash" -> q32SimhashDedup _,
-    "q33_dedup_ngram_jaccard" -> q33NgramJaccard _)
+    "q33_dedup_ngram_jaccard" -> q33NgramJaccard _,
+    "q83_dedup_bloom" -> q83BloomDedup _)
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Oracle,
-    "q33_dedup_ngram_jaccard" -> q33Oracle)
+    "q33_dedup_ngram_jaccard" -> q33Oracle,
+    "q83_dedup_bloom" -> q83Oracle)
 }

@@ -186,6 +186,88 @@ object EtlQueries {
               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q88
+  /** The reference's SQL-statement surface end-to-end under the driver:
+    * stage orders as a managed table, push a DELETE + an UPDATE (and one
+    * non-whitelisted statement that must be silently dropped —
+    * `filter_sql_commands` parity, /root/reference/pipeline.py:110-114)
+    * through `Warehouse.runStatements`, then aggregate the surviving rows.
+    * The oracle replays delete-then-update in ANSI SQL.
+    */
+  def q88SqlDeleteUpdate(spark: SparkSession, d: String): DataFrame = {
+    val table = "graft_q88_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous JVM's managed-table directory survives in the warehouse dir
+    // while the fresh in-memory catalog knows nothing of it — saveAsTable
+    // would refuse the location; clear it explicitly
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(loc)) graft.core.Scratch.deleteRecursively(loc)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").saveAsTable(table)
+    graft.etl.Warehouse.runStatements(spark, Seq(
+      s"DELETE FROM $table WHERE o_totalprice < 50000.0",
+      s"UPDATE $table SET o_totalprice = o_totalprice + 10000.0 WHERE o_orderstatus = 'F'",
+      s"GRANT SELECT ON $table TO analyst")) // not whitelisted → dropped
+    spark.table(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q88Oracle: String =
+    """WITH t AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT (o_totalprice < 50000.0)),
+       u AS (
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10000.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM t)
+       SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+         min(o_orderkey) AS min_key
+       FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // ---------------------------------------------------------------- q89
+  /** Schema-drift detection as a query: an expected contract (expressed in
+    * source-dialect type names via TypeMapping.schemaFromSource) diffed
+    * against the live orders schema. Three drift kinds exercised: a column
+    * the contract doesn't know (added), a contract column gone from the
+    * data (removed), and a type change. Fully deterministic → exact
+    * VALUES oracle.
+    */
+  def q89SchemaDrift(spark: SparkSession, d: String): DataFrame = {
+    import graft.core.TypeMapping
+    val expected = TypeMapping.schemaFromSource(Seq(
+      "o_orderkey" -> "BIGINT",
+      "o_custkey" -> "BIGINT",
+      "o_orderstatus" -> "TEXT",
+      "o_totalprice" -> "FLOAT",      // stale: the live column is double
+      "o_retired_flag" -> "BOOLEAN")) // removed from the live data
+    val observed = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .schema
+    import spark.implicits._
+    TypeMapping.schemaDrift(expected, observed).map {
+      case TypeMapping.ColumnAdded(c, nt)      => (c, "added", null: String, nt)
+      case TypeMapping.ColumnRemoved(c, ot)    => (c, "removed", ot, null: String)
+      case TypeMapping.TypeChanged(c, ot, nt)  => (c, "type_changed", ot, nt)
+    }.toDF("col_name", "kind", "old_type", "new_type")
+      .orderBy(col("col_name"))
+  }
+
+  val q89Oracle: String =
+    """SELECT col_name, kind, old_type, new_type FROM (VALUES
+         ('o_orderdate', 'added', CAST(NULL AS VARCHAR), 'timestamp_ntz'),
+         ('o_retired_flag', 'removed', 'boolean', CAST(NULL AS VARCHAR)),
+         ('o_totalprice', 'type_changed', 'float', 'double'))
+       AS t(col_name, kind, old_type, new_type) ORDER BY col_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
@@ -193,7 +275,9 @@ object EtlQueries {
     "q29_sanitize_identifiers" -> q29Sanitize _,
     "q74_jsonl_roundtrip" -> q74JsonlRoundtrip _,
     "q75_merge_upsert" -> q75MergeUpsert _,
-    "q82_orc_roundtrip" -> q82OrcRoundtrip _)
+    "q82_orc_roundtrip" -> q82OrcRoundtrip _,
+    "q88_sql_delete_update" -> q88SqlDeleteUpdate _,
+    "q89_schema_drift" -> q89SchemaDrift _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
@@ -201,5 +285,7 @@ object EtlQueries {
     "q29_sanitize_identifiers" -> q29Oracle,
     "q74_jsonl_roundtrip" -> q74Oracle,
     "q75_merge_upsert" -> q75Oracle,
-    "q82_orc_roundtrip" -> q82Oracle)
+    "q82_orc_roundtrip" -> q82Oracle,
+    "q88_sql_delete_update" -> q88Oracle,
+    "q89_schema_drift" -> q89Oracle)
 }

@@ -117,9 +117,73 @@ object Sampling {
        FROM documents WHERE lang IN ('en', 'de', 'fr')
        GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q85
+  /** Per-group cap + weighted sample driven end-to-end. Per language:
+    *  - `n_capped` counts the perGroupCap(100) survivors — deterministic
+    *    (= least(n, 100)) → full value oracle;
+    *  - `weighted_ok` certifies the weighted sample count against its
+    *    binomial bound (per-row weight = (n_chars mod 97)/96, a value the
+    *    oracle can't replicate row-by-row — xxhash64 — but whose COUNT must
+    *    sit within 4.5σ of Σw; the q73 certification pattern).
+    */
+  val Q85Cap = 100
+
+  def q85CapWeighted(spark: SparkSession, d: String): DataFrame = {
+    val w = pmod(col("n_chars"), lit(97)).cast("double") / lit(96.0)
+    val docs = Tables.documents(spark, d).withColumn("__w", w)
+    val capped = perGroupCap(docs, "lang", "doc_id", Q85Cap)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_capped"))
+    val sampled = weightedSample(docs, "doc_id", "__w")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("__w")).as("__ew"),
+        sum(col("__w") * (lit(1.0) - col("__w"))).as("__var"))
+    totals.join(capped, "lang").join(sampled, "lang")
+      .select(col("lang"), col("n_total"), col("n_capped"),
+        (abs(col("n_sampled") - col("__ew")) <=
+          lit(4.5) * sqrt(col("__var")) + lit(1.0)).as("weighted_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val q85Oracle: String =
+    s"""SELECT lang, count(*) AS n_total,
+       least(count(*), $Q85Cap) AS n_capped,
+       true AS weighted_ok
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ---------------------------------------------------------------- q90
+  /** Deterministic-shuffle certification: the operator's ACTUAL emitted
+    * order (captured via zipWithIndex over the sorted partitions — the one
+    * legitimate RDD use here: observing physical output order, which no
+    * Column expression can) must equal the hash-order spec for every row.
+    * The spec rank is deterministic, so `order_ok` is a hard boolean and
+    * the row count is a full value oracle.
+    */
+  def q90ShuffleDeterministic(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select(col("doc_id"))
+    val shuffled = deterministicShuffle(docs, "doc_id")
+    val actual = shuffled.as[Long].rdd.zipWithIndex().toDF("doc_id", "idx")
+    val spec = docs.withColumn("spec_idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(xxhash64(lit(0L), col("doc_id")).asc, col("doc_id").asc))
+        .cast("long") - 1L)
+    actual.join(spec, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        (count_if(col("idx") === col("spec_idx")) === count(lit(1))).as("order_ok"))
+  }
+
+  val q90Oracle: String =
+    "SELECT count(*) AS n, true AS order_ok FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_stratified_sample" -> q73StratifiedSample _)
+    "q73_stratified_sample" -> q73StratifiedSample _,
+    "q85_sample_cap_weighted" -> q85CapWeighted _,
+    "q90_shuffle_deterministic" -> q90ShuffleDeterministic _)
 
   val oracles: Map[String, String] = Map(
-    "q73_stratified_sample" -> q73Oracle)
+    "q73_stratified_sample" -> q73Oracle,
+    "q85_sample_cap_weighted" -> q85Oracle,
+    "q90_shuffle_deterministic" -> q90Oracle)
 }

@@ -139,6 +139,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q84
+  /** Batch ANN driven end-to-end, certified by a GUARANTEED property (the
+    * q26/q73 `*_ok` boolean pattern): a planted exact copy of each query
+    * vector (id + 1,000,000) shares every LSH bucket with its query by
+    * construction — identical input ⇒ identical signature — so batch ANN
+    * MUST return it, at rank 1 (cosine ≈ 1.0 beats every organic
+    * neighbor; this corpus tops out near 0.45). Unlike a statistical
+    * recall bound on near-random embeddings, this certification has zero
+    * failure probability when the operator is correct, and fails loudly
+    * when bucketing, candidate-join, or ranking break.
+    */
+  val Q84K = 5
+
+  def q84AnnBatch(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val qids: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+    val planted = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val all = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted)
+    val ann = annTopKBatch(all, qids, Q84K)
+    val stats = ann.groupBy(col("query_id"))
+      .agg(max(when(col("rn") === 1 &&
+        col("vec_id") === col("query_id") + 1000000L, 1).otherwise(0)).as("twin_first"))
+    // base of query ids so a zero-candidate query still yields a (failing) row
+    emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("query_id"))
+      .join(stats, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("twin_first"), lit(0)) === 1).as("ann_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val q84Oracle: String =
+    """SELECT vec_id AS query_id, true AS ann_ok
+       FROM embeddings WHERE vec_id < 5 ORDER BY vec_id"""
+
   // ---------------------------------------------------------------- q35
   /** LSH-bucketed approximate top-5 for vec_id=0. Bucket membership is
     * hash-defined → rows-only driver check; recall vs the exact q34 answer
@@ -281,12 +318,18 @@ object Similarity {
     * Iterating this to convergence is the standard IVF centroid training;
     * the query shape downstream (ivfTopK) is unchanged — only the centroid
     * table improves. Returns (cid, ce) like seedCentroids.
+    *
+    * The mean is the exact-decimal mean (Exact.dsum / n), not avg(): a
+    * float avg's low bits depend on partition merge order, so centroids —
+    * and therefore every downstream assignment — would differ run to run
+    * on a cluster. Exact sums make k-means training bit-reproducible at
+    * any parallelism (and oracle-able, q86).
     */
   def kmeansIteration(emb: DataFrame, cent: DataFrame): DataFrame =
     assignToCentroids(emb, cent)
       .select(col("cid"), posexplode(col("ed")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      .agg((graft.core.Exact.dsum(col("x")) / count(lit(1))).as("m"))
       .groupBy(col("cid"))
       .agg(collect_list(struct(col("dim"), col("m"))).as("pairs"))
       .select(col("cid"),
@@ -313,6 +356,47 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
   }
+
+  // ---------------------------------------------------------------- q86
+  /** One k-means Lloyd step driven end-to-end with a FULL value oracle:
+    * deterministic seed centroids (vec_id < K), exact-decimal means (see
+    * kmeansIteration), assignment replayed in DuckDB with the q51 oracle's
+    * argmax pattern. Emits per-cluster membership stats (integer-exact)
+    * plus two centroid coordinates (dims 1 and 33) — arrays can't go
+    * through the driver compare, and two dims pin the array_sort/transform
+    * reassembly as well as the mean math.
+    */
+  def q86KmeansStep(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val next = kmeansIteration(emb, seedCentroids(emb))
+    val members = ivfAssignments(emb)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_ids"))
+    next.join(members, "cid")
+      .select(col("cid"), col("n_members"), col("sum_ids"),
+        element_at(col("ce"), 1).as("c0"), element_at(col("ce"), 33).as("c32"))
+      .orderBy(col("cid"))
+  }
+
+  val q86Oracle: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
+       pair AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
+                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assigned AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pair) WHERE rn = 1),
+       m AS (SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_ids
+             FROM assigned GROUP BY cid),
+       cc AS (SELECT a.cid,
+                     CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS c0,
+                     CAST(sum(CAST(CAST(e.embedding[33] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS c32
+              FROM assigned a JOIN ev e ON a.vec_id = e.vec_id GROUP BY a.cid)
+       SELECT m.cid, m.n_members, m.sum_ids, cc.c0, cc.c32
+       FROM m JOIN cc ON m.cid = cc.cid ORDER BY m.cid"""
 
   // ---------------------------------------------------------------- q51
   /** IVF ANN top-5 for vec_id=0 — deterministic double math end to end →
@@ -348,10 +432,14 @@ object Similarity {
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q35_similarity_ann_lsh" -> q35AnnLsh _,
-    "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _)
+    "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _,
+    "q84_similarity_ann_batch" -> q84AnnBatch _,
+    "q86_kmeans_step" -> q86KmeansStep _)
 
   val oracles: Map[String, String] = Map(
     "q51_similarity_ivf_topk" -> q51Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
-    "q36_similarity_embedding_neardup" -> q36Oracle)
+    "q36_similarity_embedding_neardup" -> q36Oracle,
+    "q84_similarity_ann_batch" -> q84Oracle,
+    "q86_kmeans_step" -> q86Oracle)
 }

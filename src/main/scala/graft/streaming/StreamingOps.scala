@@ -286,6 +286,46 @@ object StreamingOps {
       }
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Sessionization (flatMapGroupsWithState) driven end-to-end. The state
+    * machine emits one row per CLOSED 30-minute-gap session; each user's
+    * final session is still open when the fixture stream ends and is
+    * correctly NOT emitted — the oracle replays the same island detection
+    * in SQL and drops each user's last session. Full value oracle: session
+    * boundaries are pure event-time arithmetic, no hashing.
+    */
+  def q87Sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stream = eventsStream(spark, d)
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[UserEvent]
+    val sessions = sessionize(spark, stream, gapMinutes = 30L)
+    val name = s"sessionize_${System.nanoTime()}"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q87Oracle: String =
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM g),
+       a AS (SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+       last AS (SELECT user_id, max(sid) AS max_sid FROM a GROUP BY user_id)
+       SELECT a.user_id, a.session_start, a.n_events
+       FROM a JOIN last l ON a.user_id = l.user_id AND a.sid < l.max_sid
+       ORDER BY a.user_id, a.session_start"""
+
   /** Oracles: streaming twins must equal their batch shapes. */
   val q43Oracle: String = graft.operators.EventTime.q23Oracle
   val q44Oracle: String = graft.operators.EventTime.q25Oracle
@@ -300,7 +340,8 @@ object StreamingOps {
     "q45_stream_dedup" -> q45StreamDedup _,
     "q46_stream_stateful" -> q46StreamStateful _,
     "q52_stream_sliding_window" -> q52StreamSliding _,
-    "q78_stream_static_join" -> q78StreamStaticJoin _)
+    "q78_stream_static_join" -> q78StreamStaticJoin _,
+    "q87_stream_sessionize" -> q87Sessionize _)
 
   val oracles: Map[String, String] = Map(
     "q43_stream_tumbling_window" -> q43Oracle,
@@ -308,5 +349,6 @@ object StreamingOps {
     "q45_stream_dedup" -> q45Oracle,
     "q46_stream_stateful" -> q46Oracle,
     "q52_stream_sliding_window" -> q52Oracle,
-    "q78_stream_static_join" -> q78Oracle)
+    "q78_stream_static_join" -> q78Oracle,
+    "q87_stream_sessionize" -> q87Oracle)
 }

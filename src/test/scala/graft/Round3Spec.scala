@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Local pins for the round-3 driver queries (q83–q90) so a failure
+  * localizes without the DuckDB gate.
+  */
+class Round3Spec extends SparkSuite {
+
+  test("q83 bloom dedup removes exactly the corpus overlap") {
+    val rows = Dedup.q83BloomDedup(spark, sf).collect()
+    assert(rows.length == 200)
+    // incoming = 0..299, corpus = 200..499: survivors are exactly 0..199
+    assert(rows.map(_.getAs[Long]("doc_id")).max == 199L)
+  }
+
+  test("q84 batch ANN returns each planted twin at rank 1") {
+    val rows = Similarity.q84AnnBatch(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Boolean]("ann_ok")))
+  }
+
+  test("q85 per-group cap and weighted-sample certification") {
+    val rows = Sampling.q85CapWeighted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_capped") ==
+        math.min(r.getAs[Long]("n_total"), Sampling.Q85Cap.toLong))
+      assert(r.getAs[Boolean]("weighted_ok"))
+    }
+  }
+
+  test("q86 k-means step partitions the whole corpus into K clusters") {
+    val rows = Similarity.q86KmeansStep(spark, sf).collect()
+    assert(rows.length == Similarity.IvfK)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == 500L)
+    rows.foreach(r => assert(!r.getAs[Double]("c0").isNaN))
+  }
+
+  test("q87 sessionize equals batch island detection minus open sessions") {
+    val got = graft.streaming.StreamingOps.q87Sessionize(spark, sf)
+      .agg(count(lit(1)), sum(col("n_events"))).collect()(0)
+    // expected from the batch twin: per-user sessions with 30-min gaps,
+    // dropping each user's last (still-open) session
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    ev.createOrReplaceTempView("r3_events")
+    val exp = spark.sql(
+      """WITH g AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS is_new
+           FROM r3_events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+         a AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid),
+         l AS (SELECT user_id, max(sid) AS m FROM a GROUP BY user_id)
+         SELECT count(*) AS n_sessions, sum(n) AS n_events
+         FROM a JOIN l ON a.user_id = l.user_id AND a.sid < l.m""").collect()(0)
+    assert(got.getLong(0) == exp.getAs[Long]("n_sessions"))
+    assert(got.getLong(1) == exp.getAs[Long]("n_events"))
+  }
+
+  test("q88 delete+update rewrite keeps exactly the surviving rows") {
+    val rows = EtlQueries.q88SqlDeleteUpdate(spark, sf).collect()
+    val expectedN = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 50000.0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectedN)
+  }
+
+  test("q89 schema drift reports added/removed/type-changed") {
+    val rows = EtlQueries.q89SchemaDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("o_orderdate", "added", null, "timestamp_ntz"),
+      ("o_retired_flag", "removed", "boolean", null),
+      ("o_totalprice", "type_changed", "float", "double")))
+  }
+
+  test("q90 deterministic shuffle emits exactly the hash-order spec") {
+    val r = Sampling.q90ShuffleDeterministic(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == 500L)
+    assert(r.getAs[Boolean]("order_ok"))
+  }
+}
