@@ -89,6 +89,14 @@ object Warehouse extends Logging {
     * dynamic partition overwrite so only touched partitions rewrite; on a
     * row-level-delete table format (Iceberg/Delta) this API maps 1:1 onto
     * native MERGE INTO.
+    *
+    * PRECONDITION: `source` must be key-unique on `keyCols`. Duplicate
+    * source keys are all retained (the anti-join removes the target row
+    * once, then every duplicate unions in) — where native MERGE INTO would
+    * error with "multiple source rows matched". Checking would cost a full
+    * aggregation pass per merge, so the contract is the caller's; dedup
+    * with `source.dropDuplicates(keyCols)` first when uniqueness is not
+    * structural.
     */
   def mergeUpsert(target: DataFrame, source: DataFrame, keyCols: Seq[String]): DataFrame =
     target.join(source, keyCols, "left_anti").unionByName(source)

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Point-query side of the count-min sketch: Spark ships the builder
@@ -24,9 +25,20 @@ object SketchKernels {
       .estimateCount(java.lang.Long.valueOf(item))
 }
 
-/** cms_estimate(sketch binary, item bigint) → estimated count (bigint). */
+/** cms_estimate(sketch binary, item bigint) → estimated count (bigint).
+  * checkInputDataTypes: a non-BIGINT probe item (say an INT column) fails
+  * at analysis time with a clear message instead of a runtime
+  * ClassCastException in interpreted eval. (ExpectsInputTypes would also
+  * coerce, but its AbstractDataType signature is private[sql].)
+  */
 case class CountMinEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_estimate requires (BINARY, BIGINT) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(sketch: Any, item: Any): Any =
     SketchKernels.cmsEstimate(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[Long])

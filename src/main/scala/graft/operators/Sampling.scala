@@ -26,10 +26,13 @@ object Sampling {
 
   /** The selection predicate itself, exposed so callers can COUNT kept rows
     * inline (one scan) instead of filtering into a second aggregation.
+    * The threshold ROUNDS (not truncates): fractions whose double product
+    * lands just under an integer (0.29 * 1e6 = 289999.99999999994) would
+    * otherwise lose a one-in-a-million sliver of the requested rate.
     */
   def keep(idCol: Column, fraction: Column, salt: Long = 0L): Column =
     pmod(xxhash64(lit(salt), idCol), lit(Modulus)) <
-      (fraction * lit(Modulus.toDouble)).cast("long")
+      round(fraction * lit(Modulus.toDouble)).cast("long")
 
   /** Uniform consistent sample: keep ~`fraction` of rows, selected by id hash. */
   def consistentSample(df: DataFrame, idCol: String, fraction: Double,

@@ -50,6 +50,15 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                attach: Seq[(String, String)], rightOrder: String): DataFrame = {
     val lCols = left.columns.toSeq
+    // guard the internal namespace: an attach output colliding with a left
+    // column, or a left column already carrying the reserved "__" prefix,
+    // would silently produce ambiguous/duplicate output columns
+    val clash = attach.map(_._2).toSet.intersect(lCols.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: attach output name(s) ${clash.mkString(", ")} collide with left columns")
+    require(!lCols.exists(_.startsWith("__")),
+      s"asofJoin: left columns must not use the reserved '__' prefix " +
+        s"(found ${lCols.filter(_.startsWith("__")).mkString(", ")})")
     val rightStruct = struct(
       (rightOrder +: attach.map(_._1)).distinct.map(col): _*)
     val lTagged = left

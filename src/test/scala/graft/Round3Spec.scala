@@ -83,4 +83,25 @@ class Round3Spec extends SparkSuite {
     assert(r.getAs[Long]("n") == 500L)
     assert(r.getAs[Boolean]("order_ok"))
   }
+
+  test("graft_cms_estimate rejects a non-BIGINT probe item at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cms_estimate(CAST(NULL AS BINARY), CAST(1 AS INT)) AS c")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_cms_estimate requires"))
+  }
+
+  test("asofJoin rejects colliding attach names and reserved left columns") {
+    val l = spark.range(1).selectExpr("id AS k", "id AS ts", "id AS v")
+    val r = spark.range(1).selectExpr("id AS k", "id AS ts", "id AS x")
+    val e1 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l, r, "k", "ts", Seq("x" -> "v"), "x"))
+    assert(e1.getMessage.contains("collide"))
+    val l2 = l.withColumnRenamed("v", "__v")
+    val e2 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l2, r, "k", "ts", Seq("x" -> "y"), "x"))
+    assert(e2.getMessage.contains("reserved"))
+  }
 }
