@@ -155,6 +155,21 @@ object HashKernels {
   }
 }
 
+object TextKernels {
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** NFD-normalize then strip combining marks ("Café" → "Cafe") — the
+    * canonicalization kernel for multilingual dedup. Stdlib
+    * java.text.Normalizer is deterministic across JVMs; the regex is
+    * compiled once per executor classload, not per row.
+    */
+  def foldAccents(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    org.apache.spark.unsafe.types.UTF8String.fromString(Marks.matcher(nfd).replaceAll(""))
+  }
+}
+
 object VectorKernels {
   /** Cosine similarity of two double vectors — same accumulation order
     * (left-to-right per sum) as the higher-order-function formulation
@@ -252,6 +267,21 @@ case class LshBucketsExpr(child: Expression, numTables: Int, planesPerTable: Int
     copy(child = newChild)
 }
 
+/** fold_accents(string) → string (NFD + combining-mark strip). The 8th
+  * native expression: replaces the last Scala UDF in an oracle-checked path
+  * (q70) so text normalization stays inside whole-stage codegen like every
+  * other graft kernel.
+  */
+case class AccentFoldExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.foldAccents(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels$$.MODULE$$.foldAccents($c)")
+  override protected def withNewChildInternal(newChild: Expression): AccentFoldExpr =
+    copy(child = newChild)
+}
+
 /** Constructor-argument extraction for the SQL registration paths: the
   * size/count parameters are expression-tree constants, so they must be
   * foldable literals — a column reference or wrong-typed literal gets a
@@ -310,6 +340,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate"),
       (exprs: Seq[Expression]) => CountMinEstimateExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_fold_accents"),
+      info("graft_fold_accents"),
+      (exprs: Seq[Expression]) => AccentFoldExpr(exprs.head)))
   }
 }
 
@@ -338,6 +371,13 @@ object GraftFunctions {
         ExprArgs.intArg(exprs, 1, "graft_minhash_from_hashes")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms_estimate",
       exprs => CountMinEstimateExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fold_accents",
+      exprs => AccentFoldExpr(exprs.head), "scala_udf")
+  }
+
+  def foldAccents(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_fold_accents", s)
   }
 
   def cmsEstimate(spark: SparkSession, sketch: Column, item: Column): Column = {

@@ -246,26 +246,25 @@ object TextAnalysis {
   // ---------------------------------------------------------------- q70
   /** Unicode normalization + accent folding — the canonicalization step
     * before any hashing/dedup in a multilingual corpus (two byte-different
-    * strings can be the same text). NFC/NFD come from `java.text.Normalizer`
-    * (deterministic, stdlib); the corpus is ASCII so an accented suffix is
-    * injected to make the transform observable and oracle-checkable against
-    * the oracle engine's nfc_normalize/strip_accents.
+    * strings can be the same text). Runs through the native codegen'd
+    * AccentFoldExpr (NFD + combining-mark strip via stdlib
+    * `java.text.Normalizer` — deterministic); the corpus is ASCII so an
+    * accented suffix is injected to make the transform observable and
+    * oracle-checkable against the oracle engine's
+    * nfc_normalize/strip_accents.
     */
-  private val foldAccents = udf { (s: String) =>
-    if (s == null) null
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{M}+", "")
-  }
-
-  def q70TextNormalize(spark: SparkSession, d: String): DataFrame =
+  def q70TextNormalize(spark: SparkSession, d: String): DataFrame = {
+    def folded(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.foldAccents(spark, c)
     Tables.documents(spark, d)
       .withColumn("augmented", concat(col("text"), lit(" Café Naïve Zürich résumé")))
       .select(
         col("doc_id"),
         length(col("augmented")).cast("long").as("raw_len"),
-        foldAccents(col("augmented")).as("folded"),
-        length(foldAccents(col("augmented"))).cast("long").as("folded_len"))
+        folded(col("augmented")).as("folded"),
+        length(folded(col("augmented"))).cast("long").as("folded_len"))
       .orderBy(col("doc_id"))
+  }
 
   val q70Oracle: String =
     """SELECT doc_id,

@@ -59,6 +59,9 @@ class ExtensionsSpec extends AnyFunSuite {
            FROM (SELECT explode(array(7L, 7L, 7L, 5L)) AS x)""")
         .collect()(0).getLong(0)
       assert(est >= 3L, s"CMS estimate $est must be >= true count 3")
+      val foldedStr = spark.sql(
+        "SELECT graft_fold_accents('Café Zürich') AS f").collect()(0).getString(0)
+      assert(foldedStr == "Cafe Zurich")
       // size parameters must be literals — a column reference gets a clear
       // error naming the function, not a ClassCastException
       val err = intercept[Exception] {

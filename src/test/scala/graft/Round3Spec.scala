@@ -84,6 +84,20 @@ class Round3Spec extends SparkSuite {
     assert(r.getAs[Boolean]("order_ok"))
   }
 
+  test("graft_fold_accents strips marks natively and stays inside codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_fold_accents('Café Naïve Zürich résumé') AS f")
+      .collect()(0).getString(0)
+    assert(r == "Cafe Naive Zurich resume")
+    assert(spark.sql("SELECT graft_fold_accents(CAST(NULL AS STRING)) AS f")
+      .collect()(0).isNullAt(0))
+    val plan = graft.sources.Tables.documents(spark, sf)
+      .select(graft.functions.GraftFunctions.foldAccents(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("accentfoldexpr")),
+      plan.take(500))
+  }
+
   test("graft_cms_estimate rejects a non-BIGINT probe item at analysis time") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
