@@ -20,18 +20,39 @@ object StreamingOps {
   private def eventsStream(spark: SparkSession, d: String): DataFrame =
     graft.sources.Tables.eventsStream(spark, d)
 
+  /** State-store partition count for the LOCAL drive-to-completion harness.
+    * A stateful streaming operator creates one state-store instance per
+    * shuffle partition PER MICRO-BATCH; at the fixture scale (≤100k events)
+    * 32 instances are pure startup overhead. A production deployment sizes
+    * this to its key cardinality — the number is pinned into the
+    * checkpoint at first start, which is why it must be set before
+    * `.start()`, not tuned later.
+    */
+  val LocalStreamShufflePartitions = "8"
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the result. `complete` mode for aggregations.
+    *
+    * Scoped conf change (set → start → restore in finally): unlike a
+    * reader mutating session state as a side effect, this helper IS the
+    * local execution harness — the stream both starts and finishes inside
+    * the call, queries in this repo run sequentially (Verify/Bench/tests),
+    * and the previous value is always restored.
     */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
@@ -166,14 +187,11 @@ object StreamingOps {
       .as[UserEvent]
     val stats = userStats(spark, stream)
     val name = s"stream_stateful_${System.nanoTime()}"
-    val q = stats.toDF().writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val result = runToMemory(spark, stats.toDF(), name, OutputMode.Update())
     // Update mode emits one row per key per batch; keep the last per user.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    spark.table(name)
+    result
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .select(col("user_id"), col("n_events"),
         col("total_value"), col("n_purchases"))
@@ -301,11 +319,8 @@ object StreamingOps {
       .as[UserEvent]
     val sessions = sessionize(spark, stream, gapMinutes = 30L)
     val name = s"sessionize_${System.nanoTime()}"
-    val q = sessions.toDF().writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name).orderBy(col("user_id"), col("session_start"))
+    runToMemory(spark, sessions.toDF(), name, OutputMode.Append())
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   val q87Oracle: String =
