@@ -78,6 +78,18 @@ object Warehouse extends Logging {
     overwriteSelf(spark, updated, table)
   }
 
+  /** DROP a managed table AND clear any stale on-disk location a previous
+    * JVM left in the warehouse dir (the fresh in-memory catalog doesn't
+    * know the table, so bare DROP is a no-op and a later saveAsTable/CREATE
+    * refuses with LOCATION_ALREADY_EXISTS).
+    */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) graft.core.Scratch.deleteRecursively(loc)
+  }
+
   /** TRUNCATE for managed tables. */
   def truncate(spark: SparkSession, table: String): Unit =
     spark.sql(s"TRUNCATE TABLE $table")

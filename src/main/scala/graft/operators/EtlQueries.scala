@@ -196,13 +196,7 @@ object EtlQueries {
     */
   def q88SqlDeleteUpdate(spark: SparkSession, d: String): DataFrame = {
     val table = "graft_q88_orders"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a previous JVM's managed-table directory survives in the warehouse dir
-    // while the fresh in-memory catalog knows nothing of it — saveAsTable
-    // would refuse the location; clear it explicitly
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(wh, table)
-    if (java.nio.file.Files.exists(loc)) graft.core.Scratch.deleteRecursively(loc)
+    graft.etl.Warehouse.dropManagedTable(spark, table)
     Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").saveAsTable(table)

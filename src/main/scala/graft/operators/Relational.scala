@@ -831,7 +831,40 @@ object Relational {
        WHERE doc_id < 50 AND t.pos <= 5
        ORDER BY doc_id, pos"""
 
+  // ---------------------------------------------------------------- q91
+  /** Grouped top-k through the typed UDAF (graft.functions.TopKAggregator —
+    * the Aggregator extension point): per order status, the 3 highest-priced
+    * order keys. Unlike the window-rank formulation (q16, which sorts every
+    * row of every group), the aggregator carries a bounded k-element buffer
+    * through partial aggregation — shuffled bytes are O(groups·k), not
+    * O(rows). Ties break by payload id, so the result is a total order and
+    * carries a full oracle (replayed as QUALIFY-style row_number in DuckDB).
+    */
+  def q91TopKUdaf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(3).toColumn.name("ids")
+    Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk)
+      .toDF("o_orderstatus", "ids")
+      .select(col("o_orderstatus"), posexplode(col("ids")).as(Seq("i", "o_orderkey")))
+      .select(col("o_orderstatus"), (col("i") + 1).cast("int").as("rn"), col("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  val q91Oracle: String =
+    """SELECT o_orderstatus, CAST(rn AS INT) AS rn, o_orderkey FROM (
+         SELECT o_orderstatus, o_orderkey,
+           row_number() OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders)
+       WHERE rn <= 3 ORDER BY o_orderstatus, rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_topk_udaf" -> q91TopKUdaf _,
     "q67_lateral_explode" -> q67LateralExplode _,
     "q61_median_exact" -> q61MedianExact _,
     "q62_approx_percentile" -> q62ApproxPercentile _,
@@ -867,6 +900,7 @@ object Relational {
     "q77_cms_heavy_hitters" -> q77CmsHeavyHitters _)
 
   val oracles: Map[String, String] = Map(
+    "q91_topk_udaf" -> q91Oracle,
     "q67_lateral_explode" -> q67Oracle,
     "q61_median_exact" -> q61Oracle,
     "q63_window_distribution" -> q63Oracle,

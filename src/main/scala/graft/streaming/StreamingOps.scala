@@ -208,10 +208,17 @@ object StreamingOps {
     * managed table (here: append-only dedup on event_id against what's
     * already stored — the idempotent-sink pattern that makes a replayed
     * micro-batch safe). Returns the final table name.
+    *
+    * @param reset drop + recreate the table first; pass false to REPLAY the
+    *              stream against an existing table (the idempotency check:
+    *              a full replay must append nothing)
     */
-  def streamToTableForeachBatch(spark: SparkSession, d: String, table: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"CREATE TABLE $table (event_id BIGINT, event_type STRING, value DOUBLE) USING parquet")
+  def streamToTableForeachBatch(spark: SparkSession, d: String, table: String,
+                                reset: Boolean = true): String = {
+    if (reset) {
+      graft.etl.Warehouse.dropManagedTable(spark, table)
+      spark.sql(s"CREATE TABLE $table (event_id BIGINT, event_type STRING, value DOUBLE) USING parquet")
+    }
     val q = graft.sources.Tables.eventsStream(spark, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .writeStream
@@ -225,6 +232,30 @@ object StreamingOps {
     finally q.stop()
     table
   }
+
+  // ---------------------------------------------------------------- q92
+  /** The idempotent foreachBatch sink driven end-to-end WITH a replay: the
+    * stream is run to completion into the table, then run again from
+    * scratch against the SAME table — the anti-join dedup must append
+    * nothing the second time, so the final aggregate equals exactly one
+    * copy of the events. Full value oracle (event_ids are unique in the
+    * fixture; a replayed duplicate would double `n` and break the hash).
+    */
+  def q92ForeachBatchSink(spark: SparkSession, d: String): DataFrame = {
+    val table = "graft_q92_events"
+    streamToTableForeachBatch(spark, d, table)
+    streamToTableForeachBatch(spark, d, table, reset = false) // replay: no-op append
+    spark.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("value")).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val q92Oracle: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** Stream-stream inner join: click→purchase attribution per user within
     * a 30-minute window. Both sides watermarked and the join condition
@@ -356,7 +387,8 @@ object StreamingOps {
     "q46_stream_stateful" -> q46StreamStateful _,
     "q52_stream_sliding_window" -> q52StreamSliding _,
     "q78_stream_static_join" -> q78StreamStaticJoin _,
-    "q87_stream_sessionize" -> q87Sessionize _)
+    "q87_stream_sessionize" -> q87Sessionize _,
+    "q92_stream_foreach_sink" -> q92ForeachBatchSink _)
 
   val oracles: Map[String, String] = Map(
     "q43_stream_tumbling_window" -> q43Oracle,
@@ -365,5 +397,6 @@ object StreamingOps {
     "q46_stream_stateful" -> q46Oracle,
     "q52_stream_sliding_window" -> q52Oracle,
     "q78_stream_static_join" -> q78Oracle,
-    "q87_stream_sessionize" -> q87Oracle)
+    "q87_stream_sessionize" -> q87Oracle,
+    "q92_stream_foreach_sink" -> q92Oracle)
 }

@@ -84,6 +84,26 @@ class Round3Spec extends SparkSuite {
     assert(r.getAs[Boolean]("order_ok"))
   }
 
+  test("q91 top-k UDAF equals the window-rank formulation") {
+    val udaf = Relational.q91TopKUdaf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = graft.sources.Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("o_orderstatus"), col("rn"))
+      .collect().map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Int]("rn"), r.getAs[Long]("o_orderkey")))
+    assert(udaf.toSeq == windowed.toSeq)
+  }
+
+  test("q92 foreachBatch sink replay appends nothing (idempotent)") {
+    val rows = graft.streaming.StreamingOps.q92ForeachBatchSink(spark, sf).collect()
+    val expected = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
   test("graft_fold_accents strips marks natively and stays inside codegen") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_fold_accents('Café Naïve Zürich résumé') AS f")
