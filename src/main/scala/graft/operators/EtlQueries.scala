@@ -186,6 +186,32 @@ object EtlQueries {
               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q93
+  /** XML sink → source round-trip via Spark 4's built-in XML data source
+    * (the enterprise-interchange sibling of q74's JSONL and q82's ORC):
+    * project longs/strings only (XML has no binary float contract), write
+    * with a rowTag, re-read with schema inference, aggregate. Values must
+    * survive the markup round-trip exactly; the oracle aggregates the
+    * parquet original.
+    */
+  def q93XmlRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.core.Scratch.dir("xml")
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml").save(tmp)
+    spark.read.option("rowTag", "order").format("xml").load(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderpriority")).as("max_priority"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q93Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key,
+       max(o_orderpriority) AS max_priority
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   // ---------------------------------------------------------------- q88
   /** The reference's SQL-statement surface end-to-end under the driver:
     * stage orders as a managed table, push a DELETE + an UPDATE (and one
@@ -271,7 +297,8 @@ object EtlQueries {
     "q75_merge_upsert" -> q75MergeUpsert _,
     "q82_orc_roundtrip" -> q82OrcRoundtrip _,
     "q88_sql_delete_update" -> q88SqlDeleteUpdate _,
-    "q89_schema_drift" -> q89SchemaDrift _)
+    "q89_schema_drift" -> q89SchemaDrift _,
+    "q93_xml_roundtrip" -> q93XmlRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
@@ -281,5 +308,6 @@ object EtlQueries {
     "q75_merge_upsert" -> q75Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q88_sql_delete_update" -> q88Oracle,
-    "q89_schema_drift" -> q89Oracle)
+    "q89_schema_drift" -> q89Oracle,
+    "q93_xml_roundtrip" -> q93Oracle)
 }

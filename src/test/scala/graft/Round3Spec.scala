@@ -104,6 +104,12 @@ class Round3Spec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("q93 XML round-trip preserves values through markup") {
+    val rows = EtlQueries.q93XmlRoundtrip(spark, sf).collect()
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+  }
+
   test("graft_fold_accents strips marks natively and stays inside codegen") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_fold_accents('Café Naïve Zürich résumé') AS f")
