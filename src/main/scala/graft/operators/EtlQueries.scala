@@ -217,6 +217,40 @@ object EtlQueries {
        FROM orders WHERE o_orderkey % 7 = 0
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q96
+  /** JDBC sink → source round-trip against an EMBEDDED Derby database —
+    * the closest JVM analogue of the reference's SQLite staging layer
+    * (/root/reference/pipeline.py:205-240), driven through Spark's real
+    * JDBC read/write path (DerbyDialect: type mapping, identifier
+    * quoting). The read side filters, and Spark pushes the predicate into
+    * the JDBC query. Values must survive the SQL-type round-trip exactly;
+    * the oracle aggregates the parquet original.
+    */
+  def q96JdbcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    val home = graft.core.Scratch.dir("derby")
+    // Derby writes derby.log to derby.system.home — keep it in scratch
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/graftdb;create=true"
+    val opts = Map(
+      "url" -> url,
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "nation_stage")
+    Tables.nation(spark, d)
+      .write.mode("overwrite").format("jdbc").options(opts).save()
+    spark.read.format("jdbc").options(opts).load()
+      .filter(col("n_regionkey") < 3) // pushed into the JDBC query
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+        max(col("n_nationkey")).as("max_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q96Oracle: String =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+       max(n_nationkey) AS max_key
+       FROM nation WHERE n_regionkey < 3
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   // ---------------------------------------------------------------- q88
   /** The reference's SQL-statement surface end-to-end under the driver:
     * stage orders as a managed table, push a DELETE + an UPDATE (and one
@@ -303,7 +337,8 @@ object EtlQueries {
     "q82_orc_roundtrip" -> q82OrcRoundtrip _,
     "q88_sql_delete_update" -> q88SqlDeleteUpdate _,
     "q89_schema_drift" -> q89SchemaDrift _,
-    "q93_xml_roundtrip" -> q93XmlRoundtrip _)
+    "q93_xml_roundtrip" -> q93XmlRoundtrip _,
+    "q96_jdbc_roundtrip" -> q96JdbcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
@@ -314,5 +349,6 @@ object EtlQueries {
     "q82_orc_roundtrip" -> q82Oracle,
     "q88_sql_delete_update" -> q88Oracle,
     "q89_schema_drift" -> q89Oracle,
-    "q93_xml_roundtrip" -> q93Oracle)
+    "q93_xml_roundtrip" -> q93Oracle,
+    "q96_jdbc_roundtrip" -> q96Oracle)
 }

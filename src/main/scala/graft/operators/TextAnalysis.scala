@@ -346,7 +346,116 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Repetition quality signals (the Gopher/C4-style filters that catch
+    * degenerate machine text): per document,
+    *  - `dup_trigram_frac`: fraction of 3-gram occurrences that are
+    *    repeats (1 − distinct/total) — computed per row from the token
+    *    array (map-only, no shuffle);
+    *  - `top_word_frac`: the most frequent word's share of all tokens —
+    *    explode + (doc, word) groupBy with partial aggregation, the
+    *    distributed shape (shuffle carries one row per distinct word per
+    *    doc, not per token).
+    * Fully deterministic → DuckDB oracle with the same formulas.
+    */
+  def q94TextRepetition(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("__toks", split(col("text"), " "))
+    val trigram = docs.select(col("doc_id"),
+      expr("""CASE WHEN size(__toks) >= 3
+              THEN transform(sequence(1, size(__toks) - 2), i -> concat_ws(' ', slice(__toks, i, 3)))
+              ELSE array() END""").as("tg"))
+      .select(col("doc_id"), size(col("tg")).as("n3"),
+        size(array_distinct(col("tg"))).as("d3"))
+    val words = docs.select(col("doc_id"), explode(col("__toks")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_wc"), sum(col("c")).as("n_words"))
+    trigram.join(words, "doc_id")
+      .select(col("doc_id"),
+        round(when(col("n3") === 0, lit(0.0))
+          .otherwise((col("n3") - col("d3")).cast("double") / col("n3").cast("double")), 4)
+          .as("dup_trigram_frac"),
+        round(col("max_wc").cast("double") / col("n_words").cast("double"), 4)
+          .as("top_word_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       tg AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS g
+              FROM t),
+       tri AS (SELECT doc_id, len(g) AS n3, len(list_distinct(g)) AS d3 FROM tg),
+       w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+       wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+       ws AS (SELECT doc_id, max(c) AS max_wc, sum(c) AS n_words FROM wc GROUP BY doc_id)
+       SELECT tri.doc_id,
+         round(CASE WHEN n3 = 0 THEN 0.0 ELSE CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE) END, 4) AS dup_trigram_frac,
+         round(CAST(max_wc AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS top_word_frac
+       FROM tri JOIN ws ON tri.doc_id = ws.doc_id ORDER BY tri.doc_id"""
+
+  // ---------------------------------------------------------------- q95
+  /** Eval-set decontamination: flag training documents sharing any 5-gram
+    * with a held-out eval set (docs 0–9) — the n-gram–overlap
+    * contamination check every LLM data pipeline runs before training.
+    * A deterministic plant (eval doc 0's first five words appended to
+    * every 50th training doc) guarantees hits; organic collisions count
+    * too, identically in both engines. Shape: the eval side is tiny by
+    * construction → its distinct 5-grams BROADCAST and the corpus scan
+    * stays map-only + one distinct; at 100 TB the eval grams would ride a
+    * bloom filter, same plan skeleton. Full value oracle (doc_id +
+    * distinct shared-gram count).
+    */
+  def q95Decontamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(__toks) >= 5
+             THEN transform(sequence(1, size(__toks) - 4), i -> concat_ws(' ', slice(__toks, i, 5)))
+             ELSE array() END""")).as("gram"))
+    val snippet = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("__snip"))
+    val incoming = docs.filter(col("doc_id") >= 10)
+      .crossJoin(broadcast(snippet))
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, concat(col("text"), lit(" "), col("__snip")))
+          .otherwise(col("text")).as("text"))
+    val evalGrams = grams(docs.filter(col("doc_id") < 10))
+      .select(col("gram")).distinct()
+    grams(incoming).distinct()
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Oracle: String =
+    """WITH snip AS (SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+                     FROM documents WHERE doc_id = 0),
+       inc AS (SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN text || ' ' || s ELSE text END AS text
+               FROM documents, snip WHERE doc_id >= 10),
+       ev AS (SELECT DISTINCT gram FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 5
+                  THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [] END) AS gram
+                FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10))),
+       ig AS (SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+                  THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [] END) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM inc)))
+       SELECT doc_id, count(*) AS n_shared FROM ig JOIN ev USING (gram)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_text_repetition" -> q94TextRepetition _,
+    "q95_text_decontamination" -> q95Decontamination _,
     "q79_chunk_documents" -> q79ChunkDocuments _,
     "q80_pii_redact" -> q80PiiRedact _,
     "q70_text_normalize" -> q70TextNormalize _,
@@ -358,6 +467,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q94_text_repetition" -> q94Oracle,
+    "q95_text_decontamination" -> q95Oracle,
     "q79_chunk_documents" -> q79Oracle,
     "q80_pii_redact" -> q80Oracle,
     "q70_text_normalize" -> q70Oracle,

@@ -111,6 +111,34 @@ class Round3Spec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == n)
   }
 
+  test("q94 repetition signals: a planted degenerate doc scores high") {
+    val rows = TextAnalysis.q94TextRepetition(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_trigram_frac")
+      val top = r.getAs[Double]("top_word_frac")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
+  test("q95 decontamination flags every planted doc") {
+    val flagged = TextAnalysis.q95Decontamination(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // docs >= 10 with doc_id % 50 == 0 carry the planted eval snippet
+    val planted = (10L until 500L).filter(_ % 50 == 0)
+    planted.foreach(id => assert(flagged.contains(id), s"planted doc $id not flagged"))
+  }
+
+  test("q96 JDBC round-trip pushes the filter into the Derby query") {
+    val df = EtlQueries.q96JdbcRoundtrip(spark, sf)
+    assert(df.collect().map(_.getAs[Long]("n")).sum ==
+      graft.sources.Tables.nation(spark, sf).filter(col("n_regionkey") < 3).count())
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") || scan.toLowerCase.contains("jdbcrelation"),
+      scan.take(800))
+  }
+
   test("graft_fold_accents strips marks natively and stays inside codegen") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_fold_accents('Café Naïve Zürich résumé') AS f")
