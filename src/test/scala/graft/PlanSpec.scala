@@ -42,6 +42,11 @@ class PlanSpec extends SparkSuite {
       "aggregate-below-join must keep the outer join broadcastable")
   }
 
+  test("q95: eval-gram side broadcasts; the corpus never shuffles for the probe") {
+    val plan = planOf(graft.operators.TextAnalysis.q95Decontamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("q15: global top-k plans as TakeOrderedAndProject, not full sort") {
     val plan = planOf(Relational.q15TopK(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
