@@ -283,15 +283,171 @@ object Dedup {
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
        ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------- connected components (q97)
+  /** Collapse pairwise near-dup edges into clusters: the stage after any
+    * pair generator (minhashNearDups / simhashNearDups / an exact Jaccard
+    * pass) in a real dedup pipeline — near-duplication is transitive in
+    * effect (A~B, B~C ⇒ keep one of {A,B,C}) even when the pairwise relation
+    * is not, so survivors must be picked per *component*, not per pair.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts labeled
+    * with its own id; each round propagates labels across edges and keeps
+    * the minimum; fixpoint ⇒ label = min id of the connected component.
+    *
+    * 100 TB design notes:
+    *  - each round is one shuffle join (edges ⋈ labels) + one groupBy — all
+    *    distributed, nothing driver-side but the convergence scalar;
+    *  - rounds needed = graph diameter. Near-dup graphs are short chains /
+    *    dense blobs (diameter ≤ a few), so 3–5 rounds in practice; a corpus
+    *    with adversarial long paths would want the O(log n)-round
+    *    alternating large-star/small-star variant, which swaps this loop
+    *    body, not the surrounding pipeline;
+    *  - `localCheckpoint` after every round truncates lineage so round N
+    *    does not replay rounds 1..N-1 (and lets the round-(N-1) RDDs be
+    *    dropped by the context cleaner once unreferenced);
+    *  - convergence is certified by Σlabels, one scalar action per round:
+    *    labels only ever decrease, so an unchanged sum IS the fixpoint —
+    *    no change-count join needed. Summed as DECIMAL(38,0): at 10¹¹ nodes
+    *    with 64-bit ids a LongType sum would overflow.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          srcCol: String = "doc_a", dstCol: String = "doc_b",
+                          maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = nodes.select(col(nodes.columns.head).as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("component").cast("decimal(38,0)")))
+      .head.getDecimal(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val propagated = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component")).union(propagated)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("component").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Exact 3-word-shingle Jaccard pairs on a bounded window: the
+    * deterministic, oracle-able edge generator for q97. Shingle STRINGS are
+    * materialized here because the window is small and the DuckDB oracle
+    * must build the identical sets; the corpus-scale edge generator is
+    * [[minhashNearDups]] (hashed shingles, LSH-banded). Word-SET Jaccard
+    * (q33) is useless as a clustering edge on this corpus — the 31-word
+    * vocabulary makes random docs organically similar — while 3-gram
+    * sequences are distinctive.
+    */
+  def shingleJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2),
+                          i -> concat_ws(' ', element_at(toks, i),
+                                         element_at(toks, i + 1),
+                                         element_at(toks, i + 2)))
+           END"""))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------- q97
+  /** Near-dup clustering end-to-end: plant two-step degradation chains
+    * (doc → drop 8 words → drop 16 words) so that adjacent versions clear
+    * the 0.5 shingle-Jaccard threshold while the ends sometimes don't —
+    * a genuinely transitive case — then cluster with connectedComponents.
+    * Fully deterministic (no hashing) → full DuckDB oracle via a recursive
+    * CTE computing the same min-id-per-component closure.
+    */
+  def q97DedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    def droppedTail(k: Int, offset: Long): DataFrame =
+      docs.filter(col("doc_id") < 12).select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - k, lit(1)))).as("text"))
+    val corpus = base.unionByName(droppedTail(8, 1000000L))
+      .unionByName(droppedTail(16, 2000000L))
+    val pairs = shingleJaccardPairs(corpus, 0.5)
+    val labels = connectedComponents(corpus.select(col("doc_id")), pairs)
+    labels
+      .select(col("id").as("doc_id"), col("component"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+          .as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Oracle: String =
+    """WITH RECURSIVE
+       docs2 AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 100
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 8, 1)), ' ')
+         FROM documents WHERE doc_id < 12
+         UNION ALL
+         SELECT doc_id + 2000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 16, 1)), ' ')
+         FROM documents WHERE doc_id < 12),
+       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs2),
+       sh AS (SELECT doc_id,
+                unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+                  ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        FOR i IN generate_series(1, len(toks) - 2)] END)) AS shingle
+              FROM t),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT da, db FROM inter
+                 JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM docs2
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1)
+       SELECT doc_id, component,
+              count(*) OVER (PARTITION BY component) AS cluster_size
+       FROM comp ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30ExactDedup _,
     "q31_dedup_minhash_lsh" -> q31MinhashLsh _,
     "q32_dedup_simhash" -> q32SimhashDedup _,
     "q33_dedup_ngram_jaccard" -> q33NgramJaccard _,
-    "q83_dedup_bloom" -> q83BloomDedup _)
+    "q83_dedup_bloom" -> q83BloomDedup _,
+    "q97_dedup_clusters" -> q97DedupClusters _)
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Oracle,
     "q33_dedup_ngram_jaccard" -> q33Oracle,
-    "q83_dedup_bloom" -> q83Oracle)
+    "q83_dedup_bloom" -> q83Oracle,
+    "q97_dedup_clusters" -> q97Oracle)
 }
