@@ -327,6 +327,70 @@ object EtlQueries {
          ('o_totalprice', 'type_changed', 'float', 'double'))
        AS t(col_name, kind, old_type, new_type) ORDER BY col_name"""
 
+  // ---------------------------------------------------------------- q100
+  /** Hive-style partitioned layout end-to-end: write orders partitioned by
+    * `o_orderpriority`, read back filtering on the partition column, and
+    * aggregate. At 100 TB this is THE data-layout lever: the filter resolves
+    * against directory metadata (PartitionFilters in the scan node —
+    * asserted in PlanSpec), so 3 of 5 partitions are never opened, let
+    * alone scanned. The oracle replays the filter+aggregate on the
+    * unpartitioned original.
+    */
+  def q100PartitionedPruning(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.core.Scratch.dir("partitioned")
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q100Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key
+       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- q101
+  /** Bucketed co-located join: both sides are written `bucketBy` on the
+    * join key, so the sort-merge join reads pre-hashed files and needs NO
+    * shuffle exchange on either side (asserted in PlanSpec). This is the
+    * 100 TB repeated-join story: pay the partitioning once at write time,
+    * then every subsequent join on that key is exchange-free. The merge
+    * hint pins SMJ so the plan exercises bucketing rather than broadcasting
+    * the small test-scale side.
+    */
+  def q101BucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    val ordersT = "graft_q101_orders"
+    val custT = "graft_q101_customer"
+    graft.etl.Warehouse.dropManagedTable(spark, ordersT)
+    graft.etl.Warehouse.dropManagedTable(spark, custT)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordersT)
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(custT)
+    spark.table(ordersT).hint("merge")
+      .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q101Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
@@ -338,7 +402,9 @@ object EtlQueries {
     "q88_sql_delete_update" -> q88SqlDeleteUpdate _,
     "q89_schema_drift" -> q89SchemaDrift _,
     "q93_xml_roundtrip" -> q93XmlRoundtrip _,
-    "q96_jdbc_roundtrip" -> q96JdbcRoundtrip _)
+    "q96_jdbc_roundtrip" -> q96JdbcRoundtrip _,
+    "q100_partitioned_pruning" -> q100PartitionedPruning _,
+    "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
     "q26_encrypt_roundtrip" -> q26Oracle,
@@ -350,5 +416,7 @@ object EtlQueries {
     "q88_sql_delete_update" -> q88Oracle,
     "q89_schema_drift" -> q89Oracle,
     "q93_xml_roundtrip" -> q93Oracle,
-    "q96_jdbc_roundtrip" -> q96Oracle)
+    "q96_jdbc_roundtrip" -> q96Oracle,
+    "q100_partitioned_pruning" -> q100Oracle,
+    "q101_bucketed_join" -> q101Oracle)
 }

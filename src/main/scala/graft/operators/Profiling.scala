@@ -47,9 +47,34 @@ object Profiling {
         count(DISTINCT $c) AS n_distinct FROM customer"""
   }.mkString("", "\n UNION ALL\n", "\n ORDER BY \"column\"")
 
+  // ---------------------------------------------------------------- q99
+  /** Equi-width histogram (numeric binning): bucket = ⌊x / width⌋ computed
+    * with one floor over a double divide — identical IEEE ops in both
+    * engines, so bucket boundaries agree bit-for-bit. One partial+final
+    * hash aggregate, no shuffle beyond the 20-row bucket merge: histograms
+    * of a 100 TB column cost one scan. The per-bucket exact sum uses the
+    * repo-wide DECIMAL(25,6) contract.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / width).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col(valueCol)).as("bucket_sum"))
+
+  def q99Histogram(spark: SparkSession, d: String): DataFrame =
+    histogram(Tables.orders(spark, d), "o_totalprice", 25000.0)
+      .orderBy(col("bucket"))
+
+  val q99Oracle: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bucket_sum
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q81_profile" -> q81Profile _)
+    "q81_profile" -> q81Profile _,
+    "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
-    "q81_profile" -> q81Oracle)
+    "q81_profile" -> q81Oracle,
+    "q99_histogram" -> q99Oracle)
 }

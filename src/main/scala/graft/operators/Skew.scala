@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.sources.Tables
+
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Skew mitigation for heavy-hitter keys. AQE's skew-join handles most
   * cases at runtime (enabled in the session configs); explicit salting is
@@ -43,4 +45,50 @@ object Skew {
         saltedFact("__salt") === explodedDim("__salt"))
       .drop("__salt")
   }
+
+  // ---------------------------------------------------------------- q103
+  /** Salted aggregation driven end-to-end on the most skewed natural key in
+    * the fixtures: `l_returnflag` has 3 values over the whole lineitem
+    * table, so an unsalted groupBy puts ~1/3 of the table through each of 3
+    * reduce tasks regardless of cluster size. The salted two-phase plan
+    * spreads each flag over 32 partials first. Results are identical to the
+    * plain groupBy — which is exactly what the oracle checks.
+    */
+  def q103SaltedAgg(spark: SparkSession, d: String): DataFrame =
+    saltedCount(Tables.lineitem(spark, d), col("l_returnflag"), 32)
+      .select(col("key").as("l_returnflag"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q103Oracle: String =
+    """SELECT l_returnflag, count(*) AS n FROM lineitem
+       GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q104
+  /** Salted fact⋈dim join, certified against the unsalted plan: join
+    * lineitem to part on partkey with an 8-way salt (the regime where the
+    * dim is too big to broadcast but cheap to replicate 8×), then aggregate
+    * per brand. Must equal the plain join byte-for-byte.
+    */
+  def q104SaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val joined = saltedJoin(Tables.lineitem(spark, d), Tables.part(spark, d),
+      "l_partkey", "p_partkey", 8)
+    joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.core.Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q104Oracle: String =
+    """SELECT p_brand, count(*) AS n_items,
+              CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_skew_salted_agg" -> q103SaltedAgg _,
+    "q104_skew_salted_join" -> q104SaltedJoin _)
+
+  val oracles: Map[String, String] = Map(
+    "q103_skew_salted_agg" -> q103Oracle,
+    "q104_skew_salted_join" -> q104Oracle)
 }

@@ -453,7 +453,29 @@ object TextAnalysis {
        SELECT doc_id, count(*) AS n_shared FROM ig JOIN ev USING (gram)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q105
+  /** Corpus vocabulary with frequencies, top-k: the token histogram behind
+    * tokenizer training (BPE seed counts), stopword induction, and Zipf
+    * sanity checks. explode → partial-agg per partition (map-side combine
+    * collapses to vocabulary size, not token count) → 1 tiny shuffle on the
+    * word. At 100 TB the shuffle volume is |vocab| × partitions, not the
+    * corpus — the reason this is a one-scan operator.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+
+  def q105VocabTopK(spark: SparkSession, d: String): DataFrame =
+    vocabTopK(Tables.documents(spark, d), 50)
+
+  val q105Oracle: String =
+    """SELECT word, count(*) AS n
+       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_text_vocab_topk" -> q105VocabTopK _,
     "q94_text_repetition" -> q94TextRepetition _,
     "q95_text_decontamination" -> q95Decontamination _,
     "q79_chunk_documents" -> q79ChunkDocuments _,
@@ -467,6 +489,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q105_text_vocab_topk" -> q105Oracle,
     "q94_text_repetition" -> q94Oracle,
     "q95_text_decontamination" -> q95Oracle,
     "q79_chunk_documents" -> q79Oracle,

@@ -98,4 +98,26 @@ class PlanSpec extends SparkSuite {
       plan.take(800))
     assert(plan.contains("__n_docs"), "corpus-size aggregate must be part of the plan")
   }
+
+  test("q100: the partition-column filter prunes partitions at the scan") {
+    val df = graft.operators.EtlQueries.q100PartitionedPruning(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("o_orderpriority")).getOrElse("")
+    assert(scan.contains("PartitionFilters:") && scan.contains("o_orderpriority"),
+      s"partition filter must resolve against directory metadata, got: ${scan.take(600)}")
+  }
+
+  test("q101: bucketed sort-merge join runs with no shuffle exchange") {
+    val df = graft.operators.EtlQueries.q101BucketedJoin(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    // neither join input may re-shuffle: bucketed layout provides the
+    // hash distribution (the only exchange allowed is the post-join
+    // aggregation's, keyed by c_mktsegment)
+    val exchangeKeys = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("; ")
+    assert(!exchangeKeys.contains("o_custkey") && !exchangeKeys.contains("c_custkey"),
+      s"join keys must not be re-shuffled — bucketing provides them: $exchangeKeys")
+    assert(plan.contains("SelectedBucketsCount"), "scan must report bucket selection")
+  }
 }

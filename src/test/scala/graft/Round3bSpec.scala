@@ -28,6 +28,62 @@ class Round3bSpec extends SparkSuite {
     assert(got == Map(5L -> 5L, 6L -> 6L))
   }
 
+  test("q98 fuzzy join: every emitted pair is within distance 1 and blocked") {
+    val rows = Linkage.q98FuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("dist") == 1L)) // c_name values are unique
+    // 000000001 vs 000000002 must link; 000000001 vs 000000012 must not (dist 2)
+    val pairs = rows.map(r => (r.getAs[Long]("cust_a"), r.getAs[Long]("cust_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 12L)))
+  }
+
+  test("q102 snapshot diff: the three change kinds carry the planted keys") {
+    val rows = Cdc.q102SnapshotDiff(spark, sf).collect()
+    val byKind = rows.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.map(_.getAs[Long]("o_orderkey")).toSet).toMap
+    assert(byKind("added").forall(_ >= 10000000L))
+    assert(byKind("deleted").forall(_ % 97 == 0))
+    // changed = repriced keys that were not simultaneously deleted
+    assert(byKind("changed").forall(k => k % 100 == 0 && k % 97 != 0))
+  }
+
+  test("q103/q104: salted plans equal their unsalted twins exactly") {
+    import graft.sources.Tables
+    val plainAgg = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Skew.q103SaltedAgg(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == plainAgg)
+
+    val plainJoin = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val saltedJoin = Skew.q104SaltedJoin(spark, sf)
+      .collect().map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("n_items"))).toMap
+    assert(saltedJoin == plainJoin)
+  }
+
+  test("q99 histogram: buckets partition the table and sums reconcile") {
+    import graft.sources.Tables
+    val rows = Profiling.q99Histogram(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.map(_.getAs[Long]("bucket")).distinct.length == rows.length)
+  }
+
+  test("q105 vocab: frequencies sum to the corpus token count") {
+    import graft.sources.Tables
+    val rows = TextAnalysis.q105VocabTopK(spark, sf).collect()
+    val tokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n")).sum == tokens) // vocab (31) < k (50)
+    assert(rows.map(_.getAs[String]("word")).distinct.length == rows.length)
+  }
+
   test("q97 dedup clusters: planted chains collapse, component = min id") {
     val rows = Dedup.q97DedupClusters(spark, sf).collect()
     assert(rows.length == 124) // 100 window + 2x12 planted
