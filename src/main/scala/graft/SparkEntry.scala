@@ -27,7 +27,8 @@ object SparkEntry {
       EtlQueries.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries ++
       Curation.queries ++ Temporal.queries ++ Sampling.queries ++
-      Profiling.queries ++ Linkage.queries ++ Skew.queries ++ Cdc.queries
+      Profiling.queries ++ Linkage.queries ++ Skew.queries ++ Cdc.queries ++
+      EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       EtlQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ StreamingOps.oracles ++
       Curation.oracles ++ Temporal.oracles ++ Sampling.oracles ++
-      Profiling.oracles ++ Linkage.oracles ++ Skew.oracles ++ Cdc.oracles
+      Profiling.oracles ++ Linkage.oracles ++ Skew.oracles ++ Cdc.oracles ++
+      EventAnalytics.oracles
 }

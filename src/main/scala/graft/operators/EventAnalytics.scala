@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Event-analytics operators over the events table: time-series gap
+  * filling, ordered-funnel conversion, and cohort retention — the batch
+  * analytics a warehouse answers daily over its event stream.
+  *
+  * 100 TB shapes:
+  *  - gap filling generates missing rows from per-key BOUNDS (one row per
+  *    key, exploded to its span) joined back to the sparse aggregates —
+  *    never a calendar × keys cross join of the full corpus;
+  *  - the funnel is three per-user min-aggregates chained by outer joins on
+  *    user_id — each stage shrinks the carried rows to converting users;
+  *    everything shuffles on user_id once per stage, no event-level
+  *    self-join of view × click × purchase (that quadratic blow-up is the
+  *    classic funnel mistake);
+  *  - cohort retention reduces events to distinct (user, week) FIRST (the
+  *    big cardinality drop), then joins the per-user cohort week and
+  *    aggregates — the join carries |users × active-weeks| rows, not
+  *    |events|.
+  */
+object EventAnalytics {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  // ---------------------------------------------------------------- q106
+  /** Per-user daily series with gaps filled: every day between a user's
+    * first and last event appears, zero-filled where the user was silent.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val allDays = spans.select(col("user_id"),
+      explode(sequence(col("first_day"), col("last_day"), expr("interval 1 day")))
+        .as("day"))
+    allDays.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_value"), lit(0.0d)).as("day_value"))
+  }
+
+  def q106GapFill(spark: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(spark, d))
+      .orderBy(col("user_id"), col("day"))
+
+  val q106Oracle: String =
+    """WITH daily AS (
+         SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value
+         FROM events GROUP BY 1, 2),
+       spans AS (
+         SELECT user_id, min(day) AS first_day, max(day) AS last_day
+         FROM daily GROUP BY 1),
+       all_days AS (
+         SELECT user_id, unnest(generate_series(first_day, last_day,
+                  INTERVAL '1 day')) AS day
+         FROM spans)
+       SELECT a.user_id, a.day,
+              coalesce(d.n_events, 0) AS n_events,
+              coalesce(d.day_value, 0.0) AS day_value
+       FROM all_days a LEFT JOIN daily d
+         ON a.user_id = d.user_id AND a.day = d.day
+       ORDER BY a.user_id, a.day"""
+
+  // ---------------------------------------------------------------- q107
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that. stage = how far the user got (1, 2, 3).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size == 3, "funnel() is specified for exactly 3 stages")
+    val Seq(s1, s2, s3) = stages
+    val first1 = events.filter(col("event_type") === s1)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val first2 = events.filter(col("event_type") === s2).as("e")
+      .join(first1.as("f"), col("e.user_id") === col("f.user_id"))
+      .filter(col("e.ts") > col("t1"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
+    val first3 = events.filter(col("event_type") === s3).as("e")
+      .join(first2.as("f"), col("e.user_id") === col("f.user_id"))
+      .filter(col("e.ts") > col("t2"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+    first1.join(first2, Seq("user_id"), "left").join(first3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
+  def q107Funnel(spark: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(spark, d), Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  val q107Oracle: String =
+    """WITH f1 AS (
+         SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       f2 AS (
+         SELECT e.user_id, min(e.ts) AS t2
+         FROM events e JOIN f1 ON e.user_id = f1.user_id
+         WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+       f3 AS (
+         SELECT e.user_id, min(e.ts) AS t3
+         FROM events e JOIN f2 ON e.user_id = f2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1)
+       SELECT f1.user_id, t1, t2, t3,
+              1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+       FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id
+               LEFT JOIN f3 ON f1.user_id = f3.user_id
+       ORDER BY f1.user_id"""
+
+  // ---------------------------------------------------------------- q108
+  /** Cohort retention: users grouped by the week of their first event;
+    * for each cohort and week offset, how many distinct users were active.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  def q108CohortRetention(spark: SparkSession, d: String): DataFrame =
+    cohortRetention(Tables.events(spark, d))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  val q108Oracle: String =
+    """WITH activity AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+       cohorts AS (
+         SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1)
+       SELECT c.cohort_week,
+              CAST(datediff('day', c.cohort_week, a.week) / 7 AS INT) AS week_offset,
+              count(DISTINCT a.user_id) AS n_active
+       FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_gap_fill" -> q106GapFill _,
+    "q107_funnel" -> q107Funnel _,
+    "q108_cohort_retention" -> q108CohortRetention _)
+
+  val oracles: Map[String, String] = Map(
+    "q106_gap_fill" -> q106Oracle,
+    "q107_funnel" -> q107Oracle,
+    "q108_cohort_retention" -> q108Oracle)
+}

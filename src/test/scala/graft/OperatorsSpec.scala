@@ -16,7 +16,7 @@ class OperatorsSpec extends SparkSuite {
 
   test("every query runs and every oracle key exists in queries") {
     val qs = SparkEntry.queries
-    assert(qs.size >= 105) // a module dropped from the catalog fails here
+    assert(qs.size >= 108) // a module dropped from the catalog fails here
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle for unknown query $k"))
   }
 

@@ -84,6 +84,49 @@ class Round3bSpec extends SparkSuite {
     assert(rows.map(_.getAs[String]("word")).distinct.length == rows.length)
   }
 
+  test("q106 gap fill: every user's span is dense and zero-filled days are silent") {
+    import graft.sources.Tables
+    val rows = EventAnalytics.q106GapFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Timestamp]("day").getTime).sorted
+      // consecutive days, no holes, no duplicates
+      assert(days.sliding(2).forall { case Array(a, b) => b - a == 86400000L; case _ => true })
+    }
+    val filled = rows.filter(_.getAs[Long]("n_events") == 0L)
+    assert(filled.forall(_.getAs[Double]("day_value") == 0.0))
+    // real events reconcile: sum of n_events equals the table count
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+  }
+
+  test("q107 funnel: stages are monotone and ordered in time") {
+    val rows = EventAnalytics.q107Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[java.sql.Timestamp]("t1"),
+        r.getAs[java.sql.Timestamp]("t2"), r.getAs[java.sql.Timestamp]("t3"))
+      val stage = r.getAs[Int]("stage")
+      assert((t3 != null) == (stage == 3))
+      if (t3 != null) assert(t2 != null, "stage 3 requires stage 2")
+      if (t2 != null) assert(t2.after(t1))
+      if (t3 != null) assert(t3.after(t2))
+    }
+  }
+
+  test("q108 cohort retention: offset 0 counts every cohort member exactly once") {
+    import graft.sources.Tables
+    val rows = EventAnalytics.q108CohortRetention(spark, sf).collect()
+    val atZero = rows.filter(_.getAs[Int]("week_offset") == 0)
+      .map(r => r.getAs[java.sql.Timestamp]("cohort_week") -> r.getAs[Long]("n_active")).toMap
+    assert(atZero.values.sum == Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count())
+    // retention never exceeds the cohort's size
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <=
+        atZero(r.getAs[java.sql.Timestamp]("cohort_week")))
+    }
+  }
+
   test("q97 dedup clusters: planted chains collapse, component = min id") {
     val rows = Dedup.q97DedupClusters(spark, sf).collect()
     assert(rows.length == 124) // 100 window + 2x12 planted
