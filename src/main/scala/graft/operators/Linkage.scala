@@ -22,15 +22,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Linkage {
 
+  /** Upper bound on rows considered per block. A degenerate block (e.g. a
+    * placeholder name shared by 10⁶ rows) would otherwise re-quadratize the
+    * blocked join into 10¹² levenshtein pairs inside one task — the same
+    * skew failure [[Dedup.MaxBucketSize]] guards LSH buckets against.
+    */
+  val MaxBlockSize = 1000
+
   /** All pairs within a block whose edit distance ≤ maxDist. Pairs are
     * ordered (idA < idB) to emit each match once.
+    *
+    * Blocks larger than `maxBlockSize` are truncated to their lowest-id
+    * `maxBlockSize` rows (deterministic, same sampling rule as LSH buckets).
+    * Truncation is LOUD, not silent: [[blockOverflow]] on the same inputs
+    * reports every truncated block with its kept/dropped counts, and the
+    * fixture query q98 asserts zero overflow at TPC-H block sizes.
     */
   def fuzzySelfJoin(df: DataFrame, idCol: String, nameCol: String,
-                    blockPrefixLen: Int, maxDist: Int): DataFrame = {
+                    blockPrefixLen: Int, maxDist: Int,
+                    maxBlockSize: Int = MaxBlockSize): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       substring(col(nameCol), 1, blockPrefixLen).as("blk"))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
+    // Cap-and-rank skew guard (Dedup.MaxBucketSize pattern): rank by id
+    // inside each block, keep the lowest maxBlockSize. One extra window
+    // over the already-required block shuffle — no new exchange.
+    val guarded = keyed
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk")).orderBy(col("id"))))
+      .filter(col("rnk") <= maxBlockSize)
+      .drop("rnk")
+    val a = guarded.as("a")
+    val b = guarded.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       // thresholded levenshtein early-exits at maxDist+1 (returns -1 beyond)
       .withColumn("dist",
@@ -38,6 +61,22 @@ object Linkage {
       .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
   }
+
+  /** Per-block truncation report for the same blocking as [[fuzzySelfJoin]]:
+    * one row per OVERFLOWING block — (blk, block_size, kept, dropped).
+    * Empty ⇒ no block hit the cap and the join was exact. Callers that care
+    * about recall run this alongside the join (one cheap count-aggregate on
+    * the identical block key) instead of discovering truncation by timeout.
+    */
+  def blockOverflow(df: DataFrame, nameCol: String, blockPrefixLen: Int,
+                    maxBlockSize: Int = MaxBlockSize): DataFrame =
+    df.select(substring(col(nameCol), 1, blockPrefixLen).as("blk"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+      .select(col("blk"), col("block_size"),
+        lit(maxBlockSize).cast("long").as("kept"),
+        (col("block_size") - maxBlockSize).as("dropped"))
 
   // ---------------------------------------------------------------- q98
   /** Customer-name linkage: block on the 16-char name prefix, link names

@@ -389,7 +389,7 @@ object Similarity {
        assigned AS (SELECT vec_id, cid FROM (
                       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
                       FROM pair) WHERE rn = 1),
-       m AS (SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_ids
+       m AS (SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS sum_ids
              FROM assigned GROUP BY cid),
        cc AS (SELECT a.cid,
                      CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS c0,

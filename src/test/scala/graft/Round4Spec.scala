@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators._
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 specs: fuzzy-join block cap, planted-oracle certifications, and
+  * the alternating-star connected-components variant.
+  */
+class Round4Spec extends SparkSuite {
+
+  test("fuzzySelfJoin: adversarial giant block is capped, completes, and overflow is loud") {
+    import spark.implicits._
+    // 3000 rows sharing one 8-char block prefix — uncapped this is ~4.5M
+    // levenshtein pairs in a single task; capped at 100 it is ~5k.
+    val giant = (0 until 3000).map(i => (i.toLong, f"BLOCKED_$i%04d")).toDF("id", "name")
+    val pairs = Linkage.fuzzySelfJoin(giant, "id", "name",
+      blockPrefixLen = 8, maxDist = 2, maxBlockSize = 100).collect()
+    // join completed and only considered the kept lowest-id 100 rows
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < 100 && r.getAs[Long]("id_b") < 100))
+
+    val overflow = Linkage.blockOverflow(giant, "name",
+      blockPrefixLen = 8, maxBlockSize = 100).collect()
+    assert(overflow.length == 1)
+    val r = overflow.head
+    assert(r.getAs[Long]("block_size") == 3000L)
+    assert(r.getAs[Long]("kept") == 100L)
+    assert(r.getAs[Long]("dropped") == 2900L)
+  }
+
+  test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
+    val overflow = Linkage.blockOverflow(
+      graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
+      "name", blockPrefixLen = 16).collect()
+    assert(overflow.isEmpty)
+  }
+}

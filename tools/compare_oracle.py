@@ -41,6 +41,18 @@ for name in sorted(os.listdir(out_dir)):
         fail += 1
         continue
     import pandas as pd
+    # The driver hashes SERIALIZED values, so int64 9449 vs float64 9449.0
+    # hash-differ even though pandas `==` calls them equal (the q74/q86 bug
+    # class: DuckDB sum(int) -> HUGEINT -> float64). Flag dtype mismatch hard.
+    dtype_diff = [(c, str(got_s[c].dtype), str(exp_s[c].dtype))
+                  for c in got_s.columns
+                  if str(got_s[c].dtype) != str(exp_s[c].dtype)]
+    if dtype_diff:
+        c, ad, bd = dtype_diff[0]
+        print(f"DTYPE-DIFF {name}: col={c} spark={ad} oracle={bd}"
+              f"  (driver hash gate WILL fail; CAST in the oracle)")
+        fail += 1
+        continue
     mismatch = None
     for c in got_s.columns:
         a, b = got_s[c], exp_s[c]
