@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Point-query side of the count-min sketch: Spark ships the builder
@@ -25,26 +25,33 @@ object SketchKernels {
       .estimateCount(java.lang.Long.valueOf(item))
 }
 
-/** cms_estimate(sketch binary, item bigint) → estimated count (bigint).
-  * checkInputDataTypes: a non-BIGINT probe item (say an INT column) fails
-  * at analysis time with a clear message instead of a runtime
+/** cms_estimate(sketch binary, item integral) → estimated count (bigint).
+  * checkInputDataTypes: a non-integral probe item (say a STRING column)
+  * fails at analysis time with a clear message instead of a runtime
   * ClassCastException in interpreted eval. (ExpectsInputTypes would also
-  * coerce, but its AbstractDataType signature is private[sql].)
+  * coerce, but its AbstractDataType signature is private[sql].) Narrower
+  * integral probes (INT/SMALLINT/TINYINT) are accepted and widened — the
+  * sketch hashes the widened long, identical to probing with a cast.
   */
 case class CountMinEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == LongType)
+    if (left.dataType == BinaryType && integral(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cms_estimate requires (BINARY, BIGINT) arguments, got " +
+      s"graft_cms_estimate requires (BINARY, integral) arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = LongType
   override protected def nullSafeEval(sketch: Any, item: Any): Any =
-    SketchKernels.cmsEstimate(sketch.asInstanceOf[Array[Byte]], item.asInstanceOf[Long])
+    SketchKernels.cmsEstimate(sketch.asInstanceOf[Array[Byte]],
+      item.asInstanceOf[Number].longValue())
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, i) =>
-      s"graft.functions.SketchKernels$$.MODULE$$.cmsEstimate($s, $i)")
+      s"graft.functions.SketchKernels$$.MODULE$$.cmsEstimate($s, (long)($i))")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CountMinEstimateExpr = copy(left = newLeft, right = newRight)
 }

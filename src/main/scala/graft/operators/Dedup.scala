@@ -47,7 +47,7 @@ object Dedup {
     * duplicates/near-duplicates of the lowest-id docs. Offset keeps ids
     * disjoint.
     */
-  private def withPlantedDups(docs: DataFrame, nDups: Int, dropLastWords: Int): DataFrame = {
+  private[graft] def withPlantedDups(docs: DataFrame, nDups: Int, dropLastWords: Int): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val dups = docs.filter(col("doc_id") < nDups)
       .select(
@@ -144,13 +144,32 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q31
-  /** MinHash-LSH near-dup detection with 50 planted near-dups (last 3 words
-    * dropped). Hash-dependent candidate set → rows-only driver check; the
-    * planted pairs are asserted exactly in ScalaTest.
+  /** MinHash-LSH dedup CERTIFIED with planted exact copies (the q84
+    * planted-twin pattern): identical text ⇒ identical shingle set ⇒
+    * identical minhash signature ⇒ identical band keys ⇒ the pair is a
+    * candidate in EVERY band and verifies at Jaccard exactly 1.0 — zero
+    * failure probability under any hash family, unlike near-dup recall
+    * (which is probabilistic over the banding and stays a ScalaTest
+    * property). Output: exact recovered-pair counts + a hard boolean.
+    * Organic pairs (hash-dependent recall) are excluded from the
+    * certificate by the planted-id filter.
     */
-  def q31MinhashLsh(spark: SparkSession, d: String): DataFrame =
-    minhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 3), 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+  def q31MinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 0), 0.5)
+    val planted = pairs.filter(
+      col("doc_a") < 50 && col("doc_b") === col("doc_a") + 1000000L)
+    planted.agg(
+        count(lit(1)).as("n_recovered"),
+        count_if(col("jaccard") === 1.0).as("n_jaccard_one"))
+      .select(col("n_recovered"), col("n_jaccard_one"),
+        (col("n_recovered") === 50 && col("n_jaccard_one") === 50).as("planted_ok"))
+  }
+
+  val q31Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_recovered,
+       CAST(count(*) AS BIGINT) AS n_jaccard_one,
+       true AS planted_ok
+       FROM documents WHERE doc_id < 50"""
 
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word hashes: per bit, sum ±1 weighted by token
@@ -192,14 +211,30 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- q32
-  /** SimHash near-dup detection, 50 planted near-dups. Rows-only check
-    * (fingerprint bits are hash-defined); planted pairs asserted in tests.
-    * maxHamming=3 both matches the 4-band pigeonhole guarantee and filters
-    * the organically-correlated word-soup pairs.
+  /** SimHash dedup CERTIFIED with planted exact copies: identical text ⇒
+    * identical distinct-word array ⇒ identical 64-bit simhash ⇒ hamming 0,
+    * and hamming 0 matches ALL four 16-bit bands — the pair is a guaranteed
+    * candidate (the pigeonhole argument degenerates to certainty), so every
+    * planted pair MUST appear with hamming exactly 0. Near-dup behavior
+    * (dropped words, hamming ≤ 3) stays a ScalaTest property; the
+    * certificate is the zero-failure-probability part.
     */
-  def q32SimhashDedup(spark: SparkSession, d: String): DataFrame =
-    simhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 3), 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+  def q32SimhashDedup(spark: SparkSession, d: String): DataFrame = {
+    val pairs = simhashNearDups(withPlantedDups(Tables.documents(spark, d), 50, 0), 3)
+    val planted = pairs.filter(
+      col("doc_a") < 50 && col("doc_b") === col("doc_a") + 1000000L)
+    planted.agg(
+        count(lit(1)).as("n_recovered"),
+        count_if(col("hamming") === 0).as("n_hamming_zero"))
+      .select(col("n_recovered"), col("n_hamming_zero"),
+        (col("n_recovered") === 50 && col("n_hamming_zero") === 50).as("planted_ok"))
+  }
+
+  val q32Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_recovered,
+       CAST(count(*) AS BIGINT) AS n_hamming_zero,
+       true AS planted_ok
+       FROM documents WHERE doc_id < 50"""
 
   /** Dedup against a reference corpus via Bloom filter: build a bloom over
     * the corpus's content hashes (one aggregation, fixed-size bits), then
@@ -447,6 +482,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Oracle,
+    "q31_dedup_minhash_lsh" -> q31Oracle,
+    "q32_dedup_simhash" -> q32Oracle,
     "q33_dedup_ngram_jaccard" -> q33Oracle,
     "q83_dedup_bloom" -> q83Oracle,
     "q97_dedup_clusters" -> q97Oracle)

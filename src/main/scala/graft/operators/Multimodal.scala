@@ -157,9 +157,16 @@ object MediaCodecDemo extends Serializable {
   // ---------------------------------------------------------------- q50
   /** `binaryFile` source: whole-file binary ingest (the landing path for
     * real media blobs — images/audio arrive as files). Reads the region table
-    * file itself as an opaque blob. File length and a content hash are
-    * emitted; modification time is env-dependent and excluded. Rows-only
-    * check (no SQL-accessible file metadata in the oracle engine).
+    * file itself as an opaque blob, then CERTIFIES the deterministic
+    * metadata the source must deliver (full VALUES oracle — the file's
+    * absolute length is env-knowable but not SQL-reachable from the oracle
+    * engine, so it is certified relationally instead of by value):
+    *  - file_name: the path column's basename, a hard value;
+    *  - magic_ok: the content IS the file — a parquet file brackets with
+    *    "PAR1", so both probes prove the blob's head and tail arrived;
+    *  - length_ok: the length column equals the loaded content's byte count
+    *    and exceeds the 8-byte magic envelope.
+    * Modification time is env-dependent and stays excluded.
     */
   def q50BinaryFileSource(spark: SparkSession, d: String): DataFrame =
     spark.read.format("binaryFile")
@@ -167,9 +174,14 @@ object MediaCodecDemo extends Serializable {
       .load(d)
       .select(
         element_at(split(col("path"), "/"), -1).as("file_name"),
-        col("length"),
-        expr("xxhash64(content)").as("content_hash"))
+        (expr("decode(substring(content, 1, 4), 'UTF-8')") === "PAR1" &&
+          expr("decode(substring(content, -4, 4), 'UTF-8')") === "PAR1").as("magic_ok"),
+        (col("length") === expr("octet_length(content)").cast("long") &&
+          col("length") > 8L).as("length_ok"))
       .orderBy(col("file_name"))
+
+  val q50Oracle: String =
+    """SELECT 'region.parquet' AS file_name, true AS magic_ok, true AS length_ok"""
 
   // ------------------------------------------------------------ audio path
   /** Audio metadata: what a WAV/FLAC probe emits. */
@@ -281,6 +293,7 @@ object MediaCodecDemo extends Serializable {
   val oracles: Map[String, String] = Map(
     "q41_multimodal_decode" -> q41Oracle,
     "q42_multimodal_frame_sample" -> q42Oracle,
+    "q50_multimodal_binaryfile_source" -> q50Oracle,
     "q59_multimodal_bmp_decode" -> q59Oracle,
     "q60_multimodal_wav_decode" -> q60Oracle)
 }

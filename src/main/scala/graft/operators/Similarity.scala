@@ -177,12 +177,35 @@ object Similarity {
        FROM embeddings WHERE vec_id < 5 ORDER BY vec_id"""
 
   // ---------------------------------------------------------------- q35
-  /** LSH-bucketed approximate top-5 for vec_id=0. Bucket membership is
-    * hash-defined → rows-only driver check; recall vs the exact q34 answer
-    * is asserted in ScalaTest.
+  /** LSH-bucketed ANN top-5 for vec_id=0, CERTIFIED with a planted twin
+    * (the q84 pattern, single-query variant): an exact copy of vector 0
+    * (id 1,000,000) shares every LSH bucket with the query by construction,
+    * so it MUST be a candidate, and its cosine (1.0 after 4-decimal
+    * rounding) beats every organic neighbor (corpus tops out near 0.45) —
+    * rank 1 is guaranteed with zero failure probability. Output pins the
+    * rank-1 row's identity and score as hard values plus the boolean.
+    * Recall of the hash-dependent ranks 2–5 vs exact top-k stays a
+    * ScalaTest property.
     */
-  def q35AnnLsh(spark: SparkSession, d: String): DataFrame =
-    annTopK(Tables.embeddings(spark, d), queryId = 0L, k = 5)
+  def q35AnnLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val all = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted)
+    annTopK(all, queryId = 0L, k = 5)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(1)
+      .select(lit(0L).as("query_id"), col("vec_id").as("top1_vec_id"),
+        col("cos_sim").as("top1_cos"),
+        (col("vec_id") === 1000000L && col("cos_sim") === 1.0).as("twin_rank1_ok"))
+  }
+
+  val q35Oracle: String =
+    """SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST(1000000 AS BIGINT) AS top1_vec_id,
+       CAST(1.0 AS DOUBLE) AS top1_cos,
+       true AS twin_rank1_ok"""
 
   // ---------------------------------------------------------------- q36
   /** All-pairs high-similarity search within each label group (embedding
@@ -261,8 +284,13 @@ object Similarity {
 
   // ---------------------------------------------------------------- q58
   /** Embedding near-dup over the corpus plus 20 planted exact-duplicate
-    * vectors (cos = 1.0, guaranteed same buckets). Hash-bucketed candidate
-    * set → rows-only driver check; planted recall asserted in ScalaTest.
+    * vectors. FULL value oracle: a planted twin shares every bucket with
+    * its original (identical vector ⇒ identical signature) so all 20 pairs
+    * MUST emit, at cosine exactly 1.0 after rounding; and no organic pair
+    * reaches the 0.9 threshold — the measured all-pairs maximum is 0.479 at
+    * sf0.001 and 0.513 at sf0.01 — so the candidate set's hash-dependence
+    * is irrelevant to the OUTPUT: threshold filtering makes it exactly the
+    * 20 planted pairs at every fixture SF. The oracle pins that list.
     */
   def q58EmbeddingDedupLsh(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
@@ -274,6 +302,11 @@ object Similarity {
   private def q58Input(all: DataFrame): DataFrame =
     embeddingNearDupsLsh(all, 0.9)
       .orderBy(col("id_a"), col("id_b"))
+
+  val q58Oracle: String =
+    """SELECT vec_id AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS cos_sim
+       FROM embeddings WHERE vec_id < 20 ORDER BY id_a"""
 
   // ------------------------------------------------------------- IVF ANN
   /** IVF (inverted-file) ANN — the partition-pruning scale path: vectors are
@@ -437,6 +470,8 @@ object Similarity {
     "q86_kmeans_step" -> q86KmeansStep _)
 
   val oracles: Map[String, String] = Map(
+    "q35_similarity_ann_lsh" -> q35Oracle,
+    "q58_dedup_embedding_lsh" -> q58Oracle,
     "q51_similarity_ivf_topk" -> q51Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q36_similarity_embedding_neardup" -> q36Oracle,

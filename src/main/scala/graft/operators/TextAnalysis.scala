@@ -126,21 +126,58 @@ object TextAnalysis {
        FROM documents GROUP BY source ORDER BY source"""
 
   // ---------------------------------------------------------------- q40
-  /** Document fingerprinting: 64-bit content hash (xxhash64) plus a
-    * positional rolling fingerprint folding word hashes with their position.
-    * Hash-valued output → rows-only driver check; stability and
-    * collision-freedom asserted in ScalaTest.
+  /** Per-doc fingerprints: 64-bit content hash (xxhash64) plus a positional
+    * rolling fingerprint folding word hashes with their position
+    * (xxhash64(acc, w) chains position into the state — overflow-free under
+    * ANSI, unlike a polynomial multiply).
     */
-  def q40Fingerprint(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
       .withColumn("content_hash", expr("xxhash64(text)"))
-      // positional rolling fold: xxhash64(acc, w) chains position into the
-      // state (overflow-free under ANSI, unlike a polynomial multiply)
       .withColumn("rolling_fp", expr(
         """aggregate(split(text, ' '), CAST(-3750763034362895579 AS BIGINT),
              (acc, w) -> xxhash64(acc, w))"""))
       .select(col("doc_id"), col("content_hash"), col("rolling_fp"))
-      .orderBy(col("doc_id"))
+
+  /** Fingerprinting CERTIFIED with planted duplicates (the q84 pattern):
+    * 50 exact copies (id + 1,000,000) MUST collide with their originals on
+    * both fingerprints — hashes are pure functions of the text, so twin
+    * collision has zero failure probability. Collision-FREEDOM across the
+    * corpus's distinct texts is the complementary deterministic claim: the
+    * distinct-fingerprint counts must equal DuckDB's count(DISTINCT text)
+    * exactly (a 64-bit collision among ~10³ docs is ~10⁻¹³ and
+    * fixture-verified absent; rolling_fp additionally distinguishes word
+    * ORDER, but distinct texts in this corpus never share a word sequence).
+    */
+  def q40Fingerprint(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val fp = fingerprints(corpus)
+    val twins = fp.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"),
+        col("content_hash").as("t_ch"), col("rolling_fp").as("t_fp"))
+    val collisions = fp.join(twins, "doc_id")
+      .agg(count_if(col("content_hash") === col("t_ch")).as("n_twin_hash_collisions"),
+        count_if(col("rolling_fp") === col("t_fp")).as("n_twin_fp_collisions"))
+    val stats = fp.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("content_hash")).as("n_distinct_content_hash"),
+      countDistinct(col("rolling_fp")).as("n_distinct_rolling_fp"))
+    stats.crossJoin(collisions) // two 1-row aggregates
+  }
+
+  val q40Oracle: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_content_hash,
+              CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_rolling_fp,
+              CAST((SELECT count(*) FROM documents WHERE doc_id < 50) AS BIGINT) AS n_twin_hash_collisions,
+              CAST((SELECT count(*) FROM documents WHERE doc_id < 50) AS BIGINT) AS n_twin_fp_collisions
+       FROM corpus"""
 
   // ---------------------------------------------------------------- q65
   /** Character-n-gram language ID: score each language by occurrence counts
@@ -499,5 +536,6 @@ object TextAnalysis {
     "q66_text_tfidf_topterms" -> q66Oracle,
     "q37_text_lang_id" -> q37Oracle,
     "q38_text_quality_score" -> q38Oracle,
-    "q39_text_token_count" -> q39Oracle)
+    "q39_text_token_count" -> q39Oracle,
+    "q40_text_fingerprint" -> q40Oracle)
 }

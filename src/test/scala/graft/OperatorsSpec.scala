@@ -45,8 +45,10 @@ class OperatorsSpec extends SparkSuite {
     assert(fresh.join(corpus, Seq("doc_id"), "left_semi").count() == 0)
   }
 
-  test("q31 minhash-LSH recovers planted near-dup pairs (high recall)") {
-    val rows = Dedup.q31MinhashLsh(spark, sf).collect()
+  test("minhash-LSH recovers planted NEAR-dup pairs (high recall, probabilistic)") {
+    val corpus = Dedup.withPlantedDups(
+      graft.sources.Tables.documents(spark, sf), 50, 3)
+    val rows = Dedup.minhashNearDups(corpus, 0.5).collect()
     val planted = rows.filter(r =>
       r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
     // LSH is probabilistic; with H=32/B=8 recall at s>=0.8 is ~0.99, lower-s
@@ -55,8 +57,18 @@ class OperatorsSpec extends SparkSuite {
     planted.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
   }
 
-  test("q32 simhash recovers planted near-dup pairs whose bits stay close") {
-    val rows = Dedup.q32SimhashDedup(spark, sf).collect()
+  test("q31 certificate: all 50 planted exact copies recovered at Jaccard 1.0") {
+    val r = Dedup.q31MinhashLsh(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_recovered") == 50L)
+    assert(r.head.getAs[Long]("n_jaccard_one") == 50L)
+    assert(r.head.getAs[Boolean]("planted_ok"))
+  }
+
+  test("simhash recovers planted NEAR-dup pairs whose bits stay close") {
+    val corpus = Dedup.withPlantedDups(
+      graft.sources.Tables.documents(spark, sf), 50, 3)
+    val rows = Dedup.simhashNearDups(corpus, 3).collect()
     val planted = rows.filter(r =>
       r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
     // dropping 3 words from a short doc can flip >3 of 64 bits — those pairs
@@ -65,15 +77,31 @@ class OperatorsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("q32 certificate: all 50 planted exact copies recovered at hamming 0") {
+    val r = Dedup.q32SimhashDedup(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_recovered") == 50L)
+    assert(r.head.getAs[Long]("n_hamming_zero") == 50L)
+    assert(r.head.getAs[Boolean]("planted_ok"))
+  }
+
   test("ANN LSH top-5 ⊆ reasonable cosine neighbors (recall vs exact)") {
-    val exact = Similarity.cosineTopK(
-      graft.sources.Tables.embeddings(spark, sf), 0L, 50)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(emb, 0L, 50)
       .collect().map(_.getAs[Long]("vec_id")).toSet
-    val ann = Similarity.q35AnnLsh(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    val ann = Similarity.annTopK(emb, 0L, 5).collect().map(_.getAs[Long]("vec_id"))
     assert(ann.nonEmpty)
     // every ANN hit should at least be in the exact top-50 of the full corpus
     assert(ann.count(exact.contains) >= ann.length / 2,
-      s"ANN results $ann poorly overlap exact top-50")
+      s"ANN results ${ann.toSeq} poorly overlap exact top-50")
+  }
+
+  test("q35 certificate: planted twin of the query ranks first at cosine 1.0") {
+    val r = Similarity.q35AnnLsh(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("top1_vec_id") == 1000000L)
+    assert(r.head.getAs[Double]("top1_cos") == 1.0)
+    assert(r.head.getAs[Boolean]("twin_rank1_ok"))
   }
 
   test("profile: per-column null and distinct counts in one pass") {
@@ -135,10 +163,21 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("fingerprints are stable across runs and collision-free on this corpus") {
-    val a = TextAnalysis.q40Fingerprint(spark, sf).collect()
-    val b = TextAnalysis.q40Fingerprint(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalysis.fingerprints(docs).orderBy(col("doc_id")).collect()
+    val b = TextAnalysis.fingerprints(docs).orderBy(col("doc_id")).collect()
     assert(a.toSeq == b.toSeq)
     assert(a.map(_.getAs[Long]("rolling_fp")).distinct.length == a.length)
+  }
+
+  test("q40 certificate: planted twins collide, distinct texts don't") {
+    val r = TextAnalysis.q40Fingerprint(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_twin_hash_collisions") == 50L)
+    assert(row.getAs[Long]("n_twin_fp_collisions") == 50L)
+    assert(row.getAs[Long]("n_distinct_content_hash") ==
+      row.getAs[Long]("n_docs") - 50L)
   }
 
   test("BMP header probe: constructed image parses back to its dimensions") {
@@ -248,10 +287,13 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
-  test("q50 binaryFile source reports the real on-disk file size") {
-    val row = Multimodal.q50BinaryFileSource(spark, sf).collect().head
-    val actual = new java.io.File(s"$sf/region.parquet").length()
-    assert(row.getAs[Long]("length") == actual)
+  test("q50 binaryFile source certifies name, magic bytes, and length") {
+    val rows = Multimodal.q50BinaryFileSource(spark, sf).collect()
+    assert(rows.length == 1)
+    val row = rows.head
+    assert(row.getAs[String]("file_name") == "region.parquet")
+    assert(row.getAs[Boolean]("magic_ok"))
+    assert(row.getAs[Boolean]("length_ok"))
   }
 
   test("warehouse routes DELETE/UPDATE statement text to rewrite-on-write") {

@@ -153,10 +153,10 @@ class Round3Spec extends SparkSuite {
       plan.take(500))
   }
 
-  test("graft_cms_estimate rejects a non-BIGINT probe item at analysis time") {
+  test("graft_cms_estimate rejects a non-integral probe item at analysis time") {
     graft.functions.GraftFunctions.register(spark)
     val e = intercept[Exception] {
-      spark.sql("SELECT graft_cms_estimate(CAST(NULL AS BINARY), CAST(1 AS INT)) AS c")
+      spark.sql("SELECT graft_cms_estimate(CAST(NULL AS BINARY), 'one') AS c")
         .collect()
     }
     assert(e.getMessage.contains("graft_cms_estimate requires"))

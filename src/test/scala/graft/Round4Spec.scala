@@ -29,6 +29,22 @@ class Round4Spec extends SparkSuite {
     assert(r.getAs[Long]("dropped") == 2900L)
   }
 
+  test("graft_cms_estimate: INT probe widens; STRING probe fails at analysis") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sketch = Seq(1L, 1L, 2L).toDF("v")
+      .selectExpr("count_min_sketch(v, 0.01d, 0.99d, 42) AS sk")
+    sketch.createOrReplaceTempView("cms_r4")
+    // INT literal probe (pre-widening this threw ClassCastException / failed analysis)
+    val est = spark.sql(
+      "SELECT graft_cms_estimate(sk, CAST(1 AS INT)) AS e FROM cms_r4").collect()
+    assert(est.head.getLong(0) == 2L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cms_estimate(sk, 'one') FROM cms_r4").collect()
+    }
+    assert(err.getMessage.contains("graft_cms_estimate"))
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
