@@ -374,6 +374,114 @@ object Dedup {
     labels
   }
 
+  // --------------------------- large-star / small-star variant (q109)
+  /** Connected components in O(log n)-ish rounds via alternating
+    * large-star / small-star edge rewiring (the MapReduce-era algorithm for
+    * high-diameter graphs; see Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): [[connectedComponents]]'s min-label
+    * propagation needs diameter-many rounds, which is fine for near-dup
+    * blobs (diameter ≤ a few) but pathological on chain-shaped graphs —
+    * version histories, crawl redirect chains — where diameter is O(n).
+    *
+    *  - large-star: every node v larger than its neighbor u rewires to
+    *    m(u) = min of u's closed neighborhood. One window-min over the
+    *    node-partitioned edge list — NO collect_list (a hot node's
+    *    neighborhood never materializes in one row) and no join.
+    *  - small-star: each node's smaller neighbors (plus itself) all rewire
+    *    to its neighborhood minimum — same window shape over the
+    *    max-endpoint orientation.
+    *
+    * Both passes shuffle |E| rows keyed by node id; per-round cost matches
+    * one min-label round, but round COUNT drops from O(diameter) to
+    * O(log² n) worst case (≈7 rounds for a 512-chain vs 512). Same
+    * convergence certificate as [[connectedComponents]]: per-node
+    * closed-neighborhood minima only ever decrease, so an unchanged
+    * Σmin (DECIMAL(38,0), overflow-safe) is the fixpoint; `localCheckpoint`
+    * truncates lineage per round. Returns (id, component) like
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+                              srcCol: String = "doc_a", dstCol: String = "doc_b",
+                              maxRounds: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+
+    // (b, m) for every neighbor b > a, where m = min(closed neighborhood of a)
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      nbrs.withColumn("m", min(least(col("a"), col("b"))).over(w))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+
+    // orient each edge max→min, then star every smaller neighbor (and the
+    // center) onto the center's minimum
+    def smallStar(edges: DataFrame): DataFrame = {
+      val oriented = edges
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val withMin = oriented.withColumn("m", min(col("b")).over(w))
+      withMin.select(col("a"), col("m").as("b"))
+        .union(withMin.filter(col("b") =!= col("m")).select(col("b").as("a"), col("m").as("b")))
+    }
+
+    val base = nodes.select(col(nodes.columns.head).as("id")).distinct()
+    var edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    def labelSum(e: DataFrame) =
+      e.select(least(col("a"), col("b")).as("m"), greatest(col("a"), col("b")).as("id"))
+        .groupBy(col("id")).agg(min(col("m")).as("m"))
+        .agg(sum(col("m").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    var prevSum = labelSum(edges)
+    var converged = prevSum == null // no edges ⇒ nothing to do
+    var round = 0
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      val nextSum = labelSum(edges)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      round += 1
+    }
+    // post-fixpoint every non-minimum node is directly starred onto its
+    // component minimum; isolates keep their own id
+    val comp = edges
+      .select(greatest(col("a"), col("b")).as("id"), least(col("a"), col("b")).as("m"))
+      .groupBy(col("id")).agg(min(col("m")).as("m"))
+    base.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("component"))
+  }
+
+  // ---------------------------------------------------------------- q109
+  /** Star-variant clustering driven end-to-end on an ADVERSARIAL graph:
+    * eight 64-node chains over the first 512 doc ids (edges i→i+1 within
+    * each chain). Chain diameter 63 would cost min-label propagation 63
+    * rounds; the star variant converges in ~6. Components and sizes are
+    * closed-form → full value oracle with no recursive CTE needed.
+    */
+  def q109StarClusters(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id")).filter(col("doc_id") < 512)
+    val chain = docs.filter(col("doc_id") % 64 =!= 63)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      // an edge may lead past the corpus edge at small SFs; keep it closed
+      .join(docs.select(col("doc_id").as("doc_b")), "doc_b")
+    connectedComponentsStar(docs, chain)
+      .select(col("id").as("doc_id"), col("component"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+          .as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Oracle: String =
+    """WITH n AS (SELECT doc_id FROM documents WHERE doc_id < 512),
+       c AS (SELECT doc_id, doc_id - (doc_id % 64) AS component FROM n)
+       SELECT doc_id, component,
+              count(*) OVER (PARTITION BY component) AS cluster_size
+       FROM c ORDER BY doc_id"""
+
   /** Exact 3-word-shingle Jaccard pairs on a bounded window: the
     * deterministic, oracle-able edge generator for q97. Shingle STRINGS are
     * materialized here because the window is small and the DuckDB oracle
@@ -478,7 +586,8 @@ object Dedup {
     "q32_dedup_simhash" -> q32SimhashDedup _,
     "q33_dedup_ngram_jaccard" -> q33NgramJaccard _,
     "q83_dedup_bloom" -> q83BloomDedup _,
-    "q97_dedup_clusters" -> q97DedupClusters _)
+    "q97_dedup_clusters" -> q97DedupClusters _,
+    "q109_star_clusters" -> q109StarClusters _)
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Oracle,
@@ -486,5 +595,6 @@ object Dedup {
     "q32_dedup_simhash" -> q32Oracle,
     "q33_dedup_ngram_jaccard" -> q33Oracle,
     "q83_dedup_bloom" -> q83Oracle,
-    "q97_dedup_clusters" -> q97Oracle)
+    "q97_dedup_clusters" -> q97Oracle,
+    "q109_star_clusters" -> q109Oracle)
 }

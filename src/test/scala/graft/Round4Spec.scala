@@ -45,6 +45,53 @@ class Round4Spec extends SparkSuite {
     assert(err.getMessage.contains("graft_cms_estimate"))
   }
 
+  test("connectedComponentsStar matches min-label CC on chains, isolates, blobs") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connectedComponentsStar: empty edge set leaves every node a singleton") {
+    import spark.implicits._
+    val nodes = Seq(5L, 6L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("connectedComponentsStar converges on a 512-chain within 12 rounds (min-label cannot)") {
+    import spark.implicits._
+    // one path 0-1-...-511: diameter 511. Min-label propagation would need
+    // 511 rounds; the star variant must land it in O(log² n).
+    val nodes = (0L until 512L).toDF("id")
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(nodes, pairs, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 512)
+    assert(got.forall(_._2 == 0L), s"non-zero components: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponentsStar on a random graph agrees with min-label propagation") {
+    import spark.implicits._
+    // deterministic pseudo-random edges over 200 nodes (seeded LCG, not
+    // Math.random — reproducible)
+    var s = 12345L
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s }
+    val edges = (0 until 150).map(_ => (next() % 200, next() % 200))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until 200L).toDF("id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label)
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
