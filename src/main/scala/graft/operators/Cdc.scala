@@ -84,9 +84,96 @@ object Cdc {
        SELECT o_orderkey, change_type FROM j
        WHERE change_type IS NOT NULL ORDER BY o_orderkey"""
 
+  // ---------------------------------------------------------------- q112
+  /** Incremental aggregate maintenance (materialized-view refresh from CDC
+    * deltas): given a maintained per-group aggregate of snapshot v1 and the
+    * keyed row-level diff v1→v2, produce v2's aggregate WITHOUT rescanning
+    * v2 — every diff row contributes (-1, -old value) to its old group and
+    * (+1, +new value) to its new group; unchanged rows contribute nothing.
+    * At 100 TB this is the difference between shuffling |delta| rows and
+    * shuffling the corpus on every refresh — the standard incremental-view
+    * argument. Money moves as integer cents (the q53 pattern) so increments
+    * are exact: a float running sum would drift from the recomputed truth
+    * and the certificate below would be unfalsifiable.
+    *
+    * Returns per-group (group, n_rows, total) of v2, computed incrementally.
+    */
+  def incrementalAggMaintain(older: DataFrame, newer: DataFrame, keyCol: String,
+                             groupCol: String, valueCol: String): DataFrame = {
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    val v1 = older.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(cents(col(valueCol))).as("c"))
+    val o = older.select(col(keyCol).as("k"), col(groupCol).as("og"),
+      cents(col(valueCol)).as("oc"))
+    val n = newer.select(col(keyCol).as("k"), col(groupCol).as("ng"),
+      cents(col(valueCol)).as("nc"))
+    val diff = o.join(n, Seq("k"), "full_outer")
+      .filter(!(col("og") <=> col("ng")) || !(col("oc") <=> col("nc")))
+    val delta = diff.filter(col("og").isNotNull)
+        .select(col("og").as("g"), lit(-1L).as("dn"), (-col("oc")).as("dc"))
+      .unionByName(diff.filter(col("ng").isNotNull)
+        .select(col("ng").as("g"), lit(1L).as("dn"), col("nc").as("dc")))
+      .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    v1.join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n2"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c2"))
+      .filter(col("n2") > 0)
+      .select(col("g").as(groupCol), col("n2").as("n_rows"),
+        (col("c2") / 100.0).as("total"))
+  }
+
+  /** Incremental maintenance driven end-to-end on q102's evolved snapshot,
+    * CERTIFIED against the full recompute inside the query: the emitted
+    * per-status rows are the incremental path's, the boolean is
+    * "incremental == recomputed-from-v2" per group — exact because both
+    * paths sum identical integer cents. The oracle recomputes v2's
+    * aggregate directly.
+    */
+  def q112IncrementalAgg(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val evolved = orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    val inc = incrementalAggMaintain(orders, evolved,
+      "o_orderkey", "o_orderstatus", "o_totalprice")
+    val full = evolved.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("fn"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("fc"))
+    inc.join(full, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_rows"), col("total"),
+        (col("n_rows") === col("fn") &&
+          col("total") === col("fc") / 100.0).as("incremental_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q112Oracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       n AS (
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM o WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+         FROM o WHERE o_orderkey % 500 = 0),
+       a AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+             FROM n GROUP BY o_orderstatus)
+       SELECT o_orderstatus, n_rows, c / 100.0 AS total, true AS incremental_ok
+       FROM a ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q102_snapshot_diff" -> q102SnapshotDiff _)
+    "q102_snapshot_diff" -> q102SnapshotDiff _,
+    "q112_incremental_agg" -> q112IncrementalAgg _)
 
   val oracles: Map[String, String] = Map(
-    "q102_snapshot_diff" -> q102Oracle)
+    "q102_snapshot_diff" -> q102Oracle,
+    "q112_incremental_agg" -> q112Oracle)
 }

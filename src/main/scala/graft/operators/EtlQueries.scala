@@ -391,7 +391,57 @@ object EtlQueries {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---------------------------------------------------------------- q111
+  /** Z-order (Morton) interleave of two bounded dimension keys — the
+    * multi-dimensional cousin of q100's single-column partitioning: rows
+    * close in BOTH dimensions get close z-values, so a range-partitioned,
+    * z-sorted layout gives every per-file min/max footer a tight range in
+    * both columns at once and a scan filtered on EITHER dimension skips
+    * most files. Pure codegen'd bit math (one `aggregate` HOF over bit
+    * positions, no UDF); `LayoutSpec` asserts the physical layout claim
+    * (disjoint per-partition z-ranges under RangePartitioning).
+    */
+  def zValue(xCol: String, yCol: String, bits: Int): org.apache.spark.sql.Column =
+    expr(s"""aggregate(sequence(0, ${bits - 1}),
+         CAST(0 AS BIGINT),
+         (acc, i) -> acc
+           | shiftleft(shiftright($xCol, i) & 1L, 2 * i)
+           | shiftleft(shiftright($yCol, i) & 1L, 2 * i + 1))""")
+
+  /** df + z column, range-partitioned and sorted by z — the write-side
+    * layout op (at 100 TB, follow with a partitioned/bucketed write; the
+    * z-sort is what makes the parquet min/max footers selective).
+    */
+  def zOrderLayout(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+                   bits: Int, partitions: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("z", zValue(xCol, yCol, bits))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions(col("z"))
+
+  /** Z-order layout driven end-to-end on orders keyed by (custkey, orderkey
+    * mod 1024): emit per-quadrant (top 2 z bits) row counts and z extents.
+    * The interleave is deterministic bit math → full DuckDB oracle
+    * replaying it with generate_series.
+    */
+  def q111ZorderLayout(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(spark, d)
+      .select((col("o_custkey") % 1024).as("zx"), (col("o_orderkey") % 1024).as("zy"))
+    zOrderLayout(base, "zx", "zy", bits = 10, partitions = 8)
+      .groupBy(expr("z >> 18").as("quadrant"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .orderBy(col("quadrant"))
+  }
+
+  val q111Oracle: String =
+    """WITH b AS (SELECT o_custkey % 1024 AS x, o_orderkey % 1024 AS y FROM orders),
+       z AS (SELECT (SELECT CAST(sum((((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1))) AS BIGINT)
+                     FROM generate_series(0, 9) t(i)) AS z
+             FROM b)
+       SELECT z >> 18 AS quadrant, count(*) AS n, min(z) AS zmin, max(z) AS zmax
+       FROM z GROUP BY quadrant ORDER BY quadrant"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_zorder_layout" -> q111ZorderLayout _,
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
     "q28_csv_ingest_roundtrip" -> q28CsvIngestRoundtrip _,
@@ -407,6 +457,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q111_zorder_layout" -> q111Oracle,
     "q26_encrypt_roundtrip" -> q26Oracle,
     "q28_csv_ingest_roundtrip" -> q28Oracle,
     "q29_sanitize_identifiers" -> q29Oracle,

@@ -45,12 +45,17 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     try {
+      // AvailableNow: ingest everything, flush state (the final watermark
+      // advance still runs, so append-mode session windows emit), then
+      // terminate — no processAllAvailable poll loop waiting to observe an
+      // idle source, which billed every streaming query a fixed latency tax.
       val q = stream.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable()
+      try q.awaitTermination()
       finally q.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)
@@ -227,8 +232,9 @@ object StreamingOps {
         batch.join(existing, Seq("event_id"), "left_anti") // idempotent append
           .write.mode("append").saveAsTable(table)
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable()
+    try q.awaitTermination()
     finally q.stop()
     table
   }
@@ -372,6 +378,34 @@ object StreamingOps {
        FROM a JOIN last l ON a.user_id = l.user_id AND a.sid < l.max_sid
        ORDER BY a.user_id, a.session_start"""
 
+  // ---------------------------------------------------------------- q110
+  /** Stream-stream interval join driven end-to-end: click→purchase
+    * attribution pairs aggregated per user. The INNER interval join's
+    * output is a pure function of the two event sets and the time bounds —
+    * arrival order only affects WHEN a pair emits, never whether — so the
+    * aggregate carries a full DuckDB oracle (the batch join over the same
+    * parquet). Money is summed with the exact-decimal pattern.
+    */
+  def q110StreamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    val joined = clickPurchaseAttribution(spark, d)
+      .select(col("c_user").as("user_id"), col("value"))
+    val name = s"stream_stream_${System.nanoTime()}"
+    runToMemory(spark, joined, name, OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        graft.core.Exact.dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q110Oracle: String =
+    """SELECT c.user_id, count(*) AS n_attributed,
+       CAST(sum(CAST(p.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       FROM events c JOIN events p
+         ON c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+       GROUP BY c.user_id ORDER BY c.user_id"""
+
   /** Oracles: streaming twins must equal their batch shapes. */
   val q43Oracle: String = graft.operators.EventTime.q23Oracle
   val q44Oracle: String = graft.operators.EventTime.q25Oracle
@@ -388,7 +422,8 @@ object StreamingOps {
     "q52_stream_sliding_window" -> q52StreamSliding _,
     "q78_stream_static_join" -> q78StreamStaticJoin _,
     "q87_stream_sessionize" -> q87Sessionize _,
-    "q92_stream_foreach_sink" -> q92ForeachBatchSink _)
+    "q92_stream_foreach_sink" -> q92ForeachBatchSink _,
+    "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
     "q43_stream_tumbling_window" -> q43Oracle,
@@ -398,5 +433,6 @@ object StreamingOps {
     "q52_stream_sliding_window" -> q52Oracle,
     "q78_stream_static_join" -> q78Oracle,
     "q87_stream_sessionize" -> q87Oracle,
-    "q92_stream_foreach_sink" -> q92Oracle)
+    "q92_stream_foreach_sink" -> q92Oracle,
+    "q110_stream_stream_join" -> q110Oracle)
 }

@@ -92,6 +92,59 @@ class Round4Spec extends SparkSuite {
     assert(star == label)
   }
 
+  test("zValue interleaves bits correctly and zOrderLayout yields disjoint partition z-ranges") {
+    import spark.implicits._
+    // hand-computed Morton codes: (x=3, y=5) -> binary x=011 y=101 ->
+    // interleave (y bit above x bit per position): 100111 = 39
+    val pts = Seq((3L, 5L), (0L, 0L), (1023L, 1023L), (1L, 0L), (0L, 1L))
+      .toDF("zx", "zy")
+    val z = pts.withColumn("z", EtlQueries.zValue("zx", "zy", 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((3L, 5L)) == 39L)
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1023L, 1023L)) == (1L << 20) - 1)
+    assert(z((1L, 0L)) == 1L)
+    assert(z((0L, 1L)) == 2L)
+
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select((col("o_custkey") % 1024).as("zx"), (col("o_orderkey") % 1024).as("zy"))
+    val laid = EtlQueries.zOrderLayout(base, "zx", "zy", 10, 4)
+    assert(laid.queryExecution.executedPlan.toString.contains("rangepartitioning(z"),
+      "z-order layout must range-partition on z")
+    val ranges = laid
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("incrementalAggMaintain equals full recompute, including group moves and empty groups") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.00), (2L, "a", 5.50), (3L, "b", 7.25), (4L, "c", 1.00))
+      .toDF("k", "g", "v")
+    // key 1 repriced, key 2 MOVES a->b, key 3 deleted, key 5 added in d,
+    // key 4 untouched; group c survives untouched, group a shrinks to 1 row
+    val v2 = Seq((1L, "a", 11.00), (2L, "b", 5.50), (4L, "c", 1.00), (5L, "d", 2.75))
+      .toDF("k", "g", "v")
+    val got = Cdc.incrementalAggMaintain(v1, v2, "k", "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((1L, 11.00)), "b" -> ((1L, 5.50)),
+      "c" -> ((1L, 1.00)), "d" -> ((1L, 2.75))))
+  }
+
+  test("incrementalAggMaintain drops a group emptied by the delta") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 3.00), (2L, "b", 4.00)).toDF("k", "g", "v")
+    val v2 = Seq((2L, "b", 4.00)).toDF("k", "g", "v")
+    val got = Cdc.incrementalAggMaintain(v1, v2, "k", "g", "v")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("b"))
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
