@@ -440,7 +440,49 @@ object EtlQueries {
        SELECT z >> 18 AS quadrant, count(*) AS n, min(z) AS zmin, max(z) AS zmax
        FROM z GROUP BY quadrant ORDER BY quadrant"""
 
+  // ---------------------------------------------------------------- q115
+  /** Small-file compaction — the table-maintenance op every long-lived
+    * 100 TB dataset needs (streaming ingest and per-partition writers leave
+    * thousands of KB-scale files; each costs a task + an open + a footer
+    * read on every scan). Driven end-to-end: explode the documents table
+    * into 50-row files (`maxRecordsPerFile` on a single writer task, so the
+    * file count is exactly ⌈n/50⌉ — deterministic), compact by rewriting at
+    * full file size, and emit before/after file counts (observed via
+    * `input_file_name()`, i.e. what a scan actually touches) plus the row
+    * count, which compaction must preserve. At scale the rewrite targets a
+    * size budget via `repartitionByRange` over the sort key instead of a
+    * single task; the invariants certified here (rows preserved, file count
+    * collapses to the write-parallelism) are the same.
+    */
+  def q115Compaction(spark: SparkSession, d: String): DataFrame = {
+    val small = graft.core.Scratch.dir("compact_small")
+    val compacted = graft.core.Scratch.dir("compact_out")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(1)
+      .write.mode("overwrite").option("maxRecordsPerFile", 50).parquet(small)
+    spark.read.parquet(small)
+      .repartition(1)
+      .write.mode("overwrite").parquet(compacted)
+    val before = spark.read.parquet(small)
+      .select(input_file_name().as("f"))
+      .agg(countDistinct(col("f")).as("n_files_small"))
+    val after = spark.read.parquet(compacted)
+      .select(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files_compacted"))
+    after.crossJoin(before) // two 1-row aggregates
+      .select(col("n_rows"), col("n_files_small"), col("n_files_compacted"))
+  }
+
+  val q115Oracle: String =
+    """SELECT count(*) AS n_rows,
+       CAST(ceil(count(*) / 50.0) AS BIGINT) AS n_files_small,
+       CAST(1 AS BIGINT) AS n_files_compacted
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_compaction" -> q115Compaction _,
     "q111_zorder_layout" -> q111ZorderLayout _,
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
@@ -457,6 +499,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q115_compaction" -> q115Oracle,
     "q111_zorder_layout" -> q111Oracle,
     "q26_encrypt_roundtrip" -> q26Oracle,
     "q28_csv_ingest_roundtrip" -> q28Oracle,

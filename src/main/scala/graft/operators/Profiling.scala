@@ -70,11 +70,80 @@ object Profiling {
        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bucket_sum
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q114
+  /** Data-quality constraint suite (the Deequ-style pre-ingest gate a
+    * training pipeline runs before a snapshot is allowed into the corpus):
+    * uniqueness, completeness, range, domain, and referential-integrity
+    * checks, each reported as (check_name, n_violations, passed). Run
+    * against a deterministically CORRUPTED snapshot so every check has
+    * planted violations to find (all-zeros would certify nothing) — keys
+    * divisible by 311 lose their custkey, by 137 their status, by 233 go
+    * negative, by 500 duplicate. Each check is a count aggregate —
+    * map-side-combinable, no shuffle beyond the final 1-row merges; the
+    * referential check is a broadcast anti-join against the dimension.
+    * Fully deterministic → full DuckDB oracle replaying the corruption.
+    */
+  def q114DataQuality(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val corrupted = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 311 === 0, lit(null)).otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 137 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 233 === 0, lit(-1.0d)).otherwise(col("o_totalprice")).as("o_totalprice"))
+    val snap = corrupted.unionByName(corrupted.filter(col("o_orderkey") % 500 === 0))
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), col("n_violations"))
+    val uniq = snap.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+    val complete = snap.agg(count_if(col("o_custkey").isNull).as("n_violations"))
+    val range = snap.agg(count_if(col("o_totalprice") <= 0).as("n_violations"))
+    val domain = snap.agg(count_if(!col("o_orderstatus").isin("O", "F", "P")).as("n_violations"))
+    val refs = snap.filter(col("o_custkey").isNotNull)
+      .join(broadcast(Tables.customer(spark, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    check("custkey_complete", complete)
+      .unionByName(check("custkey_references_customer", refs))
+      .unionByName(check("orderkey_unique", uniq))
+      .unionByName(check("status_in_domain", domain))
+      .unionByName(check("totalprice_positive", range))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  val q114Oracle: String =
+    """WITH c AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 311 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 137 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 233 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+         FROM orders),
+       s AS (SELECT * FROM c UNION ALL SELECT * FROM c WHERE o_orderkey % 500 = 0),
+       r AS (
+         SELECT 'custkey_complete' AS check_name,
+                CAST(count_if(o_custkey IS NULL) AS BIGINT) AS n_violations FROM s
+         UNION ALL
+         SELECT 'custkey_references_customer',
+                CAST(count_if(o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS BIGINT) FROM s
+         UNION ALL
+         SELECT 'orderkey_unique',
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM s
+         UNION ALL
+         SELECT 'status_in_domain',
+                CAST(count_if(o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) FROM s
+         UNION ALL
+         SELECT 'totalprice_positive',
+                CAST(count_if(o_totalprice <= 0) AS BIGINT) FROM s)
+       SELECT check_name, n_violations, n_violations = 0 AS passed
+       FROM r ORDER BY check_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_data_quality" -> q114DataQuality _,
     "q81_profile" -> q81Profile _,
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q114_data_quality" -> q114Oracle,
     "q81_profile" -> q81Oracle,
     "q99_histogram" -> q99Oracle)
 }

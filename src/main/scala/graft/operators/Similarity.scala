@@ -308,7 +308,50 @@ object Similarity {
        CAST(1.0 AS DOUBLE) AS cos_sim
        FROM embeddings WHERE vec_id < 20 ORDER BY id_a"""
 
-  // ------------------------------------------------------------- IVF ANN
+  // ---------------------------------------------------------------- q113
+  /** Int8 scalar-quantized similarity — the embedding-compression path a
+    * 100 TB vector corpus actually serves from (4× smaller than float32,
+    * integer SIMD dot products): L2-normalize each vector (components then
+    * lie in [-1, 1]), round to int8 at scale 127, and rank by the INTEGER
+    * dot product. After quantization all scoring is exact integer math —
+    * deterministic at any parallelism and bit-replayable in the oracle
+    * engine — so unlike float ANN scores the quantized ranking carries a
+    * full value oracle with no certification detour. Max |dot| ≤ 64·127² ≈
+    * 10⁶, far inside int range (no ANSI overflow).
+    */
+  def quantizedVec(edCol: String): Column =
+    expr(s"""transform($edCol,
+         x -> CAST(round(x / sqrt(aggregate($edCol, CAST(0.0 AS DOUBLE),
+                                            (acc, v) -> acc + v * v)) * 127) AS INT))""")
+
+  def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val withQ = emb.withColumn("ed", expr(toDouble))
+      .select(col("vec_id"), quantizedVec("ed").as("qv"))
+    val q = withQ.filter(col("vec_id") === queryId).select(col("qv").as("qq"))
+    withQ.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q)) // 1-row build side
+      .withColumn("qdot", expr(
+        "CAST(aggregate(zip_with(qv, qq, (a, b) -> a * b), 0, (acc, v) -> acc + v) AS BIGINT)"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("qdot"))
+  }
+
+  def q113QuantizedTopK(spark: SparkSession, d: String): DataFrame =
+    quantizedTopK(Tables.embeddings(spark, d), queryId = 0L, k = 10)
+
+  val q113Oracle: String =
+    """WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       nrm AS (SELECT e.vec_id,
+                      sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) AS nn
+               FROM ev e, range(64) r(j) GROUP BY e.vec_id),
+       q AS (SELECT e.vec_id, r.j,
+                    CAST(round(CAST(e.embedding[r.j+1] AS DOUBLE) / nrm.nn * 127) AS BIGINT) AS qc
+             FROM ev e JOIN nrm ON nrm.vec_id = e.vec_id, range(64) r(j)),
+       d AS (SELECT a.vec_id, CAST(sum(a.qc * b.qc) AS BIGINT) AS qdot
+             FROM q a JOIN q b ON a.j = b.j AND b.vec_id = 0 AND a.vec_id <> 0
+             GROUP BY a.vec_id)
+       SELECT vec_id, qdot FROM d ORDER BY qdot DESC, vec_id ASC LIMIT 10"""
   /** IVF (inverted-file) ANN — the partition-pruning scale path: vectors are
     * assigned to their nearest of K centroids once at ingest; a query probes
     * only the `nprobe` closest centroid lists. At 100 TB the assignment
@@ -467,7 +510,8 @@ object Similarity {
     "q35_similarity_ann_lsh" -> q35AnnLsh _,
     "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _,
     "q84_similarity_ann_batch" -> q84AnnBatch _,
-    "q86_kmeans_step" -> q86KmeansStep _)
+    "q86_kmeans_step" -> q86KmeansStep _,
+    "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
     "q35_similarity_ann_lsh" -> q35Oracle,
@@ -476,5 +520,6 @@ object Similarity {
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q36_similarity_embedding_neardup" -> q36Oracle,
     "q84_similarity_ann_batch" -> q84Oracle,
-    "q86_kmeans_step" -> q86Oracle)
+    "q86_kmeans_step" -> q86Oracle,
+    "q113_similarity_quantized" -> q113Oracle)
 }
