@@ -30,6 +30,25 @@ object CryptoFunctions extends Logging {
   def decryptUdf(key: String): UserDefinedFunction =
     udf((t: String) => if (t == null) null else codec(key).decryptString(t))
 
+  /** Per-row-key variants (crypto-shredding / GDPR-delete support): the key
+    * travels as a COLUMN — one key per data subject, held in a small key
+    * table — so destroying a subject's key row renders every token ever
+    * written for that subject permanently undecryptable. Deletion by key
+    * destruction: no 100 TB corpus rewrite, just a one-row delete in the
+    * key table. A null key (post-shred lookup miss) or a MAC failure
+    * (wrong/rotated key) decrypts to null rather than throwing — the
+    * caller counts nulls, it doesn't crash the scan.
+    */
+  def encryptWithKeyUdf: UserDefinedFunction =
+    udf((key: String, s: String) =>
+      if (key == null || s == null) null else codec(key).encryptString(s))
+      .asNondeterministic()
+
+  def decryptWithKeyUdf: UserDefinedFunction =
+    udf((key: String, t: String) =>
+      if (key == null || t == null) null
+      else scala.util.Try(codec(key).decryptString(t)).getOrElse(null))
+
   /** Encrypt `sensitiveColumns ∩ df.columns`, each cell cast to string first
     * (the reference stringifies every cell, pipeline.py:81); warn-and-skip on
     * columns not present.

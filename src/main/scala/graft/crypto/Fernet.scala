@@ -86,6 +86,15 @@ object Fernet {
     encodeB64Url(bytes)
   }
 
+  /** Deterministic key derivation from a seed string (SHA-256 → 32 bytes →
+    * urlsafe-base64). For per-subject key tables this makes key PROVISIONING
+    * reproducible from a master secret + subject id; shredding then deletes
+    * the derived row (and, in a real deployment, rotates the master).
+    */
+  def deriveKey(seed: String): String =
+    encodeB64Url(java.security.MessageDigest.getInstance("SHA-256")
+      .digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   private[crypto] def encodeB64Url(b: Array[Byte]): String =
     Base64.getUrlEncoder.encodeToString(b)
 

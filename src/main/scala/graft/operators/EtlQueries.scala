@@ -481,7 +481,78 @@ object EtlQueries {
        CAST(1 AS BIGINT) AS n_files_compacted
        FROM documents"""
 
+  // ---------------------------------------------------------------- q116
+  /** Crypto-shredding (GDPR delete by key destruction): every subject's
+    * data is encrypted under a per-subject key from a small key table;
+    * "delete user X" destroys X's key ROW — all of X's tokens across the
+    * whole corpus become permanently undecryptable without rewriting a
+    * byte of the 100 TB store. Driven end-to-end: derive per-user keys,
+    * encrypt each user's events under their key (key table broadcast),
+    * shred keys for users ≡ 0 (mod 7), then decrypt with the post-shred
+    * table (left join ⇒ null key ⇒ null plaintext). Per-user readable
+    * counts are deterministic → full DuckDB oracle.
+    */
+  def q116CryptoShred(spark: SparkSession, d: String): DataFrame = {
+    val crypto = graft.crypto.CryptoFunctions
+    val events = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val deriveKey = udf((uid: Long) => graft.crypto.Fernet.deriveKey(s"graft-u$uid"))
+    val keys = events.select(col("user_id")).distinct()
+      .withColumn("ukey", deriveKey(col("user_id")))
+    val enc = events.join(broadcast(keys), "user_id")
+      .withColumn("token", crypto.encryptWithKeyUdf(col("ukey"), col("event_type")))
+      .drop("ukey")
+    val postShred = keys.filter(col("user_id") % 7 =!= 0)
+    enc.join(broadcast(postShred), Seq("user_id"), "left")
+      .withColumn("plain", crypto.decryptWithKeyUdf(col("ukey"), col("token")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("plain") === col("event_type")).as("n_readable"))
+      .select(col("user_id"), col("n_events"), col("n_readable"),
+        (col("user_id") % 7 === 0).as("shredded"))
+      .orderBy(col("user_id"))
+  }
+
+  val q116Oracle: String =
+    """SELECT user_id, count(*) AS n_events,
+       CAST(CASE WHEN user_id % 7 = 0 THEN 0 ELSE count(*) END AS BIGINT) AS n_readable,
+       user_id % 7 = 0 AS shredded
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  // ---------------------------------------------------------------- q117
+  /** Parquet schema evolution via mergeSchema: half the corpus written at
+    * schema v1 (doc_id, lang), half at v2 (+ n_chars); a merged read must
+    * union the schemas and null-fill the missing column — the
+    * landing-zone reality of any long-lived dataset (writers upgrade at
+    * different times). Counts are deterministic → full oracle. At 100 TB
+    * mergeSchema's footer-union cost is why production tables pin the
+    * contract in a metastore (q89's drift check is the gate); the READ
+    * semantics certified here are the same.
+    */
+  def q117SchemaMerge(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Scratch.dir("schema_merge")
+    val docs = Tables.documents(spark, d)
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      lit(merged.columns.length.toLong).as("n_cols"),
+      count_if(col("n_chars").isNull).as("n_chars_missing"),
+      count_if(col("n_chars").isNotNull).as("n_chars_present"))
+  }
+
+  val q117Oracle: String =
+    """SELECT count(*) AS n_rows, CAST(3 AS BIGINT) AS n_cols,
+       CAST(count_if(doc_id % 2 = 0) AS BIGINT) AS n_chars_missing,
+       CAST(count_if(doc_id % 2 <> 0) AS BIGINT) AS n_chars_present
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_crypto_shred" -> q116CryptoShred _,
+    "q117_schema_merge" -> q117SchemaMerge _,
     "q115_compaction" -> q115Compaction _,
     "q111_zorder_layout" -> q111ZorderLayout _,
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
@@ -499,6 +570,8 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q116_crypto_shred" -> q116Oracle,
+    "q117_schema_merge" -> q117Oracle,
     "q115_compaction" -> q115Oracle,
     "q111_zorder_layout" -> q111Oracle,
     "q26_encrypt_roundtrip" -> q26Oracle,

@@ -145,6 +145,25 @@ class Round4Spec extends SparkSuite {
     assert(got == Set("b"))
   }
 
+  test("crypto-shred: null key and wrong key decrypt to null, right key round-trips") {
+    import spark.implicits._
+    import graft.crypto.{CryptoFunctions, Fernet}
+    val k1 = Fernet.deriveKey("subject-1")
+    val k2 = Fernet.deriveKey("subject-2")
+    val df = Seq(("secret", k1)).toDF("v", "k")
+      .withColumn("token", CryptoFunctions.encryptWithKeyUdf(col("k"), col("v")))
+    val r = df.select(
+      CryptoFunctions.decryptWithKeyUdf(col("k"), col("token")).as("right_key"),
+      CryptoFunctions.decryptWithKeyUdf(lit(k2), col("token")).as("wrong_key"),
+      CryptoFunctions.decryptWithKeyUdf(lit(null).cast("string"), col("token")).as("shredded"))
+      .collect().head
+    assert(r.getString(0) == "secret")
+    assert(r.isNullAt(1)) // MAC failure -> null, not an exception
+    assert(r.isNullAt(2)) // destroyed key -> null
+    // derivation is deterministic: same seed, same key
+    assert(Fernet.deriveKey("subject-1") == k1)
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
