@@ -63,4 +63,28 @@ class DeterminismSpec extends SparkSuite {
       graft.operators.Sampling.q73StratifiedSample(spark, sf).collect().toSeq)
     assert(at2 == at16)
   }
+
+  test("q109 star connected components are bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Dedup.q109StarClusters(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Dedup.q109StarClusters(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
+
+  test("q113 quantized ANN ranking is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Similarity.q113QuantizedTopK(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Similarity.q113QuantizedTopK(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
+
+  test("q112 incremental aggregate maintenance is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Cdc.q112IncrementalAgg(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Cdc.q112IncrementalAgg(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
 }
