@@ -36,17 +36,34 @@ object EtlQueries {
   val q26Oracle: String = "SELECT count(*) AS n_ok FROM customer"
 
   // ---------------------------------------------------------------- q27
-  /** Raw encryption projection (nondeterministic tokens — random IV — so no
-    * value oracle; driver records the rows-only check). Mirrors
-    * `encrypt_data` semantics: targeted column replaced by Fernet tokens,
-    * other columns untouched (/root/reference/pipeline.py:76-84).
+  /** Column encryption at scale, CERTIFIED per row (tokens themselves are
+    * nondeterministic — random IV — but every deterministic CLAIM about
+    * them is oracle-checkable, the q26 pattern row-wise): the targeted
+    * column's token must (a) carry the Fernet 0x80 version byte ("gA"
+    * prefix in urlsafe-base64 until 2106), (b) differ from the plaintext,
+    * and (c) decrypt back to the original under the key; the untargeted
+    * c_mktsegment column must pass through untouched (emitted as a hard
+    * value). Mirrors `encrypt_data` semantics incl. the warn+skip on a
+    * missing target column (/root/reference/pipeline.py:76-84).
     */
-  def q27EncryptTokens(spark: SparkSession, d: String): DataFrame =
+  def q27EncryptTokens(spark: SparkSession, d: String): DataFrame = {
+    val dec = CryptoFunctions.decryptUdf(TestKey)
+    val base = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     CryptoFunctions.encryptColumns(
-      Tables.customer(spark, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-      Seq("c_name", "not_a_column"), // missing column → warn+skip, reference parity
-      TestKey)
+        base.withColumn("c_plain", col("c_name")),
+        Seq("c_name", "not_a_column"), // missing column → warn+skip, reference parity
+        TestKey)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_name").startsWith("gA") && col("c_name") =!= col("c_plain"))
+          .as("token_ok"),
+        (dec(col("c_name")) === col("c_plain")).as("roundtrip_ok"))
       .orderBy(col("c_custkey"))
+  }
+
+  val q27Oracle: String =
+    """SELECT c_custkey, c_mktsegment, true AS token_ok, true AS roundtrip_ok
+       FROM customer ORDER BY c_custkey"""
 
   // ---------------------------------------------------------------- q28
   /** CSV ingest round-trip: export nation to CSV, re-read with whole-file
@@ -570,6 +587,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q27_encrypt_tokens" -> q27Oracle,
     "q116_crypto_shred" -> q116Oracle,
     "q117_schema_merge" -> q117Oracle,
     "q115_compaction" -> q115Oracle,
