@@ -95,9 +95,113 @@ object Curation {
        FROM deduped GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q118
+  /** Distributed prefix sum — the scalable form of `sum() OVER (ORDER BY …
+    * ROWS UNBOUNDED PRECEDING)`, which Spark executes in ONE partition for
+    * a global ordering (the classic window scalability trap). Two-phase
+    * instead: local cumulative sums inside fixed-width id buckets (window
+    * partitioned BY bucket — parallel), bucket totals rolled into bucket
+    * offsets (a window over the tiny bucket list), offsets joined back
+    * (broadcast — one row per bucket). Exact same result, no single-task
+    * bottleneck at any corpus size.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bucket", floor(col(orderCol) / bucketWidth))
+    val local = bucketed.withColumn("__local_cum",
+      sum(col(valueCol)).over(Window.partitionBy(col("__bucket"))
+        .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("__bucket_sum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bucket_sum")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn("cum", col("__local_cum") + col("__offset"))
+      .drop("__bucket", "__local_cum", "__offset")
+  }
+
+  /** Sequence packing (GPT-style concat-and-chunk): documents are
+    * concatenated in doc_id order and split into fixed token-budget
+    * windows; a doc's pack is where its first token lands. The cumulative
+    * token count comes from [[prefixSum]] — the packing of a 100 TB corpus
+    * never funnels through one task. Emits per-pack doc/token counts.
+    * Deterministic → full oracle (DuckDB's global window sum is the
+    * semantic spec the two-phase prefix sum must equal).
+    */
+  val Q118PackBudget = 4096L
+
+  def q118SequencePacking(spark: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    prefixSum(docs, "doc_id", "n_tokens", bucketWidth = 100L)
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / Q118PackBudget))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("pack_tokens"))
+      .orderBy(col("pack_id"))
+  }
+
+  val q118Oracle: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT CAST((cum - n_tokens) // ${Q118PackBudget} AS BIGINT) AS pack_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       FROM c GROUP BY pack_id ORDER BY pack_id"""
+
+  // ---------------------------------------------------------------- q119
+  /** Corpus mixing to target proportions — the "data recipe" stage of a
+    * training run (X% web, Y% code, Z% reference…): per source, take
+    * exactly ⌊weight·budget⌋ documents, chosen by consistent hash order
+    * (lowest xxhash64 first) so the selection is a pure function of ids —
+    * reproducible across runs and cluster sizes, and nested under budget
+    * growth the way [[Sampling]] fractions nest. Selection counts are
+    * deterministic (= least(⌊w·B⌋, available)) → full oracle.
+    */
+  val Q119Budget = 400L
+  val Q119Weights: Map[String, Double] = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  def q119CorpusMix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weight = Q119Weights.foldLeft(lit(-1.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    graft.sources.Tables.documents(spark, d)
+      .withColumn("__w", weight).filter(col("__w") > 0)
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(xxhash64(lit(119L), col("doc_id")).asc, col("doc_id").asc)))
+      .filter(col("__rn") <= floor(col("__w") * Q119Budget))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        min(col("doc_id")).isNotNull.as("deterministic"))
+      .orderBy(col("source"))
+  }
+
+  val q119Oracle: String = {
+    val cases = Q119Weights.map { case (s, w) =>
+      s"WHEN '$s' THEN ${math.floor(w * Q119Budget).toLong}"
+    }.mkString(" ")
+    s"""SELECT source,
+       CAST(least(CASE source $cases END, count(*)) AS BIGINT) AS n_selected,
+       true AS deterministic
+       FROM documents WHERE source IN (${Q119Weights.keys.map("'" + _ + "'").mkString(", ")})
+       GROUP BY source ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_sequence_packing" -> q118SequencePacking _,
+    "q119_corpus_mix" -> q119CorpusMix _,
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q118_sequence_packing" -> q118Oracle,
+    "q119_corpus_mix" -> q119Oracle,
     "q69_curation_pipeline" -> q69Oracle)
 }

@@ -808,6 +808,38 @@ object Relational {
              ORDER BY n DESC, l_partkey ASC LIMIT 20)
        ORDER BY n DESC, l_partkey ASC"""
 
+  // ---------------------------------------------------------------- q120
+  /** MERGEABLE distinct-count sketches (DataSketches HLL via Spark's
+    * hll_sketch_agg/hll_union_agg) — the pre-aggregation pattern that makes
+    * 100 TB distinct counts cheap: each partition/day/source builds its own
+    * KB-sized sketch ONCE; any later rollup UNIONS sketches instead of
+    * re-scanning rows. Driven as two disjoint half-corpus sketches per
+    * order status, unioned, estimated, and certified against the exact
+    * distinct count (HLL lgK=12 ⇒ ~1.6% standard error; the 5% bound is
+    * >3σ — the q10/q62 certified-sketch pattern).
+    */
+  def q120HllMerge(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_custkey"), col("o_orderkey"))
+    def half(p: Int) = orders.filter(pmod(col("o_orderkey"), lit(2)) === p)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val unioned = half(0).unionByName(half(1))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(unioned, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= lit(0.05) * col("n_exact") + lit(1.0))
+          .as("merge_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q120Oracle: String =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact, true AS merge_ok
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   // ---------------------------------------------------------------- q67
   /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
     * each document's token array with positions (the UDTF-shaped operator
@@ -897,9 +929,11 @@ object Relational {
     "q17_set_ops" -> q17SetOps _,
     "q18_sql_values" -> q18SqlValues _,
     "q76_unpivot" -> q76Unpivot _,
-    "q77_cms_heavy_hitters" -> q77CmsHeavyHitters _)
+    "q77_cms_heavy_hitters" -> q77CmsHeavyHitters _,
+    "q120_hll_sketch_merge" -> q120HllMerge _)
 
   val oracles: Map[String, String] = Map(
+    "q120_hll_sketch_merge" -> q120Oracle,
     "q91_topk_udaf" -> q91Oracle,
     "q67_lateral_explode" -> q67Oracle,
     "q61_median_exact" -> q61Oracle,

@@ -164,6 +164,34 @@ class Round4Spec extends SparkSuite {
     assert(Fernet.deriveKey("subject-1") == k1)
   }
 
+  test("distributed prefixSum equals the single-partition global window sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse, unordered ids across many buckets, incl. empty buckets
+    val rows = Seq(3L -> 10L, 250L -> 7L, 1L -> 5L, 999L -> 2L, 500L -> 1L,
+      501L -> 4L, 100L -> 9L).map { case (id, v) => (id, v) }
+    val df = rows.toDF("id", "v")
+    val got = Curation.prefixSum(df, "id", "v", bucketWidth = 100L)
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spec = df.withColumn("cum", sum(col("v")).over(Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(got == spec)
+  }
+
+  test("q119 corpus mix selects exactly floor(weight*budget) per source, deterministically") {
+    val a = Curation.q119CorpusMix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Curation.q119CorpusMix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // 25 docs per source at sf0.001; budget 400 → floor caps bind at 25
+    Curation.Q119Weights.foreach { case (s, w) =>
+      assert(a(s) == math.min(math.floor(w * Curation.Q119Budget).toLong, 25L))
+    }
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
