@@ -26,6 +26,25 @@ object Dedup {
     */
   val MaxBucketSize = 1000
 
+  /** Per-bucket truncation report for the MinHash banding — one row per
+    * OVERFLOWING (band_id, band_key) bucket with kept/dropped counts, empty
+    * ⇒ the LSH pass was exact. The [[graft.operators.Linkage.blockOverflow]]
+    * pattern: truncation must be observable, not discovered by recall loss.
+    */
+  def minhashBucketOverflow(docs: DataFrame,
+                            maxBucketSize: Int = MaxBucketSize): DataFrame =
+    minhashSignatures(docs).select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band_id", "band_key")))
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+      .select(col("band_id"), col("band_key"), col("bucket_size"),
+        lit(maxBucketSize).cast("long").as("kept"),
+        (col("bucket_size") - maxBucketSize).as("dropped"))
+
   /** Exact near-clone of `dropDuplicates`, but deterministic: keeps the
     * minimum doc_id per identical text. One shuffle, keyed by a PAIR of
     * independent 64-bit content hashes — 16 bytes of key instead of the full

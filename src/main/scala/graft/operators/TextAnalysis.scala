@@ -511,7 +511,55 @@ object TextAnalysis {
        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        GROUP BY word ORDER BY n DESC, word LIMIT 50"""
 
+  // ---------------------------------------------------------------- q121
+  /** Markup/boilerplate stripping — the first stage of any web-corpus
+    * pipeline (raw HTML → trainable text): drop script/style blocks
+    * wholesale (their CONTENT is not text), strip remaining tags, unescape
+    * the common entities, collapse whitespace. Pure codegen'd
+    * `regexp_replace` chain, map-only — at 100 TB this runs at scan speed
+    * with zero shuffle. Patterns are RE2-compatible (no backreferences) so
+    * the oracle engine replays them exactly.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val unescaped = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTags, "&amp;", "&"),
+        "&lt;", "<"),
+      "&gt;", ">")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Driven end-to-end with a ROUND-TRIP certificate: each document is
+    * deterministically wrapped in realistic markup (nav boilerplate, a
+    * script block, entity-escaped content) and stripping must recover
+    * exactly the original text plus the boilerplate words — per-row
+    * equality against the known expected string, aggregated to certified
+    * counts. Fully deterministic → full oracle.
+    */
+  def q121StripMarkup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var t = 1 < 2;</script></head>"),
+      lit("<body><nav>home</nav><div class=\"main\"><p>"),
+      col("text"),
+      lit("</p></div><footer>&copy; site</footer></body></html>"))
+    val expected = concat(lit("home "), col("text"), lit(" &copy; site"))
+    docs.select(col("doc_id"), stripMarkup(html).as("clean"), expected.as("exp"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("clean") === col("exp")).as("n_roundtrip"),
+        count_if(col("clean").contains("<script") ||
+          col("clean").contains("var t")).as("n_script_leaks"))
+  }
+
+  val q121Oracle: String =
+    """SELECT count(*) AS n_docs, count(*) AS n_roundtrip,
+       CAST(0 AS BIGINT) AS n_script_leaks
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_strip_markup" -> q121StripMarkup _,
     "q105_text_vocab_topk" -> q105VocabTopK _,
     "q94_text_repetition" -> q94TextRepetition _,
     "q95_text_decontamination" -> q95Decontamination _,
@@ -526,6 +574,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q121_strip_markup" -> q121Oracle,
     "q105_text_vocab_topk" -> q105Oracle,
     "q94_text_repetition" -> q94Oracle,
     "q95_text_decontamination" -> q95Oracle,

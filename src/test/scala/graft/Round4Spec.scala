@@ -192,6 +192,32 @@ class Round4Spec extends SparkSuite {
     }
   }
 
+  test("minhashBucketOverflow: identical-text flood overflows, healthy corpus reports empty") {
+    import spark.implicits._
+    // 120 identical docs share every band bucket -> 8 overflowing buckets
+    val flood = (0 until 120).map(i =>
+      (i.toLong, "the same exact boilerplate text repeated in every document forever and ever amen"))
+      .toDF("doc_id", "text")
+    val over = Dedup.minhashBucketOverflow(flood, maxBucketSize = 100).collect()
+    assert(over.length == Dedup.NumBands)
+    over.foreach { r =>
+      assert(r.getAs[Long]("bucket_size") == 120L)
+      assert(r.getAs[Long]("dropped") == 20L)
+    }
+    val healthy = Dedup.minhashBucketOverflow(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(healthy.isEmpty)
+  }
+
+  test("stripMarkup survives script blocks containing '<' and collapses whitespace") {
+    import spark.implicits._
+    val html = Seq(
+      "<html><script>if (a < b) { x(); }</script><p>Hello  &amp;\n<b>world</b></p></html>")
+      .toDF("h")
+    val got = html.select(TextAnalysis.stripMarkup(col("h")).as("c")).collect().head.getString(0)
+    assert(got == "Hello & world")
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
