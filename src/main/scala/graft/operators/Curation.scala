@@ -3,7 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The end-to-end training-corpus curation pipeline — the workflow the
   * individual operators exist for, composed: quality gate → exact dedup →
@@ -195,12 +195,65 @@ object Curation {
        GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q122
+  /** URL canonicalization — the prerequisite of web-corpus dedup (the same
+    * page arrives as `HTTPS://Site.com:443/p?utm_source=x#frag` and
+    * `https://site.com/p`): lowercase the scheme+authority (never the
+    * path — paths are case-sensitive), drop the fragment, strip default
+    * ports, and remove `utm_*` tracking parameters while preserving the
+    * order of the rest. Pure codegen'd string/HOF expressions, map-only.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    val rest = substring(noFrag, length(head) + 1, lit(1000000))
+    val authority = regexp_replace(
+      regexp_replace(lower(head), "^(https://[^/?]*):443$", "$1"),
+      "^(http://[^/?]*):80$", "$1")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val query = when(rest.contains("?"), regexp_replace(rest, "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val keptParams = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+    concat(authority, path,
+      when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams)))
+  }
+
+  /** Driven end-to-end with a closed-form oracle: synthetic dirty URLs
+    * (uppercase authority, default port, utm params, fragment) built from
+    * doc ids, where two docs (id ≡ id+250 mod 500 … differing only in
+    * tracking params) collapse to one canonical URL — exactly the dedup
+    * win canonicalization exists for. Emits the collapse counts plus the
+    * canonical form of doc 0 as a hard value.
+    */
+  def q122UrlCanonicalize(spark: SparkSession, d: String): DataFrame = {
+    val dirty = concat(
+      lit("HTTPS://WWW.Example.COM:443/Articles/"), (col("doc_id") % 250).cast("string"),
+      lit("/page.html?utm_source=feed&id="), (col("doc_id") % 250).cast("string"),
+      lit("&utm_campaign=c"), col("doc_id").cast("string"), lit("#section-2"))
+    graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), canonicalizeUrl(dirty).as("canon"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("sample_canon"))
+  }
+
+  val q122Oracle: String =
+    """SELECT count(*) AS n_urls,
+       CAST(count(DISTINCT doc_id % 250) AS BIGINT) AS n_canonical,
+       'https://www.example.com/Articles/' ||
+         CAST(min(doc_id % 250) AS VARCHAR) || '/page.html?id=' ||
+         CAST(min(doc_id % 250) AS VARCHAR) AS sample_canon
+       FROM documents"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_url_canonicalize" -> q122UrlCanonicalize _,
     "q118_sequence_packing" -> q118SequencePacking _,
     "q119_corpus_mix" -> q119CorpusMix _,
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q122_url_canonicalize" -> q122Oracle,
     "q118_sequence_packing" -> q118Oracle,
     "q119_corpus_mix" -> q119Oracle,
     "q69_curation_pipeline" -> q69Oracle)

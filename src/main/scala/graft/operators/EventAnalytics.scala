@@ -149,13 +149,74 @@ object EventAnalytics {
        FROM activity a JOIN cohorts c ON a.user_id = c.user_id
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------- q124
+  /** Rolling-window anomaly detection (monitoring over the event stream):
+    * per user, each event's value is compared against the trailing-7-day
+    * mean + 3σ. Cross-engine determinism uses the q53 discipline inside a
+    * RANGE window: the only windowed aggregations are exact integer-cents
+    * moments (n, Σc, Σc² — DECIMAL(38,0) sums of long products), and mean/
+    * variance derive from them with textually identical double formulas on
+    * both sides, so the 3σ comparison lands on identical bits. One
+    * event-time RANGE frame per user — no self-join; at scale this is a
+    * single window pass over user-partitioned data.
+    */
+  def q124RollingAnomaly(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-604800000000L, 0L)
+    val dec = "decimal(38,0)"
+    ev.withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("vc").cast(dec)).over(w))
+      .withColumn("sxx", sum((col("vc") * col("vc")).cast(dec)).over(w))
+      .withColumn("mean_c", col("sx").cast("double") / col("n"))
+      .withColumn("var_c",
+        col("sxx").cast("double") / col("n") - col("mean_c") * col("mean_c"))
+      .withColumn("is_anomaly",
+        col("n") >= 5 &&
+          col("vc").cast("double") > col("mean_c") + lit(3.0) * sqrt(greatest(col("var_c"), lit(0.0))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), count_if(col("is_anomaly")).as("n_anomalies"))
+      .orderBy(col("user_id"))
+  }
+
+  val q124Oracle: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(ts) AS tus,
+                CAST(round(value * 100) AS BIGINT) AS vc
+         FROM events),
+       win AS (
+         SELECT user_id, vc,
+                count(*) OVER w AS n,
+                sum(CAST(vc AS DECIMAL(38,0))) OVER w AS sx,
+                sum(CAST(vc * vc AS DECIMAL(38,0))) OVER w AS sxx
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+       flags AS (
+         SELECT user_id,
+                n >= 5 AND CAST(vc AS DOUBLE) >
+                  CAST(sx AS DOUBLE) / n +
+                  3.0 * sqrt(greatest(CAST(sxx AS DOUBLE) / n -
+                    (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0))
+                AS is_anomaly
+         FROM win)
+       SELECT user_id, count(*) AS n_events,
+              CAST(count_if(is_anomaly) AS BIGINT) AS n_anomalies
+       FROM flags GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_gap_fill" -> q106GapFill _,
     "q107_funnel" -> q107Funnel _,
-    "q108_cohort_retention" -> q108CohortRetention _)
+    "q108_cohort_retention" -> q108CohortRetention _,
+    "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
     "q106_gap_fill" -> q106Oracle,
     "q107_funnel" -> q107Oracle,
-    "q108_cohort_retention" -> q108Oracle)
+    "q108_cohort_retention" -> q108Oracle,
+    "q124_rolling_anomaly" -> q124Oracle)
 }
