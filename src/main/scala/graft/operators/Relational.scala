@@ -840,6 +840,35 @@ object Relational {
     """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact, true AS merge_ok
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q123
+  /** Frequent co-occurrence pairs (market-basket): which parts ship
+    * together in the same order. The pair join is keyed by the BASKET id —
+    * co-partitioned self-join, per-basket cost k² with k = basket size
+    * (≤12 in this fixture, bounded in any real order table), never corpus².
+    * The same shape mines n-gram co-occurrence or co-cited documents at
+    * 100 TB: shuffle once on the container key, explode pairs locally.
+    * Deterministic counts + total tie-broken ordering → full oracle.
+    */
+  def q123FrequentPairs(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q123Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""
+
   // ---------------------------------------------------------------- q67
   /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
     * each document's token array with positions (the UDTF-shaped operator
@@ -930,10 +959,12 @@ object Relational {
     "q18_sql_values" -> q18SqlValues _,
     "q76_unpivot" -> q76Unpivot _,
     "q77_cms_heavy_hitters" -> q77CmsHeavyHitters _,
-    "q120_hll_sketch_merge" -> q120HllMerge _)
+    "q120_hll_sketch_merge" -> q120HllMerge _,
+    "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
     "q120_hll_sketch_merge" -> q120Oracle,
+    "q123_frequent_pairs" -> q123Oracle,
     "q91_topk_udaf" -> q91Oracle,
     "q67_lateral_explode" -> q67Oracle,
     "q61_median_exact" -> q61Oracle,

@@ -80,6 +80,14 @@ class DeterminismSpec extends SparkSuite {
     assert(at2 == at16)
   }
 
+  test("q118 distributed prefix-sum packing is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Curation.q118SequencePacking(spark, sf).collect().toSeq)
+    val at16 = withShufflePartitions("16")(
+      graft.operators.Curation.q118SequencePacking(spark, sf).collect().toSeq)
+    assert(at2 == at16)
+  }
+
   test("q112 incremental aggregate maintenance is bit-identical across partition counts") {
     val at2 = withShufflePartitions("2")(
       graft.operators.Cdc.q112IncrementalAgg(spark, sf).collect().toSeq)
