@@ -55,6 +55,9 @@ object Linkage {
     val a = guarded.as("a")
     val b = guarded.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      // length prefilter: |len(a) − len(b)| > maxDist can never match, and
+      // the integer compare is ~free next to even an early-exiting DP call
+      .filter(abs(length(col("a.name")) - length(col("b.name"))) <= maxDist)
       // thresholded levenshtein early-exits at maxDist+1 (returns -1 beyond)
       .withColumn("dist",
         levenshtein(col("a.name"), col("b.name"), maxDist).cast("long"))

@@ -319,14 +319,19 @@ object Similarity {
     * full value oracle with no certification detour. Max |dot| ≤ 64·127² ≈
     * 10⁶, far inside int range (no ANSI overflow).
     */
-  def quantizedVec(edCol: String): Column =
-    expr(s"""transform($edCol,
-         x -> CAST(round(x / sqrt(aggregate($edCol, CAST(0.0 AS DOUBLE),
-                                            (acc, v) -> acc + v * v)) * 127) AS INT))""")
+  /** int8 quantization of a normalized vector. The norm is hoisted to its
+    * own column first — inlining `aggregate(ed, …)` inside the `transform`
+    * lambda re-evaluates the whole-vector fold PER ELEMENT (O(d²) work per
+    * row: 2.3M mults at d=1536), where the hoisted form is O(d).
+    */
+  def quantizedVec(edCol: String, normCol: String): Column =
+    expr(s"transform($edCol, x -> CAST(round(x / $normCol * 127) AS INT))")
 
   def quantizedTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val withQ = emb.withColumn("ed", expr(toDouble))
-      .select(col("vec_id"), quantizedVec("ed").as("qv"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(ed, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"))
+      .select(col("vec_id"), quantizedVec("ed", "nrm").as("qv"))
     val q = withQ.filter(col("vec_id") === queryId).select(col("qv").as("qq"))
     withQ.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q)) // 1-row build side

@@ -218,6 +218,21 @@ class Round4Spec extends SparkSuite {
     assert(got == "Hello & world")
   }
 
+  test("canonicalizeUrl edge cases: ports, case, fragments, utm stripping, bare paths") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://Host.COM:443/Path?a=1&utm_x=2&b=3#f" -> "https://host.com/Path?a=1&b=3",
+      "http://HOST.com:80/p"                        -> "http://host.com/p",
+      "https://host.com:8443/p"                     -> "https://host.com:8443/p", // non-default port kept
+      "https://host.com/p?utm_only=1"               -> "https://host.com/p",      // query vanishes entirely
+      "https://host.com/CaseSensitive/Path"         -> "https://host.com/CaseSensitive/Path",
+      "https://host.com"                            -> "https://host.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Curation.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+  }
+
   test("fuzzySelfJoin: blocks under the cap are untouched (q98 overflow report is empty)") {
     val overflow = Linkage.blockOverflow(
       graft.sources.Tables.customer(spark, sf).withColumnRenamed("c_name", "name"),
