@@ -190,6 +190,69 @@ object Dedup {
        true AS planted_ok
        FROM documents WHERE doc_id < 50"""
 
+  /** Near-dup detection AGAINST a reference corpus (cross-corpus LSH): which
+    * incoming docs near-duplicate ANY reference doc — "dedup this crawl
+    * against the last training run", where the reference is 100× the batch.
+    * Same banding as [[minhashNearDups]] but the candidate join is
+    * incoming-bands ⋈ corpus-bands (an equi-join of two different tables,
+    * not a self-join): cost is Σ per-bucket |in|·|ref|, and only band keys
+    * shuffle. Corpus-side buckets are capped (MaxBucketSize) — a degenerate
+    * reference bucket must not quadratize the probe. Candidates verify by
+    * exact hashed-shingle Jaccard. Output: (in_id, ref_id, jaccard).
+    */
+  def minhashNearDupsAgainst(incoming: DataFrame, corpus: DataFrame,
+                             threshold: Double): DataFrame = {
+    def banded(docs: DataFrame, idOut: String) =
+      minhashSignatures(docs).select(
+          col("doc_id").as(idOut),
+          posexplode(expr(
+            s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+            .as(Seq("band_id", "band_key")))
+    val inB = banded(incoming, "in_id")
+    val refB = banded(corpus, "ref_id")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_key")).orderBy(col("ref_id"))))
+      .filter(col("rnk") <= MaxBucketSize)
+      .drop("rnk")
+    val candidates = inB.join(refB, Seq("band_id", "band_key"))
+      .select(col("in_id"), col("ref_id")).distinct()
+    val sIn = minhashSignatures(incoming)
+      .select(col("doc_id").as("in_id"), col("shingles").as("sh_in"))
+    val sRef = minhashSignatures(corpus)
+      .select(col("doc_id").as("ref_id"), col("shingles").as("sh_ref"))
+    candidates.join(sIn, "in_id").join(sRef, "ref_id")
+      .withColumn("jaccard", expr(
+        "CAST(size(array_intersect(sh_in, sh_ref)) AS DOUBLE) / size(array_union(sh_in, sh_ref))"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_id"), col("ref_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- q125
+  /** Cross-corpus near-dup driven end-to-end with the planted-exact-copy
+    * certificate (q31's zero-failure argument, cross-corpus shape): the
+    * incoming batch is 50 exact copies of corpus docs (identical text ⇒
+    * identical signature ⇒ shares every band bucket with its original ⇒
+    * MUST be recovered at Jaccard exactly 1.0 against ref_id = in_id − 10⁶).
+    */
+  def q125CrossCorpusNearDup(spark: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val incoming = corpus.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val pairs = minhashNearDupsAgainst(incoming, corpus, 0.5)
+    pairs.filter(col("ref_id") === col("in_id") - 1000000L)
+      .agg(count(lit(1)).as("n_recovered"),
+        count_if(col("jaccard") === 1.0).as("n_jaccard_one"))
+      .select(col("n_recovered"), col("n_jaccard_one"),
+        (col("n_recovered") === 50 && col("n_jaccard_one") === 50).as("planted_ok"))
+  }
+
+  val q125Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_recovered,
+       CAST(count(*) AS BIGINT) AS n_jaccard_one,
+       true AS planted_ok
+       FROM documents WHERE doc_id < 50"""
+
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word hashes: per bit, sum ±1 weighted by token
     * hash bit, sign → fingerprint bit. Hamming-close fingerprints = near
@@ -606,7 +669,8 @@ object Dedup {
     "q33_dedup_ngram_jaccard" -> q33NgramJaccard _,
     "q83_dedup_bloom" -> q83BloomDedup _,
     "q97_dedup_clusters" -> q97DedupClusters _,
-    "q109_star_clusters" -> q109StarClusters _)
+    "q109_star_clusters" -> q109StarClusters _,
+    "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Oracle,
@@ -615,5 +679,6 @@ object Dedup {
     "q33_dedup_ngram_jaccard" -> q33Oracle,
     "q83_dedup_bloom" -> q83Oracle,
     "q97_dedup_clusters" -> q97Oracle,
-    "q109_star_clusters" -> q109Oracle)
+    "q109_star_clusters" -> q109Oracle,
+    "q125_crosscorpus_neardup" -> q125Oracle)
 }
