@@ -169,11 +169,89 @@ object Cdc {
        SELECT o_orderstatus, n_rows, c / 100.0 AS total, true AS incremental_ok
        FROM a ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q126
+  /** SCD Type-2 history build — turn two table snapshots into versioned
+    * dimension rows with validity ranges (the warehouse-history op that
+    * makes "what was this customer's segment LAST March" answerable):
+    *  - unchanged row → one open version (valid_from = v1 date);
+    *  - changed row → the old version CLOSED at the v2 date + a new open
+    *    version;
+    *  - deleted row → old version closed; added row → new open version.
+    * Same one full-outer co-partitioned join as [[snapshotDiff]] — the
+    * history is derived columnar from the (old, new) pair, no second pass.
+    * Restricted to keys IN the delta (unchanged keys emit no new history).
+    */
+  def scd2Delta(older: DataFrame, newer: DataFrame, keyCol: String,
+                compareCols: Seq[String], v1Date: String, v2Date: String): DataFrame = {
+    val o = older.select((keyCol +: compareCols).map(col): _*).as("o")
+    val n = newer.select((keyCol +: compareCols).map(col): _*).as("n")
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    val changed = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    val inDelta = joined.filter(
+      col(s"o.$keyCol").isNull || col(s"n.$keyCol").isNull || changed)
+    val closedOld = inDelta.filter(col(s"o.$keyCol").isNotNull)
+      .select((col(s"o.$keyCol").as(keyCol) +:
+        compareCols.map(c => col(s"o.$c").as(c))) ++
+        Seq(lit(v1Date).as("valid_from"), lit(v2Date).as("valid_to")): _*)
+    val openNew = inDelta.filter(col(s"n.$keyCol").isNotNull)
+      .select((col(s"n.$keyCol").as(keyCol) +:
+        compareCols.map(c => col(s"n.$c").as(c))) ++
+        Seq(lit(v2Date).as("valid_from"), lit(null).cast("string").as("valid_to")): _*)
+    closedOld.unionByName(openNew)
+  }
+
+  /** SCD2 over q102's evolved snapshot — fully deterministic → full oracle
+    * replaying the same evolution and history rules.
+    */
+  def q126Scd2(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val evolved = orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    scd2Delta(orders, evolved, "o_orderkey", Seq("o_orderstatus", "o_totalprice"),
+        v1Date = "2024-01-01", v2Date = "2024-02-01")
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
+  val q126Oracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       n AS (
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM o WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+         FROM o WHERE o_orderkey % 500 = 0),
+       j AS (
+         SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                o.o_orderstatus AS os, o.o_totalprice AS op,
+                n.o_orderstatus AS ns, n.o_totalprice AS np
+         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+       d AS (
+         SELECT * FROM j
+         WHERE ok IS NULL OR nk IS NULL
+            OR os IS DISTINCT FROM ns OR op IS DISTINCT FROM np)
+       SELECT ok AS o_orderkey, os AS o_orderstatus, op AS o_totalprice,
+              '2024-01-01' AS valid_from, '2024-02-01' AS valid_to
+       FROM d WHERE ok IS NOT NULL
+       UNION ALL
+       SELECT nk, ns, np, '2024-02-01', NULL FROM d WHERE nk IS NOT NULL
+       ORDER BY o_orderkey, valid_from"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_snapshot_diff" -> q102SnapshotDiff _,
-    "q112_incremental_agg" -> q112IncrementalAgg _)
+    "q112_incremental_agg" -> q112IncrementalAgg _,
+    "q126_scd2_history" -> q126Scd2 _)
 
   val oracles: Map[String, String] = Map(
     "q102_snapshot_diff" -> q102Oracle,
-    "q112_incremental_agg" -> q112Oracle)
+    "q112_incremental_agg" -> q112Oracle,
+    "q126_scd2_history" -> q126Oracle)
 }
