@@ -567,7 +567,63 @@ object EtlQueries {
        CAST(count_if(doc_id % 2 <> 0) AS BIGINT) AS n_chars_present
        FROM documents"""
 
+  // ---------------------------------------------------------------- q127
+  /** Corrupt-record handling on CSV ingest — the landing-zone reality the
+    * reference's chunked pandas reader silently mangles (bad rows shift
+    * dtypes per chunk, SURVEY §0.2-7): typed read in PERMISSIVE mode keeps
+    * malformed rows with nulls + the raw line in `_corrupt_record` (triage
+    * stays queryable), DROPMALFORMED read yields exactly the clean subset.
+    * Planted malformed lines (non-integer keys) make every count
+    * deterministic → full oracle. At 100 TB the PERMISSIVE pass is the
+    * right default: one scan classifies good/bad instead of failing the
+    * job on row 10⁹.
+    */
+  def q127CorruptRecords(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = graft.core.Scratch.dir("corrupt_csv")
+    val good = Tables.nation(spark, d)
+      .select(concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+    val bad = spark.createDataset(Seq(
+      "oops,BADROW1,notanint", "x,BADROW2,y", "12.5,BADROW3,zz"))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType), StructField("_corrupt_record", StringType)))
+    // Spark refuses to FILTER on _corrupt_record straight off raw CSV
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize the parsed rows first
+    // — which is what a landing-zone triage does anyway (park the classified
+    // batch, then route good/bad downstream).
+    val parsedDir = graft.core.Scratch.dir("corrupt_csv_parsed")
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .write.mode("overwrite").parquet(parsedDir)
+    val permissive = spark.read.parquet(parsedDir)
+    val dropped = spark.read.schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    val p = permissive.agg(
+      count(lit(1)).as("n_total"),
+      count_if(col("_corrupt_record").isNull).as("n_good"),
+      count_if(col("_corrupt_record").isNotNull).as("n_corrupt"))
+    // count a TYPED column, not count(*): a bare count prunes every column,
+    // the CSV reader then counts raw lines without parsing, and
+    // DROPMALFORMED has nothing to drop (malformedness is only detected on
+    // columns the query actually reads)
+    val q = dropped.agg(count(col("n_nationkey")).as("n_dropmalformed"))
+    p.crossJoin(q) // two 1-row aggregates
+  }
+
+  val q127Oracle: String =
+    """SELECT CAST(count(*) + 3 AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(count(*) AS BIGINT) AS n_dropmalformed
+       FROM nation"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_corrupt_records" -> q127CorruptRecords _,
     "q116_crypto_shred" -> q116CryptoShred _,
     "q117_schema_merge" -> q117SchemaMerge _,
     "q115_compaction" -> q115Compaction _,
@@ -587,6 +643,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q127_corrupt_records" -> q127Oracle,
     "q27_encrypt_tokens" -> q27Oracle,
     "q116_crypto_shred" -> q116Oracle,
     "q117_schema_merge" -> q117Oracle,
