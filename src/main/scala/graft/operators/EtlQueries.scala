@@ -622,7 +622,45 @@ object EtlQueries {
        CAST(count(*) AS BIGINT) AS n_dropmalformed
        FROM nation"""
 
+  // ---------------------------------------------------------------- q128
+  /** Dynamic partition overwrite — the incremental-write lever for
+    * partitioned 100 TB tables: `overwrite` in dynamic mode replaces ONLY
+    * the partitions present in the incoming frame, so a daily refresh
+    * rewrites one day's directory, not the table (static mode would wipe
+    * everything else — the difference between an O(delta) and an O(table)
+    * write). Driven end-to-end: full partitioned write, then an overwrite
+    * containing only repriced 1-URGENT rows; the read-back must show the
+    * touched partition replaced and every other partition byte-intact.
+    * Deterministic → full oracle. Conf is scoped set→write→restore.
+    */
+  def q128DynamicOverwrite(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Scratch.dir("dyn_overwrite")
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q128Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END
+                     AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_dynamic_overwrite" -> q128DynamicOverwrite _,
     "q127_corrupt_records" -> q127CorruptRecords _,
     "q116_crypto_shred" -> q116CryptoShred _,
     "q117_schema_merge" -> q117SchemaMerge _,
@@ -643,6 +681,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q128_dynamic_overwrite" -> q128Oracle,
     "q127_corrupt_records" -> q127Oracle,
     "q27_encrypt_tokens" -> q27Oracle,
     "q116_crypto_shred" -> q116Oracle,
