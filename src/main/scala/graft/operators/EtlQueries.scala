@@ -659,7 +659,110 @@ object EtlQueries {
                      AS DECIMAL(25,6))) AS DOUBLE) AS total_price
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---------------------------------------------------------------- q129
+  /** Dynamic partition pruning: the fact table is laid out partitioned by
+    * priority, and the partitions to read are known only through a JOIN —
+    * a dimension filtered on an attribute (`tier = 'expedite'`) that the
+    * fact table doesn't carry. Static pruning (q100) can't help; Spark
+    * instead reuses the dimension's broadcast as a runtime partition filter
+    * (`dynamicpruningexpression` in the scan's PartitionFilters, asserted
+    * in PlanSpec). This is THE selective-star-join scan lever at 100 TB: a
+    * date-partitioned fact joined to a filtered date dim reads only the
+    * matching partitions without the query author naming them.
+    */
+  def q129DynamicPartitionPruning(spark: SparkSession, d: String): DataFrame = {
+    val dir = graft.core.Scratch.dir("dpp_orders")
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // The dim must be a real datasource: a VALUES relation constant-folds to
+    // a bare LocalRelation before the PartitionPruning optimizer batch runs,
+    // leaving no selective Filter node to justify the pruning subquery.
+    val dimDir = graft.core.Scratch.dir("dpp_dim")
+    spark.sql(
+      """SELECT * FROM VALUES
+           ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+           ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+           ('5-LOW', 'standard') AS t(priority, tier)""")
+      .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.join(broadcast(dim.filter(col("tier") === "expedite")),
+        col("o_orderpriority") === col("priority"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  val q129Oracle: String =
+    """SELECT priority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM orders
+       JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+                    ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+                    ('5-LOW', 'standard')) AS t(priority, tier)
+         ON o_orderpriority = priority
+       WHERE tier = 'expedite'
+       GROUP BY priority ORDER BY priority"""
+
+  // ---------------------------------------------------------------- q130
+  /** Runtime bloom-filter join pushdown (`InjectRuntimeFilter`): for a
+    * shuffle join whose build side is small-but-not-broadcast-worthy after
+    * a selective filter, Spark 3.3+ aggregates a bloom filter over the
+    * build keys and injects `might_contain` into the probe scan — probe
+    * rows that can't join are dropped BEFORE the shuffle. At 100 TB this is
+    * the difference between shuffling the whole fact table and shuffling
+    * the ~matching fraction. The application-side size threshold defaults
+    * to 10 GB (fixture scans would never qualify), so the conf is scoped
+    * set→materialize→restore, the q128 pattern; the filtered result is
+    * staged to scratch parquet while the conf is active because plan
+    * optimization is lazy. PlanSpec asserts `might_contain` in the plan.
+    */
+  def q130BloomFilterJoin(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.core.Scratch.dir("bloom_join_out")
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // InjectRuntimeFilter only fires for probably-SHUFFLE joins (it checks
+    // build-side size vs the broadcast threshold, not the final strategy),
+    // so broadcast is disabled for the scope — which is exactly the 100 TB
+    // situation being modeled: a build side too big to broadcast but still
+    // selective enough to prefilter the probe.
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevEnabled = spark.conf.get(enabledKey)
+    val prevScan = spark.conf.get(scanKey)
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(enabledKey, "true")
+    spark.conf.set(scanKey, "0")
+    spark.conf.set(bcastKey, "-1")
+    try {
+      val li = Tables.lineitem(spark, d)
+      val o = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+      li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.core.Exact.dsum(col("l_extendedprice")).as("total_price"))
+        .write.mode("overwrite").parquet(out)
+    } finally {
+      spark.conf.set(enabledKey, prevEnabled)
+      spark.conf.set(scanKey, prevScan)
+      spark.conf.set(bcastKey, prevBcast)
+    }
+    spark.read.parquet(out).orderBy(col("l_returnflag"))
+  }
+
+  val q130Oracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_dpp_join" -> q129DynamicPartitionPruning _,
+    "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q128_dynamic_overwrite" -> q128DynamicOverwrite _,
     "q127_corrupt_records" -> q127CorruptRecords _,
     "q116_crypto_shred" -> q116CryptoShred _,
@@ -681,6 +784,8 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q129_dpp_join" -> q129Oracle,
+    "q130_bloom_filter_join" -> q130Oracle,
     "q128_dynamic_overwrite" -> q128Oracle,
     "q127_corrupt_records" -> q127Oracle,
     "q27_encrypt_tokens" -> q27Oracle,

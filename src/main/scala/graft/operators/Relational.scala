@@ -924,7 +924,109 @@ object Relational {
          FROM orders)
        WHERE rn <= 3 ORDER BY o_orderstatus, rn"""
 
+  // ---------------------------------------------------------------- q131
+  /** TPC-H Q5-shaped six-table star join: revenue per nation for one region
+    * and one order year, with the customer-and-supplier-in-the-same-nation
+    * twist that makes Q5 a join-graph (not a chain). The 100 TB plan story:
+    * the ONLY big-big edge is lineitem⋈orders (both fact-scale → one
+    * shuffle, sort-merge); supplier/customer/nation/region are all
+    * broadcast, so four of the five joins are shuffle-free, and the date +
+    * region predicates reach the scans (PushedFilters). Catalyst is free to
+    * reorder the bushy graph — the declared plan pins only what matters
+    * (which sides broadcast).
+    */
+  def q131StarJoin(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q131Oracle: String =
+    """SELECT n_name, count(*) AS n_lineitems,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY n_name"""
+
+  // ---------------------------------------------------------------- q132
+  /** Winsorization (outlier clamping at exact per-group p01/p99) — the
+    * classic robust-statistics cleanup a training-data pipeline runs before
+    * fitting anything. Percentile thresholds are defined by RANK, not by an
+    * engine's interpolation flavor: row_number over a total order
+    * (value, orderkey, linenumber) picks the elements at ceil(0.01·n) and
+    * ceil(0.99·n), so both engines select the same physical rows and the
+    * result is bit-reproducible (the q61 exact-median pattern). The 3-row
+    * bounds table broadcasts back onto the scan, so the clamp pass is
+    * map-only; the exact winsorized sum uses the repo-wide decimal contract.
+    * At 100 TB the rank pass is the cost (a per-group sort); with only a
+    * handful of groups you'd range-partition by (group, value) first — the
+    * same layout q111's z-order write produces.
+    */
+  def q132Winsorize(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+    val bounds = ranked
+      .filter(expr("rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice") < col("lo") || col("l_extendedprice") > col("hi"))
+          .cast("long")).as("n_clamped"),
+        dsum(least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .as("winsorized_sum"),
+        min(col("lo")).as("p01"), min(col("hi")).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q132Oracle: String =
+    """WITH r AS (
+         SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM lineitem),
+       b AS (
+         SELECT l_returnflag, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+         FROM r WHERE rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)
+         GROUP BY l_returnflag)
+       SELECT l.l_returnflag, count(*) AS n_rows,
+         CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+         CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(25,6))) AS DOUBLE) AS winsorized_sum,
+         min(lo) AS p01, min(hi) AS p99
+       FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+       GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_star_join" -> q131StarJoin _,
+    "q132_winsorize" -> q132Winsorize _,
     "q91_topk_udaf" -> q91TopKUdaf _,
     "q67_lateral_explode" -> q67LateralExplode _,
     "q61_median_exact" -> q61MedianExact _,
@@ -963,6 +1065,8 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q131_star_join" -> q131Oracle,
+    "q132_winsorize" -> q132Oracle,
     "q120_hll_sketch_merge" -> q120Oracle,
     "q123_frequent_pairs" -> q123Oracle,
     "q91_topk_udaf" -> q91Oracle,

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators._
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 (continued) specs: runtime-filter plan levers (dynamic partition
+  * pruning, bloom-filter join pushdown), the TPC-H Q5-shaped star join, and
+  * exact-rank winsorization.
+  */
+class Round5Spec extends SparkSuite {
+
+  test("q129: partitioned scan carries a dynamicpruning partition filter") {
+    val df = EtlQueries.q129DynamicPartitionPruning(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery in the partition filters, got:\n${plan.take(2000)}")
+    // and the result itself: only the two expedite priorities survive
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1-URGENT", "2-HIGH"))
+  }
+
+  test("q130: scoped runtime-filter conf injects might_contain into the probe side") {
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevEnabled = spark.conf.get(enabledKey)
+    val prevScan = spark.conf.get(scanKey)
+    val prevBcast = spark.conf.get(bcastKey)
+    spark.conf.set(enabledKey, "true")
+    spark.conf.set(scanKey, "0")
+    spark.conf.set(bcastKey, "-1")
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val o = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"expected an injected bloom filter on the probe side, got:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set(enabledKey, prevEnabled)
+      spark.conf.set(scanKey, prevScan)
+      spark.conf.set(bcastKey, prevBcast)
+    }
+  }
+
+  test("q130: bloom-filtered join result equals the plain join") {
+    val got = EtlQueries.q130BloomFilterJoin(spark, sf).collect()
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q131: star join matches the SQL formulation and broadcasts every dim") {
+    val df = Relational.q131StarJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    // exactly one shuffle-requiring join edge (lineitem⋈orders) may sort-merge
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      "only the fact-fact edge may shuffle")
+
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => graft.sources.Tables.table(spark, sf, t).createOrReplaceTempView(s"v_$t"))
+    val want = spark.sql(
+      """SELECT n_name, count(*) AS n_lineitems,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         FROM v_customer, v_orders, v_lineitem, v_supplier, v_nation, v_region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY n_name""").collect()
+    assert(df.collect().toSeq == want.toSeq)
+  }
+
+  test("q132: winsorized sum is bounded by raw sum and clamps < 2.5% of rows") {
+    val rows = Relational.q132Winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      val clamped = r.getAs[Long]("n_clamped")
+      val p01 = r.getAs[Double]("p01")
+      val p99 = r.getAs[Double]("p99")
+      assert(p01 <= p99)
+      // by construction at most ~1% clamp on each tail
+      assert(clamped <= math.ceil(n * 0.025).toLong, s"clamped=$clamped of n=$n")
+      assert(clamped > 0, "fixture tails should clamp at least one row")
+    }
+  }
+
+  test("q132: clamp bounds are real elements of the column") {
+    val bounds = Relational.q132Winsorize(spark, sf)
+      .select(col("l_returnflag"), col("p01"), col("p99")).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    bounds.foreach { r =>
+      val vals = li(r.getString(0))
+      assert(vals.contains(r.getDouble(1)) && vals.contains(r.getDouble(2)),
+        "rank-selected thresholds must be actual column values")
+    }
+  }
+}
