@@ -137,12 +137,70 @@ object Profiling {
        SELECT check_name, n_violations, n_violations = 0 AS passed
        FROM r ORDER BY check_name"""
 
+  // ---------------------------------------------------------------- q134
+  /** Equi-depth (quantile) binning — the feature-bucketization step that
+    * turns a numeric column into balanced categorical deciles. The naive
+    * formulation is `ntile(10) OVER (ORDER BY …)`, which Spark executes in
+    * ONE task for a global ordering; this operator computes the identical
+    * result with the q118 two-phase shape instead: fixed-width value
+    * buckets give a parallel per-bucket `row_number`, the tiny per-bucket
+    * count list rolls into offsets, global rank = offset + local rank, and
+    * the ntile bucket falls out arithmetically (first n%k buckets take
+    * ⌈n/k⌉ rows — the SQL-standard definition, so DuckDB's native ntile is
+    * the independent spec it must equal). Total order ties break by
+    * o_orderkey → bit-deterministic at any parallelism.
+    */
+  val Q134Tiles = 10
+
+  def q134EquidepthBins(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("__bucket", floor(col("o_totalprice") / 25000.0))
+    val local = o.withColumn("__local_rank",
+      row_number().over(Window.partitionBy(col("__bucket"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+    val offsets = o.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val n1 = o.agg(count(lit(1)).as("__n"))
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn("__rank", col("__offset") + col("__local_rank"))
+      .crossJoin(broadcast(n1))
+      .withColumn("decile", expr(
+        s"""CAST(CASE
+              WHEN __rank <= (__n % $Q134Tiles) * (__n div $Q134Tiles + 1)
+              THEN (__rank - 1) div (__n div $Q134Tiles + 1) + 1
+              ELSE __n % $Q134Tiles
+                   + (__rank - (__n % $Q134Tiles) * (__n div $Q134Tiles + 1) - 1)
+                     div (__n div $Q134Tiles) + 1
+            END AS BIGINT)"""))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("bin_sum"))
+      .orderBy(col("decile"))
+  }
+
+  val q134Oracle: String =
+    s"""WITH t AS (SELECT o_totalprice,
+         CAST(ntile($Q134Tiles) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+         FROM orders)
+       SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
+         max(o_totalprice) AS hi,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bin_sum
+       FROM t GROUP BY decile ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
     "q81_profile" -> q81Profile _,
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,
     "q81_profile" -> q81Oracle,
     "q99_histogram" -> q99Oracle)

@@ -558,7 +558,100 @@ object TextAnalysis {
        CAST(0 AS BIGINT) AS n_script_leaks
        FROM documents"""
 
+  // ---------------------------------------------------------------- q133
+  /** WordPiece-style greedy longest-match tokenization against a broadcast
+    * vocabulary — the per-document tokenize step every training pipeline
+    * runs at corpus scale. The Spark shape is the one that matters at
+    * 100 TB: the vocab (50k entries in production, a toy set here) is a
+    * BROADCAST read-only structure built once per partition inside
+    * `mapPartitions` (the per-partition-init pattern Multimodal's codecs
+    * use — a per-row UDF would re-hash the vocab per call), the tokenize
+    * pass is map-only with zero shuffle, and the only reduce is the
+    * 1-row certificate aggregate. Greedy longest-match: longest vocab
+    * prefix, then longest `##`-continuation, whole word → [UNK] on a dead
+    * end. Single-char + ##char coverage of a–z makes the organic corpus
+    * provably UNK-free (certified); per-token detail is emitted only for
+    * four PLANTED documents whose hand-computed segmentations the oracle
+    * pins as VALUES — the planted-certificate design rule, since DuckDB
+    * cannot replay the tokenizer.
+    */
+  val WordpieceVocab: Seq[String] = {
+    val chars = ('a' to 'z').map(_.toString)
+    val base = Seq("the", "fast", "sort", "spark", "stream", "merge", "cust",
+      "win", "filt", "join", "data", "group", "table", "scan", "part", "key",
+      "order", "row", "query", "slow", "small", "line")
+    val cont = Seq("##omer", "##dow", "##er", "##ing", "##s", "##ed")
+    chars ++ chars.map("##" + _) ++ base ++ cont
+  }
+
+  /** Greedy longest-match WordPiece over one word; [UNK] on any dead end. */
+  def wordpiece(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = math.min(word.length, start + maxLen)
+      var found: String = null
+      while (end > start && found == null) {
+        val sub = word.substring(start, end)
+        val cand = if (start == 0) sub else "##" + sub
+        if (vocab.contains(cand)) found = cand else end -= 1
+      }
+      if (found == null) return Seq("[UNK]")
+      out += found
+      start = end
+    }
+    out.toSeq
+  }
+
+  private val PlantBase = 9000000L
+
+  def q133WordpieceTokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (PlantBase + 1, "customer window filter"),
+      (PlantBase + 2, "the fast sort"),
+      (PlantBase + 3, "spark4me"),
+      (PlantBase + 4, "streaming merges")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val vocabB = spark.sparkContext.broadcast(WordpieceVocab.toSet)
+    val tokenized = docs.as[(Long, String)].mapPartitions { it =>
+      val vocab = vocabB.value
+      val maxLen = vocab.iterator
+        .map(t => if (t.startsWith("##")) t.length - 2 else t.length).max
+      it.map { case (id, text) =>
+        val toks = text.split(' ').iterator.filter(_.nonEmpty)
+          .flatMap(w => wordpiece(w, vocab, maxLen)).toArray
+        (id, toks.length.toLong, toks.count(_ == "[UNK]").toLong,
+          toks.mkString(" "))
+      }
+    }.toDF("doc_id", "n_tokens", "n_unk", "tokens")
+    val cert = tokenized.agg(
+      count(lit(1)).as("corpus_docs"),
+      (sum(when(col("doc_id") < PlantBase, col("n_unk")).otherwise(lit(0L)))
+        === 0).as("corpus_unk_free"))
+    tokenized.filter(col("doc_id") > PlantBase)
+      .crossJoin(broadcast(cert))
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Oracle: String =
+    """SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+         CAST(v.n_tokens AS BIGINT) AS n_tokens,
+         CAST(v.n_unk AS BIGINT) AS n_unk, v.tokens,
+         c.corpus_docs, c.corpus_unk_free
+       FROM (VALUES
+         (9000001, 6, 0, 'cust ##omer win ##dow filt ##er'),
+         (9000002, 3, 0, 'the fast sort'),
+         (9000003, 1, 1, '[UNK]'),
+         (9000004, 4, 0, 'stream ##ing merge ##s'))
+         AS v(doc_id, n_tokens, n_unk, tokens)
+       CROSS JOIN (SELECT CAST(count(*) + 4 AS BIGINT) AS corpus_docs,
+                          true AS corpus_unk_free FROM documents) c
+       ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_wordpiece_tokenize" -> q133WordpieceTokenize _,
     "q121_strip_markup" -> q121StripMarkup _,
     "q105_text_vocab_topk" -> q105VocabTopK _,
     "q94_text_repetition" -> q94TextRepetition _,
@@ -574,6 +667,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q133_wordpiece_tokenize" -> q133Oracle,
     "q121_strip_markup" -> q121Oracle,
     "q105_text_vocab_topk" -> q105Oracle,
     "q94_text_repetition" -> q94Oracle,

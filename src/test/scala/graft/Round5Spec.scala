@@ -99,6 +99,56 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("wordpiece: greedy longest-match, continuation prefixes, UNK dead ends") {
+    val vocab = TextAnalysis.WordpieceVocab.toSet
+    val maxLen = 6
+    assert(TextAnalysis.wordpiece("customer", vocab, maxLen) ==
+      Seq("cust", "##omer"))
+    assert(TextAnalysis.wordpiece("streaming", vocab, maxLen) ==
+      Seq("stream", "##ing"))
+    assert(TextAnalysis.wordpiece("the", vocab, maxLen) == Seq("the"))
+    // falls back to char-by-char, never UNKs on pure a-z
+    assert(TextAnalysis.wordpiece("zzqx", vocab, maxLen) ==
+      Seq("z", "##z", "##q", "##x"))
+    // digit = dead end = whole-word UNK
+    assert(TextAnalysis.wordpiece("spark4me", vocab, maxLen) == Seq("[UNK]"))
+  }
+
+  test("q133: organic corpus certified UNK-free, planted rows exact") {
+    val rows = TextAnalysis.q133WordpieceTokenize(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Boolean]("corpus_unk_free")))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tokens")).toMap
+    assert(byId(9000001L) == "cust ##omer win ##dow filt ##er")
+    assert(byId(9000003L) == "[UNK]")
+  }
+
+  test("q134: two-phase ntile equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Profiling.q134EquidepthBins(spark, sf).collect()
+    val want = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_totalprice"),
+        ntile(Profiling.Q134Tiles)
+          .over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("bin_sum"))
+      .orderBy(col("decile")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q134: result is identical at different parallelism") {
+    val a = Profiling.q134EquidepthBins(spark, sf).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Profiling.q134EquidepthBins(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
