@@ -208,13 +208,87 @@ object EventAnalytics {
               CAST(count_if(is_anomaly) AS BIGINT) AS n_anomalies
        FROM flags GROUP BY user_id ORDER BY user_id"""
 
+  // ---------------------------------------------------------------- q135
+  /** A/B experiment readout — per-variant spend moments and the Welch
+    * t-statistic, the decision metric of every online experiment. Unit of
+    * analysis is the USER (per-user spend first, then variant moments —
+    * variant assignment `user_id % 2` is a pure function of the id, so
+    * assignment is reproducible and consistent across every event a user
+    * emits). Exactness is the q53 integer-cents discipline: per-user cents
+    * sums, variant-level Σx/Σx² as DECIMAL(38,0) (order-independent), and
+    * the mean/variance/t doubles derived with TEXTUALLY IDENTICAL formulas
+    * in both engines — the t-statistic is computed in cents space where the
+    * scale cancels, so not even a /100 separates the engines. Plan: two
+    * hash aggregates (events→users→variants) + a 2-row final pivot; the
+    * events→users shuffle is the only corpus-scale exchange.
+    */
+  private val q135Wide: Seq[(String, String)] = Seq(
+    "n0" -> "max(CASE WHEN variant = 0 THEN n END)",
+    "n1" -> "max(CASE WHEN variant = 1 THEN n END)",
+    "s1_0" -> "max(CASE WHEN variant = 0 THEN s1 END)",
+    "s1_1" -> "max(CASE WHEN variant = 1 THEN s1 END)",
+    "s2_0" -> "max(CASE WHEN variant = 0 THEN s2 END)",
+    "s2_1" -> "max(CASE WHEN variant = 1 THEN s2 END)")
+
+  private val q135Derived: Seq[(String, String)] = Seq(
+    "n_control" -> "cast(n0 as bigint)",
+    "n_treatment" -> "cast(n1 as bigint)",
+    "mean_control" -> "s1_0 / n0 / 100.0",
+    "mean_treatment" -> "s1_1 / n1 / 100.0",
+    "var_control" -> "(n0 * s2_0 - s1_0 * s1_0) / (n0 * (n0 - 1)) / 10000.0",
+    "var_treatment" -> "(n1 * s2_1 - s1_1 * s1_1) / (n1 * (n1 - 1)) / 10000.0",
+    "welch_t" ->
+      ("(s1_1 / n1 - s1_0 / n0) / sqrt(" +
+        "(n1 * s2_1 - s1_1 * s1_1) / (n1 * (n1 - 1)) / n1 + " +
+        "(n0 * s2_0 - s1_0 * s1_0) / (n0 * (n0 - 1)) / n0)"))
+
+  def q135AbTest(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("vc"))
+      .groupBy(col("user_id"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("spend"))
+      .withColumn("variant", expr("user_id % 2"))
+    val m = users.groupBy(col("variant")).agg(
+      expr("cast(count(*) as double)").as("n"),
+      expr("cast(sum(cast(spend as decimal(38,0))) as double)").as("s1"),
+      expr("cast(sum(cast(spend * spend as decimal(38,0))) as double)").as("s2"))
+    m.agg(q135Wide.head match { case (a, e) => expr(e).as(a) },
+        q135Wide.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      .select(q135Derived.map { case (a, e) => expr(e).as(a) }: _*)
+  }
+
+  val q135Oracle: String = {
+    val wide = q135Wide.map { case (a, e) => s"$e AS $a" }.mkString(",\n           ")
+    val derived = q135Derived.map { case (a, e) => s"$e AS $a" }.mkString(",\n         ")
+    s"""WITH c AS (
+         SELECT user_id, cast(round(value * 100) as bigint) AS vc
+         FROM events WHERE event_type = 'purchase'),
+       u AS (
+         SELECT user_id, user_id % 2 AS variant,
+           cast(sum(cast(vc as decimal(38,0))) as bigint) AS spend
+         FROM c GROUP BY user_id),
+       m AS (
+         SELECT variant, cast(count(*) as double) AS n,
+           cast(sum(cast(spend as decimal(38,0))) as double) AS s1,
+           cast(sum(cast(spend * spend as decimal(38,0))) as double) AS s2
+         FROM u GROUP BY variant),
+       w AS (
+         SELECT $wide
+         FROM m)
+       SELECT $derived
+       FROM w"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_ab_test" -> q135AbTest _,
     "q106_gap_fill" -> q106GapFill _,
     "q107_funnel" -> q107Funnel _,
     "q108_cohort_retention" -> q108CohortRetention _,
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q135_ab_test" -> q135Oracle,
     "q106_gap_fill" -> q106Oracle,
     "q107_funnel" -> q107Oracle,
     "q108_cohort_retention" -> q108Oracle,

@@ -149,6 +149,32 @@ class Round5Spec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q135: user split is exhaustive, moments match a naive recompute") {
+    val r = EventAnalytics.q135AbTest(spark, sf).collect().head
+    val users = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("spend"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (ctrl, treat) = users.partition(_._1 % 2 == 0)
+    assert(r.getAs[Long]("n_control") == ctrl.length &&
+      r.getAs[Long]("n_treatment") == treat.length)
+    def mean(xs: Array[(Long, Long)]) = xs.map(_._2).sum.toDouble / xs.length / 100.0
+    assert(math.abs(r.getAs[Double]("mean_control") - mean(ctrl)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_treatment") - mean(treat)) < 1e-9)
+    assert(!r.getAs[Double]("welch_t").isNaN)
+    assert(r.getAs[Double]("var_control") > 0 && r.getAs[Double]("var_treatment") > 0)
+  }
+
+  test("q135: bit-identical at different parallelism") {
+    val a = EventAnalytics.q135AbTest(spark, sf).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(EventAnalytics.q135AbTest(spark, sf).collect().toSeq == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
