@@ -414,7 +414,79 @@ object StreamingOps {
     """SELECT event_type, count(*) AS n FROM (SELECT DISTINCT event_id, event_type FROM events)
        GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q136
+  final case class SpendState(n_events: Long, cents: Long, max_value: Double)
+  final case class UserSpend(user_id: Long, n_events: Long, total_value: Double,
+                             max_value: Double)
+
+  /** Per-user running spend through the state-v2 API (`transformWithState`
+    * + `StatefulProcessor` + typed `ValueState`), Spark 4's replacement for
+    * mapGroupsWithState: explicit state variables with per-variable
+    * encoders and TTL, timers, and a RocksDB-backed store (state no longer
+    * bounded by executor heap — the 100 TB keyspace requirement). Same
+    * exact-integer-cents discipline as q46: the accumulator is a long, so
+    * the emitted totals are independent of per-key arrival order and the
+    * query carries a full value oracle. TTLConfig.NONE because the fixture
+    * replay must see every user's complete history; a production session
+    * store would pass a Duration here and let the store expire idle keys.
+    */
+  class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserSpend] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[SpendState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SpendState](
+        "spend", Encoders.product[SpendState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: streaming.TimerValues): Iterator[UserSpend] = {
+      val prev = Option(state.get()).getOrElse(SpendState(0L, 0L, Double.MinValue))
+      val batch = rows.toSeq
+      val updated = SpendState(
+        prev.n_events + batch.size,
+        prev.cents + batch.map(e => Math.round(e.value * 100)).sum,
+        math.max(prev.max_value, batch.map(_.value).max))
+      state.update(updated)
+      Iterator.single(UserSpend(key, updated.n_events,
+        updated.cents / 100.0, updated.max_value))
+    }
+  }
+
+  def q136TransformWithState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = eventsStream(spark, d)
+        .select(col("user_id"), col("ts").cast("timestamp"),
+          col("event_type"), col("value"))
+        .as[UserEvent]
+      val out = stream.groupByKey(_.user_id)
+        .transformWithState(new SpendProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val name = s"stream_tws_${System.nanoTime()}"
+      val result = runToMemory(spark, out.toDF(), name, OutputMode.Update())
+      // Update mode emits one row per key per batch; keep the last per user.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      result.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .select(col("user_id"), col("n_events"), col("total_value"), col("max_value"))
+        .orderBy(col("user_id"))
+    } finally spark.conf.set(providerKey, prev)
+  }
+
+  val q136Oracle: String =
+    """SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       max(value) AS max_value
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_transform_with_state" -> q136TransformWithState _,
     "q43_stream_tumbling_window" -> q43StreamTumbling _,
     "q44_stream_session_window" -> q44StreamSession _,
     "q45_stream_dedup" -> q45StreamDedup _,
@@ -426,6 +498,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q136_transform_with_state" -> q136Oracle,
     "q43_stream_tumbling_window" -> q43Oracle,
     "q44_stream_session_window" -> q44Oracle,
     "q45_stream_dedup" -> q45Oracle,

@@ -175,6 +175,24 @@ class Round5Spec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q136: transformWithState totals equal the batch aggregate, provider restored") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.get(providerKey)
+    val got = graft.streaming.StreamingOps.q136TransformWithState(spark, sf).collect()
+    assert(spark.conf.get(providerKey) == before, "conf scope must restore")
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(round(value * 100) as bigint)")) / 100.0).as("total_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getDouble(2) == w.getDouble(2) && g.getDouble(3) == w.getDouble(3))
+    }
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
