@@ -1024,7 +1024,73 @@ object Relational {
        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
 
+  // ---------------------------------------------------------------- q137
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`) — hierarchy/graph walks as
+    * declarative SQL: each recursion step is a distributed JOIN of the
+    * frontier against the table (Spark plans a UnionLoop — the same
+    * iterate-to-fixpoint shape q97's connected components hand-rolls, but
+    * engine-managed). The walk is a binary tree over custkeys (children
+    * 2k/2k+1), so depth counts/sums have a closed form the oracle pins and
+    * the recursion genuinely iterates log₂(n) times. DuckDB runs the
+    * textually identical statement — SQL-standard semantics on both sides.
+    */
+  def q137RecursiveCte(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_rec")
+    spark.sql(
+      """WITH RECURSIVE walk(k, depth) AS (
+           SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+           UNION ALL
+           SELECT c.c_custkey, w.depth + 1
+           FROM walk w JOIN customer_rec c
+             ON c.c_custkey = w.k * 2 OR c.c_custkey = w.k * 2 + 1)
+         SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+         FROM walk GROUP BY depth ORDER BY depth""")
+  }
+
+  val q137Oracle: String =
+    """WITH RECURSIVE walk(k, depth) AS (
+         SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+         UNION ALL
+         SELECT c.c_custkey, w.depth + 1
+         FROM walk w JOIN customer c
+           ON c.c_custkey = w.k * 2 OR c.c_custkey = w.k * 2 + 1)
+       SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+       FROM walk GROUP BY depth ORDER BY depth"""
+
+  // ---------------------------------------------------------------- q138
+  /** Correlated LATERAL subquery — per-row dependent subqueries as a join:
+    * top-2 orders for each customer, where the subquery references the
+    * outer row (q67's LATERAL VIEW only explodes; this is the correlated
+    * form). Catalyst decorrelates the LIMIT-per-key subquery into a
+    * window-rank under the hood — the q16 plan — so the declarative form
+    * costs what the hand-written one does. Ties broken by o_orderkey →
+    * total order → full oracle (DuckDB runs the identical statement).
+    */
+  def q138LateralTopk(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, d).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer_lat,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+         WHERE c_custkey < 100
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
+  val q138Oracle: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+       FROM customer,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+       WHERE c_custkey < 100
+       ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_recursive_cte" -> q137RecursiveCte _,
+    "q138_lateral_topk" -> q138LateralTopk _,
     "q131_star_join" -> q131StarJoin _,
     "q132_winsorize" -> q132Winsorize _,
     "q91_topk_udaf" -> q91TopKUdaf _,
@@ -1065,6 +1131,8 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q137_recursive_cte" -> q137Oracle,
+    "q138_lateral_topk" -> q138Oracle,
     "q131_star_join" -> q131Oracle,
     "q132_winsorize" -> q132Oracle,
     "q120_hll_sketch_merge" -> q120Oracle,

@@ -159,7 +159,37 @@ object Scalars {
          ed[1] AS first_val, ed[len(ed)] AS last_val
        FROM e ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------- q139
+  /** Semi-structured VARIANT (Spark 4): `parse_json` decodes the payload
+    * ONCE into a binary-encoded variant; `variant_get` does typed path
+    * extraction without a declared schema — the open-schema ingestion
+    * answer where q22's from_json needs the shape up front. At 100 TB the
+    * variant encoding is the point: parse cost paid once at ingest, fields
+    * extracted columnar-shredded downstream instead of re-parsing JSON text
+    * per query. The extraction is deterministic → full oracle via DuckDB's
+    * json_extract on the same paths.
+    */
+  def q139VariantJson(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        graft.core.Exact.dsum(col("value")).as("total_value"))
+      .orderBy(col("k_bucket"))
+
+  val q139Oracle: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_variant_json" -> q139VariantJson _,
     "q68_array_funcs" -> q68ArrayFuncs _,
     "q19_string_funcs" -> q19StringFuncs _,
     "q20_date_funcs" -> q20DateFuncs _,
@@ -167,6 +197,7 @@ object Scalars {
     "q22_json_funcs" -> q22JsonFuncs _)
 
   val oracles: Map[String, String] = Map(
+    "q139_variant_json" -> q139Oracle,
     "q68_array_funcs" -> q68Oracle,
     "q19_string_funcs" -> q19Oracle,
     "q20_date_funcs" -> q20Oracle,

@@ -193,6 +193,46 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("q137: recursive walk matches the closed form on full levels") {
+    val rows = Relational.q137RecursiveCte(spark, sf).collect()
+    val maxKey = graft.sources.Tables.customer(spark, sf)
+      .agg(max(col("c_custkey"))).collect().head.getLong(0)
+    // while the level fits under maxKey the tree is complete: 2^d nodes,
+    // Σk over level d = Σ(2^d .. 2^(d+1)-1)
+    rows.zipWithIndex.takeWhile { case (_, d) => (1L << (d + 1)) - 1 <= maxKey }
+      .foreach { case (r, d) =>
+        assert(r.getInt(0) == d && r.getLong(1) == (1L << d))
+        val lo = 1L << d
+        val hi = (1L << (d + 1)) - 1
+        assert(r.getLong(2) == (lo + hi) * (hi - lo + 1) / 2)
+      }
+    assert(rows.length >= 7, "recursion must actually iterate")
+  }
+
+  test("q138: correlated LATERAL equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.q138LateralTopk(spark, sf).collect()
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = graft.sources.Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q139: variant extraction equals the schema'd from_json route") {
+    val viaVariant = graft.sources.Tables.events(spark, sf)
+      .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .agg(sum(col("k")), count(col("k"))).collect().head
+    val viaSchema = graft.sources.Tables.events(spark, sf)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .agg(sum(col("k")), count(col("k"))).collect().head
+    assert(viaVariant == viaSchema)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
