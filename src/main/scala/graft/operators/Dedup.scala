@@ -662,7 +662,74 @@ object Dedup {
               count(*) OVER (PARTITION BY component) AS cluster_size
        FROM comp ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q140
+  /** EXACT all-pairs set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family) — the deterministic counterpart to MinHash-LSH
+    * when the dedup pipeline cannot tolerate false negatives. Candidate
+    * generation joins only each document's PREFIX tokens: with tokens
+    * globally ordered rarest-first, any pair with Jaccard ≥ t must share a
+    * token within the first |x| − ⌈t·|x|⌉ + 1 tokens of both sides
+    * (Bayardo et al., WWW'07), so the inverted-index join runs over ~20%
+    * of the postings at t=0.8 — and those are the RAREST tokens, whose
+    * posting lists are shortest, which is what kills the quadratic blowup
+    * q33's every-shared-word join pays. Verification is per-candidate
+    * `array_intersect` on the sorted token arrays — O(|x|+|y|) per pair,
+    * map-side after one broadcast-friendly join. Because the algorithm is
+    * exact, the oracle is the algorithm-independent brute force: equality
+    * against DuckDB's all-shared-words formulation proves no candidate was
+    * missed, not just that the survivors score right.
+    */
+  def prefixFilterJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // global document frequency; rarest-first, ties by word → total order
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val prefixed = words.join(broadcast(freq), "word")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("word"))))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("word"))
+    val cands = prefixed.as("a")
+      .join(prefixed.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    cands
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def q140PrefixFilterJoin(spark: SparkSession, d: String): DataFrame =
+    prefixFilterJoin(Tables.documents(spark, d).filter(col("doc_id") < 300), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Brute force (every shared word generates the candidate) — deliberately
+    * NOT the prefix algorithm, so equality certifies candidate completeness.
+    */
+  val q140Oracle: String =
+    """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                  FROM documents WHERE doc_id < 300),
+       sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_prefix_filter_join" -> q140PrefixFilterJoin _,
     "q30_dedup_exact" -> q30ExactDedup _,
     "q31_dedup_minhash_lsh" -> q31MinhashLsh _,
     "q32_dedup_simhash" -> q32SimhashDedup _,
@@ -673,6 +740,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q140_prefix_filter_join" -> q140Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_dedup_minhash_lsh" -> q31Oracle,
     "q32_dedup_simhash" -> q32Oracle,

@@ -233,6 +233,28 @@ class Round5Spec extends SparkSuite {
     assert(viaVariant == viaSchema)
   }
 
+  test("q140: prefix-filtered join equals the every-shared-word formulation") {
+    val docs = graft.sources.Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val got = Dedup.prefixFilterJoin(docs, 0.8)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+    val want = Dedup.q33NgramJaccard(spark, sf).collect() // same window, naive join
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q140: prefix postings are a strict subset of full postings") {
+    val docs = graft.sources.Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val full = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word")).count()
+    // replicate the prefix stage size: must prune, not just reorder
+    val t = 0.8
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val kept = sizes.select(
+      sum(expr(s"n - CAST(ceil($t * n) AS BIGINT) + 1"))).collect().head.getLong(0)
+    assert(kept < full, s"prefix kept $kept of $full postings")
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
