@@ -280,7 +280,144 @@ object EventAnalytics {
        FROM w"""
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Time-series LINEAR INTERPOLATION fill — the sensor/metrics upgrade of
+    * q106's zero-fill: missing hours take the line between their known
+    * neighbors. No IGNORE-NULLS window (not portable, and Spark's
+    * last_value(ignoreNulls) forces a second sort): the previous/next known
+    * hour are a running max/min of `CASE WHEN known THEN h END` — plain
+    * window aggregates — and the neighbor VALUES come back via two joins on
+    * (user, hour), shuffling only the sparse points table. The grid is
+    * generated from per-user bounds (q106's span-explode rule — never
+    * calendar × corpus); interpolation arithmetic stays INTEGER end to end
+    * — the interpolated series is quantized to milli-cents by floor
+    * division (numerator vp·(hn−h)+vn·(h−hp) is an exact long, ≤7·10¹⁰),
+    * because a double series sum rounds differently at the DECIMAL
+    * boundary in the two engines (Java's shortest-string double→decimal
+    * vs DuckDB's true-binary — a 1e-6 flip per boundary row). Integer in,
+    * integer out → bit-exact, full oracle. Spark spells integer division
+    * `div`, DuckDB `//` (the q61 dialect split).
+    */
+  private def q141Interp(idiv: String): String =
+    "CASE WHEN v IS NOT NULL THEN v * 1000 " +
+      s"ELSE ((vp * (hn - h) + vn * (h - hp)) * 1000) $idiv (hn - hp) END"
+
+  def q141InterpolateFill(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("h"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("v"))
+    val grid = pts.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bounded = grid.join(pts, Seq("user_id", "h"), "left")
+      .withColumn("hp", max(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wPrev))
+      .withColumn("hn", min(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wNext))
+    bounded
+      .join(pts.select(col("user_id"), col("h").as("hp"), col("v").as("vp")),
+        Seq("user_id", "hp"))
+      .join(pts.select(col("user_id"), col("h").as("hn"), col("v").as("vn")),
+        Seq("user_id", "hn"))
+      .withColumn("vmc", expr(q141Interp("div")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("v")).as("n_known"),
+        (count(lit(1)) - count(col("v"))).as("n_interp"),
+        expr("cast(sum(cast(vmc as decimal(38,0))) as bigint)").as("series_mc"))
+      .orderBy(col("user_id"))
+  }
+
+  val q141Oracle: String =
+    s"""WITH pts AS (
+         SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+           cast(sum(cast(cast(round(value * 100) as bigint) as decimal(38,0))) as bigint) AS v
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       grid AS (
+         SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+         FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM pts GROUP BY 1)),
+       bounded AS (
+         SELECT g.user_id, g.h, p.v,
+           max(CASE WHEN p.v IS NOT NULL THEN g.h END) OVER
+             (PARTITION BY g.user_id ORDER BY g.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+           min(CASE WHEN p.v IS NOT NULL THEN g.h END) OVER
+             (PARTITION BY g.user_id ORDER BY g.h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+         FROM grid g LEFT JOIN pts p ON p.user_id = g.user_id AND p.h = g.h),
+       filled AS (
+         SELECT user_id, v, ${q141Interp("//")} AS vmc FROM (
+           SELECT b.user_id AS user_id, b.v AS v, pp.v AS vp, pn.v AS vn,
+                  b.h AS h, b.hp AS hp, b.hn AS hn
+           FROM bounded b
+           JOIN pts pp ON pp.user_id = b.user_id AND pp.h = b.hp
+           JOIN pts pn ON pn.user_id = b.user_id AND pn.h = b.hn))
+       SELECT user_id, count(*) AS n_hours, count(v) AS n_known,
+         count(*) - count(v) AS n_interp,
+         cast(sum(cast(vmc as decimal(38,0))) as bigint) AS series_mc
+       FROM filled GROUP BY user_id ORDER BY user_id"""
+
+  // ---------------------------------------------------------------- q142
+  /** Time-weighted average (TWAP) — the metric that weights each reading by
+    * how long it was current, immune to irregular sampling (a burst of
+    * events no longer dominates the mean the way q135's per-event mean
+    * would). Interval weights are exact integer microseconds from
+    * lead(ts); weighted sums are cents·µs long products (≤5·10¹⁶, no
+    * overflow) accumulated as DECIMAL(38,0); one window pass + one
+    * aggregate, shuffled once on user_id. Final doubles by shared-text
+    * formulas → full oracle.
+    */
+  private val q142Twap: String =
+    "CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0"
+
+  def q142TimeWeightedAvg(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        expr("cast(sum(cast(vc * dt as decimal(38,0))) as decimal(38,0))").as("swv"),
+        expr("cast(sum(cast(dt as decimal(38,0))) as decimal(38,0))").as("sw"))
+      .select(col("user_id"), col("n_intervals"),
+        (col("sw") / lit(3600000000L)).cast(DecimalType(25, 6)).cast("double").as("span_hours"),
+        expr(q142Twap).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  val q142Oracle: String =
+    s"""WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS t,
+           cast(round(value * 100) as bigint) AS vc
+         FROM events),
+       iv AS (
+         SELECT user_id, vc,
+           lead(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+         FROM e),
+       m AS (
+         SELECT user_id, count(*) AS n_intervals,
+           cast(sum(cast(vc * dt as decimal(38,0))) as decimal(38,0)) AS swv,
+           cast(sum(cast(dt as decimal(38,0))) as decimal(38,0)) AS sw
+         FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+       SELECT user_id, n_intervals,
+         CAST(CAST(sw / 3600000000 AS DECIMAL(25,6)) AS DOUBLE) AS span_hours,
+         $q142Twap AS twap
+       FROM m ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_interpolate_fill" -> q141InterpolateFill _,
+    "q142_time_weighted_avg" -> q142TimeWeightedAvg _,
     "q135_ab_test" -> q135AbTest _,
     "q106_gap_fill" -> q106GapFill _,
     "q107_funnel" -> q107Funnel _,
@@ -288,6 +425,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q141_interpolate_fill" -> q141Oracle,
+    "q142_time_weighted_avg" -> q142Oracle,
     "q135_ab_test" -> q135Oracle,
     "q106_gap_fill" -> q106Oracle,
     "q107_funnel" -> q107Oracle,

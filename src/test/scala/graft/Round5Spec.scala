@@ -255,6 +255,54 @@ class Round5Spec extends SparkSuite {
     assert(kept < full, s"prefix kept $kept of $full postings")
   }
 
+  test("q141: grid covers every user's span; interpolated rows fill the gaps exactly") {
+    val rows = EventAnalytics.q141InterpolateFill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, known, interp) =
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("n_known"), r.getAs[Long]("n_interp"))
+      assert(n == known + interp)
+      assert(known >= 1)
+    }
+    // hand-checked miniature: two points, straight line between them
+    import spark.implicits._
+    val mini = Seq((1L, 0L, 100L), (1L, 4L, 500L)).toDF("user_id", "h", "v")
+    // interpolation at h=1,2,3 must be 200,300,400 cents → series (in mc):
+    // 100k + 200k + 300k + 400k + 500k = 1500k
+    val pts = mini
+    val grid = pts.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val series = grid.join(pts, Seq("user_id", "h"), "left")
+      .withColumn("hp", max(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wPrev))
+      .withColumn("hn", min(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wNext))
+      .join(pts.select(col("user_id"), col("h").as("hp"), col("v").as("vp")), Seq("user_id", "hp"))
+      .join(pts.select(col("user_id"), col("h").as("hn"), col("v").as("vn")), Seq("user_id", "hn"))
+      .withColumn("vmc", expr(
+        "CASE WHEN v IS NOT NULL THEN v * 1000 " +
+          "ELSE ((vp * (hn - h) + vn * (h - hp)) * 1000) div (hn - hp) END"))
+      .orderBy(col("h")).select(col("vmc")).collect().map(_.getLong(0))
+    assert(series.toSeq == Seq(100000L, 200000L, 300000L, 400000L, 500000L))
+  }
+
+  test("q142: TWAP lies within [min, max] of the per-user values") {
+    val twap = EventAnalytics.q142TimeWeightedAvg(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("twap")).toMap
+    val bounds = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(min(col("value")), max(col("value")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(twap.nonEmpty)
+    twap.foreach { case (u, t) =>
+      val (lo, hi) = bounds(u)
+      assert(t >= lo - 0.01 && t <= hi + 0.01, s"user $u twap $t outside [$lo,$hi]")
+    }
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
