@@ -485,7 +485,63 @@ object StreamingOps {
        max(value) AS max_value
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  // ---------------------------------------------------------------- q143
+  /** Stream-stream LEFT OUTER interval join driven end-to-end — q110's
+    * missing half: unconverted clicks surface as null-purchase rows once
+    * the watermark PROVES no purchase can still arrive (delayed-null
+    * semantics, the part a batch left join gets for free and streaming has
+    * to earn). Null emission near the stream's end depends on exactly how
+    * far the final watermark advanced — and the GLOBAL watermark is the
+    * MINIMUM over both inputs' (max event-time − delay), so the sparser
+    * side (purchases) is what bounds it. The driven aggregate therefore
+    * restricts itself to the PROVEN region: clicks older than
+    * least(max click ts, max purchase ts) − 60 min (watermark delay 10 +
+    * join window 30 + 20 margin): inside it the stream must have resolved
+    * every click, and the batch left join over the same parquet is an
+    * exact oracle. Matched rows are unaffected by
+    * the restriction logic (they emit immediately); the filter applies
+    * AFTER the join so over-emission outside the region cannot leak in.
+    */
+  def q143StreamOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    val joined = clickPurchaseAttributionOuter(spark, d)
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("value"))
+    val name = s"stream_outer_${System.nanoTime()}"
+    val res = runToMemory(spark, joined, name, OutputMode.Append())
+    val cutoff = graft.sources.Tables.events(spark, d)
+      .agg(
+        max(expr("CASE WHEN event_type = 'click' THEN ts END")).as("mc"),
+        max(expr("CASE WHEN event_type = 'purchase' THEN ts END")).as("mp"))
+      .select(expr("least(mc, mp) - INTERVAL 60 MINUTES").as("cutoff"))
+    res.crossJoin(broadcast(cutoff))
+      .filter(col("click_ts") <= col("cutoff"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        (count(lit(1)) - count(col("purchase_id"))).as("n_unconverted"),
+        graft.core.Exact.dsum(coalesce(col("value"), lit(0.0d))).as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q143Oracle: String =
+    """WITH m AS (SELECT least(
+           max(CASE WHEN event_type = 'click' THEN ts END),
+           max(CASE WHEN event_type = 'purchase' THEN ts END))
+           - INTERVAL 60 MINUTES AS cutoff FROM events),
+       c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id AS pu, ts AS pts, event_id AS purchase_id, value
+             FROM events WHERE event_type = 'purchase')
+       SELECT c.user_id, count(*) AS n_rows, count(purchase_id) AS n_matched,
+         count(*) - count(purchase_id) AS n_unconverted,
+         CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
+       FROM c CROSS JOIN m
+       LEFT JOIN p ON pu = c.user_id AND pts >= cts
+                  AND pts <= cts + INTERVAL 30 MINUTES
+       WHERE cts <= m.cutoff
+       GROUP BY c.user_id ORDER BY c.user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_stream_outer_join" -> q143StreamOuterJoin _,
     "q136_transform_with_state" -> q136TransformWithState _,
     "q43_stream_tumbling_window" -> q43StreamTumbling _,
     "q44_stream_session_window" -> q44StreamSession _,
@@ -498,6 +554,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q143_stream_outer_join" -> q143Oracle,
     "q136_transform_with_state" -> q136Oracle,
     "q43_stream_tumbling_window" -> q43Oracle,
     "q44_stream_session_window" -> q44Oracle,
