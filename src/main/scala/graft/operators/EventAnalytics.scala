@@ -415,7 +415,111 @@ object EventAnalytics {
          $q142Twap AS twap
        FROM m ORDER BY user_id"""
 
+  // ---------------------------------------------------------------- q144
+  /** Event-transition matrix (first-order Markov counts + probabilities):
+    * per user, each event's successor by time; counts per (from → to) pair
+    * over the whole corpus — the session-flow mining behind "what do users
+    * do after a click". One window pass (lead over the per-user time
+    * order, ties broken by event_id → deterministic) + one vocabulary-
+    * sized aggregate; probabilities are integer-count ratios derived with
+    * shared-text division → bit-exact, full oracle.
+    */
+  def q144TransitionMatrix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("event_type"))
+      .agg(expr("cast(sum(n) as bigint)").as("tot"))
+    trans.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        expr("CAST(n AS DOUBLE) / tot").as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val q144Oracle: String =
+    """WITH t AS (
+         SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events),
+       c AS (SELECT event_type, next_type, count(*) AS n
+             FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       SELECT c.event_type, c.next_type, c.n, CAST(n AS DOUBLE) / tot AS p
+       FROM c JOIN tot ON c.event_type = tot.event_type
+       ORDER BY c.event_type, c.next_type"""
+
+  // ---------------------------------------------------------------- q145
+  /** Per-user OLS trend slope — "is this user's spend rising?" — from the
+    * q53 exact-integer-moment machinery: x = whole minutes since the
+    * user's first event (integer, ≤43k over the 30-day span — squares stay
+    * tiny), y = integer cents; n/Σx/Σy/Σxy/Σx² accumulate as
+    * DECIMAL(38,0), and slope/intercept come from textually identical
+    * double formulas → bit-exact at any parallelism. Degenerate users
+    * (all events in one minute) are filtered by an exact decimal
+    * denominator test, not a double epsilon. One window (per-user min) +
+    * one aggregate; shuffles on user_id once.
+    */
+  private val q145Derived: Seq[(String, String)] = Seq(
+    "slope_cents_per_min" -> "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
+    "intercept_cents" -> "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")
+
+  def q145TrendSlope(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val m = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .withColumn("x", expr("(t - min(t) OVER (PARTITION BY user_id)) div 60000000"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("cast(count(*) as double)").as("n"),
+        expr("cast(sum(cast(x as decimal(38,0))) as double)").as("sx"),
+        expr("cast(sum(cast(y as decimal(38,0))) as double)").as("sy"),
+        expr("cast(sum(cast(x * y as decimal(38,0))) as double)").as("sxy"),
+        expr("cast(sum(cast(x * x as decimal(38,0))) as double)").as("sxx"),
+        expr("cast(sum(cast(x as decimal(38,0))) as decimal(38,0))").as("sxd"),
+        expr("cast(sum(cast(x * x as decimal(38,0))) as decimal(38,0))").as("sxxd"),
+        count(lit(1)).as("n_events"))
+      .filter(expr("n_events * sxxd <> sxd * sxd"))
+    m.select(col("user_id") +: col("n_events") +:
+        q145Derived.map { case (a, e) => expr(e).as(a) }: _*)
+      .orderBy(col("user_id"))
+  }
+
+  val q145Oracle: String = {
+    val derived = q145Derived.map { case (a, e) => s"$e AS $a" }.mkString(",\n         ")
+    s"""WITH e AS (
+         SELECT user_id, epoch_us(ts) AS t, cast(round(value * 100) as bigint) AS y
+         FROM events),
+       x AS (
+         SELECT user_id, y,
+           (t - min(t) OVER (PARTITION BY user_id)) // 60000000 AS x
+         FROM e),
+       m AS (
+         SELECT user_id,
+           cast(count(*) as double) AS n,
+           cast(sum(cast(x as decimal(38,0))) as double) AS sx,
+           cast(sum(cast(y as decimal(38,0))) as double) AS sy,
+           cast(sum(cast(x * y as decimal(38,0))) as double) AS sxy,
+           cast(sum(cast(x * x as decimal(38,0))) as double) AS sxx,
+           cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) AS sxd,
+           cast(sum(cast(x * x as decimal(38,0))) as decimal(38,0)) AS sxxd,
+           count(*) AS n_events
+         FROM x GROUP BY user_id)
+       SELECT user_id, n_events,
+         $derived
+       FROM m WHERE n_events * sxxd <> sxd * sxd
+       ORDER BY user_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_transition_matrix" -> q144TransitionMatrix _,
+    "q145_trend_slope" -> q145TrendSlope _,
     "q141_interpolate_fill" -> q141InterpolateFill _,
     "q142_time_weighted_avg" -> q142TimeWeightedAvg _,
     "q135_ab_test" -> q135AbTest _,
@@ -425,6 +529,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q144_transition_matrix" -> q144Oracle,
+    "q145_trend_slope" -> q145Oracle,
     "q141_interpolate_fill" -> q141Oracle,
     "q142_time_weighted_avg" -> q142Oracle,
     "q135_ab_test" -> q135Oracle,

@@ -303,6 +303,41 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("q144: transitions count every non-final event; probabilities sum to 1") {
+    val rows = EventAnalytics.q144TransitionMatrix(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      assert(math.abs(grp.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("q145: slope matches an exact Scala OLS recompute per user") {
+    val got = EventAnalytics.q145TrendSlope(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("slope_cents_per_min")).toMap
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    raw.foreach { case (u, es) =>
+      val t0 = es.map(_._2).min
+      val xs = es.map(e => (e._2 - t0) / 60000000L)
+      val ys = es.map(_._3)
+      val n = BigDecimal(xs.length)
+      val sx = BigDecimal(xs.sum); val sy = BigDecimal(ys.sum)
+      val sxy = BigDecimal(xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum)
+      val sxx = BigDecimal(xs.map(x => BigInt(x) * x).sum)
+      val den = n * sxx - sx * sx
+      if (den != 0) {
+        val slope = ((n * sxy - sx * sy) / den).toDouble
+        assert(math.abs(got(u) - slope) < 1e-6, s"user $u: ${got(u)} vs $slope")
+      } else assert(!got.contains(u))
+    }
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
