@@ -268,6 +268,53 @@ object EtlQueries {
        FROM nation WHERE n_regionkey < 3
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  // ---------------------------------------------------------------- q146
+  /** PARTITIONED parallel JDBC read — the scale lever q96's single-stream
+    * read lacks: `partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` split the source query into N range predicates that N
+    * tasks fetch CONCURRENTLY, which is the difference between draining a
+    * warehouse-sized staging table through one connection and through the
+    * cluster. The partition count is asserted in `Round5Spec` (4 scan
+    * tasks, stride-ranged), and correctness is range-split-invariant: the
+    * aggregate must equal the parquet original regardless of how rows were
+    * striped across connections.
+    */
+  def q146JdbcPartitioned(spark: SparkSession, d: String): DataFrame = {
+    val home = graft.core.Scratch.dir("derby_part")
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/graftdb;create=true"
+    val base = Map(
+      "url" -> url,
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "orders_stage")
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").format("jdbc").options(base).save()
+    jdbcPartitionedRead(spark, base)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The parallel read itself (shared with the partition-count test). */
+  def jdbcPartitionedRead(spark: SparkSession, base: Map[String, String]): DataFrame =
+    spark.read.format("jdbc")
+      .options(base ++ Map(
+        "partitionColumn" -> "o_orderkey",
+        "lowerBound" -> "0",
+        "upperBound" -> "100000",
+        "numPartitions" -> "4"))
+      .load()
+
+  val q146Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       max(o_orderkey) AS max_key
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // ---------------------------------------------------------------- q88
   /** The reference's SQL-statement surface end-to-end under the driver:
     * stage orders as a managed table, push a DELETE + an UPDATE (and one
@@ -763,6 +810,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
+    "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
     "q128_dynamic_overwrite" -> q128DynamicOverwrite _,
     "q127_corrupt_records" -> q127CorruptRecords _,
     "q116_crypto_shred" -> q116CryptoShred _,
@@ -786,6 +834,7 @@ object EtlQueries {
   val oracles: Map[String, String] = Map(
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
+    "q146_jdbc_partitioned" -> q146Oracle,
     "q128_dynamic_overwrite" -> q128Oracle,
     "q127_corrupt_records" -> q127Oracle,
     "q27_encrypt_tokens" -> q27Oracle,

@@ -338,6 +338,22 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("q146: JDBC read splits into 4 range partitions") {
+    val home = graft.core.Scratch.dir("derby_part_test")
+    System.setProperty("derby.system.home", home)
+    val base = Map(
+      "url" -> s"jdbc:derby:$home/graftdb;create=true",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "orders_stage")
+    graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").format("jdbc").options(base).save()
+    val df = EtlQueries.jdbcPartitionedRead(spark, base)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == graft.sources.Tables.orders(spark, sf).count())
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
