@@ -315,6 +315,130 @@ object EtlQueries {
        max(o_orderkey) AS max_key
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---------------------------------------------------------------- q147
+  /** Bucket PRUNING — the read-side half of q101's bucketed layout: an
+    * equality filter on the bucket column hashes the literal to its bucket
+    * and reads 1/N of the files (`SelectedBucketsCount: 1 out of 8`,
+    * asserted in Round5Spec). Bucketing thus pays off twice: exchange-free
+    * joins at write cost (q101) and point-lookup scans that skip 7/8 of
+    * the data with no index. Subtlety pinned by the test: a bare
+    * filter-only scan gets bucketed reading planner-DISABLED
+    * (autoBucketedScan demotes it when no exchange is avoided); grouping
+    * on the bucket column — this query's shape — keeps the bucketed scan
+    * and with it the pruning. The oracle replays the predicate over the
+    * parquet original.
+    */
+  def q147BucketPruning(spark: SparkSession, d: String): DataFrame = {
+    val t = "graft_q147_orders"
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(t)
+    bucketPointLookup(spark, t, 7L)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** The pruned scan itself (shared with the SelectedBucketsCount test). */
+  def bucketPointLookup(spark: SparkSession, table: String, key: Long): DataFrame =
+    spark.table(table).filter(col("o_custkey") === key)
+
+  val q147Oracle: String =
+    """SELECT o_custkey, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       FROM orders WHERE o_custkey = 7
+       GROUP BY o_custkey ORDER BY o_custkey"""
+
+  // ---------------------------------------------------------------- q148
+  /** CDC APPLY — the consumer side of q102's snapshot diff: a Debezium-
+    * style change feed (op ∈ I/U/D with the new row image) applied to the
+    * snapshot in ONE full-outer join on the key: unmatched snapshot rows
+    * pass through, U rows take the feed image, D rows drop, I rows append.
+    * Shuffles |snapshot|+|delta| once — the merge a row-level table format
+    * runs inside MERGE INTO, spelled out. The feed here is a deterministic
+    * function of the snapshot (keys ÷7 delete, ÷5 update, ÷11 spawn an
+    * insert under key+10⁷) so the applied table has a closed-form oracle.
+    */
+  def q148CdcApply(spark: SparkSession, d: String): DataFrame = {
+    val snap = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val deletes = snap.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("new_status"),
+        lit(null).cast("double").as("new_price"))
+    val updates = snap.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        col("o_orderstatus").as("new_status"),
+        (col("o_totalprice") + 10.0d).as("new_price"))
+    val inserts = snap.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("op"),
+        lit("N").as("new_status"), col("o_totalprice").as("new_price"))
+    val feed = deletes.unionByName(updates).unionByName(inserts)
+    val applied = snap.join(feed, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("o_orderkey"),
+        when(col("op").isNotNull, col("new_status")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("op").isNotNull, col("new_price")).otherwise(col("o_totalprice")).as("price"))
+    applied.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dsum(col("price")).as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  val q148Oracle: String =
+    """WITH applied AS (
+         SELECT o_orderkey, o_orderstatus AS status,
+           CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+                THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+         FROM orders WHERE o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS status,
+                o_totalprice AS price
+         FROM orders WHERE o_orderkey % 11 = 0)
+       SELECT status, count(*) AS n,
+         CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+         max(o_orderkey) AS max_key
+       FROM applied GROUP BY status ORDER BY status"""
+
+  // ---------------------------------------------------------------- q149
+  /** Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from row-group
+    * footer statistics — the scan never decodes a data page (the
+    * `PushedAggregation` plan marker, asserted in Round5Spec). At 100 TB
+    * this turns "count the fact table" from a full scan into a metadata
+    * read. Requires the DSv2 parquet path and no residual filter, so both
+    * confs are scoped set→materialize→restore (the q128/q130 pattern);
+    * the result is staged to scratch inside the scope because plan
+    * optimization is lazy.
+    */
+  def q149ParquetAggPushdown(spark: SparkSession, d: String): DataFrame = {
+    val out = graft.core.Scratch.dir("agg_pushdown_out")
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevAgg = spark.conf.get(aggKey)
+    val prevV1 = spark.conf.get(v1Key)
+    spark.conf.set(aggKey, "true")
+    spark.conf.set(v1Key, "")
+    try {
+      spark.read.parquet(s"$d/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+        .write.mode("overwrite").parquet(out)
+    } finally {
+      spark.conf.set(aggKey, prevAgg)
+      spark.conf.set(v1Key, prevV1)
+    }
+    spark.read.parquet(out)
+  }
+
+  val q149Oracle: String =
+    """SELECT count(*) AS n, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem"""
+
   // ---------------------------------------------------------------- q88
   /** The reference's SQL-statement surface end-to-end under the driver:
     * stage orders as a managed table, push a DELETE + an UPDATE (and one
@@ -811,6 +935,9 @@ object EtlQueries {
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
+    "q147_bucket_pruning" -> q147BucketPruning _,
+    "q148_cdc_apply" -> q148CdcApply _,
+    "q149_parquet_agg_pushdown" -> q149ParquetAggPushdown _,
     "q128_dynamic_overwrite" -> q128DynamicOverwrite _,
     "q127_corrupt_records" -> q127CorruptRecords _,
     "q116_crypto_shred" -> q116CryptoShred _,
@@ -835,6 +962,9 @@ object EtlQueries {
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
     "q146_jdbc_partitioned" -> q146Oracle,
+    "q147_bucket_pruning" -> q147Oracle,
+    "q148_cdc_apply" -> q148Oracle,
+    "q149_parquet_agg_pushdown" -> q149Oracle,
     "q128_dynamic_overwrite" -> q128Oracle,
     "q127_corrupt_records" -> q127Oracle,
     "q27_encrypt_tokens" -> q27Oracle,

@@ -354,6 +354,53 @@ class Round5Spec extends SparkSuite {
     assert(df.count() == graft.sources.Tables.orders(spark, sf).count())
   }
 
+  test("q147: point lookup reads one bucket of eight") {
+    val t = "graft_q147_test"
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+    graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(t)
+    // a bare filter scan gets bucketed reading planner-disabled
+    // (autoBucketedScan); grouping on the bucket column makes the bucketed
+    // scan interesting — exactly q147's shape — and pruning kicks in
+    val scan = EtlQueries.bucketPointLookup(spark, t, 7L)
+      .groupBy(col("o_custkey")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected bucket pruning, got:\n${scan.take(1500)}")
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+  }
+
+  test("q148: apply result = snapshot - deletes + inserts, updates repriced") {
+    val got = EtlQueries.q148CdcApply(spark, sf)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val nSnap = o.count()
+    val nDel = o.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = o.filter(col("o_orderkey") % 11 === 0).count()
+    assert(got == nSnap - nDel + nIns)
+  }
+
+  test("q149: scoped DSv2 scan carries PushedAggregation") {
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevAgg = spark.conf.get(aggKey)
+    val prevV1 = spark.conf.get(v1Key)
+    spark.conf.set(aggKey, "true")
+    spark.conf.set(v1Key, "")
+    try {
+      val plan = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_key"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)") ||
+        plan.contains("PushedAggregation: [MIN"),
+        s"expected footer-stats aggregation, got:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set(aggKey, prevAgg)
+      spark.conf.set(v1Key, prevV1)
+    }
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
