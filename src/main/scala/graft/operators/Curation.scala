@@ -246,13 +246,182 @@ object Curation {
          CAST(min(doc_id % 250) AS VARCHAR) AS sample_canon
        FROM documents"""
 
+  // ---------------------------------------------------------------- q150
+  /** CAPSTONE: the full corpus→training-batches pipeline in ONE driven
+    * query — markup stripping, language ID, quality gate, exact dedup,
+    * eval-set decontamination, token counting, and GPT-style sequence
+    * packing over the distributed prefix sum, composed end to end with a
+    * single full-value oracle. Every stage provably filters: corpus docs
+    * are wrapped in q121's deterministic markup (stripping must recover
+    * the closed form the oracle uses), docs ≡0 (mod 50) are planted with
+    * an eval 5-gram (decontamination must drop them), docs ≡0 (mod 40)
+    * are duplicated under id+100000 (exact dedup must keep the min id),
+    * and three German-marker documents are planted under id 200000+ (the
+    * fixture's text is English word-soup for every `lang` label, so the
+    * language gate needs planted targets to prove it fires).
+    * Per-stage survivor counts ride on every output row, so the oracle
+    * checks the pipeline's OBSERVABILITY as well as its output. Scale
+    * shape: the stages before packing are map-only or one-shuffle
+    * (dedup's group-by-text, decontamination's broadcast gram join);
+    * packing is the q118 two-phase prefix sum — no single-task window
+    * anywhere.
+    */
+  val Q150PackBudget = 4096L
+
+  /** Planted language-gate targets: unmistakably German marker text, long
+    * enough to pass the quality gate if the language gate failed to fire.
+    */
+  val Q150GermanPlants: Seq[(Long, String)] = (1 to 3).map { i =>
+    (200000L + i, Seq.fill(8)("der die und ist das").mkString(" "))
+  }
+
+  private val q150LangCase: String =
+    """CASE
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END"""
+
+  def q150TrainingPipeline(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    // stage 0: plant contamination (q95's formula), wrap in markup, strip
+    val snippet = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("__snip"))
+    val wrapped = docs.filter(col("doc_id") >= 10)
+      .crossJoin(broadcast(snippet))
+      .select(col("doc_id"), concat(
+        lit("<html><head><script type=\"text/javascript\">var t = 1 < 2;</script></head>"),
+        lit("<body><nav>home</nav><div class=\"main\"><p>"),
+        when(col("doc_id") % 50 === 0, concat(col("text"), lit(" "), col("__snip")))
+          .otherwise(col("text")),
+        lit("</p></div><footer>&copy; site</footer></body></html>")).as("html"))
+    val stripped = wrapped.select(col("doc_id"),
+      TextAnalysis.stripMarkup(col("html")).as("text"))
+    // stage 1: plant exact duplicates and non-English docs, then the
+    // corpus enters the pipeline
+    import spark.implicits._
+    val nonEn = Q150GermanPlants.toDF("doc_id", "text")
+    val withDups = stripped.unionByName(
+      stripped.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(nonEn)
+    // stage 2: language gate (argmax marker counts, q37)
+    def score(lang: String): String = {
+      val list = TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString(", ")
+      s"size(filter(split(text, ' '), x -> x IN ($list)))"
+    }
+    val en = withDups
+      .withColumn("s_en", expr(score("en"))).withColumn("s_de", expr(score("de")))
+      .withColumn("s_es", expr(score("es"))).withColumn("s_fr", expr(score("fr")))
+      .withColumn("s_zh", expr(score("zh")))
+      .filter(expr(q150LangCase) === "en")
+      .select(col("doc_id"), col("text"))
+    // stage 3: quality gate (length)
+    val quality = en.filter(size(split(col("text"), " ")) >= 30)
+    // stage 4: exact dedup, min id survives
+    val deduped = quality.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    // stage 5: eval-set decontamination (5-gram overlap vs raw eval docs)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(__toks) >= 5
+           THEN transform(sequence(1, size(__toks) - 4), i -> concat_ws(' ', slice(__toks, i, 5)))
+           ELSE array() END""")).as("gram"))
+    val evalGrams = grams(docs.filter(col("doc_id") < 10)).select(col("gram")).distinct()
+    val contaminated = grams(deduped).distinct()
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 6: token counts + sequence packing (q118 two-phase prefix sum)
+    val toks = clean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packs = prefixSum(toks, "doc_id", "n_tokens", bucketWidth = 100L)
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / Q150PackBudget))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"))
+    // stage counts ride along on every row (pipeline observability)
+    val stats = withDups.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(en.agg(count(lit(1)).as("n_en")))
+      .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(deduped.agg(count(lit(1)).as("n_dedup")))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+    packs.crossJoin(broadcast(stats)).orderBy(col("pack_id"))
+  }
+
+  val q150Oracle: String = {
+    def duckScore(lang: String): String = {
+      val list = TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($list)))"
+    }
+    s"""WITH snip AS (SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS s
+                      FROM documents WHERE doc_id = 0),
+       base AS (SELECT doc_id,
+                  'home ' || CASE WHEN doc_id % 50 = 0 THEN text || ' ' || s ELSE text END
+                          || ' &copy; site' AS text
+                FROM documents, snip WHERE doc_id >= 10),
+       withdup AS (SELECT * FROM base
+                   UNION ALL
+                   SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 40 = 0
+                   UNION ALL
+                   SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES
+                     ${Q150GermanPlants.map { case (id, t) => s"($id, '$t')" }.mkString(",\n                     ")})
+                     AS plants(doc_id, text)),
+       scored AS (SELECT doc_id, text,
+                    ${duckScore("en")} AS s_en, ${duckScore("de")} AS s_de,
+                    ${duckScore("es")} AS s_es, ${duckScore("fr")} AS s_fr,
+                    ${duckScore("zh")} AS s_zh
+                  FROM withdup),
+       en AS (SELECT doc_id, text FROM scored WHERE ($q150LangCase) = 'en'),
+       q AS (SELECT doc_id, text FROM en WHERE len(string_split(text, ' ')) >= 30),
+       dedup AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+       evg AS (SELECT DISTINCT gram FROM (
+                 SELECT unnest(CASE WHEN len(toks) >= 5
+                   THEN list_transform(generate_series(1, len(toks) - 4),
+                                       i -> array_to_string(toks[i:i+4], ' '))
+                   ELSE [] END) AS gram
+                 FROM (SELECT string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 10))),
+       contaminated AS (SELECT DISTINCT doc_id FROM (
+                          SELECT d.doc_id, unnest(list_transform(
+                            generate_series(1, len(string_split(d.text, ' ')) - 4),
+                            i -> array_to_string((string_split(d.text, ' '))[i:i+4], ' '))) AS gram
+                          FROM dedup d
+                          WHERE len(string_split(d.text, ' ')) >= 5) g
+                        WHERE g.gram IN (SELECT gram FROM evg)),
+       clean AS (SELECT doc_id, text FROM dedup
+                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM clean),
+       cum AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM toks),
+       packs AS (SELECT CAST((cum - n_tokens) // $Q150PackBudget AS BIGINT) AS pack_id,
+                   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+                 FROM cum GROUP BY 1),
+       stats AS (SELECT
+                   (SELECT count(*) FROM withdup) AS n_corpus,
+                   (SELECT count(*) FROM en) AS n_en,
+                   (SELECT count(*) FROM q) AS n_quality,
+                   (SELECT count(*) FROM dedup) AS n_dedup,
+                   (SELECT count(*) FROM clean) AS n_clean)
+       SELECT pack_id, n_docs, pack_tokens, n_corpus, n_en, n_quality, n_dedup, n_clean
+       FROM packs CROSS JOIN stats ORDER BY pack_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_training_pipeline" -> q150TrainingPipeline _,
     "q122_url_canonicalize" -> q122UrlCanonicalize _,
     "q118_sequence_packing" -> q118SequencePacking _,
     "q119_corpus_mix" -> q119CorpusMix _,
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q150_training_pipeline" -> q150Oracle,
     "q122_url_canonicalize" -> q122Oracle,
     "q118_sequence_packing" -> q118Oracle,
     "q119_corpus_mix" -> q119Oracle,

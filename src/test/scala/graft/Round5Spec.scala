@@ -401,6 +401,23 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("q150: every pipeline stage provably filtered something") {
+    val r = Curation.q150TrainingPipeline(spark, sf).collect().head
+    val (corpus, en, quality, dedup, clean) =
+      (r.getAs[Long]("n_corpus"), r.getAs[Long]("n_en"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_dedup"), r.getAs[Long]("n_clean"))
+    assert(corpus > en, "language gate must drop non-en docs")
+    assert(quality <= en)
+    assert(dedup < quality, "planted duplicates must be removed")
+    assert(clean < dedup, "planted contamination must be removed")
+    assert(clean > 0)
+    // packs partition the survivors
+    val rows = Curation.q150TrainingPipeline(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clean)
+    val packIds = rows.map(_.getAs[Long]("pack_id")).toSeq
+    assert(packIds == packIds.sorted && packIds.distinct == packIds)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
