@@ -283,7 +283,97 @@ object MediaCodecDemo extends Serializable {
        'image/bmp' AS format
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q151
+  /** Image near-dup via PERCEPTUAL HASH over decoded pixels — the
+    * multimodal twin of exact text dedup: every image is decoded
+    * (real byte-level BMP pixel access, not just the q59 header probe),
+    * reduced to an 8×8 block-mean aHash, and clustered by hash. The
+    * corpus is synthesized with 8 distinct pixel patterns (seed =
+    * doc_id % 8 at fixed 64×48), so identical content ⇒ identical hash
+    * gives a CLOSED-FORM group structure the oracle replays from id
+    * arithmetic alone — the whole decode→hash→cluster path is
+    * value-checked without the oracle ever seeing a pixel. Scale shape:
+    * decode+hash is mapPartitions (per-partition codec init, the q41
+    * pattern), the cluster step shuffles 8-byte hashes, never pixels.
+    */
+  def makePatternBmp(seed: Int): Array[Byte] = {
+    val (w, h) = (64, 48)
+    val base = makeBmp(w, h)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31 + y * 17 + seed * 97) & 0xFF).toByte
+        val off = 54 + y * rowSize + x * 3
+        base(off) = v; base(off + 1) = v; base(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    base
+  }
+
+  /** 64-bit block-mean average hash over the blue channel of a 24-bit BMP. */
+  def aHash(bytes: Array[Byte]): Long = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val w = le32(18); val h = le32(22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val bw = w / 8; val bh = h / 8
+    val means = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var s = 0L
+        var y = by * bh
+        while (y < (by + 1) * bh) {
+          var x = bx * bw
+          while (x < (bx + 1) * bw) {
+            s += (bytes(54 + y * rowSize + x * 3) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        means(by * 8 + bx) = s / (bw * bh)
+        bx += 1
+      }
+      by += 1
+    }
+    val overall = means.sum / 64
+    means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m > overall) acc | (1L << i) else acc
+    }
+  }
+
+  def q151ImageAhashDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition "codec init" happens here in a real deployment
+        it.map(id => (id, aHash(makePatternBmp((id % 8).toInt))))
+      }.toDF("doc_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+    groups.crossJoin(broadcast(
+        groups.agg(count(lit(1)).as("n_groups"))))
+      .select(col("n_docs"), col("min_doc"), col("max_doc"), col("n_groups"))
+      .orderBy(col("min_doc"))
+  }
+
+  val q151Oracle: String =
+    """WITH g AS (SELECT doc_id % 8 AS s, count(*) AS n_docs,
+                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+                  FROM documents GROUP BY 1)
+       SELECT n_docs, min_doc, max_doc,
+              (SELECT count(*) FROM g) AS n_groups
+       FROM g ORDER BY min_doc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_image_ahash_dedup" -> q151ImageAhashDedup _,
     "q41_multimodal_decode" -> q41MultimodalDecode _,
     "q42_multimodal_frame_sample" -> q42FrameSamplePlan _,
     "q50_multimodal_binaryfile_source" -> q50BinaryFileSource _,
@@ -291,6 +381,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q151_image_ahash_dedup" -> q151Oracle,
     "q41_multimodal_decode" -> q41Oracle,
     "q42_multimodal_frame_sample" -> q42Oracle,
     "q50_multimodal_binaryfile_source" -> q50Oracle,

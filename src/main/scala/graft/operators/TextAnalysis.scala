@@ -650,7 +650,72 @@ object TextAnalysis {
                           true AS corpus_unk_free FROM documents) c
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q152
+  /** Paragraph-granularity dedup (the CCNet/Gopher boilerplate pass):
+    * documents are split into fixed-width paragraphs, each paragraph is
+    * deduplicated GLOBALLY by first occurrence (min (doc, position)), and
+    * the surviving paragraphs are reassembled in document order — so a
+    * navigation header repeated across a million pages survives exactly
+    * once, while every document keeps its unique content. A deterministic
+    * boilerplate paragraph is planted at the head of EVERY document; after
+    * the pass only the first document retains it, which the oracle replays
+    * with the same window rule. Scale shape: explode is map-only; the
+    * dedup is ONE shuffle on the paragraph text (in production, on its
+    * 128-bit hash); reassembly is the q54 ordered string-agg. Fully
+    * deterministic → full oracle.
+    */
+  val Q152ParaTokens = 10
+  val Q152Boiler = "subscribe to our newsletter today click here now for more"
+
+  def q152ParagraphDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), concat(lit(Q152Boiler + " "), col("text")).as("text"))
+    val paras = docs.withColumn("__tokens", split(col("text"), " "))
+      .withColumn("para_start",
+        explode(expr(s"sequence(0, greatest(size(__tokens) - 1, 0), $Q152ParaTokens)")))
+      .withColumn("para_id", (col("para_start") / Q152ParaTokens).cast("int"))
+      .select(col("doc_id"), col("para_id"),
+        concat_ws(" ",
+          expr(s"slice(__tokens, para_start + 1, $Q152ParaTokens)")).as("para_text"))
+    val w = Window.partitionBy(col("para_text")).orderBy(col("doc_id"), col("para_id"))
+    val kept = paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val before = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(para_id, para_text))), s -> s.para_text))")
+          .as("kept_text"))
+    before.join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q152Oracle: String =
+    s"""WITH d AS (SELECT doc_id, '$Q152Boiler ' || text AS text
+                   FROM documents WHERE doc_id < 100),
+       t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM d),
+       s AS (SELECT doc_id, tokens,
+               unnest(range(0, greatest(len(tokens) - 1, 0) + 1, $Q152ParaTokens)) AS para_start
+             FROM t),
+       p AS (SELECT doc_id, CAST(para_start / $Q152ParaTokens AS INT) AS para_id,
+               array_to_string(tokens[para_start + 1 : para_start + $Q152ParaTokens], ' ') AS para_text
+             FROM s),
+       k AS (SELECT * FROM (
+               SELECT p.*, row_number() OVER (PARTITION BY para_text
+                 ORDER BY doc_id, para_id) AS rn FROM p)
+             WHERE rn = 1),
+       b AS (SELECT doc_id, count(*) AS n_before FROM p GROUP BY 1),
+       a AS (SELECT doc_id, count(*) AS n_after,
+               string_agg(para_text, ' ' ORDER BY para_id) AS kept_text
+             FROM k GROUP BY 1)
+       SELECT b.doc_id, n_before,
+         coalesce(n_after, 0) AS n_after,
+         coalesce(kept_text, '') AS kept_text
+       FROM b LEFT JOIN a ON a.doc_id = b.doc_id ORDER BY b.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_paragraph_dedup" -> q152ParagraphDedup _,
     "q133_wordpiece_tokenize" -> q133WordpieceTokenize _,
     "q121_strip_markup" -> q121StripMarkup _,
     "q105_text_vocab_topk" -> q105VocabTopK _,
@@ -667,6 +732,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q152_paragraph_dedup" -> q152Oracle,
     "q133_wordpiece_tokenize" -> q133Oracle,
     "q121_strip_markup" -> q121Oracle,
     "q105_text_vocab_topk" -> q105Oracle,

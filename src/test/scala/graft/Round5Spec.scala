@@ -418,6 +418,28 @@ class Round5Spec extends SparkSuite {
     assert(packIds == packIds.sorted && packIds.distinct == packIds)
   }
 
+  test("q151: identical pixel content hashes identically; the 8 patterns stay distinct") {
+    val hashes = (0 until 8).map(s => Multimodal.aHash(Multimodal.makePatternBmp(s)))
+    assert(hashes.distinct.length == 8, "pattern seeds must not collide")
+    assert(Multimodal.aHash(Multimodal.makePatternBmp(3)) == hashes(3))
+    val rows = Multimodal.q151ImageAhashDedup(spark, sf).collect()
+    assert(rows.length == 8 && rows.forall(_.getAs[Long]("n_groups") == 8))
+  }
+
+  test("q152: boilerplate survives exactly once across the corpus") {
+    val rows = TextAnalysis.q152ParagraphDedup(spark, sf).collect()
+    val withBoiler = rows.filter(_.getAs[String]("kept_text")
+      .contains(TextAnalysis.Q152Boiler))
+    assert(withBoiler.length == 1 && withBoiler.head.getLong(0) == 0L,
+      "only the first document keeps the planted header")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+    }
+    // every doc except the first lost at least the boilerplate paragraph
+    assert(rows.count(r => r.getAs[Long]("n_after") < r.getAs[Long]("n_before"))
+      >= rows.length - 1)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
