@@ -372,7 +372,83 @@ object MediaCodecDemo extends Serializable {
               (SELECT count(*) FROM g) AS n_groups
        FROM g ORDER BY min_doc"""
 
+  // ---------------------------------------------------------------- q153
+  /** Audio FRAME-level analysis — real 16-bit PCM parsing, not just the
+    * q60 header probe: each WAV is framed (256 samples), per-frame energy
+    * is an integer sum of squares (exact at any parallelism — no float
+    * accumulation), and silence = zero-energy frames. The corpus is
+    * synthesized with seed = doc_id % 4 leading-silence patterns over a
+    * fixed 32-frame layout, so silent-frame counts have the closed form
+    * (doc_id % 4)·8 that the oracle replays from id arithmetic — the
+    * decode→frame→classify path is value-checked without the oracle
+    * touching a sample. This is the VAD/segmentation front of an audio
+    * training pipeline; the Spark shape is mapPartitions per-partition
+    * codec init (q41's rule), map-only, samples never shuffle.
+    */
+  val Q153Frames = 32
+  val Q153SamplesPerFrame = 256
+
+  def makePatternWav(seed: Int): Array[Byte] = {
+    val n = Q153Frames * Q153SamplesPerFrame
+    val bytes = makeWav(16000, 1, n)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val frame = i / Q153SamplesPerFrame
+      val v: Short =
+        if (frame < seed * 8) 0
+        else if ((i / 8) % 2 == 0) 1000
+        else -1000
+      bb.putShort(44 + i * 2, v)
+      i += 1
+    }
+    bytes
+  }
+
+  /** (n_frames, n_silent, max_amp) from our fixed mono-16-bit layout. */
+  def wavFrameStats(bytes: Array[Byte]): (Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataSize = bb.getInt(40)
+    val nSamples = dataSize / 2
+    val frames = nSamples / Q153SamplesPerFrame
+    var silent = 0L
+    var maxAmp = 0L
+    var f = 0
+    while (f < frames) {
+      var energy = 0L
+      var i = f * Q153SamplesPerFrame
+      while (i < (f + 1) * Q153SamplesPerFrame) {
+        val s = bb.getShort(44 + i * 2).toLong
+        energy += s * s
+        if (math.abs(s) > maxAmp) maxAmp = math.abs(s)
+        i += 1
+      }
+      if (energy == 0L) silent += 1
+      f += 1
+    }
+    (frames.toLong, silent, maxAmp)
+  }
+
+  def q153AudioSilence(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (frames, silent, maxAmp) = wavFrameStats(makePatternWav((id % 4).toInt))
+          (id, frames, silent, maxAmp)
+        }
+      }.toDF("doc_id", "n_frames", "n_silent", "max_amp")
+      .orderBy(col("doc_id"))
+  }
+
+  val q153Oracle: String =
+    s"""SELECT doc_id, CAST($Q153Frames AS BIGINT) AS n_frames,
+       CAST((doc_id % 4) * 8 AS BIGINT) AS n_silent,
+       CAST(1000 AS BIGINT) AS max_amp
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_audio_silence" -> q153AudioSilence _,
     "q151_image_ahash_dedup" -> q151ImageAhashDedup _,
     "q41_multimodal_decode" -> q41MultimodalDecode _,
     "q42_multimodal_frame_sample" -> q42FrameSamplePlan _,
@@ -381,6 +457,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q153_audio_silence" -> q153Oracle,
     "q151_image_ahash_dedup" -> q151Oracle,
     "q41_multimodal_decode" -> q41Oracle,
     "q42_multimodal_frame_sample" -> q42Oracle,

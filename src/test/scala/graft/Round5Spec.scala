@@ -440,6 +440,29 @@ class Round5Spec extends SparkSuite {
       >= rows.length - 1)
   }
 
+  test("q153: PCM frame stats match the synthesis closed form") {
+    val (frames, silent, maxAmp) =
+      Multimodal.wavFrameStats(Multimodal.makePatternWav(3))
+    assert(frames == 32 && silent == 24 && maxAmp == 1000)
+    val rows = Multimodal.q153AudioSilence(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_silent") == (r.getLong(0) % 4) * 8)
+    }
+  }
+
+  test("q141: plan stays free of O(n^2) unbounded-following frames") {
+    val plan = EventAnalytics.q141InterpolateFill(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("unboundedfollowing"),
+      "next-known lookup must use a running frame over the reversed order")
+  }
+
+  test("q150: the gram decontamination join broadcasts the eval side") {
+    val plan = Curation.q150TrainingPipeline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
