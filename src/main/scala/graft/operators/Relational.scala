@@ -869,6 +869,84 @@ object Relational {
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""
 
+  // ---------------------------------------------------------------- q154
+  /** Item-item co-occurrence COSINE — q123's counts normalized into the
+    * similarity a recommender actually serves: sim(i,j) =
+    * n_ij / √(n_i·n_j). Item marginals are a vocabulary-sized aggregate
+    * broadcast onto the pair counts; √ over exact integers is a correctly
+    * rounded IEEE op, so the scores are bit-identical cross-engine with
+    * no decimal machinery. Same basket-keyed join as q123 — per-basket
+    * k², never corpus². Top-20 by (score, pair) total order.
+    */
+  def q154CooccurrenceCosine(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val a = li.as("a")
+    val b = li.as("b")
+    val pairs = a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("l_partkey").as("part_a"), col("n").as("na"))), "part_a")
+      .join(broadcast(marg.select(col("l_partkey").as("part_b"), col("n").as("nb"))), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        expr("CAST(n_both AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))").as("cosine"))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q154Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       m AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+       p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2)
+       SELECT part_a, part_b, n_both,
+         CAST(n_both AS DOUBLE) / sqrt(CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS cosine
+       FROM p JOIN m ma ON ma.l_partkey = part_a JOIN m mb ON mb.l_partkey = part_b
+       ORDER BY cosine DESC, part_a, part_b LIMIT 20"""
+
+  // ---------------------------------------------------------------- q155
+  /** Period-over-period reporting — weekly revenue per order priority with
+    * absolute and percent change vs the prior week (lag window over the
+    * compact (priority, week) aggregate, so the window runs over thousands
+    * of rows regardless of fact size). Revenue is decimal-exact; the
+    * deltas and pct are shared-text doubles over those exact inputs →
+    * full oracle. The first week of each priority reports NULL change,
+    * as a reporting surface should.
+    */
+  def q155PeriodOverPeriod(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 604800) AS BIGINT)").as("week"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .select(col("o_orderpriority"), col("week"), col("revenue"),
+        expr("revenue - prev_revenue").as("wow_change"),
+        expr("(revenue - prev_revenue) / prev_revenue * 100.0").as("wow_pct"))
+      .orderBy(col("o_orderpriority"), col("week"))
+  }
+
+  val q155Oracle: String =
+    """WITH weekly AS (
+         SELECT o_orderpriority,
+           CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS week,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1, 2),
+       l AS (SELECT o_orderpriority, week, revenue,
+               lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY week) AS prev_revenue
+             FROM weekly)
+       SELECT o_orderpriority, week, revenue,
+         revenue - prev_revenue AS wow_change,
+         (revenue - prev_revenue) / prev_revenue * 100.0 AS wow_pct
+       FROM l ORDER BY o_orderpriority, week"""
+
   // ---------------------------------------------------------------- q67
   /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
     * each document's token array with positions (the UDTF-shaped operator
@@ -1091,6 +1169,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
+    "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
+    "q155_period_over_period" -> q155PeriodOverPeriod _,
     "q131_star_join" -> q131StarJoin _,
     "q132_winsorize" -> q132Winsorize _,
     "q91_topk_udaf" -> q91TopKUdaf _,
@@ -1133,6 +1213,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
+    "q154_cooccurrence_cosine" -> q154Oracle,
+    "q155_period_over_period" -> q155Oracle,
     "q131_star_join" -> q131Oracle,
     "q132_winsorize" -> q132Oracle,
     "q120_hll_sketch_merge" -> q120Oracle,

@@ -463,6 +463,30 @@ class Round5Spec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("q154: cosine is bounded by (0, 1] and symmetric in its marginals") {
+    val rows = Relational.q154CooccurrenceCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+    }
+  }
+
+  test("q155: first week per priority is null-change; pct matches recompute") {
+    val rows = Relational.q155PeriodOverPeriod(spark, sf).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (_, rs) =>
+      assert(rs.head.isNullAt(3) && rs.head.isNullAt(4), "first week must be NULL change")
+      rs.sliding(2).foreach {
+        case Array(prev, cur) if !cur.isNullAt(3) =>
+          val expect = cur.getDouble(2) - prev.getDouble(2)
+          assert(math.abs(cur.getDouble(3) - expect) < 1e-9)
+        case _ =>
+      }
+    }
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
