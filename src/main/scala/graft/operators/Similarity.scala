@@ -31,8 +31,15 @@ object Similarity {
   /** Cosine similarity of every row against the vector with `queryId`,
     * exact, streaming over the corpus once.
     */
-  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryId)
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame =
+    cosineTopK(emb, queryId, k, emb)
+
+  /** `queryFrom` lets a filtered search (q156) still draw the query vector
+    * from the unfiltered table — the query need not satisfy the predicate.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int,
+                 queryFrom: DataFrame): DataFrame = {
+    val q = queryFrom.filter(col("vec_id") === queryId)
       .select(expr(toDouble).as("qe"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q)) // 1-row build side: a broadcast, not a shuffle
@@ -56,6 +63,35 @@ object Similarity {
        p AS (SELECT e.vec_id, CAST(e.embedding[r.j + 1] AS DOUBLE) AS ed,
                     CAST(q.qe[r.j + 1] AS DOUBLE) AS qd
              FROM embeddings e, q, range(64) r(j) WHERE e.vec_id <> 0),
+       s AS (SELECT vec_id, sum(ed * qd) AS dot,
+                    sqrt(sum(ed * ed)) AS na, sqrt(sum(qd * qd)) AS nq
+             FROM p GROUP BY vec_id)
+       SELECT vec_id, round(dot / (na * nq), 4) AS cos_sim
+       FROM s ORDER BY dot / (na * nq) DESC, vec_id ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q156
+  /** FILTERED vector search — top-k restricted by a metadata predicate
+    * (label ∈ {1,2,3}), the shape real retrieval serves ("nearest docs in
+    * English, from this source, after this date"). The predicate is a
+    * PRE-filter: it lands in the parquet scan (PushedFilters) so distance
+    * math runs only over qualifying vectors — post-filtering a global
+    * top-k instead silently returns fewer than k (the classic filtered-ANN
+    * bug). Brute force is the correct baseline at this selectivity; the
+    * IVF/LSH variants (q35/q51) compose with the same pre-filter. Full
+    * oracle (q34's replay plus the predicate).
+    */
+  def q156FilteredAnn(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    cosineTopK(emb.filter(col("label").isin(1, 2, 3)), queryId = 0L, k = 10,
+      queryFrom = emb)
+  }
+
+  val q156Oracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       p AS (SELECT e.vec_id, CAST(e.embedding[r.j + 1] AS DOUBLE) AS ed,
+                    CAST(q.qe[r.j + 1] AS DOUBLE) AS qd
+             FROM embeddings e, q, range(64) r(j)
+             WHERE e.vec_id <> 0 AND e.label IN (1, 2, 3)),
        s AS (SELECT vec_id, sum(ed * qd) AS dot,
                     sqrt(sum(ed * ed)) AS na, sqrt(sum(qd * qd)) AS nq
              FROM p GROUP BY vec_id)
@@ -512,6 +548,7 @@ object Similarity {
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
+    "q156_filtered_ann" -> q156FilteredAnn _,
     "q35_similarity_ann_lsh" -> q35AnnLsh _,
     "q36_similarity_embedding_neardup" -> q36EmbeddingNearDup _,
     "q84_similarity_ann_batch" -> q84AnnBatch _,
@@ -523,6 +560,7 @@ object Similarity {
     "q58_dedup_embedding_lsh" -> q58Oracle,
     "q51_similarity_ivf_topk" -> q51Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
+    "q156_filtered_ann" -> q156Oracle,
     "q36_similarity_embedding_neardup" -> q36Oracle,
     "q84_similarity_ann_batch" -> q84Oracle,
     "q86_kmeans_step" -> q86Oracle,

@@ -487,6 +487,18 @@ class Round5Spec extends SparkSuite {
     }
   }
 
+  test("q156: every result satisfies the predicate; label filter reaches the scan") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val results = Similarity.q156FilteredAnn(spark, sf).collect().map(_.getLong(0)).toSet
+    val allowed = emb.filter(col("label").isin(1, 2, 3))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(results.nonEmpty && results.subsetOf(allowed))
+    val scan = Similarity.q156FilteredAnn(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scan.exists(_.contains("In(label")),
+      "label predicate must be pushed to the parquet scan")
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
