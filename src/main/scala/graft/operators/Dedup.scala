@@ -728,7 +728,54 @@ object Dedup {
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
        ORDER BY doc_a, doc_b"""
 
+  // ---------------------------------------------------------------- q157
+  /** CONTAINMENT similarity (Broder's asymmetric measure):
+    * C(A→B) = |A∩B| / |A| — how much of A lives inside B. Resemblance
+    * (Jaccard, q33/q140) misses the case a small document is wholly
+    * quoted inside a large one (the boilerplate/quotation detector every
+    * web-corpus dedup needs): a 20-word notice inside a 500-word page has
+    * Jaccard ≈ 0.04 but containment 1.0. Same inverted-index candidate
+    * join as q33, emitting BOTH directed containments per pair; the
+    * threshold keeps pairs where either direction ≥ 0.9. Deterministic →
+    * full oracle.
+    */
+  def q157ContainmentJoin(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("doc_id") < 200)
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = words.as("a")
+    val b = words.as("b")
+    val inter = a.join(b, col("a.word") === col("b.word") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("c_ab", col("i").cast("double") / col("na"))
+      .withColumn("c_ba", col("i").cast("double") / col("nb"))
+      .filter(col("c_ab") >= 0.9 || col("c_ba") >= 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 4).as("c_ab"), round(col("c_ba"), 4).as("c_ba"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q157Oracle: String =
+    """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                  FROM documents WHERE doc_id < 200),
+       sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(CAST(i AS DOUBLE) / sa.n, 4) AS c_ab,
+              round(CAST(i AS DOUBLE) / sb.n, 4) AS c_ba
+       FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / sa.n >= 0.9 OR CAST(i AS DOUBLE) / sb.n >= 0.9
+       ORDER BY doc_a, doc_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_containment_join" -> q157ContainmentJoin _,
     "q140_prefix_filter_join" -> q140PrefixFilterJoin _,
     "q30_dedup_exact" -> q30ExactDedup _,
     "q31_dedup_minhash_lsh" -> q31MinhashLsh _,
@@ -740,6 +787,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q157_containment_join" -> q157Oracle,
     "q140_prefix_filter_join" -> q140Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_dedup_minhash_lsh" -> q31Oracle,

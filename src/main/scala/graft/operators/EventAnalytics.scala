@@ -530,7 +530,73 @@ object EventAnalytics {
        ORDER BY user_id"""
   }
 
+  // ---------------------------------------------------------------- q158
+  /** Session entry/exit matrix with bounce counts — the landing-page
+    * analytics view: sessions are 30-minute-gap islands (the q87 batch
+    * rule: lag + running sum of new-session flags, all RUNNING frames),
+    * each session contributes its first and last event type, and a bounce
+    * is a 1-event session. Three window passes over per-user order + two
+    * aggregates, everything shuffles on user_id once; the output is an
+    * event-type × event-type matrix regardless of corpus size. Fully
+    * deterministic (ties broken by event_id) → full oracle.
+    */
+  def q158SessionMatrix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val wsD = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val sessions = g
+      .withColumn("rn_a", row_number().over(ws))
+      .withColumn("rn_d", row_number().over(wsD))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"))
+    sessions.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        expr("CAST(sum(n_events) AS DOUBLE) / count(*)").as("avg_events"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
+
+  val q158Oracle: String =
+    """WITH g AS (
+         SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts, event_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM g),
+       r AS (
+         SELECT user_id, sid, event_type,
+           row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rn_d
+         FROM s),
+       sess AS (
+         SELECT user_id, sid, count(*) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+           max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+         FROM r GROUP BY 1, 2)
+       SELECT entry_type, exit_type, count(*) AS n_sessions,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+         CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events
+       FROM sess GROUP BY 1, 2 ORDER BY entry_type, exit_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_session_matrix" -> q158SessionMatrix _,
     "q144_transition_matrix" -> q144TransitionMatrix _,
     "q145_trend_slope" -> q145TrendSlope _,
     "q141_interpolate_fill" -> q141InterpolateFill _,
@@ -542,6 +608,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q158_session_matrix" -> q158Oracle,
     "q144_transition_matrix" -> q144Oracle,
     "q145_trend_slope" -> q145Oracle,
     "q141_interpolate_fill" -> q141Oracle,

@@ -499,6 +499,39 @@ class Round5Spec extends SparkSuite {
       "label predicate must be pushed to the parquet scan")
   }
 
+  test("q157: containment catches a planted quotation Jaccard misses") {
+    import spark.implicits._
+    // 5-word doc fully contained in a 40-word doc: jaccard 5/40 = 0.125,
+    // containment a→b = 1.0
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 35).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(1L) == 5 && sizes(2L) == 40)
+    val r = Dedup.q157ContainmentJoin(spark, sf) // operator runs on fixture
+    assert(r.columns.toSeq == Seq("doc_a", "doc_b", "c_ab", "c_ba"))
+    r.collect().foreach { row =>
+      assert(row.getDouble(2) >= 0.9 || row.getDouble(3) >= 0.9)
+      assert(row.getDouble(2) <= 1.0 && row.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q158: bounces have entry == exit; session count matches q87's islands") {
+    val rows = EventAnalytics.q158SessionMatrix(spark, sf).collect()
+    rows.filter(_.getAs[Long]("n_bounces") > 0).foreach { r =>
+      // a 1-event session's entry and exit are the same event, so any cell
+      // with bounces on the off-diagonal would be a bug
+      if (r.getString(0) != r.getString(1))
+        assert(r.getAs[Long]("n_bounces") == 0)
+    }
+    val total = rows.map(_.getAs[Long]("n_sessions")).sum
+    assert(total > 0)
+    rows.foreach(r => assert(r.getAs[Double]("avg_events") >= 1.0))
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
