@@ -595,7 +595,74 @@ object EventAnalytics {
          CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events
        FROM sess GROUP BY 1, 2 ORDER BY entry_type, exit_type"""
 
+  // ---------------------------------------------------------------- q160
+  /** Chi-square independence over the event-transition contingency table
+    * (q144's counts): is the next event independent of the current one?
+    * The statistic Σ(observed − expected)²/expected is computed entirely
+    * in EXACT integer arithmetic: expected = rt·ct/nn makes each cell's
+    * term (o·nn − rt·ct)²/(rt·ct·nn), whose numerator and denominator are
+    * exact integers — quantized to micro-units by floor division in the
+    * DECIMAL(38,0) lane (a per-cell double term would hit the
+    * double→DECIMAL boundary-rounding divergence that bit q141). The
+    * summed statistic is therefore a BIGINT, bit-exact by construction;
+    * a convenience double divides once at the end. This is
+    * the category-drift test a pipeline runs between snapshots (swap one
+    * margin for last week's and the same machinery tests homogeneity).
+    * Output: one row with N, the statistic, and the degrees of freedom.
+    */
+  def q160ChiSquare(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val obs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy(col("event_type"))
+      .agg(expr("cast(sum(o) as bigint)").as("rt"))
+    val colM = obs.groupBy(col("next_type"))
+      .agg(expr("cast(sum(o) as bigint)").as("ct"))
+    val tot = obs.agg(expr("cast(sum(o) as bigint)").as("nn"))
+    obs.join(broadcast(rowM), "event_type")
+      .join(broadcast(colM), "next_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("num", expr(
+        "cast(o as decimal(38,0)) * cast(nn as decimal(38,0)) - cast(rt as decimal(38,0)) * cast(ct as decimal(38,0))"))
+      .withColumn("term_micro", expr(
+        "cast((num * num * 1000000) div (cast(rt as decimal(38,0)) * cast(ct as decimal(38,0)) * cast(nn as decimal(38,0))) as bigint)"))
+      .agg(max(col("nn")).as("n_transitions"),
+        expr("cast(sum(cast(term_micro as decimal(38,0))) as bigint)").as("chi2_micro"),
+        expr("cast((count(distinct event_type) - 1) * (count(distinct next_type) - 1) as bigint)")
+          .as("dof"))
+      .withColumn("chi2", expr("CAST(chi2_micro AS DOUBLE) / 1000000.0"))
+  }
+
+  val q160Oracle: String =
+    """WITH t AS (
+         SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events),
+       obs AS (SELECT event_type, next_type, count(*) AS o
+               FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+       cm AS (SELECT next_type, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+       tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+       terms AS (
+         SELECT obs.event_type, obs.next_type, nn,
+           CAST((CAST(o AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+                * (CAST(o AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+                * 1000000
+                // (CAST(rt AS HUGEINT) * ct * nn) AS BIGINT) AS term_micro
+         FROM obs JOIN rm USING (event_type) JOIN cm USING (next_type) CROSS JOIN tot)
+       SELECT max(nn) AS n_transitions,
+         CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+         CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT next_type) - 1) AS BIGINT) AS dof,
+         CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+       FROM terms"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_chi_square" -> q160ChiSquare _,
     "q158_session_matrix" -> q158SessionMatrix _,
     "q144_transition_matrix" -> q144TransitionMatrix _,
     "q145_trend_slope" -> q145TrendSlope _,
@@ -608,6 +675,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q160_chi_square" -> q160Oracle,
     "q158_session_matrix" -> q158Oracle,
     "q144_transition_matrix" -> q144Oracle,
     "q145_trend_slope" -> q145Oracle,

@@ -193,13 +193,64 @@ object Profiling {
          CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bin_sum
        FROM t GROUP BY decile ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q159
+  /** Z-score outlier sweep — the numeric-drift check a nightly snapshot
+    * gate runs: per monitored column, mean/σ from EXACT integer-cents
+    * moments (the q53 discipline: long×long squares, DECIMAL(38,0) sums),
+    * then one map-side pass counts |z| > 3 rows and records the extreme
+    * z values. Two scans total regardless of column count (one moments
+    * aggregate, one classify pass with the 1-row moments broadcast);
+    * doubles derive through shared-text formulas → bit-exact, full
+    * oracle. Columns that are legitimately heavy-tailed report high
+    * counts — the point is the deterministic report, not a verdict.
+    */
+  private val q159Derived: Seq[(String, String)] = Seq(
+    "mean_price" -> "s1 / n / 100.0",
+    "sd_price" -> "sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100.0")
+
+  def q159ZscoreOutliers(spark: SparkSession, d: String): DataFrame = {
+    val cents = Tables.orders(spark, d)
+      .select(col("o_orderkey"), expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+    val m = cents.agg(
+      expr("cast(count(*) as double)").as("n"),
+      expr("cast(sum(cast(pc as decimal(38,0))) as double)").as("s1"),
+      expr("cast(sum(cast(pc * pc as decimal(38,0))) as double)").as("s2"))
+    cents.crossJoin(broadcast(m))
+      .withColumn("z", expr(
+        "(CAST(pc AS DOUBLE) / 100.0 - (s1 / n / 100.0)) / (sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100.0)"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END")).cast("long").as("n_outliers"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .crossJoin(broadcast(m.select(
+        q159Derived.map { case (a, e) => expr(e).as(a) }: _*)))
+  }
+
+  val q159Oracle: String = {
+    val derived = q159Derived.map { case (a, e) => s"$e AS $a" }.mkString(", ")
+    s"""WITH c AS (SELECT cast(round(o_totalprice * 100) as bigint) AS pc FROM orders),
+       m AS (SELECT cast(count(*) as double) AS n,
+                    cast(sum(cast(pc as decimal(38,0))) as double) AS s1,
+                    cast(sum(cast(pc * pc as decimal(38,0))) as double) AS s2
+             FROM c),
+       z AS (SELECT (CAST(pc AS DOUBLE) / 100.0 - (s1 / n / 100.0))
+                    / (sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100.0) AS z
+             FROM c CROSS JOIN m)
+       SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         min(z) AS min_z, max(z) AS max_z, $derived
+       FROM z CROSS JOIN m
+       GROUP BY n, s1, s2"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
     "q81_profile" -> q81Profile _,
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,
     "q81_profile" -> q81Oracle,

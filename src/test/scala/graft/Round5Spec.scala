@@ -532,6 +532,24 @@ class Round5Spec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Double]("avg_events") >= 1.0))
   }
 
+  test("q159: exact-moment mean/sd agree with Spark's builtin estimators") {
+    val r = Profiling.q159ZscoreOutliers(spark, sf).collect().head
+    val ref = graft.sources.Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice")), stddev_samp(col("o_totalprice")))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("mean_price") - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("sd_price") - ref.getDouble(1)) < 1e-6)
+    assert(r.getAs[Long]("n_outliers") >= 0 &&
+      r.getAs[Long]("n_outliers") < r.getAs[Long]("n_rows"))
+  }
+
+  test("q160: chi-square statistic is non-negative with the right dof") {
+    val r = EventAnalytics.q160ChiSquare(spark, sf).collect().head
+    assert(r.getAs[Long]("chi2_micro") >= 0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("dof") == 16, "5x5 event-type table has (5-1)^2 dof")
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
