@@ -774,7 +774,78 @@ object Dedup {
        WHERE CAST(i AS DOUBLE) / sa.n >= 0.9 OR CAST(i AS DOUBLE) / sb.n >= 0.9
        ORDER BY doc_a, doc_b"""
 
+  // ---------------------------------------------------------------- q162
+  /** Dedup SURVIVORSHIP — which copy to keep is a policy, not an accident:
+    * instead of q30's min-id rule, each duplicate group keeps its
+    * best-QUALITY member (longest text, ties by min id — a stand-in for
+    * any scoring function). Duplicates are planted deterministically: ids
+    * ≡0 (mod 25) get a TRUNCATED copy under id+500000 (strictly lower
+    * quality), and ids ≡0 (mod 35) an identical copy under id+600000
+    * (quality tie → id rule decides). One groupBy on the dedup key with a
+    * max-of-(score, -id) argmax — a single shuffle of (key, score, id),
+    * never the text; the survivor set is a pure function of the corpus →
+    * full oracle replaying the plant and the policy.
+    */
+  def q162DedupSurvivorship(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val truncated = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
+    val identical = base.filter(col("doc_id") % 35 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(truncated).unionByName(identical)
+      // dedup key: the first 5 words (truncated copies collide with their
+      // source; identical copies collide exactly)
+      .withColumn("dkey", concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+      .withColumn("quality", size(split(col("text"), " ")).cast("long"))
+    val survivors = corpus
+      .groupBy(col("dkey"))
+      .agg(count(lit(1)).as("group_size"),
+        expr("max(named_struct('q', quality, 'negid', -doc_id))").as("best"))
+      .select(col("dkey"), col("group_size"),
+        col("best.q").as("quality"), (-col("best.negid")).as("survivor_id"))
+    survivors
+      .agg(count(lit(1)).as("n_groups"),
+        expr("cast(sum(case when group_size > 1 then 1 else 0 end) as bigint)").as("n_dup_groups"),
+        expr("cast(sum(group_size) as bigint)").as("n_docs"),
+        min(col("survivor_id")).as("min_survivor"),
+        max(col("survivor_id")).as("max_survivor"),
+        expr("cast(sum(cast(survivor_id as decimal(38,0))) as bigint)").as("survivor_id_sum"))
+  }
+
+  val q162Oracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 500000,
+                array_to_string((string_split(text, ' '))[1:5], ' ')
+         FROM base WHERE doc_id % 25 = 0
+         UNION ALL
+         SELECT doc_id + 600000, text FROM base WHERE doc_id % 35 = 0),
+       keyed AS (
+         SELECT doc_id,
+           array_to_string((string_split(text, ' '))[1:5], ' ') AS dkey,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS quality
+         FROM corpus),
+       ranked AS (
+         SELECT dkey, doc_id, quality,
+           row_number() OVER (PARTITION BY dkey
+             ORDER BY quality DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY dkey) AS group_size
+         FROM keyed),
+       s AS (SELECT dkey, group_size, quality, doc_id AS survivor_id
+             FROM ranked WHERE rn = 1)
+       SELECT count(*) AS n_groups,
+         CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         CAST(sum(group_size) AS BIGINT) AS n_docs,
+         min(survivor_id) AS min_survivor,
+         max(survivor_id) AS max_survivor,
+         cast(sum(cast(survivor_id as decimal(38,0))) as bigint) AS survivor_id_sum
+       FROM s"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_dedup_survivorship" -> q162DedupSurvivorship _,
     "q157_containment_join" -> q157ContainmentJoin _,
     "q140_prefix_filter_join" -> q140PrefixFilterJoin _,
     "q30_dedup_exact" -> q30ExactDedup _,
@@ -787,6 +858,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q162_dedup_survivorship" -> q162Oracle,
     "q157_containment_join" -> q157Oracle,
     "q140_prefix_filter_join" -> q140Oracle,
     "q30_dedup_exact" -> q30Oracle,

@@ -947,6 +947,55 @@ object Relational {
          (revenue - prev_revenue) / prev_revenue * 100.0 AS wow_pct
        FROM l ORDER BY o_orderpriority, week"""
 
+  // ---------------------------------------------------------------- q161
+  /** RFM segmentation — recency/frequency/monetary quintiles per customer,
+    * the classic marketing-warehouse cube. Customer metrics reduce the
+    * fact table once (latest order date, order count, exact-cents spend);
+    * each quintile is a rank-defined ntile over a TOTAL order
+    * (metric, custkey), so both engines bin identically (no interpolation
+    * flavor, the q132/q134 rule); the final cube is ≤125 cells regardless
+    * of customer count. At 10⁹ customers the per-metric rank would switch
+    * to q134's two-phase form — same semantics, noted not needed at
+    * fixture scale where the window runs over the compact per-customer
+    * aggregate, not the fact table.
+    */
+  def q161RfmSegmentation(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").as("spend_c"))
+    def quintile(metric: Column, asc: Boolean): Column = {
+      val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
+      else Seq(metric.desc, col("o_custkey").asc)
+      ntile(5).over(Window.orderBy(ord: _*)).cast("long")
+    }
+    per
+      .withColumn("r_q", quintile(col("last_order"), asc = false))
+      .withColumn("f_q", quintile(col("n_orders"), asc = false))
+      .withColumn("m_q", quintile(col("spend_c"), asc = false))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("cast(sum(cast(spend_c as decimal(38,0))) as bigint)").as("segment_spend_c"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q161Oracle: String =
+    """WITH per AS (
+         SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS spend_c
+         FROM orders GROUP BY 1),
+       q AS (
+         SELECT spend_c,
+           CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_q,
+           CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f_q,
+           CAST(ntile(5) OVER (ORDER BY spend_c DESC, o_custkey) AS BIGINT) AS m_q
+         FROM per)
+       SELECT r_q, f_q, m_q, count(*) AS n_customers,
+         cast(sum(cast(spend_c as decimal(38,0))) as bigint) AS segment_spend_c
+       FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q"""
+
   // ---------------------------------------------------------------- q67
   /** Generator/lateral form through SQL: LATERAL VIEW posexplode flattens
     * each document's token array with positions (the UDTF-shaped operator
@@ -1171,6 +1220,7 @@ object Relational {
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
     "q155_period_over_period" -> q155PeriodOverPeriod _,
+    "q161_rfm_segmentation" -> q161RfmSegmentation _,
     "q131_star_join" -> q131StarJoin _,
     "q132_winsorize" -> q132Winsorize _,
     "q91_topk_udaf" -> q91TopKUdaf _,
@@ -1215,6 +1265,7 @@ object Relational {
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,
     "q155_period_over_period" -> q155Oracle,
+    "q161_rfm_segmentation" -> q161Oracle,
     "q131_star_join" -> q131Oracle,
     "q132_winsorize" -> q132Oracle,
     "q120_hll_sketch_merge" -> q120Oracle,

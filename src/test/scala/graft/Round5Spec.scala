@@ -550,6 +550,34 @@ class Round5Spec extends SparkSuite {
     assert(r.getAs[Long]("dof") == 16, "5x5 event-type table has (5-1)^2 dof")
   }
 
+  test("q161: quintiles partition customers evenly; segment spend sums to total") {
+    val rows = Relational.q161RfmSegmentation(spark, sf).collect()
+    val per = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == per)
+    val totalSpend = graft.sources.Tables.orders(spark, sf)
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("segment_spend_c")).sum == totalSpend)
+    rows.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach(c =>
+        assert(r.getAs[Long](c) >= 1 && r.getAs[Long](c) <= 5))
+    }
+  }
+
+  test("q162: survivors prefer quality; identical copies fall to the id rule") {
+    val r = Dedup.q162DedupSurvivorship(spark, sf).collect().head
+    val nBase = graft.sources.Tables.documents(spark, sf).count()
+    val nTrunc = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 25 === 0).count()
+    val nIdent = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 35 === 0).count()
+    assert(r.getAs[Long]("n_docs") == nBase + nTrunc + nIdent)
+    assert(r.getAs[Long]("n_dup_groups") >= nTrunc.max(nIdent))
+    // no planted id (>=500000) may survive: truncated copies lose on
+    // quality, identical copies lose the min-id tie-break
+    assert(r.getAs[Long]("max_survivor") < 500000L)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
