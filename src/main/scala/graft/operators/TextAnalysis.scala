@@ -714,7 +714,104 @@ object TextAnalysis {
          coalesce(kept_text, '') AS kept_text
        FROM b LEFT JOIN a ON a.doc_id = b.doc_id ORDER BY b.doc_id"""
 
+  // ---------------------------------------------------------------- q163
+  /** Distinctive-term drift between two corpus halves — "what changed in
+    * this crawl vs the last": per-half term occurrence shares (exact
+    * integer counts, one double division each) ranked by absolute share
+    * difference. Log-free by design (log-likelihood variants hit libm
+    * divergence cross-engine; share deltas rank the same terms). Two
+    * vocabulary-sized aggregates + a full-outer merge on the term, top-20
+    * by (|Δ|, term) total order. The corpus split is by doc_id parity —
+    * deterministic and size-balanced.
+    */
+  def q163TermDrift(spark: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(spark, d)
+      .select((col("doc_id") % 2 === 0).as("half_a"),
+        explode(split(col("text"), " ")).as("word"))
+    val counts = words.groupBy(col("word"))
+      .agg(expr("cast(sum(CASE WHEN half_a THEN 1 ELSE 0 END) as bigint)").as("ca"),
+        expr("cast(sum(CASE WHEN half_a THEN 0 ELSE 1 END) as bigint)").as("cb"))
+    val tot = counts.agg(
+      expr("cast(sum(ca) as bigint)").as("ta"),
+      expr("cast(sum(cb) as bigint)").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_a", expr("CAST(ca AS DOUBLE) / ta"))
+      .withColumn("share_b", expr("CAST(cb AS DOUBLE) / tb"))
+      .withColumn("drift", expr("abs(share_a - share_b)"))
+      .select(col("word"), col("ca"), col("cb"),
+        round(col("drift") * 1e6, 4).as("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("word"))
+      .limit(20)
+  }
+
+  val q163Oracle: String =
+    """WITH w AS (SELECT doc_id % 2 = 0 AS half_a,
+                    unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       c AS (SELECT word,
+               CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN half_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+             FROM w GROUP BY 1),
+       t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c)
+       SELECT word, ca, cb,
+         round(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) * 1e6, 4) AS drift_ppm
+       FROM c CROSS JOIN t
+       ORDER BY drift_ppm DESC, word
+       LIMIT 20"""
+
+  // ---------------------------------------------------------------- q164
+  /** Vocabulary growth curve — corpus-diversity health: each BIGRAM type's
+    * FIRST occurrence (min doc_id) bucketed into doc-id deciles gives "new
+    * types seen per tranche"; a flattening curve means the crawl is
+    * saturating, a flat-high one means it keeps finding novel content.
+    * (Bigrams, because this fixture's unigram vocabulary saturates inside
+    * the first decile — a degenerate 1-row curve; the type unit is the
+    * operator's parameter, not its shape.) One explode + one min-aggregate
+    * per type + a 10-row rollup; the cumulative total rides a running
+    * window over the 10-row bucket list. Exact integers → full oracle.
+    */
+  def q164VocabGrowth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = Tables.documents(spark, d).agg((max(col("doc_id")) + 1).as("nd"))
+    val firstSeen = Tables.documents(spark, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(__toks) >= 2
+           THEN transform(sequence(1, size(__toks) - 1),
+                          i -> concat(__toks[i - 1], ' ', __toks[i]))
+           ELSE array() END""")).as("bigram"))
+      .groupBy(col("bigram")).agg(min(col("doc_id")).as("first_doc"))
+    val curve = firstSeen.crossJoin(broadcast(nd))
+      .withColumn("decile", expr("CAST(first_doc * 10 div nd AS BIGINT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    curve.withColumn("cum_types",
+        sum(col("new_types")).over(Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .orderBy(col("decile"))
+  }
+
+  val q164Oracle: String =
+    """WITH n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+       f AS (SELECT bigram, min(doc_id) AS first_doc FROM (
+               SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END) AS bigram
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+             GROUP BY 1),
+       c AS (SELECT CAST(first_doc * 10 // nd AS BIGINT) AS decile,
+                    count(*) AS new_types
+             FROM f CROSS JOIN n GROUP BY 1)
+       SELECT decile, new_types,
+         CAST(sum(new_types) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+       FROM c ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_term_drift" -> q163TermDrift _,
+    "q164_vocab_growth" -> q164VocabGrowth _,
     "q152_paragraph_dedup" -> q152ParagraphDedup _,
     "q133_wordpiece_tokenize" -> q133WordpieceTokenize _,
     "q121_strip_markup" -> q121StripMarkup _,
@@ -732,6 +829,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q163_term_drift" -> q163Oracle,
+    "q164_vocab_growth" -> q164Oracle,
     "q152_paragraph_dedup" -> q152Oracle,
     "q133_wordpiece_tokenize" -> q133Oracle,
     "q121_strip_markup" -> q121Oracle,

@@ -578,6 +578,24 @@ class Round5Spec extends SparkSuite {
     assert(r.getAs[Long]("max_survivor") < 500000L)
   }
 
+  test("q163: drift shares are consistent with raw counts") {
+    val rows = TextAnalysis.q163TermDrift(spark, sf).collect()
+    assert(rows.length == 20)
+    val ppm = rows.map(_.getAs[Double]("drift_ppm"))
+    assert(ppm.toSeq == ppm.sorted.reverse.toSeq, "must be ranked by drift")
+    assert(ppm.head > 0)
+  }
+
+  test("q164: growth curve is cumulative and saturating-monotone") {
+    val rows = TextAnalysis.q164VocabGrowth(spark, sf).collect()
+    assert(rows.length >= 2, "bigram types must not all appear in one tranche")
+    val cums = rows.map(_.getAs[Long]("cum_types"))
+    assert(cums.toSeq == cums.sorted.toSeq)
+    assert(cums.last == rows.map(_.getAs[Long]("new_types")).sum)
+    // first tranche sees the most new types on a stationary corpus
+    assert(rows.head.getAs[Long]("new_types") == rows.map(_.getAs[Long]("new_types")).max)
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
