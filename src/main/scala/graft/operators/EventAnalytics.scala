@@ -661,7 +661,60 @@ object EventAnalytics {
          CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
        FROM terms"""
 
+  // ---------------------------------------------------------------- q165
+  /** Funnel LATENCY — q107 counts who converts; this measures how fast:
+    * per converting user, exact µs from first view to the first purchase
+    * after it (two chained per-user min-aggregates, the no-self-join
+    * funnel shape), then the exact median and p90 latency selected by
+    * RANK over the total order (latency, user_id) — the q61 rule, so both
+    * engines pick the same physical rows and the percentiles are
+    * bit-exact. Integer µs end to end; the output converts to seconds by
+    * one shared-text division.
+    */
+  def q165FunnelLatency(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val p2 = ev.filter(col("event_type") === "purchase")
+      .join(v1, Seq("user_id"))
+      .filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"), min(col("t1")).as("t1m"))
+      .select(col("user_id"), (col("t2") - col("t1m")).as("lat_us"))
+    val w = Window.orderBy(col("lat_us"), col("user_id"))
+    p2.select(col("lat_us"), col("user_id"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      .filter(expr("rn = (n + 1) div 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"))
+      .groupBy()
+      .agg(max(col("n")).as("n_converted"),
+        expr("CAST(min(CASE WHEN rn = (n + 1) div 2 THEN lat_us END) AS DOUBLE) / 1000000.0")
+          .as("median_latency_s"),
+        expr("CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0")
+          .as("p90_latency_s"))
+  }
+
+  val q165Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       v1 AS (SELECT user_id, min(t) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+       p2 AS (SELECT e.user_id, min(e.t) - min(v1.t1) AS lat_us
+              FROM ev e JOIN v1 ON e.user_id = v1.user_id
+              WHERE e.event_type = 'purchase' AND e.t > v1.t1 GROUP BY 1),
+       r AS (SELECT lat_us, user_id,
+               row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+               count(*) OVER () AS n
+             FROM p2)
+       SELECT max(n) AS n_converted,
+         CAST(min(CASE WHEN rn = (n + 1) // 2 THEN lat_us END) AS DOUBLE) / 1000000.0
+           AS median_latency_s,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0
+           AS p90_latency_s
+       FROM r WHERE rn = (n + 1) // 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_funnel_latency" -> q165FunnelLatency _,
     "q160_chi_square" -> q160ChiSquare _,
     "q158_session_matrix" -> q158SessionMatrix _,
     "q144_transition_matrix" -> q144TransitionMatrix _,
@@ -675,6 +728,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q165_funnel_latency" -> q165Oracle,
     "q160_chi_square" -> q160Oracle,
     "q158_session_matrix" -> q158Oracle,
     "q144_transition_matrix" -> q144Oracle,

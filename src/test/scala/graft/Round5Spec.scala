@@ -596,6 +596,26 @@ class Round5Spec extends SparkSuite {
     assert(rows.head.getAs[Long]("new_types") == rows.map(_.getAs[Long]("new_types")).max)
   }
 
+  test("q165: latency percentiles are real observed values, ordered sanely") {
+    val r = EventAnalytics.q165FunnelLatency(spark, sf).collect().head
+    val med = r.getAs[Double]("median_latency_s")
+    val p90 = r.getAs[Double]("p90_latency_s")
+    assert(r.getAs[Long]("n_converted") > 0)
+    assert(med > 0 && p90 >= med)
+    // percentiles must be actual observed latencies
+    val lats = {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      ev.filter(col("event_type") === "purchase").join(v1, Seq("user_id"))
+        .filter(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg((min(col("t")) - min(col("t1"))).as("lat"))
+        .collect().map(_.getLong(1) / 1e6).toSet
+    }
+    assert(lats.contains(med) && lats.contains(p90))
+  }
+
   test("q132: clamp bounds are real elements of the column") {
     val bounds = Relational.q132Winsorize(spark, sf)
       .select(col("l_returnflag"), col("p01"), col("p99")).collect()
