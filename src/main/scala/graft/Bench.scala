@@ -55,16 +55,24 @@ object Bench {
     // comma-decimal locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def short(name: String): String = name.takeWhile(_ != '_')
+    // Key order inside each line puts "queries" FIRST and the totals LAST:
+    // tail truncation eats the line's head, and round 4 lost both totals
+    // (and the warm line entirely) because they were emitted at line start.
+    // JSON objects are unordered, so any parser reads this identically.
     def line(metric: String, results: Seq[(String, Double)]): String = {
       val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"$metric","value":${ms(results.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"$metric","unit":"sec","value":${ms(results.map(_._2).sum)}}"""
     }
 
     val cold = runPass()
     val warm = if (warmPass) Some(runPass()) else None
     warm.foreach(w => println(line("total_warm", w)))
     println(line("total", cold))
+    // Final tiny summary as the very last stdout line: even if the bound
+    // truncates everything above, both totals survive.
+    val warmTotal = warm.map(w => ms(w.map(_._2).sum)).getOrElse("null")
+    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total":${ms(cold.map(_._2).sum)}}""")
     spark.stop()
   }
 }

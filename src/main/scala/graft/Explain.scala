@@ -8,19 +8,56 @@ import org.apache.spark.sql.SparkSession
   * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_CPUS.
   */
 object Explain {
+
+  /** Per-table file-scan counts over the whole physical plan, descending
+    * into broadcast/scalar subqueries, and expanding each DISTINCT cached
+    * relation once (its build cost is paid once at runtime). A fact table
+    * appearing more than ~3× in one plan means some branch forks the
+    * lineage back to the raw scan — the q150 bug class from round 4.
+    */
+  def scanCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: InMemoryTableScanExec =>
+        if (seen.add(System.identityHashCode(s.relation.cacheBuilder)))
+          walk(s.relation.cachedPlan)
+        else Nil
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.headOption
+          .map(p => p.getName.stripSuffix(".parquet")).toSeq
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val auditOnly = args.headOption.contains("--scan-audit")
+    val qargs = if (auditOnly) args.drop(1).toSeq else args.toSeq
     val spark = graft.core.SparkConfigs.localSession("graft-explain", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names = if (qargs.nonEmpty) qargs else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      println(s"\n========== $name ==========")
-      df.explain("formatted")
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      println(f"[explain] $name took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val scans = scanCounts(df).toSeq.sortBy(-_._2)
+        .map { case (t, n) => s"$t×$n" }.mkString(", ")
+      if (auditOnly) {
+        println(s"[scan-audit] $name: $scans")
+      } else {
+        println(s"\n========== $name ==========")
+        df.explain("formatted")
+        println(s"[scan-audit] $name: $scans")
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[explain] $name took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

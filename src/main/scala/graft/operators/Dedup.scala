@@ -484,7 +484,18 @@ object Dedup {
     */
   def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
                               srcCol: String = "doc_a", dstCol: String = "doc_b",
-                              maxRounds: Int = 50): DataFrame = {
+                              maxRounds: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(nodes, pairs, srcCol, dstCol, maxRounds)._1
+
+  /** [[connectedComponentsStar]] plus the number of rewiring rounds it took
+    * to reach the fixpoint — the observable the O(log² n) convergence claim
+    * is tested against (Round5bSpec drives an adversarial star-of-chains
+    * graph and asserts rounds ≤ 2·log₂ n).
+    */
+  def connectedComponentsStarWithRounds(
+      nodes: DataFrame, pairs: DataFrame,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      maxRounds: Int = 50): (DataFrame, Int) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
 
     // (b, m) for every neighbor b > a, where m = min(closed neighborhood of a)
@@ -532,8 +543,8 @@ object Dedup {
     val comp = edges
       .select(greatest(col("a"), col("b")).as("id"), least(col("a"), col("b")).as("m"))
       .groupBy(col("id")).agg(min(col("m")).as("m"))
-    base.join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("m"), col("id")).as("component"))
+    (base.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("component")), round)
   }
 
   // ---------------------------------------------------------------- q109

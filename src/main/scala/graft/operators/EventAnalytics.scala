@@ -14,11 +14,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *  - gap filling generates missing rows from per-key BOUNDS (one row per
   *    key, exploded to its span) joined back to the sparse aggregates —
   *    never a calendar × keys cross join of the full corpus;
-  *  - the funnel is three per-user min-aggregates chained by outer joins on
-  *    user_id — each stage shrinks the carried rows to converting users;
-  *    everything shuffles on user_id once per stage, no event-level
-  *    self-join of view × click × purchase (that quadratic blow-up is the
-  *    classic funnel mistake);
+  *  - the funnel is ONE user-partitioned exchange carrying three chained
+  *    whole-partition window minima (each stage's first-time conditioned on
+  *    the previous stage's column) — one events scan total, and no
+  *    event-level self-join of view × click × purchase (that quadratic
+  *    blow-up is the classic funnel mistake);
   *  - cohort retention reduces events to distinct (user, week) FIRST (the
   *    big cardinality drop), then joins the per-user cohort week and
   *    aggregates — the join carries |users × active-weeks| rows, not
@@ -74,21 +74,29 @@ object EventAnalytics {
   /** Ordered conversion funnel view → click → purchase: per user, the
     * first view, the first click strictly after it, the first purchase
     * strictly after that. stage = how far the user got (1, 2, 3).
+    *
+    * ONE scan + ONE shuffle: each stage time is a whole-partition window
+    * min chained off the previous stage's column, all over the same
+    * user-partitioned exchange (round 4 chained per-stage aggregates whose
+    * joins re-embedded every earlier stage's lineage — events was scanned
+    * 1+2+3 = 6 times, O(n²) scans in the stage count; the q150 bug class).
+    * The final per-user collapse groups rows already hash-partitioned by
+    * user_id, so it adds no exchange either.
     */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size == 3, "funnel() is specified for exactly 3 stages")
     val Seq(s1, s2, s3) = stages
-    val first1 = events.filter(col("event_type") === s1)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val first2 = events.filter(col("event_type") === s2).as("e")
-      .join(first1.as("f"), col("e.user_id") === col("f.user_id"))
-      .filter(col("e.ts") > col("t1"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
-    val first3 = events.filter(col("event_type") === s3).as("e")
-      .join(first2.as("f"), col("e.user_id") === col("f.user_id"))
-      .filter(col("e.ts") > col("t2"))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
-    first1.join(first2, Seq("user_id"), "left").join(first3, Seq("user_id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    events
+      .withColumn("t1",
+        min(when(col("event_type") === s1, col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === s2 && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === s3 && col("ts") > col("t2"), col("ts"))).over(w))
+      .filter(col("t1").isNotNull) // the funnel starts at stage 1
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
       .select(col("user_id"), col("t1"), col("t2"), col("t3"),
         (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
           + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))

@@ -78,10 +78,14 @@ object Profiling {
     * against a deterministically CORRUPTED snapshot so every check has
     * planted violations to find (all-zeros would certify nothing) — keys
     * divisible by 311 lose their custkey, by 137 their status, by 233 go
-    * negative, by 500 duplicate. Each check is a count aggregate —
-    * map-side-combinable, no shuffle beyond the final 1-row merges; the
-    * referential check is a broadcast anti-join against the dimension.
-    * Fully deterministic → full DuckDB oracle replaying the corruption.
+    * negative, by 500 duplicate. The whole suite is ONE pass: duplication
+    * is planted by exploding a per-row copy count (no self-union, so the
+    * fact table is scanned once, not once per union branch), the
+    * referential check rides a broadcast LEFT join, and all five checks
+    * are conditional aggregates of the same scan (round 4 ran each check
+    * as its own aggregate — 10 orders scans in one plan; the q150 bug
+    * class). Fully deterministic → full DuckDB oracle replaying the
+    * corruption.
     */
   def q114DataQuality(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -90,22 +94,31 @@ object Profiling {
         when(col("o_orderkey") % 311 === 0, lit(null)).otherwise(col("o_custkey")).as("o_custkey"),
         when(col("o_orderkey") % 137 === 0, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
         when(col("o_orderkey") % 233 === 0, lit(-1.0d)).otherwise(col("o_totalprice")).as("o_totalprice"))
-    val snap = corrupted.unionByName(corrupted.filter(col("o_orderkey") % 500 === 0))
-    def check(name: String, violations: DataFrame): DataFrame =
-      violations.select(lit(name).as("check_name"), col("n_violations"))
-    val uniq = snap.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
-    val complete = snap.agg(count_if(col("o_custkey").isNull).as("n_violations"))
-    val range = snap.agg(count_if(col("o_totalprice") <= 0).as("n_violations"))
-    val domain = snap.agg(count_if(!col("o_orderstatus").isin("O", "F", "P")).as("n_violations"))
-    val refs = snap.filter(col("o_custkey").isNotNull)
+    // keys %500 appear twice: explode a copy counter instead of unioning a
+    // second scan of the corrupted subtree
+    val snap = corrupted
+      .withColumn("__copy", explode(
+        when(col("o_orderkey") % 500 === 0, sequence(lit(1), lit(2)))
+          .otherwise(sequence(lit(1), lit(1)))))
+      .drop("__copy")
+    val agg = snap
       .join(broadcast(Tables.customer(spark, d).select(col("c_custkey"))),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    check("custkey_complete", complete)
-      .unionByName(check("custkey_references_customer", refs))
-      .unionByName(check("orderkey_unique", uniq))
-      .unionByName(check("status_in_domain", domain))
-      .unionByName(check("totalprice_positive", range))
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count_if(col("o_custkey").isNull).as("custkey_complete"),
+        count_if(col("o_custkey").isNotNull && col("c_custkey").isNull)
+          .as("custkey_references_customer"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orderkey_unique"),
+        count_if(!col("o_orderstatus").isin("O", "F", "P")).as("status_in_domain"),
+        count_if(col("o_totalprice") <= 0).as("totalprice_positive"))
+    agg.select(expr(
+        """stack(5,
+             'custkey_complete', custkey_complete,
+             'custkey_references_customer', custkey_references_customer,
+             'orderkey_unique', orderkey_unique,
+             'status_in_domain', status_in_domain,
+             'totalprice_positive', totalprice_positive)
+           AS (check_name, n_violations)"""))
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy(col("check_name"))
   }

@@ -840,18 +840,57 @@ object Relational {
     """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact, true AS merge_ok
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ------------------------------------------------------- basket mining
+  /** Hot-basket guard for the pair self-joins (q123/q154). Per-basket pair
+    * cost is k²; one degenerate basket (a 10⁶-item order in real data)
+    * re-quadratizes inside a single key even though the join is basket-
+    * keyed. Same cap-and-rank pattern as [[Linkage.fuzzySelfJoin]] blocks
+    * and Dedup's LSH buckets: rank items by id inside each basket, keep the
+    * lowest `MaxBasketSize` — deterministic, and the rank window shuffles
+    * on the same key the pair join needs, so no extra exchange class.
+    * Truncation is LOUD via [[basketOverflow]], never silent.
+    */
+  val MaxBasketSize = 1000
+
+  def cappedBasketItems(items: DataFrame, basketCol: String, itemCol: String,
+                        maxBasketSize: Int = MaxBasketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    items
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col(basketCol)).orderBy(col(itemCol))))
+      .filter(col("__rnk") <= maxBasketSize)
+      .drop("__rnk")
+  }
+
+  /** One row per OVERFLOWING basket — (basket, basket_size, kept, dropped).
+    * Empty ⇒ the pair mining was exact. Run alongside the join (one cheap
+    * count-aggregate on the identical basket key) instead of discovering a
+    * hot basket by timeout.
+    */
+  def basketOverflow(items: DataFrame, basketCol: String,
+                     maxBasketSize: Int = MaxBasketSize): DataFrame =
+    items.groupBy(col(basketCol).as("basket"))
+      .agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") > maxBasketSize)
+      .select(col("basket"), col("basket_size"),
+        lit(maxBasketSize).cast("long").as("kept"),
+        (col("basket_size") - maxBasketSize).as("dropped"))
+
   // ---------------------------------------------------------------- q123
   /** Frequent co-occurrence pairs (market-basket): which parts ship
     * together in the same order. The pair join is keyed by the BASKET id —
     * co-partitioned self-join, per-basket cost k² with k = basket size
-    * (≤12 in this fixture, bounded in any real order table), never corpus².
-    * The same shape mines n-gram co-occurrence or co-cited documents at
-    * 100 TB: shuffle once on the container key, explode pairs locally.
+    * (≤12 in this fixture, capped at [[MaxBasketSize]] with loud overflow
+    * for real data), never corpus². The same shape mines n-gram
+    * co-occurrence or co-cited documents at 100 TB: shuffle once on the
+    * container key, explode pairs locally.
     * Deterministic counts + total tie-broken ordering → full oracle.
     */
   def q123FrequentPairs(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = cappedBasketItems(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      "l_orderkey", "l_partkey")
     val a = li.as("a")
     val b = li.as("b")
     a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -876,11 +915,14 @@ object Relational {
     * broadcast onto the pair counts; √ over exact integers is a correctly
     * rounded IEEE op, so the scores are bit-identical cross-engine with
     * no decimal machinery. Same basket-keyed join as q123 — per-basket
-    * k², never corpus². Top-20 by (score, pair) total order.
+    * k² with the [[MaxBasketSize]] hot-basket cap, never corpus².
+    * Top-20 by (score, pair) total order.
     */
   def q154CooccurrenceCosine(spark: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(spark, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = cappedBasketItems(
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      "l_orderkey", "l_partkey")
     val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
     val a = li.as("a")
     val b = li.as("b")

@@ -515,6 +515,103 @@ object Similarity {
        SELECT m.cid, m.n_members, m.sum_ids, cc.c0, cc.c32
        FROM m JOIN cc ON m.cid = cc.cid ORDER BY m.cid"""
 
+  // ------------------------------------------------- filtered IVF (q166)
+  /** FILTERED IVF ANN — the q156 metadata pre-filter composed with the q51
+    * inverted-list path, with the probe depth ADAPTED to the filter's
+    * per-list selectivity. A fixed nprobe is the classic filtered-ANN
+    * failure at scale: a selective predicate can leave the nprobe closest
+    * lists nearly empty of qualifying vectors, silently returning far
+    * fewer than k results. Here the probe set is the shortest prefix of
+    * query-ranked lists whose CUMULATIVE qualifying count reaches
+    * `minCandidates` (never fewer than [[IvfNProbe]] lists) — the standard
+    * per-list-selectivity rule, fully deterministic and oracle-able.
+    *
+    * Scale shape: the predicate lands on the embeddings scan (pre-filter,
+    * PushedFilters); per-list qualifying counts are a K-row aggregate; the
+    * probe-depth decision is a window over K rows (K=[[IvfK]], broadcast-
+    * sized — the single-partition window is over centroids, never data);
+    * the candidate search stays an equi-join on probed list ids. Cost
+    * grows only as far as the filter forces it to.
+    */
+  def ivfTopKFiltered(emb: DataFrame, queryId: Long, k: Int,
+                      pred: Column, minCandidates: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    // index built once over the FULL corpus — assignment is filter-agnostic
+    val assigned = ivfAssignments(emb)
+    // metadata pre-filter: qualifying ids from the pushed-down scan
+    val qualifying = emb.filter(pred).select(col("vec_id").as("__qv"))
+    val cand = assigned.join(qualifying, col("vec_id") === col("__qv"))
+      .drop("__qv")
+    val q = assigned.filter(col("vec_id") === queryId).select(col("ed").as("qe"))
+    val listSizes = cand.groupBy(col("cid")).agg(count(lit(1)).as("n_qual"))
+    val byAffinity = Window.orderBy(col("sim").desc, col("cid").asc)
+    val probes = seedCentroids(emb).crossJoin(broadcast(q))
+      .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .join(broadcast(listSizes), Seq("cid"), "left") // empty lists still rank
+      .na.fill(0L, Seq("n_qual"))
+      .withColumn("rnk", row_number().over(byAffinity))
+      .withColumn("cum_prev", coalesce(
+        sum(col("n_qual")).over(byAffinity
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // keep a list if it's in the base probe set, or every better-ranked
+      // list together still holds fewer than minCandidates qualifying rows
+      .filter(col("rnk") <= IvfNProbe || col("cum_prev") < minCandidates)
+      .select(col("cid"), col("qe"))
+    cand.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), "cid")
+      .withColumn("cos_raw", cosineCols(spark, "ed", "qe"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- q166
+  /** Filtered IVF ANN: top-5 among label=7 vectors (~10% selectivity) for
+    * query vec_id=0. With ~n/160 qualifying rows per list, the fixed
+    * nprobe=4 would search ~⅛ of minCandidates — the adaptive rule deepens
+    * the probe prefix until 40 qualifying candidates are covered.
+    * Deterministic double math end to end → full DuckDB oracle.
+    */
+  val Q166MinCandidates = 40L
+
+  def q166FilteredIvf(spark: SparkSession, d: String): DataFrame =
+    ivfTopKFiltered(Tables.embeddings(spark, d), queryId = 0L, k = 5,
+      pred = col("label") === 7, minCandidates = Q166MinCandidates)
+
+  val q166Oracle: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
+       pair AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
+                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assigned AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pair) WHERE rn = 1),
+       qual AS (SELECT a.vec_id, a.cid FROM assigned a
+                JOIN embeddings e ON e.vec_id = a.vec_id WHERE e.label = 7),
+       sizes AS (SELECT cid, count(*) AS n_qual FROM qual GROUP BY cid),
+       ranked AS (SELECT c.cid, p.sim, COALESCE(s.n_qual, 0) AS n_qual,
+                         row_number() OVER (ORDER BY p.sim DESC, c.cid ASC) AS rnk,
+                         COALESCE(sum(COALESCE(s.n_qual, 0)) OVER (
+                           ORDER BY p.sim DESC, c.cid ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+                  FROM cent c
+                  JOIN pair p ON p.cid = c.cid AND p.vec_id = 0
+                  LEFT JOIN sizes s ON s.cid = c.cid),
+       probes AS (SELECT cid FROM ranked WHERE rnk <= $IvfNProbe OR cum_prev < $Q166MinCandidates),
+       cand AS (SELECT q.vec_id FROM qual q JOIN probes p ON q.cid = p.cid WHERE q.vec_id <> 0),
+       scored AS (SELECT e.vec_id,
+                         sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                         (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                          sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)))) AS cos_raw
+                  FROM ev e JOIN cand ON e.vec_id = cand.vec_id, ev q, range(64) r(j)
+                  WHERE q.vec_id = 0 GROUP BY e.vec_id)
+       SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM scored
+       ORDER BY cos_raw DESC, vec_id ASC LIMIT 5"""
+
   // ---------------------------------------------------------------- q51
   /** IVF ANN top-5 for vec_id=0 — deterministic double math end to end →
     * full DuckDB oracle (assignment argmax, probe ranking, pruned search).
@@ -547,6 +644,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
+    "q166_filtered_ivf" -> q166FilteredIvf _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q156_filtered_ann" -> q156FilteredAnn _,
     "q35_similarity_ann_lsh" -> q35AnnLsh _,
@@ -559,6 +657,7 @@ object Similarity {
     "q35_similarity_ann_lsh" -> q35Oracle,
     "q58_dedup_embedding_lsh" -> q58Oracle,
     "q51_similarity_ivf_topk" -> q51Oracle,
+    "q166_filtered_ivf" -> q166Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q156_filtered_ann" -> q156Oracle,
     "q36_similarity_embedding_neardup" -> q36Oracle,
