@@ -3,7 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Change-data-capture primitives: diff two snapshots of a table into
   * added / deleted / changed rows. The reference pipeline reloads whole
@@ -109,10 +109,16 @@ object Cdc {
       cents(col(valueCol)).as("nc"))
     val diff = o.join(n, Seq("k"), "full_outer")
       .filter(!(col("og") <=> col("ng")) || !(col("oc") <=> col("nc")))
-    val delta = diff.filter(col("og").isNotNull)
-        .select(col("og").as("g"), lit(-1L).as("dn"), (-col("oc")).as("dc"))
-      .unionByName(diff.filter(col("ng").isNotNull)
-        .select(col("ng").as("g"), lit(1L).as("dn"), col("nc").as("dc")))
+    // one pass: each diff row explodes into its retract/insert increments
+    // (the old two-filtered-branches union executed the diff join twice)
+    val delta = diff
+      .select(explode(array(
+        when(col("og").isNotNull,
+          struct(col("og").as("g"), lit(-1L).as("dn"), (-col("oc")).as("dc"))),
+        when(col("ng").isNotNull,
+          struct(col("ng").as("g"), lit(1L).as("dn"), col("nc").as("dc"))))).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col("__d.*"))
       .groupBy(col("g")).agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
     v1.join(delta, Seq("g"), "full_outer")
       .select(col("g"),
@@ -189,15 +195,22 @@ object Cdc {
     val changed = compareCols.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
     val inDelta = joined.filter(
       col(s"o.$keyCol").isNull || col(s"n.$keyCol").isNull || changed)
-    val closedOld = inDelta.filter(col(s"o.$keyCol").isNotNull)
-      .select((col(s"o.$keyCol").as(keyCol) +:
-        compareCols.map(c => col(s"o.$c").as(c))) ++
-        Seq(lit(v1Date).as("valid_from"), lit(v2Date).as("valid_to")): _*)
-    val openNew = inDelta.filter(col(s"n.$keyCol").isNotNull)
-      .select((col(s"n.$keyCol").as(keyCol) +:
-        compareCols.map(c => col(s"n.$c").as(c))) ++
-        Seq(lit(v2Date).as("valid_from"), lit(null).cast("string").as("valid_to")): _*)
-    closedOld.unionByName(openNew)
+    // ONE pass over the delta: each (old, new) pair explodes into its 1–2
+    // history rows. The closed-old/open-new split used to be two filtered
+    // re-reads of this subtree unioned back together — the full-outer join
+    // (and everything under it) executed twice per refresh.
+    def hist(side: String, from: Column, to: Column): Column = struct(
+      (col(s"$side.$keyCol").as(keyCol) +:
+        compareCols.map(c => col(s"$side.$c").as(c))) ++
+        Seq(from.as("valid_from"), to.as("valid_to")): _*)
+    inDelta
+      .select(explode(array(
+        when(col(s"o.$keyCol").isNotNull,
+          hist("o", lit(v1Date), lit(v2Date))),
+        when(col(s"n.$keyCol").isNotNull,
+          hist("n", lit(v2Date), lit(null).cast("string"))))).as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col("__h.*"))
   }
 
   /** SCD2 over q102's evolved snapshot — fully deterministic → full oracle

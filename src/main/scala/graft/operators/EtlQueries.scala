@@ -364,18 +364,24 @@ object EtlQueries {
   def q148CdcApply(spark: SparkSession, d: String): DataFrame = {
     val snap = Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val deletes = snap.filter(col("o_orderkey") % 7 === 0)
-      .select(col("o_orderkey"), lit("D").as("op"),
-        lit(null).cast("string").as("new_status"),
-        lit(null).cast("double").as("new_price"))
-    val updates = snap.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 5 === 0)
-      .select(col("o_orderkey"), lit("U").as("op"),
-        col("o_orderstatus").as("new_status"),
-        (col("o_totalprice") + 10.0d).as("new_price"))
-    val inserts = snap.filter(col("o_orderkey") % 11 === 0)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("op"),
-        lit("N").as("new_status"), col("o_totalprice").as("new_price"))
-    val feed = deletes.unionByName(updates).unionByName(inserts)
+    // the D/U/I feed is ONE scan: each order explodes into the change rows
+    // it plants (three filtered union branches would re-scan orders per
+    // change type — the q150 fork class)
+    val feed = snap
+      .select(explode(array(
+        when(col("o_orderkey") % 7 === 0, struct(
+          col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("string").as("new_status"),
+          lit(null).cast("double").as("new_price"))),
+        when(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 5 === 0, struct(
+          col("o_orderkey"), lit("U").as("op"),
+          col("o_orderstatus").as("new_status"),
+          (col("o_totalprice") + 10.0d).as("new_price"))),
+        when(col("o_orderkey") % 11 === 0, struct(
+          (col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("op"),
+          lit("N").as("new_status"), col("o_totalprice").as("new_price"))))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("__c.*"))
     val applied = snap.join(feed, Seq("o_orderkey"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(col("o_orderkey"),

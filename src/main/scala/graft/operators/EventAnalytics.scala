@@ -627,14 +627,15 @@ object EventAnalytics {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("o"))
-    val rowM = obs.groupBy(col("event_type"))
-      .agg(expr("cast(sum(o) as bigint)").as("rt"))
-    val colM = obs.groupBy(col("next_type"))
-      .agg(expr("cast(sum(o) as bigint)").as("ct"))
-    val tot = obs.agg(expr("cast(sum(o) as bigint)").as("nn"))
-    obs.join(broadcast(rowM), "event_type")
-      .join(broadcast(colM), "next_type")
-      .crossJoin(broadcast(tot))
+    // marginals as windows over the CONTINGENCY TABLE, not re-aggregations
+    // of the raw transitions: the old three-branch join re-executed the
+    // events scan + per-user window once per margin (4 scans total). The
+    // windows run over |event_types|² rows — single-partitioning that frame
+    // is free, and events is scanned exactly once.
+    obs
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("next_type"))))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
       .withColumn("num", expr(
         "cast(o as decimal(38,0)) * cast(nn as decimal(38,0)) - cast(rt as decimal(38,0)) * cast(ct as decimal(38,0))"))
       .withColumn("term_micro", expr(

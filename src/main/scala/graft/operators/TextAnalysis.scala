@@ -150,21 +150,35 @@ object TextAnalysis {
     * ORDER, but distinct texts in this corpus never share a word sequence).
     */
   def q40Fingerprint(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    val corpus = docs.unionByName(
-      docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val fp = fingerprints(corpus)
-    val twins = fp.filter(col("doc_id") >= 1000000L)
-      .select((col("doc_id") - 1000000L).as("doc_id"),
-        col("content_hash").as("t_ch"), col("rolling_fp").as("t_fp"))
-    val collisions = fp.join(twins, "doc_id")
-      .agg(count_if(col("content_hash") === col("t_ch")).as("n_twin_hash_collisions"),
-        count_if(col("rolling_fp") === col("t_fp")).as("n_twin_fp_collisions"))
-    val stats = fp.agg(count(lit(1)).as("n_docs"),
-      countDistinct(col("content_hash")).as("n_distinct_content_hash"),
-      countDistinct(col("rolling_fp")).as("n_distinct_rolling_fp"))
-    stats.crossJoin(collisions) // two 1-row aggregates
+    // ONE documents scan: twins are planted by exploding a per-row copy
+    // list (not a second filtered scan), and the twin-collision certificate
+    // rides group minima/maxima over the shared (doc_id mod 1e6) key — a
+    // twin collides with its original iff its group's min and max hash
+    // agree (each group is exactly {original, twin}). The old
+    // build-twins-then-join-back shape executed the fingerprint lineage
+    // three times (6 documents scans).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id") % 1000000L)
+    val corpus = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        when(col("doc_id") < 50,
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("text"))))).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("__r.*"))
+    fingerprints(corpus)
+      .withColumn("ch_twin_ok",
+        min(col("content_hash")).over(w) === max(col("content_hash")).over(w))
+      .withColumn("fp_twin_ok",
+        min(col("rolling_fp")).over(w) === max(col("rolling_fp")).over(w))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_distinct_content_hash"),
+        countDistinct(col("rolling_fp")).as("n_distinct_rolling_fp"),
+        count_if(col("doc_id") >= 1000000L && col("ch_twin_ok"))
+          .as("n_twin_hash_collisions"),
+        count_if(col("doc_id") >= 1000000L && col("fp_twin_ok"))
+          .as("n_twin_fp_collisions"))
   }
 
   val q40Oracle: String =
@@ -809,9 +823,64 @@ object TextAnalysis {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        FROM c ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q167
+  /** PMI-lift collocations — which word pairs co-occur far more than their
+    * marginal frequencies predict (the collocation miner behind phrase
+    * vocabularies and tokenizer merge candidates). Scores are LIFT
+    * c_xy·N / (c_x·c_y) — the same ranking as PMI (log is monotone) with
+    * none of log's cross-platform last-bit risk: the products are exact
+    * BIGINTs and the single division is a correctly-rounded IEEE op, so
+    * the doubles are bit-identical cross-engine.
+    *
+    * ONE documents scan: bigrams come from a per-doc lead() window over
+    * the exploded tokens, and both marginals plus the grand total are
+    * windows over the VOCABULARY-sized bigram-count table (the q160
+    * marginal pattern) — never re-aggregations of the corpus. Min-count 5
+    * then top-20 by (lift, pair) total order → full oracle.
+    */
+  def q167PmiCollocations(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+    val obs = toks
+      .withColumn("w2", lead(col("w1"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    obs
+      .withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c_y", sum(col("c_xy")).over(Window.partitionBy(col("w2"))))
+      .withColumn("nn", sum(col("c_xy")).over(Window.partitionBy()))
+      .filter(col("c_xy") >= 5)
+      .withColumn("lift",
+        expr("CAST(c_xy * nn AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q167Oracle: String =
+    """WITH bi AS (
+         SELECT unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(generate_series(1, len(toks) - 1),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+           ELSE [] END) AS p
+         FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+       obs AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+       enr AS (SELECT w1, w2, c_xy,
+                 sum(c_xy) OVER (PARTITION BY w1) AS c_x,
+                 sum(c_xy) OVER (PARTITION BY w2) AS c_y,
+                 sum(c_xy) OVER () AS nn
+               FROM obs)
+       SELECT w1, w2, c_xy,
+              CAST(c_xy * nn AS DOUBLE) / CAST(c_x * c_y AS DOUBLE) AS lift
+       FROM enr WHERE c_xy >= 5
+       ORDER BY lift DESC, w1, w2 LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_term_drift" -> q163TermDrift _,
     "q164_vocab_growth" -> q164VocabGrowth _,
+    "q167_pmi_collocations" -> q167PmiCollocations _,
     "q152_paragraph_dedup" -> q152ParagraphDedup _,
     "q133_wordpiece_tokenize" -> q133WordpieceTokenize _,
     "q121_strip_markup" -> q121StripMarkup _,
@@ -831,6 +900,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q163_term_drift" -> q163Oracle,
     "q164_vocab_growth" -> q164Oracle,
+    "q167_pmi_collocations" -> q167Oracle,
     "q152_paragraph_dedup" -> q152Oracle,
     "q133_wordpiece_tokenize" -> q133Oracle,
     "q121_strip_markup" -> q121Oracle,

@@ -147,4 +147,23 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
     assert(n <= 3, s"documents scanned $n times — the stats fork is back")
   }
+
+  test("round-5 single-pass rewrites hold their scan counts") {
+    // ceilings from the round-5 audit (SCALE.md) — a regression to the
+    // fork-the-lineage shape fails here, not in the 100 TB run
+    val ceilings = Map(
+      "q107_funnel" -> ("events", 1),
+      "q114_data_quality" -> ("orders", 1),
+      "q40_text_fingerprint" -> ("documents", 1),
+      "q160_chi_square" -> ("events", 1),
+      "q148_cdc_apply" -> ("orders", 2),
+      "q126_scd2_history" -> ("orders", 3),
+      "q112_incremental_agg" -> ("orders", 6))
+    ceilings.foreach { case (q, (table, ceiling)) =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
+      assert(n <= ceiling, s"$q scans $table $n× (ceiling $ceiling)")
+    }
+    spark.catalog.clearCache()
+  }
 }
