@@ -435,11 +435,69 @@ object Curation {
        FROM packs CROSS JOIN stats ORDER BY pack_id"""
   }
 
+  // ---------------------------------------------------------------- q169
+  /** GROUP-AWARE train/val/test split — assignment hashes the SOURCE (the
+    * group key), not the document, so every doc from one source lands in
+    * one split. This is the leakage-free split an eval pipeline needs:
+    * near-duplicates cluster within a source (same crawl, same site), and
+    * a doc-hash split would put one copy in train and its twin in test.
+    * The query emits per-split sizes AND the counterfactual: how many
+    * sources a naive doc-hash split would have smeared across splits
+    * (`naive_leaky_sources` — every multi-doc source leaks under it).
+    *
+    * Hashes are the md5-prefix family (DuckDB-replayable, like q168).
+    * ONE documents scan: the naive-split spread folds into the per-source
+    * aggregate, the leak count is a window over the SOURCE-cardinality
+    * frame, and the split rollup groups that same frame — no lineage
+    * forks. 8/1/1 split by hash mod 10, deterministic at any parallelism.
+    */
+  private def md5Hash(sqlExpr: String): Column =
+    expr(s"CAST(conv(substring(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)")
+
+  def q169GroupSplit(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, d)
+      .select(col("source"),
+        (md5Hash("CAST(doc_id AS STRING)") % 10).as("naive_split"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("naive_split")).as("n_naive_splits"))
+      .withColumn("sid", md5Hash("source") % 10)
+      .withColumn("split",
+        when(col("sid") <= 7, "train").when(col("sid") === 8, "val").otherwise("test"))
+      .withColumn("naive_leaky_sources",
+        sum(when(col("n_naive_splits") > 1, 1L).otherwise(0L))
+          .over(Window.partitionBy()))
+    perSource.groupBy(col("split"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("naive_leaky_sources")).as("naive_leaky_sources"))
+      .orderBy(col("split"))
+  }
+
+  val q169Oracle: String =
+    """WITH per AS (
+         SELECT source, count(*) AS n_docs,
+           count(DISTINCT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10)
+             AS n_naive_splits
+         FROM documents GROUP BY source),
+       en AS (
+         SELECT source, n_docs, n_naive_splits,
+           CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 10 AS sid,
+           sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) OVER () AS leaky
+         FROM per)
+       SELECT CASE WHEN sid <= 7 THEN 'train' WHEN sid = 8 THEN 'val' ELSE 'test' END AS split,
+              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              count(*) AS n_sources,
+              CAST(max(leaky) AS BIGINT) AS naive_leaky_sources
+       FROM en GROUP BY 1 ORDER BY split"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_training_pipeline" -> q150TrainingPipeline _,
     "q122_url_canonicalize" -> q122UrlCanonicalize _,
     "q118_sequence_packing" -> q118SequencePacking _,
     "q119_corpus_mix" -> q119CorpusMix _,
+    "q169_group_split" -> q169GroupSplit _,
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +505,6 @@ object Curation {
     "q122_url_canonicalize" -> q122Oracle,
     "q118_sequence_packing" -> q118Oracle,
     "q119_corpus_mix" -> q119Oracle,
+    "q169_group_split" -> q169Oracle,
     "q69_curation_pipeline" -> q69Oracle)
 }

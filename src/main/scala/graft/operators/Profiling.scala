@@ -255,10 +255,81 @@ object Profiling {
        GROUP BY n, s1, s2"""
   }
 
+  // ---------------------------------------------------------------- q168
+  /** Count-min-sketch heavy hitters CERTIFIED against exact counts. The
+    * d×w counter matrix is the streaming-frequency workhorse (O(d·w)
+    * memory for unbounded streams); here it is built and then AUDITED in
+    * one query: the top-20 exact tokens carry their CM estimate, the exact
+    * overestimate it incurs, and the always-true lower-bound invariant
+    * est ≥ exact (a CM estimate can only overcount — collisions add).
+    *
+    * The row hashes are md5-prefix based (`conv(substring(md5(...)))`)
+    * rather than xxhash64 specifically so DuckDB can replay them — the
+    * one hash family both engines compute bit-identically. Scale shape:
+    * the sketch is built from the per-token EXACT counts (sum commutes
+    * with cell assignment), so the cell matrix aggregates a
+    * vocabulary-sized frame, not the corpus; cells (d·w rows) broadcast
+    * onto the candidate probes. In streaming use the same cell aggregate
+    * rides a `groupBy(r, c)` over the token stream.
+    */
+  val CmDepth = 3
+  val CmWidth = 1024
+
+  private def cmCell(i: Int, tokCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(concat('$i#', $tokCol)), 1, 15), 16, 10) AS BIGINT) % $CmWidth")
+
+  def q168CmHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val exact = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val cells = exact
+      .select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("r"), cmCell(i, "tok").as("cx"), col("c"))): _*)).as("__e"))
+      .select(col("__e.*"))
+      .groupBy(col("r"), col("cx")).agg(sum(col("c")).as("cell_sum"))
+    exact.orderBy(col("c").desc, col("tok")).limit(20)
+      .select(col("tok"), col("c"),
+        explode(array((0 until CmDepth).map(i =>
+          struct(lit(i).as("r"), cmCell(i, "tok").as("cx"))): _*)).as("__p"))
+      .select(col("tok"), col("c"), col("__p.*"))
+      .join(broadcast(cells), Seq("r", "cx"))
+      .groupBy(col("tok"), col("c"))
+      .agg(min(col("cell_sum")).as("cm_est"))
+      .select(col("tok"), col("c").as("exact_count"), col("cm_est"),
+        (col("cm_est") - col("c")).as("overestimate"),
+        (col("cm_est") >= col("c")).as("lower_bounded"))
+      .orderBy(col("exact_count").desc, col("tok"))
+  }
+
+  val q168Oracle: String = {
+    def cell(tok: String) =
+      s"CAST(('0x' || substr(md5(i || '#' || $tok), 1, 15)) AS BIGINT) % $CmWidth"
+    s"""WITH exact AS (
+         SELECT tok, count(*) AS c FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1),
+       cells AS (
+         SELECT r, cx, CAST(sum(c) AS BIGINT) AS cell_sum FROM (
+           SELECT i AS r, ${cell("tok")} AS cx, c
+           FROM exact, generate_series(0, ${CmDepth - 1}) g(i))
+         GROUP BY 1, 2),
+       top AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT 20),
+       probes AS (
+         SELECT tok, c, i AS r, ${cell("tok")} AS cx
+         FROM top, generate_series(0, ${CmDepth - 1}) g(i)),
+       est AS (
+         SELECT tok, c, min(cell_sum) AS cm_est
+         FROM probes JOIN cells USING (r, cx) GROUP BY 1, 2)
+       SELECT tok, c AS exact_count, cm_est, cm_est - c AS overestimate,
+              cm_est >= c AS lower_bounded
+       FROM est ORDER BY exact_count DESC, tok"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
+    "q168_cm_heavy_hitters" -> q168CmHeavyHitters _,
     "q81_profile" -> q81Profile _,
     "q99_histogram" -> q99Histogram _)
 
@@ -266,6 +337,7 @@ object Profiling {
     "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,
+    "q168_cm_heavy_hitters" -> q168Oracle,
     "q81_profile" -> q81Oracle,
     "q99_histogram" -> q99Oracle)
 }
