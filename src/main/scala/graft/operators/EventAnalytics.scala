@@ -722,7 +722,138 @@ object EventAnalytics {
            AS p90_latency_s
        FROM r WHERE rn = (n + 1) // 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"""
 
+  // ---------------------------------------------------------------- q171
+  /** Interval-union coverage per user — total wall-clock time covered by
+    * the union of per-event activity intervals [ts, ts+5min), the
+    * "active time" metric behind engagement dashboards and billing meters.
+    * Naive interval union is a self-join; this is the sweep-line as ONE
+    * window pass: with intervals sorted by start inside each user
+    * partition, the running max of preceding interval ENDS tells how far
+    * coverage already extends, so each interval contributes
+    * max(0, e − max(s, prev_end)) — overlap-free by construction. Exact
+    * integer µs end to end (sum in DECIMAL(38,0)); one user-keyed
+    * exchange, no join. At 100 TB: shuffle = |events| keyed by user, the
+    * same exchange every other per-user operator here rides.
+    */
+  /** Sweep-line interval union over (user_id, s, e) rows: per user, the
+    * total length covered by the union of [s, e) intervals. Arbitrary
+    * containment/overlap/duplication is handled by the greatest(0, ·)
+    * clamp — a contained interval's contribution is exactly 0.
+    */
+  def intervalCoverage(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_end", max(col("e")).over(w))
+      .withColumn("cov_us",
+        expr("greatest(0, e - greatest(s, coalesce(prev_end, s)))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        expr("cast(sum(cast(cov_us as decimal(38,0))) as bigint)").as("covered_us"))
+  }
+
+  def q171IntervalCoverage(spark: SparkSession, d: String): DataFrame =
+    intervalCoverage(
+      Tables.events(spark, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("s"))
+        .withColumn("e", col("s") + lit(300000000L)))
+      .withColumn("covered_s", expr("CAST(covered_us AS DOUBLE) / 1000000.0"))
+      .orderBy(col("user_id"))
+
+  val q171Oracle: String =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+                   FROM events),
+       sw AS (SELECT user_id, s, e,
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM iv)
+       SELECT user_id, count(*) AS n_intervals,
+         CAST(sum(greatest(0, e - greatest(s, coalesce(prev_end, s)))) AS BIGINT)
+           AS covered_us,
+         CAST(CAST(sum(greatest(0, e - greatest(s, coalesce(prev_end, s)))) AS BIGINT)
+              AS DOUBLE) / 1000000.0 AS covered_s
+       FROM sw GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q172
+  /** Last-touch revenue attribution — every purchase's value credited to
+    * the channel of the user's most recent preceding touch (view/click),
+    * 'direct' when the purchase had no prior touch. The marketing-analytics
+    * staple, and the textbook use of `last(..., ignoreNulls)` over a
+    * running frame: the touch channel rides the SAME user-partitioned
+    * exchange as the events themselves — no events⋈events self-join, no
+    * as-of join against a touches table (which would shuffle the corpus
+    * twice). Revenue in exact cents (q53 discipline); the /100 display
+    * division is one correctly-rounded IEEE op with identical text in both
+    * engines.
+    */
+  def q172LastTouchAttribution(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, d)
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("channel"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("revenue_cents"))
+      .withColumn("revenue", expr("CAST(revenue_cents AS DOUBLE) / 100.0"))
+      .orderBy(col("channel"))
+  }
+
+  val q172Oracle: String =
+    """WITH t AS (
+         SELECT user_id, event_type, value,
+           last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         FROM events)
+       SELECT coalesce(touch, 'direct') AS channel, count(*) AS n_purchases,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0
+           AS revenue
+       FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q175
+  /** Trailing-7-day active users per day (sliding MAU/WAU) — the
+    * engagement health curve. Sliding-window COUNT DISTINCT cannot ride a
+    * window frame (distinct isn't frame-decomposable), and the naive
+    * days⋈events range join re-scans the corpus per day. Shape here:
+    * reduce events to distinct (user, day) FIRST — the big cardinality
+    * drop, one exchange — then explode each user-day to the ≤7 window ends
+    * it contributes to (bounded 7× blowup of the REDUCED table, never the
+    * corpus) and count distinct users per window end. Window ends are
+    * semi-joined to observed days so the curve has no phantom tail. The
+    * oracle computes the same curve by the algorithm-independent range
+    * join, so equality certifies the explode+distinct rewrite.
+    */
+  def q175SlidingMau(spark: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("wend")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + expr("interval 6 days"))).as("wend"))
+      .join(days, Seq("wend"), "left_semi")
+      .groupBy(col("wend"))
+      .agg(countDistinct(col("user_id")).as("mau_7d"))
+      .orderBy(col("wend"))
+  }
+
+  val q175Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+       days AS (SELECT DISTINCT day FROM ud)
+       SELECT d.day AS wend, count(DISTINCT ud.user_id) AS mau_7d
+       FROM days d JOIN ud ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_interval_coverage" -> q171IntervalCoverage _,
+    "q172_last_touch_attribution" -> q172LastTouchAttribution _,
+    "q175_sliding_mau" -> q175SlidingMau _,
     "q165_funnel_latency" -> q165FunnelLatency _,
     "q160_chi_square" -> q160ChiSquare _,
     "q158_session_matrix" -> q158SessionMatrix _,
@@ -737,6 +868,9 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q171_interval_coverage" -> q171Oracle,
+    "q172_last_touch_attribution" -> q172Oracle,
+    "q175_sliding_mau" -> q175Oracle,
     "q165_funnel_latency" -> q165Oracle,
     "q160_chi_square" -> q160Oracle,
     "q158_session_matrix" -> q158Oracle,

@@ -325,7 +325,45 @@ object Profiling {
        FROM est ORDER BY exact_count DESC, tok"""
   }
 
+  // ---------------------------------------------------------------- q174
+  /** Histogram drift between two data slices — the distribution-shift gate
+    * a training pipeline runs before mixing a new batch in (did this
+    * crawl's price/length/score distribution move?). PSI and KL need logs
+    * (libm-divergence across engines); the L1 histogram distance carries
+    * the same signal in EXACT integers: equal-width bins on exact cents,
+    * per-bin counts for both slices out of ONE conditional-aggregation
+    * scan (no per-slice forked lineage — the q150 lesson), |Δ| per bin,
+    * and the total L1 as a window over the bin-count-sized result. At
+    * 100 TB: one scan, one |bins|-sized shuffle, nothing else.
+    */
+  def q174HistogramDrift(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(expr("cast(round(o_totalprice * 100) as bigint) div 5000000").as("bin"),
+        expr("o_orderkey % 2").as("half"))
+      .groupBy(col("bin"))
+      .agg(expr("cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) as bigint)").as("n_even"),
+        expr("cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) as bigint)").as("n_odd"))
+      .withColumn("abs_diff", expr("abs(n_even - n_odd)"))
+      .withColumn("total_l1",
+        expr("cast(sum(abs_diff) over () as bigint)"))
+      .orderBy(col("bin"))
+
+  val q174Oracle: String =
+    """WITH b AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+                o_orderkey % 2 AS half
+         FROM orders),
+       h AS (
+         SELECT bin,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+         FROM b GROUP BY 1)
+       SELECT bin, n_even, n_odd, abs(n_even - n_odd) AS abs_diff,
+              CAST(sum(abs(n_even - n_odd)) OVER () AS BIGINT) AS total_l1
+       FROM h ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_histogram_drift" -> q174HistogramDrift _,
     "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
@@ -334,6 +372,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q174_histogram_drift" -> q174Oracle,
     "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,

@@ -1257,7 +1257,66 @@ object Relational {
        WHERE c_custkey < 100
        ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
 
+  // ---------------------------------------------------------------- q170
+  /** Skyline (Pareto frontier) — parts no other part beats on BOTH axes
+    * (cheaper-or-equal price AND bigger-or-equal size, strictly better on
+    * one): the multi-criteria shortlist query (best price/quality offers,
+    * best latency/cost configs). The textbook formulation is the quadratic
+    * NOT EXISTS self-join — the oracle runs exactly that, which keeps it
+    * algorithm-independent. The engine instead sorts the price axis and
+    * keeps rows whose size exceeds every preceding max:
+    *   1. collapse to per-price max size (one hash aggregate — dominance
+    *      within a price group is decided by the group max);
+    *   2. prefix-max of size over strictly-lower prices via the TWO-PHASE
+    *      pattern (bucket-local running max + broadcast cumulative bucket
+    *      maxima — the q134/prefix-sum trick), so no global single-task
+    *      window touches the per-price table;
+    *   3. frontier rows (prefix-max < own max) joined back to part —
+    *      a broadcast of the tiny frontier against the scan.
+    * O(n log n) work and two corpus scans vs the oracle's O(n²) pairs; at
+    * 100 TB the per-price table is |price domain| ≤ |corpus| and the only
+    * full exchange is the initial aggregate.
+    */
+  def q170SkylinePareto(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, d)
+    // per-price group max size; equal-width price buckets (exact cents) for
+    // the two-phase prefix max
+    val g = p.groupBy(col("p_retailprice")).agg(max(col("p_size")).as("gmax"))
+      .withColumn("bucket", expr("cast(round(p_retailprice * 100) as bigint) div 100000"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = g.withColumn("lmax", max(col("gmax")).over(wLocal))
+    val wBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per bucket — the only globally-ordered window runs over the
+    // bucket count, not the data
+    val offsets = g.groupBy(col("bucket")).agg(max(col("gmax")).as("bmax"))
+      .withColumn("omax", max(col("bmax")).over(wBucket))
+      .select(col("bucket"), col("omax"))
+    val frontier = local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("prevmax",
+        greatest(coalesce(col("lmax"), lit(Int.MinValue)),
+          coalesce(col("omax"), lit(Int.MinValue))))
+      .filter(col("prevmax") < col("gmax"))
+      .select(col("p_retailprice").as("sky_price"), col("gmax"))
+    p.join(broadcast(frontier),
+        p("p_retailprice") === col("sky_price") && p("p_size") === col("gmax"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  val q170Oracle: String =
+    """SELECT p_partkey, p_name, p_size, p_retailprice
+       FROM part p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part q
+         WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+       ORDER BY p_retailprice, p_partkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_skyline_pareto" -> q170SkylinePareto _,
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
@@ -1303,6 +1362,7 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q170_skyline_pareto" -> q170Oracle,
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,

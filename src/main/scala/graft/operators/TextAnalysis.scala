@@ -877,7 +877,49 @@ object TextAnalysis {
        FROM enr WHERE c_xy >= 5
        ORDER BY lift DESC, w1, w2 LIMIT 20"""
 
+  // ---------------------------------------------------------------- q173
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage health
+    * metric: induce the top-K corpus vocabulary (count-desc, word-asc ties
+    * — deterministic), then measure what fraction of each source's tokens
+    * fall outside it. High OOV flags a source the tokenizer will shred
+    * into bytes (code, foreign-language, boilerplate corruption). Two
+    * corpus scans: one vocabulary aggregate (map-side combine shrinks the
+    * shuffle to |vocab|, the q105 shape) and one map-only scoring pass
+    * against the BROADCAST K-row vocab — the per-token membership test
+    * never shuffles. Token counts exact; the rate is one correctly-rounded
+    * division with identical text in both engines.
+    */
+  def q173OovRate(spark: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(16)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        expr("cast(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) as bigint)")
+          .as("oov_tokens"))
+      .withColumn("oov_rate", expr("CAST(oov_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)"))
+      .orderBy(col("source"))
+  }
+
+  val q173Oracle: String =
+    """WITH words AS (
+         SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+       vocab AS (
+         SELECT word FROM (
+           SELECT word, count(*) AS n FROM words GROUP BY 1
+           ORDER BY n DESC, word LIMIT 16) v)
+       SELECT source, count(*) AS tokens,
+         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+         CAST(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS oov_rate
+       FROM words w LEFT JOIN vocab v USING (word)
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_oov_rate" -> q173OovRate _,
     "q163_term_drift" -> q163TermDrift _,
     "q164_vocab_growth" -> q164VocabGrowth _,
     "q167_pmi_collocations" -> q167PmiCollocations _,
@@ -898,6 +940,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q173_oov_rate" -> q173Oracle,
     "q163_term_drift" -> q163Oracle,
     "q164_vocab_growth" -> q164Oracle,
     "q167_pmi_collocations" -> q167Oracle,
