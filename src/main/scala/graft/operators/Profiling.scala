@@ -3,7 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Data-quality profiling — the first query anyone runs against a new
   * table, and the health check a 100 TB ingest pipeline runs per batch:
@@ -362,7 +362,130 @@ object Profiling {
               CAST(sum(abs(n_even - n_odd)) OVER () AS BIGINT) AS total_l1
        FROM h ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q176
+  /** Median/MAD robust outlier gate — the outlier detector that still works
+    * when the data is skewed enough to drag mean±3σ (q159) off the map:
+    * per-group exact median, exact median absolute deviation, and the
+    * count of rows beyond 1.5·MAD. Both medians are RANK-SELECTED physical
+    * rows (the q61 rule — rn = (n+1) div 2 over a total order), so every
+    * derived number is exact integer cents and both engines pick the same
+    * rows. Three passes over the fact table (rank→median, rank→MAD,
+    * classify), each a window/aggregate over the SAME group partitioning
+    * with K-row broadcasts between — no self-joins; rank-exact medians are
+    * inherently multi-pass, and K (groups) is tiny.
+    */
+  def q176MadOutliers(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.lineitem(spark, d).select(col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val wg = Window.partitionBy(col("g"))
+    def pickMiddle(df: DataFrame, ord: Column, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(ord, col("ok"), col("ln"))))
+        .withColumn("n", count(lit(1)).over(wg))
+        .filter(expr("rn = (n + 1) div 2"))
+        .groupBy(col("g"))
+        .agg(min(ord).as(out), min(col("n")).as("n"))
+    val med = pickMiddle(x, col("c"), "m")
+    val dev = x.join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
+      .withColumn("dev", abs(col("c") - col("m")))
+    val mad = pickMiddle(dev, col("dev"), "mad")
+      .join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
+    x.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(min(col("n")).as("n_rows"),
+        expr("CAST(min(m) AS DOUBLE) / 100.0").as("median_price"),
+        expr("CAST(min(mad) AS DOUBLE) / 100.0").as("mad_price"),
+        expr("cast(sum(CASE WHEN abs(c - m) * 2 > 3 * mad THEN 1 ELSE 0 END) as bigint)")
+          .as("n_outliers"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q176Oracle: String =
+    """WITH x AS (SELECT l_returnflag AS g,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                    l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
+       r1 AS (SELECT g, c, ok, ln,
+                row_number() OVER (PARTITION BY g ORDER BY c, ok, ln) AS rn,
+                count(*) OVER (PARTITION BY g) AS n FROM x),
+       med AS (SELECT g, min(c) AS m, min(n) AS n FROM r1
+               WHERE rn = (n + 1) // 2 GROUP BY g),
+       d AS (SELECT x.g, abs(x.c - med.m) AS dev, x.ok, x.ln
+             FROM x JOIN med ON x.g = med.g),
+       r2 AS (SELECT g, dev,
+                row_number() OVER (PARTITION BY g ORDER BY dev, ok, ln) AS rn,
+                count(*) OVER (PARTITION BY g) AS n FROM d),
+       mad AS (SELECT r2.g, min(med.m) AS m, min(med.n) AS n, min(r2.dev) AS mad
+               FROM r2 JOIN med ON r2.g = med.g
+               WHERE r2.rn = (r2.n + 1) // 2 GROUP BY r2.g)
+       SELECT x.g AS l_returnflag, min(mad.n) AS n_rows,
+         CAST(min(mad.m) AS DOUBLE) / 100.0 AS median_price,
+         CAST(min(mad.mad) AS DOUBLE) / 100.0 AS mad_price,
+         CAST(sum(CASE WHEN abs(x.c - mad.m) * 2 > 3 * mad.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+       FROM x JOIN mad ON x.g = mad.g GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q178
+  /** Gini coefficient of spend concentration — "what share of revenue do
+    * the biggest customers hold": G = Σ(2i−n−1)·xᵢ / (n·Σxᵢ) over
+    * ascending-sorted per-customer spend. The classic form needs a GLOBAL
+    * rank; computed here with the two-phase pattern (q134): per-customer
+    * cents totals bucketed by equal-width spend bands, bucket-local
+    * row_number, broadcast cumulative bucket counts → global i without a
+    * single-task window over the customer table. All moments are
+    * DECIMAL(38,0)-exact (i·xᵢ products up to ~10²⁰); the final G is one
+    * correctly-rounded division. One corpus exchange (orders→customers);
+    * everything after runs on the per-customer aggregate.
+    */
+  def q178GiniConcentration(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("vc"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("sp"))
+      .withColumn("bucket", expr("sp div 100000000"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("sp"), col("o_custkey"))
+    val wBucket = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // per-bucket counts: the only globally-windowed frame is this tiny
+    // bucket table (cumulative offsets + the global n both ride it)
+    val offsets = s.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBucket), lit(0L)))
+      .withColumn("nn", sum(col("bn")).over(wAll))
+      .select(col("bucket"), col("off"), col("nn"))
+    s.withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("i", col("off") + col("lrn"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("cast(sum(cast(sp as decimal(38,0))) as bigint)").as("total_cents"),
+        expr("""CAST(sum((2 * cast(i as decimal(38,0)) - nn - 1)
+                        * cast(sp as decimal(38,0))) AS DOUBLE)""").as("num"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("num / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))")
+          .as("gini"))
+  }
+
+  val q178Oracle: String =
+    """WITH s AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+                  FROM orders GROUP BY 1),
+       r AS (SELECT sp, o_custkey,
+               row_number() OVER (ORDER BY sp, o_custkey) AS i,
+               count(*) OVER () AS n FROM s)
+       SELECT CAST(min(n) AS BIGINT) AS n_customers,
+         CAST(sum(sp) AS BIGINT) AS total_cents,
+         CAST(sum((2 * CAST(i AS HUGEINT) - n - 1) * sp) AS DOUBLE)
+           / (CAST(CAST(min(n) AS BIGINT) AS DOUBLE)
+              * CAST(CAST(sum(sp) AS BIGINT) AS DOUBLE)) AS gini
+       FROM r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_mad_outliers" -> q176MadOutliers _,
+    "q178_gini_concentration" -> q178GiniConcentration _,
     "q174_histogram_drift" -> q174HistogramDrift _,
     "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
@@ -372,6 +495,8 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q176_mad_outliers" -> q176Oracle,
+    "q178_gini_concentration" -> q178Oracle,
     "q174_histogram_drift" -> q174Oracle,
     "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,

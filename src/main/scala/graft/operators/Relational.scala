@@ -1315,8 +1315,56 @@ object Relational {
            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
        ORDER BY p_retailprice, p_partkey"""
 
+  // ---------------------------------------------------------------- q177
+  /** WEIGHTED median — q61's exact median where each row carries a weight
+    * (price weighted by quantity here; latency weighted by request count in
+    * an ops table): the smallest value whose running weight reaches half
+    * the group total. One window pass per group partition — running weight
+    * sum + whole-partition total over the SAME exchange, then the
+    * qualifying suffix's minimum row. All weights exact integers; the
+    * 2·running ≥ total comparison never divides, so there is no float
+    * boundary for the engines to disagree on. Scale: one shuffle on the
+    * group key, no rank materialization, no second pass (q176's unweighted
+    * median needs rank selection; the weighted form collapses to a
+    * running-sum threshold).
+    */
+  def q177WeightedMedian(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.lineitem(spark, d).select(col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+      expr("cast(round(l_quantity) as bigint)").as("q"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val wRun = Window.partitionBy(col("g")).orderBy(col("c"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("g"))
+    x.withColumn("running", sum(col("q")).over(wRun))
+      .withColumn("total", sum(col("q")).over(wAll))
+      .filter(expr("2 * running >= total"))
+      .groupBy(col("g"))
+      .agg(expr("cast(min(total) as bigint)").as("total_qty"),
+        expr("cast(min(c) as bigint)").as("wmedian_cents"))
+      .withColumn("wmedian_price", expr("CAST(wmedian_cents AS DOUBLE) / 100.0"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q177Oracle: String =
+    """WITH x AS (SELECT l_returnflag AS g,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                    CAST(round(l_quantity) AS BIGINT) AS q,
+                    l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
+       r AS (SELECT g, c, q,
+               sum(q) OVER (PARTITION BY g ORDER BY c, ok, ln
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+               sum(q) OVER (PARTITION BY g) AS total FROM x)
+       SELECT g AS l_returnflag, CAST(min(total) AS BIGINT) AS total_qty,
+         CAST(min(c) AS BIGINT) AS wmedian_cents,
+         CAST(CAST(min(c) AS BIGINT) AS DOUBLE) / 100.0 AS wmedian_price
+       FROM r WHERE 2 * running >= total GROUP BY g ORDER BY g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_skyline_pareto" -> q170SkylinePareto _,
+    "q177_weighted_median" -> q177WeightedMedian _,
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
@@ -1363,6 +1411,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q170_skyline_pareto" -> q170Oracle,
+    "q177_weighted_median" -> q177Oracle,
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,

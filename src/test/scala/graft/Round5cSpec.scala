@@ -89,6 +89,49 @@ class Round5cSpec extends SparkSuite {
     assert(got == Map(1L -> "direct", 3L -> "view", 6L -> "view"))
   }
 
+  test("weighted median: running-weight threshold picks the hand-computed row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values 10,20,30 with weights 1,1,3: total 5, half-threshold hits at
+    // running 3 → value 30 is the weighted median (unweighted would be 20)
+    val x = Seq((10L, 1L), (20L, 1L), (30L, 3L)).toDF("c", "q")
+      .withColumn("g", lit("x")).withColumn("ok", col("c")).withColumn("ln", lit(0))
+    val wRun = Window.partitionBy(col("g")).orderBy(col("c"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val got = x.withColumn("running", sum(col("q")).over(wRun))
+      .withColumn("total", sum(col("q")).over(Window.partitionBy(col("g"))))
+      .filter(expr("2 * running >= total"))
+      .groupBy(col("g")).agg(min(col("c")).as("m"))
+      .head.getLong(1)
+    assert(got == 30L)
+    // all-equal weights degenerate to the plain lower-median rule
+    val y = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("c", "q")
+      .withColumn("g", lit("x")).withColumn("ok", col("c")).withColumn("ln", lit(0))
+    val gotY = y.withColumn("running", sum(col("q")).over(wRun))
+      .withColumn("total", sum(col("q")).over(Window.partitionBy(col("g"))))
+      .filter(expr("2 * running >= total"))
+      .groupBy(col("g")).agg(min(col("c")).as("m")).head.getLong(1)
+    assert(gotY == 2L) // running 2 of total 4 reaches the half at value 2
+  }
+
+  test("gini: two-phase bucket rank matches the closed form on a hand fixture") {
+    import spark.implicits._
+    // spends 1,2,3,4 (cents): G = Σ(2i−n−1)x_i / (nΣx_i) = (−3·1 −1·2 +1·3 +3·4)/(4·10) = 10/40
+    val orders = Seq((1L, 0.01), (2L, 0.02), (3L, 0.03), (4L, 0.04))
+      .toDF("o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Profiling.q178GiniConcentration(spark, dir).head
+    assert(got.getLong(0) == 4L)
+    assert(got.getLong(1) == 10L)
+    assert(math.abs(got.getDouble(2) - 0.25) < 1e-12)
+    // perfectly equal spends → gini exactly 0
+    val eq = Seq((1L, 0.05), (2L, 0.05), (3L, 0.05), (4L, 0.05))
+      .toDF("o_custkey", "o_totalprice")
+    eq.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(Profiling.q178GiniConcentration(spark, dir).head.getDouble(2) == 0.0)
+  }
+
   test("sliding MAU: explode+distinct rewrite equals the brute-force range join") {
     import spark.implicits._
     val ud = Seq( // (user, day-index) activity
