@@ -492,7 +492,71 @@ object Curation {
               CAST(max(leaky) AS BIGINT) AS naive_leaky_sources
        FROM en GROUP BY 1 ORDER BY split"""
 
+  // ---------------------------------------------------------------- q180
+  /** Length-decile composition report — "what does each length band of the
+    * corpus look like": documents exact-ntile'd by (n_chars, doc_id) into
+    * deciles (the q134 two-phase rank — bucket-local row_number + broadcast
+    * bucket offsets + the SQL-standard tile formula, so DuckDB's native
+    * ntile is the independent spec), then per decile the English share and
+    * char bounds. The report every mixing decision (q119) starts from:
+    * short-doc bands skewing non-English (or boilerplate) is the classic
+    * crawl pathology this surfaces. One corpus exchange for the rank; the
+    * lang flag rides the same rows — exact integer counts, one
+    * correctly-rounded share division.
+    */
+  def q180LengthDecileMix(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiles = 10
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      .withColumn("__bucket", expr("n_chars div 50"))
+    val local = docs.withColumn("__local_rank",
+      row_number().over(Window.partitionBy(col("__bucket"))
+        .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val offsets = docs.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__bucket_n")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__bucket"), col("__offset"), col("__n"))
+    local.join(broadcast(offsets), "__bucket")
+      .withColumn("__rank", col("__offset") + col("__local_rank"))
+      .withColumn("decile", expr(
+        s"""CAST(CASE
+              WHEN __rank <= (__n % $tiles) * (__n div $tiles + 1)
+              THEN (__rank - 1) div (__n div $tiles + 1) + 1
+              ELSE __n % $tiles
+                   + (__rank - (__n % $tiles) * (__n div $tiles + 1) - 1)
+                     div (__n div $tiles) + 1
+            END AS BIGINT)"""))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(is_en) as bigint)").as("n_en"),
+        expr("cast(min(n_chars) as bigint)").as("min_chars"),
+        expr("cast(max(n_chars) as bigint)").as("max_chars"))
+      .withColumn("en_share", expr("CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+      .orderBy(col("decile"))
+  }
+
+  val q180Oracle: String =
+    """WITH r AS (
+         SELECT n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+         FROM documents)
+       SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+         CAST(sum(is_en) AS BIGINT) AS n_en,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(CAST(sum(is_en) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS en_share
+       FROM r GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_length_decile_mix" -> q180LengthDecileMix _,
     "q150_training_pipeline" -> q150TrainingPipeline _,
     "q122_url_canonicalize" -> q122UrlCanonicalize _,
     "q118_sequence_packing" -> q118SequencePacking _,
@@ -501,6 +565,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q180_length_decile_mix" -> q180Oracle,
     "q150_training_pipeline" -> q150Oracle,
     "q122_url_canonicalize" -> q122Oracle,
     "q118_sequence_packing" -> q118Oracle,

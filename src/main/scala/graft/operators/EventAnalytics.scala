@@ -850,7 +850,40 @@ object EventAnalytics {
        FROM days d JOIN ud ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q181
+  /** Behavioral trigram paths — the top 3-step event sequences users
+    * actually take (q144's transition matrix is the 2-step view; product
+    * analytics reads the 3-step one for "where do users go after
+    * view→click"). Two lead() columns over the SAME user-partitioned
+    * window exchange — no self-joins of events×events×events (the cubic
+    * blow-up); the sequence count aggregate is |event-types|³-sized.
+    * Deterministic ties (count desc, then lexicographic) → full oracle.
+    */
+  def q181TrigramPaths(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  val q181Oracle: String =
+    """WITH t AS (
+         SELECT event_type AS t1,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+         FROM events)
+       SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
+       GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_trigram_paths" -> q181TrigramPaths _,
     "q171_interval_coverage" -> q171IntervalCoverage _,
     "q172_last_touch_attribution" -> q172LastTouchAttribution _,
     "q175_sliding_mau" -> q175SlidingMau _,
@@ -868,6 +901,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q181_trigram_paths" -> q181Oracle,
     "q171_interval_coverage" -> q171Oracle,
     "q172_last_touch_attribution" -> q172Oracle,
     "q175_sliding_mau" -> q175Oracle,

@@ -1362,9 +1362,51 @@ object Relational {
          CAST(CAST(min(c) AS BIGINT) AS DOUBLE) / 100.0 AS wmedian_price
        FROM r WHERE 2 * running >= total GROUP BY g ORDER BY g"""
 
+  // ---------------------------------------------------------------- q179
+  /** Gaps & islands — contiguous runs in an integer key space (the
+    * completeness audit: which orderkey ranges are fully present in this
+    * slice, where do the holes start). The classic formulation groups by
+    * `key − row_number()` — a GLOBAL single-task window over the corpus;
+    * this engine finds island BOUNDARIES by self-equi-joins instead
+    * (a start is a key with no key−1, an end is a key with no key+1 —
+    * two anti-joins, shuffle-partitioned like any equi-join), then ranks
+    * only the |islands|-sized boundary tables and pairs the i-th start
+    * with the i-th end. The window runs over the aggregated boundary
+    * list, not the corpus — the same reduction-first discipline as q108.
+    * The oracle IS the classic row_number formulation, so equality
+    * certifies the anti-join rewrite.
+    */
+  def q179GapsIslands(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.orders(spark, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k"))
+    val starts = k.join(k.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
+    val ends = k.join(k.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
+    val w = Window.orderBy(col("k"))
+    val s = starts.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("k").as("island_start"))
+    val e = ends.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("k").as("island_end"))
+    s.join(e, Seq("rn"))
+      .select(col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start") + 1).as("island_len"))
+      .orderBy(col("island_len").desc, col("island_start"))
+      .limit(20)
+  }
+
+  val q179Oracle: String =
+    """WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+       i AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k),
+       isl AS (SELECT min(k) AS island_start, max(k) AS island_end,
+                      max(k) - min(k) + 1 AS island_len
+               FROM i GROUP BY grp)
+       SELECT island_start, island_end, island_len FROM isl
+       ORDER BY island_len DESC, island_start LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_skyline_pareto" -> q170SkylinePareto _,
     "q177_weighted_median" -> q177WeightedMedian _,
+    "q179_gaps_islands" -> q179GapsIslands _,
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
@@ -1412,6 +1454,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q170_skyline_pareto" -> q170Oracle,
     "q177_weighted_median" -> q177Oracle,
+    "q179_gaps_islands" -> q179Oracle,
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,

@@ -89,6 +89,28 @@ class Round5cSpec extends SparkSuite {
     assert(got == Map(1L -> "direct", 3L -> "view", 6L -> "view"))
   }
 
+  test("gaps & islands: anti-join boundary pairing equals the row_number formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // singleton islands, adjacent runs, a long run, and a gap of exactly 2
+    val keys = Seq(1L, 2L, 3L, 5L, 7L, 8L, 100L, 101L, 102L, 103L, 200L)
+    val k = keys.toDF("k")
+    val starts = k.join(k.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
+    val ends = k.join(k.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
+    val w = Window.orderBy(col("k"))
+    val got = starts.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("k").as("s"))
+      .join(ends.withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("k").as("e")), Seq("rn"))
+      .select(col("s"), col("e")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys.map(x => x -> x).foldLeft(List.empty[(Long, Long)]) {
+      case ((s, e) :: rest, (x, _)) if x == e + 1 => (s, x) :: rest
+      case (acc, (x, _)) => (x, x) :: acc
+    }.toSet
+    assert(got == brute)
+    assert(got == Set((1L, 3L), (5L, 5L), (7L, 8L), (100L, 103L), (200L, 200L)))
+  }
+
   test("weighted median: running-weight threshold picks the hand-computed row") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
