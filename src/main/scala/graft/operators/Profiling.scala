@@ -380,18 +380,23 @@ object Profiling {
       expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
     val wg = Window.partitionBy(col("g"))
-    def pickMiddle(df: DataFrame, ord: Column, out: String): DataFrame =
+    // `carry` re-emits already-computed per-group constants (the median,
+    // during the MAD pass) so no second join against the median frame
+    // re-embeds its lineage — that extra embed is what pushed the plan to
+    // 4 lineitem scans before the ceiling test caught it
+    def pickMiddle(df: DataFrame, ord: Column, out: String,
+                   carry: Seq[String] = Nil): DataFrame =
       df.withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(ord, col("ok"), col("ln"))))
         .withColumn("n", count(lit(1)).over(wg))
         .filter(expr("rn = (n + 1) div 2"))
         .groupBy(col("g"))
-        .agg(min(ord).as(out), min(col("n")).as("n"))
+        .agg(min(ord).as(out),
+          (min(col("n")).as("n") +: carry.map(c => min(col(c)).as(c))): _*)
     val med = pickMiddle(x, col("c"), "m")
     val dev = x.join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
       .withColumn("dev", abs(col("c") - col("m")))
-    val mad = pickMiddle(dev, col("dev"), "mad")
-      .join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
+    val mad = pickMiddle(dev, col("dev"), "mad", carry = Seq("m"))
     x.join(broadcast(mad), Seq("g"))
       .groupBy(col("g"))
       .agg(min(col("n")).as("n_rows"),

@@ -166,4 +166,33 @@ class PlanSpec extends SparkSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("round-5 additions (q170-q181) hold their declared scan counts") {
+    // each ceiling is the operator's DECLARED pass count (scaladoc): a
+    // regression to forked-lineage re-scans fails here first
+    val ceilings = Map(
+      "q170_skyline_pareto" -> ("part", 3),          // agg + bucket offsets + frontier join-back
+      "q171_interval_coverage" -> ("events", 1),     // one window pass
+      "q172_last_touch_attribution" -> ("events", 1),
+      "q173_oov_rate" -> ("documents", 2),           // vocab induction + scoring
+      "q174_histogram_drift" -> ("orders", 1),       // one conditional-agg pass
+      "q175_sliding_mau" -> ("events", 2),           // user-day distinct + observed days
+      "q176_mad_outliers" -> ("lineitem", 3),        // median, MAD, classify
+      "q177_weighted_median" -> ("lineitem", 1),     // one window pass
+      "q178_gini_concentration" -> ("orders", 2),    // rank + bucket offsets
+      "q179_gaps_islands" -> ("orders", 4),          // starts/ends anti-join sides
+      "q180_length_decile_mix" -> ("documents", 2),  // rank + bucket offsets
+      "q181_trigram_paths" -> ("events", 1))
+    ceilings.foreach { case (q, (table, ceiling)) =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
+      assert(n <= ceiling, s"$q scans $table $n× (ceiling $ceiling)")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q170: the skyline frontier joins back as a broadcast, not a shuffle") {
+    val p = planOf(graft.operators.Relational.queries("q170_skyline_pareto")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
 }
