@@ -641,7 +641,65 @@ object Similarity {
        SELECT vec_id, round(cos_raw, 4) AS cos_sim FROM scored
        ORDER BY cos_raw DESC, vec_id ASC LIMIT 5"""
 
+  // ---------------------------------------------------------------- q182
+  /** Per-cluster scatter (within-cluster sum of squares) — the quality
+    * readout that decides whether IVF centroids are good enough / k-means
+    * has converged / a cluster needs splitting. Assignment is the proven
+    * q86 argmax; the scatter Σ‖x − c‖² is computed in EXACT integer
+    * micro-units: coordinates round once to µ-ints (identical text both
+    * engines), per-dim squared diffs are long products (≤10¹⁴), per-point
+    * sums fold over the 64-dim array in one codegen'd `aggregate` HOF, and
+    * cluster sums ride DECIMAL(38,0) — order-independent, so the WSS is
+    * bit-reproducible at any parallelism (a float Σ‖x−c‖² is not: its low
+    * bits depend on partition merge order, same trap as q86's means).
+    * Scale: K-row centroid broadcast, one |corpus|→K aggregate; nothing
+    * else moves.
+    */
+  def q182ClusterScatter(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val centMicro = seedCentroids(emb)
+      .select(col("cid"),
+        expr("transform(ce, x -> cast(round(x * 1000000) as bigint))").as("cm"))
+    ivfAssignments(emb)
+      .join(broadcast(centMicro), "cid")
+      .withColumn("pm",
+        expr("transform(ed, x -> cast(round(x * 1000000) as bigint))"))
+      .withColumn("sq", expr(
+        """aggregate(zip_with(pm, cm, (a, b) -> (a - b) * (a - b)),
+                     cast(0 as bigint), (acc, v) -> acc + v)"""))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("cast(sum(cast(sq as decimal(38,0))) as bigint)").as("sse_micro2"))
+      .withColumn("wss", expr("CAST(sse_micro2 AS DOUBLE) / 1000000000000.0"))
+      .orderBy(col("cid"))
+  }
+
+  val q182Oracle: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
+       pair AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
+                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assigned AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pair) WHERE rn = 1),
+       sq AS (SELECT a.vec_id, a.cid,
+                     sum((CAST(round(CAST(e.embedding[r.j+1] AS DOUBLE) * 1000000) AS BIGINT)
+                          - CAST(round(CAST(c.ce[r.j+1] AS DOUBLE) * 1000000) AS BIGINT))
+                       * (CAST(round(CAST(e.embedding[r.j+1] AS DOUBLE) * 1000000) AS BIGINT)
+                          - CAST(round(CAST(c.ce[r.j+1] AS DOUBLE) * 1000000) AS BIGINT))) AS sq
+              FROM assigned a JOIN ev e ON a.vec_id = e.vec_id
+                   JOIN cent c ON a.cid = c.cid, range(64) r(j)
+              GROUP BY a.vec_id, a.cid)
+       SELECT cid, count(*) AS n_members,
+              CAST(sum(sq) AS BIGINT) AS sse_micro2,
+              CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS wss
+       FROM sq GROUP BY cid ORDER BY cid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_cluster_scatter" -> q182ClusterScatter _,
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q166_filtered_ivf" -> q166FilteredIvf _,
@@ -654,6 +712,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q182_cluster_scatter" -> q182Oracle,
     "q35_similarity_ann_lsh" -> q35Oracle,
     "q58_dedup_embedding_lsh" -> q58Oracle,
     "q51_similarity_ivf_topk" -> q51Oracle,
