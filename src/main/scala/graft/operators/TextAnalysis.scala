@@ -918,7 +918,61 @@ object TextAnalysis {
        FROM words w LEFT JOIN vocab v USING (word)
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q183
+  /** Cross-document n-gram novelty — what share of each source's 5-grams
+    * also appear in ANOTHER document: the templated-content detector
+    * (mirrored boilerplate, spun articles, SEO farms) that q94 (intra-doc
+    * repetition) and q95 (vs a fixed eval set) can't see, because the
+    * signal only exists corpus-wide. Shape: distinct (source, doc, gram)
+    * pairs keyed by an md5-PREFIX of the gram (both engines replay the
+    * same 16-hex key, and the shuffle carries 16 chars, never gram text —
+    * the q30 hash-key discipline), gram document-frequency as a window
+    * over the gram-keyed exchange, then a source-sized aggregate. Two
+    * corpus-scale exchanges (pair distinct, gram window), both on hash
+    * keys; the df≥2 test is exact integers.
+    */
+  def q183NgramNovelty(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(spark, d)
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(__toks) >= 5
+             THEN transform(sequence(1, size(__toks) - 4), i -> concat_ws(' ', slice(__toks, i, 5)))
+             ELSE array() END""")).as("gram"))
+      .select(col("source"), col("doc_id"),
+        expr("substring(md5(gram), 1, 16)").as("g"))
+      .distinct()
+    pairs.withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        expr("cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_shared"))
+      .withColumn("templated_share",
+        expr("CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)"))
+      .orderBy(col("source"))
+  }
+
+  val q183Oracle: String =
+    """WITH pairs AS (
+         SELECT DISTINCT source, doc_id, substring(md5(gram), 1, 16) AS g FROM (
+           SELECT source, doc_id, unnest(CASE WHEN len(toks) >= 5
+             THEN list_transform(generate_series(1, len(toks) - 4),
+                                 i -> array_to_string(toks[i:i+4], ' '))
+             ELSE [] END) AS gram
+           FROM (SELECT source, doc_id, string_split(text, ' ') AS toks
+                 FROM documents))),
+       w AS (SELECT source, doc_id, g,
+               count(*) OVER (PARTITION BY g) AS df FROM pairs)
+       SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_grams,
+         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS templated_share
+       FROM w GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_ngram_novelty" -> q183NgramNovelty _,
     "q173_oov_rate" -> q173OovRate _,
     "q163_term_drift" -> q163TermDrift _,
     "q164_vocab_growth" -> q164VocabGrowth _,
@@ -940,6 +994,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q183_ngram_novelty" -> q183Oracle,
     "q173_oov_rate" -> q173Oracle,
     "q163_term_drift" -> q163Oracle,
     "q164_vocab_growth" -> q164Oracle,
