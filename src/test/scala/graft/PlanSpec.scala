@@ -182,7 +182,9 @@ class PlanSpec extends SparkSuite {
       "q178_gini_concentration" -> ("orders", 2),    // rank + bucket offsets
       "q179_gaps_islands" -> ("orders", 4),          // starts/ends anti-join sides
       "q180_length_decile_mix" -> ("documents", 2),  // rank + bucket offsets
-      "q181_trigram_paths" -> ("events", 1))
+      "q181_trigram_paths" -> ("events", 1),
+      "q182_cluster_scatter" -> ("embeddings", 3), // assign (emb + seeds) + micro centroids
+      "q183_ngram_novelty" -> ("documents", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
