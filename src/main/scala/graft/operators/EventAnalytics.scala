@@ -882,7 +882,182 @@ object EventAnalytics {
        SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
        GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20"""
 
+  // ---------------------------------------------------------------- q184
+  /** SESSION-scoped funnel — q107 measures lifetime conversion; product
+    * teams read the within-visit one (did the view→click→purchase happen
+    * in the SAME session?). Sessions are 24h-gap islands (the q158 running
+    * sum of break flags), then the q107 chained window minima re-run per
+    * (user, session). Plan note: the session windows partition by
+    * (user_id, sid), but HashPartitioning(user_id) already satisfies that
+    * clustering — sid is a function of the user's own timeline — so the
+    * whole query rides ONE user-keyed exchange; only a sort is added.
+    * Output: sessions reaching each stage, full-funnel share.
+    */
+  def q184SessionFunnel(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"), col("event_id"))
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(w) > 86400000000L, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("t"))).over(ws))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("t") > col("t1"), col("t"))).over(ws))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("t") > col("t2"), col("t"))).over(ws))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .groupBy()
+      .agg(count(lit(1)).as("sessions_total"),
+        expr("cast(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) as bigint)")
+          .as("reached_view"),
+        expr("cast(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) as bigint)")
+          .as("reached_click"),
+        expr("cast(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) as bigint)")
+          .as("reached_purchase"))
+      .withColumn("full_funnel_share",
+        expr("CAST(reached_purchase AS DOUBLE) / CAST(sessions_total AS DOUBLE)"))
+  }
+
+  val q184Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+       g AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                                 > 86400000000 THEN 1 ELSE 0 END AS brk FROM e),
+       s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM g),
+       f AS (SELECT user_id, sid, min(CASE WHEN event_type = 'view' THEN t END) AS t1
+             FROM s GROUP BY 1, 2),
+       f2 AS (SELECT s.user_id, s.sid, min(s.t) AS t2
+              FROM s JOIN f ON s.user_id = f.user_id AND s.sid = f.sid
+              WHERE s.event_type = 'click' AND s.t > f.t1 GROUP BY 1, 2),
+       f3 AS (SELECT s.user_id, s.sid, min(s.t) AS t3
+              FROM s JOIN f2 ON s.user_id = f2.user_id AND s.sid = f2.sid
+              WHERE s.event_type = 'purchase' AND s.t > f2.t2 GROUP BY 1, 2)
+       SELECT count(*) AS sessions_total,
+         CAST(sum(CASE WHEN f.t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS reached_view,
+         (SELECT count(*) FROM f2) AS reached_click,
+         (SELECT count(*) FROM f3) AS reached_purchase,
+         CAST((SELECT count(*) FROM f3) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS full_funnel_share
+       FROM f"""
+
+  // ---------------------------------------------------------------- q185
+  /** Conversion-latency CDF buckets — q165 gives the median/p90 point
+    * estimates; operations wants the cumulative buckets ("what share
+    * converts within the hour / the day / the week"). Same no-self-join
+    * chained-min latency table, then ONE conditional aggregation over
+    * exact integer µs thresholds — counts exact, the three shares each a
+    * single correctly-rounded division.
+    */
+  def q185LatencyCdf(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    ev.filter(col("event_type") === "purchase")
+      .join(v1, Seq("user_id"))
+      .filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"), min(col("t1")).as("t1m"))
+      .select((col("t2") - col("t1m")).as("lat"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_converted"),
+        expr("cast(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END) as bigint)")
+          .as("within_1h"),
+        expr("cast(sum(CASE WHEN lat <= 86400000000 THEN 1 ELSE 0 END) as bigint)")
+          .as("within_1d"),
+        expr("cast(sum(CASE WHEN lat <= 604800000000 THEN 1 ELSE 0 END) as bigint)")
+          .as("within_7d"))
+      .withColumn("share_1h", expr("CAST(within_1h AS DOUBLE) / CAST(n_converted AS DOUBLE)"))
+      .withColumn("share_1d", expr("CAST(within_1d AS DOUBLE) / CAST(n_converted AS DOUBLE)"))
+      .withColumn("share_7d", expr("CAST(within_7d AS DOUBLE) / CAST(n_converted AS DOUBLE)"))
+  }
+
+  val q185Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       v1 AS (SELECT user_id, min(t) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+       p2 AS (SELECT e.user_id, min(e.t) - min(v1.t1) AS lat
+              FROM ev e JOIN v1 ON e.user_id = v1.user_id
+              WHERE e.event_type = 'purchase' AND e.t > v1.t1 GROUP BY 1)
+       SELECT count(*) AS n_converted,
+         CAST(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS within_1h,
+         CAST(sum(CASE WHEN lat <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS within_1d,
+         CAST(sum(CASE WHEN lat <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS within_7d,
+         CAST(CAST(sum(CASE WHEN lat <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS share_1h,
+         CAST(CAST(sum(CASE WHEN lat <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS share_1d,
+         CAST(CAST(sum(CASE WHEN lat <= 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS share_7d
+       FROM p2"""
+
+  // ---------------------------------------------------------------- q186
+  /** Cumulative LTV curve — average spend per purchasing user by
+    * days-since-first-purchase, the revenue twin of q108's retention.
+    * Reduction first: purchases → per (user, day-offset) cents, then a
+    * per-offset aggregate (days-span-sized), then the cumulative window
+    * over THAT compact table. Cohort size never needs a separate scalar
+    * pass: every user owns an offset-0 row (their first purchase day), so
+    * n_users = first_value(users-at-offset) over the offset order — the
+    * whole curve is two events scans, no crossJoin'd scalar subquery.
+    * Exact cents throughout; the per-user division is one rounded op.
+    */
+  def q186LtvCurve(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(spark, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val f = p.groupBy(col("user_id")).agg(min(col("day")).as("f0"))
+    val byOff = p.join(f, Seq("user_id"))
+      .select(col("user_id"),
+        datediff(col("day"), col("f0")).cast("long").as("day_offset"), col("vc"))
+      .groupBy(col("day_offset"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("spend"),
+        countDistinct(col("user_id")).as("users_at_offset"))
+    byOff
+      .withColumn("cum_cents",
+        expr("""cast(sum(cast(spend as decimal(38,0))) over
+               (order by day_offset rows between unbounded preceding and current row)
+               as bigint)"""))
+      .withColumn("n_users", first(col("users_at_offset")).over(
+        Window.orderBy(col("day_offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("day_offset"), col("cum_cents"),
+        expr("CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0")
+          .as("ltv_per_user"))
+      .orderBy(col("day_offset"))
+  }
+
+  val q186Oracle: String =
+    """WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events WHERE event_type = 'purchase'),
+       f AS (SELECT user_id, min(day) AS f0 FROM p GROUP BY 1),
+       agg AS (SELECT date_diff('day', f.f0, p.day) AS day_offset,
+                 CAST(sum(vc) AS BIGINT) AS spend,
+                 count(DISTINCT p.user_id) AS users_at_offset
+               FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1),
+       c AS (SELECT day_offset,
+               CAST(sum(spend) OVER (ORDER BY day_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+               first_value(users_at_offset) OVER (ORDER BY day_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n_users
+             FROM agg)
+       SELECT day_offset, cum_cents,
+         CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS ltv_per_user
+       FROM c ORDER BY day_offset"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_session_funnel" -> q184SessionFunnel _,
+    "q185_latency_cdf" -> q185LatencyCdf _,
+    "q186_ltv_curve" -> q186LtvCurve _,
     "q181_trigram_paths" -> q181TrigramPaths _,
     "q171_interval_coverage" -> q171IntervalCoverage _,
     "q172_last_touch_attribution" -> q172LastTouchAttribution _,
@@ -901,6 +1076,9 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q184_session_funnel" -> q184Oracle,
+    "q185_latency_cdf" -> q185Oracle,
+    "q186_ltv_curve" -> q186Oracle,
     "q181_trigram_paths" -> q181Oracle,
     "q171_interval_coverage" -> q171Oracle,
     "q172_last_touch_attribution" -> q172Oracle,

@@ -184,13 +184,26 @@ class PlanSpec extends SparkSuite {
       "q180_length_decile_mix" -> ("documents", 2),  // rank + bucket offsets
       "q181_trigram_paths" -> ("events", 1),
       "q182_cluster_scatter" -> ("embeddings", 3), // assign (emb + seeds) + micro centroids
-      "q183_ngram_novelty" -> ("documents", 1))
+      "q183_ngram_novelty" -> ("documents", 1),
+      "q184_session_funnel" -> ("events", 1),
+      "q185_latency_cdf" -> ("events", 2),         // first-view side + purchase side
+      "q186_ltv_curve" -> ("events", 2))           // purchases + first-day side
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
       assert(n <= ceiling, s"$q scans $table $n× (ceiling $ceiling)")
     }
     spark.catalog.clearCache()
+  }
+
+  test("q184: session windows ride the user exchange — at most 2 shuffles total") {
+    // HashPartitioning(user_id) satisfies the (user_id, sid) clustering, so
+    // the per-session windows must not add an exchange; the only shuffles
+    // are the user one and the final single-row aggregate's
+    val p = planOf(graft.operators.EventAnalytics.queries("q184_session_funnel")(spark, sf))
+    val n = "(?i)Exchange hashpartitioning|Exchange SinglePartition".r
+      .findAllIn(p).length
+    assert(n <= 2, s"$n exchanges in q184 plan:\n$p")
   }
 
   test("q170: the skyline frontier joins back as a broadcast, not a shuffle") {
