@@ -1403,10 +1403,54 @@ object Relational {
        SELECT island_start, island_end, island_len FROM isl
        ORDER BY island_len DESC, island_start LIMIT 20"""
 
+  // ---------------------------------------------------------------- q187
+  /** Weekly percentile bands — exact p50/p90 of order value per week, the
+    * SLA/revenue-band report. Rank-selected physical rows (the q61/q165
+    * rule: rn over a total order, both engines pick the same rows — no
+    * interpolation, no float boundary). Unlike q176's 3-value groups,
+    * weeks are a HIGH-cardinality partition key, so the per-week window
+    * parallelizes naturally — the case where the plain window IS the
+    * right plan (see SCALE.md's low-cardinality note for the other case).
+    * One exchange on week; exact cents end to end.
+    */
+  def q187WeeklyPercentiles(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.orders(spark, d)
+      .select(date_trunc("WEEK", col("o_orderdate")).as("wk"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("c"),
+        col("o_orderkey").as("ok"))
+    val w = Window.partitionBy(col("wk")).orderBy(col("c"), col("ok"))
+    x.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("wk"))))
+      .filter(expr("rn = (n + 1) div 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"))
+      .groupBy(col("wk"))
+      .agg(min(col("n")).as("n_orders"),
+        expr("CAST(min(CASE WHEN rn = (n + 1) div 2 THEN c END) AS BIGINT)")
+          .as("p50_cents"),
+        expr("CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN c END) AS BIGINT)")
+          .as("p90_cents"))
+      .orderBy(col("wk"))
+  }
+
+  val q187Oracle: String =
+    """WITH x AS (SELECT date_trunc('week', o_orderdate) AS wk,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                    o_orderkey AS ok
+                  FROM orders),
+       r AS (SELECT wk, c, row_number() OVER (PARTITION BY wk ORDER BY c, ok) AS rn,
+               count(*) OVER (PARTITION BY wk) AS n FROM x)
+       SELECT wk, min(n) AS n_orders,
+         CAST(min(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT) AS p50_cents,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN c END) AS BIGINT)
+           AS p90_cents
+       FROM r WHERE rn = (n + 1) // 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)
+       GROUP BY wk ORDER BY wk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_skyline_pareto" -> q170SkylinePareto _,
     "q177_weighted_median" -> q177WeightedMedian _,
     "q179_gaps_islands" -> q179GapsIslands _,
+    "q187_weekly_percentiles" -> q187WeeklyPercentiles _,
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
@@ -1455,6 +1499,7 @@ object Relational {
     "q170_skyline_pareto" -> q170Oracle,
     "q177_weighted_median" -> q177Oracle,
     "q179_gaps_islands" -> q179Oracle,
+    "q187_weekly_percentiles" -> q187Oracle,
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,

@@ -84,11 +84,50 @@ object Skew {
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q188
+  /** Join-key skew report — the diagnostic that DECIDES when q103/q104's
+    * salting (or AQE's skew split) is worth it: per-key row counts
+    * reduced first (one exchange, map-side combined to |keys|), then the
+    * skew profile from exact moments over the compact counts table —
+    * max/total/mean and the skew factor (hottest key vs mean). Everything
+    * a planner needs to size salt buckets, in two aggregates; no rank
+    * selection, so no ordering pass at all. At 100 TB this is the cheap
+    * pre-flight before any big join.
+    */
+  def q188JoinKeySkew(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_keys"),
+        expr("cast(sum(cnt) as bigint)").as("n_rows"),
+        expr("cast(max(cnt) as bigint)").as("max_key_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        expr("CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)").as("top1_share"),
+        expr("CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)").as("mean_rows_per_key"),
+        expr("CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))")
+          .as("skew_factor"))
+
+  val q188Oracle: String =
+    """WITH k AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1)
+       SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_key_rows,
+         CAST(CAST(max(cnt) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS top1_share,
+         CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_rows_per_key,
+         CAST(CAST(max(cnt) AS BIGINT) AS DOUBLE)
+           / (CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           AS skew_factor
+       FROM k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_skew_salted_agg" -> q103SaltedAgg _,
-    "q104_skew_salted_join" -> q104SaltedJoin _)
+    "q104_skew_salted_join" -> q104SaltedJoin _,
+    "q188_join_key_skew" -> q188JoinKeySkew _)
 
   val oracles: Map[String, String] = Map(
     "q103_skew_salted_agg" -> q103Oracle,
-    "q104_skew_salted_join" -> q104Oracle)
+    "q104_skew_salted_join" -> q104Oracle,
+    "q188_join_key_skew" -> q188Oracle)
 }

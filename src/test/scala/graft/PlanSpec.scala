@@ -187,7 +187,9 @@ class PlanSpec extends SparkSuite {
       "q183_ngram_novelty" -> ("documents", 1),
       "q184_session_funnel" -> ("events", 1),
       "q185_latency_cdf" -> ("events", 2),         // first-view side + purchase side
-      "q186_ltv_curve" -> ("events", 2))           // purchases + first-day side
+      "q186_ltv_curve" -> ("events", 2),           // purchases + first-day side
+      "q187_weekly_percentiles" -> ("orders", 1),
+      "q188_join_key_skew" -> ("lineitem", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
