@@ -447,7 +447,77 @@ object MediaCodecDemo extends Serializable {
        CAST(1000 AS BIGINT) AS max_amp
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q189
+  /** Per-pattern pixel intensity histogram over DECODED image bytes — the
+    * feature-extraction stage after q151's dedup (exposure/contrast
+    * profiling, bucketing images by brightness before a vision model).
+    * Every image is synthesized then re-decoded byte-for-byte (BMP header
+    * width/height parse, row-stride arithmetic, blue-channel read — the
+    * q151 decode, not a shortcut through the synthesis), binned into 8
+    * intensity buckets, and aggregated per pattern. The oracle NEVER sees
+    * a pixel: it replays the synthesis arithmetic ((x·31 + y·17 + 97·seed)
+    * mod 256) over range(64)×range(48) in SQL, so hash equality certifies
+    * the whole decode→bin→aggregate path. Scale shape: decode is
+    * mapPartitions (per-partition codec init), the aggregate shuffles 8
+    * longs per image, never pixels.
+    */
+  def pixelHistogram(bytes: Array[Byte]): Array[Long] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val w = le32(18); val h = le32(22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val bins = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bins((bytes(54 + y * rowSize + x * 3) & 0xFF) / 32) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins
+  }
+
+  def q189PixelHistogram(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val hists = Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = (id % 8).toInt
+          (p.toLong, pixelHistogram(makePatternBmp(p)))
+        }
+      }.toDF("pattern", "h")
+    val aggs = count(lit(1)).as("n_images") +:
+      (0 until 8).map(i => min(element_at(col("h"), i + 1)).as(s"b$i"))
+    hists.groupBy(col("pattern"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("pattern"))
+  }
+
+  val q189Oracle: String =
+    """WITH pat AS (SELECT doc_id % 8 AS pattern, count(*) AS n_images
+                    FROM documents GROUP BY 1),
+       px AS (SELECT p.pattern,
+                ((x.i * 31 + y.i * 17 + p.pattern * 97) % 256) // 32 AS bin
+              FROM (SELECT DISTINCT doc_id % 8 AS pattern FROM documents) p,
+                   range(64) x(i), range(48) y(i)),
+       h AS (SELECT pattern, bin, count(*) AS n FROM px GROUP BY 1, 2)
+       SELECT p.pattern, p.n_images,
+         CAST(min(CASE WHEN bin = 0 THEN n END) AS BIGINT) AS b0,
+         CAST(min(CASE WHEN bin = 1 THEN n END) AS BIGINT) AS b1,
+         CAST(min(CASE WHEN bin = 2 THEN n END) AS BIGINT) AS b2,
+         CAST(min(CASE WHEN bin = 3 THEN n END) AS BIGINT) AS b3,
+         CAST(min(CASE WHEN bin = 4 THEN n END) AS BIGINT) AS b4,
+         CAST(min(CASE WHEN bin = 5 THEN n END) AS BIGINT) AS b5,
+         CAST(min(CASE WHEN bin = 6 THEN n END) AS BIGINT) AS b6,
+         CAST(min(CASE WHEN bin = 7 THEN n END) AS BIGINT) AS b7
+       FROM pat p JOIN h ON p.pattern = h.pattern
+       GROUP BY 1, 2 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_pixel_histogram" -> q189PixelHistogram _,
     "q153_audio_silence" -> q153AudioSilence _,
     "q151_image_ahash_dedup" -> q151ImageAhashDedup _,
     "q41_multimodal_decode" -> q41MultimodalDecode _,
@@ -457,6 +527,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q189_pixel_histogram" -> q189Oracle,
     "q153_audio_silence" -> q153Oracle,
     "q151_image_ahash_dedup" -> q151Oracle,
     "q41_multimodal_decode" -> q41Oracle,

@@ -540,7 +540,41 @@ object StreamingOps {
        WHERE cts <= m.cutoff
        GROUP BY c.user_id ORDER BY c.user_id"""
 
+  // ---------------------------------------------------------------- q190
+  /** Streaming daily distinct actives — the DAU counter as a stream:
+    * `dropDuplicates(user, day)` (streaming distinct state, the only way
+    * to count distinct users in a stream — distinct aggregates are
+    * unsupported in streaming aggregation) CHAINED into a 1-day tumbling
+    * window count, two stateful operators in append mode (Spark 4's
+    * chained-stateful support, same machinery q110's join→agg chain
+    * rides). Append emits a day only once the watermark passes its end,
+    * so the final partial day never emits — the oracle restricts to the
+    * watermark-PROVEN region (day end ≤ max ts − 10 min), the q143
+    * cutoff trick, making the streaming output exactly replayable.
+    * State: |users×days in the watermark horizon| dedup keys + one count
+    * per open window — both evicted as the watermark passes.
+    */
+  def q190StreamDailyActives(spark: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .dropDuplicates("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+    runToMemory(spark, agg, s"stream_dau_${System.nanoTime()}", OutputMode.Append())
+      .select(col("window.start").as("day"), col("dau"))
+      .orderBy(col("day"))
+  }
+
+  val q190Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+       cut AS (SELECT max(ts) - INTERVAL 10 MINUTES AS wm FROM events)
+       SELECT day, count(*) AS dau FROM ud, cut
+       WHERE day + INTERVAL 1 DAY <= wm
+       GROUP BY day ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_stream_daily_actives" -> q190StreamDailyActives _,
     "q143_stream_outer_join" -> q143StreamOuterJoin _,
     "q136_transform_with_state" -> q136TransformWithState _,
     "q43_stream_tumbling_window" -> q43StreamTumbling _,
@@ -554,6 +588,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q190_stream_daily_actives" -> q190Oracle,
     "q143_stream_outer_join" -> q143Oracle,
     "q136_transform_with_state" -> q136Oracle,
     "q43_stream_tumbling_window" -> q43Oracle,

@@ -189,7 +189,8 @@ class PlanSpec extends SparkSuite {
       "q185_latency_cdf" -> ("events", 2),         // first-view side + purchase side
       "q186_ltv_curve" -> ("events", 2),           // purchases + first-day side
       "q187_weekly_percentiles" -> ("orders", 1),
-      "q188_join_key_skew" -> ("lineitem", 1))
+      "q188_join_key_skew" -> ("lineitem", 1),
+      "q189_pixel_histogram" -> ("documents", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
