@@ -18,6 +18,8 @@ object EtlQueries {
     * (graft.crypto.Fernet.generateKey).
     */
   val TestKey: String = "AAECAwQFBgcICQoLDA0ODxAREhMUFRYXGBkaGxwdHh8="
+  /** Second deterministic key for the q192 rotation drill. */
+  val TestKey2: String = "ICEiIyQlJicoKSorLC0uLzAxMjM0NTY3ODk6Ozw9Pj8="
 
   // ---------------------------------------------------------------- q26
   /** Encryption round-trip as a deterministic query: every customer name
@@ -937,7 +939,98 @@ object EtlQueries {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------------------------------------------------------------- q191
+  /** Migration reconciliation audit — the checksum triple every copy job
+    * runs before the old system is turned off: row count, key sum, and an
+    * order-independent content checksum (Σ of per-row md5-prefix ints, the
+    * q168/q169 DuckDB-replayable hash family, summed in DECIMAL(38,0) so
+    * layout never matters) computed over the SOURCE, a parquet round-trip,
+    * and a JDBC (Derby) round-trip of the same table. All three layers
+    * must agree with the oracle's source-only computation — a dropped row,
+    * a truncated string, or a type coercion in ANY layer breaks its
+    * checksum. Scale: each layer is one scan + one tiny aggregate; the
+    * checksum is embarrassingly parallel.
+    */
+  def q191Reconciliation(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.nation(spark, d)
+    val ptmp = graft.core.Scratch.dir("recon_parquet")
+    src.write.mode("overwrite").parquet(ptmp)
+    val home = graft.core.Scratch.dir("recon_derby")
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/grecondb;create=true"
+    val opts = Map("url" -> url,
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "nation_copy")
+    src.write.mode("overwrite").format("jdbc").options(opts).save()
+    def layer(df: DataFrame, name: String): DataFrame =
+      df.select(
+          col("n_nationkey"),
+          expr("""CAST(conv(substring(md5(concat_ws('|',
+                 CAST(n_nationkey AS STRING), n_name,
+                 CAST(n_regionkey AS STRING))), 1, 15), 16, 10) AS BIGINT)""")
+            .as("rh"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(n_nationkey as decimal(38,0))) as bigint)").as("key_sum"),
+          expr("cast(sum(cast(rh as decimal(38,0))) % 1000000000000000000 as bigint)")
+            .as("content_sum"))
+        .select(lit(name).as("layer"), col("n_rows"), col("key_sum"), col("content_sum"))
+    layer(src, "source")
+      .union(layer(spark.read.parquet(ptmp), "parquet"))
+      .union(layer(spark.read.format("jdbc").options(opts).load(), "jdbc"))
+      .orderBy(col("layer"))
+  }
+
+  val q191Oracle: String =
+    """WITH s AS (
+         SELECT count(*) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+                CAST(n_nationkey AS VARCHAR), n_name,
+                CAST(n_regionkey AS VARCHAR))), 1, 15)) AS BIGINT))
+                % 1000000000000000000 AS BIGINT)
+             AS content_sum
+         FROM nation)
+       SELECT l.layer, s.n_rows, s.key_sum, s.content_sum
+       FROM (VALUES ('jdbc'), ('parquet'), ('source')) l(layer), s
+       ORDER BY l.layer"""
+
+  // ---------------------------------------------------------------- q192
+  /** Encryption KEY ROTATION — the governance operation q26/q27 set up:
+    * re-encrypt every token under a new key (decrypt-old → encrypt-new in
+    * one map pass, plaintext never persisted), certified per row by the
+    * q27 certificate style: the rotated token is valid Fernet, differs
+    * from the old token (fresh IV), no longer decrypts under the OLD key,
+    * and round-trips under the NEW one. Map-only — at 100 TB, rotation
+    * runs at scan speed with zero shuffles.
+    */
+  def q192KeyRotation(spark: SparkSession, d: String): DataFrame = {
+    val enc1 = CryptoFunctions.encryptUdf(TestKey)
+    val dec1 = CryptoFunctions.decryptUdf(TestKey)
+    val enc2 = CryptoFunctions.encryptUdf(TestKey2)
+    val dec2 = CryptoFunctions.decryptUdf(TestKey2)
+    // tolerant variant for the negative check — a MAC failure must read as
+    // null ("old key no longer works"), not crash the scan
+    val tryDec = CryptoFunctions.decryptWithKeyUdf
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("tok1", enc1(col("c_name")))
+      .withColumn("tok2", enc2(dec1(col("tok1"))))
+      .select(col("c_custkey"),
+        (col("tok2").startsWith("gA") && col("tok2") =!= col("tok1"))
+          .as("rotated_token_ok"),
+        (dec2(col("tok2")) === col("c_name")).as("new_key_roundtrip_ok"),
+        tryDec(lit(TestKey), col("tok2")).isNull.as("old_key_rejected"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q192Oracle: String =
+    """SELECT c_custkey, true AS rotated_token_ok,
+       true AS new_key_roundtrip_ok, true AS old_key_rejected
+       FROM customer ORDER BY c_custkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_reconciliation" -> q191Reconciliation _,
+    "q192_key_rotation" -> q192KeyRotation _,
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
@@ -965,6 +1058,8 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q191_reconciliation" -> q191Oracle,
+    "q192_key_rotation" -> q192Oracle,
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
     "q146_jdbc_partitioned" -> q146Oracle,
