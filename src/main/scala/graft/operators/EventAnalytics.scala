@@ -1054,7 +1054,56 @@ object EventAnalytics {
          CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0 AS ltv_per_user
        FROM c ORDER BY day_offset"""
 
+  // ---------------------------------------------------------------- q193
+  /** Inter-event gap histogram — the instrumentation-health report (are
+    * heartbeats arriving? is there a daily batch spike? did a client start
+    * double-firing?): per-user consecutive gaps from one lag() over the
+    * user exchange, binned into exact integer µs bands, counted in one
+    * aggregate. The bin thresholds are integers so both engines bin
+    * identically; the share division is one rounded op.
+    */
+  def q193GapHistogram(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bin", expr(
+        """CASE WHEN gap < 60000000 THEN 'a_under_1m'
+                WHEN gap < 600000000 THEN 'b_1m_10m'
+                WHEN gap < 3600000000 THEN 'c_10m_1h'
+                WHEN gap < 21600000000 THEN 'd_1h_6h'
+                WHEN gap < 86400000000 THEN 'e_6h_24h'
+                ELSE 'f_over_24h' END"""))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("cast(min(gap) as bigint)").as("min_gap_us"),
+        expr("cast(max(gap) as bigint)").as("max_gap_us"))
+      .withColumn("share", expr(
+        "CAST(n_gaps AS DOUBLE) / CAST(sum(n_gaps) OVER () AS DOUBLE)"))
+      .orderBy(col("bin"))
+  }
+
+  val q193Oracle: String =
+    """WITH g AS (
+         SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+         FROM (SELECT user_id, epoch_us(ts) AS t, event_id FROM events)),
+       b AS (SELECT CASE WHEN gap < 60000000 THEN 'a_under_1m'
+                         WHEN gap < 600000000 THEN 'b_1m_10m'
+                         WHEN gap < 3600000000 THEN 'c_10m_1h'
+                         WHEN gap < 21600000000 THEN 'd_1h_6h'
+                         WHEN gap < 86400000000 THEN 'e_6h_24h'
+                         ELSE 'f_over_24h' END AS bin, gap
+             FROM g WHERE gap IS NOT NULL)
+       SELECT bin, count(*) AS n_gaps,
+         CAST(min(gap) AS BIGINT) AS min_gap_us,
+         CAST(max(gap) AS BIGINT) AS max_gap_us,
+         CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+       FROM b GROUP BY bin ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_gap_histogram" -> q193GapHistogram _,
     "q184_session_funnel" -> q184SessionFunnel _,
     "q185_latency_cdf" -> q185LatencyCdf _,
     "q186_ltv_curve" -> q186LtvCurve _,
@@ -1076,6 +1125,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q193_gap_histogram" -> q193Oracle,
     "q184_session_funnel" -> q184Oracle,
     "q185_latency_cdf" -> q185Oracle,
     "q186_ltv_curve" -> q186Oracle,

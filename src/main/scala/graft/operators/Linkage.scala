@@ -101,9 +101,49 @@ object Linkage {
        WHERE levenshtein(a.c_name, b.c_name) <= 1
        ORDER BY cust_a, cust_b"""
 
+  // ---------------------------------------------------------------- q194
+  /** Linkage agreement-pattern histogram — the evidence table behind
+    * match-score weighting (the Fellegi–Sunter m/u counts, kept log-free
+    * as exact integer counts): for every blocked candidate pair, the
+    * agreement VECTOR (name within edit distance 1, same nation, same
+    * market segment) and how often each pattern occurs. The pattern
+    * histogram is what a linkage engineer reads to set match rules —
+    * "same-segment alone agrees at chance, name-close almost never does".
+    * Same blocked self-join shape as q98 (Σ block², never corpus²); the
+    * aggregate is 2³ rows.
+    */
+  def q194LinkagePatterns(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    val a = c.as("a"); val b = c.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        (levenshtein(col("a.name"), col("b.name")) <= 1).as("name_close"),
+        (col("a.nat") === col("b.nat")).as("same_nation"),
+        (col("a.seg") === col("b.seg")).as("same_segment"))
+      .groupBy(col("name_close"), col("same_nation"), col("same_segment"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("name_close"), col("same_nation"), col("same_segment"))
+  }
+
+  val q194Oracle: String =
+    """WITH c AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+                    c_mktsegment AS seg, substr(c_name, 1, 16) AS blk
+                  FROM customer)
+       SELECT levenshtein(a.name, b.name) <= 1 AS name_close,
+              a.nat = b.nat AS same_nation,
+              a.seg = b.seg AS same_segment,
+              count(*) AS n_pairs
+       FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q98_fuzzy_join" -> q98FuzzyJoin _)
+    "q98_fuzzy_join" -> q98FuzzyJoin _,
+    "q194_linkage_patterns" -> q194LinkagePatterns _)
 
   val oracles: Map[String, String] = Map(
-    "q98_fuzzy_join" -> q98Oracle)
+    "q98_fuzzy_join" -> q98Oracle,
+    "q194_linkage_patterns" -> q194Oracle)
 }
