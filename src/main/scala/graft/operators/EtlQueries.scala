@@ -1028,9 +1028,45 @@ object EtlQueries {
        true AS new_key_roundtrip_ok, true AS old_key_rejected
        FROM customer ORDER BY c_custkey"""
 
+  // ---------------------------------------------------------------- q197
+  /** Schema-evolution UNION — `unionByName(allowMissingColumns)`: merging
+    * an old extract (no priority column) with a new one (priority added)
+    * by NAME, null-filling the missing column — the other half of q117's
+    * mergeSchema read (that one evolves at the SOURCE; this evolves at the
+    * COMBINE step, the shape every backfill-plus-increment job hits).
+    * Positional union would silently mis-align columns here; by-name union
+    * with null-fill is the correct semantics, certified by exact counts
+    * over both halves.
+    */
+  def q197UnionEvolution(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val oldExtract = o.filter(expr("o_orderkey % 2 = 0"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newExtract = o.filter(expr("o_orderkey % 2 = 1"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    oldExtract.unionByName(newExtract, allowMissingColumns = true)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("with_priority"),
+        expr("cast(sum(cast(cast(round(o_totalprice * 100) as bigint) as decimal(38,0))) as bigint)")
+          .as("total_cents"))
+  }
+
+  val q197Oracle: String =
+    """WITH u AS (
+         SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1)
+       SELECT count(*) AS n_rows,
+         count(o_orderpriority) AS with_priority,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM u"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_reconciliation" -> q191Reconciliation _,
     "q192_key_rotation" -> q192KeyRotation _,
+    "q197_union_evolution" -> q197UnionEvolution _,
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
@@ -1060,6 +1096,7 @@ object EtlQueries {
   val oracles: Map[String, String] = Map(
     "q191_reconciliation" -> q191Oracle,
     "q192_key_rotation" -> q192Oracle,
+    "q197_union_evolution" -> q197Oracle,
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
     "q146_jdbc_partitioned" -> q146Oracle,

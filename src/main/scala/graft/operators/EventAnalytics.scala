@@ -1102,7 +1102,50 @@ object EventAnalytics {
          CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
        FROM b GROUP BY bin ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q196
+  /** Events-between-purchases histogram — the "how much browsing buys a
+    * purchase" engagement metric, and the general conditional-segmentation
+    * window pattern (distance-since-marker): a running sum of the marker
+    * flag over the EXCLUSIVE preceding frame assigns every event to the
+    * segment after its k-th purchase; completed segments (seg < total
+    * purchases) aggregate their non-marker counts; one more tiny aggregate
+    * histograms the segment lengths. Everything rides the single user
+    * exchange; all counts exact integers.
+    */
+  def q196EventsBetweenPurchases(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .withColumn("seg", coalesce(
+        sum(col("is_p")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total_p",
+        sum(col("is_p")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("seg") < col("total_p"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(expr("cast(sum(1 - is_p) as bigint)").as("between_events"))
+      .groupBy(col("between_events"))
+      .agg(count(lit(1)).as("n_segments"))
+      .orderBy(col("between_events"))
+  }
+
+  val q196Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+                  FROM events),
+       s AS (SELECT *, coalesce(sum(is_p) OVER (PARTITION BY user_id
+                         ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg,
+                sum(is_p) OVER (PARTITION BY user_id) AS total_p
+             FROM e),
+       segs AS (SELECT user_id, seg, CAST(sum(1 - is_p) AS BIGINT) AS between_events
+                FROM s WHERE seg < total_p GROUP BY 1, 2)
+       SELECT between_events, count(*) AS n_segments
+       FROM segs GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_events_between_purchases" -> q196EventsBetweenPurchases _,
     "q193_gap_histogram" -> q193GapHistogram _,
     "q184_session_funnel" -> q184SessionFunnel _,
     "q185_latency_cdf" -> q185LatencyCdf _,
@@ -1125,6 +1168,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q196_events_between_purchases" -> q196Oracle,
     "q193_gap_histogram" -> q193Oracle,
     "q184_session_funnel" -> q184Oracle,
     "q185_latency_cdf" -> q185Oracle,

@@ -1446,11 +1446,38 @@ object Relational {
        FROM r WHERE rn = (n + 1) // 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)
        GROUP BY wk ORDER BY wk"""
 
+  // ---------------------------------------------------------------- q195
+  /** Join-strategy HINT override — the escape hatch when Catalyst's choice
+    * is wrong for operational reasons (a broadcastable dim whose broadcast
+    * would evict a hotter one; a memory-tight cluster where sort-merge's
+    * spill path is safer than a hash build). `hint("merge")` forces a
+    * SortMergeJoin where the optimizer would broadcast (part IS
+    * broadcast-sized here — that's the point), and the result must be
+    * bit-identical to the unhinted plan: hints move WORK, never answers.
+    * PlanSpec asserts the strategy actually flipped (SortMergeJoin
+    * present, no BroadcastHashJoin) — driving the hint API is the test.
+    */
+  def q195JoinHints(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d).hint("merge"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val q195Oracle: String =
+    """SELECT p_brand, count(*) AS n_items,
+              CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_skyline_pareto" -> q170SkylinePareto _,
     "q177_weighted_median" -> q177WeightedMedian _,
     "q179_gaps_islands" -> q179GapsIslands _,
     "q187_weekly_percentiles" -> q187WeeklyPercentiles _,
+    "q195_join_hints" -> q195JoinHints _,
     "q137_recursive_cte" -> q137RecursiveCte _,
     "q138_lateral_topk" -> q138LateralTopk _,
     "q154_cooccurrence_cosine" -> q154CooccurrenceCosine _,
@@ -1500,6 +1527,7 @@ object Relational {
     "q177_weighted_median" -> q177Oracle,
     "q179_gaps_islands" -> q179Oracle,
     "q187_weekly_percentiles" -> q187Oracle,
+    "q195_join_hints" -> q195Oracle,
     "q137_recursive_cte" -> q137Oracle,
     "q138_lateral_topk" -> q138Oracle,
     "q154_cooccurrence_cosine" -> q154Oracle,

@@ -190,7 +190,11 @@ class PlanSpec extends SparkSuite {
       "q186_ltv_curve" -> ("events", 2),           // purchases + first-day side
       "q187_weekly_percentiles" -> ("orders", 1),
       "q188_join_key_skew" -> ("lineitem", 1),
-      "q189_pixel_histogram" -> ("documents", 1))
+      "q189_pixel_histogram" -> ("documents", 1),
+      "q193_gap_histogram" -> ("events", 1),
+      "q194_linkage_patterns" -> ("customer", 2),  // the two blocked self-join sides
+      "q196_events_between_purchases" -> ("events", 1),
+      "q197_union_evolution" -> ("orders", 2))     // the two schema-era extracts
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
@@ -207,6 +211,13 @@ class PlanSpec extends SparkSuite {
     val n = "(?i)Exchange hashpartitioning|Exchange SinglePartition".r
       .findAllIn(p).length
     assert(n <= 2, s"$n exchanges in q184 plan:\n$p")
+  }
+
+  test("q195: the merge hint overrides the broadcast default") {
+    // part IS broadcast-sized — the hint must still force SortMergeJoin
+    val p = planOf(graft.operators.Relational.queries("q195_join_hints")(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"no SortMergeJoin in:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast slipped through:\n$p")
   }
 
   test("q170: the skyline frontier joins back as a broadcast, not a shuffle") {
