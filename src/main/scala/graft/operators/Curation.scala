@@ -555,7 +555,79 @@ object Curation {
            AS en_share
        FROM r GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q198
+  /** Quantile normalization across sources — the feature-prep step that
+    * makes per-source score distributions comparable (quality scores from
+    * different crawls, lengths from different formats): each source's k-th
+    * ranked value is replaced by the GLOBAL value at the equivalent rank,
+    * target rank = ⌈r·N/m⌉ computed as (r·N + m − 1) div m — integer ceil,
+    * no float boundary. Ranks on both sides come from windows (per-source
+    * rank partitions by source; the global rank here is the q134 two-phase
+    * candidate at scale — the oracle replays the plain-window spec).
+    * The output certifies the defining property: per-source RAW sums
+    * differ, NORMALIZED sums coincide (equal-size sources map onto the
+    * identical global rank set). One corpus-scale equi-join on the target
+    * rank; everything else is windows over existing exchanges.
+    */
+  def q198QuantileNormalize(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = Tables.documents(spark, d).select(col("source"), col("doc_id"), col("n_chars"))
+    // global rank via the q134/q178 two-phase bucket pattern — value-band
+    // buckets, bucket-local row_number, broadcast cumulative offsets (the
+    // only globally-ordered windows run over the tiny bucket table, which
+    // also yields the corpus count N)
+    val gb = dd.select(col("n_chars").as("gv"), col("doc_id").as("gid"))
+      .withColumn("bucket", expr("gv div 50"))
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = gb.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .withColumn("nn", sum(col("bn")).over(wAll))
+      .select(col("bucket"), col("off"), col("nn"))
+    val g = gb.withColumn("lrn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("gv"), col("gid"))))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("gv"), (col("off") + col("lrn")).as("gr"))
+    // per-source ranks: source is the documented low-cardinality-window
+    // tradeoff (20 sources here; see SCALE.md) — the corpus count N rides
+    // in from the bucket table, not from a whole-corpus window
+    val s = dd
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .crossJoin(broadcast(offsets.groupBy().agg(max(col("nn")).as("nn"))))
+      .withColumn("tr", expr("(r * nn + m - 1) div m"))
+    s.join(g, col("tr") === col("gr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_chars) as bigint)").as("raw_sum"),
+        expr("cast(sum(gv) as bigint)").as("norm_sum"),
+        expr("cast(min(gv) as bigint)").as("norm_min"),
+        expr("cast(max(gv) as bigint)").as("norm_max"))
+      .orderBy(col("source"))
+  }
+
+  val q198Oracle: String =
+    """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+       g AS (SELECT n_chars AS gv, row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+             FROM d),
+       n AS (SELECT count(*) AS nn FROM d),
+       s AS (SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS m
+             FROM d),
+       t AS (SELECT source, n_chars, (r * nn + m - 1) // m AS tr FROM s, n),
+       j AS (SELECT t.source, t.n_chars, g.gv FROM t JOIN g ON t.tr = g.gr)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS raw_sum,
+         CAST(sum(gv) AS BIGINT) AS norm_sum,
+         CAST(min(gv) AS BIGINT) AS norm_min,
+         CAST(max(gv) AS BIGINT) AS norm_max
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_quantile_normalize" -> q198QuantileNormalize _,
     "q180_length_decile_mix" -> q180LengthDecileMix _,
     "q150_training_pipeline" -> q150TrainingPipeline _,
     "q122_url_canonicalize" -> q122UrlCanonicalize _,
@@ -565,6 +637,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q198_quantile_normalize" -> q198Oracle,
     "q180_length_decile_mix" -> q180Oracle,
     "q150_training_pipeline" -> q150Oracle,
     "q122_url_canonicalize" -> q122Oracle,

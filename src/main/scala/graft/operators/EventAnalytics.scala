@@ -1144,7 +1144,85 @@ object EventAnalytics {
        SELECT between_events, count(*) AS n_segments
        FROM segs GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q200
+  /** CAPSTONE marketing readout — q150's event-side twin: sessionization
+    * (q184's 24h-gap islands), last-touch attribution (q172's running
+    * ignoreNulls window), and the in-session path check (q184's chained
+    * session minima) COMPOSED over ONE user-partitioned exchange, then
+    * collapsed to a per-channel readout: purchases, distinct buyers,
+    * exact-cents revenue, and how many purchases had the full
+    * view→click→purchase path inside their own session. Every window
+    * (break flags, session ids, touch channel, session-scoped stage
+    * minima) is clustered by user_id or (user_id, sid) — which
+    * HashPartitioning(user_id) already satisfies — so the whole
+    * composition adds sorts, never exchanges, until the final
+    * channel-sized aggregate.
+    */
+  def q200MarketingReadout(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wSes = Window.partitionBy(col("user_id"), col("sid"))
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(wOrd) > 86400000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(wPrev))
+      .withColumn("v1",
+        min(when(col("event_type") === "view", col("t"))).over(wSes))
+      .withColumn("c1",
+        min(when(col("event_type") === "click" && col("t") > col("v1"), col("t")))
+          .over(wSes))
+    e.filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("channel"),
+        col("user_id"), col("vc"),
+        (col("c1").isNotNull && col("t") > col("c1")).as("full_path"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("revenue_cents"),
+        expr("cast(sum(CASE WHEN full_path THEN 1 ELSE 0 END) as bigint)")
+          .as("n_full_path"))
+      .withColumn("revenue", expr("CAST(revenue_cents AS DOUBLE) / 100.0"))
+      .orderBy(col("channel"))
+  }
+
+  val q200Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+       g AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) > 86400000000
+                            THEN 1 ELSE 0 END AS brk FROM e),
+       s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               last_value(CASE WHEN event_type IN ('view','click')
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             FROM g),
+       v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+                         OVER (PARTITION BY user_id, sid) AS v1 FROM s),
+       c AS (SELECT *, min(CASE WHEN event_type = 'click' AND t > v1 THEN t END)
+                         OVER (PARTITION BY user_id, sid) AS c1 FROM v)
+       SELECT coalesce(touch, 'direct') AS channel,
+         count(*) AS n_purchases,
+         count(DISTINCT user_id) AS n_buyers,
+         CAST(sum(vc) AS BIGINT) AS revenue_cents,
+         CAST(sum(CASE WHEN c1 IS NOT NULL AND t > c1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_full_path,
+         CAST(CAST(sum(vc) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+       FROM c WHERE event_type = 'purchase'
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_marketing_readout" -> q200MarketingReadout _,
     "q196_events_between_purchases" -> q196EventsBetweenPurchases _,
     "q193_gap_histogram" -> q193GapHistogram _,
     "q184_session_funnel" -> q184SessionFunnel _,
@@ -1168,6 +1246,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q200_marketing_readout" -> q200Oracle,
     "q196_events_between_purchases" -> q196Oracle,
     "q193_gap_histogram" -> q193Oracle,
     "q184_session_funnel" -> q184Oracle,

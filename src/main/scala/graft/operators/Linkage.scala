@@ -139,11 +139,63 @@ object Linkage {
        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // ---------------------------------------------------------------- q199
+  /** Sorted-neighborhood linkage — the OTHER classic blocking strategy:
+    * sort the corpus by the link key and compare each record only to its
+    * w−1 successors (w=3 here). Catches near-matches that straddle q98's
+    * prefix-block boundary and bounds candidates at w·n regardless of
+    * block-size skew — no hot block can quadratize. The global sort rank
+    * comes from the two-phase bucket pattern (prefix buckets sort
+    * consistently with full names, bucket-local row_number + broadcast
+    * cumulative offsets — no single-task window), and the neighbor pairs
+    * are two RANK-ADJACENCY EQUI-JOINS (gr+1, gr+2) — no boundary
+    * special-casing, because global ranks have no boundaries. The oracle
+    * replays the textbook single-window formulation.
+    */
+  def q199SortedNeighborhood(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .withColumn("bucket", substring(col("name"), 1, 16))
+    val local = c.withColumn("rn", row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col("name"), col("id"))))
+    val offsets = c.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("off"))
+    val ranked = local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("id"), col("name"), (col("off") + col("rn")).as("gr"))
+    // each record targets its two successor ranks via ONE exploded
+    // equi-join (a union of per-offset joins would re-embed the rank
+    // lineage once per offset — the scan-ceiling test caught exactly that)
+    val targets = ranked.select(col("id").as("id_a"), col("name").as("name_a"),
+      explode(array(col("gr") + 1, col("gr") + 2)).as("gr"))
+    targets.join(ranked, Seq("gr"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a").as("cust_a"), col("id").as("cust_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
+  val q199Oracle: String =
+    """WITH r AS (SELECT c_custkey AS id, c_name AS name,
+                    row_number() OVER (ORDER BY c_name, c_custkey) AS gr
+                  FROM customer),
+       p AS (SELECT a.id AS cust_a, b.id AS cust_b,
+               levenshtein(a.name, b.name) AS dist
+             FROM r a JOIN r b ON b.gr = a.gr + 1 OR b.gr = a.gr + 2)
+       SELECT cust_a, cust_b, dist FROM p WHERE dist <= 1
+       ORDER BY cust_a, cust_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_fuzzy_join" -> q98FuzzyJoin _,
-    "q194_linkage_patterns" -> q194LinkagePatterns _)
+    "q194_linkage_patterns" -> q194LinkagePatterns _,
+    "q199_sorted_neighborhood" -> q199SortedNeighborhood _)
 
   val oracles: Map[String, String] = Map(
     "q98_fuzzy_join" -> q98Oracle,
-    "q194_linkage_patterns" -> q194Oracle)
+    "q194_linkage_patterns" -> q194Oracle,
+    "q199_sorted_neighborhood" -> q199Oracle)
 }

@@ -194,7 +194,10 @@ class PlanSpec extends SparkSuite {
       "q193_gap_histogram" -> ("events", 1),
       "q194_linkage_patterns" -> ("customer", 2),  // the two blocked self-join sides
       "q196_events_between_purchases" -> ("events", 1),
-      "q197_union_evolution" -> ("orders", 2))     // the two schema-era extracts
+      "q197_union_evolution" -> ("orders", 2),     // the two schema-era extracts
+      "q198_quantile_normalize" -> ("documents", 4), // rank side, source side, offsets, N
+      "q199_sorted_neighborhood" -> ("customer", 4), // two rank sides x (local + offsets)
+      "q200_marketing_readout" -> ("events", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
