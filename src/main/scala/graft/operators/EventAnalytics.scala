@@ -1221,7 +1221,91 @@ object EventAnalytics {
        FROM c WHERE event_type = 'purchase'
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q203
+  /** Cumulative reach curve — distinct users ever seen, by day: the
+    * audience-growth health metric (q164's vocab-growth shape applied to
+    * users). Reduction first (per-user first day — one exchange), then a
+    * running sum over the days-span-sized aggregate. Exact counts.
+    */
+  def q203ReachCurve(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("DAY", col("ts"))).as("d0"))
+      .groupBy(col("d0")).agg(count(lit(1)).as("new_users"))
+      .withColumn("reach", expr(
+        """cast(sum(new_users) over
+           (order by d0 rows between unbounded preceding and current row) as bigint)"""))
+      .withColumnRenamed("d0", "day")
+      .orderBy(col("day"))
+  }
+
+  val q203Oracle: String =
+    """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY 1),
+       a AS (SELECT d0, count(*) AS new_users FROM f GROUP BY 1)
+       SELECT d0 AS day, new_users,
+         CAST(sum(new_users) OVER (ORDER BY d0
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS reach
+       FROM a ORDER BY d0"""
+
+  // ---------------------------------------------------------------- q205
+  /** Weekday × hour activity heatmap — the 7×24 load matrix behind
+    * capacity planning and anomaly eyeballing. One conditional-free
+    * aggregate; the only subtlety is CROSS-ENGINE WEEKDAY NUMBERING
+    * (Spark's dayofweek is 1-based Sunday-first, DuckDB's 0-based) —
+    * aligned explicitly, because a silent off-by-one here would still
+    * produce a plausible-looking heatmap.
+    */
+  def q205ActivityHeatmap(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(expr("cast(dayofweek(ts) - 1 as bigint)").as("dow"),
+        expr("cast(hour(ts) as bigint)").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow"), col("hr"))
+
+  val q205Oracle: String =
+    """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+              count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------- q206
+  /** Transition LATENCY matrix — q144 counts from→to transitions; this
+    * measures how long each takes (mean gap per pair in exact µs sums,
+    * one rounded division for display). Two lead() columns over the same
+    * user exchange, |event-types|²-sized aggregate.
+    */
+  def q206TransitionLatency(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        (lead(expr("unix_micros(ts)"), 1).over(w) - expr("unix_micros(ts)")).as("gap"))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(gap as decimal(38,0))) as bigint)").as("total_gap_us"))
+      .withColumn("mean_gap_s",
+        expr("CAST(total_gap_us AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val q206Oracle: String =
+    """WITH t AS (SELECT event_type AS t1,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap
+           FROM events)
+       SELECT t1, t2, count(*) AS n,
+         CAST(sum(gap) AS BIGINT) AS total_gap_us,
+         CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+           AS mean_gap_s
+       FROM t WHERE t2 IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_reach_curve" -> q203ReachCurve _,
+    "q205_activity_heatmap" -> q205ActivityHeatmap _,
+    "q206_transition_latency" -> q206TransitionLatency _,
     "q200_marketing_readout" -> q200MarketingReadout _,
     "q196_events_between_purchases" -> q196EventsBetweenPurchases _,
     "q193_gap_histogram" -> q193GapHistogram _,
@@ -1246,6 +1330,9 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q203_reach_curve" -> q203Oracle,
+    "q205_activity_heatmap" -> q205Oracle,
+    "q206_transition_latency" -> q206Oracle,
     "q200_marketing_readout" -> q200Oracle,
     "q196_events_between_purchases" -> q196Oracle,
     "q193_gap_histogram" -> q193Oracle,

@@ -488,7 +488,41 @@ object Profiling {
               * CAST(CAST(sum(sp) AS BIGINT) AS DOUBLE)) AS gini
        FROM r"""
 
+  // ---------------------------------------------------------------- q204
+  /** Dispersion index (variance-to-mean ratio) of basket sizes — the
+    * clumping diagnostic: ≈1 means Poisson-like independence, ≫1 means
+    * bursty/clumped keys (and a join/agg skew risk — the statistical twin
+    * of q188's max-based skew report). Per-basket counts reduce first;
+    * the sample variance comes from exact integer moments (n·Σx²−(Σx)²)
+    * with the final ratio derived by textually identical double formulas
+    * in both engines.
+    */
+  def q204DispersionIndex(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_baskets"),
+        expr("cast(sum(sz) as bigint)").as("n_items"),
+        expr("cast(sum(sz * sz) as bigint)").as("s2"))
+      .select(col("n_baskets"), col("n_items"),
+        expr("""CAST(n_baskets * s2 - n_items * n_items AS DOUBLE)
+                / CAST(n_baskets - 1 AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+                / (CAST(n_items AS DOUBLE) / CAST(n_baskets AS DOUBLE))""")
+          .as("dispersion"))
+
+  val q204Oracle: String =
+    """WITH b AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1),
+       m AS (SELECT count(*) AS n_baskets, CAST(sum(sz) AS BIGINT) AS n_items,
+               CAST(sum(sz * sz) AS BIGINT) AS s2 FROM b)
+       SELECT n_baskets, n_items,
+         CAST(n_baskets * s2 - n_items * n_items AS DOUBLE)
+           / CAST(n_baskets - 1 AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+           / (CAST(n_items AS DOUBLE) / CAST(n_baskets AS DOUBLE)) AS dispersion
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_dispersion_index" -> q204DispersionIndex _,
     "q176_mad_outliers" -> q176MadOutliers _,
     "q178_gini_concentration" -> q178GiniConcentration _,
     "q174_histogram_drift" -> q174HistogramDrift _,
@@ -500,6 +534,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q204_dispersion_index" -> q204Oracle,
     "q176_mad_outliers" -> q176Oracle,
     "q178_gini_concentration" -> q178Oracle,
     "q174_histogram_drift" -> q174Oracle,

@@ -1472,7 +1472,79 @@ object Relational {
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q201
+  /** Grouped top-k WITH TIES — `dense_rank ≤ k`, the semantics q16's
+    * row_number deliberately avoids: every row tied with the k-th value
+    * survives ("top 2 quantity tiers and everyone on them"), so the
+    * result size is data-dependent — 800-ish rows per group here, which
+    * is exactly why reporting queries must choose the tie rule
+    * consciously. Same one-exchange window shape as q16; collapsed to
+    * per-group counts so the tie inflation is the certified observable.
+    */
+  def q201TopkWithTies(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(expr("cast(round(l_quantity) as bigint)").desc)
+    Tables.lineitem(spark, d)
+      .withColumn("q", expr("cast(round(l_quantity) as bigint)"))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= 2)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(min(q) as bigint)").as("min_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q201Oracle: String =
+    """WITH r AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+             dense_rank() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_quantity) AS BIGINT) DESC) AS dr
+           FROM lineitem)
+       SELECT l_returnflag, count(*) AS n_rows, CAST(min(q) AS BIGINT) AS min_q
+       FROM r WHERE dr <= 2 GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q202
+  /** Share-of-parent contribution — each nation's revenue share within
+    * its region and each region's share of total: the drill-down
+    * contribution report behind every "which segment drives this"
+    * question. Three broadcast dimension joins collapse the fact table to
+    * a |nations|-row aggregate; BOTH share levels are windows over that
+    * compact frame (no second corpus pass, no scalar subqueries). Exact
+    * cents; each share is one correctly-rounded division of exact sums.
+    */
+  def q202ShareOfParent(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nr = Tables.orders(spark, d)
+      .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+      .agg(expr("cast(sum(cast(cast(round(o_totalprice * 100) as bigint) as decimal(38,0))) as bigint)")
+        .as("rev"))
+    nr.withColumn("share_of_region", expr(
+        "CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)"))
+      .withColumn("region_share", expr(
+        "CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q202Oracle: String =
+    """WITH nr AS (SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY 1, 2)
+       SELECT nation, region, rev,
+         CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+           AS share_of_region,
+         CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+           / CAST(sum(rev) OVER () AS DOUBLE) AS region_share
+       FROM nr ORDER BY region, nation"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_topk_with_ties" -> q201TopkWithTies _,
+    "q202_share_of_parent" -> q202ShareOfParent _,
     "q170_skyline_pareto" -> q170SkylinePareto _,
     "q177_weighted_median" -> q177WeightedMedian _,
     "q179_gaps_islands" -> q179GapsIslands _,
@@ -1523,6 +1595,8 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q201_topk_with_ties" -> q201Oracle,
+    "q202_share_of_parent" -> q202Oracle,
     "q170_skyline_pareto" -> q170Oracle,
     "q177_weighted_median" -> q177Oracle,
     "q179_gaps_islands" -> q179Oracle,

@@ -197,7 +197,13 @@ class PlanSpec extends SparkSuite {
       "q197_union_evolution" -> ("orders", 2),     // the two schema-era extracts
       "q198_quantile_normalize" -> ("documents", 4), // rank side, source side, offsets, N
       "q199_sorted_neighborhood" -> ("customer", 4), // two rank sides x (local + offsets)
-      "q200_marketing_readout" -> ("events", 1))
+      "q200_marketing_readout" -> ("events", 1),
+      "q201_topk_with_ties" -> ("lineitem", 1),
+      "q202_share_of_parent" -> ("orders", 1),
+      "q203_reach_curve" -> ("events", 1),
+      "q204_dispersion_index" -> ("lineitem", 1),
+      "q205_activity_heatmap" -> ("events", 1),
+      "q206_transition_latency" -> ("events", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
