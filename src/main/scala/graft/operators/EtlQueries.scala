@@ -1063,10 +1063,87 @@ object EtlQueries {
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM u"""
 
+  // ---------------------------------------------------------------- q208
+  /** Hostile-CSV dialect round-trip — pipe delimiter, quoted fields
+    * containing the delimiter, embedded QUOTES (doubled-quote escaping)
+    * and embedded NEWLINES (multiLine read): every messy-feed failure
+    * mode q28's vanilla CSV never exercises. A deterministic gnarly
+    * column is synthesized from nation, round-tripped through the
+    * dialect, and checksummed — the oracle computes the expected checksum
+    * from the BASE table (it never sees the CSV), so equality proves the
+    * writer/parser pair preserved every byte. multiLine note: embedded
+    * newlines make files unsplittable — the documented cost of this
+    * dialect at scale, which is why pipelines re-encode to parquet at the
+    * edge (q28/q115's job).
+    */
+  def q208CsvDialect(spark: SparkSession, d: String): DataFrame = {
+    val gnarly = Tables.nation(spark, d)
+      .withColumn("gnarly", expr(
+        """concat(n_name, '|', '"', 'x', '"', chr(10), 'line2-', n_nationkey)"""))
+    val tmp = graft.core.Scratch.dir("csv_dialect")
+    gnarly.select(col("n_nationkey"), col("gnarly"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(tmp)
+    spark.read
+      .option("header", "true").option("sep", "|")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true").option("inferSchema", "true")
+      .csv(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("""cast(sum(cast(conv(substring(md5(concat(cast(n_nationkey as string), '#', gnarly)), 1, 15), 16, 10) as decimal(38,0))) % 1000000000000000000 as bigint)""")
+          .as("content_sum"))
+  }
+
+  val q208Oracle: String =
+    """WITH g AS (SELECT n_nationkey,
+                    n_name || '|' || '"' || 'x' || '"' || chr(10)
+                      || 'line2-' || CAST(n_nationkey AS VARCHAR) AS gnarly
+                  FROM nation)
+       SELECT count(*) AS n_rows,
+         CAST(sum(CAST(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR) || '#' || gnarly),
+                1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS content_sum
+       FROM g"""
+
+  // ---------------------------------------------------------------- q209
+  /** Source-option file pruning — `recursiveFileLookup` +
+    * `pathGlobFilter`: read a nested directory tree but only the files a
+    * glob admits, the poor-man's partition pruning for layouts that never
+    * went through `partitionBy` (vendor drops, log trees). Files are
+    * written one region per subdirectory; the glob admits two of five —
+    * correctness is that NO filter appears in the plan yet only the
+    * admitted files' rows arrive (selection happens at file listing, I/O
+    * never touches the rest — the property that matters when the tree is
+    * 100 TB and the glob admits 1%).
+    */
+  def q209GlobbedSource(spark: SparkSession, d: String): DataFrame = {
+    val base = graft.core.Scratch.dir("glob_tree")
+    val n = Tables.nation(spark, d)
+    Seq(0, 1, 2, 3, 4).foreach { r =>
+      n.filter(col("n_regionkey") === r)
+        .write.mode("overwrite").parquet(s"$base/region_$r/part")
+    }
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$base/region_1", s"$base/region_3")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), max(col("n_nationkey")).as("max_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q209Oracle: String =
+    """SELECT n_regionkey, count(*) AS n, max(n_nationkey) AS max_key
+       FROM nation WHERE n_regionkey IN (1, 3)
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_reconciliation" -> q191Reconciliation _,
     "q192_key_rotation" -> q192KeyRotation _,
     "q197_union_evolution" -> q197UnionEvolution _,
+    "q208_csv_dialect" -> q208CsvDialect _,
+    "q209_globbed_source" -> q209GlobbedSource _,
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
@@ -1097,6 +1174,8 @@ object EtlQueries {
     "q191_reconciliation" -> q191Oracle,
     "q192_key_rotation" -> q192Oracle,
     "q197_union_evolution" -> q197Oracle,
+    "q208_csv_dialect" -> q208Oracle,
+    "q209_globbed_source" -> q209Oracle,
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
     "q146_jdbc_partitioned" -> q146Oracle,

@@ -1542,7 +1542,41 @@ object Relational {
            / CAST(sum(rev) OVER () AS DOUBLE) AS region_share
        FROM nr ORDER BY region, nation"""
 
+  // ---------------------------------------------------------------- q207
+  /** Collation-aware grouping (Spark 4 collations) — case-insensitive
+    * GROUP BY via `collate(col, 'UTF8_LCASE')` instead of rewriting the
+    * data through lower(): the collation changes COMPARISON semantics, so
+    * grouping, joins, and DISTINCT all fold case without touching bytes —
+    * the engine-level answer to mixed-case dimension values from sloppy
+    * feeds. The fixture derives a deterministic mixed-case segment column
+    * (three case styles by custkey mod 3), groups under UTF8_LCASE, and
+    * emits the lower() normalization of each group so the oracle (which
+    * has no collations) replays it as GROUP BY lower(...) — equality
+    * certifies that collation grouping ≡ normalize-then-group.
+    */
+  def q207CollationGroup(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .withColumn("seg_mixed", expr(
+        """CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                WHEN c_custkey % 3 = 1 THEN initcap(lower(c_mktsegment))
+                ELSE c_mktsegment END"""))
+      .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("seg"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lower(col("seg")).as("segment"), col("n_customers"))
+      .orderBy(col("segment"))
+
+  val q207Oracle: String =
+    """WITH m AS (SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                              WHEN c_custkey % 3 = 1
+                                THEN upper(substr(lower(c_mktsegment), 1, 1))
+                                     || substr(lower(c_mktsegment), 2)
+                              ELSE c_mktsegment END AS seg_mixed
+                 FROM customer)
+       SELECT lower(seg_mixed) AS segment, count(*) AS n_customers
+       FROM m GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_collation_group" -> q207CollationGroup _,
     "q201_topk_with_ties" -> q201TopkWithTies _,
     "q202_share_of_parent" -> q202ShareOfParent _,
     "q170_skyline_pareto" -> q170SkylinePareto _,
@@ -1595,6 +1629,7 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q207_collation_group" -> q207Oracle,
     "q201_topk_with_ties" -> q201Oracle,
     "q202_share_of_parent" -> q202Oracle,
     "q170_skyline_pareto" -> q170Oracle,
