@@ -971,7 +971,83 @@ object TextAnalysis {
            / CAST(count(*) AS DOUBLE) AS templated_share
        FROM w GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q210
+  /** BPE merge training, three real iterations — the tokenizer-training
+    * inner loop itself (q105 counts the seed vocabulary; q133 APPLIES a
+    * trained vocab; this TRAINS merges): words become space-joined symbol
+    * sequences, each round counts frequency-weighted adjacent symbol
+    * pairs, picks the arg-max pair (count desc, then lexicographic — the
+    * deterministic tie rule), and rewrites every occurrence via a
+    * broadcast 1-row join (`regexp_replace` with column patterns — the
+    * merge pair is alphanumeric, so the literal is regex-safe; left-to-
+    * right non-overlapping semantics match the oracle's `replace`).
+    * SCALE: real BPE trains on the VOCAB + frequencies, not the corpus —
+    * one corpus scan builds the (word, n) table, every iteration after
+    * runs on |vocab| rows; `localCheckpoint` pins each round so three
+    * iterations stay three vocab passes, not 2³ lineage replays (the CC
+    * discipline). No driver loop over data — the arg-max travels as a
+    * broadcast frame, never a collected literal.
+    */
+  def q210BpeMerges(spark: SparkSession, d: String): DataFrame = {
+    def topPair(v: DataFrame): DataFrame =
+      v.select(col("n"), split(col("seq"), " ").as("cs"))
+        .select(col("n"), explode(expr(
+          """CASE WHEN size(cs) >= 2
+             THEN transform(sequence(1, size(cs) - 1),
+                            i -> struct(cs[i-1] AS w1, cs[i] AS w2))
+             ELSE array() END"""))
+          .as("p"))
+        .groupBy(expr("p.w1").as("w1"), expr("p.w2").as("w2"))
+        .agg(expr("cast(sum(n) as bigint)").as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(1)
+    def mergeStep(v: DataFrame, top: DataFrame): DataFrame =
+      v.crossJoin(broadcast(top))
+        .withColumn("seq", expr(
+          """trim(regexp_replace(' ' || seq || ' ',
+                  ' ' || w1 || ' ' || w2 || ' ', ' ' || w1 || w2 || ' '))"""))
+        .select(col("seq"), col("n"))
+    var v = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(expr("concat_ws(' ', split(word, ''))").as("seq"), col("n"))
+      .localCheckpoint()
+    val steps = (0 until 3).map { step =>
+      val t = topPair(v).localCheckpoint()
+      v = mergeStep(v, t).localCheckpoint()
+      t.select(lit(step.toLong).as("step"), col("w1"), col("w2"), col("cnt"))
+    }
+    steps.reduce(_ union _).orderBy(col("step"))
+  }
+
+  val q210Oracle: String = {
+    def pairs(src: String) =
+      s"""SELECT p.w1 AS w1, p.w2 AS w2, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         SELECT unnest(list_transform(generate_series(1, len(cs) - 1),
+                  i -> struct_pack(w1 := cs[i], w2 := cs[i+1]))) AS p, n
+         FROM (SELECT string_split(seq, ' ') AS cs, n FROM $src)) GROUP BY 1, 2"""
+    def merged(src: String, top: String) =
+      s"""SELECT trim(replace(' ' || seq || ' ', ' ' || w1 || ' ' || w2 || ' ',
+                     ' ' || w1 || w2 || ' ')) AS seq, n FROM $src, $top"""
+    s"""WITH v0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM (
+           SELECT word, count(*) AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1)),
+       p0 AS (${pairs("v0")}),
+       t0 AS (SELECT w1, w2, cnt FROM p0 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       v1 AS (${merged("v0", "t0")}),
+       p1 AS (${pairs("v1")}),
+       t1 AS (SELECT w1, w2, cnt FROM p1 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       v2 AS (${merged("v1", "t1")}),
+       p2 AS (${pairs("v2")}),
+       t2 AS (SELECT w1, w2, cnt FROM p2 ORDER BY cnt DESC, w1, w2 LIMIT 1)
+       SELECT CAST(0 AS BIGINT) AS step, w1, w2, cnt FROM t0
+       UNION ALL SELECT CAST(1 AS BIGINT), w1, w2, cnt FROM t1
+       UNION ALL SELECT CAST(2 AS BIGINT), w1, w2, cnt FROM t2
+       ORDER BY step"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_bpe_merges" -> q210BpeMerges _,
     "q183_ngram_novelty" -> q183NgramNovelty _,
     "q173_oov_rate" -> q173OovRate _,
     "q163_term_drift" -> q163TermDrift _,
@@ -994,6 +1070,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q210_bpe_merges" -> q210Oracle,
     "q183_ngram_novelty" -> q183Oracle,
     "q173_oov_rate" -> q173Oracle,
     "q163_term_drift" -> q163Oracle,
