@@ -698,7 +698,48 @@ object Similarity {
               CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS wss
        FROM sq GROUP BY cid ORDER BY cid"""
 
+  // ---------------------------------------------------------------- q211
+  /** Distributed power-iteration step — one round of v ← Xᵀ(X·v) over the
+    * embedding matrix (v₀ = 1s), the inner loop of PCA / truncated-SVD
+    * whitening at corpus scale. Matrix-free: per-row dot products fold in
+    * a codegen'd `aggregate` HOF, the update vector is ONE 64-row
+    * aggregate (shuffle = dims × partitions, never the corpus — the
+    * map-side-combined Gram-vector product). All arithmetic in exact
+    * integer micro-units with DECIMAL(38,0) sums (the q182 discipline),
+    * so the iterate is bit-reproducible at any parallelism — which is
+    * what makes distributed PCA runs comparable across cluster sizes.
+    * The output normalizes by the max-|component| (one shared-text
+    * division per dim).
+    */
+  def q211PowerIteration(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("xq"))
+      .withColumn("dot", expr("aggregate(xq, cast(0 as bigint), (a, v) -> a + v)"))
+    x.select(col("dot"), posexplode(col("xq")).as(Seq("dim", "xd")))
+      .groupBy(expr("cast(dim as bigint)").as("dim"))
+      .agg(expr("cast(sum(cast(xd as decimal(38,0)) * cast(dot as decimal(38,0))) as bigint)")
+        .as("v1"))
+      .withColumn("ratio", expr(
+        "CAST(v1 AS DOUBLE) / CAST(max(abs(v1)) OVER () AS DOUBLE)"))
+      .orderBy(col("dim"))
+  }
+
+  val q211Oracle: String =
+    """WITH x AS (SELECT vec_id, r.j AS dim,
+             CAST(round(CAST(embedding[r.j+1] AS DOUBLE) * 1000000) AS BIGINT) AS xd
+           FROM embeddings, range(64) r(j)),
+       dots AS (SELECT vec_id, CAST(sum(xd) AS BIGINT) AS dot FROM x GROUP BY 1),
+       v1 AS (SELECT dim, CAST(sum(CAST(xd AS HUGEINT) * dot) AS BIGINT) AS v1
+              FROM x JOIN dots USING (vec_id) GROUP BY 1)
+       SELECT dim, v1,
+         CAST(v1 AS DOUBLE) / CAST(max(abs(v1)) OVER () AS DOUBLE) AS ratio
+       FROM v1 ORDER BY dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_power_iteration" -> q211PowerIteration _,
     "q182_cluster_scatter" -> q182ClusterScatter _,
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
@@ -712,6 +753,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q211_power_iteration" -> q211Oracle,
     "q182_cluster_scatter" -> q182Oracle,
     "q35_similarity_ann_lsh" -> q35Oracle,
     "q58_dedup_embedding_lsh" -> q58Oracle,
