@@ -988,25 +988,61 @@ object TextAnalysis {
     * discipline). No driver loop over data — the arg-max travels as a
     * broadcast frame, never a collected literal.
     */
+  /** Frequency-weighted arg-max adjacent symbol pair over (seq, n) rows —
+    * count desc, then lexicographic: the deterministic BPE tie rule.
+    */
+  def bpeTopPair(v: DataFrame): DataFrame =
+    v.select(col("n"), split(col("seq"), " ").as("cs"))
+      .select(col("n"), explode(expr(
+        """CASE WHEN size(cs) >= 2
+           THEN transform(sequence(1, size(cs) - 1),
+                          i -> struct(cs[i-1] AS w1, cs[i] AS w2))
+           ELSE array() END"""))
+        .as("p"))
+      .groupBy(expr("p.w1").as("w1"), expr("p.w2").as("w2"))
+      .agg(expr("cast(sum(n) as bigint)").as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(1)
+
+  /** TRUE greedy left-to-right BPE merge of `top`'s (w1, w2) into every
+    * sequence (a naive string replace merges only alternating occurrences
+    * inside runs — ' a b a b ' would yield 'ab a b', not BPE's 'ab ab';
+    * Round5dSpec pins the distinction): match positions form islands of
+    * consecutive overlaps, greedy picks the ODD ranks within each island
+    * (the q179 islands trick applied per word), a token is consumed iff
+    * its predecessor was picked, and the sequence reassembles by position.
+    */
+  def bpeMergeStep(v: DataFrame, top: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = v.crossJoin(broadcast(top))
+      .withColumn("wid", monotonically_increasing_id())
+      .select(col("wid"), col("n"), col("w1"), col("w2"),
+        posexplode(split(col("seq"), " ")).as(Seq("pos", "t")))
+    val wW = Window.partitionBy(col("wid")).orderBy(col("pos"))
+    val marked = tok
+      .withColumn("nxt", lead(col("t"), 1).over(wW))
+      .withColumn("m", col("t") === col("w1") && col("nxt") === col("w2"))
+      .withColumn("mrn", sum(when(col("m"), 1).otherwise(0)).over(
+        wW.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("grp", when(col("m"), col("pos") - col("mrn")))
+      .withColumn("sel", col("m") &&
+        (row_number().over(Window.partitionBy(col("wid"), col("grp"))
+          .orderBy(col("pos"))) % 2) === 1)
+      .withColumn("consumed",
+        coalesce(lag(col("sel"), 1).over(wW), lit(false)))
+    marked.filter(!col("consumed"))
+      .withColumn("out", when(col("sel"), concat(col("w1"), col("w2")))
+        .otherwise(col("t")))
+      .groupBy(col("wid"))
+      .agg(min(col("n")).as("n"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, out))), p -> p.out))")
+          .as("seq"))
+      .select(col("seq"), col("n"))
+  }
+
   def q210BpeMerges(spark: SparkSession, d: String): DataFrame = {
-    def topPair(v: DataFrame): DataFrame =
-      v.select(col("n"), split(col("seq"), " ").as("cs"))
-        .select(col("n"), explode(expr(
-          """CASE WHEN size(cs) >= 2
-             THEN transform(sequence(1, size(cs) - 1),
-                            i -> struct(cs[i-1] AS w1, cs[i] AS w2))
-             ELSE array() END"""))
-          .as("p"))
-        .groupBy(expr("p.w1").as("w1"), expr("p.w2").as("w2"))
-        .agg(expr("cast(sum(n) as bigint)").as("cnt"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2"))
-        .limit(1)
-    def mergeStep(v: DataFrame, top: DataFrame): DataFrame =
-      v.crossJoin(broadcast(top))
-        .withColumn("seq", expr(
-          """trim(regexp_replace(' ' || seq || ' ',
-                  ' ' || w1 || ' ' || w2 || ' ', ' ' || w1 || w2 || ' '))"""))
-        .select(col("seq"), col("n"))
+    def topPair(v: DataFrame): DataFrame = bpeTopPair(v)
+    def mergeStep(v: DataFrame, top: DataFrame): DataFrame = bpeMergeStep(v, top)
     var v = Tables.documents(spark, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -1026,9 +1062,34 @@ object TextAnalysis {
          SELECT unnest(list_transform(generate_series(1, len(cs) - 1),
                   i -> struct_pack(w1 := cs[i], w2 := cs[i+1]))) AS p, n
          FROM (SELECT string_split(seq, ' ') AS cs, n FROM $src)) GROUP BY 1, 2"""
+    // TRUE greedy left-to-right merge, mirroring the engine's island-parity
+    // selection (a plain string replace would merge only alternating
+    // occurrences inside runs — not BPE)
     def merged(src: String, top: String) =
-      s"""SELECT trim(replace(' ' || seq || ' ', ' ' || w1 || ' ' || w2 || ' ',
-                     ' ' || w1 || w2 || ' ')) AS seq, n FROM $src, $top"""
+      s"""SELECT string_agg(CASE WHEN sel THEN w1 || w2 ELSE t END, ' ' ORDER BY i)
+             AS seq, min(n) AS n
+         FROM (
+           SELECT *, coalesce(lag(sel) OVER (PARTITION BY wid ORDER BY i), false)
+                    AS consumed
+           FROM (
+             SELECT *, (m AND row_number() OVER (PARTITION BY wid, grp ORDER BY i)
+                          % 2 = 1) AS sel
+             FROM (
+               SELECT *, CASE WHEN m THEN i - mrn END AS grp
+               FROM (
+                 SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY wid ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrn
+                 FROM (
+                   SELECT wid, n, w1, w2, u.i AS i, cs[u.i] AS t,
+                     (cs[u.i] = w1 AND u.i < ln AND cs[u.i + 1] = w2) AS m
+                   FROM (SELECT row_number() OVER () AS wid, n, w1, w2, cs,
+                                len(cs) AS ln
+                         FROM (SELECT string_split(seq, ' ') AS cs, n FROM $src),
+                              $top) tk,
+                        LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) u
+                 ) p0) p1) p2) p3) p4
+         WHERE NOT consumed GROUP BY wid"""
     s"""WITH v0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS seq, n FROM (
            SELECT word, count(*) AS n FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1)),
