@@ -587,6 +587,37 @@ object EtlQueries {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---------------------------------------------------------------- q212
+  /** Bucketed ZERO-EXCHANGE aggregation — the aggregation twin of q101's
+    * bucketed join: a table bucketed by the groupBy key already satisfies
+    * the aggregate's clustering requirement, so the repeated daily rollup
+    * runs with NO shuffle at all — the exchange was paid once at write
+    * time, then amortized over every aggregation that follows. PlanSpec
+    * asserts zero hash-partitioning exchanges in the plan; the TakeOrdered
+    * top-k needs none either. This is the bucketing lever's second
+    * dividend, and at 100 TB it is the difference between a rollup that
+    * moves the corpus and one that only reads it.
+    */
+  def q212BucketedAgg(spark: SparkSession, d: String): DataFrame = {
+    val t = "graft_q212_lineitem"
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
+    spark.table(t)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("cast(sum(cast(round(l_quantity) as bigint)) as bigint)").as("total_qty"))
+      .orderBy(col("n_items").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q212Oracle: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+       FROM lineitem GROUP BY 1
+       ORDER BY n_items DESC, l_orderkey LIMIT 10"""
+
   // ---------------------------------------------------------------- q111
   /** Z-order (Morton) interleave of two bounded dimension keys — the
     * multi-dimensional cousin of q100's single-column partitioning: rows
@@ -1144,6 +1175,7 @@ object EtlQueries {
     "q197_union_evolution" -> q197UnionEvolution _,
     "q208_csv_dialect" -> q208CsvDialect _,
     "q209_globbed_source" -> q209GlobbedSource _,
+    "q212_bucketed_agg" -> q212BucketedAgg _,
     "q129_dpp_join" -> q129DynamicPartitionPruning _,
     "q130_bloom_filter_join" -> q130BloomFilterJoin _,
     "q146_jdbc_partitioned" -> q146JdbcPartitioned _,
@@ -1176,6 +1208,7 @@ object EtlQueries {
     "q197_union_evolution" -> q197Oracle,
     "q208_csv_dialect" -> q208Oracle,
     "q209_globbed_source" -> q209Oracle,
+    "q212_bucketed_agg" -> q212Oracle,
     "q129_dpp_join" -> q129Oracle,
     "q130_bloom_filter_join" -> q130Oracle,
     "q146_jdbc_partitioned" -> q146Oracle,

@@ -222,6 +222,13 @@ class PlanSpec extends SparkSuite {
     assert(n <= 2, s"$n exchanges in q184 plan:\n$p")
   }
 
+  test("q212: aggregation on the bucketed key runs with zero exchanges") {
+    val df = graft.operators.EtlQueries.queries("q212_bucketed_agg")(spark, sf)
+    val p = planOf(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed aggregate still shuffles:\n$p")
+  }
+
   test("q195: the merge hint overrides the broadcast default") {
     // part IS broadcast-sized — the hint must still force SortMergeJoin
     val p = planOf(graft.operators.Relational.queries("q195_join_hints")(spark, sf))
