@@ -573,7 +573,39 @@ object StreamingOps {
        WHERE day + INTERVAL 1 DAY <= wm
        GROUP BY day ORDER BY day"""
 
+  // ---------------------------------------------------------------- q213
+  /** Stream-static LEFT ANTI join — the denylist/abuse filter: events from
+    * blocked users are dropped as they arrive (q78 is the inner-enrich
+    * half of stream-static; the anti half is the compliance filter every
+    * ingest runs). Stateless per micro-batch — the static side re-resolves
+    * each batch (a denylist UPDATE takes effect on the next batch with no
+    * restart), broadcast against the stream, zero join state. The batch
+    * oracle replays the residual predicate exactly.
+    */
+  def q213StreamAntiDenylist(spark: SparkSession, d: String): DataFrame = {
+    val denied = graft.sources.Tables.events(spark, d)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 10 === 0)
+    val kept = eventsStream(spark, d)
+      .join(denied, Seq("user_id"), "left_anti")
+      .select(col("event_type"), col("value"))
+    val name = s"stream_anti_${System.nanoTime()}"
+    runToMemory(spark, kept, name, OutputMode.Append())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(cast(round(value * 100) as bigint) as decimal(38,0))) as bigint)")
+          .as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q213Oracle: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events WHERE user_id % 10 <> 0
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_stream_anti_denylist" -> q213StreamAntiDenylist _,
     "q190_stream_daily_actives" -> q190StreamDailyActives _,
     "q143_stream_outer_join" -> q143StreamOuterJoin _,
     "q136_transform_with_state" -> q136TransformWithState _,
@@ -588,6 +620,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q213_stream_anti_denylist" -> q213Oracle,
     "q190_stream_daily_actives" -> q190Oracle,
     "q143_stream_outer_join" -> q143Oracle,
     "q136_transform_with_state" -> q136Oracle,

@@ -203,7 +203,10 @@ class PlanSpec extends SparkSuite {
       "q203_reach_curve" -> ("events", 1),
       "q204_dispersion_index" -> ("lineitem", 1),
       "q205_activity_heatmap" -> ("events", 1),
-      "q206_transition_latency" -> ("events", 1))
+      "q206_transition_latency" -> ("events", 1),
+      "q207_collation_group" -> ("customer", 1),
+      "q210_bpe_merges" -> ("documents", 1),     // localCheckpoint pins each round
+      "q211_power_iteration" -> ("embeddings", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
