@@ -521,7 +521,67 @@ object Profiling {
            / (CAST(n_items AS DOUBLE) / CAST(n_baskets AS DOUBLE)) AS dispersion
        FROM m"""
 
+  // ---------------------------------------------------------------- q214
+  /** Pareto coverage — how many customers cover 80% of revenue (the 80/20
+    * check q178's Gini summarizes into one number; this answers the
+    * operational question behind it: how small is the head). The
+    * descending cumulative-share scan uses the two-phase bucket pattern
+    * (bucket-local running sums in spend-DESC order + broadcast cumulative
+    * bucket totals — no single-task window over the customer table), and
+    * the 80% test compares exact DECIMAL products ((cum−sp)·5 < tot·4) so
+    * no float threshold exists. The oracle replays the plain-window
+    * formulation — equality certifies the two-phase prefix sums.
+    */
+  def q214ParetoCoverage(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("vc"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("sp"))
+      .withColumn("bucket", expr("sp div 100000000"))
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("sp").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = s.groupBy(col("bucket"))
+      .agg(expr("cast(sum(cast(sp as decimal(38,0))) as decimal(38,0))").as("bsum"),
+        count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wB), lit(0).cast("decimal(38,0)")))
+      .withColumn("tot", sum(col("bsum")).over(wAll))
+      .withColumn("nn", sum(col("bn")).over(wAll))
+      .select(col("bucket"), col("off"), col("tot"), col("nn"))
+    s.withColumn("lcum", sum(col("sp").cast("decimal(38,0)")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
+      .groupBy()
+      .agg(expr("cast(min(nn) as bigint)").as("n_customers"),
+        expr("cast(sum(CASE WHEN (cum - sp) * 5 < tot * 4 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_for_80pct"))
+      .withColumn("share_of_customers",
+        expr("CAST(n_for_80pct AS DOUBLE) / CAST(n_customers AS DOUBLE)"))
+  }
+
+  val q214Oracle: String =
+    """WITH s AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+                  FROM orders GROUP BY 1),
+       r AS (SELECT sp,
+               sum(sp) OVER (ORDER BY sp DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(sp) OVER () AS tot, count(*) OVER () AS n FROM s)
+       SELECT CAST(min(n) AS BIGINT) AS n_customers,
+         CAST(sum(CASE WHEN (cum - sp) * 5 < tot * 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_for_80pct,
+         CAST(CAST(sum(CASE WHEN (cum - sp) * 5 < tot * 4 THEN 1 ELSE 0 END) AS BIGINT)
+              AS DOUBLE) / CAST(CAST(min(n) AS BIGINT) AS DOUBLE) AS share_of_customers
+       FROM r"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_pareto_coverage" -> q214ParetoCoverage _,
     "q204_dispersion_index" -> q204DispersionIndex _,
     "q176_mad_outliers" -> q176MadOutliers _,
     "q178_gini_concentration" -> q178GiniConcentration _,
@@ -534,6 +594,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q214_pareto_coverage" -> q214Oracle,
     "q204_dispersion_index" -> q204Oracle,
     "q176_mad_outliers" -> q176Oracle,
     "q178_gini_concentration" -> q178Oracle,

@@ -1575,7 +1575,41 @@ object Relational {
        SELECT lower(seg_mixed) AS segment, count(*) AS n_customers
        FROM m GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q215
+  /** Per-group min-max feature scaling — (x − min)/(max − min) onto [0,1],
+    * the feature-prep normalization every model input pass runs. Bounds
+    * are a K-row broadcast (one aggregate), the scaling is map-only, and
+    * the certified aggregate follows the dsum discipline: each scaled
+    * value is the SAME two IEEE ops in both engines, quantized to
+    * DECIMAL(25,6) before summing so the total is order-independent — a
+    * raw float sum of 60k divisions would be merge-order noise.
+    */
+  def q215MinmaxScaling(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val bounds = li.groupBy(col("l_returnflag").as("g"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    li.join(broadcast(bounds), col("l_returnflag") === col("g"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS DOUBLE)")
+          .as("scaled_sum"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q215Oracle: String =
+    """WITH b AS (SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+                    max(l_extendedprice) AS hi
+                  FROM lineitem GROUP BY 1)
+       SELECT l.l_returnflag, count(*) AS n,
+         CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS DOUBLE)
+           AS scaled_sum,
+         min(lo) AS lo, max(hi) AS hi
+       FROM lineitem l JOIN b ON l.l_returnflag = b.g
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_minmax_scaling" -> q215MinmaxScaling _,
     "q207_collation_group" -> q207CollationGroup _,
     "q201_topk_with_ties" -> q201TopkWithTies _,
     "q202_share_of_parent" -> q202ShareOfParent _,
@@ -1629,6 +1663,7 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q215_minmax_scaling" -> q215Oracle,
     "q207_collation_group" -> q207Oracle,
     "q201_topk_with_ties" -> q201Oracle,
     "q202_share_of_parent" -> q202Oracle,

@@ -180,13 +180,52 @@ object Sampling {
   val q90Oracle: String =
     "SELECT count(*) AS n, true AS order_ok FROM documents"
 
+  // ---------------------------------------------------------------- q216
+  /** Systematic (every-k-th) sampling — the survey-methodology member of
+    * the sampling family: sort by the frame variable, keep rank ≡ 1
+    * (mod k). Unlike q73's hash sampling it guarantees even coverage of
+    * the ORDERED frame (every spend band represented), at the cost of a
+    * rank pass — computed with the two-phase bucket pattern so no global
+    * single-task window touches the table. The certified aggregate pins
+    * the exact selected rows (key sum + dsum balance), so a rank
+    * off-by-one anywhere flips the hash.
+    */
+  def q216SystematicSample(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.sources.Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("bucket", expr("cast(round(c_acctbal * 100) as bigint) div 100000"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = c.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("bucket"), col("off"))
+    c.withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .filter(expr("(off + lrn) % 100 = 1"))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("cast(sum(c_custkey) as bigint)").as("key_sum"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)").as("bal_sum"))
+  }
+
+  val q216Oracle: String =
+    """WITH r AS (SELECT c_custkey, c_acctbal,
+                    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+                  FROM customer)
+       SELECT count(*) AS n_sampled, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal_sum
+       FROM r WHERE rn % 100 = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_stratified_sample" -> q73StratifiedSample _,
     "q85_sample_cap_weighted" -> q85CapWeighted _,
-    "q90_shuffle_deterministic" -> q90ShuffleDeterministic _)
+    "q90_shuffle_deterministic" -> q90ShuffleDeterministic _,
+    "q216_systematic_sample" -> q216SystematicSample _)
 
   val oracles: Map[String, String] = Map(
     "q73_stratified_sample" -> q73Oracle,
     "q85_sample_cap_weighted" -> q85Oracle,
-    "q90_shuffle_deterministic" -> q90Oracle)
+    "q90_shuffle_deterministic" -> q90Oracle,
+    "q216_systematic_sample" -> q216Oracle)
 }

@@ -206,7 +206,10 @@ class PlanSpec extends SparkSuite {
       "q206_transition_latency" -> ("events", 1),
       "q207_collation_group" -> ("customer", 1),
       "q210_bpe_merges" -> ("documents", 1),     // localCheckpoint pins each round
-      "q211_power_iteration" -> ("embeddings", 1))
+      "q211_power_iteration" -> ("embeddings", 1),
+      "q214_pareto_coverage" -> ("orders", 2),   // rank side + bucket offsets
+      "q215_minmax_scaling" -> ("lineitem", 2),  // bounds + scaling pass
+      "q216_systematic_sample" -> ("customer", 2))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
