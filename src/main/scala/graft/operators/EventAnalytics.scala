@@ -1302,7 +1302,45 @@ object EventAnalytics {
            AS mean_gap_s
        FROM t WHERE t2 IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------- q218
+  /** Time-proximity debounce dedup — at-least-once delivery and retry
+    * storms produce repeats of the same logical event close in time; the
+    * debounce rule keeps an event only if the previous SAME-KEY event is
+    * more than 30 minutes older (the streaming twin is q45's
+    * dropDuplicates; this is the batch/backfill version where exact-id
+    * dedup can't help because retries get fresh event_ids). One lag()
+    * over a (user, type)-keyed exchange, exact integer µs bound — no
+    * self-join, no state.
+    */
+  def q218DebounceDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .groupBy()
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_kept"),
+        expr("cast(sum(CASE WHEN gap IS NOT NULL AND gap <= 1800000000 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_debounced"))
+  }
+
+  val q218Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+       g AS (SELECT *, t - lag(t) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY t, event_id) AS gap FROM e)
+       SELECT count(*) AS n_events,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_debounced
+       FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_debounce_dedup" -> q218DebounceDedup _,
     "q203_reach_curve" -> q203ReachCurve _,
     "q205_activity_heatmap" -> q205ActivityHeatmap _,
     "q206_transition_latency" -> q206TransitionLatency _,
@@ -1330,6 +1368,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q218_debounce_dedup" -> q218Oracle,
     "q203_reach_curve" -> q203Oracle,
     "q205_activity_heatmap" -> q205Oracle,
     "q206_transition_latency" -> q206Oracle,

@@ -177,11 +177,55 @@ object Temporal {
               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
        FROM j GROUP BY band_id ORDER BY band_id"""
 
+  // ---------------------------------------------------------------- q217
+  /** As-of join WITH TOLERANCE — q71's most-recent-prior match, but a
+    * match older than the bound is no match at all (pandas merge_asof's
+    * `tolerance`; the semantics every telemetry enrichment needs: a
+    * purchase attributed to a view from last week is noise, not signal).
+    * Same union-and-scan shape as q71 — ONE user-keyed exchange, the
+    * prior-view timestamp as a running conditional max — with the
+    * tolerance applied as an exact integer-µs bound on the matched lag.
+    */
+  def q217AsofTolerance(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"), col("event_id"))
+      .withColumn("vt",
+        max(when(col("event_type") === "view", col("t"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy()
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("vt").isNotNull && col("t") - col("vt") <= 3600000000L, 1))
+          .as("n_matched"),
+        expr("""cast(sum(CASE WHEN vt IS NOT NULL AND t - vt <= 3600000000
+                              THEN t - vt ELSE 0 END) as bigint)""")
+          .as("total_lag_us"))
+  }
+
+  val q217Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+       m AS (SELECT user_id, event_type, t,
+               max(CASE WHEN event_type = 'view' THEN t END)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vt
+             FROM e)
+       SELECT count(*) AS n_purchases,
+         count(CASE WHEN vt IS NOT NULL AND t - vt <= 3600000000 THEN 1 END)
+           AS n_matched,
+         CAST(sum(CASE WHEN vt IS NOT NULL AND t - vt <= 3600000000
+                       THEN t - vt ELSE 0 END) AS BIGINT) AS total_lag_us
+       FROM m WHERE event_type = 'purchase'"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_asof_join" -> q71AsofJoin _,
-    "q72_range_join" -> q72RangeJoin _)
+    "q72_range_join" -> q72RangeJoin _,
+    "q217_asof_tolerance" -> q217AsofTolerance _)
 
   val oracles: Map[String, String] = Map(
     "q71_asof_join" -> q71Oracle,
-    "q72_range_join" -> q72Oracle)
+    "q72_range_join" -> q72Oracle,
+    "q217_asof_tolerance" -> q217Oracle)
 }

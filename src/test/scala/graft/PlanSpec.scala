@@ -209,7 +209,9 @@ class PlanSpec extends SparkSuite {
       "q211_power_iteration" -> ("embeddings", 1),
       "q214_pareto_coverage" -> ("orders", 2),   // rank side + bucket offsets
       "q215_minmax_scaling" -> ("lineitem", 2),  // bounds + scaling pass
-      "q216_systematic_sample" -> ("customer", 2))
+      "q216_systematic_sample" -> ("customer", 2),
+      "q217_asof_tolerance" -> ("events", 1),
+      "q218_debounce_dedup" -> ("events", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
