@@ -258,13 +258,81 @@ object Cdc {
        SELECT nk, ns, np, '2024-02-01', NULL FROM d WHERE nk IS NOT NULL
        ORDER BY o_orderkey, valid_from"""
 
+  // ---------------------------------------------------------------- q219
+  /** Point-in-time reconstruction over SCD2 history — the CONSUMER side of
+    * q126 (building history is half the job; answering "what did this
+    * table look like on date T" is the other half): a validity-range
+    * filter over the history rows plus the unchanged keys anti-joined from
+    * the base snapshot. Certified the strong way: the reconstruction at a
+    * T inside [v1, v2) must equal the ORIGINAL snapshot and at a T after
+    * v2 the EVOLVED one — the oracle computes both target snapshots
+    * directly (never touching the history table), so checksum equality
+    * proves round-trip fidelity including deletes (absent after v2) and
+    * inserts (absent before it). Scale: the asof filter is a scan
+    * predicate on validity columns — at 100 TB the history table is
+    * partitioned by valid_from and the filter prunes.
+    */
+  def q219PointInTime(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val evolved = orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    val hist = scd2Delta(orders, evolved, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice"),
+      v1Date = "2024-01-01", v2Date = "2024-02-01").localCheckpoint()
+    val changedKeys = hist.select(col("o_orderkey")).distinct()
+    def asOf(t: String): DataFrame =
+      hist.filter(col("valid_from") <= lit(t) &&
+          (col("valid_to").isNull || col("valid_to") > lit(t)))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(orders.join(changedKeys, Seq("o_orderkey"), "left_anti"))
+    def summarize(df: DataFrame, t: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(o_orderkey) as bigint)").as("key_sum"),
+          expr("cast(sum(cast(cast(round(o_totalprice * 100) as bigint) as decimal(38,0))) as bigint)")
+            .as("cents_sum"))
+        .select(lit(t).as("asof_date"), col("n_rows"), col("key_sum"), col("cents_sum"))
+    summarize(asOf("2024-01-15"), "2024-01-15")
+      .unionByName(summarize(asOf("2024-02-15"), "2024-02-15"))
+      .orderBy(col("asof_date"))
+  }
+
+  val q219Oracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       n AS (
+         SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+         FROM o WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+         FROM o WHERE o_orderkey % 500 = 0)
+       SELECT '2024-01-15' AS asof_date, count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+       FROM o
+       UNION ALL
+       SELECT '2024-02-15', count(*),
+         CAST(sum(o_orderkey) AS BIGINT),
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       FROM n
+       ORDER BY asof_date"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_snapshot_diff" -> q102SnapshotDiff _,
     "q112_incremental_agg" -> q112IncrementalAgg _,
-    "q126_scd2_history" -> q126Scd2 _)
+    "q126_scd2_history" -> q126Scd2 _,
+    "q219_point_in_time" -> q219PointInTime _)
 
   val oracles: Map[String, String] = Map(
     "q102_snapshot_diff" -> q102Oracle,
     "q112_incremental_agg" -> q112Oracle,
-    "q126_scd2_history" -> q126Oracle)
+    "q126_scd2_history" -> q126Oracle,
+    "q219_point_in_time" -> q219Oracle)
 }

@@ -1339,7 +1339,61 @@ object EventAnalytics {
            AS n_debounced
        FROM g"""
 
+  // ---------------------------------------------------------------- q220
+  /** Cross-series correlation — does click volume move with purchase
+    * revenue day to day (the "do these metrics co-move" question behind
+    * every leading-indicator claim): both daily series come out of ONE
+    * conditional-aggregation scan (no per-series forked lineage), and the
+    * Pearson r follows the q53 discipline — integer daily values, moments
+    * as DECIMAL(38,0) sums, the final r derived by textually identical
+    * double formulas in both engines. One scan, one days-sized aggregate,
+    * one row out.
+    */
+  def q220CrossCorrelation(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(expr("""cast(sum(CASE WHEN event_type = 'purchase'
+                   THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)""")
+          .as("x"),
+        expr("cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint)")
+          .as("y"))
+    daily.groupBy()
+      .agg(count(lit(1)).as("n_days"),
+        expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
+        expr("cast(sum(cast(y as decimal(38,0))) as bigint)").as("sy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0))) as bigint)")
+          .as("sxy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as bigint)")
+          .as("sxx"),
+        expr("cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as bigint)")
+          .as("syy"))
+      .withColumn("r", expr(
+        """(CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"""))
+  }
+
+  val q220Oracle: String =
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         FROM events GROUP BY 1),
+       m AS (SELECT count(*) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+             FROM daily)
+       SELECT n_days, sx, sy, sxy, sxx, syy,
+         (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_cross_correlation" -> q220CrossCorrelation _,
     "q218_debounce_dedup" -> q218DebounceDedup _,
     "q203_reach_curve" -> q203ReachCurve _,
     "q205_activity_heatmap" -> q205ActivityHeatmap _,
@@ -1368,6 +1422,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q220_cross_correlation" -> q220Oracle,
     "q218_debounce_dedup" -> q218Oracle,
     "q203_reach_curve" -> q203Oracle,
     "q205_activity_heatmap" -> q205Oracle,
