@@ -1392,7 +1392,109 @@ object EventAnalytics {
                   * (CAST(n_days AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
        FROM m"""
 
+  // ---------------------------------------------------------------- q221
+  /** CUSUM changepoint detection — where did the daily revenue level
+    * shift: the classic CUSUM statistic kept in EXACT integers by scaling
+    * out the mean (S_i = n·cum_i − i·T has the same argmax as
+    * Σ(x−mean) but needs no division), so the detected changepoint is
+    * bit-deterministic with ties broken by date. One corpus scan reduces
+    * to the days-span table; the prefix sums are windows over THAT
+    * compact series. The at-scale version of "when did the metric move".
+    */
+  def q221ChangepointCusum(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(expr("""cast(sum(CASE WHEN event_type = 'purchase'
+                   THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)""")
+        .as("x"))
+    val wOrd = Window.orderBy(col("day"))
+    daily
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("cum", sum(col("x")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("dev", expr(
+        "abs(cast(n as decimal(38,0)) * cum - cast(i as decimal(38,0)) * tot)"))
+      .orderBy(col("dev").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("changepoint_day"),
+        expr("cast(i as bigint)").as("position"),
+        expr("cast(n as bigint)").as("n_days"),
+        expr("cast(dev as bigint)").as("cusum_dev"))
+  }
+
+  val q221Oracle: String =
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i,
+               sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               count(*) OVER () AS n, sum(x) OVER () AS tot FROM daily),
+       s AS (SELECT day, i, n,
+               abs(CAST(n AS HUGEINT) * cum - CAST(i AS HUGEINT) * tot) AS dev
+             FROM r)
+       SELECT day AS changepoint_day, CAST(i AS BIGINT) AS position,
+         CAST(n AS BIGINT) AS n_days, CAST(dev AS BIGINT) AS cusum_dev
+       FROM s ORDER BY dev DESC, day LIMIT 1"""
+
+  // ---------------------------------------------------------------- q222
+  /** Lag-1 autocorrelation of daily revenue — is today's level predictive
+    * of tomorrow's (serial dependence; q220 measures co-movement BETWEEN
+    * series, this measures memory WITHIN one): lag() over the compact
+    * daily series, then Pearson r on (x_t, x_{t−1}) pairs from
+    * DECIMAL(38,0)-exact moments with the shared-text double derivation.
+    */
+  def q222Autocorrelation(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(expr("""cast(sum(CASE WHEN event_type = 'purchase'
+                   THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)""")
+        .as("x"))
+    daily
+      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("px").isNotNull)
+      .groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
+        expr("cast(sum(cast(px as decimal(38,0))) as bigint)").as("sy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(px as decimal(38,0))) as bigint)").as("sxy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as bigint)").as("sxx"),
+        expr("cast(sum(cast(px as decimal(38,0)) * cast(px as decimal(38,0))) as bigint)").as("syy"))
+      .select(col("n_pairs"), expr(
+        """(CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))""")
+        .as("r1"))
+  }
+
+  val q222Oracle: String =
+    """WITH daily AS (
+         SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x
+         FROM events GROUP BY 1),
+       p AS (SELECT x, lag(x) OVER (ORDER BY day) AS px FROM daily),
+       m AS (SELECT count(*) AS n_pairs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(px) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * px) AS BIGINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(px AS HUGEINT) * px) AS BIGINT) AS syy
+             FROM p WHERE px IS NOT NULL)
+       SELECT n_pairs,
+         (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r1
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_changepoint_cusum" -> q221ChangepointCusum _,
+    "q222_autocorrelation" -> q222Autocorrelation _,
     "q220_cross_correlation" -> q220CrossCorrelation _,
     "q218_debounce_dedup" -> q218DebounceDedup _,
     "q203_reach_curve" -> q203ReachCurve _,
@@ -1422,6 +1524,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q221_changepoint_cusum" -> q221Oracle,
+    "q222_autocorrelation" -> q222Oracle,
     "q220_cross_correlation" -> q220Oracle,
     "q218_debounce_dedup" -> q218Oracle,
     "q203_reach_curve" -> q203Oracle,

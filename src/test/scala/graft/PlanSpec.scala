@@ -213,7 +213,9 @@ class PlanSpec extends SparkSuite {
       "q217_asof_tolerance" -> ("events", 1),
       "q218_debounce_dedup" -> ("events", 1),
       "q219_point_in_time" -> ("orders", 4),     // base + anti-join side per asof date
-      "q220_cross_correlation" -> ("events", 1))
+      "q220_cross_correlation" -> ("events", 1),
+      "q221_changepoint_cusum" -> ("events", 1),
+      "q222_autocorrelation" -> ("events", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
