@@ -370,30 +370,35 @@ object Profiling {
     * rows (the q61 rule — rn = (n+1) div 2 over a total order), so every
     * derived number is exact integer cents and both engines pick the same
     * rows. Three passes over the fact table (rank→median, rank→MAD,
-    * classify), each a window/aggregate over the SAME group partitioning
-    * with K-row broadcasts between — no self-joins; rank-exact medians are
-    * inherently multi-pass, and K (groups) is tiny.
+    * classify), each with K-row broadcasts between — no self-joins;
+    * rank-exact medians are inherently multi-pass, and K (groups) is tiny.
+    * BOTH rank selections run in the BucketRank two-phase form ($1000
+    * cents buckets): a 3-value group key would otherwise serialize each
+    * rank pass into 3 whole-corpus sort tasks (the low-cardinality window
+    * trap, SCALE.md). Round6Spec proves the two-phase selection equals the
+    * plain window's on this call site.
     */
   def q176MadOutliers(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val x = Tables.lineitem(spark, d).select(col("l_returnflag").as("g"),
       expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-    val wg = Window.partitionBy(col("g"))
     // `carry` re-emits already-computed per-group constants (the median,
     // during the MAD pass) so no second join against the median frame
     // re-embeds its lineage — that extra embed is what pushed the plan to
     // 4 lineitem scans before the ceiling test caught it
     def pickMiddle(df: DataFrame, ord: Column, out: String,
                    carry: Seq[String] = Nil): DataFrame =
-      df.withColumn("rn", row_number().over(
-          Window.partitionBy(col("g")).orderBy(ord, col("ok"), col("ln"))))
-        .withColumn("n", count(lit(1)).over(wg))
-        .filter(expr("rn = (n + 1) div 2"))
+      BucketRank.select(df, "g", bucket = floor(ord / lit(100000.0)).cast("long"),
+          ord = Seq(ord, col("ok"), col("ln")),
+          targets = Seq(expr("(__n + 1) div 2")))
         .groupBy(col("g"))
         .agg(min(ord).as(out),
-          (min(col("n")).as("n") +: carry.map(c => min(col(c)).as(c))): _*)
-    val med = pickMiddle(x, col("c"), "m")
+          (min(col("__n")).as("n") +: carry.map(c => min(col(c)).as(c))): _*)
+    // the 3-row median frame is referenced through `dev` on BOTH sides of
+    // the MAD selection (bucket counts + rank join); localCheckpoint pins
+    // it so its two corpus passes run once, not once per re-embed — total
+    // corpus passes stay at 5 (2 med + 2 MAD + 1 classify), all parallel
+    val med = pickMiddle(x, col("c"), "m").localCheckpoint()
     val dev = x.join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
       .withColumn("dev", abs(col("c") - col("m")))
     val mad = pickMiddle(dev, col("dev"), "mad", carry = Seq("m"))

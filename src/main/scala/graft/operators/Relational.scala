@@ -638,19 +638,25 @@ object Relational {
        ORDER BY c_custkey"""
 
   // ---------------------------------------------------------------- q61
-  /** Exact median without a percentile built-in: rank + count windows, then
-    * average the middle element(s). Engine-agnostic (both sides compute the
-    * same two-element mean) and scale-sane: one shuffle on the group key,
-    * one sort per group — no whole-corpus collect, unlike naive percentile.
+  /** Exact median without a percentile built-in: the rank-selected middle
+    * element(s), averaged. `l_returnflag` has 3 values, so a plain ranking
+    * window here would sort the whole corpus in 3 tasks at 100 TB — this is
+    * the canonical instance of the low-cardinality window trap (SCALE.md
+    * "Top-k and windows"). The BucketRank two-phase form instead counts
+    * per-(group, $1000-price-bucket), locates the 1-2 buckets that contain
+    * the middle ranks from the tiny count frame, and rank-sorts ONLY those
+    * buckets — every step parallel at any corpus size. Selected rows (and
+    * therefore the result) are identical to the plain window's; Round6Spec
+    * proves the equality on this call site.
     */
   def q61MedianExact(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, d)
+    val x = Tables.lineitem(spark, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
-      .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1")) // integer div, not `/`
+        col("l_orderkey"), col("l_linenumber"))
+    BucketRank.select(x, "l_returnflag",
+        bucket = floor(col("l_extendedprice") / 1000.0).cast("long"),
+        ord = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        targets = Seq(expr("(__n + 1) div 2"), expr("__n div 2 + 1")))
       .groupBy(col("l_returnflag"))
       .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"))
       .orderBy(col("l_returnflag"))
@@ -1147,19 +1153,21 @@ object Relational {
     * result is bit-reproducible (the q61 exact-median pattern). The 3-row
     * bounds table broadcasts back onto the scan, so the clamp pass is
     * map-only; the exact winsorized sum uses the repo-wide decimal contract.
-    * At 100 TB the rank pass is the cost (a per-group sort); with only a
-    * handful of groups you'd range-partition by (group, value) first — the
-    * same layout q111's z-order write produces.
+    * The p01/p99 thresholds are rank selections over 3-value groups — the
+    * low-cardinality window trap — so they run through the BucketRank
+    * two-phase form (count per price bucket, rank only the 1-2 buckets
+    * containing each target rank) instead of a 3-task corpus sort;
+    * Round6Spec proves the selected rows equal the plain window's.
     */
   def q132Winsorize(spark: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = Tables.lineitem(spark, d)
+    val x = Tables.lineitem(spark, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
-    val bounds = ranked
-      .filter(expr("rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)"))
+        col("l_orderkey"), col("l_linenumber"))
+    val bounds = BucketRank.select(x, "l_returnflag",
+        bucket = floor(col("l_extendedprice") / 1000.0).cast("long"),
+        ord = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        targets = Seq(expr("CAST(ceil(0.01 * __n) AS BIGINT)"),
+          expr("CAST(ceil(0.99 * __n) AS BIGINT)")))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
     Tables.lineitem(spark, d)
@@ -1319,14 +1327,17 @@ object Relational {
   /** WEIGHTED median — q61's exact median where each row carries a weight
     * (price weighted by quantity here; latency weighted by request count in
     * an ops table): the smallest value whose running weight reaches half
-    * the group total. One window pass per group partition — running weight
-    * sum + whole-partition total over the SAME exchange, then the
-    * qualifying suffix's minimum row. All weights exact integers; the
+    * the group total. The group key has 3 values, so the running-sum window
+    * runs in the BucketRank two-phase shape rather than over the raw corpus
+    * (the low-cardinality trap, SCALE.md): per-(group, price-bucket) weight
+    * sums — an ordinary parallel aggregate — roll into per-bucket weight
+    * offsets on the tiny bucket frame; exactly ONE bucket per group
+    * contains the half-weight crossing (2·offset < total ≤ 2·(offset +
+    * bucket weight)), and only that bucket's rows get the running-sum
+    * window, seeded with the bucket offset. All weights exact integers; the
     * 2·running ≥ total comparison never divides, so there is no float
-    * boundary for the engines to disagree on. Scale: one shuffle on the
-    * group key, no rank materialization, no second pass (q176's unweighted
-    * median needs rank selection; the weighted form collapses to a
-    * running-sum threshold).
+    * boundary for the engines to disagree on. Round6Spec proves equality
+    * with the plain-window form.
     */
   def q177WeightedMedian(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1334,11 +1345,21 @@ object Relational {
       expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
       expr("cast(round(l_quantity) as bigint)").as("q"),
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-    val wRun = Window.partitionBy(col("g")).orderBy(col("c"), col("ok"), col("ln"))
+      .withColumn("__b", expr("c div 100000"))           // $1000-wide buckets
+    val wsum = x.groupBy(col("g"), col("__b")).agg(sum(col("q")).as("__w"))
+    val off = wsum
+      .withColumn("__woff", coalesce(
+        sum(col("__w")).over(Window.partitionBy(col("g")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("__w")).over(Window.partitionBy(col("g"))))
+    val crossing = off
+      .filter(expr("2 * __woff < total AND 2 * (__woff + __w) >= total"))
+      .select(col("g"), col("__b"), col("__woff"), col("total"))
+    val wRun = Window.partitionBy(col("g"), col("__b"))
+      .orderBy(col("c"), col("ok"), col("ln"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(col("g"))
-    x.withColumn("running", sum(col("q")).over(wRun))
-      .withColumn("total", sum(col("q")).over(wAll))
+    x.join(broadcast(crossing), Seq("g", "__b"))
+      .withColumn("running", col("__woff") + sum(col("q")).over(wRun))
       .filter(expr("2 * running >= total"))
       .groupBy(col("g"))
       .agg(expr("cast(min(total) as bigint)").as("total_qty"),
@@ -1478,19 +1499,25 @@ object Relational {
     * survives ("top 2 quantity tiers and everyone on them"), so the
     * result size is data-dependent — 800-ish rows per group here, which
     * is exactly why reporting queries must choose the tie rule
-    * consciously. Same one-exchange window shape as q16; collapsed to
-    * per-group counts so the tie inflation is the certified observable.
+    * consciously. dense_rank depends only on the DISTINCT values, so the
+    * scale-safe plan never windows the corpus at all: aggregate to
+    * (returnflag, quantity-tier) counts first — a vocab-sized frame
+    * (≤ 3×50 rows here, bounded by the value domain at any corpus size) —
+    * rank THAT, and the surviving-row count is the sum of tier counts at
+    * dr ≤ 2. One ordinary hash aggregate over the data; the window runs
+    * over the compact aggregate only.
     */
   def q201TopkWithTies(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(expr("cast(round(l_quantity) as bigint)").desc)
-    Tables.lineitem(spark, d)
+    val tiers = Tables.lineitem(spark, d)
       .withColumn("q", expr("cast(round(l_quantity) as bigint)"))
-      .withColumn("dr", dense_rank().over(w))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q").desc)
+    tiers.withColumn("dr", dense_rank().over(w))
       .filter(col("dr") <= 2)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(sum(col("cnt")).as("n_rows"),
         expr("cast(min(q) as bigint)").as("min_q"))
       .orderBy(col("l_returnflag"))
   }

@@ -177,8 +177,8 @@ class PlanSpec extends SparkSuite {
       "q173_oov_rate" -> ("documents", 2),           // vocab induction + scoring
       "q174_histogram_drift" -> ("orders", 1),       // one conditional-agg pass
       "q175_sliding_mau" -> ("events", 2),           // user-day distinct + observed days
-      "q176_mad_outliers" -> ("lineitem", 3),        // median, MAD, classify
-      "q177_weighted_median" -> ("lineitem", 1),     // one window pass
+      "q176_mad_outliers" -> ("lineitem", 5),        // 2×(bucket counts + rank) + classify
+      "q177_weighted_median" -> ("lineitem", 2),     // bucket weight sums + crossing-bucket pass
       "q178_gini_concentration" -> ("orders", 2),    // rank + bucket offsets
       "q179_gaps_islands" -> ("orders", 4),          // starts/ends anti-join sides
       "q180_length_decile_mix" -> ("documents", 2),  // rank + bucket offsets
@@ -198,7 +198,7 @@ class PlanSpec extends SparkSuite {
       "q198_quantile_normalize" -> ("documents", 4), // rank side, source side, offsets, N
       "q199_sorted_neighborhood" -> ("customer", 4), // two rank sides x (local + offsets)
       "q200_marketing_readout" -> ("events", 1),
-      "q201_topk_with_ties" -> ("lineitem", 1),
+      "q201_topk_with_ties" -> ("lineitem", 1),   // tier aggregate only — no corpus window
       "q202_share_of_parent" -> ("orders", 1),
       "q203_reach_curve" -> ("events", 1),
       "q204_dispersion_index" -> ("lineitem", 1),

