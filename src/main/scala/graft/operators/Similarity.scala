@@ -424,9 +424,32 @@ object Similarity {
     emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
 
-  /** (vec_id, ed, cid): each vector with its nearest-centroid assignment. */
+  /** (vec_id, ed, cid): each vector with its nearest-SEED-centroid
+    * assignment — the documented baseline q86 (one Lloyd step) and q182
+    * (scatter readout) certify against. The driven IVF query paths
+    * (q51/q166) assign against [[trainedCentroids]] instead.
+    */
   def ivfAssignments(emb: DataFrame): DataFrame =
     assignToCentroids(emb, seedCentroids(emb))
+
+  /** Centroids after `rounds` exact-decimal Lloyd iterations from the
+    * deterministic seeds — the centroid table the driven IVF paths probe.
+    * Seed centroids are a degenerate choice (the first K vectors can all
+    * sit in one planted cluster, collapsing recall — Round6Spec shows it);
+    * 2 trained rounds spread the centroids to the cluster structure while
+    * staying bit-reproducible (exact-decimal means, argmax ties by cid).
+    * Each round's ≤K-row result is localCheckpoint-pinned so the training
+    * lineage executes once per round — downstream references (assignment,
+    * probe ranking) read the K-row table, not a re-derivation; at 100 TB
+    * each round is one parallel corpus pass (K-row broadcast argmax +
+    * (cid, dim)-keyed mean shuffle of K·dims rows).
+    */
+  val IvfTrainRounds = 2
+
+  def trainedCentroids(emb: DataFrame, rounds: Int = IvfTrainRounds): DataFrame =
+    (0 until rounds).foldLeft(seedCentroids(emb)) {
+      (cent, _) => kmeansIteration(emb, cent).localCheckpoint()
+    }
 
   /** One Lloyd (k-means) iteration at cluster scale: assign (K-row
     * broadcast, no shuffle) → per-dimension mean per cluster (posexplode +
@@ -452,15 +475,17 @@ object Similarity {
       .select(col("cid"),
         expr("transform(array_sort(pairs), p -> p.m)").as("ce"))
 
-  /** IVF top-k for `queryId`: rank centroids for the query, keep nprobe,
-    * search only vectors assigned to those lists, exact cosine re-rank.
+  /** IVF top-k for `queryId`: rank the TRAINED centroids for the query,
+    * keep nprobe, search only vectors assigned to those lists, exact
+    * cosine re-rank. Assignment and probe ranking use the same
+    * [[trainedCentroids]] table (an index built once at ingest; the K-row
+    * checkpoint is what a real deployment would persist).
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val assigned = ivfAssignments(emb)
+    val cent = trainedCentroids(emb)
+    val assigned = assignToCentroids(emb, cent)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("ed").as("qe"))
-    val cent = emb.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cid"), expr(toDouble).as("ce"))
     val probes = cent.crossJoin(broadcast(q))
       .withColumn("sim", cosineCols(emb.sparkSession, "ce", "qe"))
       .orderBy(col("sim").desc, col("cid").asc)
@@ -538,7 +563,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     // index built once over the FULL corpus — assignment is filter-agnostic
-    val assigned = ivfAssignments(emb)
+    val cent = trainedCentroids(emb)
+    val assigned = assignToCentroids(emb, cent)
     // metadata pre-filter: qualifying ids from the pushed-down scan
     val qualifying = emb.filter(pred).select(col("vec_id").as("__qv"))
     val cand = assigned.join(qualifying, col("vec_id") === col("__qv"))
@@ -546,7 +572,7 @@ object Similarity {
     val q = assigned.filter(col("vec_id") === queryId).select(col("ed").as("qe"))
     val listSizes = cand.groupBy(col("cid")).agg(count(lit(1)).as("n_qual"))
     val byAffinity = Window.orderBy(col("sim").desc, col("cid").asc)
-    val probes = seedCentroids(emb).crossJoin(broadcast(q))
+    val probes = cent.crossJoin(broadcast(q))
       .withColumn("sim", cosineCols(spark, "ce", "qe"))
       .join(broadcast(listSizes), Seq("cid"), "left") // empty lists still rank
       .na.fill(0L, Seq("n_qual"))
@@ -580,17 +606,8 @@ object Similarity {
       pred = col("label") === 7, minCandidates = Q166MinCandidates)
 
   val q166Oracle: String =
-    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
-       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
-       pair AS (SELECT e.vec_id, c.cid,
-                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
-                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
-                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
-                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
-       assigned AS (SELECT vec_id, cid FROM (
-                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-                      FROM pair) WHERE rn = 1),
-       qual AS (SELECT a.vec_id, a.cid FROM assigned a
+    s"""WITH $trainedOraclePrelude,
+       qual AS (SELECT a.vec_id, a.cid FROM assignedT a
                 JOIN embeddings e ON e.vec_id = a.vec_id WHERE e.label = 7),
        sizes AS (SELECT cid, count(*) AS n_qual FROM qual GROUP BY cid),
        ranked AS (SELECT c.cid, p.sim, COALESCE(s.n_qual, 0) AS n_qual,
@@ -598,8 +615,8 @@ object Similarity {
                          COALESCE(sum(COALESCE(s.n_qual, 0)) OVER (
                            ORDER BY p.sim DESC, c.cid ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
-                  FROM cent c
-                  JOIN pair p ON p.cid = c.cid AND p.vec_id = 0
+                  FROM cent$IvfTrainRounds c
+                  JOIN pairT p ON p.cid = c.cid AND p.vec_id = 0
                   LEFT JOIN sizes s ON s.cid = c.cid),
        probes AS (SELECT cid FROM ranked WHERE rnk <= $IvfNProbe OR cum_prev < $Q166MinCandidates),
        cand AS (SELECT q.vec_id FROM qual q JOIN probes p ON q.cid = p.cid WHERE q.vec_id <> 0),
@@ -613,25 +630,51 @@ object Similarity {
        ORDER BY cos_raw DESC, vec_id ASC LIMIT 5"""
 
   // ---------------------------------------------------------------- q51
-  /** IVF ANN top-5 for vec_id=0 — deterministic double math end to end →
-    * full DuckDB oracle (assignment argmax, probe ranking, pruned search).
+  /** Shared oracle prelude replaying [[trainedCentroids]] in SQL: seed
+    * centroids → [[IvfTrainRounds]] Lloyd rounds (cosine argmax assignment,
+    * ties by cid; per-dim EXACT-DECIMAL means — the same DECIMAL(25,6)
+    * contract as kmeansIteration) → `pairT` (every vector's sim to each
+    * trained centroid) and `assignedT` (the trained assignment).
+    */
+  private def lloydRoundSql(i: Int): String =
+    s"""pair$i AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * c.ce[r.j+1]) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(c.ce[r.j+1] * c.ce[r.j+1]))) AS sim
+                FROM ev e, cent$i c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assigned$i AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pair$i) WHERE rn = 1),
+       cm$i AS (SELECT a.cid, r.j,
+                     CAST(sum(CAST(CAST(e.embedding[r.j+1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+              FROM assigned$i a JOIN ev e ON a.vec_id = e.vec_id, range(64) r(j)
+              GROUP BY a.cid, r.j),
+       cent${i + 1} AS (SELECT cid, list(m ORDER BY j) AS ce FROM cm$i GROUP BY cid)"""
+
+  private def trainedOraclePrelude: String =
+    s"""ev AS (SELECT vec_id, embedding FROM embeddings),
+       cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < $IvfK),
+       ${(0 until IvfTrainRounds).map(lloydRoundSql).mkString(",\n       ")},
+       pairT AS (SELECT e.vec_id, c.cid,
+                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * c.ce[r.j+1]) /
+                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                        sqrt(sum(c.ce[r.j+1] * c.ce[r.j+1]))) AS sim
+                FROM ev e, cent$IvfTrainRounds c, range(64) r(j) GROUP BY e.vec_id, c.cid),
+       assignedT AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                      FROM pairT) WHERE rn = 1)"""
+
+  /** IVF ANN top-5 for vec_id=0 over the TRAINED centroid table —
+    * deterministic double math end to end → full DuckDB oracle (2 Lloyd
+    * training rounds, assignment argmax, probe ranking, pruned search).
     */
   def q51IvfTopK(spark: SparkSession, d: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, d), queryId = 0L, k = 5)
 
   val q51Oracle: String =
-    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
-       cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $IvfK),
-       pair AS (SELECT e.vec_id, c.cid,
-                       sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)) /
-                       (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
-                        sqrt(sum(CAST(c.ce[r.j+1] AS DOUBLE) * CAST(c.ce[r.j+1] AS DOUBLE)))) AS sim
-                FROM ev e, cent c, range(64) r(j) GROUP BY e.vec_id, c.cid),
-       assigned AS (SELECT vec_id, cid FROM (
-                      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-                      FROM pair) WHERE rn = 1),
-       probes AS (SELECT cid FROM pair WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT $IvfNProbe),
-       cand AS (SELECT a.vec_id FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
+    s"""WITH $trainedOraclePrelude,
+       probes AS (SELECT cid FROM pairT WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT $IvfNProbe),
+       cand AS (SELECT a.vec_id FROM assignedT a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
        scored AS (SELECT e.vec_id,
                          sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
                          (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
