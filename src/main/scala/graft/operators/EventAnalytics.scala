@@ -734,11 +734,12 @@ object EventAnalytics {
     * integer µs end to end (sum in DECIMAL(38,0)); one user-keyed
     * exchange, no join. At 100 TB: shuffle = |events| keyed by user, the
     * same exchange every other per-user operator here rides.
-    */
-  /** Sweep-line interval union over (user_id, s, e) rows: per user, the
-    * total length covered by the union of [s, e) intervals. Arbitrary
-    * containment/overlap/duplication is handled by the greatest(0, ·)
-    * clamp — a contained interval's contribution is exactly 0.
+    *
+    * This helper is the sweep-line interval union over (user_id, s, e)
+    * rows: per user, the total length covered by the union of [s, e)
+    * intervals. Arbitrary containment/overlap/duplication is handled by
+    * the greatest(0, ·) clamp — a contained interval's contribution is
+    * exactly 0.
     */
   def intervalCoverage(iv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1361,11 +1362,15 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_days"),
         expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
         expr("cast(sum(cast(y as decimal(38,0))) as bigint)").as("sy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0))) as bigint)")
+        // squared moments go straight to DOUBLE: at 100 TB a daily-cents
+        // square is ~1e20 and a BIGINT cast would overflow (NULL in
+        // non-ANSI Spark, an error in DuckDB) — the exact DECIMAL(38,0)
+        // sum converts once, deterministically, in both engines
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0))) as double)")
           .as("sxy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as bigint)")
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as double)")
           .as("sxx"),
-        expr("cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as bigint)")
+        expr("cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as double)")
           .as("syy"))
       .withColumn("r", expr(
         """(CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1382,9 +1387,9 @@ object EventAnalytics {
          FROM events GROUP BY 1),
        m AS (SELECT count(*) AS n_days,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
-               CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
              FROM daily)
        SELECT n_days, sx, sy, sxy, sxx, syy,
          (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1463,9 +1468,11 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_pairs"),
         expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
         expr("cast(sum(cast(px as decimal(38,0))) as bigint)").as("sy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(px as decimal(38,0))) as bigint)").as("sxy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as bigint)").as("sxx"),
-        expr("cast(sum(cast(px as decimal(38,0)) * cast(px as decimal(38,0))) as bigint)").as("syy"))
+        // DOUBLE moments, not BIGINT — see q220: squared cents overflow
+        // a BIGINT cast far below the target scale
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(px as decimal(38,0))) as double)").as("sxy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as double)").as("sxx"),
+        expr("cast(sum(cast(px as decimal(38,0)) * cast(px as decimal(38,0))) as double)").as("syy"))
       .select(col("n_pairs"), expr(
         """(CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
            / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -1482,9 +1489,9 @@ object EventAnalytics {
        p AS (SELECT x, lag(x) OVER (ORDER BY day) AS px FROM daily),
        m AS (SELECT count(*) AS n_pairs,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(px) AS BIGINT) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * px) AS BIGINT) AS sxy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
-               CAST(sum(CAST(px AS HUGEINT) * px) AS BIGINT) AS syy
+               CAST(sum(CAST(x AS HUGEINT) * px) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(px AS HUGEINT) * px) AS DOUBLE) AS syy
              FROM p WHERE px IS NOT NULL)
        SELECT n_pairs,
          (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)

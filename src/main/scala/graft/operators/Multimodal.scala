@@ -505,14 +505,14 @@ object MediaCodecDemo extends Serializable {
                    range(64) x(i), range(48) y(i)),
        h AS (SELECT pattern, bin, count(*) AS n FROM px GROUP BY 1, 2)
        SELECT p.pattern, p.n_images,
-         CAST(min(CASE WHEN bin = 0 THEN n END) AS BIGINT) AS b0,
-         CAST(min(CASE WHEN bin = 1 THEN n END) AS BIGINT) AS b1,
-         CAST(min(CASE WHEN bin = 2 THEN n END) AS BIGINT) AS b2,
-         CAST(min(CASE WHEN bin = 3 THEN n END) AS BIGINT) AS b3,
-         CAST(min(CASE WHEN bin = 4 THEN n END) AS BIGINT) AS b4,
-         CAST(min(CASE WHEN bin = 5 THEN n END) AS BIGINT) AS b5,
-         CAST(min(CASE WHEN bin = 6 THEN n END) AS BIGINT) AS b6,
-         CAST(min(CASE WHEN bin = 7 THEN n END) AS BIGINT) AS b7
+         CAST(COALESCE(min(CASE WHEN bin = 0 THEN n END), 0) AS BIGINT) AS b0,
+         CAST(COALESCE(min(CASE WHEN bin = 1 THEN n END), 0) AS BIGINT) AS b1,
+         CAST(COALESCE(min(CASE WHEN bin = 2 THEN n END), 0) AS BIGINT) AS b2,
+         CAST(COALESCE(min(CASE WHEN bin = 3 THEN n END), 0) AS BIGINT) AS b3,
+         CAST(COALESCE(min(CASE WHEN bin = 4 THEN n END), 0) AS BIGINT) AS b4,
+         CAST(COALESCE(min(CASE WHEN bin = 5 THEN n END), 0) AS BIGINT) AS b5,
+         CAST(COALESCE(min(CASE WHEN bin = 6 THEN n END), 0) AS BIGINT) AS b6,
+         CAST(COALESCE(min(CASE WHEN bin = 7 THEN n END), 0) AS BIGINT) AS b7
        FROM pat p JOIN h ON p.pattern = h.pattern
        GROUP BY 1, 2 ORDER BY 1"""
 

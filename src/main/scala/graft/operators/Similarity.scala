@@ -763,7 +763,10 @@ object Similarity {
       .withColumn("dot", expr("aggregate(xq, cast(0 as bigint), (a, v) -> a + v)"))
     x.select(col("dot"), posexplode(col("xq")).as(Seq("dim", "xd")))
       .groupBy(expr("cast(dim as bigint)").as("dim"))
-      .agg(expr("cast(sum(cast(xd as decimal(38,0)) * cast(dot as decimal(38,0))) as bigint)")
+      // the iterate leaves the exact DECIMAL(38,0) sum as DOUBLE, not
+      // BIGINT: Σ xd·dot is ~1e12 per row and overflows a BIGINT cast
+      // far below the target row count (silent NULL vs DuckDB error)
+      .agg(expr("cast(sum(cast(xd as decimal(38,0)) * cast(dot as decimal(38,0))) as double)")
         .as("v1"))
       .withColumn("ratio", expr(
         "CAST(v1 AS DOUBLE) / CAST(max(abs(v1)) OVER () AS DOUBLE)"))
@@ -775,7 +778,7 @@ object Similarity {
              CAST(round(CAST(embedding[r.j+1] AS DOUBLE) * 1000000) AS BIGINT) AS xd
            FROM embeddings, range(64) r(j)),
        dots AS (SELECT vec_id, CAST(sum(xd) AS BIGINT) AS dot FROM x GROUP BY 1),
-       v1 AS (SELECT dim, CAST(sum(CAST(xd AS HUGEINT) * dot) AS BIGINT) AS v1
+       v1 AS (SELECT dim, CAST(sum(CAST(xd AS HUGEINT) * dot) AS DOUBLE) AS v1
               FROM x JOIN dots USING (vec_id) GROUP BY 1)
        SELECT dim, v1,
          CAST(v1 AS DOUBLE) / CAST(max(abs(v1)) OVER () AS DOUBLE) AS ratio
