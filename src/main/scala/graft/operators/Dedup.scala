@@ -855,7 +855,47 @@ object Dedup {
          cast(sum(cast(survivor_id as decimal(38,0))) as bigint) AS survivor_id_sum
        FROM s"""
 
+  // ---------------------------------------------------------------- q223
+  /** The MinHash bucket-TRUNCATION report driven as a first-class query —
+    * at 100 TB the cap that keeps LSH cost at Σ bucket² instead of n² is
+    * only safe if its truncation is observable in the catalog, not just
+    * callable ([[minhashBucketOverflow]] was API-only until round 6). The
+    * fixture plants a degenerate bucket deliberately: every 10th doc's
+    * text is overridden with one boilerplate sentence, so those docs share
+    * ALL eight band buckets, and with the cap at 20 each band reports
+    * exactly one overflowing bucket of the planted-group size. Natural
+    * identical-text groups in the corpus are ≤2 docs at every SF and
+    * near-dup clusters are single digits — far under the cap — so the
+    * report is fully predictable: 8 rows, one per band. Band keys are
+    * engine-internal xxhash64 values and stay out of the projection; the
+    * certified observables are the per-band counts.
+    */
+  val Q223Cap = 20
+  val Q223Boilerplate: String =
+    "this listing is provided as is without warranty of any kind either " +
+      "express or implied please contact support for further assistance"
+
+  def q223MinhashOverflowReport(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, lit(Q223Boilerplate))
+          .otherwise(col("text")))
+    minhashBucketOverflow(docs, maxBucketSize = Q223Cap)
+      .select(col("band_id").cast("long").as("band_id"), col("bucket_size"),
+        col("kept"), col("dropped"))
+      .orderBy(col("band_id"))
+  }
+
+  val q223Oracle: String =
+    s"""WITH m AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 0)
+       SELECT CAST(b.band_id AS BIGINT) AS band_id,
+         CAST(n AS BIGINT) AS bucket_size,
+         CAST($Q223Cap AS BIGINT) AS kept,
+         CAST(n - $Q223Cap AS BIGINT) AS dropped
+       FROM m, range($NumBands) b(band_id) ORDER BY band_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_minhash_overflow_report" -> q223MinhashOverflowReport _,
     "q162_dedup_survivorship" -> q162DedupSurvivorship _,
     "q157_containment_join" -> q157ContainmentJoin _,
     "q140_prefix_filter_join" -> q140PrefixFilterJoin _,
@@ -869,6 +909,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q223_minhash_overflow_report" -> q223Oracle,
     "q162_dedup_survivorship" -> q162Oracle,
     "q157_containment_join" -> q157Oracle,
     "q140_prefix_filter_join" -> q140Oracle,

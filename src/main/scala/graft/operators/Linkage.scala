@@ -189,13 +189,41 @@ object Linkage {
        SELECT cust_a, cust_b, dist FROM p WHERE dist <= 1
        ORDER BY cust_a, cust_b"""
 
+  // ---------------------------------------------------------------- q224
+  /** The blocking-TRUNCATION report driven as a first-class query — the
+    * [[blockOverflow]] companion of [[fuzzySelfJoin]] was API-only until
+    * round 6; a 100 TB linkage run needs the truncation evidence in the
+    * catalog, not discoverable only by recall loss. The fixture makes the
+    * degenerate block REAL rather than synthetic: blocking customer names
+    * on a 13-char prefix puts every "Customer#0000…" row in ONE block (the
+    * classic too-coarse blocking-key mistake), which overflows the cap of
+    * 100 at every SF. The report is pure substring+count — fully
+    * replayable in SQL, no hashing.
+    */
+  val Q224PrefixLen = 13
+  val Q224Cap = 100
+
+  def q224BlockOverflowReport(spark: SparkSession, d: String): DataFrame =
+    blockOverflow(Tables.customer(spark, d), "c_name",
+        blockPrefixLen = Q224PrefixLen, maxBlockSize = Q224Cap)
+      .orderBy(col("blk"))
+
+  val q224Oracle: String =
+    s"""SELECT substr(c_name, 1, $Q224PrefixLen) AS blk,
+         count(*) AS block_size,
+         CAST($Q224Cap AS BIGINT) AS kept,
+         CAST(count(*) - $Q224Cap AS BIGINT) AS dropped
+       FROM customer GROUP BY 1 HAVING count(*) > $Q224Cap ORDER BY blk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_fuzzy_join" -> q98FuzzyJoin _,
     "q194_linkage_patterns" -> q194LinkagePatterns _,
-    "q199_sorted_neighborhood" -> q199SortedNeighborhood _)
+    "q199_sorted_neighborhood" -> q199SortedNeighborhood _,
+    "q224_block_overflow_report" -> q224BlockOverflowReport _)
 
   val oracles: Map[String, String] = Map(
     "q98_fuzzy_join" -> q98Oracle,
     "q194_linkage_patterns" -> q194Oracle,
-    "q199_sorted_neighborhood" -> q199Oracle)
+    "q199_sorted_neighborhood" -> q199Oracle,
+    "q224_block_overflow_report" -> q224Oracle)
 }

@@ -215,7 +215,9 @@ class PlanSpec extends SparkSuite {
       "q219_point_in_time" -> ("orders", 4),     // base + anti-join side per asof date
       "q220_cross_correlation" -> ("events", 1),
       "q221_changepoint_cusum" -> ("events", 1),
-      "q222_autocorrelation" -> ("events", 1))
+      "q222_autocorrelation" -> ("events", 1),
+      "q223_minhash_overflow_report" -> ("documents", 1), // one signature pass
+      "q224_block_overflow_report" -> ("customer", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
