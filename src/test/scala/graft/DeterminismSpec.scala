@@ -95,4 +95,50 @@ class DeterminismSpec extends SparkSuite {
       graft.operators.Cdc.q112IncrementalAgg(spark, sf).collect().toSeq)
     assert(at2 == at16)
   }
+
+  // Round 6: the newest queries whose exact-arithmetic claims are
+  // load-bearing — iterative BPE merge training, the power-iteration
+  // Gram-vector product, and the correlation/changepoint family whose
+  // moments ride DECIMAL(38,0) sums. Each must be bit-identical at 2 vs 32
+  // shuffle partitions or the "correct at any cluster size" argument fails.
+
+  test("q210 BPE merge training is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.TextAnalysis.q210BpeMerges(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.TextAnalysis.q210BpeMerges(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q211 power iteration is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.Similarity.q211PowerIteration(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.Similarity.q211PowerIteration(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q220 cross-correlation moments are bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.EventAnalytics.q220CrossCorrelation(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.EventAnalytics.q220CrossCorrelation(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q221 CUSUM changepoint is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.EventAnalytics.q221ChangepointCusum(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.EventAnalytics.q221ChangepointCusum(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q222 autocorrelation is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.EventAnalytics.q222Autocorrelation(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.EventAnalytics.q222Autocorrelation(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
 }
