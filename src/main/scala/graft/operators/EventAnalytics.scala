@@ -1499,7 +1499,103 @@ object EventAnalytics {
                   * (CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r1
        FROM m"""
 
+  // ---------------------------------------------------------------- q225
+  /** SKEW-SAFE sessionization — the escape hatch for the one per-user
+    * operation AQE cannot rescue. Every q184–q206 query shuffles on
+    * user_id; for JOINS a hot key is handled by AQE's skew split, and for
+    * per-user AGGREGATES by map-side partial aggregation (the hot user's
+    * rows collapse to one row per map partition before the exchange, see
+    * Round6Spec). But a per-user WINDOW (sessionize = lag + running sum)
+    * needs every row of the key in ONE sorted partition — a user with 50%
+    * of 100 TB serializes half the corpus into one task, and no AQE rule
+    * splits it. What does split it is time-range decomposition, the
+    * window cousin of salting:
+    *
+    *   1. chunk events by (user_id, time bucket) and sessionize LOCALLY —
+    *      the hot user now spreads across as many tasks as buckets;
+    *   2. per (user, chunk): first/last timestamp and local session count
+    *      — a compact frame (one row per user-chunk);
+    *   3. on that frame, mark chunks whose first event continues the
+    *      previous chunk's last session (gap ≤ threshold) and prefix-sum
+    *      the merged-session offsets;
+    *   4. global session id = chunk offset + local id − merge flag; a
+    *      session spanning chunks keeps one id (chains merge
+    *      transitively because every spanned boundary carries the flag).
+    *
+    * Identical output to the plain single-window form (proven on a
+    * hot-user fixture in Round6Spec); the only corpus-level window
+    * partitions by (user_id, chunk).
+    */
+  def sessionizeSkewSafe(ev: DataFrame, gapUs: Long, bucketUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLoc = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("t"), col("event_id"))
+    val loc = ev
+      .withColumn("chunk", expr(s"t div ${bucketUs}L")) // exact integer division
+      .withColumn("prev_t", lag(col("t"), 1).over(wLoc))
+      .withColumn("is_start",
+        (col("prev_t").isNull || col("t") - col("prev_t") > gapUs).cast("long"))
+      .withColumn("lsid",
+        sum(col("is_start")).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_t", "is_start")
+    val wChunks = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val merged = loc.groupBy(col("user_id"), col("chunk"))
+      .agg(min(col("t")).as("first_t"), max(col("t")).as("last_t"),
+        max(col("lsid")).as("n_sessions"))
+      .withColumn("prev_last", lag(col("last_t"), 1).over(wChunks))
+      .withColumn("m",
+        (col("prev_last").isNotNull && col("first_t") - col("prev_last") <= gapUs)
+          .cast("long"))
+      .withColumn("before", coalesce(
+        sum(col("n_sessions") - col("m"))
+          .over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("chunk"), col("m"), col("before"))
+    loc.join(merged, Seq("user_id", "chunk"))
+      .withColumn("session_id", col("before") + col("lsid") - col("m"))
+      .drop("chunk", "lsid", "m", "before")
+  }
+
+  /** Skew-safe sessionize driven end-to-end: 1-hour session gap, 1-day
+    * chunks, per-user session stats. The oracle replays the PLAIN
+    * single-window sessionization in SQL — equality is the correctness
+    * proof that the decomposition changes the plan, not the answer.
+    */
+  val Q225GapUs: Long = 3600L * 1000000L
+  val Q225BucketUs: Long = 86400L * 1000000L
+
+  def q225SessionizeSkewSafe(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("event_id"))
+    sessionizeSkewSafe(ev, Q225GapUs, Q225BucketUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        expr("cast(sum(n) as bigint)").as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q225Oracle: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+       r AS (SELECT user_id, t, event_id,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                      OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > $Q225GapUs
+                    THEN 1 ELSE 0 END AS s
+             FROM e),
+       sid AS (SELECT user_id,
+                 sum(s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM r),
+       per AS (SELECT user_id, session_id, count(*) AS n
+               FROM sid GROUP BY 1, 2)
+       SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(max(n) AS BIGINT) AS max_session_events
+       FROM per GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_sessionize_skew_safe" -> q225SessionizeSkewSafe _,
     "q221_changepoint_cusum" -> q221ChangepointCusum _,
     "q222_autocorrelation" -> q222Autocorrelation _,
     "q220_cross_correlation" -> q220CrossCorrelation _,
@@ -1531,6 +1627,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q225_sessionize_skew_safe" -> q225Oracle,
     "q221_changepoint_cusum" -> q221Oracle,
     "q222_autocorrelation" -> q222Oracle,
     "q220_cross_correlation" -> q220Oracle,

@@ -217,7 +217,8 @@ class PlanSpec extends SparkSuite {
       "q221_changepoint_cusum" -> ("events", 1),
       "q222_autocorrelation" -> ("events", 1),
       "q223_minhash_overflow_report" -> ("documents", 1), // one signature pass
-      "q224_block_overflow_report" -> ("customer", 1))
+      "q224_block_overflow_report" -> ("customer", 1),
+      "q225_sessionize_skew_safe" -> ("events", 2))      // local pass + chunk-stats pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

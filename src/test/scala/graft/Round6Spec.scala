@@ -207,4 +207,83 @@ class Round6Spec extends SparkSuite {
       s"scatter must collapse onto the planted clusters: seed=$wSeed trained=$wTrained")
     assert(rTrained > rSeed, s"ANN recall must improve: seed=$rSeed trained=$rTrained")
   }
+
+  test("skew: hot-user sessionize — two-phase equals plain, and the window splits the hot key") {
+    // Adversarial fixture: reassign HALF of all events to one user. A plain
+    // per-user sessionize window would put 50% of the corpus in one task at
+    // scale; sessionizeSkewSafe must (a) return the identical sessionization
+    // and (b) window only on (user_id, chunk) so the hot user spreads over
+    // as many tasks as time buckets.
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 3600L * 1000000L
+    val bucketUs = 86400L * 1000000L
+    val hot = sources.Tables.events(spark, sf)
+      .select(
+        when(col("event_id") % 2 === 0, lit(1L)).otherwise(col("user_id")).as("user_id"),
+        expr("unix_micros(ts)").as("t"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val plain = hot
+      .withColumn("brk", when(
+        col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(
+          when(lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("t"), col("event_id"), col("session_id"))
+    val twoPhase = EventAnalytics.sessionizeSkewSafe(hot, gapUs, bucketUs)
+      .select(col("user_id"), col("t"), col("event_id"), col("session_id"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(twoPhase.collect().sortBy(key).toSeq == plain.collect().sortBy(key).toSeq)
+
+    // plan: every window that reaches the events scan without an Aggregate
+    // below it must partition by BOTH user_id and chunk
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+      Window => LWindow}
+    def reachesLeafRaw(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case l if l.children.isEmpty => true
+      case o => o.children.exists(reachesLeafRaw)
+    }
+    val corpusWindows = twoPhase.queryExecution.optimizedPlan.collect {
+      case n: LWindow if reachesLeafRaw(n.child) => n
+    }
+    assert(corpusWindows.nonEmpty)
+    corpusWindows.foreach { n =>
+      val names = n.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct.sorted
+      assert(names == Seq("chunk", "user_id"),
+        s"corpus window must partition by (user_id, chunk), got $names")
+    }
+  }
+
+  test("skew: hot-user per-user aggregates collapse map-side before the exchange") {
+    // The aggregate path needs no special handling: partial aggregation
+    // bounds the hot key's shuffle contribution to one row per map
+    // partition. Demonstrated by the exchange's record count: far below the
+    // input row count even with 50% of rows on one user.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hot = sources.Tables.events(spark, sf)
+      .select(
+        when(col("event_id") % 2 === 0, lit(1L)).otherwise(col("user_id")).as("user_id"),
+        col("value"))
+    val nInput = hot.count()
+    val agg = hot.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").as("v"))
+    agg.write.mode("overwrite").format("noop").save()
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(shuffles)
+      case o => o.children.flatMap(shuffles)
+    }
+    val recs = shuffles(agg.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value)
+    assert(recs.nonEmpty, "expected a shuffle exchange in the aggregate plan")
+    // one row per (user, map partition) at most; with ~150 users and 4
+    // local cores this is hundreds, vs tens of thousands of input rows
+    assert(recs.sum < nInput / 5,
+      s"partial aggregation must collapse the hot user map-side: " +
+        s"shuffled ${recs.sum} of $nInput input rows")
+  }
 }
