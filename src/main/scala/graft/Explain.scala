@@ -35,6 +35,28 @@ object Explain {
       .groupBy(identity).view.mapValues(_.size).toMap
   }
 
+  /** Shuffle-exchange count over the whole physical plan (subqueries and
+    * cached-relation builds included, each cache expanded once) — the
+    * per-query "how many times does data move" number for scale audits.
+    */
+  def exchangeCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: InMemoryTableScanExec =>
+        if (seen.add(System.identityHashCode(s.relation.cacheBuilder)))
+          walk(s.relation.cachedPlan)
+        else 0
+      case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
+      case other => (other.children ++ other.subqueries).map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -48,11 +70,11 @@ object Explain {
       val scans = scanCounts(df).toSeq.sortBy(-_._2)
         .map { case (t, n) => s"$t×$n" }.mkString(", ")
       if (auditOnly) {
-        println(s"[scan-audit] $name: $scans")
+        println(s"[scan-audit] $name: $scans; exchanges=${exchangeCount(df)}")
       } else {
         println(s"\n========== $name ==========")
         df.explain("formatted")
-        println(s"[scan-audit] $name: $scans")
+        println(s"[scan-audit] $name: $scans; exchanges=${exchangeCount(df)}")
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         println(f"[explain] $name took ${(System.nanoTime() - t0) / 1e9}%.2f s")
