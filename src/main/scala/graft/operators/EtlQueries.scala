@@ -606,6 +606,9 @@ object EtlQueries {
     // different scale factors from reading each other's layout.
     val t = s"graft_q212_lineitem_${math.abs(d.hashCode).toHexString}"
     if (!spark.catalog.tableExists(t)) {
+      // a previous JVM may have left the managed location behind while the
+      // (in-memory) catalog forgot the table — clear it before the write
+      graft.etl.Warehouse.dropManagedTable(spark, t)
       Tables.lineitem(spark, d)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t)
