@@ -217,15 +217,161 @@ object Sampling {
          CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal_sum
        FROM r WHERE rn % 100 = 1"""
 
+  // ---------------------------------------------------------------- q226
+  /** Leakage-safe train/val/test split — assignment by GROUP, not by row:
+    * all documents of one source land in the same split, because near-dups
+    * concentrate within a source and a row-wise split leaks them across
+    * train and eval (the classic contamination-by-construction bug). The
+    * split is a pure function of the group key — the md5-prefix house
+    * hash mod 100 against 80/10/10 thresholds — so it is reproducible
+    * across runs, engines, and cluster sizes, and any new document of a
+    * known source lands in the same split forever (the property an
+    * incremental crawl needs). One groups-sized aggregate decides; no row
+    * ever shuffles for the decision at 100 TB — the split column is a
+    * map-side broadcast join against the K-row group table.
+    */
+  private def md5Long(c: Column): Column =
+    expr(s"CAST(conv(substring(md5(${c.toString}), 1, 15), 16, 10) AS BIGINT)")
+
+  def q226GroupAwareSplit(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", md5Long(col("source")) % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+    g.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_groups"),
+        expr("cast(sum(n) as bigint)").as("n_docs"),
+        expr("""cast(sum(cast(CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT)
+                as decimal(38,0))) % 1000000000000000000 as bigint)""")
+          .as("group_checksum"))
+      .orderBy(col("split"))
+  }
+
+  val q226Oracle: String =
+    """WITH g AS (SELECT source,
+           CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 100 AS h,
+           count(*) AS n FROM documents GROUP BY source),
+       s AS (SELECT source, n,
+               CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM g)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+              AS HUGEINT)) % 1000000000000000000 AS BIGINT) AS group_checksum
+       FROM s GROUP BY split ORDER BY split"""
+
+  // ---------------------------------------------------------------- q227
+  /** Temperature-balanced source sampling — the multilingual data-mixing
+    * rule (sample counts ∝ n^α, α=0.5) that keeps a dominant language from
+    * swamping training while still over-representing it: per-language
+    * targets come from exactly-summed √n weights (each √ is one correctly
+    * rounded IEEE op; the weight SUM rides a DECIMAL cast so it is
+    * order-independent — a raw double sum's low bits would depend on
+    * partition merge order and could flip a floor() at the boundary), and
+    * the target-many documents per language are selected in md5-hash order
+    * (deterministic pseudo-shuffle, the q90 discipline).
+    *
+    * The selection deliberately does NOT window the corpus on the 5-value
+    * lang key (this round's trap): the hash space is pre-bucketed, buckets
+    * wholly inside the budget pass through UNRANKED, and only the single
+    * crossing bucket per language is ranked — the BucketRank shape with a
+    * per-group budget instead of fixed target ranks.
+    */
+  val Q227Budget = 200L
+  val Q227HashBuckets = 64L
+  // md5-prefix values are uniform on [0, 16^15); fixed-width buckets
+  private val Q227BucketWidth: Long = (1L << 60) / Q227HashBuckets
+
+  def q227TemperatureSample(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("h", md5Long(expr("CAST(doc_id AS STRING)")))
+      .withColumn("b", expr(s"h div ${Q227BucketWidth}L"))
+    // per-language targets from exactly-summed sqrt weights
+    val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("w", expr("CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,15))"))
+    // the 5-row target frame and the ≤(langs × buckets)-row offset frame
+    // are each referenced from several branches below; localCheckpoint pins
+    // them (the q176 rule) so their corpus passes run once, not per
+    // re-embed — 4 parallel corpus passes total
+    val tgt = c
+      .crossJoin(broadcast(c.agg(expr("sum(w)").as("wtot"))))
+      .withColumn("target", expr(
+        s"CAST(floor($Q227Budget.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) AS BIGINT)"))
+      .select(col("lang"), col("n"), col("target"))
+      .localCheckpoint()
+    // bucket offsets in hash order, per language — a compact frame
+    val off = docs.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(tgt.select(col("lang"), col("target"))), Seq("lang"))
+      .localCheckpoint()
+    val whole = off.filter(col("off") + col("cnt") <= col("target"))
+      .select(col("lang"), col("b"))
+    val crossing = off.filter(col("off") < col("target") &&
+        col("target") < col("off") + col("cnt"))
+      .select(col("lang"), col("b"), col("off"), col("target").as("tg"))
+    val keptWhole = docs.join(broadcast(whole), Seq("lang", "b"))
+      .select(col("lang"), col("doc_id"))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("b")).orderBy(col("h"), col("doc_id"))
+    val keptCross = docs.join(broadcast(crossing), Seq("lang", "b"))
+      .withColumn("rn", row_number().over(wLoc).cast("long"))
+      .filter(col("off") + col("rn") <= col("tg"))
+      .select(col("lang"), col("doc_id"))
+    val sel = keptWhole.unionByName(keptCross)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("""cast(coalesce(sum(cast(doc_id as decimal(38,0))), 0)
+                % 1000000000000000000 as bigint)""").as("sampled_id_sum"))
+    tgt.join(sel, Seq("lang"), "left")
+      .select(col("lang"), col("n").as("n_docs"), col("target"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_id_sum"), lit(0L)).as("sampled_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q227Oracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       t AS (SELECT lang, n,
+               CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,15)) AS w FROM c),
+       tw AS (SELECT sum(w) AS wtot FROM t),
+       tgt AS (SELECT lang, n,
+                 CAST(floor($Q227Budget.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) AS BIGINT) AS target
+               FROM t, tw),
+       r AS (SELECT d.lang, d.doc_id,
+               row_number() OVER (PARTITION BY d.lang ORDER BY
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 d.doc_id) AS rn
+             FROM documents d),
+       sel AS (SELECT r.lang, r.doc_id FROM r
+               JOIN tgt ON r.lang = tgt.lang WHERE r.rn <= tgt.target)
+       SELECT tgt.lang, CAST(tgt.n AS BIGINT) AS n_docs, tgt.target,
+         CAST(count(sel.doc_id) AS BIGINT) AS n_sampled,
+         CAST(coalesce(sum(CAST(sel.doc_id AS HUGEINT)), 0)
+              % 1000000000000000000 AS BIGINT) AS sampled_id_sum
+       FROM tgt LEFT JOIN sel ON sel.lang = tgt.lang
+       GROUP BY tgt.lang, tgt.n, tgt.target ORDER BY tgt.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_stratified_sample" -> q73StratifiedSample _,
     "q85_sample_cap_weighted" -> q85CapWeighted _,
     "q90_shuffle_deterministic" -> q90ShuffleDeterministic _,
-    "q216_systematic_sample" -> q216SystematicSample _)
+    "q216_systematic_sample" -> q216SystematicSample _,
+    "q226_group_aware_split" -> q226GroupAwareSplit _,
+    "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
     "q73_stratified_sample" -> q73Oracle,
     "q85_sample_cap_weighted" -> q85Oracle,
     "q90_shuffle_deterministic" -> q90Oracle,
-    "q216_systematic_sample" -> q216Oracle)
+    "q216_systematic_sample" -> q216Oracle,
+    "q226_group_aware_split" -> q226Oracle,
+    "q227_temperature_sample" -> q227Oracle)
 }

@@ -218,7 +218,9 @@ class PlanSpec extends SparkSuite {
       "q222_autocorrelation" -> ("events", 1),
       "q223_minhash_overflow_report" -> ("documents", 1), // one signature pass
       "q224_block_overflow_report" -> ("customer", 1),
-      "q225_sessionize_skew_safe" -> ("events", 2))      // local pass + chunk-stats pass
+      "q225_sessionize_skew_safe" -> ("events", 2),      // local pass + chunk-stats pass
+      "q226_group_aware_split" -> ("documents", 1),      // one groups-sized aggregate
+      "q227_temperature_sample" -> ("documents", 4))     // counts + offsets + whole + crossing
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
