@@ -1107,7 +1107,97 @@ object TextAnalysis {
        ORDER BY step"""
   }
 
+  // ---------------------------------------------------------------- q228
+  /** Corpus bigram-LM quality scoring — the KenLM-style perplexity filter
+    * every pretraining pipeline runs (CCNet's core signal): train an
+    * add-1-smoothed bigram model ON the corpus itself, score each document
+    * by its average log-probability, and report the per-language score
+    * band (boilerplate scores high, lexical garbage scores low). All
+    * probabilities live as EXACT µ-nat integers: each distinct bigram's
+    * log-prob is ONE correctly-rounded `ln` quantized to 1e-6 nats (the
+    * q182 µ-unit discipline — a raw double sum's low bits would vary with
+    * partition order; quantized integers sum exactly in any order, and
+    * the 1e-6 grid makes a cross-engine libm last-bit difference
+    * irrelevant). Shuffles are keyed by md5-prefix hashes of grams, never
+    * gram text (the q183 rule). Scale shape: two map-side-combined count
+    * aggregates (bigram, left-unigram), one vocab-sized model join, one
+    * corpus re-join on the bigram hash, per-doc exact sums, a 5-row
+    * language rollup. The model table is the thing a real pipeline would
+    * persist; here it stays one lazy plan.
+    */
+  def q228BigramLmScore(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    def md5l(e: String): String =
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val big = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr(md5l("split(bg, chr(1))[0]")).as("g1"),
+        expr(md5l("bg")).as("g2"))
+    val bc = big.groupBy(col("g2")).agg(min(col("g1")).as("g1"), count(lit(1)).as("c2"))
+    val uc = big.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val nv = big.agg(countDistinct(col("g2")).as("nv"))
+    val lp = bc.join(uc, "g1")
+      .crossJoin(broadcast(nv))
+      .select(col("g2"), expr(
+        """CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) /
+           (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))) * 1000000) AS BIGINT)""")
+        .as("lp_micro"))
+    val d1 = big.join(lp, "g2")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .withColumn("d_avg", expr("CAST(d_sum AS DOUBLE) / CAST(n_big AS DOUBLE)"))
+    d1.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_big) as bigint)").as("n_bigrams"),
+        expr("cast(sum(cast(d_sum as decimal(38,0))) as bigint)").as("lp_sum_micro"),
+        expr("round(min(d_avg), 1)").as("worst_doc_avg"),
+        expr("round(max(d_avg), 1)").as("best_doc_avg"))
+      .withColumn("avg_lp_micro",
+        expr("round(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 1)"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"), col("lp_sum_micro"),
+        col("avg_lp_micro"), col("worst_doc_avg"), col("best_doc_avg"))
+      .orderBy(col("lang"))
+  }
+
+  val q228Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       d AS (SELECT b.doc_id, b.lang, count(*) AS n_big,
+               CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+             FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1, 2),
+       da AS (SELECT doc_id, lang, n_big, d_sum,
+                CAST(d_sum AS DOUBLE) / CAST(n_big AS DOUBLE) AS d_avg FROM d)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_big) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(d_sum AS HUGEINT)) AS BIGINT) AS lp_sum_micro,
+         round(CAST(sum(CAST(d_sum AS HUGEINT)) AS DOUBLE) / CAST(sum(n_big) AS DOUBLE), 1) AS avg_lp_micro,
+         round(min(d_avg), 1) AS worst_doc_avg,
+         round(max(d_avg), 1) AS best_doc_avg
+       FROM da GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_bigram_lm_score" -> q228BigramLmScore _,
     "q210_bpe_merges" -> q210BpeMerges _,
     "q183_ngram_novelty" -> q183NgramNovelty _,
     "q173_oov_rate" -> q173OovRate _,
@@ -1131,6 +1221,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q228_bigram_lm_score" -> q228Oracle,
     "q210_bpe_merges" -> q210Oracle,
     "q183_ngram_novelty" -> q183Oracle,
     "q173_oov_rate" -> q173Oracle,
