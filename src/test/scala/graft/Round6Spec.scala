@@ -286,4 +286,33 @@ class Round6Spec extends SparkSuite {
       s"partial aggregation must collapse the hot user map-side: " +
         s"shuffled ${recs.sum} of $nInput input rows")
   }
+
+  test("sessionizeSkewSafe: hand fixture — sessions spanning 1, 2, and 3 chunk boundaries") {
+    // chunk = 100µs, gap = 10µs.
+    // User 1 exercises every single-boundary case: with gap 10 the
+    // sessions are [5] [95,105,115] [195,205] [295,305] [395] — the second
+    // and third sessions each CROSS a chunk boundary (95→105, 195→205),
+    // the fourth sits inside one chunk, the last opens a fresh chunk.
+    // User 2 is a dense step-6 run from 98 to 310: ONE session spanning
+    // chunks 0,1,2,3 — every boundary carries the merge flag, so the
+    // session id must survive a 3-boundary transitive chain.
+    import spark.implicits._
+    val u1 = Seq(5L, 95L, 105L, 115L, 195L, 205L, 295L, 305L, 395L).map((1L, _))
+    val u2 = (98L to 310L by 6L).map((2L, _))
+    val ev = (u1 ++ u2).zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("user_id", "t", "event_id")
+    val out = EventAnalytics.sessionizeSkewSafe(ev, gapUs = 10L, bucketUs = 100L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t"),
+        r.getAs[Long]("session_id")))
+    val byUser = out.groupBy(_._1)
+    // user 1: expected sessions [5] [95,105,115] [195,205] [295,305] [395]
+    val u1Sessions = byUser(1L).sortBy(_._2).map(x => (x._2, x._3)).toSeq
+    val expected1 = Seq(5L -> 1L, 95L -> 2L, 105L -> 2L, 115L -> 2L,
+      195L -> 3L, 205L -> 3L, 295L -> 4L, 305L -> 4L, 395L -> 5L)
+    assert(u1Sessions == expected1, s"got $u1Sessions")
+    // user 2: ONE session spanning 4 chunks (transitive 3-boundary chain)
+    val u2Ids = byUser(2L).map(_._3).distinct
+    assert(u2Ids.toSeq == Seq(1L), s"4-chunk chain must keep one session id, got $u2Ids")
+  }
 }
