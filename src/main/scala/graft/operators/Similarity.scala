@@ -784,7 +784,92 @@ object Similarity {
          CAST(v1 AS DOUBLE) / CAST(max(abs(v1)) OVER () AS DOUBLE) AS ratio
        FROM v1 ORDER BY dim"""
 
+  // ---------------------------------------------------------------- q229
+  /** Embedding sanity audit — the vector-quality gate that must run before
+    * any ANN/IVF index build: a single NaN component silently poisons every
+    * cosine it touches (NaN propagates through the dot product and the
+    * ordering), a wrong-dimension vector crashes the fold, and a zero-norm
+    * vector divides by zero. One conditional-aggregation pass counts NULL
+    * embeddings, wrong dimensionality, non-finite components, zero norms,
+    * and out-of-band norms; defects are PLANTED by vec_id modulus (CASE
+    * precedence: null > wrong-dim > NaN > zero) so the gate provably
+    * detects every class — the q114 data-quality pattern with the q223
+    * planted-fixture discipline. Norm thresholds sit far from the data
+    * band (norms ≈1.0), so a cross-engine last-bit difference in the
+    * 64-term fold cannot flip a count. Scale: one scan, one 7-row result;
+    * the audit composes as a pre-filter for every index build here.
+    */
+  def q229EmbeddingAudit(spark: SparkSession, d: String): DataFrame = {
+    val f = Tables.embeddings(spark, d).select(col("vec_id"), expr(
+      """CASE WHEN vec_id % 101 = 0 THEN NULL
+              WHEN vec_id % 97 = 0 THEN slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 32)
+              WHEN vec_id % 89 = 0 THEN concat(array(CAST('NaN' AS DOUBLE)),
+                   slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, 63))
+              WHEN vec_id % 83 = 0 THEN transform(embedding, x -> 0.0D)
+              ELSE transform(embedding, x -> CAST(x AS DOUBLE)) END""").as("e"))
+    val m = f.select(
+      col("e").isNull.as("is_null"),
+      expr("CASE WHEN e IS NULL THEN NULL ELSE size(e) END").as("dim"),
+      expr("""CASE WHEN e IS NULL THEN NULL
+              ELSE size(filter(e, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))) END""")
+        .as("n_bad"),
+      expr("""CASE WHEN e IS NULL THEN NULL
+              ELSE sqrt(aggregate(e, 0.0D, (a, x) ->
+                a + CASE WHEN isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE)
+                         THEN 0.0D ELSE x * x END)) END""").as("nrm"))
+    m.agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("is_null")).as("null_embedding"),
+        count_if(!col("is_null") && col("dim") =!= 64).as("wrong_dim"),
+        count_if(col("n_bad") > 0).as("nonfinite_component"),
+        count_if(!col("is_null") && col("dim") === 64 && col("n_bad") === 0 &&
+          col("nrm") === 0.0).as("zero_norm"),
+        count_if(!col("is_null") && col("dim") === 64 && col("n_bad") === 0 &&
+          col("nrm") > 0.0 && col("nrm") < 0.5).as("norm_below_half"),
+        count_if(!col("is_null") && col("dim") === 64 && col("n_bad") === 0 &&
+          col("nrm") > 2.0).as("norm_above_two"))
+      .select(expr(
+        """stack(7,
+             'n_rows', n_rows,
+             'null_embedding', null_embedding,
+             'wrong_dim', wrong_dim,
+             'nonfinite_component', nonfinite_component,
+             'zero_norm', zero_norm,
+             'norm_below_half', norm_below_half,
+             'norm_above_two', norm_above_two) AS (check_name, n)"""))
+      .orderBy(col("check_name"))
+  }
+
+  val q229Oracle: String =
+    """WITH f AS (SELECT vec_id,
+         CASE WHEN vec_id % 101 = 0 THEN NULL
+              WHEN vec_id % 97 = 0 THEN (CAST(embedding AS DOUBLE[]))[1:32]
+              WHEN vec_id % 89 = 0 THEN list_prepend(CAST('NaN' AS DOUBLE), (CAST(embedding AS DOUBLE[]))[2:64])
+              WHEN vec_id % 83 = 0 THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+              ELSE CAST(embedding AS DOUBLE[]) END AS e
+       FROM embeddings),
+       m AS (SELECT vec_id, e,
+          CASE WHEN e IS NULL THEN NULL
+               ELSE len(list_filter(e, x -> isnan(x) OR NOT isfinite(x))) END AS n_bad,
+          CASE WHEN e IS NULL THEN NULL
+               ELSE sqrt(list_sum(list_transform(e, x ->
+                 CASE WHEN isfinite(x) AND NOT isnan(x) THEN x*x ELSE 0.0 END))) END AS nrm
+        FROM f),
+       checks AS (
+         SELECT 'n_rows' AS check_name, count(*) AS n FROM m
+         UNION ALL SELECT 'null_embedding', count(*) FROM m WHERE e IS NULL
+         UNION ALL SELECT 'wrong_dim', count(*) FROM m WHERE e IS NOT NULL AND len(e) <> 64
+         UNION ALL SELECT 'nonfinite_component', count(*) FROM m WHERE n_bad > 0
+         UNION ALL SELECT 'zero_norm', count(*) FROM m
+           WHERE e IS NOT NULL AND len(e) = 64 AND n_bad = 0 AND nrm = 0.0
+         UNION ALL SELECT 'norm_below_half', count(*) FROM m
+           WHERE e IS NOT NULL AND len(e) = 64 AND n_bad = 0 AND nrm > 0 AND nrm < 0.5
+         UNION ALL SELECT 'norm_above_two', count(*) FROM m
+           WHERE e IS NOT NULL AND len(e) = 64 AND n_bad = 0 AND nrm > 2.0)
+       SELECT check_name, CAST(n AS BIGINT) AS n FROM checks ORDER BY check_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_embedding_audit" -> q229EmbeddingAudit _,
     "q211_power_iteration" -> q211PowerIteration _,
     "q182_cluster_scatter" -> q182ClusterScatter _,
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
@@ -799,6 +884,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q229_embedding_audit" -> q229Oracle,
     "q211_power_iteration" -> q211Oracle,
     "q182_cluster_scatter" -> q182Oracle,
     "q35_similarity_ann_lsh" -> q35Oracle,

@@ -221,7 +221,8 @@ class PlanSpec extends SparkSuite {
       "q225_sessionize_skew_safe" -> ("events", 2),      // local pass + chunk-stats pass
       "q226_group_aware_split" -> ("documents", 1),      // one groups-sized aggregate
       "q227_temperature_sample" -> ("documents", 4),     // counts + offsets + whole + crossing
-      "q228_bigram_lm_score" -> ("documents", 4))        // bigram counts, unigram counts, vocab, re-join
+      "q228_bigram_lm_score" -> ("documents", 4),        // bigram counts, unigram counts, vocab, re-join
+      "q229_embedding_audit" -> ("embeddings", 1))       // one conditional-aggregate pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
