@@ -160,7 +160,7 @@ object EtlQueries {
 
   val q82Oracle: String =
     """SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
        min(o_orderkey) AS min_key
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
@@ -202,7 +202,7 @@ object EtlQueries {
          UNION ALL
          SELECT * FROM updates)
        SELECT o_orderstatus, count(*) AS n,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   // ---------------------------------------------------------------- q93
@@ -313,7 +313,7 @@ object EtlQueries {
 
   val q146Oracle: String =
     """SELECT o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
        max(o_orderkey) AS max_key
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
@@ -349,7 +349,7 @@ object EtlQueries {
 
   val q147Oracle: String =
     """SELECT o_custkey, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM orders WHERE o_custkey = 7
        GROUP BY o_custkey ORDER BY o_custkey"""
 
@@ -407,7 +407,7 @@ object EtlQueries {
                 o_totalprice AS price
          FROM orders WHERE o_orderkey % 11 = 0)
        SELECT status, count(*) AS n,
-         CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+         CAST(CAST(sum(CAST(price AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
          max(o_orderkey) AS max_key
        FROM applied GROUP BY status ORDER BY status"""
 
@@ -483,7 +483,7 @@ object EtlQueries {
                 ELSE o_totalprice END AS o_totalprice
          FROM t)
        SELECT o_orderstatus, count(*) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
          min(o_orderkey) AS min_key
        FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
@@ -548,7 +548,7 @@ object EtlQueries {
 
   val q100Oracle: String =
     """SELECT o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price,
        min(o_orderkey) AS min_key
        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
@@ -583,7 +583,7 @@ object EtlQueries {
 
   val q101Oracle: String =
     """SELECT c_mktsegment, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
@@ -873,9 +873,9 @@ object EtlQueries {
 
   val q128Oracle: String =
     """SELECT o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+       CAST(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
                           THEN o_totalprice + 1.0 ELSE o_totalprice END
-                     AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+                     AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // ---------------------------------------------------------------- q129
@@ -916,7 +916,7 @@ object EtlQueries {
 
   val q129Oracle: String =
     """SELECT priority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM orders
        JOIN (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
                     ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
@@ -974,7 +974,7 @@ object EtlQueries {
 
   val q130Oracle: String =
     """SELECT l_returnflag, count(*) AS n,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""

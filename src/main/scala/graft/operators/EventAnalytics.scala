@@ -54,7 +54,7 @@ object EventAnalytics {
   val q106Oracle: String =
     """WITH daily AS (
          SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value
+                CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS day_value
          FROM events GROUP BY 1, 2),
        spans AS (
          SELECT user_id, min(day) AS first_day, max(day) AS last_day

@@ -28,7 +28,7 @@ object EventTime {
 
   val q23Oracle: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
        FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""
 
   // ---------------------------------------------------------------- q24
@@ -48,7 +48,7 @@ object EventTime {
          SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 1800000) AS BIGINT) * 1800000000) AS ws, value FROM events
          UNION ALL
          SELECT make_timestamp((CAST(floor(epoch_ms(ts) / 1800000) AS BIGINT) - 1) * 1800000000) AS ws, value FROM events)
-       SELECT ws, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       SELECT ws, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
        FROM assigned GROUP BY ws ORDER BY ws"""
 
   // ---------------------------------------------------------------- q25
@@ -77,7 +77,7 @@ object EventTime {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          FROM g)
        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+         CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,7 +67,7 @@ object Profiling {
   val q99Oracle: String =
     """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
        count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bucket_sum
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bucket_sum
        FROM orders GROUP BY 1 ORDER BY 1"""
 
   // ---------------------------------------------------------------- q114
@@ -203,7 +203,7 @@ object Profiling {
          FROM orders)
        SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
          max(o_totalprice) AS hi,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS bin_sum
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bin_sum
        FROM t GROUP BY decile ORDER BY decile"""
 
   // ---------------------------------------------------------------- q159

@@ -45,12 +45,12 @@ object Relational {
 
   val q01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / count(*) AS avg_price,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
@@ -63,12 +63,17 @@ object Relational {
     Tables.lineitem(spark, d)
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "A" && col("l_discount") < 0.03)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // ALL output columns order the result: the synthetic generator does
+      // not make (orderkey, linenumber) unique (1.1M duplicate pairs at
+      // sf0.1 — found by the round-6 10x gate), so a two-column sort is not
+      // a total order and the positional compare can flip tied rows
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
 
   val q02Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_returnflag = 'A' AND l_discount < 0.03
-       ORDER BY l_orderkey, l_linenumber"""
+       ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
 
   // ---------------------------------------------------------------- q03
   /** Inner equi-join with an explicitly broadcast dimension side: customer is
@@ -86,7 +91,7 @@ object Relational {
 
   val q03Oracle: String =
     """SELECT c_mktsegment, count(*) AS order_cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
@@ -238,7 +243,7 @@ object Relational {
 
   val q11Oracle: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
@@ -259,7 +264,7 @@ object Relational {
 
   val q12Oracle: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status, CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
@@ -770,9 +775,9 @@ object Relational {
   val q76Oracle: String =
     """WITH w AS (
          SELECT l_returnflag,
-           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_disc
          FROM lineitem GROUP BY l_returnflag)
        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
        UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
@@ -985,7 +990,7 @@ object Relational {
     """WITH weekly AS (
          SELECT o_orderpriority,
            CAST(floor(epoch(o_orderdate) / 604800) AS BIGINT) AS week,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1, 2),
        l AS (SELECT o_orderpriority, week, revenue,
                lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY week) AS prev_revenue
@@ -1134,7 +1139,7 @@ object Relational {
 
   val q131Oracle: String =
     """SELECT n_name, count(*) AS n_lineitems,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
        FROM customer, orders, lineitem, supplier, nation, region
        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1196,7 +1201,7 @@ object Relational {
          GROUP BY l_returnflag)
        SELECT l.l_returnflag, count(*) AS n_rows,
          CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
-         CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(25,6))) AS DOUBLE) AS winsorized_sum,
+         CAST(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS winsorized_sum,
          min(lo) AS p01, min(hi) AS p99
        FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
@@ -1484,12 +1489,12 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-        expr("CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)").as("sum_qty"))
+        expr("CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE)").as("sum_qty"))
       .orderBy(col("p_brand"))
 
   val q195Oracle: String =
     """SELECT p_brand, count(*) AS n_items,
-              CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY 1 ORDER BY 1"""
 
@@ -1618,7 +1623,7 @@ object Relational {
     li.join(broadcast(bounds), col("l_returnflag") === col("g"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        expr("CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS DOUBLE)")
+        expr("CAST(CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)")
           .as("scaled_sum"),
         min(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .orderBy(col("l_returnflag"))
@@ -1629,7 +1634,7 @@ object Relational {
                     max(l_extendedprice) AS hi
                   FROM lineitem GROUP BY 1)
        SELECT l.l_returnflag, count(*) AS n,
-         CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS DOUBLE)
+         CAST(CAST(sum(CAST((l_extendedprice - lo) / (hi - lo) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
            AS scaled_sum,
          min(lo) AS lo, max(hi) AS hi
        FROM lineitem l JOIN b ON l.l_returnflag = b.g

@@ -206,7 +206,7 @@ object Sampling {
       .filter(expr("(off + lrn) % 100 = 1"))
       .agg(count(lit(1)).as("n_sampled"),
         expr("cast(sum(c_custkey) as bigint)").as("key_sum"),
-        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)").as("bal_sum"))
+        expr("CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE)").as("bal_sum"))
   }
 
   val q216Oracle: String =
@@ -214,7 +214,7 @@ object Sampling {
                     row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
                   FROM customer)
        SELECT count(*) AS n_sampled, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal_sum
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bal_sum
        FROM r WHERE rn % 100 = 1"""
 
   // ---------------------------------------------------------------- q226

@@ -81,7 +81,13 @@ object Scalars {
       (col("l_orderkey") % 7).as("ord_mod7"),
       greatest(col("l_tax"), col("l_discount")).as("max_rate"),
       least(col("l_tax"), col("l_discount")).as("min_rate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (orderkey, linenumber) is NOT unique in the synthetic data (the
+      // round-6 10x gate found 1.1M duplicate pairs at sf0.1), so the sort
+      // covers EVERY output column — rows that tie on all sort keys are
+      // then identical rows, and a positional flip is unobservable
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
+        col("dev"), col("qty_div7"), col("qty_ceil7"), col("qty_sqrt"),
+        col("ord_mod7"), col("max_rate"), col("min_rate"))
 
   val q21Oracle: String =
     """SELECT l_orderkey, l_linenumber,
@@ -93,7 +99,9 @@ object Scalars {
        l_orderkey % 7 AS ord_mod7,
        greatest(l_tax, l_discount) AS max_rate,
        least(l_tax, l_discount) AS min_rate
-       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, disc_price, dev, qty_div7,
+                qty_ceil7, qty_sqrt, ord_mod7, max_rate, min_rate"""
 
   // ---------------------------------------------------------------- q22
   /** JSON extraction over `events.props` (schema'd from_json plus path-based
@@ -185,7 +193,7 @@ object Scalars {
        count(*) AS n,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
        FROM events GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

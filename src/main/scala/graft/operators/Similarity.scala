@@ -534,8 +534,8 @@ object Similarity {
        m AS (SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS sum_ids
              FROM assigned GROUP BY cid),
        cc AS (SELECT a.cid,
-                     CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS c0,
-                     CAST(sum(CAST(CAST(e.embedding[33] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS c32
+                     CAST(CAST(sum(CAST(CAST(e.embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / count(*) AS c0,
+                     CAST(CAST(sum(CAST(CAST(e.embedding[33] AS DOUBLE) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / count(*) AS c32
               FROM assigned a JOIN ev e ON a.vec_id = e.vec_id GROUP BY a.cid)
        SELECT m.cid, m.n_members, m.sum_ids, cc.c0, cc.c32
        FROM m JOIN cc ON m.cid = cc.cid ORDER BY m.cid"""
@@ -646,7 +646,7 @@ object Similarity {
                       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
                       FROM pair$i) WHERE rn = 1),
        cm$i AS (SELECT a.cid, r.j,
-                     CAST(sum(CAST(CAST(e.embedding[r.j+1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+                     CAST(CAST(sum(CAST(CAST(e.embedding[r.j+1] AS DOUBLE) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / count(*) AS m
               FROM assigned$i a JOIN ev e ON a.vec_id = e.vec_id, range(64) r(j)
               GROUP BY a.cid, r.j),
        cent${i + 1} AS (SELECT cid, list(m ORDER BY j) AS ce FROM cm$i GROUP BY cid)"""

@@ -80,7 +80,7 @@ object Skew {
 
   val q104Oracle: String =
     """SELECT p_brand, count(*) AS n_items,
-              CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY 1 ORDER BY 1"""
 

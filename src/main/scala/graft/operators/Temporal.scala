@@ -174,7 +174,7 @@ object Temporal {
        j AS (SELECT band_id, o_totalprice
              FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi)
        SELECT band_id, count(*) AS n_orders,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_price
        FROM j GROUP BY band_id ORDER BY band_id"""
 
   // ---------------------------------------------------------------- q217

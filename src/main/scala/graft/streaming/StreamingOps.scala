@@ -139,7 +139,7 @@ object StreamingOps {
   val q78Oracle: String =
     """SELECT 'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
        FROM events GROUP BY tier ORDER BY tier"""
 
   // ------------------------------------------------- custom state machine
@@ -260,7 +260,7 @@ object StreamingOps {
 
   val q92Oracle: String =
     """SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+       CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
        FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** Stream-stream inner join: click→purchase attribution per user within
@@ -399,7 +399,7 @@ object StreamingOps {
 
   val q110Oracle: String =
     """SELECT c.user_id, count(*) AS n_attributed,
-       CAST(sum(CAST(p.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+       CAST(CAST(sum(CAST(p.value AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total_value
        FROM events c JOIN events p
          ON c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.user_id = c.user_id
@@ -533,7 +533,7 @@ object StreamingOps {
              FROM events WHERE event_type = 'purchase')
        SELECT c.user_id, count(*) AS n_rows, count(purchase_id) AS n_matched,
          count(*) - count(purchase_id) AS n_unconverted,
-         CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(25,6))) AS DOUBLE) AS attributed_value
+         CAST(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS attributed_value
        FROM c CROSS JOIN m
        LEFT JOIN p ON pu = c.user_id AND pts >= cts
                   AND pts <= cts + INTERVAL 30 MINUTES

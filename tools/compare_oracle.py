@@ -15,12 +15,15 @@ for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
         continue
-    files = glob.glob(f"{path}/*.parquet")
+    # coalesce(1) outputs can still split at spark.sql.files.maxRecordsPerFile
+    # (5M rows) — read ALL parts in write order, not just the first
+    files = sorted(glob.glob(f"{path}/*.parquet"))
     if not files:
         print(f"MISSING-OUT {name}")
         fail += 1
         continue
-    got = con.sql(f"SELECT * FROM '{files[0]}'").fetchdf()
+    flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
+    got = con.sql(f"SELECT * FROM read_parquet({flist})").fetchdf()
     if name not in oracle:
         print(f"ROWS-ONLY  {name}: rows={len(got)}" + ("  <-- EMPTY!" if len(got)==0 else ""))
         continue
