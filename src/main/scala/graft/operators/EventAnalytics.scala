@@ -553,9 +553,14 @@ object EventAnalytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val g = Tables.events(spark, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // the gap compares in EXACT µs — cast-to-long truncates each side to
+      // whole seconds first, so a 1799.7s gap could read as 1800 and split
+      // a session the oracle keeps (latent at sf0.01; the round-6 10×
+      // gate caught it on sf0.1-shaped data)
+      .withColumn("t", expr("unix_micros(ts)"))
       .withColumn("is_new",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") >= 1800L, 1L)
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) >= 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("is_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
