@@ -1196,7 +1196,120 @@ object TextAnalysis {
          round(max(d_avg), 1) AS best_doc_avg
        FROM da GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q230
+  /** DSIR-style importance weighting — data selection via importance
+    * resampling (Xie et al. 2023), the method behind domain-targeted
+    * pretraining mixes: weight every document by log P_target(doc) −
+    * log P_corpus(doc) under two hashed bigram LMs, one trained on an
+    * in-domain subset (English docs stand in for the target domain), one
+    * on the full corpus — then resample the docs whose weight beats the
+    * corpus average. Both LMs reuse the q228 machinery (add-1 smoothing,
+    * md5-prefix gram hashes so shuffles never carry text, per-bigram
+    * log-probs quantized to EXACT µ-nats); the per-doc weight is an exact
+    * integer sum, and the selection rule is an exact integer
+    * cross-multiplication (w·Σn > Σw·n — no division, no float
+    * boundary). The English rows selecting at ~93% while other languages
+    * select at ~17% is the method working, and it is fully
+    * deterministic → full oracle. Scale shape: q228's (two count
+    * aggregates + model join + corpus re-join) with a second, target-
+    * filtered count pass — the target subset is a scan predicate, so the
+    * extra LM costs one more map-side-combined aggregate.
+    */
+  def q230ImportanceWeights(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    def md5l(e: String): String =
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val big = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr(md5l("split(bg, chr(1))[0]")).as("g1"),
+        expr(md5l("bg")).as("g2"))
+    val bc = big.groupBy(col("g2")).agg(min(col("g1")).as("g1"), count(lit(1)).as("c2"))
+    val uc = big.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val nv = big.agg(countDistinct(col("g2")).as("nv"))
+    val tgt = big.filter(col("lang") === "en")
+    val bcT = tgt.groupBy(col("g2")).agg(count(lit(1)).as("c2t"))
+    val ucT = tgt.groupBy(col("g1")).agg(count(lit(1)).as("c1t"))
+    val nvT = tgt.agg(countDistinct(col("g2")).as("nvt"))
+    val lp = bc.join(uc, "g1")
+      .join(bcT, Seq("g2"), "left")
+      .join(ucT, Seq("g1"), "left")
+      .crossJoin(broadcast(nv)).crossJoin(broadcast(nvT))
+      .select(col("g2"),
+        expr("""CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) /
+               (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))) * 1000000) AS BIGINT)""")
+          .as("lpc"),
+        expr("""CAST(round(ln((CAST(coalesce(c2t, 0) AS DOUBLE) + 1.0) /
+               (CAST(coalesce(c1t, 0) AS DOUBLE) + CAST(nvt AS DOUBLE))) * 1000000) AS BIGINT)""")
+          .as("lpt"))
+    // the per-doc weight table is referenced twice (corpus average +
+    // final rollup); localCheckpoint pins it so the 7 corpus passes that
+    // build it run once — materializing the weight table is also what a
+    // real DSIR pipeline does before resampling
+    val d1 = big.join(lp, "g2")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lpt - lpc) as bigint)").as("w"))
+      .localCheckpoint()
+    val g = d1.agg(
+      expr("cast(sum(cast(w as decimal(38,0))) as decimal(38,0))").as("sw"),
+      expr("cast(sum(n_big) as decimal(38,0))").as("sb"))
+    d1.crossJoin(broadcast(g))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("""cast(sum(CASE WHEN cast(w as decimal(38,0)) * sb > sw * cast(n_big as decimal(38,0))
+                THEN 1 ELSE 0 END) as bigint)""").as("n_selected"),
+        expr("cast(sum(cast(w as decimal(38,0))) as bigint)").as("w_sum_micro"),
+        expr("""round(CAST(CAST(sum(cast(w as decimal(38,0))) AS STRING) AS DOUBLE)
+                / CAST(sum(n_big) AS DOUBLE), 1)""").as("avg_w_per_bigram"))
+      .orderBy(col("lang"))
+  }
+
+  val q230Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       bcT AS (SELECT g2, count(*) AS c2t FROM big WHERE lang = 'en' GROUP BY g2),
+       ucT AS (SELECT g1, count(*) AS c1t FROM big WHERE lang = 'en' GROUP BY g1),
+       vT AS (SELECT count(DISTINCT g2) AS nvt FROM big WHERE lang = 'en'),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lpc,
+                CAST(round(ln((CAST(coalesce(bcT.c2t, 0) AS DOUBLE) + 1.0) /
+                     (CAST(coalesce(ucT.c1t, 0) AS DOUBLE) + CAST(vT.nvt AS DOUBLE))) * 1000000) AS BIGINT) AS lpt
+              FROM bc JOIN uc ON bc.g1 = uc.g1
+                LEFT JOIN bcT ON bc.g2 = bcT.g2
+                LEFT JOIN ucT ON bc.g1 = ucT.g1
+                CROSS JOIN v CROSS JOIN vT),
+       d AS (SELECT b.doc_id, b.lang, count(*) AS n_big,
+               CAST(sum(lp.lpt - lp.lpc) AS BIGINT) AS w
+             FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1, 2),
+       g AS (SELECT CAST(sum(CAST(w AS HUGEINT)) AS DECIMAL(38,0)) AS sw,
+                    CAST(sum(n_big) AS DECIMAL(38,0)) AS sb FROM d)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN CAST(w AS DECIMAL(38,0)) * sb > sw * CAST(n_big AS DECIMAL(38,0))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS w_sum_micro,
+         round(CAST(CAST(CAST(sum(CAST(w AS HUGEINT)) AS DECIMAL(38,0)) AS STRING) AS DOUBLE)
+               / CAST(sum(n_big) AS DOUBLE), 1) AS avg_w_per_bigram
+       FROM d, g GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_importance_weights" -> q230ImportanceWeights _,
     "q228_bigram_lm_score" -> q228BigramLmScore _,
     "q210_bpe_merges" -> q210BpeMerges _,
     "q183_ngram_novelty" -> q183NgramNovelty _,
@@ -1221,6 +1334,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q230_importance_weights" -> q230Oracle,
     "q228_bigram_lm_score" -> q228Oracle,
     "q210_bpe_merges" -> q210Oracle,
     "q183_ngram_novelty" -> q183Oracle,
