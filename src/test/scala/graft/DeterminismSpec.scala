@@ -141,4 +141,20 @@ class DeterminismSpec extends SparkSuite {
       graft.operators.EventAnalytics.q222Autocorrelation(spark, sf).collect().toSeq)
     assert(at2 == at32)
   }
+
+  test("q228 bigram-LM scoring is bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.TextAnalysis.q228BigramLmScore(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.TextAnalysis.q228BigramLmScore(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
+
+  test("q230 DSIR importance weights are bit-identical across partition counts") {
+    val at2 = withShufflePartitions("2")(
+      graft.operators.TextAnalysis.q230ImportanceWeights(spark, sf).collect().toSeq)
+    val at32 = withShufflePartitions("32")(
+      graft.operators.TextAnalysis.q230ImportanceWeights(spark, sf).collect().toSeq)
+    assert(at2 == at32)
+  }
 }
