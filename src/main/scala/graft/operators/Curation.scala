@@ -450,6 +450,9 @@ object Curation {
     * aggregate, the leak count is a window over the SOURCE-cardinality
     * frame, and the split rollup groups that same frame — no lineage
     * forks. 8/1/1 split by hash mod 10, deterministic at any parallelism.
+    * Complements q226 (Sampling), which certifies the stable assignment
+    * contract via per-split group checksums; this entry quantifies the
+    * leakage the naive row-wise split would have caused.
     */
   private def md5Hash(sqlExpr: String): Column =
     expr(s"CAST(conv(substring(md5($sqlExpr), 1, 15), 16, 10) AS BIGINT)")
@@ -626,7 +629,124 @@ object Curation {
          CAST(max(gv) AS BIGINT) AS norm_max
        FROM j GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q231
+  /** Round-6 curation capstone — the three new curation stages composed as
+    * ONE pipeline, the way a real pretraining-data run chains them:
+    *
+    *   1. leakage-safe SPLIT by source (q226's md5-mod-100 rule);
+    *   2. corpus bigram-LM GATE (q228's exact-µ-nat scores): keep docs
+    *      whose per-bigram log-prob sits within 0.2 nats of the corpus
+    *      average — the boilerplate/garbage fence, decided by an exact
+    *      integer cross-multiplication (no division, no float boundary);
+    *   3. temperature QUOTA over the gated train split (q227's √n rule,
+    *      budget 150): per-language targets from exactly-summed DECIMAL
+    *      √-weights, fill = min(target, gated size).
+    *
+    * Output: (split, lang) × [n_docs, n_gated, n_quota]. The per-doc score
+    * table is localCheckpoint-pinned (built once — the LM model pass is
+    * the expensive stage and every later stage reads the K-row or per-doc
+    * result, never re-derives it); stages 1 and 3 ride group-sized
+    * aggregates. Fully deterministic → full oracle composing the three
+    * certified rules.
+    */
+  def q231CurationCapstone(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("ws"))
+    def md5l(e: String): String =
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val big = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"),
+        expr(md5l("split(bg, chr(1))[0]")).as("g1"),
+        expr(md5l("bg")).as("g2"))
+    val bc = big.groupBy(col("g2")).agg(min(col("g1")).as("g1"), count(lit(1)).as("c2"))
+    val uc = big.groupBy(col("g1")).agg(count(lit(1)).as("c1"))
+    val nv = big.agg(countDistinct(col("g2")).as("nv"))
+    val lp = bc.join(uc, "g1").crossJoin(broadcast(nv))
+      .select(col("g2"), expr(
+        """CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) /
+           (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))) * 1000000) AS BIGINT)""")
+        .as("lp_micro"))
+    val scores = big.join(lp, "g2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .localCheckpoint()
+    val gl = scores.agg(
+      expr("cast(sum(cast(d_sum as decimal(38,0))) as decimal(38,0))").as("sw"),
+      expr("cast(sum(n_big) as decimal(38,0))").as("sb"))
+    val docs = tok.select(col("doc_id"), col("lang"), col("source"))
+      .join(scores, "doc_id")
+      .crossJoin(broadcast(gl))
+      .withColumn("h", expr(md5l("source")) % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      .withColumn("gated", expr(
+        """cast(d_sum as decimal(38,0)) * sb >=
+           cast(n_big as decimal(38,0)) * (sw - 200000 * sb)"""))
+    val agg = docs.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), count_if(col("gated")).as("n_gated"))
+      .withColumn("w", expr("CAST(sqrt(CAST(n_gated AS DOUBLE)) AS DECIMAL(25,15))"))
+    val tsum = agg.filter(col("split") === "train")
+      .agg(expr("sum(w)").as("wtot"))
+    agg.crossJoin(broadcast(tsum))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_gated"),
+        when(col("split") === "train",
+          least(expr("CAST(floor(150.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) AS BIGINT)"),
+            col("n_gated")))
+          .otherwise(lit(-1L)).as("n_quota"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q231Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       d AS (SELECT b.doc_id, count(*) AS n_big, CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+             FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1),
+       gl AS (SELECT CAST(sum(CAST(d_sum AS HUGEINT)) AS DECIMAL(38,0)) AS sw,
+                     CAST(sum(n_big) AS DECIMAL(38,0)) AS sb FROM d),
+       docs AS (SELECT t.doc_id, t.lang,
+                  CASE WHEN CAST(('0x' || substr(md5(t.source), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                       WHEN CAST(('0x' || substr(md5(t.source), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  (CAST(d.d_sum AS DECIMAL(38,0)) * gl.sb >=
+                   CAST(d.n_big AS DECIMAL(38,0)) * (gl.sw - 200000 * gl.sb)) AS gated
+                FROM tok t JOIN d ON t.doc_id = d.doc_id CROSS JOIN gl),
+       agg AS (SELECT split, lang, count(*) AS n_docs,
+                 sum(CASE WHEN gated THEN 1 ELSE 0 END) AS n_gated
+               FROM docs GROUP BY 1, 2),
+       tw AS (SELECT split, lang, n_docs, n_gated,
+                CAST(sqrt(CAST(n_gated AS DOUBLE)) AS DECIMAL(25,15)) AS w FROM agg),
+       tsum AS (SELECT sum(w) AS wtot FROM tw WHERE split = 'train')
+       SELECT tw.split, tw.lang, CAST(tw.n_docs AS BIGINT) AS n_docs,
+         CAST(tw.n_gated AS BIGINT) AS n_gated,
+         CASE WHEN tw.split = 'train'
+           THEN least(CAST(floor(150.0 * CAST(tw.w AS DOUBLE) / CAST(tsum.wtot AS DOUBLE)) AS BIGINT),
+                      CAST(tw.n_gated AS BIGINT))
+           ELSE CAST(-1 AS BIGINT) END AS n_quota
+       FROM tw CROSS JOIN tsum ORDER BY split, lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_curation_capstone" -> q231CurationCapstone _,
     "q198_quantile_normalize" -> q198QuantileNormalize _,
     "q180_length_decile_mix" -> q180LengthDecileMix _,
     "q150_training_pipeline" -> q150TrainingPipeline _,
@@ -637,6 +757,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q231_curation_capstone" -> q231Oracle,
     "q198_quantile_normalize" -> q198Oracle,
     "q180_length_decile_mix" -> q180Oracle,
     "q150_training_pipeline" -> q150Oracle,

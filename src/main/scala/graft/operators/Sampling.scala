@@ -218,17 +218,18 @@ object Sampling {
        FROM r WHERE rn % 100 = 1"""
 
   // ---------------------------------------------------------------- q226
-  /** Leakage-safe train/val/test split — assignment by GROUP, not by row:
-    * all documents of one source land in the same split, because near-dups
-    * concentrate within a source and a row-wise split leaks them across
-    * train and eval (the classic contamination-by-construction bug). The
-    * split is a pure function of the group key — the md5-prefix house
-    * hash mod 100 against 80/10/10 thresholds — so it is reproducible
-    * across runs, engines, and cluster sizes, and any new document of a
-    * known source lands in the same split forever (the property an
-    * incremental crawl needs). One groups-sized aggregate decides; no row
-    * ever shuffles for the decision at 100 TB — the split column is a
-    * map-side broadcast join against the K-row group table.
+  /** Leakage-safe train/val/test split, the ASSIGNMENT-CONTRACT side:
+    * all documents of one source land in the same split (near-dups
+    * concentrate within a source, so a row-wise split leaks them across
+    * train and eval), and the certified observable is the per-split GROUP
+    * CHECKSUM — the proof that assignment is a pure function of the group
+    * key (md5-prefix hash mod 100, 80/10/10), reproducible across runs,
+    * engines, and cluster sizes, so any new document of a known source
+    * lands in the same split forever (what an incremental crawl needs).
+    * Complements q169 (Curation), which quantifies how LEAKY the naive
+    * row-wise split would have been; this entry certifies the stable
+    * assignment itself. One groups-sized aggregate decides; no row ever
+    * shuffles for the decision at 100 TB.
     */
   private def md5Long(c: Column): Column =
     expr(s"CAST(conv(substring(md5(${c.toString}), 1, 15), 16, 10) AS BIGINT)")

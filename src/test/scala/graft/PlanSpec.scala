@@ -223,7 +223,8 @@ class PlanSpec extends SparkSuite {
       "q227_temperature_sample" -> ("documents", 4),     // counts + offsets + whole + crossing
       "q228_bigram_lm_score" -> ("documents", 4),        // bigram counts, unigram counts, vocab, re-join
       "q229_embedding_audit" -> ("embeddings", 1),       // one conditional-aggregate pass
-      "q230_importance_weights" -> ("documents", 7))     // q228's 4 passes + 3 target-LM passes
+      "q230_importance_weights" -> ("documents", 7),     // q228's 4 passes + 3 target-LM passes
+      "q231_curation_capstone" -> ("documents", 5))      // 4 LM-model passes + the split/gate pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
