@@ -616,7 +616,7 @@ object Dedup {
     * Fully deterministic (no hashing) → full DuckDB oracle via a recursive
     * CTE computing the same min-id-per-component closure.
     */
-  def q97DedupClusters(spark: SparkSession, d: String): DataFrame = {
+  private def q97Corpus(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val base = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
     def droppedTail(k: Int, offset: Long): DataFrame =
@@ -624,8 +624,12 @@ object Dedup {
         (col("doc_id") + offset).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), lit(1),
           greatest(size(split(col("text"), " ")) - k, lit(1)))).as("text"))
-    val corpus = base.unionByName(droppedTail(8, 1000000L))
+    base.unionByName(droppedTail(8, 1000000L))
       .unionByName(droppedTail(16, 2000000L))
+  }
+
+  def q97DedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val corpus = q97Corpus(spark, d)
     val pairs = shingleJaccardPairs(corpus, 0.5)
     val labels = connectedComponents(corpus.select(col("doc_id")), pairs)
     labels
@@ -672,6 +676,68 @@ object Dedup {
        SELECT doc_id, component,
               count(*) OVER (PARTITION BY component) AS cluster_size
        FROM comp ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q232
+  /** Cluster-SIZE histogram over the near-dup components — the dedup-run
+    * readout an operator owner actually reads: how many clusters of each
+    * size exist and how many documents they absorb. Size 1 = unique docs,
+    * the long tail of large clusters = boilerplate families; survivors
+    * after keep-one-per-cluster = number of clusters. Same fixture,
+    * pair generation, and connected components as q97 (the certified
+    * min-label closure); the histogram is two tiny rollups on top —
+    * component-sized, then size-sized. At 100 TB both rollups are
+    * aggregates over the cluster table, never the corpus.
+    */
+  def q232ClusterSizeHistogram(spark: SparkSession, d: String): DataFrame = {
+    val corpus = q97Corpus(spark, d)
+    val pairs = shingleJaccardPairs(corpus, 0.5)
+    val labels = connectedComponents(corpus.select(col("doc_id")), pairs)
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        expr("cast(sum(cluster_size) as bigint)").as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val q232Oracle: String =
+    """WITH RECURSIVE
+       docs2 AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 100
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 8, 1)), ' ')
+         FROM documents WHERE doc_id < 12
+         UNION ALL
+         SELECT doc_id + 2000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 16, 1)), ' ')
+         FROM documents WHERE doc_id < 12),
+       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs2),
+       sh AS (SELECT doc_id,
+                unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+                  ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        FOR i IN generate_series(1, len(toks) - 2)] END)) AS shingle
+              FROM t),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT da, db FROM inter
+                 JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM docs2
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1),
+       cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+       SELECT cluster_size, count(*) AS n_clusters,
+              CAST(sum(cluster_size) AS BIGINT) AS n_docs
+       FROM cs GROUP BY 1 ORDER BY 1"""
+
 
   // ---------------------------------------------------------------- q140
   /** EXACT all-pairs set-similarity join via prefix filtering (the
@@ -895,6 +961,7 @@ object Dedup {
        FROM m, range($NumBands) b(band_id) ORDER BY band_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_cluster_size_histogram" -> q232ClusterSizeHistogram _,
     "q223_minhash_overflow_report" -> q223MinhashOverflowReport _,
     "q162_dedup_survivorship" -> q162DedupSurvivorship _,
     "q157_containment_join" -> q157ContainmentJoin _,
@@ -909,6 +976,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q232_cluster_size_histogram" -> q232Oracle,
     "q223_minhash_overflow_report" -> q223Oracle,
     "q162_dedup_survivorship" -> q162Oracle,
     "q157_containment_join" -> q157Oracle,

@@ -224,7 +224,8 @@ class PlanSpec extends SparkSuite {
       "q228_bigram_lm_score" -> ("documents", 4),        // bigram counts, unigram counts, vocab, re-join
       "q229_embedding_audit" -> ("embeddings", 1),       // one conditional-aggregate pass
       "q230_importance_weights" -> ("documents", 7),     // q228's 4 passes + 3 target-LM passes
-      "q231_curation_capstone" -> ("documents", 5))      // 4 LM-model passes + the split/gate pass
+      "q231_curation_capstone" -> ("documents", 5),      // 4 LM-model passes + the split/gate pass
+      "q232_cluster_size_histogram" -> ("documents", 6)) // q97's pair/CC fixture passes + rollups
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
