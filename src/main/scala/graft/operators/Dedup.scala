@@ -738,6 +738,49 @@ object Dedup {
               CAST(sum(cluster_size) AS BIGINT) AS n_docs
        FROM cs GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q233
+  /** Hash-family BIT-BALANCE audit — the health check for the 64-bit hash
+    * underneath every shuffle key, LSH band, and content address in this
+    * engine: over m DISTINCT inputs a well-mixed hash has each output bit
+    * ≈ Binomial(m, ½); a stuck or skewed bit silently crowds band buckets
+    * (the q223/q32 failure mode) and skews every hash-keyed exchange. The
+    * audit hashes the corpus's distinct token vocabulary — distinct inputs
+    * by construction, so corpus word-frequency correlation cannot skew the
+    * test (a SimHash-style content fingerprint is correlated BY DESIGN and
+    * would fail a balance test on any real corpus — measured here before
+    * this query settled on hashing the vocabulary). One scan, a 64-row
+    * aggregate; each bit's ones-count is certified against the binomial
+    * 4.5σ band (the q73 pattern — counts are hash-dependent, verdicts are
+    * deterministic); the vocabulary size itself is SQL-replayable and
+    * oracle-checked exactly.
+    */
+  def q233FingerprintBitBalance(spark: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .withColumn("h", xxhash64(col("tok")))
+    vocab.select(col("h"), posexplode(expr(
+        "transform(sequence(0, 63), b -> shiftright(h, b) & 1)"))
+        .as(Seq("bit", "v")))
+      .groupBy(expr("cast(bit as bigint)").as("bit"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("cast(sum(v) as bigint)").as("__ones"))
+      .select(col("bit"), col("n_tokens"),
+        (abs(col("__ones") - col("n_tokens").cast("double") / 2.0) <=
+          lit(4.5) * sqrt(col("n_tokens").cast("double") / 4.0) + lit(1.0))
+          .as("balance_ok"))
+      .orderBy(col("bit"))
+  }
+
+  val q233Oracle: String =
+    """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
+       SELECT CAST(r.b AS BIGINT) AS bit,
+       (SELECT count(*) FROM v WHERE tok <> '') AS n_tokens,
+       true AS balance_ok
+       FROM range(64) r(b) ORDER BY bit"""
+
+
 
   // ---------------------------------------------------------------- q140
   /** EXACT all-pairs set-similarity join via prefix filtering (the
@@ -961,6 +1004,7 @@ object Dedup {
        FROM m, range($NumBands) b(band_id) ORDER BY band_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_fingerprint_bit_balance" -> q233FingerprintBitBalance _,
     "q232_cluster_size_histogram" -> q232ClusterSizeHistogram _,
     "q223_minhash_overflow_report" -> q223MinhashOverflowReport _,
     "q162_dedup_survivorship" -> q162DedupSurvivorship _,
@@ -976,6 +1020,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q233_fingerprint_bit_balance" -> q233Oracle,
     "q232_cluster_size_histogram" -> q232Oracle,
     "q223_minhash_overflow_report" -> q223Oracle,
     "q162_dedup_survivorship" -> q162Oracle,

@@ -225,7 +225,8 @@ class PlanSpec extends SparkSuite {
       "q229_embedding_audit" -> ("embeddings", 1),       // one conditional-aggregate pass
       "q230_importance_weights" -> ("documents", 7),     // q228's 4 passes + 3 target-LM passes
       "q231_curation_capstone" -> ("documents", 5),      // 4 LM-model passes + the split/gate pass
-      "q232_cluster_size_histogram" -> ("documents", 6)) // q97's pair/CC fixture passes + rollups
+      "q232_cluster_size_histogram" -> ("documents", 6), // q97's pair/CC fixture passes + rollups
+      "q233_fingerprint_bit_balance" -> ("documents", 1))
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
