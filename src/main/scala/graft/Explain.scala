@@ -51,7 +51,7 @@ object Explain {
         if (seen.add(System.identityHashCode(s.relation.cacheBuilder)))
           walk(s.relation.cachedPlan)
         else 0
-      case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
+      case e: ShuffleExchangeLike => 1 + (e.children ++ e.subqueries).map(walk).sum
       case other => (other.children ++ other.subqueries).map(walk).sum
     }
     walk(df.queryExecution.executedPlan)

@@ -104,4 +104,13 @@ object Utils {
   def requiredEnv(name: String, env: Map[String, String] = sys.env): String =
     env.get(name).filter(_.nonEmpty).getOrElse(
       throw new IllegalStateException(s"Environment variable $name is not set."))
+
+  /** Collision-resistant 12-hex-char digest of a path, for embedding a
+    * source-dir identity in catalog object names (cached bucketed layouts,
+    * artifact tables). md5 rather than 32-bit `String.hashCode` so two
+    * distinct dirs cannot silently share a cached layout.
+    */
+  def pathDigest(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 }

@@ -1367,15 +1367,19 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_days"),
         expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
         expr("cast(sum(cast(y as decimal(38,0))) as bigint)").as("sy"),
-        // squared moments go straight to DOUBLE: at 100 TB a daily-cents
+        // squared moments reduce to DOUBLE: at 100 TB a daily-cents
         // square is ~1e20 and a BIGINT cast would overflow (NULL in
-        // non-ANSI Spark, an error in DuckDB) — the exact DECIMAL(38,0)
-        // sum converts once, deterministically, in both engines
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0))) as double)")
+        // non-ANSI Spark, an error in DuckDB). The exact DECIMAL(38,0)
+        // sum is bridged through STRING before the DOUBLE cast on BOTH
+        // engine sides — above 2^53 the engines' direct decimal→double
+        // conversions round differently (DuckDB double-rounds the
+        // int128-scaled value), while text→double is correctly rounded
+        // everywhere (the 37b63fa hardening, applied here too)
+        expr("cast(cast(sum(cast(x as decimal(38,0)) * cast(y as decimal(38,0))) as string) as double)")
           .as("sxy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as double)")
+        expr("cast(cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as string) as double)")
           .as("sxx"),
-        expr("cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as double)")
+        expr("cast(cast(sum(cast(y as decimal(38,0)) * cast(y as decimal(38,0))) as string) as double)")
           .as("syy"))
       .withColumn("r", expr(
         """(CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1392,9 +1396,9 @@ object EventAnalytics {
          FROM events GROUP BY 1),
        m AS (SELECT count(*) AS n_days,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+               CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
              FROM daily)
        SELECT n_days, sx, sy, sxy, sxx, syy,
          (CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -1474,10 +1478,11 @@ object EventAnalytics {
         expr("cast(sum(cast(x as decimal(38,0))) as bigint)").as("sx"),
         expr("cast(sum(cast(px as decimal(38,0))) as bigint)").as("sy"),
         // DOUBLE moments, not BIGINT — see q220: squared cents overflow
-        // a BIGINT cast far below the target scale
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(px as decimal(38,0))) as double)").as("sxy"),
-        expr("cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as double)").as("sxx"),
-        expr("cast(sum(cast(px as decimal(38,0)) * cast(px as decimal(38,0))) as double)").as("syy"))
+        // a BIGINT cast far below the target scale; same STRING bridge as
+        // q220 so both engines round the >2^53 sums identically
+        expr("cast(cast(sum(cast(x as decimal(38,0)) * cast(px as decimal(38,0))) as string) as double)").as("sxy"),
+        expr("cast(cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0))) as string) as double)").as("sxx"),
+        expr("cast(cast(sum(cast(px as decimal(38,0)) * cast(px as decimal(38,0))) as string) as double)").as("syy"))
       .select(col("n_pairs"), expr(
         """(CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
            / sqrt((CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -1494,9 +1499,9 @@ object EventAnalytics {
        p AS (SELECT x, lag(x) OVER (ORDER BY day) AS px FROM daily),
        m AS (SELECT count(*) AS n_pairs,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(px) AS BIGINT) AS sy,
-               CAST(sum(CAST(x AS HUGEINT) * px) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(px AS HUGEINT) * px) AS DOUBLE) AS syy
+               CAST(CAST(sum(CAST(x AS HUGEINT) * px) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(px AS HUGEINT) * px) AS VARCHAR) AS DOUBLE) AS syy
              FROM p WHERE px IS NOT NULL)
        SELECT n_pairs,
          (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
