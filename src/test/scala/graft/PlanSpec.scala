@@ -216,17 +216,23 @@ class PlanSpec extends SparkSuite {
       "q220_cross_correlation" -> ("events", 1),
       "q221_changepoint_cusum" -> ("events", 1),
       "q222_autocorrelation" -> ("events", 1),
-      "q223_minhash_overflow_report" -> ("documents", 1), // one signature pass
+      "q223_minhash_overflow_report" -> ("documents", 2), // signature pass + cap-count scalar (round 7: data-derived cap)
       "q224_block_overflow_report" -> ("customer", 1),
       "q225_sessionize_skew_safe" -> ("events", 2),      // local pass + chunk-stats pass
       "q226_group_aware_split" -> ("documents", 1),      // one groups-sized aggregate
       "q227_temperature_sample" -> ("documents", 4),     // counts + offsets + whole + crossing
-      "q228_bigram_lm_score" -> ("documents", 4),        // bigram counts, unigram counts, vocab, re-join
+      "q228_bigram_lm_score" -> ("documents", 1),        // ONE scoring pass; model is the stored artifact
       "q229_embedding_audit" -> ("embeddings", 1),       // one conditional-aggregate pass
-      "q230_importance_weights" -> ("documents", 7),     // q228's 4 passes + 3 target-LM passes
-      "q231_curation_capstone" -> ("documents", 5),      // 4 LM-model passes + the split/gate pass
-      "q232_cluster_size_histogram" -> ("documents", 6), // q97's pair/CC fixture passes + rollups
-      "q233_fingerprint_bit_balance" -> ("documents", 1))
+      "q230_importance_weights" -> ("documents", 1),     // ONE scoring pass; both LMs from the stored artifact
+      "q231_curation_capstone" -> ("documents", 2),      // scoring pass + split/gate pass; LM from artifact
+      "q232_cluster_size_histogram" -> ("documents", 0), // pure artifact probe: rollups over the cluster table
+      "q233_fingerprint_bit_balance" -> ("documents", 1),
+      "q97_dedup_clusters" -> ("documents", 0),          // pure artifact probe
+      "q51_similarity_ivf_topk" -> ("embeddings", 0),    // pure index probe (stored centroid+list tables)
+      "q166_filtered_ivf" -> ("embeddings", 0),          // metadata filter lands on the stored lists
+      "q234_build_cluster_table" -> ("documents", 0),    // report reads the just-written artifact
+      "q235_build_ivf_index" -> ("embeddings", 0),       // report reads the just-written index
+      "q236_build_bigram_lm" -> ("documents", 0))        // report reads the just-written model
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
