@@ -116,13 +116,55 @@ class Round6Spec extends SparkSuite {
     assert(rows(Relational.q201TopkWithTies(spark, sf)) == rows(plain))
   }
 
-  test("sweep: no driven query windows the raw corpus on l_returnflag") {
-    // The round-5 judge's closing condition: a Window partitioned solely by
-    // a ≤3-value key, sitting directly over a scan (no Aggregate or
-    // WindowGroupLimit below it), serializes the corpus into 3 tasks at
-    // 100 TB. WindowGroupLimit counts as a barrier: Spark's rank-limit
-    // pushdown (q16's shape) bounds the final window's input to k rows
-    // per map partition.
+  // ---- low-cardinality-window sweep (round 7: generalized to MEASURED NDV)
+  /** Every fixture column with measured NDV ≤ 16 at this SF, with the set
+    * of tables that own it — computed ONCE from the data, so the sweep
+    * catches the NEXT 5-value key (`lang`, `event_type`, `source`, …)
+    * without anyone having to name it (the round-6 version guarded
+    * `l_returnflag` by name only).
+    */
+  lazy val lowCardFixtureCols: Map[String, Set[String]] = {
+    // region/nation are K-row DIMENSION tables: windowing them raw is
+    // fine at any scale, so they deliberately do not create ownership.
+    // NDV is measured at sf0.01, NOT the test SF: a key that is merely
+    // small because the fixture is small (user_id has ≤16 users at
+    // sf0.001 but hundreds at sf0.01) must not be classed as low-card —
+    // only keys whose cardinality is intrinsically bounded (lang,
+    // l_returnflag, event_type, …) qualify.
+    val ndvSf = "/root/testdata/sf0.01"
+    val tables: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "customer" -> sources.Tables.customer(spark, ndvSf),
+      "supplier" -> sources.Tables.supplier(spark, ndvSf),
+      "part" -> sources.Tables.part(spark, ndvSf),
+      "orders" -> sources.Tables.orders(spark, ndvSf),
+      "lineitem" -> sources.Tables.lineitem(spark, ndvSf),
+      "events" -> sources.Tables.events(spark, ndvSf),
+      "documents" -> sources.Tables.documents(spark, ndvSf),
+      "embeddings" -> sources.Tables.embeddings(spark, ndvSf))
+    val pairs = for {
+      (t, df) <- tables.toSeq
+      atomic = df.schema.fields.filter(_.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.StructType => false
+        case _: org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }).map(_.name)
+      if atomic.nonEmpty
+      row = df.select(atomic.map(c => countDistinct(col(c)).as(c)): _*).first()
+      (c, i) <- atomic.zipWithIndex
+      if row.getLong(i) <= 16
+    } yield c -> t
+    pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  /** Names of window partition-key sets in `df`'s optimized plan where
+    * EVERY key is a measured-low-NDV fixture column, the window sits over
+    * a raw leaf (no Aggregate/WindowGroupLimit barrier below), and the
+    * leaf set includes a table owning one of the keys — the shape that
+    * serializes a corpus into ≤16 tasks at 100 TB.
+    */
+  def lowCardWindowOffenses(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
       Window => LWindow, WindowGroupLimit}
     def reachesLeafRaw(p: LogicalPlan): Boolean = p match {
@@ -131,22 +173,63 @@ class Round6Spec extends SparkSuite {
       case l if l.children.isEmpty => true
       case o => o.children.exists(reachesLeafRaw)
     }
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafTables(p: LogicalPlan): Set[String] = p.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+        case _ => Nil
+      }
+      case _ => Nil
+    }.toSet
+    for {
+      w <- df.queryExecution.optimizedPlan.collect { case n: LWindow => n }
+      names = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+      leaves = leafTables(w)
+      if names.nonEmpty && (
+        names.forall(n => lowCardFixtureCols.get(n).exists(_.exists(leaves.contains))) ||
+        // derived aliases can hide the fixture column (q61-family's `g` over
+        // lineitem was the round-5 trap) — keep the known alias guarded
+        (names == Seq("g") && leaves.contains("lineitem")))
+      if reachesLeafRaw(w.child)
+    } yield names.mkString(",")
+  }
+
+  test("sweep: no driven query windows the raw corpus on a low-NDV key") {
+    // The round-5 judge's closing condition, generalized: a Window
+    // partitioned solely by measured-NDV≤16 keys, sitting directly over a
+    // corpus scan (no Aggregate or WindowGroupLimit below it), serializes
+    // the corpus into that many tasks at 100 TB. WindowGroupLimit counts
+    // as a barrier: Spark's rank-limit pushdown (q16's shape) bounds the
+    // final window's input to k rows per map partition.
     // the WHOLE catalog: construction executes real work for a few
     // queries (checkpointed iterations, bucketed writes, micro-batch
     // streams) — acceptable at sf0.001 for a sweep that guards every
     // driven plan
-    val catalogs = graft.SparkEntry.queries
     val offenders = for {
-      (name, build) <- catalogs.toSeq
+      (name, build) <- graft.SparkEntry.queries.toSeq
       df <- scala.util.Try(build(spark, sf)).toOption.toSeq
-      w <- df.queryExecution.optimizedPlan.collect { case n: LWindow => n }
-      names = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
-      if names == Seq("l_returnflag") ||
-        (names == Seq("g") && w.collectLeaves().toString.contains("lineitem"))
-      if reachesLeafRaw(w.child)
-    } yield name
+      keys <- lowCardWindowOffenses(df)
+    } yield s"$name[$keys]"
     assert(offenders.isEmpty,
       s"low-cardinality corpus windows are back in: ${offenders.distinct.sorted}")
+  }
+
+  test("sweep detector: a planted Window.partitionBy(lang) over documents is flagged") {
+    // negative control — the detector must fire on the next unnamed
+    // 5-value key, not only on l_returnflag
+    val planted = sources.Tables.documents(spark, sf)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(lowCardWindowOffenses(planted).nonEmpty,
+      "planted lang-window over the corpus was not flagged")
+    // and an aggregate barrier must clear it
+    val barriered = sources.Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n"))))
+    assert(lowCardWindowOffenses(barriered).isEmpty,
+      "aggregate-barriered lang window must not be flagged")
   }
 
   test("IVF: trained centroids beat seed centroids on a planted-cluster fixture") {
