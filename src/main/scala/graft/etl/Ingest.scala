@@ -39,20 +39,43 @@ object Ingest extends Logging {
 
   /** Dispatch on file extension. CSV is the reference's actual format; XLSX
     * is claimed in its README (README.md:69) but its code feeds any URL to
-    * the CSV parser (pd.read_csv, pipeline.py:205) — SURVEY.md §0.1. Here
-    * .xlsx fails fast with a clear message instead of producing garbage
-    * (no spreadsheet codec is available offline; the dispatch point is
-    * where one would plug in).
+    * the CSV parser (pd.read_csv, pipeline.py:205) — SURVEY.md §0.1. Round
+    * 7 closes the claim: .xlsx routes to [[Xlsx.read]] (java.util.zip +
+    * the Spark 4 XML source over the public OOXML layout — no spreadsheet
+    * library). Legacy binary .xls (BIFF) stays unsupported — a different,
+    * non-XML format the reference never names.
     */
   def ingestFile(spark: SparkSession, path: String, source: String,
                  options: IngestOptions = IngestOptions(),
                  encryptionKey: Option[String] = None,
                  mode: SaveMode = SaveMode.Overwrite): IngestResult = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".xlsx") || lower.endsWith(".xls"))
+    if (lower.endsWith(".xls"))
       throw new UnsupportedOperationException(
-        s"XLSX ingest is not supported (reference README-only claim; no codec offline): $path")
-    ingestCsv(spark, path, source, options, encryptionKey, mode)
+        s"legacy binary .xls (BIFF) is not supported — convert to .xlsx: $path")
+    else if (lower.endsWith(".xlsx"))
+      ingestXlsx(spark, path, source, options, encryptionKey, mode)
+    else ingestCsv(spark, path, source, options, encryptionKey, mode)
+  }
+
+  /** XLSX twin of [[ingestCsv]]: [[Xlsx.read]] does the parse + whole-table
+    * typing; encryption and warehouse namespace-qualification are shared.
+    */
+  def ingestXlsx(spark: SparkSession, path: String, source: String,
+                 options: IngestOptions = IngestOptions(),
+                 encryptionKey: Option[String] = None,
+                 mode: SaveMode = SaveMode.Overwrite): IngestResult = {
+    val fileName = Paths.get(path).getFileName.toString
+    val table = options.tableName.getOrElse(Utils.sanitizeTableName(fileName))
+    require(table.nonEmpty, s"Cannot derive a table name from $fileName")
+    val raw = Xlsx.read(spark, path)
+    val df =
+      if (options.anonymize && options.sensitiveColumns.nonEmpty) {
+        val key = encryptionKey.getOrElse(graft.crypto.Fernet.generateKey())
+        CryptoFunctions.encryptColumns(raw, options.sensitiveColumns, key)
+      } else raw
+    val qualified = saveToWarehouse(spark, df, source, table, mode)
+    IngestResult(path, qualified, spark.table(qualified).count())
   }
 
   /** Read a CSV with whole-file schema inference, optionally Fernet-encrypt

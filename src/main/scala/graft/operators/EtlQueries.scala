@@ -1184,6 +1184,47 @@ object EtlQueries {
        FROM nation WHERE n_regionkey IN (1, 3)
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q237
+  /** XLSX ingest round-trip — the reference's README-claimed format closed
+    * WITHOUT a spreadsheet library (graft.etl.Xlsx: java.util.zip + the
+    * Spark 4 XML source over public OOXML). The fixture is generated from
+    * pure Scala constants (no corpus read, no collect): 30 rows exercising
+    * every reader branch — integral column → BIGINT, decimal column →
+    * DOUBLE, shared-string column with repeats, a multi-word string, a
+    * non-ASCII string, and omitted cells → NULL. The oracle is the same
+    * constant table as SQL VALUES, so the round-trip certifies parse,
+    * shared-string indexing, pivot, and whole-table typing value-exactly.
+    */
+  private val Q237Words =
+    Seq("alpha", "beta", "gamma", "delta hotel", "\u00e9psilon")
+
+  private def q237Rows: Seq[(Long, Double, Option[String])] =
+    (0 until 30).map { i =>
+      (i.toLong, (i * 25) / 100.0,
+        if (i % 11 == 5) None else Some(Q237Words(i % Q237Words.size)))
+    }
+
+  def q237XlsxIngest(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.core.Scratch.dir("xlsx")
+    val path = s"$tmp/inventory.xlsx"
+    graft.etl.Xlsx.write(
+      Seq("item_id", "unit_price", "note"),
+      q237Rows.map { case (id, p, n) => Seq[Any](id, p, n.orNull) },
+      path)
+    graft.etl.Xlsx.read(spark, path).orderBy(col("item_id"))
+  }
+
+  val q237Oracle: String = {
+    val vals = q237Rows.map { case (id, p, n) =>
+      s"($id, $p, ${n.map(w => s"'$w'").getOrElse("NULL")})"
+    }.mkString(", ")
+    s"""SELECT CAST(item_id AS BIGINT) AS item_id,
+       CAST(unit_price AS DOUBLE) AS unit_price,
+       CAST(note AS VARCHAR) AS note
+       FROM (VALUES $vals) t(item_id, unit_price, note)
+       ORDER BY item_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_reconciliation" -> q191Reconciliation _,
     "q192_key_rotation" -> q192KeyRotation _,
@@ -1206,6 +1247,7 @@ object EtlQueries {
     "q26_encrypt_roundtrip" -> q26EncryptRoundtrip _,
     "q27_encrypt_tokens" -> q27EncryptTokens _,
     "q28_csv_ingest_roundtrip" -> q28CsvIngestRoundtrip _,
+    "q237_xlsx_ingest" -> q237XlsxIngest _,
     "q29_sanitize_identifiers" -> q29Sanitize _,
     "q74_jsonl_roundtrip" -> q74JsonlRoundtrip _,
     "q75_merge_upsert" -> q75MergeUpsert _,
@@ -1239,6 +1281,7 @@ object EtlQueries {
     "q111_zorder_layout" -> q111Oracle,
     "q26_encrypt_roundtrip" -> q26Oracle,
     "q28_csv_ingest_roundtrip" -> q28Oracle,
+    "q237_xlsx_ingest" -> q237Oracle,
     "q29_sanitize_identifiers" -> q29Oracle,
     "q74_jsonl_roundtrip" -> q74Oracle,
     "q75_merge_upsert" -> q75Oracle,

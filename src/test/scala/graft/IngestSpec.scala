@@ -74,4 +74,34 @@ class IngestSpec extends SparkSuite {
     assert(results.count(_.isFailure) == 1)
     spark.sql("DROP DATABASE IF EXISTS testsrc4 CASCADE")
   }
+
+  test("xlsx ingest: dispatch + round-trip + typing (round 7, README-claim closure)") {
+    val dir = Files.createTempDirectory("graft-xlsx-test")
+    val path = dir.resolve("Sales Data-2024.xlsx").toString
+    graft.etl.Xlsx.write(
+      Seq("id", "amount", "city"),
+      Seq(Seq[Any](1L, 9.5, "Oslo"),
+        Seq[Any](2L, 8.25, "Lima"),
+        Seq[Any](3L, 7.0, null)), // omitted cell → NULL
+      path)
+    // the extension dispatch must route .xlsx through the OOXML reader
+    val res = Ingest.ingestFile(spark, path, "xlsxsrc")
+    assert(res.table == "xlsxsrc.Sales_Data_2024")
+    assert(res.rows == 3)
+    val df = spark.table(res.table)
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(df.schema("amount").dataType.typeName == "double")
+    assert(df.schema("city").dataType.typeName == "string")
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(9.5, 8.25, 7.0))
+    assert(rows(0).getString(2) == "Oslo" && rows(2).isNullAt(2))
+    spark.sql("DROP DATABASE xlsxsrc CASCADE")
+  }
+
+  test("xlsx ingest: legacy .xls still fails fast") {
+    val e = intercept[UnsupportedOperationException](
+      Ingest.ingestFile(spark, "/tmp/nope.xls", "x"))
+    assert(e.getMessage.contains("BIFF"))
+  }
 }

@@ -311,9 +311,15 @@ class OperatorsSpec extends SparkSuite {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
-  test("xlsx ingest fails fast with a clear message (README-only claim)") {
-    val e = intercept[UnsupportedOperationException](
-      graft.etl.Ingest.ingestFile(spark, "/tmp/some.xlsx", "src"))
-    assert(e.getMessage.contains("XLSX"))
+  test("xlsx dispatch routes to the OOXML reader; a non-xlsx file fails with a clear message") {
+    // round 7: .xlsx is a real format now (graft.etl.Xlsx); dispatching a
+    // file that is not actually a ZIP/OOXML container must still fail
+    // loudly, not produce garbage
+    val e = intercept[Exception] {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_not_really.xlsx"),
+        "this,is,csv".getBytes("UTF-8"))
+      graft.etl.Ingest.ingestFile(spark, "/tmp/graft_not_really.xlsx", "src")
+    }
+    assert(e.getMessage != null)
   }
 }
