@@ -1326,6 +1326,103 @@ object TextAnalysis {
                / CAST(sum(n_big) AS DOUBLE), 1) AS avg_w_per_bigram
        FROM d, g GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q238
+  /** Naive-Bayes language classifier — train on the corpus, apply to the
+    * corpus, read out the confusion matrix (the fastText-style linear
+    * classifier every curation stack runs for language routing, reduced to
+    * its deterministic core): add-1-smoothed per-language token
+    * log-likelihoods plus document-count priors, every log-prob ONE
+    * correctly-rounded `ln` quantized to exact µ-nats (the q228
+    * discipline — partition order and libm last bits cannot move a sum),
+    * argmax with ties to the lexicographically smallest language. The
+    * readout is the (true, predicted) confusion matrix an operator
+    * actually gates a router on. Whether the synthetic corpus separates
+    * well is irrelevant to the contract — the matrix itself is
+    * bit-deterministic and fully oracle-replayed.
+    *
+    * Scale shape: THREE documents passes total (plan-asserted) — one
+    * tokenize feeding the (lang, token-hash) count aggregate, one
+    * tokenize for scoring, one priors pass. Everything else derives from
+    * the vocab-sized count table: totals, vocabulary size, the
+    * vocab×languages model (languages broadcast), and the scoring join
+    * carries md5-prefix hashes, never token text. The per-doc argmax is a
+    * window over languages-many rows per doc keyed by doc_id — high-NDV,
+    * the sweep-safe direction.
+    */
+  def q238NaiveBayesLangId(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), col("lang"), expr(md5l("t")).as("g"))
+    // the vocab-sized count table feeds four consumers (totals, vocab,
+    // model join) — localCheckpoint pins it so the tokenize pass that
+    // builds it runs ONCE (each lazy reference would re-embed the corpus
+    // scan); same for the languages-sized prior table
+    val cnt = tok.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = cnt.groupBy(col("lang")).agg(expr("cast(sum(c) as bigint)").as("tl"))
+    val vg = cnt.select(col("g")).distinct()
+    val voc = vg.agg(count(lit(1)).as("v"))
+    val pri = Tables.documents(spark, d).groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val prior = pri.crossJoin(broadcast(pri.agg(expr("cast(sum(dl) as bigint)").as("d"))))
+      .select(col("lang"),
+        expr("CAST(round(ln(CAST(dl AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lpp"))
+    val model = vg
+      .crossJoin(broadcast(tot.select(col("lang").as("lang_hyp"), col("tl"))))
+      .join(cnt.select(col("lang").as("lang_hyp"), col("g"), col("c")),
+        Seq("g", "lang_hyp"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("g"), col("lang_hyp"),
+        expr("""CAST(round(ln((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) /
+               (CAST(tl AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT)""")
+          .as("lp"))
+    val score = tok.join(model, "g")
+      .groupBy(col("doc_id"), col("lang").as("lang_true"), col("lang_hyp"))
+      .agg(expr("cast(sum(lp) as bigint)").as("s"))
+      .join(broadcast(prior.select(col("lang").as("lang_hyp"), col("lpp"))), "lang_hyp")
+      .withColumn("st", col("s") + col("lpp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("st").desc, col("lang_hyp").asc)
+    score.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang_true"), col("lang_hyp").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
+  val q238Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS g
+         FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       cnt AS (SELECT lang, g, count(*) AS c FROM tok GROUP BY 1, 2),
+       tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tl FROM cnt GROUP BY 1),
+       vg AS (SELECT DISTINCT g FROM cnt),
+       voc AS (SELECT count(*) AS v FROM vg),
+       pri AS (SELECT lang, count(*) AS dl FROM documents GROUP BY 1),
+       prior AS (SELECT p.lang,
+           CAST(round(ln(CAST(p.dl AS DOUBLE) / CAST(d.d AS DOUBLE)) * 1000000) AS BIGINT) AS lpp
+         FROM pri p, (SELECT CAST(sum(dl) AS BIGINT) AS d FROM pri) d),
+       model AS (SELECT vg.g, t.lang AS lang_hyp,
+           CAST(round(ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1.0) /
+                (CAST(t.tl AS DOUBLE) + CAST(voc.v AS DOUBLE))) * 1000000) AS BIGINT) AS lp
+         FROM vg CROSS JOIN tot t
+         LEFT JOIN cnt c ON c.g = vg.g AND c.lang = t.lang
+         CROSS JOIN voc),
+       score AS (SELECT tk.doc_id, tk.lang AS lang_true, m.lang_hyp,
+           CAST(sum(m.lp) AS BIGINT) + any_value(p.lpp) AS st
+         FROM tok tk JOIN model m ON m.g = tk.g
+         JOIN prior p ON p.lang = m.lang_hyp
+         GROUP BY 1, 2, 3),
+       pred AS (SELECT doc_id, lang_true, lang_hyp AS lang_pred
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY st DESC, lang_hyp ASC) AS rn
+               FROM score) WHERE rn = 1)
+       SELECT lang_true, lang_pred, count(*) AS n_docs
+       FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---------------------------------------------------------------- q236
   /** Build the bigram-LM ARTIFACT — the driven, measured version of the
     * model-training job q228/q230/q231 amortize: force-rebuilds the
@@ -1384,6 +1481,7 @@ object TextAnalysis {
        FROM lm"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_naive_bayes_langid" -> q238NaiveBayesLangId _,
     "q236_build_bigram_lm" -> q236BuildBigramLm _,
     "q230_importance_weights" -> q230ImportanceWeights _,
     "q228_bigram_lm_score" -> q228BigramLmScore _,
@@ -1410,6 +1508,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q238_naive_bayes_langid" -> q238Oracle,
     "q236_build_bigram_lm" -> q236Oracle,
     "q230_importance_weights" -> q230Oracle,
     "q228_bigram_lm_score" -> q228Oracle,

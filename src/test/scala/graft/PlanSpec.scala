@@ -232,7 +232,10 @@ class PlanSpec extends SparkSuite {
       "q166_filtered_ivf" -> ("embeddings", 0),          // metadata filter lands on the stored lists
       "q234_build_cluster_table" -> ("documents", 0),    // report reads the just-written artifact
       "q235_build_ivf_index" -> ("embeddings", 0),       // report reads the just-written index
-      "q236_build_bigram_lm" -> ("documents", 0))        // report reads the just-written model
+      "q236_build_bigram_lm" -> ("documents", 0),        // report reads the just-written model
+      "q238_naive_bayes_langid" -> ("documents", 1),     // scoring pass; count/prior tables checkpoint-pinned
+      "q239_incremental_neardup" -> ("documents", 3),    // batch build ×2 + candidate-pruned verification read
+      "q240_build_band_index" -> ("documents", 0))       // report reads the just-written index
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
