@@ -1057,6 +1057,131 @@ object Dedup {
          CAST(n - n // 2 AS BIGINT) AS dropped
        FROM m, range($NumBands) b(band_id) ORDER BY band_id"""
 
+  // ---------------------------------------------------------------- q242
+  /** INCREMENTAL cluster maintenance over the stored cluster table — the
+    * nightly companion to q239: a batch of new documents (12 further-
+    * degraded versions of the q97 chain fixture + 3 fresh disjoint-
+    * alphabet docs) is folded into the PERSISTED clustering without
+    * re-clustering the corpus. Stored (doc_id → component) rows act as
+    * star edges (they encode the old connectivity at depth 1), new edges
+    * are generated batch-incident only (batch shingles ⋈ all shingles —
+    * corpus-vs-corpus pairs never form; that work was paid once at q234
+    * build time), and one min-label closure over star edges + new edges
+    * yields labels PROVABLY equal to a full recluster of the union —
+    * which is exactly what the oracle computes (recursive CTE over the
+    * extended fixture). Output: each batch doc's final component and
+    * whether it joined an existing cluster; the fixture exercises both
+    * branches (9 joins, 3 too-short versions + 3 fresh docs → new
+    * singletons). At 100 TB the closure's iteration count is bounded by
+    * NEW chain depth, not corpus size — the stored part is already
+    * star-shaped.
+    */
+  private val Q242BatchBase = 5000000L
+
+  private def q242Batch(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val v3 = docs.filter(col("doc_id") < 12).select(
+      (col("doc_id") + Q242BatchBase).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - 24, lit(1)))).as("text"))
+    val fresh = spark.range(3).select(
+      (col("id") + 6000000L).as("doc_id"),
+      expr("concat('vx', id, 'a vx', id, 'b vx', id, 'c vx', id, 'd')").as("text"))
+    v3.unionByName(fresh)
+  }
+
+  /** Batch-incident threshold pairs: batch-side shingles join ALL
+    * shingles, so corpus-vs-corpus candidates never form. Batch-batch
+    * pairs are kept once via the id order; output (doc_a < doc_b).
+    */
+  private def batchIncidentPairs(batch: DataFrame, all: DataFrame,
+                                 threshold: Double): DataFrame = {
+    def sh(docs: DataFrame) = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2),
+                          i -> concat_ws(' ', element_at(toks, i),
+                                         element_at(toks, i + 1),
+                                         element_at(toks, i + 2)))
+           END"""))).as("shingle"))
+    val shAll = sh(all)
+    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh(batch).as("a").join(shAll.as("b"),
+        col("a.shingle") === col("b.shingle") && (
+          // corpus partner: always keep; batch partner: keep one direction
+          col("b.doc_id") < Q242BatchBase || col("a.doc_id") < col("b.doc_id")))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  def q242IncrementalClusters(spark: SparkSession, d: String): DataFrame = {
+    val stored = nearDupClusterTable(spark, d)
+    val corpus = q97Corpus(spark, d)
+    val batch = q242Batch(spark, d)
+    val newPairs = batchIncidentPairs(batch, corpus.unionByName(batch), 0.5)
+    val nodes = stored.select(col("doc_id"))
+      .unionByName(batch.select(col("doc_id")))
+    val starEdges = stored.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+    connectedComponents(nodes, starEdges.unionByName(newPairs))
+      .filter(col("id") >= Q242BatchBase)
+      .select(col("id").as("doc_id"), col("component"),
+        (col("component") < Q242BatchBase).as("joined_existing"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q242Oracle: String =
+    s"""WITH RECURSIVE
+       docs2 AS (
+         SELECT doc_id, text FROM documents WHERE doc_id < 100
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 8, 1)), ' ')
+         FROM documents WHERE doc_id < 12
+         UNION ALL
+         SELECT doc_id + 2000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 16, 1)), ' ')
+         FROM documents WHERE doc_id < 12
+         UNION ALL
+         SELECT doc_id + 5000000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                  greatest(len(string_split(text, ' ')) - 24, 1)), ' ')
+         FROM documents WHERE doc_id < 12
+         UNION ALL
+         SELECT i + 6000000, 'vx' || i || 'a vx' || i || 'b vx' || i || 'c vx' || i || 'd'
+         FROM generate_series(0, 2) t(i)),
+       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs2),
+       sh AS (SELECT doc_id,
+                unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []
+                  ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        FOR i IN generate_series(1, len(toks) - 2)] END)) AS shingle
+              FROM t),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT da, db FROM inter
+                 JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM docs2
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1)
+       SELECT doc_id, component, component < 5000000 AS joined_existing
+       FROM comp WHERE doc_id >= 5000000 ORDER BY doc_id"""
+
   // ------------------------------------------- persisted LSH band index
   /** The minhash BAND index as a PERSISTED table — (doc_id, band_id,
     * band_key) over the corpus, bucketed by band_key: the LSH inverted
@@ -1179,6 +1304,7 @@ object Dedup {
        FROM documents"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_incremental_clusters" -> q242IncrementalClusters _,
     "q240_build_band_index" -> q240BuildBandIndex _,
     "q239_incremental_neardup" -> q239IncrementalNearDup _,
     "q234_build_cluster_table" -> q234BuildClusterTable _,
@@ -1198,6 +1324,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q242_incremental_clusters" -> q242Oracle,
     "q240_build_band_index" -> q240Oracle,
     "q239_incremental_neardup" -> q239Oracle,
     "q234_build_cluster_table" -> q234Oracle,

@@ -1604,8 +1604,150 @@ object EventAnalytics {
          CAST(max(n) AS BIGINT) AS max_session_events
        FROM per GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q246
+  /** Two-proportion z-test on conversion — the significance readout that
+    * closes the experimentation trio (q244 adjusts the metric, q160
+    * checks independence, this tests the arm difference): per-arm
+    * converted-user counts (a user converts if they have ≥1 purchase),
+    * pooled-proportion z statistic by the standard formula, computed from
+    * exact integer counts with one textually shared double derivation.
+    * Two corpus passes (per-user conversion flags, arm-sized rollup).
+    */
+  def q246ConversionZtest(spark: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(spark, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").as("conv"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), expr("cast(sum(conv) as bigint)").as("k"))
+    val wide = arms.groupBy()
+      .agg(expr("max(CASE WHEN arm = 0 THEN n END)").as("n0"),
+        expr("max(CASE WHEN arm = 0 THEN k END)").as("k0"),
+        expr("max(CASE WHEN arm = 1 THEN n END)").as("n1"),
+        expr("max(CASE WHEN arm = 1 THEN k END)").as("k1"))
+    wide.select(col("n0"), col("k0"), col("n1"), col("k1"),
+      expr("round(CAST(k0 AS DOUBLE) / n0, 6)").as("conv0"),
+      expr("round(CAST(k1 AS DOUBLE) / n1, 6)").as("conv1"),
+      // degenerate pooled rate (0 or 1) has zero variance: z is undefined
+      // — NULL, identically in both engines (ANSI Spark would throw on /0)
+      expr("""CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1 THEN CAST(NULL AS DOUBLE)
+             ELSE round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0) /
+             sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)), 6) END""").as("z"))
+  }
+
+  val q246Oracle: String =
+    """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1, 2),
+       arms AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k
+                FROM u GROUP BY 1),
+       wide AS (SELECT
+           max(CASE WHEN arm = 0 THEN n END) AS n0,
+           max(CASE WHEN arm = 0 THEN k END) AS k0,
+           max(CASE WHEN arm = 1 THEN n END) AS n1,
+           max(CASE WHEN arm = 1 THEN k END) AS k1
+         FROM arms)
+       SELECT n0, k0, n1, k1,
+         round(CAST(k0 AS DOUBLE) / n0, 6) AS conv0,
+         round(CAST(k1 AS DOUBLE) / n1, 6) AS conv1,
+         CASE WHEN k0 + k1 = 0 OR k0 + k1 = n0 + n1 THEN CAST(NULL AS DOUBLE)
+         ELSE round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0) /
+               sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) END AS z
+       FROM wide"""
+
+  // ---------------------------------------------------------------- q244
+  /** CUPED variance-reduced experiment readout — the industry-standard
+    * A/B adjustment (Deng et al., WSDM'13): per-user PRE-period revenue
+    * is the covariate, θ = cov(pre, post)/var(pre) is fit on the pooled
+    * users, and each arm's post-period mean is reported raw AND
+    * CUPED-adjusted (mean_adj = mean_post − θ·(mean_pre_arm −
+    * mean_pre_pooled)) — the adjustment that makes a true effect visible
+    * with ~30–50% fewer users. Deterministic end to end: revenue in
+    * exact integer cents, the pre/post boundary data-derived (first half
+    * of the observed day span), arm assignment by user-id parity, all
+    * moments as exact DECIMAL(38,0) sums bridged to DOUBLE through
+    * STRING (the >2⁵³ discipline — pre·post products cross 2⁵³ at sf1),
+    * θ and the adjusted means by textually identical formulas in both
+    * engines. Two corpus passes (bounds + one per-user aggregate, pinned
+    * users-sized); everything else is arm-sized.
+    */
+  def q244CupedReadout(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"),
+        date_trunc("DAY", col("ts")).as("day"),
+        expr("""CASE WHEN event_type = 'purchase'
+                THEN cast(round(value * 100) as bigint) ELSE 0 END""").as("cents"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"),
+        expr("cast(floor(0.5 * (datediff(d1, d0) + 1)) as bigint)").as("c"))
+    val u = ev.crossJoin(broadcast(bounds))
+      .withColumn("d", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(expr("cast(sum(CASE WHEN d < c THEN cents ELSE 0 END) as bigint)").as("pre"),
+        expr("cast(sum(CASE WHEN d >= c THEN cents ELSE 0 END) as bigint)").as("post"))
+      .localCheckpoint() // users-sized; moments and arm rollups derive from it
+    val th = u.agg(
+        count(lit(1)).as("n"),
+        expr("cast(sum(cast(pre as decimal(38,0))) as bigint)").as("sp"),
+        expr("cast(sum(cast(post as decimal(38,0))) as bigint)").as("so"),
+        expr("cast(cast(sum(cast(pre as decimal(38,0)) * cast(pre as decimal(38,0))) as string) as double)").as("spp"),
+        expr("cast(cast(sum(cast(pre as decimal(38,0)) * cast(post as decimal(38,0))) as string) as double)").as("spo"))
+      .select(col("n"), col("sp"),
+        expr("""(CAST(n AS DOUBLE) * spo - CAST(sp AS DOUBLE) * so) /
+                (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)""").as("theta"))
+    u.crossJoin(broadcast(th))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("cast(sum(cast(post as decimal(38,0))) as bigint)").as("post_cents"),
+        expr("round(CAST(sum(cast(post as decimal(38,0))) AS DOUBLE) / count(*) / 100.0, 4)")
+          .as("mean_post_raw"),
+        expr("""round((CAST(sum(cast(post as decimal(38,0))) AS DOUBLE) / count(*)
+                - any_value(theta) * (CAST(sum(cast(pre as decimal(38,0))) AS DOUBLE) / count(*)
+                              - CAST(any_value(sp) AS DOUBLE) / any_value(n))) / 100.0, 4)""")
+          .as("mean_post_cuped"),
+        expr("round(any_value(theta), 6)").as("theta"))
+      .orderBy(col("arm"))
+  }
+
+  val q244Oracle: String =
+    """WITH e AS (SELECT user_id,
+             CAST(datediff('day', (SELECT min(date_trunc('day', ts)) FROM events),
+                  date_trunc('day', ts)) AS BIGINT) AS d,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+           FROM events),
+       span AS (SELECT CAST(floor(0.5 * (max(d) + 1)) AS BIGINT) AS c FROM e),
+       u AS (SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN d < span.c THEN cents ELSE 0 END) AS BIGINT) AS pre,
+               CAST(sum(CASE WHEN d >= span.c THEN cents ELSE 0 END) AS BIGINT) AS post
+             FROM e, span GROUP BY 1, 2),
+       m AS (SELECT count(*) AS n,
+               CAST(sum(CAST(pre AS HUGEINT)) AS BIGINT) AS sp,
+               CAST(sum(CAST(post AS HUGEINT)) AS BIGINT) AS so,
+               CAST(CAST(sum(CAST(pre AS HUGEINT) * pre) AS VARCHAR) AS DOUBLE) AS spp,
+               CAST(CAST(sum(CAST(pre AS HUGEINT) * post) AS VARCHAR) AS DOUBLE) AS spo
+             FROM u),
+       th AS (SELECT n, sp,
+                (CAST(n AS DOUBLE) * spo - CAST(sp AS DOUBLE) * so) /
+                (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) AS theta
+              FROM m)
+       SELECT u.arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(u.post AS HUGEINT)) AS BIGINT) AS post_cents,
+         round(CAST(sum(CAST(u.post AS HUGEINT)) AS DOUBLE) / count(*) / 100.0, 4) AS mean_post_raw,
+         round((CAST(sum(CAST(u.post AS HUGEINT)) AS DOUBLE) / count(*)
+                - th.theta * (CAST(sum(CAST(u.pre AS HUGEINT)) AS DOUBLE) / count(*)
+                              - CAST(th.sp AS DOUBLE) / th.n)) / 100.0, 4) AS mean_post_cuped,
+         round(th.theta, 6) AS theta
+       FROM u, th GROUP BY u.arm, th.theta, th.sp, th.n ORDER BY u.arm"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_sessionize_skew_safe" -> q225SessionizeSkewSafe _,
+    "q244_cuped_readout" -> q244CupedReadout _,
+    "q246_conversion_ztest" -> q246ConversionZtest _,
     "q221_changepoint_cusum" -> q221ChangepointCusum _,
     "q222_autocorrelation" -> q222Autocorrelation _,
     "q220_cross_correlation" -> q220CrossCorrelation _,
@@ -1638,6 +1780,8 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q225_sessionize_skew_safe" -> q225Oracle,
+    "q244_cuped_readout" -> q244Oracle,
+    "q246_conversion_ztest" -> q246Oracle,
     "q221_changepoint_cusum" -> q221Oracle,
     "q222_autocorrelation" -> q222Oracle,
     "q220_cross_correlation" -> q220Oracle,

@@ -360,12 +360,76 @@ object Sampling {
        FROM tgt LEFT JOIN sel ON sel.lang = tgt.lang
        GROUP BY tgt.lang, tgt.n, tgt.target ORDER BY tgt.lang"""
 
+  // ---------------------------------------------------------------- q243
+  /** TEMPORAL holdout split — the eval protocol q226's group split cannot
+    * give you: train on the past, test on the future (a random or
+    * group-hash split of time-series events leaks future behavior into
+    * training — the classic recommender/forecasting eval bug). The cutoff
+    * is DATA-DERIVED (first 80% of the observed day span, exact integer
+    * day arithmetic off one bounds pass), and the readout carries the
+    * numbers an eval owner actually gates on: events/users/purchases per
+    * split plus COLD-START users — test-split users with no training
+    * history, the rows a personalization model cannot score. Two corpus
+    * passes total (bounds + one per-(user, split) aggregate; the
+    * users-sized frame is checkpoint-pinned and every rollup derives from
+    * it). Fully deterministic → full oracle.
+    */
+  def q243TemporalSplit(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"),
+        expr("cast(floor(0.8 * (datediff(d1, d0) + 1)) as bigint)").as("c"))
+    val us = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(datediff(col("day"), col("d0")).cast("long") < col("c"), "train")
+          .otherwise("test"))
+      .groupBy(col("user_id"), col("split"))
+      .agg(count(lit(1)).as("ne"),
+        expr("cast(count_if(event_type = 'purchase') as bigint)").as("np"))
+      .localCheckpoint() // users × 2 rows; every readout below derives from it
+    val hist = us.groupBy(col("user_id"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("has_train"))
+    us.join(hist, "user_id")
+      .groupBy(col("split"))
+      .agg(expr("cast(sum(ne) as bigint)").as("n_events"),
+        count(lit(1)).as("n_users"),
+        count_if(col("has_train") === 0).as("n_cold_start_users"),
+        expr("cast(sum(np) as bigint)").as("n_purchases"))
+      .orderBy(col("split"))
+  }
+
+  val q243Oracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+             CAST(datediff('day', (SELECT min(date_trunc('day', ts)) FROM events),
+                  date_trunc('day', ts)) AS BIGINT) AS d
+           FROM events),
+       span AS (SELECT max(d) + 1 AS n_days FROM e),
+       cut AS (SELECT CAST(floor(0.8 * n_days) AS BIGINT) AS c FROM span),
+       s AS (SELECT e.user_id, e.event_type,
+               CASE WHEN e.d < cut.c THEN 'train' ELSE 'test' END AS split
+             FROM e, cut),
+       us AS (SELECT user_id, split, count(*) AS ne,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM s GROUP BY 1, 2),
+       hist AS (SELECT user_id, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+                FROM us GROUP BY 1)
+       SELECT split,
+         CAST(sum(ne) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN hist.has_train = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cold_start_users,
+         CAST(sum(np) AS BIGINT) AS n_purchases
+       FROM us JOIN hist USING (user_id)
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_stratified_sample" -> q73StratifiedSample _,
     "q85_sample_cap_weighted" -> q85CapWeighted _,
     "q90_shuffle_deterministic" -> q90ShuffleDeterministic _,
     "q216_systematic_sample" -> q216SystematicSample _,
     "q226_group_aware_split" -> q226GroupAwareSplit _,
+    "q243_temporal_split" -> q243TemporalSplit _,
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
@@ -374,5 +438,6 @@ object Sampling {
     "q90_shuffle_deterministic" -> q90Oracle,
     "q216_systematic_sample" -> q216Oracle,
     "q226_group_aware_split" -> q226Oracle,
+    "q243_temporal_split" -> q243Oracle,
     "q227_temperature_sample" -> q227Oracle)
 }

@@ -750,6 +750,149 @@ object Similarity {
               c.ce[1] AS c0, c.ce[33] AS c32
        FROM m JOIN cent$IvfTrainRounds c ON c.cid = m.cid ORDER BY m.cid"""
 
+  // ---------------------------------------------------------------- q241
+  /** IVF index RECALL@k evaluation — the index-quality gate that decides
+    * nprobe/K before anyone serves a query from the stored lists: for a
+    * 10-query sample, exact brute-force top-10 is the ground truth and the
+    * stored-index IVF top-10 is the candidate, per-query hit counts and
+    * recall come out as one small frame. 0.8–1.0 at the shipped
+    * nprobe=[[IvfNProbe]] on this corpus; the number an operator watches
+    * when tuning the index, and the first thing to recheck after q235
+    * rebuilds it. Entirely deterministic double math over the persisted
+    * index tables → full DuckDB oracle (training + both search paths
+    * replayed).
+    *
+    * Scale shape: this is an OFFLINE eval over a small query sample — the
+    * ground-truth pass is deliberately corpus × |sample| (that is what
+    * ground truth costs), parallel in the corpus dimension; the per-query
+    * ranking windows partition by query id, i.e. |sample|-way — an eval
+    * harness shape, not a serving path (serving is q51/q84's pruned
+    * joins). Zero raw-embedding scans: queries, candidates, and vectors
+    * all come from the stored assignment table.
+    */
+  def q241IvfRecall(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      .localCheckpoint() // 10 rows, read by three consumers
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val scored = assigned.select(col("vec_id"), col("ed"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+    val bftop = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = cent.crossJoin(broadcast(queries))
+      .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= IvfNProbe)
+      .select(col("qid"), col("cid"), col("qe"))
+    val ivftop = assigned.select(col("vec_id"), col("cid"), col("ed"))
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    bftop.as("t")
+      .join(ivftop.as("i"),
+        col("t.qid") === col("i.qid") && col("t.vec_id") === col("i.vec_id"),
+        "left")
+      .groupBy(col("t.qid").as("query_id"))
+      .agg(count(col("i.vec_id")).as("n_hits"),
+        expr("round(count(i.vec_id) / 10.0, 4)").as("recall_at_10"))
+      .orderBy(col("query_id"))
+  }
+
+  val q241Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       probes AS (SELECT vec_id AS qid, cid FROM pairT WHERE vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) <= $IvfNProbe),
+       bf AS (SELECT q.vec_id AS qid, e.vec_id,
+                sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                 sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)))) AS cos
+              FROM ev e, ev q, range(64) r(j)
+              WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2),
+       bftop AS (SELECT qid, vec_id FROM bf
+                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) <= 10),
+       ivfcand AS (SELECT DISTINCT pr.qid, a.vec_id FROM assignedT a
+                   JOIN probes pr ON a.cid = pr.cid WHERE a.vec_id <> pr.qid),
+       ivftop AS (SELECT b.qid, b.vec_id FROM bf b
+                  JOIN ivfcand c ON c.qid = b.qid AND c.vec_id = b.vec_id
+                  QUALIFY row_number() OVER (PARTITION BY b.qid ORDER BY b.cos DESC, b.vec_id ASC) <= 10)
+       SELECT t.qid AS query_id,
+         CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+         round(count(i.vec_id) / 10.0, 4) AS recall_at_10
+       FROM bftop t LEFT JOIN ivftop i ON i.qid = t.qid AND i.vec_id = t.vec_id
+       GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q245
+  /** IVF index DRIFT readout — the monitoring half of index maintenance
+    * (q235 builds, q241 scores recall, this watches distribution shift):
+    * a new embedding batch (20 deterministically perturbed vectors — each
+    * dimension shifted by 0.01·((j mod 3)+1), the SQL-replayable stand-in
+    * for "tonight's embeddings came from a drifted encoder") is assigned
+    * against the STORED centroid table, and each list's stored-vs-batch
+    * assignment share is compared. A skewed share_drift column is the
+    * signal that the centroids no longer represent incoming data and
+    * q235 should retrain. Report-only (no mutation of the shared index);
+    * K-row output; zero raw-embedding scans — batch vectors derive from
+    * the stored assignment table's `ed`. Full oracle replaying training,
+    * perturbation, and assignment.
+    */
+  def q245IvfDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val batch = assigned.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 9000000L).as("bid"),
+        expr("transform(ed, (x, j) -> x + 0.01 * ((j % 3) + 1))").as("be"))
+    val w = Window.partitionBy(col("bid")).orderBy(col("sim").desc, col("cid").asc)
+    val bassign = batch.crossJoin(broadcast(cent))
+      .withColumn("sim", cosineCols(spark, "be", "ce"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bid"), col("cid"))
+    val storedDist = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_stored"))
+    val batchDist = bassign.groupBy(col("cid")).agg(count(lit(1)).as("nb"))
+    val tot = storedDist.agg(expr("cast(sum(n_stored) as bigint)").as("ts"))
+      .crossJoin(batchDist.agg(expr("cast(sum(nb) as bigint)").as("tb")))
+    storedDist.join(batchDist, Seq("cid"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_stored"),
+        coalesce(col("nb"), lit(0L)).as("n_batch"),
+        expr("""round(abs(CAST(coalesce(nb, 0) AS DOUBLE) / tb
+               - CAST(n_stored AS DOUBLE) / ts), 6)""").as("share_drift"))
+      .orderBy(col("cid"))
+  }
+
+  val q245Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       batch AS (SELECT vec_id + 9000000 AS bid,
+                   [CAST(embedding[j+1] AS DOUBLE) + 0.01 * ((j % 3) + 1)
+                    FOR j IN generate_series(0, 63)] AS be
+                 FROM embeddings WHERE vec_id < 20),
+       bpair AS (SELECT b.bid, c.cid,
+                   sum(b.be[r.j+1] * c.ce[r.j+1]) /
+                   (sqrt(sum(b.be[r.j+1] * b.be[r.j+1])) * sqrt(sum(c.ce[r.j+1] * c.ce[r.j+1]))) AS sim
+                 FROM batch b, cent$IvfTrainRounds c, range(64) r(j) GROUP BY 1, 2),
+       bassign AS (SELECT bid, cid FROM bpair
+                   QUALIFY row_number() OVER (PARTITION BY bid ORDER BY sim DESC, cid ASC) = 1),
+       stored_dist AS (SELECT cid, count(*) AS ns FROM assignedT GROUP BY 1),
+       batch_dist AS (SELECT cid, count(*) AS nb FROM bassign GROUP BY 1),
+       tot AS (SELECT (SELECT CAST(sum(ns) AS BIGINT) FROM stored_dist) AS ts,
+                      (SELECT CAST(sum(nb) AS BIGINT) FROM batch_dist) AS tb)
+       SELECT s.cid,
+         CAST(s.ns AS BIGINT) AS n_stored,
+         CAST(coalesce(b.nb, 0) AS BIGINT) AS n_batch,
+         round(abs(CAST(coalesce(b.nb, 0) AS DOUBLE) / t.tb - CAST(s.ns AS DOUBLE) / t.ts), 6) AS share_drift
+       FROM stored_dist s LEFT JOIN batch_dist b ON b.cid = s.cid, tot t
+       ORDER BY s.cid"""
+
   // ---------------------------------------------------------------- q182
   /** Per-cluster scatter (within-cluster sum of squares) — the quality
     * readout that decides whether IVF centroids are good enough / k-means
@@ -941,6 +1084,8 @@ object Similarity {
     "q58_dedup_embedding_lsh" -> q58EmbeddingDedupLsh _,
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q235_build_ivf_index" -> q235BuildIvfIndex _,
+    "q241_ivf_recall" -> q241IvfRecall _,
+    "q245_ivf_drift" -> q245IvfDrift _,
     "q166_filtered_ivf" -> q166FilteredIvf _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q156_filtered_ann" -> q156FilteredAnn _,
@@ -958,6 +1103,8 @@ object Similarity {
     "q58_dedup_embedding_lsh" -> q58Oracle,
     "q51_similarity_ivf_topk" -> q51Oracle,
     "q235_build_ivf_index" -> q235Oracle,
+    "q241_ivf_recall" -> q241Oracle,
+    "q245_ivf_drift" -> q245Oracle,
     "q166_filtered_ivf" -> q166Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q156_filtered_ann" -> q156Oracle,

@@ -235,7 +235,13 @@ class PlanSpec extends SparkSuite {
       "q236_build_bigram_lm" -> ("documents", 0),        // report reads the just-written model
       "q238_naive_bayes_langid" -> ("documents", 1),     // scoring pass; count/prior tables checkpoint-pinned
       "q239_incremental_neardup" -> ("documents", 3),    // batch build ×2 + candidate-pruned verification read
-      "q240_build_band_index" -> ("documents", 0))       // report reads the just-written index
+      "q240_build_band_index" -> ("documents", 0),       // report reads the just-written index
+      "q241_ivf_recall" -> ("embeddings", 0),            // eval runs entirely off the stored index tables
+      "q242_incremental_clusters" -> ("documents", 4),   // batch build + batch-incident shingle sides (CC pins the rest)
+      "q243_temporal_split" -> ("events", 2),            // bounds pass + per-(user,split) aggregate (pinned)
+      "q244_cuped_readout" -> ("events", 2),             // bounds pass + per-user pre/post aggregate (pinned)
+      "q245_ivf_drift" -> ("embeddings", 0),             // batch + distributions all from the stored index
+      "q246_conversion_ztest" -> ("events", 1))          // one per-user conversion aggregate
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
