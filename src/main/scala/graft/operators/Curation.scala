@@ -733,8 +733,109 @@ object Curation {
            ELSE CAST(-1 AS BIGINT) END AS n_quota
        FROM tw CROSS JOIN tsum ORDER BY split, lang"""
 
+  // ---------------------------------------------------------------- q247
+  /** Rejection ATTRIBUTION matrix — the curation readout that turns "the
+    * gate dropped 26% of the corpus" into "which rule, and do the rules
+    * overlap": three certified reject rules (length < 180 chars;
+    * duplicated-trigram fraction ≥ 0.02, q94's repetition signal at this
+    * corpus's organic scale; bigram-LM score below the q231 gate — read
+    * from the PERSISTED model table) evaluated per document, then ONE
+    * conditional aggregate emits per-rule counts, all pairwise overlaps,
+    * the triple overlap, and the any/clean totals. Overlap ≈ 0 says the
+    * rules are complementary (each earns its place); a pair that always
+    * co-fires is a redundant rule. Two corpus passes (LM scoring +
+    * flags), per-doc score table pinned; fully deterministic → full
+    * oracle.
+    */
+  def q247RejectionAttribution(spark: SparkSession, d: String): DataFrame = {
+    val big = TextAnalysis.hashedBigrams(spark, d)
+    val lp = TextAnalysis.bigramLmTable(spark, d)
+      .select(col("g2"), col("lp_micro"))
+    val scores = big.join(lp, "g2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .localCheckpoint()
+    val gl = scores.agg(
+      expr("cast(sum(cast(d_sum as decimal(38,0))) as decimal(38,0))").as("sw"),
+      expr("cast(sum(n_big) as decimal(38,0))").as("sb"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+      .join(scores, Seq("doc_id"), "left")
+      .crossJoin(broadcast(gl))
+      .select(
+        when(col("n_chars") < 180, 1).otherwise(0).as("r_len"),
+        expr("""CASE WHEN size(ws) >= 3 AND
+               1.0 - CAST(size(array_distinct(transform(sequence(1, size(ws) - 2),
+                     i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                                    element_at(ws, i + 2))))) AS DOUBLE)
+                   / (size(ws) - 2) >= 0.02 THEN 1 ELSE 0 END""").as("r_rep"),
+        expr("""CASE WHEN d_sum IS NOT NULL AND
+               cast(d_sum as decimal(38,0)) * sb <
+               cast(n_big as decimal(38,0)) * (sw - 200000 * sb)
+               THEN 1 ELSE 0 END""").as("r_lm"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(r_len) as bigint)").as("r_len"),
+        expr("cast(sum(r_rep) as bigint)").as("r_rep"),
+        expr("cast(sum(r_lm) as bigint)").as("r_lm"),
+        expr("cast(sum(r_len * r_rep) as bigint)").as("r_len_rep"),
+        expr("cast(sum(r_len * r_lm) as bigint)").as("r_len_lm"),
+        expr("cast(sum(r_rep * r_lm) as bigint)").as("r_rep_lm"),
+        expr("cast(sum(r_len * r_rep * r_lm) as bigint)").as("r_all"),
+        expr("cast(sum(CASE WHEN r_len + r_rep + r_lm > 0 THEN 1 ELSE 0 END) as bigint)").as("n_any"),
+        expr("cast(sum(CASE WHEN r_len + r_rep + r_lm = 0 THEN 1 ELSE 0 END) as bigint)").as("n_clean"))
+  }
+
+  val q247Oracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       scores AS (SELECT b.doc_id, count(*) AS n_big, CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+                  FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1),
+       gl AS (SELECT CAST(sum(CAST(d_sum AS HUGEINT)) AS DECIMAL(38,0)) AS sw,
+                     CAST(sum(n_big) AS DECIMAL(38,0)) AS sb FROM scores),
+       fl AS (SELECT d.doc_id,
+                CASE WHEN d.n_chars < 180 THEN 1 ELSE 0 END AS r_len,
+                CASE WHEN len(t.ws) >= 3 AND
+                          1.0 - CAST(len(list_distinct([t.ws[i] || ' ' || t.ws[i+1] || ' ' || t.ws[i+2]
+                                 FOR i IN generate_series(1, len(t.ws) - 2)])) AS DOUBLE)
+                              / (len(t.ws) - 2) >= 0.02
+                     THEN 1 ELSE 0 END AS r_rep,
+                CASE WHEN s.doc_id IS NOT NULL AND
+                          CAST(s.d_sum AS DECIMAL(38,0)) * gl.sb <
+                          CAST(s.n_big AS DECIMAL(38,0)) * (gl.sw - 200000 * gl.sb)
+                     THEN 1 ELSE 0 END AS r_lm
+              FROM documents d JOIN tok t USING (doc_id)
+              LEFT JOIN scores s USING (doc_id) CROSS JOIN gl)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(r_len) AS BIGINT) AS r_len,
+         CAST(sum(r_rep) AS BIGINT) AS r_rep,
+         CAST(sum(r_lm) AS BIGINT) AS r_lm,
+         CAST(sum(r_len * r_rep) AS BIGINT) AS r_len_rep,
+         CAST(sum(r_len * r_lm) AS BIGINT) AS r_len_lm,
+         CAST(sum(r_rep * r_lm) AS BIGINT) AS r_rep_lm,
+         CAST(sum(r_len * r_rep * r_lm) AS BIGINT) AS r_all,
+         CAST(sum(CASE WHEN r_len + r_rep + r_lm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+         CAST(sum(CASE WHEN r_len + r_rep + r_lm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       FROM fl"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_curation_capstone" -> q231CurationCapstone _,
+    "q247_rejection_attribution" -> q247RejectionAttribution _,
     "q198_quantile_normalize" -> q198QuantileNormalize _,
     "q180_length_decile_mix" -> q180LengthDecileMix _,
     "q150_training_pipeline" -> q150TrainingPipeline _,
@@ -746,6 +847,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q231_curation_capstone" -> q231Oracle,
+    "q247_rejection_attribution" -> q247Oracle,
     "q198_quantile_normalize" -> q198Oracle,
     "q180_length_decile_mix" -> q180Oracle,
     "q150_training_pipeline" -> q150Oracle,
