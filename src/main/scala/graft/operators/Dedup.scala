@@ -1216,18 +1216,15 @@ object Dedup {
     * Self-pair Jaccard bounds are computed over self pairs alone so
     * organic corpus near-dups (or replica copies) can never perturb them.
     */
-  def q239IncrementalNearDup(spark: SparkSession, d: String): DataFrame = {
-    val bands = minhashBandIndexTable(spark, d)
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    val exact = docs.filter(col("doc_id") < 10)
-      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
-        lit("exact_copy").as("category"))
-    val fresh = spark.range(10)
-      .select((col("id") + 4000000L).as("doc_id"),
-        expr("concat('qz', id, 'a qz', id, 'b qz', id, 'c qz', id, 'd qz', id, 'e')")
-          .as("text"),
-        lit("fresh").as("category"))
-    val batch = exact.unionByName(fresh)
+  /** Verified near-dup matches of `batch` docs (doc_id, text) against the
+    * stored band index: candidates from the index probe, exact
+    * shingle-Jaccard verification reading ONLY candidate corpus docs (the
+    * pruning dividend). Returns (in_id, ref_id, jaccard ≥ threshold) —
+    * shared by the q239 report and the q248 streaming filter.
+    */
+  def incrementalNearDupMatches(corpusDocs: DataFrame, bands: DataFrame,
+                                batch: DataFrame,
+                                threshold: Double): DataFrame = {
     val inB = minhashSignatures(batch).select(
         col("doc_id").as("in_id"),
         posexplode(expr(
@@ -1242,15 +1239,40 @@ object Dedup {
       .localCheckpoint()
     val sIn = minhashSignatures(batch)
       .select(col("doc_id").as("in_id"), col("shingles").as("sh_in"))
-    // verification reads ONLY candidate corpus docs — the pruning dividend
     val sRef = minhashSignatures(
-        docs.join(cand.select(col("ref_id")).distinct(),
+        corpusDocs.join(cand.select(col("ref_id")).distinct(),
           col("doc_id") === col("ref_id")).select(col("doc_id"), col("text")))
       .select(col("doc_id").as("ref_id"), col("shingles").as("sh_ref"))
-    val verified = cand.join(sIn, "in_id").join(sRef, "ref_id")
+    cand.join(sIn, "in_id").join(sRef, "ref_id")
       .withColumn("jaccard", expr(
         "CAST(size(array_intersect(sh_in, sh_ref)) AS DOUBLE) / size(array_union(sh_in, sh_ref))"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The q239/q248 shared batch fixture: 10 exact copies of corpus docs
+    * 0–9 (ids +3e6, category exact_copy) and 10 fresh docs over a
+    * disjoint token alphabet (ids +4e6, category fresh).
+    */
+  private[graft] def incrementalBatchFixture(spark: SparkSession,
+                                             d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+        lit("exact_copy").as("category"))
+    val fresh = spark.range(10)
+      .select((col("id") + 4000000L).as("doc_id"),
+        expr("concat('qz', id, 'a qz', id, 'b qz', id, 'c qz', id, 'd qz', id, 'e')")
+          .as("text"),
+        lit("fresh").as("category"))
+    exact.unionByName(fresh)
+  }
+
+  def q239IncrementalNearDup(spark: SparkSession, d: String): DataFrame = {
+    val bands = minhashBandIndexTable(spark, d)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val batch = incrementalBatchFixture(spark, d)
+    val verified = incrementalNearDupMatches(docs, bands,
+      batch.select(col("doc_id"), col("text")), 0.5)
     val perDoc = verified.groupBy(col("in_id"))
       .agg(count(lit(1)).as("n_pairs"),
         count_if(col("ref_id") === col("in_id") - 3000000L).as("self_pairs"),

@@ -239,6 +239,73 @@ object StreamingOps {
     table
   }
 
+  // ---------------------------------------------------------------- q248
+  /** STREAMING near-dup admission filter against the PERSISTED band index
+    * — the nightly crawl as it actually arrives: documents stream in,
+    * each micro-batch probes the stored LSH inverted lists (q240's
+    * artifact), verified matches are REJECTED before they enter the
+    * corpus, and accepted docs append to the admission table. This is
+    * q239's incremental probe composed with the q92 foreachBatch sink —
+    * streams and stored artifacts meeting in one query, the shape a
+    * 100 TB ingest front-door runs continuously. The fixture streams in
+    * ≥2 micro-batches (one file per trigger) so the accumulation is
+    * real; the certificate is q239's (exact copies MUST be rejected,
+    * disjoint-alphabet fresh docs MUST pass — exact verification filters
+    * any band collision), so the readout is exact at any SF.
+    */
+  def q248StreamNearDupFilter(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val bands = graft.operators.Dedup.minhashBandIndexTable(spark, d)
+    val corpus = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val tmp = graft.core.Scratch.dir("stream_neardup")
+    graft.operators.Dedup.incrementalBatchFixture(spark, d)
+      .repartition(2, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("category", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val accepted = s"graft_q248_accepted_${graft.core.Utils.pathDigest(d)}"
+    graft.etl.Warehouse.dropManagedTable(spark, accepted)
+    spark.sql(s"CREATE TABLE $accepted (doc_id BIGINT, category STRING) USING parquet")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rejected = graft.operators.Dedup
+            .incrementalNearDupMatches(corpus, bands,
+              b.select(col("doc_id"), col("text")), 0.5)
+            .select(col("in_id").as("doc_id")).distinct()
+          b.join(rejected, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("category"))
+            .write.mode("append").saveAsTable(accepted)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    graft.operators.Dedup.incrementalBatchFixture(spark, d)
+      .groupBy(col("category")).agg(count(lit(1)).as("n_seen"))
+      .join(spark.table(accepted).groupBy(col("category"))
+        .agg(count(lit(1)).as("na")), Seq("category"), "left")
+      .select(col("category"), col("n_seen"),
+        coalesce(col("na"), lit(0L)).as("n_accepted"))
+      .orderBy(col("category"))
+  }
+
+  val q248Oracle: String =
+    """SELECT category, n_seen, n_accepted FROM (
+         SELECT 'exact_copy' AS category, CAST(10 AS BIGINT) AS n_seen,
+                CAST(0 AS BIGINT) AS n_accepted
+         UNION ALL SELECT 'fresh', CAST(10 AS BIGINT), CAST(10 AS BIGINT))
+       ORDER BY category"""
+
   // ---------------------------------------------------------------- q92
   /** The idempotent foreachBatch sink driven end-to-end WITH a replay: the
     * stream is run to completion into the table, then run again from
@@ -617,6 +684,7 @@ object StreamingOps {
     "q78_stream_static_join" -> q78StreamStaticJoin _,
     "q87_stream_sessionize" -> q87Sessionize _,
     "q92_stream_foreach_sink" -> q92ForeachBatchSink _,
+    "q248_stream_neardup_filter" -> q248StreamNearDupFilter _,
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
@@ -632,5 +700,6 @@ object StreamingOps {
     "q78_stream_static_join" -> q78Oracle,
     "q87_stream_sessionize" -> q87Oracle,
     "q92_stream_foreach_sink" -> q92Oracle,
+    "q248_stream_neardup_filter" -> q248Oracle,
     "q110_stream_stream_join" -> q110Oracle)
 }

@@ -242,7 +242,8 @@ class PlanSpec extends SparkSuite {
       "q244_cuped_readout" -> ("events", 2),             // bounds pass + per-user pre/post aggregate (pinned)
       "q245_ivf_drift" -> ("embeddings", 0),             // batch + distributions all from the stored index
       "q246_conversion_ztest" -> ("events", 1),          // one per-user conversion aggregate
-      "q247_rejection_attribution" -> ("documents", 2))  // LM scoring pass + flags pass (scores pinned)
+      "q247_rejection_attribution" -> ("documents", 2),  // LM scoring pass + flags pass (scores pinned)
+      "q248_stream_neardup_filter" -> ("documents", 3))  // fixture write + seen rollup + corpus side (stream work is per-batch)
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
