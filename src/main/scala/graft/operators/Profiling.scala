@@ -585,7 +585,68 @@ object Profiling {
               AS DOUBLE) / CAST(CAST(min(n) AS BIGINT) AS DOUBLE) AS share_of_customers
        FROM r"""
 
+  // ---------------------------------------------------------------- q251
+  /** k-ANONYMITY / l-DIVERSITY risk profile — the privacy-release audit
+    * run before any table leaves the warehouse (Sweeney 2002; Machanavajjhala
+    * 2007): rows are grouped by their quasi-identifier tuple (nation ×
+    * account-balance band — the attributes an adversary can link from
+    * public data), and the readout reports, for each candidate k, how
+    * many QI groups fall below k and how many rows they expose, plus the
+    * minimum group size, the minimum l (distinct sensitive values —
+    * market segment — per group), and the count of fully homogeneous
+    * groups (the l=1 attribute-disclosure case). The row a release gate
+    * reads: "at k=5, X% of rows are re-identifiable".
+    *
+    * Scale shape: ONE pass over the table into the QI-group frame
+    * (group-count-sized, pinned), then k-level expansion against a
+    * broadcast 4-row k table and one broadcast 1-row total — no second
+    * table scan, no window over the corpus.
+    */
+  def q251KAnonymity(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.customer(spark, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_mktsegment")).as("l"))
+      .localCheckpoint() // QI-group-sized; read by totals + k-level risk
+    val tot = g.agg(expr("cast(sum(n) as bigint)").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      expr("cast(min(n) as bigint)").as("min_group_size"),
+      expr("cast(min(l) as bigint)").as("l_min"),
+      expr("cast(count_if(l < 2) as bigint)").as("n_homogeneous"))
+    val ks = spark.range(1).selectExpr("explode(array(2L, 5L, 10L, 20L)) AS k")
+    val risk = g.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(expr("cast(count_if(n < k) as bigint)").as("n_groups_below"),
+        expr("cast(coalesce(sum(CASE WHEN n < k THEN n END), 0) as bigint)")
+          .as("n_rows_at_risk"))
+    risk.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_groups"), col("n_groups_below"),
+        col("n_rows_at_risk"),
+        expr("round(CAST(n_rows_at_risk AS DOUBLE) / n_rows, 4)").as("pct_rows_at_risk"),
+        col("min_group_size"), col("l_min"), col("n_homogeneous"))
+      .orderBy(col("k"))
+  }
+
+  val q251Oracle: String =
+    """WITH qi AS (SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+       g AS (SELECT c_nationkey, bal_band, count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l FROM qi GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(min(n) AS BIGINT) AS min_group_size, CAST(min(l) AS BIGINT) AS l_min,
+                 CAST(count_if(l < 2) AS BIGINT) AS n_homogeneous FROM g),
+       ks AS (SELECT unnest([2, 5, 10, 20]) AS k),
+       risk AS (SELECT ks.k, CAST(count_if(g.n < ks.k) AS BIGINT) AS n_groups_below,
+                  CAST(coalesce(sum(g.n) FILTER (g.n < ks.k), 0) AS BIGINT) AS n_rows_at_risk
+                FROM ks CROSS JOIN g GROUP BY 1)
+       SELECT CAST(r.k AS BIGINT) AS k, t.n_groups, r.n_groups_below, r.n_rows_at_risk,
+         round(CAST(r.n_rows_at_risk AS DOUBLE) / t.n_rows, 4) AS pct_rows_at_risk,
+         t.min_group_size, t.l_min, t.n_homogeneous
+       FROM risk r CROSS JOIN tot t ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_k_anonymity" -> q251KAnonymity _,
     "q214_pareto_coverage" -> q214ParetoCoverage _,
     "q204_dispersion_index" -> q204DispersionIndex _,
     "q176_mad_outliers" -> q176MadOutliers _,
@@ -599,6 +660,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q251_k_anonymity" -> q251Oracle,
     "q214_pareto_coverage" -> q214Oracle,
     "q204_dispersion_index" -> q204Oracle,
     "q176_mad_outliers" -> q176Oracle,

@@ -893,6 +893,68 @@ object Similarity {
        FROM stored_dist s LEFT JOIN batch_dist b ON b.cid = s.cid, tot t
        ORDER BY s.cid"""
 
+  // ---------------------------------------------------------------- q249
+  /** SemDeDup-style SEMANTIC dedup inside the stored IVF cells (Abbas et
+    * al. 2023): instead of comparing every embedding against every other
+    * (O(N²) — impossible at corpus scale), pairs are only formed WITHIN a
+    * cluster cell of the persisted index — the candidate set the paper
+    * derives from k-means, here the inverted lists q235 already built.
+    * Per dup pair (cosine ≥ 0.3, this corpus's high-similarity tail — the
+    * q36 calibration) the larger vec_id is dropped (keep-lowest, the
+    * deterministic stand-in for the paper's keep-closest-to-centroid).
+    * Readout per cell: members, pairs actually checked (Σ cell² — the
+    * pruning denominator vs C(N,2)), dup pairs, docs dropped, max cosine.
+    *
+    * Scale shape: the pair join is an equi-join on `cid` over the STORED
+    * assignment table (zero raw-embedding scans; vectors ride the `ed`
+    * column) — Σ cell² bounded per cell, parallel across cells. The eval
+    * is shard-bounded (vec_id < 500) so the DuckDB replay stays tractable
+    * at the 10× replica; at 100 TB the same query runs per embedding
+    * shard, cells stay capped by the IVF balance q245 monitors.
+    */
+  def q249SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val sub = ivfAssignTable(spark, d).filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("cid"), col("ed"))
+    val cells = sub.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val dup = sub.select(col("cid"), col("vec_id").as("id_a"), col("ed").as("ea"))
+      .join(sub.select(col("cid").as("cid_b"), col("vec_id").as("id_b"),
+          col("ed").as("eb")),
+        col("cid") === col("cid_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosineCols(spark, "ea", "eb"))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("nd"), countDistinct(col("id_b")).as("ndrop"),
+        round(max(col("cos")), 4).as("max_cos"))
+    cells.join(dup, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        expr("CAST(n_members * (n_members - 1) / 2 AS BIGINT)").as("n_pairs_checked"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("ndrop"), lit(0L)).as("n_dropped"),
+        col("max_cos"))
+      .orderBy(col("cid"))
+  }
+
+  val q249Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < 500),
+       cells AS (SELECT cid, count(*) AS n FROM sub GROUP BY 1),
+       pr AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+                sum(CAST(ea.embedding[r.j+1] AS DOUBLE) * CAST(eb.embedding[r.j+1] AS DOUBLE)) /
+                (sqrt(sum(CAST(ea.embedding[r.j+1] AS DOUBLE) * CAST(ea.embedding[r.j+1] AS DOUBLE))) *
+                 sqrt(sum(CAST(eb.embedding[r.j+1] AS DOUBLE) * CAST(eb.embedding[r.j+1] AS DOUBLE)))) AS cos
+              FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              JOIN ev ea ON ea.vec_id = x.vec_id JOIN ev eb ON eb.vec_id = y.vec_id,
+              range(64) r(j)
+              GROUP BY 1, 2, 3),
+       dup AS (SELECT cid, id_a, id_b, cos FROM pr WHERE cos >= 0.3)
+       SELECT c.cid, CAST(c.n AS BIGINT) AS n_members,
+         CAST(c.n * (c.n - 1) / 2 AS BIGINT) AS n_pairs_checked,
+         CAST(count(d.id_a) AS BIGINT) AS n_dup_pairs,
+         CAST(count(DISTINCT d.id_b) AS BIGINT) AS n_dropped,
+         round(max(d.cos), 4) AS max_cos
+       FROM cells c LEFT JOIN dup d ON d.cid = c.cid
+       GROUP BY c.cid, c.n ORDER BY c.cid"""
+
   // ---------------------------------------------------------------- q182
   /** Per-cluster scatter (within-cluster sum of squares) — the quality
     * readout that decides whether IVF centroids are good enough / k-means
@@ -1086,6 +1148,7 @@ object Similarity {
     "q235_build_ivf_index" -> q235BuildIvfIndex _,
     "q241_ivf_recall" -> q241IvfRecall _,
     "q245_ivf_drift" -> q245IvfDrift _,
+    "q249_semantic_dedup" -> q249SemanticDedup _,
     "q166_filtered_ivf" -> q166FilteredIvf _,
     "q34_similarity_cosine_topk" -> q34CosineTopK _,
     "q156_filtered_ann" -> q156FilteredAnn _,
@@ -1105,6 +1168,7 @@ object Similarity {
     "q235_build_ivf_index" -> q235Oracle,
     "q241_ivf_recall" -> q241Oracle,
     "q245_ivf_drift" -> q245Oracle,
+    "q249_semantic_dedup" -> q249Oracle,
     "q166_filtered_ivf" -> q166Oracle,
     "q34_similarity_cosine_topk" -> q34Oracle,
     "q156_filtered_ann" -> q156Oracle,

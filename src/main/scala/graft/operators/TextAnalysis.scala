@@ -1129,6 +1129,21 @@ object TextAnalysis {
         expr(md5l("bg")).as("g2"))
   }
 
+  /** [[hashedBigrams]] for an arbitrary (doc_id, text) frame — the same
+    * tokenize → bigram → md5-prefix-hash transform, minus the corpus
+    * scan and the `lang` column. Used by incoming-batch paths (q250).
+    */
+  def hashedBigramsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"),
+        expr(md5l("split(bg, chr(1))[0]")).as("g1"),
+        expr(md5l("bg")).as("g2"))
+
   /** The bigram-LM model rows the artifact stores: one row per distinct
     * bigram hash with its left-context hash, raw count, and BOTH add-1
     * smoothed log-probs in exact µ-nats — `lp_micro` under the corpus LM
@@ -1349,7 +1364,12 @@ object TextAnalysis {
     * window over languages-many rows per doc keyed by doc_id — high-NDV,
     * the sweep-safe direction.
     */
-  def q238NaiveBayesLangId(spark: SparkSession, d: String): DataFrame = {
+  /** Per-document naive-Bayes predictions (doc_id, lang_true, lang_pred)
+    * — the q238 classifier up to (and including) the argmax, factored so
+    * the q252 agreement readout scores the same predictions q238's
+    * confusion matrix rolls up.
+    */
+  private[graft] def naiveBayesPredictions(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"),
@@ -1388,13 +1408,21 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("st").desc, col("lang_hyp").asc)
     score.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("lang_true"), col("lang_hyp").as("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang_true"), col("lang_pred"))
+      .select(col("doc_id"), col("lang_true"), col("lang_hyp").as("lang_pred"))
   }
 
-  val q238Oracle: String =
-    """WITH tok AS (SELECT doc_id, lang,
+  def q238NaiveBayesLangId(spark: SparkSession, d: String): DataFrame =
+    naiveBayesPredictions(spark, d)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
+  /** The q238 classifier replayed in SQL up to per-doc predictions
+    * (`pred`: doc_id, lang_true, lang_pred) — shared by the q238
+    * confusion-matrix oracle and the q252 agreement oracle.
+    */
+  private val nbOraclePrelude: String =
+    """tok AS (SELECT doc_id, lang,
            CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS g
          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
          WHERE t <> ''),
@@ -1419,7 +1447,10 @@ object TextAnalysis {
          GROUP BY 1, 2, 3),
        pred AS (SELECT doc_id, lang_true, lang_hyp AS lang_pred
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY st DESC, lang_hyp ASC) AS rn
-               FROM score) WHERE rn = 1)
+               FROM score) WHERE rn = 1)"""
+
+  val q238Oracle: String =
+    s"""WITH $nbOraclePrelude
        SELECT lang_true, lang_pred, count(*) AS n_docs
        FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -1480,7 +1511,225 @@ object TextAnalysis {
          CAST(max(lp_micro) AS BIGINT) AS max_lp_micro
        FROM lm"""
 
+  // ---------------------------------------------------------------- q250
+  /** Incremental bigram-LM MAINTENANCE over the persisted model — the
+    * nightly LM refresh without a corpus re-scan: the stored artifact's
+    * (g2, g1, c2) rows are SUFFICIENT STATISTICS (c1 = Σ c2 per left
+    * context, |V| = row count), so merging a new batch is a vocab-sized
+    * full-outer count merge plus one smoothed-log-prob recompute — the
+    * corpus is never re-read (the same probe-don't-rebuild contract as
+    * q242's cluster maintenance and q245's drift watch, completing the
+    * maintenance story for the fourth round-7 artifact). The batch: 10
+    * exact re-crawls of docs 0–9 (mass shifts on known bigrams) + 5
+    * disjoint-alphabet fresh docs (25 unseen bigrams). Readout: vocab
+    * before/after, new-bigram and batch-occurrence counts, and a fixed
+    * probe set (docs 0–4) scored under the before/after models in exact
+    * µ-nat sums — the number an operator gates the model swap on.
+    * Report-only: the shared artifact is not mutated. Full oracle
+    * replaying build, merge, and both scorings.
+    */
+  def q250LmMaintain(spark: SparkSession, d: String): DataFrame = {
+    val stored = bigramLmTable(spark, d)
+    val batch = Tables.documents(spark, d).filter(col("doc_id") < 10)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      .unionByName(spark.range(5)
+        .select((col("id") + 8000000L).as("doc_id"),
+          expr("concat('lmq', id, 'a lmq', id, 'b lmq', id, 'c lmq', id, 'd lmq', id, 'e lmq', id, 'f')")
+            .as("text")))
+    val bb = hashedBigramsOf(batch)
+      .groupBy(col("g2")).agg(min(col("g1")).as("g1b"), count(lit(1)).as("c2b"))
+      .localCheckpoint() // batch-vocab-sized; read by merge + delta stats
+    val merged = stored.select(col("g2"), col("g1"), col("c2"))
+      .join(bb, Seq("g2"), "full")
+      .select(col("g2"), coalesce(col("g1"), col("g1b")).as("g1"),
+        (coalesce(col("c2"), lit(0L)) + coalesce(col("c2b"), lit(0L))).as("c2"))
+    val ucm = merged.groupBy(col("g1")).agg(expr("cast(sum(c2) as bigint)").as("c1"))
+    val vm = merged.agg(count(lit(1)).as("nv"))
+    val lpAfter = merged.join(ucm, "g1").crossJoin(broadcast(vm))
+      .select(col("g2"),
+        expr("""CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0) /
+               (CAST(c1 AS DOUBLE) + CAST(nv AS DOUBLE))) * 1000000) AS BIGINT)""")
+          .as("lp_after"))
+    val probe = hashedBigrams(spark, d).filter(col("doc_id") < 5).select(col("g2"))
+      .localCheckpoint() // few-hundred-row probe stream, scored twice
+    val sb = probe.join(stored.select(col("g2"), col("lp_micro")), "g2")
+      .agg(expr("cast(sum(lp_micro) as bigint)").as("s_before"),
+        count(lit(1)).as("n_probe"))
+    val sa = probe.join(lpAfter, "g2")
+      .agg(expr("cast(sum(lp_after) as bigint)").as("s_after"))
+    val bstats = bb.join(stored.select(col("g2"), lit(true).as("known")), Seq("g2"), "left")
+      .agg(expr("cast(count_if(known IS NULL) as bigint)").as("n_new_bigrams"),
+        expr("cast(sum(c2b) as bigint)").as("n_batch_occurrences"))
+    stored.agg(count(lit(1)).as("nv_before"))
+      .crossJoin(vm.select(col("nv").as("nv_after")))
+      .crossJoin(bstats).crossJoin(sb).crossJoin(sa)
+      .select(col("nv_before"), col("nv_after"), col("n_new_bigrams"),
+        col("n_batch_occurrences"),
+        expr("round(CAST(s_before AS DOUBLE) / n_probe, 1)").as("probe_avg_lp_before"),
+        expr("round(CAST(s_after AS DOUBLE) / n_probe, 1)").as("probe_avg_lp_after"))
+  }
+
+  val q250Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                       THEN list_transform(generate_series(1, len(ws) - 1),
+                                           i -> ws[i] || chr(1) || ws[i+1])
+                       ELSE [] END) AS bg FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY 1),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY 1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2, CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       bdocs AS (SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id < 10
+                 UNION ALL
+                 SELECT i + 8000000, 'lmq'||i||'a lmq'||i||'b lmq'||i||'c lmq'||i||'d lmq'||i||'e lmq'||i||'f'
+                 FROM generate_series(0, 4) t(i)),
+       btok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM bdocs),
+       bigb AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                  CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+                FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                        THEN list_transform(generate_series(1, len(ws) - 1),
+                                            i -> ws[i] || chr(1) || ws[i+1])
+                        ELSE [] END) AS bg FROM btok)),
+       bb AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM bigb GROUP BY 1),
+       merged AS (SELECT coalesce(bc.g2, bb.g2) AS g2, coalesce(bc.g1, bb.g1) AS g1,
+                    coalesce(bc.c2, 0) + coalesce(bb.c2, 0) AS c2
+                  FROM bc FULL JOIN bb ON bc.g2 = bb.g2),
+       ucm AS (SELECT g1, CAST(sum(c2) AS BIGINT) AS c1 FROM merged GROUP BY 1),
+       vm AS (SELECT count(*) AS nv FROM merged),
+       lpm AS (SELECT m.g2, CAST(round(ln((CAST(m.c2 AS DOUBLE) + 1.0) /
+                 (CAST(u.c1 AS DOUBLE) + CAST(vm.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+               FROM merged m JOIN ucm u ON m.g1 = u.g1 CROSS JOIN vm),
+       probe AS (SELECT g2 FROM big WHERE doc_id < 5),
+       sb AS (SELECT CAST(sum(lp.lp_micro) AS BIGINT) AS s, count(*) AS n
+              FROM probe JOIN lp ON lp.g2 = probe.g2),
+       sa AS (SELECT CAST(sum(lpm.lp_micro) AS BIGINT) AS s
+              FROM probe JOIN lpm ON lpm.g2 = probe.g2),
+       stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bc) AS nv_before,
+                   (SELECT CAST(count(*) AS BIGINT) FROM merged) AS nv_after,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bb
+                    WHERE g2 NOT IN (SELECT g2 FROM bc)) AS n_new_bigrams,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bigb) AS n_batch_occurrences)
+       SELECT s.nv_before, s.nv_after, s.n_new_bigrams, s.n_batch_occurrences,
+         round(CAST(sb.s AS DOUBLE) / sb.n, 1) AS probe_avg_lp_before,
+         round(CAST(sa.s AS DOUBLE) / sb.n, 1) AS probe_avg_lp_after
+       FROM stats s CROSS JOIN sb CROSS JOIN sa"""
+
+  // ---------------------------------------------------------------- q252
+  /** Classifier AGREEMENT audit — Cohen's kappa between the three
+    * language-ID methods in the stack (q37 word markers, q65 character
+    * n-gram profiles, q238 naive Bayes), the router-diligence readout a
+    * curation pipeline checks before trusting any single signal: raw
+    * agreement is inflated by marginal imbalance (a predictor that says
+    * 'en' almost always agrees with anything 96% of the time while
+    * κ ≈ 0 — exactly what this corpus shows), kappa corrects by expected
+    * chance agreement from each pair's label marginals. All three
+    * predictors run per document; ONE corpus-level aggregate collects
+    * every count (pair agreements + 5-label marginals per method, 19
+    * conditional aggregates in a single pass over the joined frame — no
+    * second shuffle), pinned 1-row, from which the three pair rows
+    * derive. Degenerate chance agreement (pe = 1) is CASE-guarded to
+    * NULL in both engines (ANSI /0). Deterministic integer counts →
+    * exact double formulas → full oracle.
+    */
+  def q252LangIdAgreement(spark: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val argmax =
+      """CASE
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END"""
+    def pred(scoreOf: String => String): DataFrame =
+      Tables.documents(spark, d)
+        .withColumn("s_en", expr(scoreOf("en"))).withColumn("s_de", expr(scoreOf("de")))
+        .withColumn("s_es", expr(scoreOf("es"))).withColumn("s_fr", expr(scoreOf("fr")))
+        .withColumn("s_zh", expr(scoreOf("zh")))
+        .select(col("doc_id"), expr(argmax).as("p"))
+    val j = pred(l => scoreExpr(Lexicons(l))).select(col("doc_id"), col("p").as("pa"))
+      .join(pred(l => ngramScore(NgramProfiles(l)))
+        .select(col("doc_id"), col("p").as("pb")), "doc_id")
+      .join(naiveBayesPredictions(spark, d)
+        .select(col("doc_id"), col("lang_pred").as("pc")), "doc_id")
+    val marginals = for { m <- Seq("pa", "pb", "pc"); l <- langs }
+      yield s"CAST(count_if($m = '$l') AS BIGINT) AS ${m}_$l"
+    val agg = j.selectExpr(Seq(
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(count_if(pa = pb) AS BIGINT) AS ab",
+        "CAST(count_if(pa = pc) AS BIGINT) AS ac",
+        "CAST(count_if(pb = pc) AS BIGINT) AS bc") ++ marginals: _*)
+      .localCheckpoint() // 1 row; three pair rows derive from it
+    def pe(a: String, b: String): String = langs.map(l =>
+      s"(CAST(${a}_$l AS DOUBLE)/n)*(CAST(${b}_$l AS DOUBLE)/n)").mkString(" + ")
+    def row(name: String, a: String, b: String, ag: String): DataFrame = agg.selectExpr(
+      s"'$name' AS pair", "n AS n_docs", s"$ag AS n_agree",
+      s"round(CAST($ag AS DOUBLE)/n, 6) AS agree_rate",
+      s"""round(CASE WHEN (${pe(a, b)}) = 1.0 THEN NULL
+         ELSE (CAST($ag AS DOUBLE)/n - (${pe(a, b)})) / (1.0 - (${pe(a, b)})) END, 6) AS kappa""")
+    row("word_vs_ngram", "pa", "pb", "ab")
+      .unionByName(row("word_vs_bayes", "pa", "pc", "ac"))
+      .unionByName(row("ngram_vs_bayes", "pb", "pc", "bc"))
+      .orderBy(col("pair"))
+  }
+
+  val q252Oracle: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    def duckWord(ws: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    def duckNgram(gs: Seq[String]): String =
+      gs.map(g => s"len(regexp_extract_all(text, '$g'))").mkString(" + ")
+    def mcounts(p: String): String =
+      langs.map(l => s"CAST(count_if($p = '$l') AS BIGINT) AS ${p}_$l").mkString(", ")
+    def pe(a: String, b: String): String = langs.map(l =>
+      s"(CAST(${a}_$l AS DOUBLE)/n)*(CAST(${b}_$l AS DOUBLE)/n)").mkString(" + ")
+    def row(name: String, a: String, b: String, ag: String): String =
+      s"""SELECT '$name' AS pair, n AS n_docs, $ag AS n_agree,
+         round(CAST($ag AS DOUBLE)/n, 6) AS agree_rate,
+         round(CASE WHEN (${pe(a, b)}) = 1.0 THEN NULL
+               ELSE (CAST($ag AS DOUBLE)/n - (${pe(a, b)})) / (1.0 - (${pe(a, b)})) END, 6) AS kappa
+         FROM agg"""
+    val argmax =
+      """CASE
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END"""
+    s"""WITH $nbOraclePrelude,
+       s37 AS (SELECT doc_id,
+           ${duckWord(Lexicons("en"))} AS s_en, ${duckWord(Lexicons("de"))} AS s_de,
+           ${duckWord(Lexicons("es"))} AS s_es, ${duckWord(Lexicons("fr"))} AS s_fr,
+           ${duckWord(Lexicons("zh"))} AS s_zh FROM documents),
+       p37 AS (SELECT doc_id, $argmax AS p FROM s37),
+       s65 AS (SELECT doc_id,
+           ${duckNgram(NgramProfiles("en"))} AS s_en, ${duckNgram(NgramProfiles("de"))} AS s_de,
+           ${duckNgram(NgramProfiles("es"))} AS s_es, ${duckNgram(NgramProfiles("fr"))} AS s_fr,
+           ${duckNgram(NgramProfiles("zh"))} AS s_zh FROM documents),
+       p65 AS (SELECT doc_id, $argmax AS p FROM s65),
+       j AS (SELECT a.doc_id, a.p AS pa, b.p AS pb, c.lang_pred AS pc
+             FROM p37 a JOIN p65 b USING (doc_id) JOIN pred c USING (doc_id)),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(pa = pb) AS BIGINT) AS ab,
+           CAST(count_if(pa = pc) AS BIGINT) AS ac,
+           CAST(count_if(pb = pc) AS BIGINT) AS bc,
+           ${mcounts("pa")}, ${mcounts("pb")}, ${mcounts("pc")}
+         FROM j)
+       SELECT pair, n_docs, n_agree, agree_rate, kappa FROM (
+         ${row("word_vs_ngram", "pa", "pb", "ab")}
+         UNION ALL ${row("word_vs_bayes", "pa", "pc", "ac")}
+         UNION ALL ${row("ngram_vs_bayes", "pb", "pc", "bc")})
+       ORDER BY pair"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_lm_maintain" -> q250LmMaintain _,
+    "q252_langid_agreement" -> q252LangIdAgreement _,
     "q238_naive_bayes_langid" -> q238NaiveBayesLangId _,
     "q236_build_bigram_lm" -> q236BuildBigramLm _,
     "q230_importance_weights" -> q230ImportanceWeights _,
@@ -1508,6 +1757,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q250_lm_maintain" -> q250Oracle,
+    "q252_langid_agreement" -> q252Oracle,
     "q238_naive_bayes_langid" -> q238Oracle,
     "q236_build_bigram_lm" -> q236Oracle,
     "q230_importance_weights" -> q230Oracle,

@@ -243,7 +243,11 @@ class PlanSpec extends SparkSuite {
       "q245_ivf_drift" -> ("embeddings", 0),             // batch + distributions all from the stored index
       "q246_conversion_ztest" -> ("events", 1),          // one per-user conversion aggregate
       "q247_rejection_attribution" -> ("documents", 2),  // LM scoring pass + flags pass (scores pinned)
-      "q248_stream_neardup_filter" -> ("documents", 3))  // fixture write + seen rollup + corpus side (stream work is per-batch)
+      "q248_stream_neardup_filter" -> ("documents", 3),  // fixture write + seen rollup + corpus side (stream work is per-batch)
+      "q249_semantic_dedup" -> ("embeddings", 0),        // pairs + cells all from the stored IVF assignment table
+      "q250_lm_maintain" -> ("documents", 0),            // batch + probe pinned at build; merge reads only the stored LM
+      "q251_k_anonymity" -> ("customer", 0),             // one pass into the pinned QI-group frame
+      "q252_langid_agreement" -> ("documents", 0))       // all 19 counts collected into one pinned 1-row aggregate
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
