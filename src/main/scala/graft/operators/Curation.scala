@@ -833,9 +833,83 @@ object Curation {
          CAST(sum(CASE WHEN r_len + r_rep + r_lm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
        FROM fl"""
 
+  // ---------------------------------------------------------------- q254
+  /** Epoch/mixture PLANNING readout — the calculation run before q119's
+    * mix executes: given per-source token inventories, target mix weights
+    * (head sources src0–src4 at 2× weight), a token budget of 4× the
+    * corpus, and a 4-epoch repetition cap (the data-constrained scaling
+    * rule of thumb — Muennighoff et al. 2023: past ~4 epochs repeated
+    * tokens stop paying), report per source the needed tokens, the
+    * epochs required, the cap-clipped epochs, the achieved tokens, the
+    * DEFICIT the cap leaves, and the achieved share — i.e. how far the
+    * deliverable mix lands from the target when head sources run out of
+    * fresh data. Exact integer token counts; every division is one
+    * guarded double with both engines computing the identical expression.
+    * Scale shape: ONE corpus pass into a sources-sized inventory (pinned),
+    * then pure broadcast arithmetic — the plan itself never re-reads data.
+    */
+  def q254EpochPlan(spark: SparkSession, d: String): DataFrame = {
+    val st = graft.sources.Tables.documents(spark, d)
+      .groupBy(col("source"))
+      .agg(expr("cast(sum(size(split(text, ' '))) as bigint)").as("avail"))
+      .withColumn("wt", expr(
+        "CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 2L ELSE 1L END"))
+      .localCheckpoint() // sources-sized inventory; read by totals + plan
+    val tot = st.agg(expr("cast(sum(avail) as bigint)").as("total"),
+      expr("cast(sum(wt) as bigint)").as("wsum"))
+    val fin = st.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail"),
+        expr("round(CAST(wt AS DOUBLE) / wsum, 4)").as("target_share"),
+        expr("CAST(round(CAST(4 * total * wt AS DOUBLE) / wsum) AS BIGINT)")
+          .as("needed_tokens"),
+        expr("round(CAST(4 * total * wt AS DOUBLE) / wsum / avail, 4)")
+          .as("epochs_needed"),
+        expr("round(least(CAST(4 * total * wt AS DOUBLE) / wsum / avail, 4.0), 4)")
+          .as("epochs_capped"),
+        expr("CAST(round(least(CAST(4 * total * wt AS DOUBLE) / wsum / avail, 4.0) * avail) AS BIGINT)")
+          .as("achieved_tokens"))
+      .withColumn("deficit_tokens",
+        expr("greatest(needed_tokens - achieved_tokens, 0L)"))
+      .localCheckpoint() // sources-sized plan; read by its own total + output
+    val at = fin.agg(expr("cast(sum(achieved_tokens) as bigint)").as("ach_total"))
+    fin.crossJoin(broadcast(at))
+      .select(col("source"), col("avail").as("avail_tokens"), col("target_share"),
+        col("needed_tokens"), col("epochs_needed"), col("epochs_capped"),
+        col("achieved_tokens"),
+        expr("cast(deficit_tokens as bigint)").as("deficit_tokens"),
+        expr("round(CAST(achieved_tokens AS DOUBLE) / ach_total, 4)").as("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  val q254Oracle: String =
+    """WITH st AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+           FROM documents GROUP BY 1),
+       w AS (SELECT source, avail,
+               CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 2 ELSE 1 END AS wt
+             FROM st),
+       tot AS (SELECT CAST(sum(avail) AS BIGINT) AS total, CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+       plan AS (SELECT w.source, w.avail, w.wt, t.total, t.wsum,
+                  CAST(4 * t.total AS BIGINT) * w.wt AS num
+                FROM w CROSS JOIN tot t),
+       p2 AS (SELECT source, avail,
+                round(CAST(wt AS DOUBLE) / wsum, 4) AS target_share,
+                CAST(round(CAST(num AS DOUBLE) / wsum) AS BIGINT) AS needed_tokens,
+                round(CAST(num AS DOUBLE) / wsum / avail, 4) AS epochs_needed,
+                round(least(CAST(num AS DOUBLE) / wsum / avail, 4.0), 4) AS epochs_capped,
+                CAST(round(least(CAST(num AS DOUBLE) / wsum / avail, 4.0) * avail) AS BIGINT) AS achieved_tokens
+              FROM plan),
+       fin AS (SELECT *, greatest(needed_tokens - achieved_tokens, 0) AS deficit_tokens FROM p2),
+       at AS (SELECT CAST(sum(achieved_tokens) AS BIGINT) AS ach_total FROM fin)
+       SELECT f.source, f.avail AS avail_tokens, f.target_share, f.needed_tokens,
+         f.epochs_needed, f.epochs_capped, f.achieved_tokens,
+         CAST(f.deficit_tokens AS BIGINT) AS deficit_tokens,
+         round(CAST(f.achieved_tokens AS DOUBLE) / a.ach_total, 4) AS achieved_share
+       FROM fin f CROSS JOIN at a ORDER BY f.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_curation_capstone" -> q231CurationCapstone _,
     "q247_rejection_attribution" -> q247RejectionAttribution _,
+    "q254_epoch_plan" -> q254EpochPlan _,
     "q198_quantile_normalize" -> q198QuantileNormalize _,
     "q180_length_decile_mix" -> q180LengthDecileMix _,
     "q150_training_pipeline" -> q150TrainingPipeline _,
@@ -848,6 +922,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q231_curation_capstone" -> q231Oracle,
     "q247_rejection_attribution" -> q247Oracle,
+    "q254_epoch_plan" -> q254Oracle,
     "q198_quantile_normalize" -> q198Oracle,
     "q180_length_decile_mix" -> q180Oracle,
     "q150_training_pipeline" -> q150Oracle,

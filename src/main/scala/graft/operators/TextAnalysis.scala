@@ -1620,6 +1620,62 @@ object TextAnalysis {
          round(CAST(sa.s AS DOUBLE) / sb.n, 1) AS probe_avg_lp_after
        FROM stats s CROSS JOIN sb CROSS JOIN sa"""
 
+  // ---------------------------------------------------------------- q253
+  /** Character-entropy quality filter — the gibberish/low-diversity
+    * detector (CCNet/Gopher-adjacent: encrypted blobs, base64 runs, and
+    * repeated-character spam all have anomalous character entropy):
+    * per-document Shannon entropy over characters, carried END TO END in
+    * exact µ-nats via H = ln(n) − (Σ c·ln c)/n — each c·ln(c) is ONE
+    * correctly-rounded ln quantized to a µ-unit BIGINT (the q228
+    * discipline: quantized integers sum exactly in any partition order,
+    * and the 1e-6 grid absorbs cross-engine libm last-bit differences; a
+    * raw double Σ p·ln p would be merge-order-dependent). Readout: the
+    * per-language entropy band and the low-tail count below 2.7 nats the
+    * filter would flag. Scale shape: one corpus pass exploding to the
+    * character stream, map-side-combined (doc, char) counts (≤ alphabet
+    * rows per doc cross the shuffle, not characters), per-doc fold,
+    * 5-row rollup.
+    */
+  def q253CharEntropy(spark: SparkSession, d: String): DataFrame = {
+    val cc = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("c")).agg(count(lit(1)).as("n"))
+    val e = cc.groupBy(col("doc_id"), col("lang"))
+      .agg(expr("cast(sum(n) as bigint)").as("len"),
+        expr("cast(sum(cast(round(n * ln(n) * 1000000) as bigint)) as bigint)")
+          .as("sumterm"))
+      .select(col("lang"),
+        expr("""CAST(round(ln(len) * 1000000) AS BIGINT)
+               - CAST(round(CAST(sumterm AS DOUBLE) / len) AS BIGINT)""")
+          .as("entropy_micro"))
+    e.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(min(entropy_micro) as bigint)").as("min_entropy_micro"),
+        expr("cast(max(entropy_micro) as bigint)").as("max_entropy_micro"),
+        expr("cast(round(cast(sum(entropy_micro) as double) / count(1)) as bigint)")
+          .as("avg_entropy_micro"),
+        expr("cast(count_if(entropy_micro < 2700000) as bigint)").as("n_low_entropy"))
+      .orderBy(col("lang"))
+  }
+
+  val q253Oracle: String =
+    """WITH ch AS (SELECT doc_id, lang, unnest(string_split(text, '')) AS c FROM documents),
+       cc AS (SELECT doc_id, lang, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2, 3),
+       d AS (SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS len,
+               CAST(sum(CAST(round(n * ln(n) * 1000000) AS BIGINT)) AS BIGINT) AS sumterm
+             FROM cc GROUP BY 1, 2),
+       e AS (SELECT lang,
+               CAST(round(ln(len) * 1000000) AS BIGINT)
+                 - CAST(round(CAST(sumterm AS DOUBLE) / len) AS BIGINT) AS entropy_micro
+             FROM d)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(entropy_micro) AS BIGINT) AS min_entropy_micro,
+         CAST(max(entropy_micro) AS BIGINT) AS max_entropy_micro,
+         CAST(round(CAST(sum(entropy_micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_entropy_micro,
+         CAST(count_if(entropy_micro < 2700000) AS BIGINT) AS n_low_entropy
+       FROM e GROUP BY lang ORDER BY lang"""
+
   // ---------------------------------------------------------------- q252
   /** Classifier AGREEMENT audit — Cohen's kappa between the three
     * language-ID methods in the stack (q37 word markers, q65 character
@@ -1730,6 +1786,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_lm_maintain" -> q250LmMaintain _,
     "q252_langid_agreement" -> q252LangIdAgreement _,
+    "q253_char_entropy" -> q253CharEntropy _,
     "q238_naive_bayes_langid" -> q238NaiveBayesLangId _,
     "q236_build_bigram_lm" -> q236BuildBigramLm _,
     "q230_importance_weights" -> q230ImportanceWeights _,
@@ -1759,6 +1816,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q250_lm_maintain" -> q250Oracle,
     "q252_langid_agreement" -> q252Oracle,
+    "q253_char_entropy" -> q253Oracle,
     "q238_naive_bayes_langid" -> q238Oracle,
     "q236_build_bigram_lm" -> q236Oracle,
     "q230_importance_weights" -> q230Oracle,

@@ -247,7 +247,9 @@ class PlanSpec extends SparkSuite {
       "q249_semantic_dedup" -> ("embeddings", 0),        // pairs + cells all from the stored IVF assignment table
       "q250_lm_maintain" -> ("documents", 0),            // batch + probe pinned at build; merge reads only the stored LM
       "q251_k_anonymity" -> ("customer", 0),             // one pass into the pinned QI-group frame
-      "q252_langid_agreement" -> ("documents", 0))       // all 19 counts collected into one pinned 1-row aggregate
+      "q252_langid_agreement" -> ("documents", 0),       // all 19 counts collected into one pinned 1-row aggregate
+      "q253_char_entropy" -> ("documents", 1),           // one char-stream pass, map-side-combined
+      "q254_epoch_plan" -> ("documents", 0))             // one inventory pass pinned; the plan is broadcast arithmetic
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
