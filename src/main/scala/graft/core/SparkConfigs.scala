@@ -39,7 +39,13 @@ object SparkConfigs {
     // instead of being rejected; affects ONLY nanos-typed columns. Set here
     // at session build — not inside readers — so no reader silently mutates
     // shared session state (Tables.events does the ns→µs conversion).
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // parquet µs timestamps written with isAdjustedToUTC=false (all the
+    // testdata date/ts columns) would otherwise surface as TIMESTAMP_NTZ;
+    // reading them as plain TimestampType under the UTC session zone keeps
+    // one timestamp type across the engine and matches the oracle's naive
+    // TIMESTAMP values bit for bit.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   /** Apply the defaults to a builder; caller-provided configs set after this
     * win, and runtime-mutable ones can still be changed per query.

@@ -518,7 +518,7 @@ object EtlQueries {
 
   val q89Oracle: String =
     """SELECT col_name, kind, old_type, new_type FROM (VALUES
-         ('o_orderdate', 'added', CAST(NULL AS VARCHAR), 'timestamp_ntz'),
+         ('o_orderdate', 'added', CAST(NULL AS VARCHAR), 'timestamp'),
          ('o_retired_flag', 'removed', 'boolean', CAST(NULL AS VARCHAR)),
          ('o_totalprice', 'type_changed', 'float', 'double'))
        AS t(col_name, kind, old_type, new_type) ORDER BY col_name"""

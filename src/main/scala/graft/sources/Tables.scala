@@ -35,10 +35,24 @@ object Tables {
     */
   val EventsTsToMicros = "timestamp_micros(ts div 1000)"
 
+  /** Normalize `ts` to TimestampType regardless of how the file stored it:
+    * TIMESTAMP(NANOS) surfaces as raw long nanos (nanosAsLong) → ns→µs
+    * conversion; TIMESTAMP(MICROS) surfaces as TimestampType directly
+    * (inferTimestampNTZ=false) → passthrough. Both land on identical µs
+    * values under the UTC session zone, matching DuckDB's native read.
+    */
   private def withEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    df.withColumn("ts", expr(EventsTsToMicros))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr(EventsTsToMicros))
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .select(df.columns.map(col).toIndexedSeq: _*)
+      case _ => df
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")

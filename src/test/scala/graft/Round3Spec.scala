@@ -73,7 +73,7 @@ class Round3Spec extends SparkSuite {
     val rows = EtlQueries.q89SchemaDrift(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
     assert(rows.toSeq == Seq(
-      ("o_orderdate", "added", null, "timestamp_ntz"),
+      ("o_orderdate", "added", null, "timestamp"),
       ("o_retired_flag", "removed", "boolean", null),
       ("o_totalprice", "type_changed", "float", "double")))
   }
