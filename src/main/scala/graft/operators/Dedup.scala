@@ -681,7 +681,7 @@ object Dedup {
     * (q97 fixture → shingle-Jaccard pairs → min-label closure `comp`) —
     * q97/q232/q234 all certify against the same stored-table contents.
     */
-  private val clusterOraclePrelude: String =
+  private[operators] val clusterOraclePrelude: String =
     """docs2 AS (
          SELECT doc_id, text FROM documents WHERE doc_id < 100
          UNION ALL

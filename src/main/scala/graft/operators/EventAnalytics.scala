@@ -1744,7 +1744,82 @@ object EventAnalytics {
          round(th.theta, 6) AS theta
        FROM u, th GROUP BY u.arm, th.theta, th.sp, th.n ORDER BY u.arm"""
 
+  // ---------------------------------------------------------------- q258
+  /** Late-arrival (watermark) audit — the batch readout that sizes a
+    * streaming watermark BEFORE the stream exists. The generator's events
+    * are globally ts-ordered, so the audit replays the arrival pattern a
+    * real collector sees: per-producer buffers that flush once a minute —
+    * arrival order is (minute-of-ts, user_id, event_id). Each event's
+    * lateness is how far its event-time ts sits behind the high-water mark
+    * (max ts among strictly-earlier arrivals); for candidate delays D the
+    * audit counts the events a `withWatermark(D)` would have dropped —
+    * q43/q87's knob, chosen from data instead of folklore (at sf0.01:
+    * ~3.5% of events are >10 s late, none >60 s).
+    *
+    * The prefix-max is the scalable two-phase shape (the q225 discipline,
+    * applied to a GLOBAL running aggregate): a single global ORDER BY
+    * window would serialize the corpus into one task. Instead the minute
+    * bucket is the chunk (bounded rows per chunk, chunk count grows with
+    * the time span — no low-NDV trap); per-chunk maxima roll up small, an
+    * aggregate-sized window turns them into exclusive carry-ins, and the
+    * per-event running max runs INSIDE each chunk, riding the same chunk
+    * exchange the carry join planted. Lateness math is exact µs longs; the
+    * sentinel keeps the first-ever arrival at lateness 0 on both engines
+    * (greatest/NULL semantics differ between them).
+    */
+  val LateDelaysSec: Seq[Int] = Seq(10, 30, 60)
+  private val LateSentinel = Long.MinValue / 4
+
+  def q258LateArrivalAudit(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+      date_trunc("MINUTE", col("ts")).as("chunk"))
+    val carry = ev.groupBy(col("chunk")).agg(max(col("tus")).as("cmax"))
+      .withColumn("carry_in", coalesce(
+        max(col("cmax")).over(Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(LateSentinel)))
+      .select(col("chunk"), col("carry_in"))
+    val wIn = Window.partitionBy(col("chunk"))
+      .orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.join(carry, "chunk")
+      .withColumn("hwm", greatest(
+        coalesce(max(col("tus")).over(wIn), lit(LateSentinel)), col("carry_in")))
+      .withColumn("late_us", greatest(lit(0L),
+        when(col("hwm") === lit(LateSentinel), lit(0L))
+          .otherwise(col("hwm") - col("tus"))))
+      .select(col("late_us"))
+    val delays = spark.createDataFrame(LateDelaysSec.map(Tuple1(_))).toDF("delay_s")
+    late.crossJoin(broadcast(delays))
+      .groupBy(col("delay_s"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("late_us") > col("delay_s").cast("long") * lit(1000000L))
+          .as("n_dropped"),
+        expr("cast(max(late_us) as bigint)").as("max_late_us"))
+      .orderBy(col("delay_s"))
+  }
+
+  val q258Oracle: String = {
+    val delayRows = LateDelaysSec.map(s => s"($s)").mkString(", ")
+    s"""WITH e AS (SELECT event_id, user_id, date_trunc('minute', ts) AS mb,
+             epoch_us(ts) AS tus FROM events),
+       h AS (SELECT tus,
+               max(tus) OVER (ORDER BY mb, user_id, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+             FROM e),
+       l AS (SELECT greatest(0, CASE WHEN hwm IS NULL THEN 0
+                                     ELSE hwm - tus END) AS late_us FROM h),
+       d AS (SELECT delay_s FROM (VALUES $delayRows) AS t(delay_s))
+       SELECT delay_s, count(*) AS n_events,
+              CAST(sum(CASE WHEN late_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              CAST(max(late_us) AS BIGINT) AS max_late_us
+       FROM l, d GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_late_arrival_audit" -> q258LateArrivalAudit _,
     "q225_sessionize_skew_safe" -> q225SessionizeSkewSafe _,
     "q244_cuped_readout" -> q244CupedReadout _,
     "q246_conversion_ztest" -> q246ConversionZtest _,
@@ -1779,6 +1854,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q258_late_arrival_audit" -> q258Oracle,
     "q225_sessionize_skew_safe" -> q225Oracle,
     "q244_cuped_readout" -> q244Oracle,
     "q246_conversion_ztest" -> q246Oracle,

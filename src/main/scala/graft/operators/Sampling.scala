@@ -423,7 +423,110 @@ object Sampling {
        FROM us JOIN hist USING (user_id)
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q255
+  /** Group-aware K-FOLD assignment over the PERSISTED near-dup cluster
+    * table (the q234 artifact) — cross-validation folds for training data
+    * where every document of a near-dup cluster lands in the SAME fold
+    * (`fold = component mod K`): a near-duplicate straddling train and
+    * held-out folds is leakage, the same failure q226 guards for a single
+    * split. The readout certifies the property *and* quantifies the
+    * counterfactual: `naive_leaky_clusters` counts the multi-doc clusters a
+    * per-DOCUMENT fold hash would have torn across folds (the hash is a
+    * Knuth multiply-shift in exact BIGINT arithmetic — doc_id mod K would
+    * be a strawman: the planted version offsets are multiples of K). At
+    * 100 TB this is two rollups over the stored (bucketed) cluster table —
+    * the corpus, its pair-gen, and the CC iteration were paid once at q234.
+    */
+  val KFolds = 5
+
+  def q255FoldAssignment(spark: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.nearDupClusterTable(spark, d)
+      .withColumn("fold", pmod(col("component"), lit(KFolds.toLong)).cast("int"))
+      .withColumn("naive_fold",
+        expr(s"((doc_id * 2654435761) div 1024) % $KFolds").cast("int"))
+    val perCluster = labels.groupBy(col("component"), col("fold"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("naive_fold")).as("n_naive_folds"))
+    perCluster.groupBy(col("fold"))
+      .agg(expr("cast(sum(sz) as bigint)").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        expr("cast(max(sz) as bigint)").as("max_cluster_size"),
+        count_if(col("sz") >= 2 && col("n_naive_folds") >= 2)
+          .as("naive_leaky_clusters"))
+      .orderBy(col("fold"))
+  }
+
+  val q255Oracle: String =
+    s"""WITH RECURSIVE
+       ${Dedup.clusterOraclePrelude},
+       lab AS (SELECT doc_id, component,
+                 CAST(component % ${KFolds} AS INT) AS fold,
+                 CAST(((doc_id * 2654435761) // 1024) % ${KFolds} AS INT) AS naive_fold
+               FROM comp),
+       pc AS (SELECT component, fold, count(*) AS sz,
+                count(DISTINCT naive_fold) AS n_naive_folds
+              FROM lab GROUP BY 1, 2)
+       SELECT fold, CAST(sum(sz) AS BIGINT) AS n_docs,
+              count(*) AS n_clusters,
+              CAST(max(sz) AS BIGINT) AS max_cluster_size,
+              CAST(sum(CASE WHEN sz >= 2 AND n_naive_folds >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS naive_leaky_clusters
+       FROM pc GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q256
+  /** Largest-remainder quota allocation — turn "sample exactly N documents,
+    * proportional to corpus share" into per-stratum integer quotas that sum
+    * to EXACTLY N (floor-only allocation under-fills; rounding over- or
+    * under-shoots; the largest-remainder method is the standard exact fix):
+    * base = floor(N·cnt/total) per (lang, source) stratum, then the
+    * leftover slots go to the largest remainders N·cnt mod total
+    * (deterministic tie-break on the stratum key). All integer arithmetic —
+    * bit-identical across engines — and the only window runs over the
+    * stratum-count aggregate (~|langs|·|sources| rows), never the corpus:
+    * the corpus contributes ONE count-shaped scan. The quota table then
+    * drives any consistent-hash selector (q73's per-stratum keep) without a
+    * second planning pass.
+    */
+  val QuotaTotal = 1000L
+
+  def q256QuotaAllocation(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang").asc, col("source").asc)
+    val counts = Tables.documents(spark, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // stratum-count frame: every later step derives from it
+    val total = counts.agg(sum(col("n_docs")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("base", expr(s"($QuotaTotal * n_docs) div t"))
+      .withColumn("rem", (lit(QuotaTotal) * col("n_docs")) % col("t"))
+      .withColumn("slots_left",
+        lit(QuotaTotal) - sum(col("base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("rk", row_number().over(w))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("base") + when(col("rk") <= col("slots_left"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q256Oracle: String =
+    s"""WITH c AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+       t AS (SELECT sum(n_docs) AS t FROM c),
+       b AS (SELECT lang, source, n_docs,
+               CAST(($QuotaTotal * n_docs) // t.t AS BIGINT) AS base,
+               ($QuotaTotal * n_docs) % t.t AS rem
+             FROM c, t),
+       s AS (SELECT *, $QuotaTotal - sum(base) OVER () AS slots_left,
+               row_number() OVER (ORDER BY rem DESC, lang ASC, source ASC) AS rk
+             FROM b)
+       SELECT lang, source, n_docs,
+              CAST(base + CASE WHEN rk <= slots_left THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM s ORDER BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_fold_assignment" -> q255FoldAssignment _,
+    "q256_quota_allocation" -> q256QuotaAllocation _,
     "q73_stratified_sample" -> q73StratifiedSample _,
     "q85_sample_cap_weighted" -> q85CapWeighted _,
     "q90_shuffle_deterministic" -> q90ShuffleDeterministic _,
@@ -433,6 +536,8 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q255_fold_assignment" -> q255Oracle,
+    "q256_quota_allocation" -> q256Oracle,
     "q73_stratified_sample" -> q73Oracle,
     "q85_sample_cap_weighted" -> q85Oracle,
     "q90_shuffle_deterministic" -> q90Oracle,

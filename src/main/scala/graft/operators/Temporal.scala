@@ -219,13 +219,86 @@ object Temporal {
                        THEN t - vt ELSE 0 END) AS BIGINT) AS total_lag_us
        FROM m WHERE event_type = 'purchase'"""
 
+  /** Interval×interval OVERLAP join (the IEJoin problem) without a nested
+    * loop: both interval sets bucket on `floor(bound / width)` — each
+    * interval explodes to the buckets it touches — and equi-join on
+    * (key, bucket). Overlap is `a.lo < b.hi AND b.lo < a.hi` (half-open).
+    * A pair whose overlap spans several buckets would match once per
+    * shared bucket; it is emitted exactly once by keeping only the bucket
+    * that owns the overlap's START (`floor(max(alo, blo) / width)`) — a
+    * dedup-free uniqueness guarantee, no `distinct` shuffle. Shuffle cost
+    * is Σ interval-spans on both sides, never |A|×|B|. Bounds are exact
+    * longs (µs); `hi` is exclusive so `(hi-1) div width` is the last
+    * touched bucket.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+                          aLo: String, aHi: String, bLo: String, bHi: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketed(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket", explode(sequence(
+        expr(s"$lo div $bucketWidth"), expr(s"($hi - 1) div $bucketWidth"))))
+    bucketed(a, aLo, aHi)
+      .join(bucketed(b, bLo, bHi), Seq(key, "__bucket"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__bucket") === expr(s"greatest($aLo, $bLo) div $bucketWidth"))
+      .drop("__bucket")
+  }
+
+  // ---------------------------------------------------------------- q259
+  /** Per-user view-window × purchase-window overlap: each view/purchase
+    * event opens a 10-minute half-open activity window; the overlap join
+    * finds every (view, purchase) window pair of the SAME user that
+    * intersects in time — the co-activity primitive behind attribution
+    * overlap analysis. Driven through [[intervalOverlapJoin]] with a
+    * 10-minute bucket; the readout aggregates exact µs overlap durations.
+    */
+  private val WindowUs = 600000000L // 10 min
+
+  def q259IntervalOverlap(spark: SparkSession, d: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, d)
+    def windows(kind: String, idOut: String) = ev
+      .filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id").as(idOut),
+        unix_micros(col("ts")).as(s"${idOut}_lo"),
+        (unix_micros(col("ts")) + lit(WindowUs)).as(s"${idOut}_hi"))
+    val pairs = intervalOverlapJoin(
+      windows("view", "view_id"), windows("purchase", "purchase_id"),
+      "user_id", "view_id_lo", "view_id_hi", "purchase_id_lo", "purchase_id_hi",
+      bucketWidth = WindowUs)
+    pairs.select(col("user_id"),
+        (least(col("view_id_hi"), col("purchase_id_hi")) -
+          greatest(col("view_id_lo"), col("purchase_id_lo"))).as("overlap_us"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("cast(sum(overlap_us) as bigint)").as("sum_overlap_us"),
+        expr("cast(max(overlap_us) as bigint)").as("max_overlap_us"))
+  }
+
+  val q259Oracle: String =
+    s"""WITH v AS (SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + $WindowUs AS hi
+             FROM events WHERE event_type = 'view'),
+       p AS (SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + $WindowUs AS hi
+             FROM events WHERE event_type = 'purchase'),
+       j AS (SELECT v.user_id,
+               least(v.hi, p.hi) - greatest(v.lo, p.lo) AS overlap_us
+             FROM v JOIN p ON v.user_id = p.user_id
+                          AND v.lo < p.hi AND p.lo < v.hi)
+       SELECT count(*) AS n_pairs,
+              count(DISTINCT user_id) AS n_users,
+              CAST(sum(overlap_us) AS BIGINT) AS sum_overlap_us,
+              CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+       FROM j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_asof_join" -> q71AsofJoin _,
     "q72_range_join" -> q72RangeJoin _,
-    "q217_asof_tolerance" -> q217AsofTolerance _)
+    "q217_asof_tolerance" -> q217AsofTolerance _,
+    "q259_interval_overlap" -> q259IntervalOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q71_asof_join" -> q71Oracle,
     "q72_range_join" -> q72Oracle,
-    "q217_asof_tolerance" -> q217Oracle)
+    "q217_asof_tolerance" -> q217Oracle,
+    "q259_interval_overlap" -> q259Oracle)
 }

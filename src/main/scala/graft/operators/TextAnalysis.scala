@@ -525,6 +525,66 @@ object TextAnalysis {
        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        GROUP BY word ORDER BY n DESC, word LIMIT 50"""
 
+  // ---------------------------------------------------------------- q257
+  /** Vocabulary cumulative-COVERAGE curve — the tokenizer-sizing readout:
+    * for each coverage target (50/90/95/99% of all token OCCURRENCES), the
+    * smallest frequency-ranked vocabulary prefix that reaches it. This is
+    * the number a tokenizer owner reads off a Zipf curve to pick a vocab
+    * size, and the denominator behind q173's OOV rate. Shape: one corpus
+    * scan collapses to the |vocab|-sized histogram (map-side combine, the
+    * q105 contract); ranking and the running sum then window over that
+    * AGGREGATE — the Round6Spec NDV sweep's aggregate-barrier rule, never a
+    * corpus window. Ties rank deterministically (count desc, word asc).
+    */
+  val CoverageTargets: Seq[Int] = Seq(50, 90, 95, 99)
+
+  def q257VocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word").asc)
+    val vocab = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val ranked = vocab
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .localCheckpoint() // |vocab| rows; each target probes this frame
+    val targets = spark.createDataFrame(
+      CoverageTargets.map(t => Tuple1(t))).toDF("pct")
+    ranked.join(broadcast(targets), lit(100L) * col("cum") >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(col("rk")).as("vocab_size"))
+      .join(ranked.select(col("rk"), col("cum"), col("total")),
+        col("vocab_size") === col("rk"))
+      .select(col("pct"),
+        expr("cast(vocab_size as bigint)").as("vocab_size"),
+        expr("cast(cum as bigint)").as("tokens_covered"),
+        expr("cast(total as bigint)").as("total_tokens"))
+      .orderBy(col("pct"))
+  }
+
+  val q257Oracle: String = {
+    val targetRows = CoverageTargets.map(t => s"($t)").mkString(", ")
+    s"""WITH v AS (SELECT word, count(*) AS n
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY 1),
+       r AS (SELECT word, n,
+               row_number() OVER (ORDER BY n DESC, word ASC) AS rk,
+               sum(n) OVER (ORDER BY n DESC, word ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER () AS total
+             FROM v),
+       t AS (SELECT pct FROM (VALUES $targetRows) AS t(pct)),
+       hit AS (SELECT pct, min(rk) AS vocab_size
+               FROM r JOIN t ON 100 * cum >= pct * total GROUP BY 1)
+       SELECT pct, CAST(vocab_size AS BIGINT) AS vocab_size,
+              CAST(r.cum AS BIGINT) AS tokens_covered,
+              CAST(r.total AS BIGINT) AS total_tokens
+       FROM hit JOIN r ON r.rk = hit.vocab_size ORDER BY pct"""
+  }
+
   // ---------------------------------------------------------------- q121
   /** Markup/boilerplate stripping — the first stage of any web-corpus
     * pipeline (raw HTML → trainable text): drop script/style blocks
@@ -1784,6 +1844,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_vocab_coverage" -> q257VocabCoverage _,
     "q250_lm_maintain" -> q250LmMaintain _,
     "q252_langid_agreement" -> q252LangIdAgreement _,
     "q253_char_entropy" -> q253CharEntropy _,
@@ -1814,6 +1875,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q257_vocab_coverage" -> q257Oracle,
     "q250_lm_maintain" -> q250Oracle,
     "q252_langid_agreement" -> q252Oracle,
     "q253_char_entropy" -> q253Oracle,

@@ -52,16 +52,15 @@ specs = {
 for t, q in specs.items():
     con.sql(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(t, con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0])
-# events go through pyarrow: DuckDB's COPY writes timestamp[us], but the
-# source (and graft.sources.Tables.events, which reads the raw nanos int64
-# via nanosAsLong) needs timestamp[ns] physical type
-ev = con.sql(f"""SELECT event_id + r.i * 1000000000000 AS event_id, ts,
+# events: the source stores ts as timestamp[us] (isAdjustedToUTC=false),
+# same as DuckDB's COPY output — no pyarrow cast needed anymore
+# (Tables.events passes µs timestamps through; the ns shim only fires on
+# legacy TIMESTAMP(NANOS) files)
+specs_ev = f"""SELECT event_id + r.i * 1000000000000 AS event_id, ts,
         user_id + r.i * 10000000 AS user_id, event_type, value, props
-        FROM '{SRC}/events.parquet', range({R}) r(i)""").arrow()
-ev = ev.set_column(ev.schema.get_field_index("ts"), "ts",
-                   ev.column("ts").cast(pa.timestamp("ns")))
-pq.write_table(pa.table(ev), f"{DST}/events.parquet")
-print("events", ev.num_rows)
+        FROM '{SRC}/events.parquet', range({R}) r(i)"""
+con.sql(f"COPY ({specs_ev}) TO '{DST}/events.parquet' (FORMAT PARQUET)")
+print("events", con.sql(f"SELECT count(*) FROM '{DST}/events.parquet'").fetchone()[0])
 
 for t in ["nation", "region", "part", "supplier", "embeddings"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
