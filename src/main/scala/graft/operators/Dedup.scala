@@ -604,16 +604,21 @@ object Dedup {
     * vocabulary makes random docs organically similar — while 3-gram
     * sequences are distinctive.
     */
+  /** Distinct word-3-gram shingles per doc — the edge vocabulary shared by
+    * the clustering pair-gen and the q261 contamination audit.
+    */
+  private[graft] def shingles3(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .select(col("doc_id"), explode(array_distinct(expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+         ELSE transform(sequence(1, size(toks) - 2),
+                        i -> concat_ws(' ', element_at(toks, i),
+                                       element_at(toks, i + 1),
+                                       element_at(toks, i + 2)))
+         END"""))).as("shingle"))
+
   def shingleJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-           ELSE transform(sequence(1, size(toks) - 2),
-                          i -> concat_ws(' ', element_at(toks, i),
-                                         element_at(toks, i + 1),
-                                         element_at(toks, i + 2)))
-           END"""))).as("shingle"))
+    val sh = shingles3(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -636,7 +641,7 @@ object Dedup {
     * Fully deterministic (no hashing) → full DuckDB oracle via a recursive
     * CTE computing the same min-id-per-component closure.
     */
-  private def q97Corpus(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def q97Corpus(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     val base = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
     def droppedTail(k: Int, offset: Long): DataFrame =
@@ -1325,7 +1330,56 @@ object Dedup {
        true AS all_docs_full_bands
        FROM documents"""
 
+  // ---------------------------------------------------------------- q263
+  /** Exact-dedup SAVINGS readout — the number a curation owner quotes when
+    * dedup ships: per language, how many documents and TOKENS survive
+    * keep-one-per-distinct-text, and the fraction of the token budget that
+    * was duplicate mass. Shuffle hygiene: the group key is a 16-hex-char
+    * md5 prefix of the text (the repo-wide convention — raw text never
+    * rides an exchange); token counts collapse map-side, so the shuffle
+    * carries |distinct texts| rows, not the corpus. savings_pct is the
+    * presentational round-6 double; the decision columns are exact longs.
+    * The corpus plants 40 exact copies (the q30 twin discipline, lang
+    * preserved) so the readout demonstrably measures something — the
+    * generator's base corpus is duplicate-free.
+    */
+  def q263DedupSavings(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("lang"), col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(col("doc_id") < 40)
+        .select(col("lang"), (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("lang"),
+        substring(md5(col("text")), 1, 16).as("h"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("t"))
+      .groupBy(col("lang"), col("h"))
+      .agg(count(lit(1)).as("cnt"), max(col("t")).as("t"))
+      .groupBy(col("lang"))
+      .agg(expr("cast(sum(cnt) as bigint)").as("n_docs"),
+        count(lit(1)).as("n_unique_texts"),
+        expr("cast(sum(cnt * t) as bigint)").as("tokens_raw"),
+        expr("cast(sum(t) as bigint)").as("tokens_effective"))
+      .withColumn("savings_pct", expr(
+        "round(100.0 * (tokens_raw - tokens_effective) / tokens_raw, 6)"))
+      .orderBy(col("lang"))
+  }
+
+  val q263Oracle: String =
+    """WITH docs2 AS (SELECT lang, text FROM documents
+           UNION ALL
+           SELECT lang, text FROM documents WHERE doc_id < 40),
+       u AS (SELECT lang, substring(md5(text), 1, 16) AS h,
+             count(*) AS cnt,
+             max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS t
+           FROM docs2 GROUP BY 1, 2)
+       SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs,
+              count(*) AS n_unique_texts,
+              CAST(sum(cnt * t) AS BIGINT) AS tokens_raw,
+              CAST(sum(t) AS BIGINT) AS tokens_effective,
+              round(100.0 * (CAST(sum(cnt * t) AS BIGINT) - CAST(sum(t) AS BIGINT))
+                    / CAST(sum(cnt * t) AS BIGINT), 6) AS savings_pct
+       FROM u GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_dedup_savings" -> q263DedupSavings _,
     "q242_incremental_clusters" -> q242IncrementalClusters _,
     "q240_build_band_index" -> q240BuildBandIndex _,
     "q239_incremental_neardup" -> q239IncrementalNearDup _,
@@ -1346,6 +1400,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q263_dedup_savings" -> q263Oracle,
     "q242_incremental_clusters" -> q242Oracle,
     "q240_build_band_index" -> q240Oracle,
     "q239_incremental_neardup" -> q239Oracle,

@@ -1818,7 +1818,162 @@ object EventAnalytics {
        FROM l, d GROUP BY 1 ORDER BY 1"""
   }
 
+  // ---------------------------------------------------------------- q260
+  /** Two-sample Kolmogorov–Smirnov test, EXACT: D = max |F̂₁ − F̂₂| over the
+    * pooled support, computed on integer numerators — |c₁·n₂ − c₂·n₁| with
+    * c₁,c₂ the cumulative counts — so the maximizing point (and the reject
+    * decision) never hinges on float CDF subtraction. Values quantize to
+    * exact cents (the repo-wide convention); the cumulative windows run
+    * over the distinct-cents AGGREGATE (bounded support, never the corpus —
+    * the Round6Spec barrier rule). The α=0.05 rejection compares
+    * 10⁶·D_num² against 1.358²·(n₁+n₂)·n₁·n₂ in DECIMAL(38,0) — the
+    * asymptotic KS threshold as an exact rational (1.358² = 1844164/10⁶),
+    * bit-identical across engines. d_stat is the presentational round-6
+    * double; the decision never reads it.
+    */
+  def q260KsTest(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+    val per = ev.groupBy(col("c")).agg(
+      count_if(col("event_type") === "view").as("a1"),
+      count_if(col("event_type") === "purchase").as("a2"))
+    val wc = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val stepped = per
+      .withColumn("cum1", sum(col("a1")).over(wc))
+      .withColumn("cum2", sum(col("a2")).over(wc))
+      .withColumn("n1", sum(col("a1")).over(wAll))
+      .withColumn("n2", sum(col("a2")).over(wAll))
+    stepped
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"), expr("cast(d_num as bigint)").as("d_num"),
+        expr("round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)")
+          .as("d_stat"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * d_num * d_num >
+                CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2""")
+          .as("reject_05"))
+  }
+
+  val q260Oracle: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('view', 'purchase')),
+       per AS (SELECT c,
+                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a1,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a2
+               FROM e GROUP BY 1),
+       st AS (SELECT
+                sum(a1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                sum(a2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+                sum(a1) OVER () AS n1, sum(a2) OVER () AS n2
+              FROM per),
+       agg AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+                 CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+               FROM st)
+       SELECT n1, n2, d_num,
+         round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+         1000000::HUGEINT * d_num * d_num >
+           1844164::HUGEINT * (n1 + n2) * n1 * n2 AS reject_05
+       FROM agg"""
+
+  // ---------------------------------------------------------------- q262
+  /** Position-based (U-shaped) multi-touch attribution — the standard
+    * 40/20/40 generalization of q172's last-touch: each purchase's credit
+    * splits 40% to the first touch, 40% to the last, 20% across the
+    * middle touches of its attribution window (the user's view/click
+    * events since the previous purchase). Credit is EXACT integer
+    * micro-shares (ppm of the cents value): the middle pool divides by
+    * largest-remainder (earliest touches take the remainder — q256's
+    * discipline), so per-conversion credits sum to exactly 10⁶ ppm and the
+    * corpus-wide credit mass equals purchase revenue to the micro-cent —
+    * an invariant float weights cannot hold. Touch→conversion assignment
+    * is one per-user ordered pass (running purchase count), then all
+    * per-window math partitions by (user, conversion) — high-NDV keys,
+    * no corpus-wide window.
+    */
+  def q262PositionAttribution(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("vc"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = ev.withColumn("pb",
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wRun))
+    val touches = tagged.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), (col("pb") + 1L).as("k"),
+        col("ts"), col("event_id"), col("event_type").as("channel"))
+    val convs = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("pb").as("k"), col("vc"))
+    val wPos = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("ts"), col("event_id"))
+    val weighted = touches
+      .withColumn("rn", row_number().over(wPos))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("k"))))
+      .withColumn("ppm", expr(
+        """CASE WHEN m = 1 THEN 1000000L
+                WHEN m = 2 THEN 500000L
+                WHEN rn = 1 OR rn = m THEN 400000L
+                ELSE 200000L div (m - 2)
+                     + (CASE WHEN rn - 1 <= 200000L % (m - 2) THEN 1L ELSE 0L END)
+           END"""))
+    val credited = weighted.join(convs, Seq("user_id", "k"))
+      .select(col("channel"), (col("vc") * col("ppm")).as("credit_micro"))
+    val direct = convs.join(touches, Seq("user_id", "k"), "left_anti")
+      .select(lit("direct").as("channel"), (col("vc") * lit(1000000L)).as("credit_micro"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        expr("cast(sum(cast(credit_micro as decimal(38,0))) as bigint)")
+          .as("credit_micro_cents"))
+      .withColumn("credit",
+        expr("CAST(credit_micro_cents AS DOUBLE) / 100000000.0"))
+      .orderBy(col("channel"))
+  }
+
+  val q262Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+           FROM events),
+       touches AS (SELECT user_id, pb + 1 AS k, ts, event_id,
+                     event_type AS channel
+                   FROM e WHERE event_type IN ('view', 'click')),
+       convs AS (SELECT user_id, pb AS k, vc FROM e WHERE event_type = 'purchase'),
+       pos AS (SELECT user_id, k, channel,
+                 row_number() OVER (PARTITION BY user_id, k ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id, k) AS m
+               FROM touches),
+       wt AS (SELECT user_id, k, channel,
+                CASE WHEN m = 1 THEN 1000000
+                     WHEN m = 2 THEN 500000
+                     WHEN rn = 1 OR rn = m THEN 400000
+                     ELSE 200000 // (m - 2)
+                          + (CASE WHEN rn - 1 <= 200000 % (m - 2) THEN 1 ELSE 0 END)
+                END AS ppm
+              FROM pos),
+       credited AS (SELECT channel, vc * ppm AS credit_micro
+                    FROM wt JOIN convs USING (user_id, k)
+                    UNION ALL
+                    SELECT 'direct', vc * 1000000
+                    FROM convs c
+                    WHERE NOT EXISTS (SELECT 1 FROM touches t
+                                      WHERE t.user_id = c.user_id AND t.k = c.k))
+       SELECT channel, count(*) AS n_credits,
+              CAST(sum(credit_micro) AS BIGINT) AS credit_micro_cents,
+              CAST(CAST(sum(credit_micro) AS BIGINT) AS DOUBLE) / 100000000.0 AS credit
+       FROM credited GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_position_attribution" -> q262PositionAttribution _,
+    "q260_ks_test" -> q260KsTest _,
     "q258_late_arrival_audit" -> q258LateArrivalAudit _,
     "q225_sessionize_skew_safe" -> q225SessionizeSkewSafe _,
     "q244_cuped_readout" -> q244CupedReadout _,
@@ -1854,6 +2009,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q262_position_attribution" -> q262Oracle,
+    "q260_ks_test" -> q260Oracle,
     "q258_late_arrival_audit" -> q258Oracle,
     "q225_sessionize_skew_safe" -> q225Oracle,
     "q244_cuped_readout" -> q244Oracle,

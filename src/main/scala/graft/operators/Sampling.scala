@@ -524,7 +524,56 @@ object Sampling {
               CAST(base + CASE WHEN rk <= slots_left THEN 1 ELSE 0 END AS BIGINT) AS quota
        FROM s ORDER BY lang, source"""
 
+  // ---------------------------------------------------------------- q261
+  /** Split-contamination audit — the counterpart certificate to q255: after
+    * group-aware folding, how much n-gram overlap still CROSSES fold
+    * boundaries (organic shared phrasing the cluster threshold didn't
+    * merge) vs how much the folds correctly CONTAIN (near-dup families kept
+    * together)? Doc pairs sharing a word-3-gram are classified by whether
+    * their folds agree; a healthy split shows the contained mass ≫ the
+    * crossing mass, and the crossing pairs' max shared-gram count bounds
+    * the worst leak. Same pair generator as the cluster build (Σ per-gram
+    * doc-pair products, hash-keyed — never all-pairs), fold labels probed
+    * from the PERSISTED cluster table.
+    */
+  def q261SplitContamination(spark: SparkSession, d: String): DataFrame = {
+    val corpus = Dedup.q97Corpus(spark, d)
+    val sh = Dedup.shingles3(corpus)
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val folds = Dedup.nearDupClusterTable(spark, d)
+      .select(col("doc_id"),
+        pmod(col("component"), lit(KFolds.toLong)).cast("int").as("fold"))
+    pairs
+      .join(folds.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("fold", "fold_a"), "doc_a")
+      .join(folds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("fold", "fold_b"), "doc_b")
+      .withColumn("kind", when(col("fold_a") === col("fold_b"), "contained")
+        .otherwise("crossing"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(shared_grams) as bigint)").as("sum_shared_grams"),
+        expr("cast(max(shared_grams) as bigint)").as("max_shared_grams"))
+      .orderBy(col("kind"))
+  }
+
+  val q261Oracle: String =
+    s"""WITH RECURSIVE
+       ${Dedup.clusterOraclePrelude},
+       f AS (SELECT doc_id, CAST(component % $KFolds AS INT) AS fold FROM comp),
+       cls AS (SELECT CASE WHEN fa.fold = fb.fold THEN 'contained'
+                           ELSE 'crossing' END AS kind, i
+               FROM inter
+               JOIN f fa ON fa.doc_id = inter.da
+               JOIN f fb ON fb.doc_id = inter.db)
+       SELECT kind, count(*) AS n_pairs,
+              CAST(sum(i) AS BIGINT) AS sum_shared_grams,
+              CAST(max(i) AS BIGINT) AS max_shared_grams
+       FROM cls GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_split_contamination" -> q261SplitContamination _,
     "q255_fold_assignment" -> q255FoldAssignment _,
     "q256_quota_allocation" -> q256QuotaAllocation _,
     "q73_stratified_sample" -> q73StratifiedSample _,
@@ -536,6 +585,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q261_split_contamination" -> q261Oracle,
     "q255_fold_assignment" -> q255Oracle,
     "q256_quota_allocation" -> q256Oracle,
     "q73_stratified_sample" -> q73Oracle,

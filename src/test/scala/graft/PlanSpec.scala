@@ -249,7 +249,16 @@ class PlanSpec extends SparkSuite {
       "q251_k_anonymity" -> ("customer", 0),             // one pass into the pinned QI-group frame
       "q252_langid_agreement" -> ("documents", 0),       // all 19 counts collected into one pinned 1-row aggregate
       "q253_char_entropy" -> ("documents", 1),           // one char-stream pass, map-side-combined
-      "q254_epoch_plan" -> ("documents", 0))             // one inventory pass pinned; the plan is broadcast arithmetic
+      "q254_epoch_plan" -> ("documents", 0),             // one inventory pass pinned; the plan is broadcast arithmetic
+      "q255_fold_assignment" -> ("documents", 0),        // pure artifact probe: two rollups over the cluster table
+      "q256_quota_allocation" -> ("documents", 0),       // stratum counts pinned; allocation is window arithmetic
+      "q257_vocab_coverage" -> ("documents", 0),         // vocab histogram pinned; targets probe the pinned frame
+      "q258_late_arrival_audit" -> ("events", 2),        // chunk-max pass + per-event pass (two-phase prefix max)
+      "q259_interval_overlap" -> ("events", 2),          // view windows + purchase windows
+      "q260_ks_test" -> ("events", 1),                   // one distinct-cents aggregate; CDFs window the aggregate
+      "q261_split_contamination" -> ("documents", 6),    // q97 corpus ×2 shingle sides (3 legs each); folds from artifact
+      "q262_position_attribution" -> ("events", 4),      // tagged pass ×(touch,conv) ×(credit,direct)
+      "q263_dedup_savings" -> ("documents", 2))          // base + planted-copies leg
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

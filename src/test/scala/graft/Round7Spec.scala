@@ -140,6 +140,78 @@ class Round7Spec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  // ------------------------------------------------------------- q260
+  test("q260: integer-numerator D equals the brute-force KS statistic") {
+    import graft.sources.Tables
+    val samples = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val s1 = samples.filter(_._1 == "view").map(_._2).sorted
+    val s2 = samples.filter(_._1 == "purchase").map(_._2).sorted
+    val support = (s1 ++ s2).distinct.sorted
+    val dNum = support.map { v =>
+      val c1 = s1.count(_ <= v).toLong; val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * s2.length - c2 * s1.length)
+    }.max
+    val row = EventAnalytics.q260KsTest(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n1") == s1.length.toLong)
+    assert(row.getAs[Long]("n2") == s2.length.toLong)
+    assert(row.getAs[Long]("d_num") == dNum)
+    // the exact-decimal rejection agrees with the double-precision check
+    // at this scale (the decimal form exists for the scales where it won't)
+    val dStat = dNum.toDouble / (s1.length.toDouble * s2.length.toDouble)
+    val thresh = 1.358 * math.sqrt((s1.length + s2.length).toDouble /
+      (s1.length.toDouble * s2.length))
+    assert(row.getAs[Boolean]("reject_05") == dStat > thresh)
+  }
+
+  // ------------------------------------------------------------- q261
+  test("q261: every 3-gram-sharing pair is classified, both kinds present") {
+    val out = Sampling.q261SplitContamination(spark, sf).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_pairs")).toMap
+    assert(out.keySet == Set("contained", "crossing"))
+    // total classified pairs == unthresholded 3-gram-sharing pair count
+    val corpus = Dedup.q97Corpus(spark, sf)
+    val sh = Dedup.shingles3(corpus)
+    val allPairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(out.values.sum == allPairs)
+  }
+
+  // ------------------------------------------------------------- q262
+  test("q262: credit mass equals purchase revenue exactly (micro-cents)") {
+    import graft.sources.Tables
+    val rows = EventAnalytics.q262PositionAttribution(spark, sf).collect()
+    val credited = rows.map(_.getAs[Long]("credit_micro_cents")).sum
+    val revenue = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .agg(expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)"))
+      .collect()(0).getLong(0)
+    assert(credited == revenue * 1000000L,
+      s"credit mass $credited != revenue*1e6 ${revenue * 1000000L}")
+    // all three touch channels plus direct must appear at this SF
+    assert(rows.map(_.getAs[String]("channel")).toSet.subsetOf(
+      Set("view", "click", "direct")))
+  }
+
+  // ------------------------------------------------------------- q263
+  test("q263: per-lang duplicate counts equal the planted copies") {
+    import graft.sources.Tables
+    val planted = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Dedup.q263DedupSavings(spark, sf).collect()
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_docs") - r.getAs[Long]("n_unique_texts") ==
+        planted.getOrElse(lang, 0L),
+        s"$lang: duplicate mass must equal the planted copies")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count() + 40)
+  }
+
   // ------------------------------------------------------------- determinism
   test("round-7 additions are bit-identical at 2 vs 32 shuffle partitions") {
     def run(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Seq[String] = {
@@ -152,7 +224,9 @@ class Round7Spec extends SparkSuite {
     for (q <- Seq(
       Sampling.q255FoldAssignment _, Sampling.q256QuotaAllocation _,
       TextAnalysis.q257VocabCoverage _, EventAnalytics.q258LateArrivalAudit _,
-      Temporal.q259IntervalOverlap _)) {
+      Temporal.q259IntervalOverlap _, EventAnalytics.q260KsTest _,
+      Sampling.q261SplitContamination _, EventAnalytics.q262PositionAttribution _,
+      Dedup.q263DedupSavings _)) {
       val Seq(a, b) = run(q)
       assert(a == b)
     }
