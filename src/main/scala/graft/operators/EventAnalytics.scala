@@ -1971,7 +1971,80 @@ object EventAnalytics {
               CAST(CAST(sum(credit_micro) AS BIGINT) AS DOUBLE) / 100000000.0 AS credit
        FROM credited GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q264
+  /** Theil–Sen robust trend — the median of pairwise slopes between daily
+    * revenue points, the estimator that shrugs off the outlier days that
+    * drag q145's OLS line around (up to 29% contamination tolerated). The
+    * corpus collapses to ONE day-sized aggregate (exact integer cents);
+    * the O(days²) pair generation and the median rank-select all run on
+    * that ~30-row frame — self-joining an aggregate is free, the corpus
+    * never cross-joins. Slopes order by their correctly-rounded double
+    * (identical IEEE division in both engines), ties broken by the exact
+    * (Δcents, Δdays) pair so the ranked sequence is total; the median of
+    * an even count averages the two central slopes. OLS from the same
+    * exact moments is emitted alongside — the robustness delta is the
+    * readout.
+    */
+  def q264TheilSen(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("datediff(date_trunc('DAY', ts), DATE '2024-01-01')").as("day"))
+      .agg(expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").as("rc"))
+      .localCheckpoint() // day-sized; pairs, ranks, and moments all read it
+    val a = daily.select(col("day").as("d1"), col("rc").as("c1"))
+    val b = daily.select(col("day").as("d2"), col("rc").as("c2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (col("c2") - col("c1")).as("dc"), (col("d2") - col("d1")).as("dd"))
+      .withColumn("slope", expr("CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE)"))
+    val wr = Window.orderBy(col("slope").asc, col("dc").asc, col("dd").asc,
+      col("d1").asc, col("d2").asc)
+    val ranked = pairs.withColumn("rn", row_number().over(wr))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+    val median = ranked
+      .filter(expr("rn = (np + 1) div 2 OR rn = np div 2 + 1"))
+      .agg(avg(col("slope")).as("ts_slope_raw"), max(col("np")).as("n_pairs"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      expr("cast(sum(day) as decimal(38,0))").as("sx"),
+      expr("cast(sum(rc) as decimal(38,0))").as("sy"),
+      expr("cast(sum(cast(day as decimal(38,0)) * day) as decimal(38,0))").as("sxx"),
+      expr("cast(sum(cast(day as decimal(38,0)) * rc) as decimal(38,0))").as("sxy"))
+    median.crossJoin(broadcast(mom))
+      .select(col("n").as("n_days"), col("n_pairs"),
+        expr("round(ts_slope_raw / 100.0, 6)").as("ts_slope"),
+        expr("""round(CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+                / CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE) / 100.0, 6)""")
+          .as("ols_slope"))
+  }
+
+  val q264Oracle: String =
+    """WITH daily AS (SELECT datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rc
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       pairs AS (SELECT a.day AS d1, b.day AS d2, b.rc - a.rc AS dc,
+                   b.day - a.day AS dd,
+                   CAST(b.rc - a.rc AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+                 FROM daily a JOIN daily b ON a.day < b.day),
+       ranked AS (SELECT slope,
+                    row_number() OVER (ORDER BY slope ASC, dc ASC, dd ASC, d1 ASC, d2 ASC) AS rn,
+                    count(*) OVER () AS np
+                  FROM pairs),
+       med AS (SELECT avg(slope) AS ts_slope_raw, max(np) AS n_pairs
+               FROM ranked WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+       mom AS (SELECT count(*) AS n,
+                 CAST(sum(day) AS HUGEINT) AS sx, CAST(sum(rc) AS HUGEINT) AS sy,
+                 CAST(sum(day::HUGEINT * day) AS HUGEINT) AS sxx,
+                 CAST(sum(day::HUGEINT * rc) AS HUGEINT) AS sxy
+               FROM daily)
+       SELECT n AS n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+              round(ts_slope_raw / 100.0, 6) AS ts_slope,
+              round(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0, 6) AS ols_slope
+       FROM med, mom"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_theil_sen" -> q264TheilSen _,
     "q262_position_attribution" -> q262PositionAttribution _,
     "q260_ks_test" -> q260KsTest _,
     "q258_late_arrival_audit" -> q258LateArrivalAudit _,
@@ -2009,6 +2082,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q264_theil_sen" -> q264Oracle,
     "q262_position_attribution" -> q262Oracle,
     "q260_ks_test" -> q260Oracle,
     "q258_late_arrival_audit" -> q258Oracle,

@@ -474,6 +474,42 @@ object StreamingOps {
        GROUP BY c.user_id ORDER BY c.user_id"""
 
   /** Oracles: streaming twins must equal their batch shapes. */
+  // ---------------------------------------------------------------- q265
+  /** Streaming windowed TOP-K — the live "what's trending this window"
+    * readout: a watermarked 6-hour tumbling count per event type streams
+    * into the sink, and the top-3 per window is ranked OVER THE STREAMED
+    * AGGREGATE (windows × types rows — never the event stream itself;
+    * rank-inside-the-stream would need complete-mode state for every
+    * type). The composition is the point: stateful streaming aggregation
+    * below, a cheap batch rank above, the same split a 100 TB deployment
+    * uses for dashboard top-k over a streaming rollup table.
+    */
+  def q265StreamWindowTopk(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventsStream(spark, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val counts = runToMemory(spark, agg, s"stream_wtopk_${System.nanoTime()}")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("ws"), col("rk"))
+  }
+
+  val q265Oracle: String =
+    """WITH wc AS (
+         SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 21600000) AS BIGINT) * 21600000000) AS ws,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT ws, event_type, n,
+               row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type ASC) AS rk
+             FROM wc)
+       SELECT ws, event_type, n, CAST(rk AS INT) AS rk
+       FROM r WHERE rk <= 3 ORDER BY ws, rk"""
+
   val q43Oracle: String = graft.operators.EventTime.q23Oracle
   val q44Oracle: String = graft.operators.EventTime.q25Oracle
   val q52Oracle: String = graft.operators.EventTime.q24Oracle
@@ -672,6 +708,7 @@ object StreamingOps {
        GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_stream_window_topk" -> q265StreamWindowTopk _,
     "q213_stream_anti_denylist" -> q213StreamAntiDenylist _,
     "q190_stream_daily_actives" -> q190StreamDailyActives _,
     "q143_stream_outer_join" -> q143StreamOuterJoin _,
@@ -688,6 +725,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q265_stream_window_topk" -> q265Oracle,
     "q213_stream_anti_denylist" -> q213Oracle,
     "q190_stream_daily_actives" -> q190Oracle,
     "q143_stream_outer_join" -> q143Oracle,

@@ -258,7 +258,8 @@ class PlanSpec extends SparkSuite {
       "q260_ks_test" -> ("events", 1),                   // one distinct-cents aggregate; CDFs window the aggregate
       "q261_split_contamination" -> ("documents", 6),    // q97 corpus ×2 shingle sides (3 legs each); folds from artifact
       "q262_position_attribution" -> ("events", 4),      // tagged pass ×(touch,conv) ×(credit,direct)
-      "q263_dedup_savings" -> ("documents", 2))          // base + planted-copies leg
+      "q263_dedup_savings" -> ("documents", 2),          // base + planted-copies leg
+      "q264_theil_sen" -> ("events", 0))                 // daily aggregate pinned; pairs/ranks/moments read it
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

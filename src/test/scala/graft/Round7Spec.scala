@@ -212,6 +212,42 @@ class Round7Spec extends SparkSuite {
       Tables.documents(spark, sf).count() + 40)
   }
 
+  // ------------------------------------------------------------- q264
+  test("q264: median-of-slopes equals the brute-force Theil-Sen estimate") {
+    import graft.sources.Tables
+    val daily = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .groupBy(expr("datediff(date_trunc('DAY', ts), DATE '2024-01-01')").as("day"))
+      .agg(expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)").as("rc"))
+      .collect().map(r => (r.getAs[Int]("day").toLong, r.getAs[Long]("rc")))
+    val slopes = (for {
+      (d1, c1) <- daily; (d2, c2) <- daily if d1 < d2
+    } yield ((c2 - c1).toDouble / (d2 - d1).toDouble, c2 - c1, d2 - d1, d1, d2))
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    val np = slopes.length
+    val med =
+      if (np % 2 == 1) slopes((np + 1) / 2 - 1)._1
+      else (slopes(np / 2 - 1)._1 + slopes(np / 2)._1) / 2.0
+    val row = EventAnalytics.q264TheilSen(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_pairs") == np.toLong)
+    assert(row.getAs[Double]("ts_slope") ==
+      BigDecimal(med / 100.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ------------------------------------------------------------- q265
+  test("q265: streamed windowed top-k equals the batch twin") {
+    import graft.sources.Tables
+    val w = Window.partitionBy(col("ws")).orderBy(col("n").desc, col("event_type").asc)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .orderBy(col("ws"), col("rk"))
+      .collect().map(_.toString)
+    val streamed = graft.streaming.StreamingOps.q265StreamWindowTopk(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   // ------------------------------------------------------------- determinism
   test("round-7 additions are bit-identical at 2 vs 32 shuffle partitions") {
     def run(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Seq[String] = {
@@ -226,7 +262,7 @@ class Round7Spec extends SparkSuite {
       TextAnalysis.q257VocabCoverage _, EventAnalytics.q258LateArrivalAudit _,
       Temporal.q259IntervalOverlap _, EventAnalytics.q260KsTest _,
       Sampling.q261SplitContamination _, EventAnalytics.q262PositionAttribution _,
-      Dedup.q263DedupSavings _)) {
+      Dedup.q263DedupSavings _, EventAnalytics.q264TheilSen _)) {
       val Seq(a, b) = run(q)
       assert(a == b)
     }
