@@ -585,6 +585,100 @@ object TextAnalysis {
        FROM hit JOIN r ON r.rk = hit.vocab_size ORDER BY pct"""
   }
 
+  // ---------------------------------------------------------------- q266
+  /** Zipf-slope corpus health check — OLS fit of ln(freq) on ln(rank) over
+    * the frequency-ranked vocabulary: natural language sits near −1;
+    * boilerplate-flooded or synthetic corpora drift off it (this corpus's
+    * 31-word vocabulary reads shallow, which is itself the readout). Each
+    * ln is ONE correctly-rounded libm call quantized to µ-units (the
+    * q228/q253 discipline) so the regression moments are exact
+    * DECIMAL(38,0) integer sums — bit-stable at any parallelism — and the
+    * final slope/r² derive from string-bridged doubles with textually
+    * identical formulas in both engines. Everything past the one corpus
+    * scan runs on the |vocab| aggregate.
+    */
+  def q266ZipfSlope(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word").asc)
+    val ranked = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .select(
+        expr("CAST(round(ln(rk) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(n) * 1000000) AS BIGINT)").as("y"))
+    ranked.agg(
+        count(lit(1)).as("vocab_size"),
+        expr("cast(sum(cast(x as decimal(38,0))) as decimal(38,0))").as("sx"),
+        expr("cast(sum(cast(y as decimal(38,0))) as decimal(38,0))").as("sy"),
+        expr("cast(sum(cast(x as decimal(38,0)) * x) as decimal(38,0))").as("sxx"),
+        expr("cast(sum(cast(x as decimal(38,0)) * y) as decimal(38,0))").as("sxy"),
+        expr("cast(sum(cast(y as decimal(38,0)) * y) as decimal(38,0))").as("syy"))
+      .select(col("vocab_size"),
+        expr("""round(CAST(CAST(vocab_size * sxy - sx * sy AS STRING) AS DOUBLE)
+                / CAST(CAST(vocab_size * sxx - sx * sx AS STRING) AS DOUBLE), 6)""")
+          .as("zipf_slope"),
+        expr("""round(CAST(CAST(vocab_size * sxy - sx * sy AS STRING) AS DOUBLE)
+                / CAST(CAST(vocab_size * sxx - sx * sx AS STRING) AS DOUBLE)
+                * CAST(CAST(vocab_size * sxy - sx * sy AS STRING) AS DOUBLE)
+                / CAST(CAST(vocab_size * syy - sy * sy AS STRING) AS DOUBLE), 6)""")
+          .as("r2"))
+  }
+
+  val q266Oracle: String =
+    """WITH v AS (SELECT word, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY 1),
+       r AS (SELECT CAST(round(ln(row_number() OVER (ORDER BY n DESC, word ASC)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+             FROM v),
+       m AS (SELECT count(*) AS vocab_size,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             FROM r)
+       SELECT vocab_size,
+         round(CAST(CAST(vocab_size * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(vocab_size * sxx - sx * sx AS VARCHAR) AS DOUBLE), 6) AS zipf_slope,
+         round(CAST(CAST(vocab_size * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(vocab_size * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+           * CAST(CAST(vocab_size * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(vocab_size * syy - sy * sy AS VARCHAR) AS DOUBLE), 6) AS r2
+       FROM m"""
+
+  // ---------------------------------------------------------------- q267
+  /** Stopword induction by DOCUMENT frequency — the list every TF-IDF,
+    * quality-score, and index pipeline wants as an artifact: tokens
+    * present in ≥ 60% of documents (presence, not occurrence count — a
+    * token spamming one document is q94's problem, not a stopword). One
+    * corpus scan over per-doc DISTINCT tokens (array_distinct before the
+    * explode keeps the shuffle at Σ distinct-per-doc), then the
+    * vocabulary-sized df rollup joined against the 1-row doc count.
+    */
+  def q267StopwordInduction(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") * lit(100L) >= col("n_docs") * lit(60L))
+      .select(col("word"), col("df"),
+        expr("round(100.0 * df / n_docs, 6)").as("df_pct"))
+      .orderBy(col("df").desc, col("word").asc)
+  }
+
+  val q267Oracle: String =
+    """WITH dw AS (SELECT DISTINCT doc_id, word
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+       df AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
+       t AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT word, df, round(100.0 * df / n_docs, 6) AS df_pct
+       FROM df, t WHERE df * 100 >= n_docs * 60
+       ORDER BY df DESC, word ASC"""
+
   // ---------------------------------------------------------------- q121
   /** Markup/boilerplate stripping — the first stage of any web-corpus
     * pipeline (raw HTML → trainable text): drop script/style blocks
@@ -1844,6 +1938,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_zipf_slope" -> q266ZipfSlope _,
+    "q267_stopword_induction" -> q267StopwordInduction _,
     "q257_vocab_coverage" -> q257VocabCoverage _,
     "q250_lm_maintain" -> q250LmMaintain _,
     "q252_langid_agreement" -> q252LangIdAgreement _,
@@ -1875,6 +1971,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q266_zipf_slope" -> q266Oracle,
+    "q267_stopword_induction" -> q267Oracle,
     "q257_vocab_coverage" -> q257Oracle,
     "q250_lm_maintain" -> q250Oracle,
     "q252_langid_agreement" -> q252Oracle,

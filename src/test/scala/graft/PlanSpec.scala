@@ -259,7 +259,9 @@ class PlanSpec extends SparkSuite {
       "q261_split_contamination" -> ("documents", 6),    // q97 corpus ×2 shingle sides (3 legs each); folds from artifact
       "q262_position_attribution" -> ("events", 4),      // tagged pass ×(touch,conv) ×(credit,direct)
       "q263_dedup_savings" -> ("documents", 2),          // base + planted-copies leg
-      "q264_theil_sen" -> ("events", 0))                 // daily aggregate pinned; pairs/ranks/moments read it
+      "q264_theil_sen" -> ("events", 0),                 // daily aggregate pinned; pairs/ranks/moments read it
+      "q266_zipf_slope" -> ("documents", 1),             // one vocab histogram pass; regression on the aggregate
+      "q267_stopword_induction" -> ("documents", 2))     // distinct-token pass + 1-row doc count
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

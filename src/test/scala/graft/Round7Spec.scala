@@ -248,6 +248,40 @@ class Round7Spec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  // ------------------------------------------------------------- q266
+  test("q266: slope/r2 match a brute-force regression on the quantized lns") {
+    import graft.sources.Tables
+    val hist = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .collect().map(_.getAs[Long]("n"))
+    val pts = hist.zipWithIndex.map { case (n, i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(n.toDouble) * 1e6))
+    }
+    val m = pts.length.toDouble
+    val sx = pts.map(_._1.toDouble).sum; val sy = pts.map(_._2.toDouble).sum
+    val sxx = pts.map(p => p._1.toDouble * p._1).sum
+    val sxy = pts.map(p => p._1.toDouble * p._2).sum
+    val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val row = TextAnalysis.q266ZipfSlope(spark, sf).collect()(0)
+    assert(row.getAs[Long]("vocab_size") == pts.length.toLong)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-4)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  // ------------------------------------------------------------- q267
+  test("q267: induced stopwords are exactly the >=60%-df tokens") {
+    import graft.sources.Tables
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = TextAnalysis.q267StopwordInduction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("df") * 100 >= nDocs * 60))
+    // df counts PRESENCE, never occurrences: df can't exceed the doc count
+    rows.foreach(r => assert(r.getAs[Long]("df") <= nDocs))
+  }
+
   // ------------------------------------------------------------- determinism
   test("round-7 additions are bit-identical at 2 vs 32 shuffle partitions") {
     def run(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Seq[String] = {
@@ -262,7 +296,8 @@ class Round7Spec extends SparkSuite {
       TextAnalysis.q257VocabCoverage _, EventAnalytics.q258LateArrivalAudit _,
       Temporal.q259IntervalOverlap _, EventAnalytics.q260KsTest _,
       Sampling.q261SplitContamination _, EventAnalytics.q262PositionAttribution _,
-      Dedup.q263DedupSavings _, EventAnalytics.q264TheilSen _)) {
+      Dedup.q263DedupSavings _, EventAnalytics.q264TheilSen _,
+      TextAnalysis.q266ZipfSlope _, TextAnalysis.q267StopwordInduction _)) {
       val Seq(a, b) = run(q)
       assert(a == b)
     }
