@@ -235,8 +235,12 @@ object Temporal {
                           aLo: String, aHi: String, bLo: String, bHi: String,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // empty/inverted intervals ([lo, hi) with hi <= lo) match nothing under
+    // half-open semantics — and must be dropped BEFORE bucketing, where
+    // sequence(lo div w, (hi-1) div w) would silently DESCEND and emit
+    // phantom buckets
     def bucketed(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn("__bucket", explode(sequence(
+      df.filter(col(hi) > col(lo)).withColumn("__bucket", explode(sequence(
         expr(s"$lo div $bucketWidth"), expr(s"($hi - 1) div $bucketWidth"))))
     bucketed(a, aLo, aHi)
       .join(bucketed(b, bLo, bHi), Seq(key, "__bucket"))

@@ -134,6 +134,16 @@ class Round7Spec extends SparkSuite {
     }
   }
 
+  test("q259: empty and inverted intervals match nothing (no phantom buckets)") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L, 100L), (2L, 0L, 300L, 200L), (3L, 0L, 50L, 60L))
+      .toDF("aid", "k", "alo", "ahi") // empty, inverted, valid
+    val b = Seq((10L, 0L, 0L, 1000L)).toDF("bid", "k", "blo", "bhi")
+    val out = Temporal.intervalOverlapJoin(a, b, "k", "alo", "ahi", "blo", "bhi", 75L)
+      .select("aid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L), "only the valid interval may match")
+  }
+
   test("q259 plan: overlap join is an equi-join on the bucket, not a nested loop") {
     val plan = Temporal.q259IntervalOverlap(spark, sf)
       .queryExecution.executedPlan.toString
