@@ -195,11 +195,31 @@ object Xlsx {
 
     // header row = column names; a K-column collect is the schema decision,
     // the same contract as CSV inference reading the header line
-    val header: Seq[(String, String)] = cells.filter(col("rownum") === 1)
-      .select(col("colref"), col("value")).collect().toSeq
-      .map(r => r.getString(0) -> graft.core.Utils.sanitizeTableName(r.getString(1) + ".x"))
-      .sortBy(h => (h._1.length, h._1)) // A..Z then AA.. — spreadsheet order
-    require(header.nonEmpty, s"$path: empty header row")
+    // Header naming guards. The column SET comes from every ref observed in
+    // the sheet, not just row 1 — a missing or styled-but-empty header cell
+    // must not silently drop its data column (fallback name col_<ref>). Two
+    // headers that SANITIZE to the same identifier ("Unit Price"/
+    // "Unit-Price") would collide into ambiguous aggregate aliases —
+    // uniquify in spreadsheet order with _2/_3 suffixes so the select below
+    // never hits AMBIGUOUS_REFERENCE. Both collects are K-sized (schema
+    // decisions, the CSV-inference contract).
+    val headerVals: Map[String, String] = cells.filter(col("rownum") === 1)
+      .select(col("colref"), col("value")).collect()
+      .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _)).toMap
+    val allRefs: Seq[String] = cells.select(col("colref")).distinct().collect()
+      .map(_.getString(0)).toSeq
+      .sortBy(ref => (ref.length, ref)) // A..Z then AA.. — spreadsheet order
+    require(allRefs.nonEmpty, s"$path: empty sheet")
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val header: Seq[(String, String)] = allRefs.map { ref =>
+      val base = headerVals.get(ref)
+        .map(v => graft.core.Utils.sanitizeTableName(v + ".x"))
+        .filter(_.nonEmpty)
+        .getOrElse(s"col_${ref.toLowerCase}")
+      val n = seen.getOrElse(base, 0) + 1
+      seen(base) = n
+      ref -> (if (n == 1) base else s"${base}_$n")
+    }
 
     val aggCols = header.map { case (ref, name) =>
       first(when(col("colref") === ref, col("value")), ignoreNulls = true).as(name)

@@ -42,11 +42,7 @@ object Dedup {
     * any scale factor) without a driver-side collect.
     */
   def minhashBucketOverflowCapped(docs: DataFrame, capDf: DataFrame): DataFrame =
-    minhashSignatures(docs).select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-          .as(Seq("band_id", "band_key")))
+    bandedSignatures(docs)
       .groupBy(col("band_id"), col("band_key"))
       .agg(count(lit(1)).as("bucket_size"))
       .crossJoin(broadcast(capDf)) // 1-row scalar: a broadcast, not a shuffle
@@ -133,6 +129,23 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), col("sig"))
   }
 
+  /** The ONE definition of the LSH band key over a `sig` column. Every
+    * band producer and prober — in-memory near-dup, cross-corpus,
+    * overflow report, the PERSISTED band index build, and the index
+    * probe — must band through [[bandedSignatures]]: the stored index
+    * only matches probe-side banding if both derive from this expression,
+    * so a second copy drifting (seed, band count, slice arithmetic)
+    * silently breaks candidate recall.
+    */
+  private val BandKeysExpr: String =
+    s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"
+
+  /** (idOut, band_id, band_key) rows — one per (doc, band). */
+  def bandedSignatures(docs: DataFrame, idOut: String = "doc_id"): DataFrame =
+    minhashSignatures(docs).select(
+      col("doc_id").as(idOut),
+      posexplode(expr(BandKeysExpr)).as(Seq("band_id", "band_key")))
+
   /** Candidate pairs from band-bucket collisions, verified by exact Jaccard
     * over shingle sets; skew-guarded via MaxBucketSize.
     */
@@ -143,11 +156,7 @@ object Dedup {
     // Recomputing the scan ~3× (banding + both sides of the verify join)
     // costs less than permanently resident signature partitions.
     val sigs = minhashSignatures(docs)
-    val banded = sigs.select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-          .as(Seq("band_id", "band_key")))
+    val banded = bandedSignatures(docs)
     // Skew guard: cap bucket size (rank by doc_id inside bucket).
     val guarded = banded
       .withColumn("rnk", row_number().over(
@@ -212,14 +221,8 @@ object Dedup {
     */
   def minhashNearDupsAgainst(incoming: DataFrame, corpus: DataFrame,
                              threshold: Double): DataFrame = {
-    def banded(docs: DataFrame, idOut: String) =
-      minhashSignatures(docs).select(
-          col("doc_id").as(idOut),
-          posexplode(expr(
-            s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-            .as(Seq("band_id", "band_key")))
-    val inB = banded(incoming, "in_id")
-    val refB = banded(corpus, "ref_id")
+    val inB = bandedSignatures(incoming, "in_id")
+    val refB = bandedSignatures(corpus, "ref_id")
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_id"), col("band_key")).orderBy(col("ref_id"))))
@@ -1101,15 +1104,10 @@ object Dedup {
     */
   private def batchIncidentPairs(batch: DataFrame, all: DataFrame,
                                  threshold: Double): DataFrame = {
-    def sh(docs: DataFrame) = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-           ELSE transform(sequence(1, size(toks) - 2),
-                          i -> concat_ws(' ', element_at(toks, i),
-                                         element_at(toks, i + 1),
-                                         element_at(toks, i + 2)))
-           END"""))).as("shingle"))
+    // shared 3-gram definition: q242's incremental pairs MUST shingle
+    // exactly like the full cluster build or the equal-to-full-recluster
+    // invariant breaks
+    def sh(docs: DataFrame) = shingles3(docs)
     val shAll = sh(all)
     val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh(batch).as("a").join(shAll.as("b"),
@@ -1196,11 +1194,7 @@ object Dedup {
     * the round-7 cluster/IVF/LM tables). q240 is the driven build.
     */
   private def buildBandIndex(spark: SparkSession, d: String): DataFrame =
-    minhashSignatures(Tables.documents(spark, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-          .as(Seq("band_id", "band_key")))
+    bandedSignatures(Tables.documents(spark, d).select(col("doc_id"), col("text")))
 
   def minhashBandIndexTable(spark: SparkSession, d: String): DataFrame =
     Artifacts.buildOrGet(spark, "minhash_bands", d,
@@ -1230,11 +1224,15 @@ object Dedup {
   def incrementalNearDupMatches(corpusDocs: DataFrame, bands: DataFrame,
                                 batch: DataFrame,
                                 threshold: Double): DataFrame = {
-    val inB = minhashSignatures(batch).select(
-        col("doc_id").as("in_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${NumBands - 1}, 1), b -> xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-          .as(Seq("band_id", "band_key")))
+    // ONE signature pass over the batch, pinned (batch-sized): the band
+    // probe and the shingle-verification side both derive from it instead
+    // of re-running tokenize/shingle/minhash twice per probe (q248 pays
+    // this once per micro-batch)
+    val sigs = minhashSignatures(batch)
+      .select(col("doc_id").as("in_id"), col("shingles"), col("sig"))
+      .localCheckpoint()
+    val inB = sigs.select(col("in_id"),
+      posexplode(expr(BandKeysExpr)).as(Seq("band_id", "band_key")))
     // the candidate list is read twice (verification join + corpus prune)
     // and is batch-sized — localCheckpoint pins it so the index probe runs
     // once instead of re-embedding per reference
@@ -1242,8 +1240,7 @@ object Dedup {
       .join(bands.withColumnRenamed("doc_id", "ref_id"), Seq("band_id", "band_key"))
       .select(col("in_id"), col("ref_id")).distinct()
       .localCheckpoint()
-    val sIn = minhashSignatures(batch)
-      .select(col("doc_id").as("in_id"), col("shingles").as("sh_in"))
+    val sIn = sigs.select(col("in_id"), col("shingles").as("sh_in"))
     val sRef = minhashSignatures(
         corpusDocs.join(cand.select(col("ref_id")).distinct(),
           col("doc_id") === col("ref_id")).select(col("doc_id"), col("text")))

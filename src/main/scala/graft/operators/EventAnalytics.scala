@@ -1829,7 +1829,13 @@ object EventAnalytics {
     * 10⁶·D_num² against 1.358²·(n₁+n₂)·n₁·n₂ in DECIMAL(38,0) — the
     * asymptotic KS threshold as an exact rational (1.358² = 1844164/10⁶),
     * bit-identical across engines. d_stat is the presentational round-6
-    * double; the decision never reads it.
+    * double; the decision never reads it below the exactness bound.
+    * Overflow safety: 10⁶·D_num² needs ~2·(digits of n₁n₂)+6 digits, so
+    * the exact-decimal branch guards on n₁·n₂ ≤ 10¹⁵ (far beyond any
+    * bench SF); past it BOTH engines fall back to the same
+    * textually-identical double comparison — deterministic, never an ANSI
+    * decimal-overflow throw, and at that scale the threshold sits ~10⁻⁷
+    * where doubles carry ~10⁻¹⁶ relative error.
     */
   def q260KsTest(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1853,8 +1859,13 @@ object EventAnalytics {
       .select(col("n1"), col("n2"), expr("cast(d_num as bigint)").as("d_num"),
         expr("round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)")
           .as("d_stat"),
-        expr("""CAST(1000000 AS DECIMAL(38,0)) * d_num * d_num >
-                CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2""")
+        expr("""CASE WHEN CAST(n1 AS DECIMAL(38,0)) * n2 <= 1000000000000000
+                THEN CAST(1000000 AS DECIMAL(38,0)) * d_num * d_num >
+                     CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2
+                ELSE CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                     > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                                    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                END""")
           .as("reject_05"))
   }
 
@@ -1875,8 +1886,13 @@ object EventAnalytics {
                FROM st)
        SELECT n1, n2, d_num,
          round(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
-         1000000::HUGEINT * d_num * d_num >
-           1844164::HUGEINT * (n1 + n2) * n1 * n2 AS reject_05
+         CASE WHEN n1::HUGEINT * n2 <= 1000000000000000
+         THEN 1000000::HUGEINT * d_num * d_num >
+              1844164::HUGEINT * (n1 + n2) * n1 * n2
+         ELSE CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+              > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+         END AS reject_05
        FROM agg"""
 
   // ---------------------------------------------------------------- q262

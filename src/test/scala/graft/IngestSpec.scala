@@ -99,6 +99,20 @@ class IngestSpec extends SparkSuite {
     spark.sql("DROP DATABASE xlsxsrc CASCADE")
   }
 
+  test("xlsx ingest: colliding and empty header names are uniquified, not ambiguous") {
+    val dir = Files.createTempDirectory("graft-xlsx-dup")
+    val path = dir.resolve("dup.xlsx").toString
+    // "Unit Price" and "Unit-Price" both sanitize to Unit_Price; the third
+    // header is empty → falls back to its column ref
+    graft.etl.Xlsx.write(
+      Seq("Unit Price", "Unit-Price", null),
+      Seq(Seq[Any](1L, 2L, "a"), Seq[Any](3L, 4L, "b")),
+      path)
+    val df = graft.etl.Xlsx.read(spark, path)
+    assert(df.columns.toSeq == Seq("Unit_Price", "Unit_Price_2", "col_c"))
+    assert(df.count() == 2)
+  }
+
   test("xlsx ingest: legacy .xls still fails fast") {
     val e = intercept[UnsupportedOperationException](
       Ingest.ingestFile(spark, "/tmp/nope.xls", "x"))

@@ -182,17 +182,40 @@ class Round6Spec extends SparkSuite {
       }
       case _ => Nil
     }.toSet
+    // Resolve partition-key names THROUGH Project aliases to their source
+    // columns (transitively), so a derived alias cannot hide the fixture
+    // column — `g = l_returnflag` resolves to l_returnflag and is flagged;
+    // `chunk = event_id div 250` resolves to the high-NDV event_id and is
+    // not. This replaces the round-6 version's by-name grandfathering of
+    // the single alias `g`.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def resolvedKeySets(w: LWindow): Seq[Set[String]] = {
+      val aliasMap = scala.collection.mutable.Map.empty[String, Set[String]]
+      w.child.foreach {
+        case p: Project => p.projectList.foreach {
+          case a: Alias => aliasMap(a.name) = a.child.references.map(_.name).toSet
+          case _ => ()
+        }
+        case _ => ()
+      }
+      def resolve(n: String, seen: Set[String]): Set[String] =
+        aliasMap.get(n) match {
+          case Some(rs) if !seen(n) => rs.flatMap(r => resolve(r, seen + n))
+          case _ => Set(n)
+        }
+      w.partitionSpec.map(
+        _.references.toSeq.map(_.name).toSet.flatMap((n: String) => resolve(n, Set.empty)))
+    }
     for {
       w <- df.queryExecution.optimizedPlan.collect { case n: LWindow => n }
-      names = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+      keySets = resolvedKeySets(w)
+      sources = keySets.flatten.distinct
       leaves = leafTables(w)
-      if names.nonEmpty && (
-        names.forall(n => lowCardFixtureCols.get(n).exists(_.exists(leaves.contains))) ||
-        // derived aliases can hide the fixture column (q61-family's `g` over
-        // lineitem was the round-5 trap) — keep the known alias guarded
-        (names == Seq("g") && leaves.contains("lineitem")))
+      if sources.nonEmpty &&
+        sources.forall(n => lowCardFixtureCols.get(n).exists(_.exists(leaves.contains)))
       if reachesLeafRaw(w.child)
-    } yield names.mkString(",")
+    } yield sources.mkString(",")
   }
 
   test("sweep: no driven query windows the raw corpus on a low-NDV key") {
@@ -230,6 +253,21 @@ class Round6Spec extends SparkSuite {
         Window.partitionBy(col("lang")).orderBy(col("n"))))
     assert(lowCardWindowOffenses(barriered).isEmpty,
       "aggregate-barriered lang window must not be flagged")
+    // a derived ALIAS of a low-card column must be flagged too (the
+    // round-5 `g` trap, now resolved through projections, any name)
+    val aliased = sources.Tables.documents(spark, sf)
+      .withColumn("h", upper(col("lang")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+    assert(lowCardWindowOffenses(aliased).nonEmpty,
+      "aliased low-card window over the corpus was not flagged")
+    // while an alias derived from a HIGH-card column stays clear
+    val chunked = sources.Tables.events(spark, sf)
+      .withColumn("chunk", expr("event_id div 250"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("event_id"))))
+    assert(lowCardWindowOffenses(chunked).isEmpty,
+      "high-card-derived chunk window must not be flagged")
   }
 
   test("IVF: trained centroids beat seed centroids on a planted-cluster fixture") {
