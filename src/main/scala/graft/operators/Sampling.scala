@@ -524,6 +524,72 @@ object Sampling {
               CAST(base + CASE WHEN rk <= slots_left THEN 1 ELSE 0 END AS BIGINT) AS quota
        FROM s ORDER BY lang, source"""
 
+  // ---------------------------------------------------------------- q268
+  /** Weighted sampling WITHOUT replacement, deterministic — the
+    * Efraimidis–Spirakis A-ES scheme with the repo's consistent-hash
+    * discipline: each row's uniform u derives from an md5 prefix of the
+    * id (a pure function of the row, reproducible at any cluster size —
+    * and md5 is the hash family both engines replay bit-for-bit, so the
+    * oracle is a FULL value replay, not a statistical certificate), its
+    * priority is ln(u)/w (maximizing u^(1/w) ⟺ maximizing
+    * ln(u)/w for w>0), and the sample is the global top-k by priority —
+    * which plans as TakeOrderedAndProject: per-partition heaps, k-row
+    * driver merge, O(k) memory at any corpus size. The priority is ONE
+    * correctly-rounded ln quantized to nano-units (the q228/q253
+    * discipline) with id tie-breaks, so selection is bit-identical across
+    * engines — no float boundary can flip membership. The readout
+    * certifies the property that makes weighted sampling worth running:
+    * the selected rows' mean weight sits far above the corpus mean
+    * (heavier rows enter at higher rate), with exact-cents sums.
+    */
+  val ReservoirK = 100
+
+  def q268WeightedReservoir(spark: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(spark, d).select(col("o_orderkey"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("wc"))
+    // u from an md5 hex prefix, NOT xxhash64: md5 is the one hash family
+    // both engines share bit-for-bit, which upgrades this oracle from the
+    // q85-style statistical certificate to a full value replay
+    val prior = orders
+      .withColumn("u", expr(
+        """(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)
+           + 0.5) / 4294967296.0"""))
+      .withColumn("priority_nano", expr(
+        "CAST(round(ln(u) / (CAST(wc AS DOUBLE) / 100.0) * 1000000000) AS BIGINT)"))
+    val top = prior
+      .orderBy(col("priority_nano").desc, col("o_orderkey").asc)
+      .limit(ReservoirK)
+    val corpus = orders.agg(count(lit(1)).as("n_total"),
+      expr("cast(sum(cast(wc as decimal(38,0))) as decimal(38,0))").as("swc"))
+    top.agg(count(lit(1)).as("k"),
+        expr("cast(sum(cast(wc as decimal(38,0))) as bigint)").as("sample_cents"),
+        expr("cast(min(priority_nano) as bigint)").as("min_priority_nano"))
+      .crossJoin(broadcast(corpus))
+      .select(col("k"), col("n_total"), col("sample_cents"),
+        expr("round(CAST(sample_cents AS DOUBLE) / k / 100.0, 6)").as("sample_avg"),
+        expr("round(CAST(CAST(swc AS STRING) AS DOUBLE) / n_total / 100.0, 6)")
+          .as("corpus_avg"),
+        col("min_priority_nano"))
+  }
+
+  val q268Oracle: String =
+    s"""WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS wc
+           FROM orders),
+       pr AS (SELECT o_orderkey, wc,
+                CAST(round(ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                               + 0.5) / 4294967296.0)
+                          / (CAST(wc AS DOUBLE) / 100.0) * 1000000000) AS BIGINT) AS priority_nano
+              FROM o),
+       top AS (SELECT * FROM pr ORDER BY priority_nano DESC, o_orderkey ASC LIMIT $ReservoirK),
+       c AS (SELECT count(*) AS n_total, sum(CAST(wc AS HUGEINT)) AS swc FROM o)
+       SELECT count(*) AS k, c.n_total,
+              CAST(sum(CAST(top.wc AS HUGEINT)) AS BIGINT) AS sample_cents,
+              round(CAST(CAST(sum(CAST(top.wc AS HUGEINT)) AS BIGINT) AS DOUBLE)
+                    / count(*) / 100.0, 6) AS sample_avg,
+              round(CAST(CAST(c.swc AS VARCHAR) AS DOUBLE) / c.n_total / 100.0, 6) AS corpus_avg,
+              CAST(min(top.priority_nano) AS BIGINT) AS min_priority_nano
+       FROM top, c GROUP BY c.n_total, c.swc"""
+
   // ---------------------------------------------------------------- q261
   /** Split-contamination audit — the counterpart certificate to q255: after
     * group-aware folding, how much n-gram overlap still CROSSES fold
@@ -573,6 +639,7 @@ object Sampling {
        FROM cls GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_weighted_reservoir" -> q268WeightedReservoir _,
     "q261_split_contamination" -> q261SplitContamination _,
     "q255_fold_assignment" -> q255FoldAssignment _,
     "q256_quota_allocation" -> q256QuotaAllocation _,
@@ -585,6 +652,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q268_weighted_reservoir" -> q268Oracle,
     "q261_split_contamination" -> q261Oracle,
     "q255_fold_assignment" -> q255Oracle,
     "q256_quota_allocation" -> q256Oracle,

@@ -292,6 +292,30 @@ class Round7Spec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("df") <= nDocs))
   }
 
+  // ------------------------------------------------------------- q268
+  test("q268: A-ES selection equals the brute-force priority top-k") {
+    import graft.sources.Tables
+    import java.security.MessageDigest
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), expr("cast(round(o_totalprice * 100) as bigint)").as("wc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def priorityNano(id: Long, wc: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.round(math.log(u) / (wc.toDouble / 100.0) * 1e9)
+    }
+    val top = rows.map { case (id, wc) => (priorityNano(id, wc), id, wc) }
+      .sortBy(t => (-t._1, t._2)).take(Sampling.ReservoirK)
+    val row = Sampling.q268WeightedReservoir(spark, sf).collect()(0)
+    assert(row.getAs[Long]("k") == Sampling.ReservoirK.toLong)
+    assert(row.getAs[Long]("sample_cents") == top.map(_._3).sum)
+    assert(row.getAs[Long]("min_priority_nano") == top.map(_._1).min)
+    // the reason to weight: heavier rows enter at a higher rate
+    assert(row.getAs[Double]("sample_avg") > row.getAs[Double]("corpus_avg"))
+  }
+
   // ------------------------------------------------------------- determinism
   test("round-7 additions are bit-identical at 2 vs 32 shuffle partitions") {
     def run(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Seq[String] = {
@@ -307,7 +331,8 @@ class Round7Spec extends SparkSuite {
       Temporal.q259IntervalOverlap _, EventAnalytics.q260KsTest _,
       Sampling.q261SplitContamination _, EventAnalytics.q262PositionAttribution _,
       Dedup.q263DedupSavings _, EventAnalytics.q264TheilSen _,
-      TextAnalysis.q266ZipfSlope _, TextAnalysis.q267StopwordInduction _)) {
+      TextAnalysis.q266ZipfSlope _, TextAnalysis.q267StopwordInduction _,
+      Sampling.q268WeightedReservoir _)) {
       val Seq(a, b) = run(q)
       assert(a == b)
     }
