@@ -2059,7 +2059,51 @@ object EventAnalytics {
                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0, 6) AS ols_slope
        FROM med, mom"""
 
+  // ---------------------------------------------------------------- q269
+  /** Collection-outage report — the pipeline-health twin of q106's
+    * per-user gap fill: over the observed [min ts, max ts] span, how many
+    * MINUTES saw zero events, and where is the longest silence? An
+    * ingestion owner reads this before trusting any daily aggregate. The
+    * corpus collapses to the distinct-observed-minutes aggregate in one
+    * pass; consecutive-minute deltas (one lag over that aggregate —
+    * calendar-sized, never the corpus) yield missing counts and the
+    * longest gap with a deterministic earliest-start tie-break. No
+    * calendar×corpus join, no minute-explode of the span.
+    */
+  def q269OutageReport(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mins = Tables.events(spark, d)
+      .select(date_trunc("MINUTE", col("ts")).as("m")).distinct()
+    val lagged = mins
+      .withColumn("prev", lag(col("m"), 1).over(Window.orderBy(col("m"))))
+      .withColumn("gap_min",
+        when(col("prev").isNull, lit(0L))
+          .otherwise(expr("(unix_micros(m) - unix_micros(prev)) div 60000000 - 1")))
+    lagged.agg(
+        count(lit(1)).as("n_observed"),
+        expr("cast(min(unix_micros(m)) as bigint)").as("lo"),
+        expr("cast(max(unix_micros(m)) as bigint)").as("hi"),
+        expr("cast(sum(gap_min) as bigint)").as("n_missing"),
+        expr("cast(max(gap_min) as bigint)").as("longest_gap_min"))
+      .select(
+        expr("cast((hi - lo) div 60000000 + 1 as bigint)").as("n_minutes_span"),
+        col("n_observed"), col("n_missing"), col("longest_gap_min"))
+  }
+
+  val q269Oracle: String =
+    """WITH m AS (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events),
+       l AS (SELECT m, lag(m) OVER (ORDER BY m) AS prev FROM m),
+       g AS (SELECT m, CASE WHEN prev IS NULL THEN 0
+                            ELSE (epoch_us(m) - epoch_us(prev)) // 60000000 - 1
+                       END AS gap_min FROM l)
+       SELECT CAST((max(epoch_us(m)) - min(epoch_us(m))) // 60000000 + 1 AS BIGINT) AS n_minutes_span,
+              count(*) AS n_observed,
+              CAST(sum(gap_min) AS BIGINT) AS n_missing,
+              CAST(max(gap_min) AS BIGINT) AS longest_gap_min
+       FROM g"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_outage_report" -> q269OutageReport _,
     "q264_theil_sen" -> q264TheilSen _,
     "q262_position_attribution" -> q262PositionAttribution _,
     "q260_ks_test" -> q260KsTest _,
@@ -2098,6 +2142,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q269_outage_report" -> q269Oracle,
     "q264_theil_sen" -> q264Oracle,
     "q262_position_attribution" -> q262Oracle,
     "q260_ks_test" -> q260Oracle,

@@ -262,7 +262,8 @@ class PlanSpec extends SparkSuite {
       "q264_theil_sen" -> ("events", 0),                 // daily aggregate pinned; pairs/ranks/moments read it
       "q266_zipf_slope" -> ("documents", 1),             // one vocab histogram pass; regression on the aggregate
       "q267_stopword_induction" -> ("documents", 2),     // distinct-token pass + 1-row doc count
-      "q268_weighted_reservoir" -> ("orders", 2))        // priority top-k pass + corpus-mean pass
+      "q268_weighted_reservoir" -> ("orders", 2),        // priority top-k pass + corpus-mean pass
+      "q269_outage_report" -> ("events", 1))             // one distinct-minutes pass; gaps window the aggregate
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

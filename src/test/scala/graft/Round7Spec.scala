@@ -316,6 +316,23 @@ class Round7Spec extends SparkSuite {
     assert(row.getAs[Double]("sample_avg") > row.getAs[Double]("corpus_avg"))
   }
 
+  // ------------------------------------------------------------- q269
+  test("q269: span arithmetic is consistent and the longest gap is real") {
+    import graft.sources.Tables
+    val row = EventAnalytics.q269OutageReport(spark, sf).collect()(0)
+    val span = row.getAs[Long]("n_minutes_span")
+    val obs = row.getAs[Long]("n_observed")
+    val miss = row.getAs[Long]("n_missing")
+    assert(span == obs + miss, "observed + missing must tile the span exactly")
+    // brute-force the longest silence from the distinct observed minutes
+    val minutes = Tables.events(spark, sf)
+      .select(date_trunc("MINUTE", col("ts")).as("m")).distinct()
+      .orderBy(col("m")).collect().map(_.getTimestamp(0).getTime / 60000L)
+    val longest = minutes.sliding(2).map { case Array(a, b) => b - a - 1 }.max
+    assert(row.getAs[Long]("longest_gap_min") == longest)
+    assert(obs == minutes.length.toLong)
+  }
+
   // ------------------------------------------------------------- determinism
   test("round-7 additions are bit-identical at 2 vs 32 shuffle partitions") {
     def run(q: (org.apache.spark.sql.SparkSession, String) => DataFrame): Seq[String] = {
@@ -332,7 +349,7 @@ class Round7Spec extends SparkSuite {
       Sampling.q261SplitContamination _, EventAnalytics.q262PositionAttribution _,
       Dedup.q263DedupSavings _, EventAnalytics.q264TheilSen _,
       TextAnalysis.q266ZipfSlope _, TextAnalysis.q267StopwordInduction _,
-      Sampling.q268WeightedReservoir _)) {
+      Sampling.q268WeightedReservoir _, EventAnalytics.q269OutageReport _)) {
       val Seq(a, b) = run(q)
       assert(a == b)
     }
