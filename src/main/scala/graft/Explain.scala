@@ -38,20 +38,29 @@ object Explain {
   /** Shuffle-exchange count over the whole physical plan (subqueries and
     * cached-relation builds included, each cache expanded once) — the
     * per-query "how many times does data move" number for scale audits.
+    * Each DISTINCT exchange counts once: `ReusedExchangeExec` edges are
+    * followed (an exchange only reachable through a reuse reference still
+    * moves data once) but identity-deduped, so original + reuse never
+    * double-count and an exchange's upstream is walked exactly once.
     */
   def exchangeCount(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     val seen = scala.collection.mutable.Set.empty[Int]
+    val seenEx = scala.collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: InMemoryTableScanExec =>
         if (seen.add(System.identityHashCode(s.relation.cacheBuilder)))
           walk(s.relation.cachedPlan)
         else 0
-      case e: ShuffleExchangeLike => 1 + (e.children ++ e.subqueries).map(walk).sum
+      case r: ReusedExchangeExec => walk(r.child)
+      case e: ShuffleExchangeLike =>
+        if (seenEx.add(System.identityHashCode(e)))
+          1 + (e.children ++ e.subqueries).map(walk).sum
+        else 0
       case other => (other.children ++ other.subqueries).map(walk).sum
     }
     walk(df.queryExecution.executedPlan)

@@ -105,6 +105,43 @@ object Utils {
     env.get(name).filter(_.nonEmpty).getOrElse(
       throw new IllegalStateException(s"Environment variable $name is not set."))
 
+  /** Minimal `.env`-file loader — parity with the reference's
+    * `load_dotenv('pipeline.env')` (/root/reference/pipeline.py:36):
+    * KEY=VALUE lines; blank lines and `#` comments skipped; an optional
+    * `export ` prefix and surrounding single/double quotes stripped. Like
+    * python-dotenv's default mode, an EXISTING process-env binding wins
+    * over the file on conflict, and a missing file is a no-op. Returns the
+    * merged view (file values overlaid underneath `env`) so callers keep
+    * using [[requiredEnv]] unchanged.
+    */
+  def loadDotenv(path: String, env: Map[String, String] = sys.env): Map[String, String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p)) env
+    else {
+      import scala.jdk.CollectionConverters._
+      val fileVars = java.nio.file.Files.readAllLines(p).asScala.iterator
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(l => if (l.startsWith("export ")) l.stripPrefix("export ").trim else l)
+        .flatMap { l =>
+          val i = l.indexOf('=')
+          if (i <= 0) None
+          else {
+            val k = l.substring(0, i).trim
+            val raw = l.substring(i + 1).trim
+            val v =
+              if (raw.length >= 2 &&
+                  ((raw.head == '"' && raw.last == '"') ||
+                   (raw.head == '\'' && raw.last == '\'')))
+                raw.substring(1, raw.length - 1)
+              else raw
+            Some(k -> v)
+          }
+        }.toMap
+      fileVars ++ env
+    }
+  }
+
   /** Collision-resistant 12-hex-char digest of a path, for embedding a
     * source-dir identity in catalog object names (cached bucketed layouts,
     * artifact tables). md5 rather than 32-bit `String.hashCode` so two

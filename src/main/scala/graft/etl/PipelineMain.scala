@@ -48,9 +48,12 @@ object PipelineMain {
     val urlArg = args(0)
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    // reference parity (pipeline.py:36): config may come from a dotenv
+    // file; process env wins on conflict, missing file is a no-op
+    val env = Utils.loadDotenv(sys.env.getOrElse("GRAFT_ENV_FILE", "pipeline.env"))
     val source = flag("--source")
-      .orElse(sys.env.get("GRAFT_SOURCE"))
-      .getOrElse(Utils.requiredEnv("GRAFT_SOURCE"))
+      .orElse(env.get("GRAFT_SOURCE").filter(_.nonEmpty))
+      .getOrElse(Utils.requiredEnv("GRAFT_SOURCE", env))
     val sensitive = flag("--encrypt").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
     val mode =
       if (args.contains("--append")) org.apache.spark.sql.SaveMode.Append

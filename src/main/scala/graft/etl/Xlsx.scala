@@ -210,15 +210,22 @@ object Xlsx {
       .map(_.getString(0)).toSeq
       .sortBy(ref => (ref.length, ref)) // A..Z then AA.. — spreadsheet order
     require(allRefs.nonEmpty, s"$path: empty sheet")
+    // uniquification checks the candidate against EVERY name assigned so
+    // far, not just a per-base counter: headers sanitizing to a, a, a_2
+    // would otherwise yield a, a_2, a_2 — reproducing the collision
     val seen = scala.collection.mutable.Map.empty[String, Int]
+    val assigned = scala.collection.mutable.Set.empty[String]
     val header: Seq[(String, String)] = allRefs.map { ref =>
       val base = headerVals.get(ref)
         .map(v => graft.core.Utils.sanitizeTableName(v + ".x"))
         .filter(_.nonEmpty)
         .getOrElse(s"col_${ref.toLowerCase}")
-      val n = seen.getOrElse(base, 0) + 1
+      var n = seen.getOrElse(base, 0) + 1
+      var name = if (n == 1) base else s"${base}_$n"
+      while (assigned(name)) { n += 1; name = s"${base}_$n" }
       seen(base) = n
-      ref -> (if (n == 1) base else s"${base}_$n")
+      assigned += name
+      ref -> name
     }
 
     val aggCols = header.map { case (ref, name) =>

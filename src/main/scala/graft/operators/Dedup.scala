@@ -1334,8 +1334,9 @@ object Dedup {
     * was duplicate mass. Shuffle hygiene: the group key is a 16-hex-char
     * md5 prefix of the text (the repo-wide convention — raw text never
     * rides an exchange); token counts collapse map-side, so the shuffle
-    * carries |distinct texts| rows, not the corpus. savings_pct is the
-    * presentational round-6 double; the decision columns are exact longs.
+    * carries |distinct texts| rows, not the corpus. savings_ppm is an
+    * exact integer (floor of parts-per-million) — every column is exact
+    * long math, so the readout is host- and engine-independent.
     * The corpus plants 40 exact copies (the q30 twin discipline, lang
     * preserved) so the readout demonstrably measures something — the
     * generator's base corpus is duplicate-free.
@@ -1354,8 +1355,8 @@ object Dedup {
         count(lit(1)).as("n_unique_texts"),
         expr("cast(sum(cnt * t) as bigint)").as("tokens_raw"),
         expr("cast(sum(t) as bigint)").as("tokens_effective"))
-      .withColumn("savings_pct", expr(
-        "round(100.0 * (tokens_raw - tokens_effective) / tokens_raw, 6)"))
+      .withColumn("savings_ppm", expr(
+        "cast((tokens_raw - tokens_effective) * 1000000L div tokens_raw as bigint)"))
       .orderBy(col("lang"))
   }
 
@@ -1371,8 +1372,8 @@ object Dedup {
               count(*) AS n_unique_texts,
               CAST(sum(cnt * t) AS BIGINT) AS tokens_raw,
               CAST(sum(t) AS BIGINT) AS tokens_effective,
-              round(100.0 * (CAST(sum(cnt * t) AS BIGINT) - CAST(sum(t) AS BIGINT))
-                    / CAST(sum(cnt * t) AS BIGINT), 6) AS savings_pct
+              CAST((CAST(sum(cnt * t) AS BIGINT) - CAST(sum(t) AS BIGINT)) * 1000000
+                    // CAST(sum(cnt * t) AS BIGINT) AS BIGINT) AS savings_ppm
        FROM u GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

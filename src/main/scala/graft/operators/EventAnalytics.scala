@@ -684,9 +684,15 @@ object EventAnalytics {
     * engines pick the same physical rows and the percentiles are
     * bit-exact. Integer µs end to end; the output converts to seconds by
     * one shared-text division.
+    *
+    * The rank selection runs in the [[BucketRank]] two-phase form (1000 s
+    * latency buckets): a plain `row_number() OVER (ORDER BY …)` would sort
+    * every converting user in ONE task — corpus-sized at 100 TB. Here only
+    * the 1-2 buckets arithmetically containing the median/p90 ranks are
+    * sorted, each ~1/buckets of the population. Equality with the plain
+    * window is proven in Round8Spec; the oracle keeps the plain form.
     */
   def q165FunnelLatency(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, d)
       .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
     val v1 = ev.filter(col("event_type") === "view")
@@ -696,16 +702,16 @@ object EventAnalytics {
       .filter(col("t") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t2"), min(col("t1")).as("t1m"))
       .select(col("user_id"), (col("t2") - col("t1m")).as("lat_us"))
-    val w = Window.orderBy(col("lat_us"), col("user_id"))
-    p2.select(col("lat_us"), col("user_id"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
-      .filter(expr("rn = (n + 1) div 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"))
+    BucketRank.select(p2.withColumn("__g", lit(1)), "__g",
+        bucket = expr("lat_us div 1000000000"),
+        ord = Seq(col("lat_us"), col("user_id")),
+        targets = Seq(expr("(__n + 1) div 2"),
+          expr("CAST(ceil(0.9 * __n) AS BIGINT)")))
       .groupBy()
-      .agg(max(col("n")).as("n_converted"),
-        expr("CAST(min(CASE WHEN rn = (n + 1) div 2 THEN lat_us END) AS DOUBLE) / 1000000.0")
+      .agg(max(col("__n")).as("n_converted"),
+        expr("CAST(min(CASE WHEN __grank = (__n + 1) div 2 THEN lat_us END) AS DOUBLE) / 1000000.0")
           .as("median_latency_s"),
-        expr("CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0")
+        expr("CAST(min(CASE WHEN __grank = CAST(ceil(0.9 * __n) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0")
           .as("p90_latency_s"))
   }
 
@@ -1841,6 +1847,10 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, d)
       .filter(col("event_type").isin("view", "purchase"))
+      // NULL values are excluded explicitly: the cumulative window orders
+      // by c, and Spark (NULLS FIRST) and the oracle engine (NULLS LAST)
+      // would place a NULL cents row at opposite ends of the support
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("c"))
     val per = ev.groupBy(col("c")).agg(
@@ -1871,7 +1881,8 @@ object EventAnalytics {
 
   val q260Oracle: String =
     """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-           FROM events WHERE event_type IN ('view', 'purchase')),
+           FROM events
+           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
        per AS (SELECT c,
                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a1,
                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a2

@@ -758,9 +758,11 @@ object Similarity {
     * recall come out as one small frame. 0.8–1.0 at the shipped
     * nprobe=[[IvfNProbe]] on this corpus; the number an operator watches
     * when tuning the index, and the first thing to recheck after q235
-    * rebuilds it. Entirely deterministic double math over the persisted
-    * index tables → full DuckDB oracle (training + both search paths
-    * replayed).
+    * rebuilds it. Every ranking orders by the cosine QUANTIZED to exact
+    * µ-units (the q228/q253 discipline) with a vec_id tie-break, so
+    * near-tied candidates rank identically regardless of the engine's
+    * floating summation order; recall comes out as an exact ppm integer
+    * → full DuckDB oracle (training + both search paths replayed).
     *
     * Scale shape: this is an OFFLINE eval over a small query sample — the
     * ground-truth pass is deliberately corpus × |sample| (that is what
@@ -778,17 +780,19 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("ed").as("qe"))
       .localCheckpoint() // 10 rows, read by three consumers
     val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
     val scored = assigned.select(col("vec_id"), col("ed"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
     val bftop = scored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
     val wp = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid").asc)
+      .orderBy(col("sim_u").desc, col("cid").asc)
     val probes = cent.crossJoin(broadcast(queries))
       .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .withColumn("sim_u", expr("cast(round(sim * 1000000) as bigint)"))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= IvfNProbe)
       .select(col("qid"), col("cid"), col("qe"))
@@ -796,6 +800,7 @@ object Similarity {
       .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
     bftop.as("t")
@@ -804,30 +809,32 @@ object Similarity {
         "left")
       .groupBy(col("t.qid").as("query_id"))
       .agg(count(col("i.vec_id")).as("n_hits"),
-        expr("round(count(i.vec_id) / 10.0, 4)").as("recall_at_10"))
+        expr("cast(count(i.vec_id) * 100000L as bigint)").as("recall_ppm"))
       .orderBy(col("query_id"))
   }
 
   val q241Oracle: String =
     s"""WITH $trainedOraclePrelude,
        probes AS (SELECT vec_id AS qid, cid FROM pairT WHERE vec_id < 10
-                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) <= $IvfNProbe),
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                    ORDER BY CAST(round(sim * 1000000) AS BIGINT) DESC, cid ASC) <= $IvfNProbe),
        bf AS (SELECT q.vec_id AS qid, e.vec_id,
-                sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
-                (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
-                 sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)))) AS cos
+                CAST(round(1000000 *
+                  sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                  (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                   sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE))))) AS BIGINT) AS cos_u
               FROM ev e, ev q, range(64) r(j)
               WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2),
        bftop AS (SELECT qid, vec_id FROM bf
-                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) <= 10),
+                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id ASC) <= 10),
        ivfcand AS (SELECT DISTINCT pr.qid, a.vec_id FROM assignedT a
                    JOIN probes pr ON a.cid = pr.cid WHERE a.vec_id <> pr.qid),
        ivftop AS (SELECT b.qid, b.vec_id FROM bf b
                   JOIN ivfcand c ON c.qid = b.qid AND c.vec_id = b.vec_id
-                  QUALIFY row_number() OVER (PARTITION BY b.qid ORDER BY b.cos DESC, b.vec_id ASC) <= 10)
+                  QUALIFY row_number() OVER (PARTITION BY b.qid ORDER BY b.cos_u DESC, b.vec_id ASC) <= 10)
        SELECT t.qid AS query_id,
          CAST(count(i.vec_id) AS BIGINT) AS n_hits,
-         round(count(i.vec_id) / 10.0, 4) AS recall_at_10
+         CAST(count(i.vec_id) * 100000 AS BIGINT) AS recall_ppm
        FROM bftop t LEFT JOIN ivftop i ON i.qid = t.qid AND i.vec_id = t.vec_id
        GROUP BY 1 ORDER BY 1"""
 

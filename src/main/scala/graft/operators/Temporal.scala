@@ -228,24 +228,35 @@ object Temporal {
     * that owns the overlap's START (`floor(max(alo, blo) / width)`) — a
     * dedup-free uniqueness guarantee, no `distinct` shuffle. Shuffle cost
     * is Σ interval-spans on both sides, never |A|×|B|. Bounds are exact
-    * longs (µs); `hi` is exclusive so `(hi-1) div width` is the last
-    * touched bucket.
+    * longs (µs); `hi` is exclusive so `floor((hi-1) / width)` is the last
+    * touched bucket. Bucketing is TRUE floor division (not `div`'s
+    * truncation toward zero), so negative bounds get the same uniform
+    * `width`-sized buckets as positive ones — truncation would merge
+    * (-width, width) into one double-wide bucket 0 and skew its shuffle
+    * share. `__bucket` is reserved: inputs must not already carry it.
     */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
                           aLo: String, aHi: String, bLo: String, bHi: String,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!a.columns.contains("__bucket") && !b.columns.contains("__bucket"),
+      "inputs must not contain the reserved column __bucket")
+    // exact floor division for longs of either sign (width > 0):
+    // x div w truncates toward zero; subtract 1 when a negative x leaves a
+    // remainder
+    def fdiv(e: String): String =
+      s"((($e) div $bucketWidth) + (case when ($e) % $bucketWidth < 0 then -1 else 0 end))"
     // empty/inverted intervals ([lo, hi) with hi <= lo) match nothing under
     // half-open semantics — and must be dropped BEFORE bucketing, where
-    // sequence(lo div w, (hi-1) div w) would silently DESCEND and emit
-    // phantom buckets
+    // sequence(floor(lo/w), floor((hi-1)/w)) would silently DESCEND and
+    // emit phantom buckets
     def bucketed(df: DataFrame, lo: String, hi: String): DataFrame =
       df.filter(col(hi) > col(lo)).withColumn("__bucket", explode(sequence(
-        expr(s"$lo div $bucketWidth"), expr(s"($hi - 1) div $bucketWidth"))))
+        expr(fdiv(lo)), expr(fdiv(s"$hi - 1")))))
     bucketed(a, aLo, aHi)
       .join(bucketed(b, bLo, bHi), Seq(key, "__bucket"))
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
-      .filter(col("__bucket") === expr(s"greatest($aLo, $bLo) div $bucketWidth"))
+      .filter(col("__bucket") === expr(fdiv(s"greatest($aLo, $bLo)")))
       .drop("__bucket")
   }
 

@@ -666,7 +666,7 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .filter(col("df") * lit(100L) >= col("n_docs") * lit(60L))
       .select(col("word"), col("df"),
-        expr("round(100.0 * df / n_docs, 6)").as("df_pct"))
+        expr("cast(df * 1000000L div n_docs as bigint)").as("df_ppm"))
       .orderBy(col("df").desc, col("word").asc)
   }
 
@@ -675,7 +675,7 @@ object TextAnalysis {
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
        df AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
        t AS (SELECT count(*) AS n_docs FROM documents)
-       SELECT word, df, round(100.0 * df / n_docs, 6) AS df_pct
+       SELECT word, df, CAST(df * 1000000 // n_docs AS BIGINT) AS df_ppm
        FROM df, t WHERE df * 100 >= n_docs * 60
        ORDER BY df DESC, word ASC"""
 

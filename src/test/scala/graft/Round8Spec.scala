@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators._
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 hardening: the q165 two-phase rank-select (the last
+  * single-task global window in the repo), the exchange-counter's
+  * reuse/subquery recursion, the md5 layout key, the dotenv parity
+  * loader, xlsx header uniquification against ALL assigned names, and
+  * true-floor interval bucketing for negative bounds.
+  */
+class Round8Spec extends SparkSuite {
+
+  // ------------------------------------------------------------- q165
+  test("q165: BucketRank two-phase equals the plain single-window selection") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val p2 = ev.filter(col("event_type") === "purchase")
+      .join(v1, Seq("user_id"))
+      .filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"), min(col("t1")).as("t1m"))
+      .select(col("user_id"), (col("t2") - col("t1m")).as("lat_us"))
+    val w = Window.orderBy(col("lat_us"), col("user_id"))
+    val naive = p2.select(col("lat_us"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      .filter(expr("rn = (n + 1) div 2 OR rn = CAST(ceil(0.9 * n) AS BIGINT)"))
+      .groupBy()
+      .agg(max(col("n")).as("n_converted"),
+        expr("CAST(min(CASE WHEN rn = (n + 1) div 2 THEN lat_us END) AS DOUBLE) / 1000000.0")
+          .as("median_latency_s"),
+        expr("CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0")
+          .as("p90_latency_s"))
+      .collect()(0)
+    val got = EventAnalytics.q165FunnelLatency(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_converted") == naive.getAs[Long]("n_converted"))
+    assert(got.getAs[Double]("median_latency_s") == naive.getAs[Double]("median_latency_s"))
+    assert(got.getAs[Double]("p90_latency_s") == naive.getAs[Double]("p90_latency_s"))
+  }
+
+  test("q165 plan: no global single-partition window touches the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    val plan = EventAnalytics.q165FunnelLatency(spark, "/root/testdata/sf0.01")
+      .queryExecution.optimizedPlan
+    val offending = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collect { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(offending.isEmpty,
+      "every unpartitioned window must sit over an aggregate, not the corpus")
+    // the corpus-side ranking window must be partitioned (by the value
+    // bucket) — the two-phase point
+    val partitioned = plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }
+    assert(partitioned.nonEmpty, "the local rank window must partition by bucket")
+  }
+
+  // ---------------------------------------------- exchangeCount recursion
+  test("exchangeCount: counts the scalar subquery's exchange and dedups reuse") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val t = spark.range(1000)
+        .select((col("id") % 10).as("k"), col("id").as("v"))
+      t.createOrReplaceTempView("r8_t")
+      // one exchange for the groupBy, one inside the scalar subquery's
+      // global aggregate — the round-7 counter missed subqueries
+      val withSub = spark.sql(
+        """SELECT k, sum(v) AS s FROM r8_t
+           WHERE v > (SELECT avg(v) FROM r8_t) GROUP BY k""")
+      assert(Explain.exchangeCount(withSub) == 2,
+        s"expected groupBy + subquery exchanges, got ${Explain.exchangeCount(withSub)}")
+      // self-join of one aggregate: physical plan reuses the exchange;
+      // the reuse edge must neither double-count nor hide the original
+      val agg = t.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      val j = agg.join(agg.withColumnRenamed("s", "s2"), "k")
+      val hasReuse = j.queryExecution.executedPlan.toString.contains("ReusedExchange")
+      val n = Explain.exchangeCount(j)
+      assert(n == (if (hasReuse) 1 else 2),
+        s"self-join count $n inconsistent with reuse=$hasReuse")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("pathDigest: distinct dirs with colliding hashCodes get distinct keys") {
+    // "Aa" and "BB" collide under String.hashCode — the q212 failure mode
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(graft.core.Utils.pathDigest("Aa") != graft.core.Utils.pathDigest("BB"))
+    assert(graft.core.Utils.pathDigest("/root/testdata/sf0.01")
+      .matches("[0-9a-f]{12}"))
+  }
+
+  // ------------------------------------------------------------- dotenv
+  test("dotenv: file vars resolve, process env wins, missing file is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dotenv")
+    val f = dir.resolve("pipeline.env")
+    java.nio.file.Files.writeString(f,
+      """# comment line
+        |GRAFT_SOURCE=filesrc
+        |export EXPORTED_KEY=exported
+        |QUOTED="with spaces"
+        |SINGLE='single quoted'
+        |ALREADY_SET=from_file
+        |
+        |not a key value line
+        |=nokey
+        |""".stripMargin)
+    val env = graft.core.Utils.loadDotenv(f.toString,
+      env = Map("ALREADY_SET" -> "from_process"))
+    assert(env("GRAFT_SOURCE") == "filesrc")
+    assert(env("EXPORTED_KEY") == "exported")
+    assert(env("QUOTED") == "with spaces")
+    assert(env("SINGLE") == "single quoted")
+    assert(env("ALREADY_SET") == "from_process", "process env must win on conflict")
+    assert(!env.contains("not a key value line"))
+    assert(graft.core.Utils.requiredEnv("GRAFT_SOURCE", env) == "filesrc")
+    // missing file: exactly the supplied env back
+    val missing = graft.core.Utils.loadDotenv(dir.resolve("nope.env").toString,
+      env = Map("K" -> "v"))
+    assert(missing == Map("K" -> "v"))
+  }
+
+  // ------------------------------------------------------- xlsx headers
+  test("xlsx: uniquified header never collides with a later literal header") {
+    // 'a', 'a', 'a_2': the generated a_2 suffix for the second 'a' must
+    // dodge the third LITERAL a_2 header (and vice versa)
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-r8")
+    val path = dir.resolve("collide.xlsx").toString
+    graft.etl.Xlsx.write(
+      Seq("a", "a", "a_2"),
+      Seq(Seq[Any](1L, 2L, 3L), Seq[Any](4L, 5L, 6L)),
+      path)
+    val df = graft.etl.Xlsx.read(spark, path)
+    val cols = df.columns.toSeq
+    assert(cols.distinct == cols, s"duplicate columns: $cols")
+    assert(cols == Seq("a", "a_2", "a_2_2"))
+    assert(df.count() == 2)
+  }
+
+  // ------------------------------------- interval buckets, negative bounds
+  test("intervalOverlapJoin: negative bounds — exact results, uniform buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (1 to 150).map { i =>
+      val lo = rnd.nextInt(3000).toLong - 1500L
+      (i.toLong, rnd.nextInt(4).toLong, lo, lo + 1 + rnd.nextInt(300))
+    }
+    val b = (1 to 150).map { i =>
+      val lo = rnd.nextInt(3000).toLong - 1500L
+      (i.toLong + 1000, rnd.nextInt(4).toLong, lo, lo + 1 + rnd.nextInt(300))
+    }
+    val expected = (for {
+      (ai, ak, alo, ahi) <- a
+      (bi, bk, blo, bhi) <- b
+      if ak == bk && alo < bhi && blo < ahi
+    } yield (ai, bi)).toSet
+    val out = Temporal.intervalOverlapJoin(
+        a.toDF("aid", "k", "alo", "ahi"), b.toDF("bid", "k", "blo", "bhi"),
+        "k", "alo", "ahi", "blo", "bhi", bucketWidth = 128L)
+      .select(col("aid"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.toSet.size, "duplicate pairs emitted")
+    assert(out.toSet == expected)
+  }
+
+  test("intervalOverlapJoin: reserved __bucket column is rejected") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 0L, 10L)).toDF("aid", "k", "alo", "ahi")
+      .withColumn("__bucket", lit(0L))
+    val b = Seq((2L, 0L, 0L, 10L)).toDF("bid", "k", "blo", "bhi")
+    val e = intercept[IllegalArgumentException](
+      Temporal.intervalOverlapJoin(a, b, "k", "alo", "ahi", "blo", "bhi", 10L))
+    assert(e.getMessage.contains("__bucket"))
+  }
+}
