@@ -1029,16 +1029,21 @@ object Dedup {
     * callable ([[minhashBucketOverflow]] was API-only until round 6). The
     * fixture plants a degenerate bucket deliberately: every 10th doc's
     * text is overridden with one boilerplate sentence, so those docs share
-    * ALL eight band buckets, so each band reports exactly one overflowing
-    * bucket of the planted-group size. The cap is DERIVED FROM THE DATA —
+    * ALL eight band buckets. The cap is DERIVED FROM THE DATA —
     * half the planted-group count, via a broadcast scalar subquery, no
     * collect — so the certificate is scale-invariant (round 7, closing the
-    * 10× residual): the planted bucket is always 2× the cap, while natural
-    * buckets (identical-text groups ≤2 docs ×any replication factor,
-    * near-dup families in the tens) stay orders of magnitude below it at
-    * every SF. Band keys are engine-internal xxhash64 values and stay out
-    * of the projection; the certified observables are the per-band counts
-    * and the cap itself, both SQL-replayable.
+    * 10× residual). Round 8 removes the last planted assumption: the
+    * oracle no longer hardcodes "one overflowing bucket per band" but
+    * ENUMERATES over-cap identical-text groups from the data (the q224
+    * GROUP BY … HAVING pattern), so a replicated corpus whose natural
+    * identical-text groups ever cross the cap grows BOTH sides in
+    * lockstep. The observables are per-band AGGREGATES (bucket count,
+    * total rows, kept, dropped) — per-bucket rows would need the
+    * engine-internal xxhash64 band key for a deterministic order.
+    * Residual LSH assumption, shared with every banded scheme: distinct
+    * over-cap text groups don't collide into one band bucket (~2⁻⁶⁴ per
+    * band) and no sub-cap near-dup family reaches the cap through
+    * partial band sharing (cap is 5% of corpus; families are O(10)).
     */
   val Q223Boilerplate: String =
     "this listing is provided as is without warranty of any kind either " +
@@ -1052,18 +1057,26 @@ object Dedup {
     val cap = docs.agg(
       expr("count_if(doc_id % 10 = 0) div 2").as("cap"))
     minhashBucketOverflowCapped(docs, cap)
-      .select(col("band_id").cast("long").as("band_id"), col("bucket_size"),
-        col("kept"), col("dropped"))
+      .groupBy(col("band_id").cast("long").as("band_id"))
+      .agg(count(lit(1)).as("n_over_buckets"),
+        sum(col("bucket_size")).as("over_rows"),
+        sum(col("kept")).as("kept"),
+        sum(col("dropped")).as("dropped"))
       .orderBy(col("band_id"))
   }
 
   val q223Oracle: String =
-    s"""WITH m AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 0)
+    s"""WITH cap AS (SELECT count(*) // 2 AS cap FROM documents WHERE doc_id % 10 = 0),
+       g AS (SELECT count(*) AS n FROM (
+               SELECT CASE WHEN doc_id % 10 = 0 THEN '$Q223Boilerplate' ELSE text END AS t
+               FROM documents) GROUP BY t),
+       o AS (SELECT n, cap FROM g, cap WHERE n > cap)
        SELECT CAST(b.band_id AS BIGINT) AS band_id,
-         CAST(n AS BIGINT) AS bucket_size,
-         CAST(n // 2 AS BIGINT) AS kept,
-         CAST(n - n // 2 AS BIGINT) AS dropped
-       FROM m, range($NumBands) b(band_id) ORDER BY band_id"""
+         CAST((SELECT count(*) FROM o) AS BIGINT) AS n_over_buckets,
+         CAST((SELECT coalesce(sum(n), 0) FROM o) AS BIGINT) AS over_rows,
+         CAST((SELECT coalesce(sum(cap), 0) FROM o) AS BIGINT) AS kept,
+         CAST((SELECT coalesce(sum(n - cap), 0) FROM o) AS BIGINT) AS dropped
+       FROM range($NumBands) b(band_id) ORDER BY band_id"""
 
   // ---------------------------------------------------------------- q242
   /** INCREMENTAL cluster maintenance over the stored cluster table — the
