@@ -1389,7 +1389,121 @@ object Dedup {
                     // CAST(sum(cnt * t) AS BIGINT) AS BIGINT) AS savings_ppm
        FROM u GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q270
+  /** Cross-document duplicated-SUBSTRING coverage — the exact-substring
+    * dedup readout (the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" signal): for each document, what fraction of
+    * its tokens sits inside a ≥K-token span that also occurs verbatim in
+    * ANOTHER document. Document-level exact dedup (q30/q263) misses this
+    * entirely — two docs sharing a 12-word boilerplate tail are "unique"
+    * texts; span-level duplication is what actually burns training budget
+    * on memorized text. Shape: every K-token window is hashed to a 16-hex
+    * md5 prefix ON THE MAP SIDE (gram text never rides an exchange — the
+    * q30 discipline), document frequency is one gram-keyed aggregate,
+    * cross-doc grams mark their [p, p+K) spans, and per-doc covered-token
+    * mass is the q171 sweep-line (running max of preceding span ends — a
+    * window partitioned BY DOC, so no global ordering task exists at any
+    * corpus size; a suffix array would give the same answer but cannot be
+    * built as three shuffles). The fixture appends one fixed 12-word span
+    * to every 20th doc — q263's planted-copies discipline at span
+    * granularity; natural cross-doc K-grams (if the generator ever emits
+    * any) are measured identically by both engines, not assumed away.
+    * Output: per language, docs touched, covered/total token mass, exact
+    * ppm coverage, and the count of docs that are ≥half duplicated (the
+    * usual removal threshold) — all exact integers, host-independent.
+    */
+  val Q270Span: String =
+    "zspan0 zspan1 zspan2 zspan3 zspan4 zspan5 zspan6 zspan7 zspan8 zspan9 zspan10 zspan11"
+  val Q270K = 8
+
+  /** Per-document cross-doc duplicated-span coverage: for each doc with
+    * ≥ k tokens, one row (idCol, n_tokens, covered) where covered is the
+    * token mass inside some k-gram shared verbatim with at least one
+    * OTHER document (interval-union of all such [p, p+k) spans). The API
+    * under q270 — see its scaladoc for the shuffle shape.
+    */
+  def substringDupCoverage(docs: DataFrame, k: Int,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = base.select(col(idCol), col("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $k),
+              i -> substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 16))""")))
+      .toDF(idCol, "n_tokens", "p", "gk")
+    val crossDoc = grams.groupBy(col("gk"))
+      .agg(countDistinct(col(idCol)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select(col("gk"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.join(crossDoc, "gk")
+      .withColumn("prev_end", coalesce(max(col("p") + lit(k)).over(wPrev), lit(0)))
+      .withColumn("contrib",
+        greatest(lit(0), col("p") + lit(k) - greatest(col("p"), col("prev_end"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).cast("long").as("covered"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered"))
+  }
+
+  def q270SubstringDedup(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d)
+      .withColumn("text",
+        when(col("doc_id") % 20 === 0, concat(col("text"), lit(" " + Q270Span)))
+          .otherwise(col("text")))
+    substringDupCoverage(planted, Q270K)
+      .join(planted.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(covered > 0) as bigint)").as("n_docs_with_dup"),
+        expr("cast(sum(covered) as bigint)").as("covered_tokens"),
+        expr("cast(sum(n_tokens) as bigint)").as("total_tokens"),
+        expr("cast(count_if(covered * 2 >= n_tokens) as bigint)").as("n_docs_half_dup"))
+      .withColumn("coverage_ppm",
+        expr("cast(covered_tokens * 1000000L div total_tokens as bigint)"))
+      .orderBy(col("lang"))
+  }
+
+  val q270Oracle: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' $Q270Span' ELSE text END AS text
+           FROM documents),
+       t AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM d WHERE len(string_split(text, ' ')) >= $Q270K),
+       g0 AS (SELECT doc_id, w,
+                CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p
+              FROM t),
+       g AS (SELECT doc_id, p,
+               substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+             FROM g0),
+       f AS (SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+       sw AS (SELECT g.doc_id, g.p,
+                coalesce(max(g.p + $Q270K) OVER (PARTITION BY g.doc_id ORDER BY g.p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+              FROM g JOIN f USING (gk)),
+       cov AS (SELECT doc_id,
+                 CAST(sum(greatest(0, p + $Q270K - greatest(p, prev_end))) AS BIGINT) AS covered
+               FROM sw GROUP BY doc_id),
+       j AS (SELECT t.lang, t.n_tokens, coalesce(cov.covered, 0) AS covered
+             FROM t LEFT JOIN cov USING (doc_id))
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN covered > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+         CAST(sum(covered) AS BIGINT) AS covered_tokens,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN covered * 2 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_half_dup,
+         CAST(CAST(sum(covered) AS BIGINT) * 1000000
+              // CAST(sum(n_tokens) AS BIGINT) AS BIGINT) AS coverage_ppm
+       FROM j GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_substring_dedup" -> q270SubstringDedup _,
     "q263_dedup_savings" -> q263DedupSavings _,
     "q242_incremental_clusters" -> q242IncrementalClusters _,
     "q240_build_band_index" -> q240BuildBandIndex _,
@@ -1411,6 +1525,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q270_substring_dedup" -> q270Oracle,
     "q263_dedup_savings" -> q263Oracle,
     "q242_incremental_clusters" -> q242Oracle,
     "q240_build_band_index" -> q240Oracle,

@@ -2113,7 +2113,67 @@ object EventAnalytics {
               CAST(max(gap_min) AS BIGINT) AS longest_gap_min
        FROM g"""
 
+  // ---------------------------------------------------------------- q271
+  /** Audience-OVERLAP matrix — for every pair of event types, how many
+    * users do both (the segment-intersection readout behind retargeting
+    * and cannibalization questions), computed BOTH ways: exactly, and via
+    * mergeable HLL sketches with inclusion–exclusion
+    * (|A∩B| = est(A) + est(B) − est(A∪B)), the only route at 100 TB where
+    * per-segment user sets don't fit a join — per-day/per-source sketches
+    * union in KB, the exact self-join does not. The exact side reduces to
+    * DISTINCT (type, user) FIRST (the q108 rule: the corpus never
+    * self-joins, the compact frame does), so the intersect join is
+    * users-sized. The sketch side certifies q120-style: lgK=12 ⇒ ~1.6%
+    * standard error per estimate; inclusion–exclusion compounds three
+    * estimates, so the certified band is 8% of the larger set + 8 —
+    * comfortably >3σ, and FALSE on any real divergence. Pairs with zero
+    * exact overlap still emit (left join from the type-pair frame).
+    */
+  def q271AudienceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val ua = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val perType = ua.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val exact = ua.as("a").join(ua.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    perType.as("a").join(perType.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (expr("hll_sketch_estimate(a.sk)") + expr("hll_sketch_estimate(b.sk)")
+          - expr("hll_sketch_estimate(hll_union(a.sk, b.sk))")).as("est_intersect"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_intersect"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_intersect"),
+        (col("n_a") + col("n_b") - col("n_intersect")).as("n_union"),
+        (abs(col("est_intersect") - col("n_intersect")) <=
+          lit(0.08) * greatest(col("n_a"), col("n_b")) + lit(8.0)).as("sketch_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q271Oracle: String =
+    """WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
+       c AS (SELECT event_type, count(*) AS n FROM ua GROUP BY 1),
+       i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_intersect
+             FROM ua a JOIN ua b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             GROUP BY 1, 2)
+       SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+         CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         CAST(coalesce(i.n_intersect, 0) AS BIGINT) AS n_intersect,
+         CAST(ca.n + cb.n - coalesce(i.n_intersect, 0) AS BIGINT) AS n_union,
+         true AS sketch_ok
+       FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+       LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+       ORDER BY type_a, type_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_audience_overlap" -> q271AudienceOverlap _,
     "q269_outage_report" -> q269OutageReport _,
     "q264_theil_sen" -> q264TheilSen _,
     "q262_position_attribution" -> q262PositionAttribution _,
@@ -2153,6 +2213,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q271_audience_overlap" -> q271Oracle,
     "q269_outage_report" -> q269Oracle,
     "q264_theil_sen" -> q264Oracle,
     "q262_position_attribution" -> q262Oracle,

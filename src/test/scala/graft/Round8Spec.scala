@@ -170,6 +170,37 @@ class Round8Spec extends SparkSuite {
     assert(out.toSet == expected)
   }
 
+  // ------------------------------------------------------------- q270
+  test("substringDupCoverage: shared spans merge, short docs drop, unique docs report 0") {
+    import spark.implicits._
+    // doc 1 and doc 2 share tokens a1..a9 (two overlapping 8-grams in doc 1:
+    // positions 0 and 1 → union [0, 9) = 9 covered tokens); doc 3 is unique;
+    // doc 4 is 7 tokens (< k) and must not appear at all.
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 x1 x2 x3"      // 12 tokens, 9 covered
+    val d2 = "y1 a1 a2 a3 a4 a5 a6 a7 a8 a9"            // 10 tokens, 9 covered
+    val d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"               // unique
+    val d4 = "s1 s2 s3 s4 s5 s6 s7"                     // too short
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val out = Dedup.substringDupCoverage(docs, k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out === Seq((1L, 12L, 9L), (2L, 10L, 9L), (3L, 9L, 0L)))
+  }
+
+  test("substringDupCoverage: disjoint shared spans in one doc sum, not merge") {
+    import spark.implicits._
+    // doc 1 shares its first 8 tokens with doc 2 and its last 8 with doc 3;
+    // the two spans are separated by 4 unique tokens → covered = 16.
+    val head = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val tail = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, s"$head m1 m2 m3 m4 $tail"),
+      (2L, s"z1 $head"),
+      (3L, s"$tail z2")).toDF("doc_id", "text")
+    val row1 = Dedup.substringDupCoverage(docs, k = 8)
+      .filter(col("doc_id") === 1).as[(Long, Long, Long)].collect()(0)
+    assert(row1 === ((1L, 20L, 16L)))
+  }
+
   test("intervalOverlapJoin: reserved __bucket column is rejected") {
     import spark.implicits._
     val a = Seq((1L, 0L, 0L, 10L)).toDF("aid", "k", "alo", "ahi")
