@@ -1146,7 +1146,135 @@ object Similarity {
            WHERE e IS NOT NULL AND len(e) = 64 AND n_bad = 0 AND nrm > 2.0)
        SELECT check_name, CAST(n AS BIGINT) AS n FROM checks ORDER BY check_name"""
 
+  // ---------------------------------------------------------------- q272
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search") — the third compression point on the
+    * serving-scale curve: q34 is exact floats (64×4 B/vec), q113 is int8
+    * scalar quantization (64 B), PQ stores M=8 one-byte codewords
+    * (8 B/vec — 32× smaller than raw): each vector splits into M
+    * subspaces of 8 dims, each sub-vector is replaced by the id of its
+    * nearest codeword from a per-subspace K=16 codebook, and a query
+    * scores candidates with an Asymmetric Distance Computation: one
+    * M×K lookup table of exact query→codeword distances, then per
+    * vector Σ of M table entries — no per-candidate float math at all.
+    *
+    * Everything is EXACT INTEGER arithmetic in µ-unit coordinates
+    * (round(x·10⁶), the q113 quantize-at-the-boundary discipline):
+    * codebook training (per-subspace k-means — deterministic seeds from
+    * the first K vectors, one Lloyd round with floor-division integer
+    * means, offset by +10⁷ so Spark's truncating `div` and DuckDB's
+    * floor `//` agree on any sign), encoding (argmin via min-struct,
+    * ties to smallest codeword), and ADC scores are all bit-exact at
+    * any parallelism and fully replayed by the oracle. A planted twin
+    * of the query (vec 0 re-id'd 900000) encodes to identical codes,
+    * so it must surface at rank 1 — the recall certificate.
+    *
+    * Scale shape: the codebook is M·K·ds = 1 024 rows — broadcast
+    * everywhere it appears; encoding is one corpus pass whose shuffle
+    * carries (vec_id, sub, cid) — 8 small ints per vector, never
+    * embeddings; the ADC probe joins codes against the broadcast
+    * 128-row lookup table and aggregates per vector. At 100 TB the
+    * stored code table IS the index: 8 B/vector serving memory.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebook = 16
+  private val PqMeanOffset = 10000000L
+
+  /** (vec_id, sub, jj, xq): µ-unit integer long form of `emb`. */
+  def pqLongForm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("ed")).as(Seq("pos", "x")))
+      .select(col("vec_id"),
+        expr(s"pos div $PqSubDim").as("sub"),
+        expr(s"pos % $PqSubDim").as("jj"),
+        expr("cast(round(x * 1000000) as bigint)").as("xq"))
+
+  /** Nearest codeword per (vector, subspace): exact integer L2 argmin,
+    * ties to the smallest cid (min-struct — no window needed).
+    */
+  def pqAssign(lf: DataFrame, cent: DataFrame): DataFrame =
+    lf.join(broadcast(cent), Seq("sub", "jj"))
+      .withColumn("sq", (col("xq") - col("cq")) * (col("xq") - col("cq")))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(col("sq")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cid").as("cid"))
+
+  /** Per-subspace codebook after one exact-integer Lloyd round from the
+    * deterministic seeds (sub-vectors of the first K vectors).
+    */
+  def pqCodebook(lf: DataFrame): DataFrame = {
+    val cent0 = lf.filter(col("vec_id") < PqCodebook)
+      .select(col("sub"), col("vec_id").as("cid"), col("jj"), col("xq").as("cq"))
+    pqAssign(lf, cent0).join(lf, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cid"), col("jj"))
+      .agg(expr(s"cast((sum(xq + $PqMeanOffset) div count(*)) - $PqMeanOffset as bigint)")
+        .as("cq"))
+  }
+
+  def q272PqAnn(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(toDouble).as("ed"))
+    val emb = raw.unionByName(
+      raw.filter(col("vec_id") === 0).select(lit(900000L).as("vec_id"), col("ed")))
+    val lf = pqLongForm(emb).localCheckpoint()
+    val cent1 = pqCodebook(lf).localCheckpoint() // 1 024 rows, read 3×
+    val codes = pqAssign(lf, cent1)
+    val adcTable = cent1
+      .join(lf.filter(col("vec_id") === 0)
+        .select(col("sub"), col("jj"), col("xq").as("qx")), Seq("sub", "jj"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("t"))
+    val top = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(adcTable), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(expr("cast(sum(t) as bigint)").as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+    top.withColumn("rank", // 10-row frame: the window never sees the corpus
+        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  val q272Oracle: String =
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT 900000, embedding FROM embeddings WHERE vec_id = 0),
+       lf AS (SELECT vec_id, r.j // $PqSubDim AS sub, r.j % $PqSubDim AS jj,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM ev, range(${PqSubspaces * PqSubDim}) r(j)),
+       cent0 AS (SELECT sub, vec_id AS cid, jj, xq AS cq FROM lf WHERE vec_id < $PqCodebook),
+       d0 AS (SELECT l.vec_id, l.sub, c.cid, sum((l.xq - c.cq) * (l.xq - c.cq)) AS d2
+              FROM lf l JOIN cent0 c ON c.sub = l.sub AND c.jj = l.jj
+              GROUP BY 1, 2, 3),
+       a0 AS (SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid,
+                  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                FROM d0) WHERE rn = 1),
+       cent1 AS (SELECT l.sub, a.cid, l.jj,
+                   CAST((sum(l.xq + $PqMeanOffset) // count(*)) - $PqMeanOffset AS BIGINT) AS cq
+                 FROM a0 a JOIN lf l ON l.vec_id = a.vec_id AND l.sub = a.sub
+                 GROUP BY 1, 2, 3),
+       d1 AS (SELECT l.vec_id, l.sub, c.cid, sum((l.xq - c.cq) * (l.xq - c.cq)) AS d2
+              FROM lf l JOIN cent1 c ON c.sub = l.sub AND c.jj = l.jj
+              GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, sub, cid FROM (
+                   SELECT vec_id, sub, cid,
+                     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+       qt AS (SELECT c.sub, c.cid, sum((q.xq - c.cq) * (q.xq - c.cq)) AS t
+              FROM cent1 c JOIN lf q ON q.vec_id = 0 AND q.sub = c.sub AND q.jj = c.jj
+              GROUP BY 1, 2),
+       adc AS (SELECT a.vec_id, CAST(sum(t.t) AS BIGINT) AS adc_dist
+               FROM codes a JOIN qt t ON t.sub = a.sub AND t.cid = a.cid
+               WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+       SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank,
+              vec_id, adc_dist
+       FROM adc ORDER BY adc_dist, vec_id LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_pq_ann" -> q272PqAnn _,
     "q229_embedding_audit" -> q229EmbeddingAudit _,
     "q211_power_iteration" -> q211PowerIteration _,
     "q182_cluster_scatter" -> q182ClusterScatter _,
@@ -1166,6 +1294,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q272_pq_ann" -> q272Oracle,
     "q229_embedding_audit" -> q229Oracle,
     "q211_power_iteration" -> q211Oracle,
     "q182_cluster_scatter" -> q182Oracle,

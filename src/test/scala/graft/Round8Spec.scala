@@ -201,6 +201,30 @@ class Round8Spec extends SparkSuite {
     assert(row1 === ((1L, 20L, 16L)))
   }
 
+  // ------------------------------------------------------------- q272
+  test("q272 PQ: codebook shape, code range, and identical-vector code equality") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("ed"))
+    val lf = Similarity.pqLongForm(emb.unionByName(twin))
+    val cb = Similarity.pqCodebook(lf)
+    // full codebook: every (subspace, codeword, dim) cell exists exactly once
+    assert(cb.count() ===
+      Similarity.PqSubspaces.toLong * Similarity.PqCodebook * Similarity.PqSubDim)
+    val codes = Similarity.pqAssign(lf, cb)
+    assert(codes.filter(col("cid") < 0 || col("cid") >= Similarity.PqCodebook).count() === 0)
+    // every vector gets exactly M codes
+    assert(codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= Similarity.PqSubspaces).count() === 0)
+    // the planted twin is byte-identical to vec 0 ⇒ identical codes in every
+    // subspace — the rank-1 recall certificate q272 rides on
+    val q0 = codes.filter(col("vec_id") === 0).select(col("sub"), col("cid"))
+    val qt = codes.filter(col("vec_id") === 900000L).select(col("sub"), col("cid"))
+    assert(q0.exceptAll(qt).count() === 0 && qt.exceptAll(q0).count() === 0)
+  }
+
   test("intervalOverlapJoin: reserved __bucket column is rejected") {
     import spark.implicits._
     val a = Seq((1L, 0L, 0L, 10L)).toDF("aid", "k", "alo", "ahi")
