@@ -906,7 +906,57 @@ object Curation {
          round(CAST(f.achieved_tokens AS DOUBLE) / a.ach_total, 4) AS achieved_share
        FROM fin f CROSS JOIN at a ORDER BY f.source"""
 
+  // ---------------------------------------------------------------- q275
+  /** PACKING-EFFICIENCY readout — the number that justifies q118's
+    * concat-and-chunk machinery: at a target sequence length L, how many
+    * training sequences does the corpus need (a) padded one-doc-per-
+    * sequence — every doc rounds up to ⌈n/L⌉ sequences with the last one
+    * padded — versus (b) packed as one concatenated token stream —
+    * ⌈ΣT/L⌉ sequences with at most L−1 total pad tokens. The delta is
+    * pure training-budget waste (attention FLOPs on pad tokens). One
+    * map-only token-count scan collapses to a single row; every ratio is
+    * an exact ppm integer over nonnegative counts so truncating and
+    * floor division agree across engines and hosts.
+    */
+  val Q275SeqLen = 64L
+
+  def q275PackingEfficiency(spark: SparkSession, d: String): DataFrame = {
+    val L = Q275SeqLen
+    Tables.documents(spark, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        expr(s"cast(sum((n + ${L - 1}) div $L) as bigint)").as("padded_seqs"))
+      .withColumn("packed_seqs",
+        expr(s"cast((total_tokens + ${L - 1}) div $L as bigint)"))
+      .withColumn("padded_pad_ppm", expr(
+        s"cast((padded_seqs * $L - total_tokens) * 1000000L div (padded_seqs * $L) as bigint)"))
+      .withColumn("packed_pad_ppm", expr(
+        s"cast((packed_seqs * $L - total_tokens) * 1000000L div (packed_seqs * $L) as bigint)"))
+      .withColumn("seqs_saved_ppm", expr(
+        "cast((padded_seqs - packed_seqs) * 1000000L div padded_seqs as bigint)"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+       m AS (SELECT count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum((n + ${Q275SeqLen - 1}) // $Q275SeqLen) AS BIGINT) AS padded_seqs
+             FROM t),
+       p AS (SELECT *,
+               CAST((total_tokens + ${Q275SeqLen - 1}) // $Q275SeqLen AS BIGINT) AS packed_seqs
+             FROM m)
+       SELECT n_docs, total_tokens, padded_seqs, packed_seqs,
+         CAST((padded_seqs * $Q275SeqLen - total_tokens) * 1000000
+              // (padded_seqs * $Q275SeqLen) AS BIGINT) AS padded_pad_ppm,
+         CAST((packed_seqs * $Q275SeqLen - total_tokens) * 1000000
+              // (packed_seqs * $Q275SeqLen) AS BIGINT) AS packed_pad_ppm,
+         CAST((padded_seqs - packed_seqs) * 1000000 // padded_seqs AS BIGINT) AS seqs_saved_ppm
+       FROM p"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_packing_efficiency" -> q275PackingEfficiency _,
     "q231_curation_capstone" -> q231CurationCapstone _,
     "q247_rejection_attribution" -> q247RejectionAttribution _,
     "q254_epoch_plan" -> q254EpochPlan _,
@@ -920,6 +970,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q275_packing_efficiency" -> q275Oracle,
     "q231_curation_capstone" -> q231Oracle,
     "q247_rejection_attribution" -> q247Oracle,
     "q254_epoch_plan" -> q254Oracle,

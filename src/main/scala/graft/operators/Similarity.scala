@@ -1273,7 +1273,62 @@ object Similarity {
               vec_id, adc_dist
        FROM adc ORDER BY adc_dist, vec_id LIMIT 10"""
 
+  // ---------------------------------------------------------------- q273
+  /** HARD-NEGATIVE mining — the contrastive-training data step (DPR /
+    * Contriever style): for each query vector, the top-3 most similar
+    * vectors of a DIFFERENT label. Easy negatives (random) teach an
+    * embedding model nothing; the near-miss neighbors on the wrong side
+    * of the label boundary are what sharpen it. Shape: the 5-row query
+    * frame broadcasts, the corpus is scanned ONCE with the label
+    * inequality pushed into the scan-side filter, ranking is per-query
+    * (the window partitions by qid — 5 bounded partitions, never a
+    * global task). Cosines are quantized to exact µ-units before the
+    * rank (the q241 tie discipline) so top-3 membership is
+    * host-independent. At 100 TB the brute scan becomes the q51 IVF
+    * probe with the label filter pushed to the stored lists (q166's
+    * adaptive depth) — the ranking/quantization contract is unchanged.
+    */
+  def q273HardNegatives(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), expr(toDouble).as("ed"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("ed").as("qe"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neg_id"), col("label").cast("long").as("neg_label"),
+        col("cos_u"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q273Oracle: String =
+    """WITH ev AS (SELECT vec_id, label, embedding FROM embeddings),
+       q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+             FROM ev WHERE vec_id < 5),
+       s AS (SELECT q.qid, e.vec_id, e.label,
+               CAST(round(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)) /
+                 (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                  sqrt(sum(CAST(q.qe[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)))) * 1000000)
+                 AS BIGINT) AS cos_u
+             FROM ev e, q, range(64) r(j)
+             WHERE e.label <> q.qlabel
+             GROUP BY 1, 2, 3),
+       r AS (SELECT qid, vec_id, label, cos_u,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id) AS rank
+             FROM s)
+       SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+         CAST(label AS BIGINT) AS neg_label, cos_u
+       FROM r WHERE rank <= 3 ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_hard_negatives" -> q273HardNegatives _,
     "q272_pq_ann" -> q272PqAnn _,
     "q229_embedding_audit" -> q229EmbeddingAudit _,
     "q211_power_iteration" -> q211PowerIteration _,
@@ -1294,6 +1349,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q273_hard_negatives" -> q273Oracle,
     "q272_pq_ann" -> q272Oracle,
     "q229_embedding_audit" -> q229Oracle,
     "q211_power_iteration" -> q211Oracle,

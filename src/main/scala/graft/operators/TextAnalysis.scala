@@ -1937,7 +1937,56 @@ object TextAnalysis {
        ORDER BY pair"""
   }
 
+  // ---------------------------------------------------------------- q274
+  /** Tokenizer FERTILITY by language — the multilingual token-budget
+    * readout behind every mixing decision (q227/q254 count tokens; this
+    * says what a token COSTS per language): subtokens per whitespace
+    * word (fertility), characters and BYTES per subtoken. High-fertility
+    * languages burn sequence length — and training budget — faster for
+    * the same text mass; bytes-per-token is the storage/serving side of
+    * the same inequity. Tokenization is q39's BPE-ish segmentation
+    * (letter runs / digit runs / single other — replayable in both
+    * engines); every ratio is an exact ppm integer over nonnegative
+    * sums, so truncating and floor division agree. One map-only scan
+    * into a languages-sized aggregate.
+    */
+  def q274TokenizerFertility(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("st"),
+        length(col("text")).cast("long").as("ch"),
+        expr("octet_length(text)").cast("long").as("by"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("words"),
+        sum(col("st")).cast("long").as("subtokens"),
+        sum(col("ch")).cast("long").as("chars"),
+        sum(col("by")).cast("long").as("bytes"))
+      .withColumn("fertility_ppm",
+        expr("cast(subtokens * 1000000L div words as bigint)"))
+      .withColumn("chars_per_subtoken_ppm",
+        expr("cast(chars * 1000000L div subtokens as bigint)"))
+      .withColumn("bytes_per_subtoken_ppm",
+        expr("cast(bytes * 1000000L div subtokens as bigint)"))
+      .orderBy(col("lang"))
+
+  val q274Oracle: String =
+    """WITH m AS (SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+         CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS subtokens,
+         CAST(sum(length(text)) AS BIGINT) AS chars,
+         CAST(sum(strlen(text)) AS BIGINT) AS bytes
+       FROM documents GROUP BY lang)
+       SELECT lang, n_docs, words, subtokens, chars, bytes,
+         CAST(subtokens * 1000000 // words AS BIGINT) AS fertility_ppm,
+         CAST(chars * 1000000 // subtokens AS BIGINT) AS chars_per_subtoken_ppm,
+         CAST(bytes * 1000000 // subtokens AS BIGINT) AS bytes_per_subtoken_ppm
+       FROM m ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_tokenizer_fertility" -> q274TokenizerFertility _,
     "q266_zipf_slope" -> q266ZipfSlope _,
     "q267_stopword_induction" -> q267StopwordInduction _,
     "q257_vocab_coverage" -> q257VocabCoverage _,
@@ -1971,6 +2020,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q274_tokenizer_fertility" -> q274Oracle,
     "q266_zipf_slope" -> q266Oracle,
     "q267_stopword_induction" -> q267Oracle,
     "q257_vocab_coverage" -> q257Oracle,
