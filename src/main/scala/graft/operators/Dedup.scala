@@ -1424,10 +1424,11 @@ object Dedup {
     */
   def substringDupCoverage(docs: DataFrame, k: Int,
                            textCol: String = "text",
-                           idCol: String = "doc_id"): DataFrame = {
+                           idCol: String = "doc_id",
+                           keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
-      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select((col(idCol) +: keep.map(col)) :+ split(col(textCol), " ").as("w"): _*)
       .filter(size(col("w")) >= k)
       .withColumn("n_tokens", size(col("w")).cast("long"))
     val grams = base.select(col(idCol), col("n_tokens"),
@@ -1447,7 +1448,7 @@ object Dedup {
         greatest(lit(0), col("p") + lit(k) - greatest(col("p"), col("prev_end"))))
       .groupBy(col(idCol))
       .agg(sum(col("contrib")).cast("long").as("covered"))
-    base.select(col(idCol), col("n_tokens"))
+    base.select((col(idCol) +: keep.map(col)) :+ col("n_tokens"): _*)
       .join(cov, Seq(idCol), "left")
       .na.fill(0L, Seq("covered"))
   }
@@ -1457,8 +1458,7 @@ object Dedup {
       .withColumn("text",
         when(col("doc_id") % 20 === 0, concat(col("text"), lit(" " + Q270Span)))
           .otherwise(col("text")))
-    substringDupCoverage(planted, Q270K)
-      .join(planted.select(col("doc_id"), col("lang")), "doc_id")
+    substringDupCoverage(planted, Q270K, keep = Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         expr("cast(count_if(covered > 0) as bigint)").as("n_docs_with_dup"),

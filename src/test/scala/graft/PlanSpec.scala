@@ -263,7 +263,13 @@ class PlanSpec extends SparkSuite {
       "q266_zipf_slope" -> ("documents", 1),             // one vocab histogram pass; regression on the aggregate
       "q267_stopword_induction" -> ("documents", 2),     // distinct-token pass + 1-row doc count
       "q268_weighted_reservoir" -> ("orders", 2),        // priority top-k pass + corpus-mean pass
-      "q269_outage_report" -> ("events", 1))             // one distinct-minutes pass; gaps window the aggregate
+      "q269_outage_report" -> ("events", 1),             // one distinct-minutes pass; gaps window the aggregate
+      "q270_substring_dedup" -> ("documents", 3),        // gram pass ×(df, spans) + token-count join-back
+      "q271_audience_overlap" -> ("events", 4),          // distinct (type,user) frame read by sketches + both exact sides
+      "q272_pq_ann" -> ("embeddings", 0),                // µ-int long form localCheckpoint-pinned; all stages read it
+      "q273_hard_negatives" -> ("embeddings", 2),        // corpus scan + broadcast query side
+      "q274_tokenizer_fertility" -> ("documents", 1),    // one map-only pass into the languages aggregate
+      "q275_packing_efficiency" -> ("documents", 1))     // one token-count pass into a single row
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
