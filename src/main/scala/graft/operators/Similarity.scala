@@ -1327,7 +1327,73 @@ object Similarity {
          CAST(label AS BIGINT) AS neg_label, cos_u
        FROM r WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  // ---------------------------------------------------------------- q277
+  /** MATRYOSHKA truncation quality — MRL-style embeddings promise that a
+    * prefix of the vector is itself a usable embedding; before serving
+    * the 4× cheaper 16-dim prefix, measure what it costs: top-10 overlap
+    * against the full-dimension ground truth for the same query, per
+    * truncation width (16 / 32 / 64 — the 64-dim row must read 10/10,
+    * the built-in self-check). One corpus scan: each vector explodes to
+    * the three widths map-side, prefix cosines are computed on sliced
+    * arrays by index-ordered folds (same summation order both engines),
+    * quantized to exact µ-units before ranking (the q241 discipline).
+    * Windows partition by width — 3 bounded partitions. At 100 TB each
+    * width's ranking is the q51 IVF probe over an index built at that
+    * width; the overlap-readout contract is unchanged.
+    */
+  def q277MatryoshkaOverlap(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(toDouble).as("ed"))
+    val q = emb.filter(col("vec_id") === 0).select(col("ed").as("qe"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), explode(expr("array(16, 32, 64)")).as("dims"),
+        col("ed"), col("qe"))
+      .withColumn("a", expr("slice(ed, 1, dims)"))
+      .withColumn("b", expr("slice(qe, 1, dims)"))
+      .withColumn("cos_u", expr(
+        """cast(round(
+             aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) /
+             (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)) *
+              sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v))) * 1000000) as bigint)"""))
+    val w = Window.partitionBy(col("dims"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    val topk = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("dims"), col("vec_id"))
+      .localCheckpoint() // 30 rows, read twice (per-width + ground truth)
+    val gt = topk.filter(col("dims") === 64).select(col("vec_id").as("gtid"))
+    topk.join(broadcast(gt), topk("vec_id") === gt("gtid"), "left")
+      .groupBy(col("dims").cast("long").as("dims"))
+      .agg(count(col("gtid")).as("n_overlap"))
+      .orderBy(col("dims"))
+  }
+
+  val q277Oracle: String =
+    """WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+       q AS (SELECT embedding AS qe FROM ev WHERE vec_id = 0),
+       dm AS (SELECT unnest([16, 32, 64]) AS dims),
+       s AS (SELECT dm.dims, e.vec_id,
+               CAST(round(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)) /
+                 (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                  sqrt(sum(CAST(q.qe[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)))) * 1000000)
+                 AS BIGINT) AS cos_u
+             FROM ev e, q, dm, range(64) r(j)
+             WHERE e.vec_id <> 0 AND r.j < dm.dims
+             GROUP BY 1, 2),
+       tk AS (SELECT dims, vec_id FROM (
+                SELECT dims, vec_id,
+                  row_number() OVER (PARTITION BY dims ORDER BY cos_u DESC, vec_id) AS rn
+                FROM s) WHERE rn <= 10),
+       gt AS (SELECT vec_id FROM tk WHERE dims = 64)
+       SELECT CAST(t.dims AS BIGINT) AS dims,
+         CAST(count(g.vec_id) AS BIGINT) AS n_overlap
+       FROM tk t LEFT JOIN gt g ON g.vec_id = t.vec_id
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_matryoshka_overlap" -> q277MatryoshkaOverlap _,
     "q273_hard_negatives" -> q273HardNegatives _,
     "q272_pq_ann" -> q272PqAnn _,
     "q229_embedding_audit" -> q229EmbeddingAudit _,
@@ -1349,6 +1415,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q277_matryoshka_overlap" -> q277Oracle,
     "q273_hard_negatives" -> q273Oracle,
     "q272_pq_ann" -> q272Oracle,
     "q229_embedding_audit" -> q229Oracle,

@@ -1985,7 +1985,178 @@ object TextAnalysis {
          CAST(bytes * 1000000 // subtokens AS BIGINT) AS bytes_per_subtoken_ppm
        FROM m ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q276
+  /** BM25 top-k retrieval — the sparse-retrieval scorer behind every
+    * RAG / retrieval-pretraining pipeline (and the baseline every dense
+    * retriever is measured against). Lucene's non-negative idf variant,
+    * ln(1 + (N−df+0.5)/(df+0.5)), with k1=1.2, b=0.75. The whole score
+    * is EXACT INTEGER arithmetic: idf is one correctly-rounded ln per
+    * query term quantized to µ-nats (the q228 grid), and the tf/length
+    * normalization is cleared of fractions by multiplying through —
+    * tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
+    * 2200·tf·T / (1000·tf·T + 300·T + 900·dl·N) with T = total tokens,
+    * N = docs — so the per-(doc, term) score is one nonnegative integer
+    * division (truncating and floor agree) and per-doc scores are exact
+    * integer sums: host-independent top-k membership. Shape: the token
+    * explode filters to the query terms AT THE MAP SIDE (the shuffle
+    * carries only matching (doc, term) pairs — posting-list-sized, the
+    * inverted-index cost, never the corpus); idf and corpus stats are
+    * broadcast scalars; top-k is TakeOrderedAndProject. Products are
+    * DECIMAL(38,0)-guarded: at 100 TB idf·tf·T exceeds 2⁶³.
+    */
+  val Q276Terms: Seq[String] = Seq("spark", "window", "hash", "customer")
+  val Q276K = 10
+
+  def q276Bm25TopK(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      expr("cast(sum(dl) as bigint)").as("total_tokens"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(Q276Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // posting-list-sized; read by the df side and the scorer
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr(
+        """cast(round(ln(1.0 + (cast(n_docs as double) - cast(df as double) + 0.5)
+           / (cast(df as double) + 0.5)) * 1000000) as bigint)"""))
+      .select(col("tok"), col("idf_micro"))
+    tf.join(broadcast(idf), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", expr(
+        """cast(cast(idf_micro as decimal(38,0)) * 2200 * tf * total_tokens div
+           (cast(1000 as decimal(38,0)) * tf * total_tokens
+            + cast(300 as decimal(38,0)) * total_tokens
+            + cast(900 as decimal(38,0)) * dl * n_docs) as bigint)"""))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        expr("cast(sum(s) as bigint)").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Q276K)
+      .select(col("doc_id"), col("dl"), col("n_terms_hit"), col("score_micro"))
+  }
+
+  val q276Oracle: String = {
+    val terms = Q276Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             string_split(text, ' ') AS w
+           FROM documents),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
+       tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(w) AS tok FROM d)
+              WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       idf AS (SELECT tok,
+                 CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+               FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok), st),
+       sc AS (SELECT tf.doc_id, tf.dl,
+                CAST(CAST(idf.idf_micro AS HUGEINT) * 2200 * tf.tf * st.total_tokens
+                  // (CAST(1000 AS HUGEINT) * tf.tf * st.total_tokens
+                      + CAST(300 AS HUGEINT) * st.total_tokens
+                      + CAST(900 AS HUGEINT) * tf.dl * st.n_docs) AS BIGINT) AS s
+              FROM tf JOIN idf USING (tok), st)
+       SELECT doc_id, dl, count(*) AS n_terms_hit,
+         CAST(sum(s) AS BIGINT) AS score_micro
+       FROM sc GROUP BY doc_id, dl
+       ORDER BY score_micro DESC, doc_id LIMIT $Q276K"""
+  }
+
+  // ---------------------------------------------------------------- q278
+  /** CCNet-style PERPLEXITY BUCKETS — the head/middle/tail quality split
+    * (Wenzek et al.): every document scored under the STORED bigram LM
+    * (one scoring pass, the q228 shape), then split into three
+    * equal-count terciles by average log-probability. The sort key is an
+    * exact integer: the per-bigram average in PICO-nats (the µ-nat sum
+    * gains 10⁶ of tie resolution), floored via offset division —
+    * (d_sum·10⁶ + n_big·10¹⁴) div n_big − 10¹⁴ — so ordering never
+    * touches a double and truncating/floor division agree (the numerator
+    * is positive for any avg > −100 nats, far below add-1 smoothing's
+    * floor). The tercile assignment is the q134 TWO-PHASE rank (bucket-
+    * local row_number + broadcast offsets + the SQL-standard tile
+    * formula) — no single-task global window over the per-doc frame,
+    * which at 100 TB is corpus-sized. DuckDB's native ntile(3) is the
+    * independent spec the two-phase form must equal.
+    */
+  def q278PerplexityBuckets(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = bigramLmTable(spark, d).select(col("g2"), col("lp_micro"))
+    val perDoc = hashedBigrams(spark, d).join(lp, "g2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .withColumn("key", expr(
+        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+      // the per-doc score table feeds three consumers (local ranks, bucket
+      // offsets, the doc count) — pinned so scoring runs once (the q231
+      // precedent; at 100 TB this is the persisted score table)
+      .localCheckpoint()
+    val withB = perDoc.withColumn("__b", expr("key div 1000000000000"))
+    val local = withB.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__b"))
+        .orderBy(col("key"), col("doc_id"))).cast("long"))
+    val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val n1 = perDoc.agg(count(lit(1)).as("__n"))
+    local.join(broadcast(offsets), "__b")
+      .withColumn("__rank", col("__off") + col("__lr"))
+      .crossJoin(broadcast(n1))
+      .withColumn("tercile", expr(
+        """CAST(CASE
+             WHEN __rank <= (__n % 3) * (__n div 3 + 1)
+             THEN (__rank - 1) div (__n div 3 + 1) + 1
+             ELSE __n % 3 + (__rank - (__n % 3) * (__n div 3 + 1) - 1) div (__n div 3) + 1
+           END AS BIGINT)"""))
+      .groupBy(col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_big) as bigint)").as("n_bigrams"),
+        expr("cast(sum(cast(d_sum as decimal(38,0))) as bigint)").as("lp_sum_micro"),
+        expr("cast(min(key) - 100000000000000 as bigint)").as("min_avg_pico"),
+        expr("cast(max(key) - 100000000000000 as bigint)").as("max_avg_pico"))
+      .orderBy(col("tercile"))
+  }
+
+  val q278Oracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       pd AS (SELECT b.doc_id, count(*) AS n_big,
+                CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+              FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1),
+       k AS (SELECT doc_id, n_big, d_sum,
+               CAST((d_sum * 1000000 + n_big * 100000000000000) // n_big AS BIGINT) AS key
+             FROM pd),
+       t AS (SELECT *, CAST(ntile(3) OVER (ORDER BY key, doc_id) AS BIGINT) AS tercile FROM k)
+       SELECT tercile, count(*) AS n_docs,
+         CAST(sum(n_big) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(d_sum AS HUGEINT)) AS BIGINT) AS lp_sum_micro,
+         CAST(min(key) - 100000000000000 AS BIGINT) AS min_avg_pico,
+         CAST(max(key) - 100000000000000 AS BIGINT) AS max_avg_pico
+       FROM t GROUP BY tercile ORDER BY tercile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_bm25_topk" -> q276Bm25TopK _,
+    "q278_perplexity_buckets" -> q278PerplexityBuckets _,
     "q274_tokenizer_fertility" -> q274TokenizerFertility _,
     "q266_zipf_slope" -> q266ZipfSlope _,
     "q267_stopword_induction" -> q267StopwordInduction _,
@@ -2020,6 +2191,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q276_bm25_topk" -> q276Oracle,
+    "q278_perplexity_buckets" -> q278Oracle,
     "q274_tokenizer_fertility" -> q274Oracle,
     "q266_zipf_slope" -> q266Oracle,
     "q267_stopword_induction" -> q267Oracle,

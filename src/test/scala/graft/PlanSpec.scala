@@ -269,7 +269,10 @@ class PlanSpec extends SparkSuite {
       "q272_pq_ann" -> ("embeddings", 0),                // µ-int long form localCheckpoint-pinned; all stages read it
       "q273_hard_negatives" -> ("embeddings", 2),        // corpus scan + broadcast query side
       "q274_tokenizer_fertility" -> ("documents", 1),    // one map-only pass into the languages aggregate
-      "q275_packing_efficiency" -> ("documents", 1))     // one token-count pass into a single row
+      "q275_packing_efficiency" -> ("documents", 1),     // one token-count pass into a single row
+      "q276_bm25_topk" -> ("documents", 2),              // stats pass + tf explode (tf frame pinned, posting-list-sized)
+      "q277_matryoshka_overlap" -> ("embeddings", 2),    // corpus scan + broadcast query side
+      "q278_perplexity_buckets" -> ("documents", 0))     // per-doc score table pinned; LM is the stored artifact
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

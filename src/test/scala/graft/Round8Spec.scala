@@ -225,6 +225,31 @@ class Round8Spec extends SparkSuite {
     assert(q0.exceptAll(qt).count() === 0 && qt.exceptAll(q0).count() === 0)
   }
 
+  // ------------------------------------------------------------- q278
+  test("q278: two-phase terciles equal the plain single-window ntile(3)") {
+    import graft.operators.TextAnalysis
+    val lp = TextAnalysis.bigramLmTable(spark, sf).select(col("g2"), col("lp_micro"))
+    val perDoc = TextAnalysis.hashedBigrams(spark, sf).join(lp, "g2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .withColumn("key", expr(
+        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+    val naive = perDoc
+      .withColumn("tercile", ntile(3).over(
+        Window.orderBy(col("key"), col("doc_id"))).cast("long"))
+      .groupBy(col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_big) as bigint)").as("n_bigrams"),
+        expr("cast(sum(cast(d_sum as decimal(38,0))) as bigint)").as("lp_sum_micro"),
+        expr("cast(min(key) - 100000000000000 as bigint)").as("min_avg_pico"),
+        expr("cast(max(key) - 100000000000000 as bigint)").as("max_avg_pico"))
+      .orderBy(col("tercile"))
+    val twoPhase = TextAnalysis.q278PerplexityBuckets(spark, sf)
+    assert(twoPhase.collect().toSeq === naive.collect().toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("intervalOverlapJoin: reserved __bucket column is rejected") {
     import spark.implicits._
     val a = Seq((1L, 0L, 0L, 10L)).toDF("aid", "k", "alo", "ahi")
