@@ -516,7 +516,80 @@ object MediaCodecDemo extends Serializable {
        FROM pat p JOIN h ON p.pattern = h.pattern
        GROUP BY 1, 2 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q279
+  /** Audio CLIPPING detection — the recording-quality gate next to q153's
+    * silence VAD: clipped samples (|s| pinned at the int16 ceiling) mean
+    * the source was overdriven and the waveform is unrecoverable; a
+    * speech pipeline drops or de-weights such segments. Real byte-level
+    * detection: every 16-bit PCM sample is read, clipped samples counted
+    * and their LONGEST CONSECUTIVE RUN measured (one isolated peak is
+    * benign; a 48-sample plateau is distortion). The fixture plants a
+    * run of 32767-samples in every 5th doc with id-derived length, so
+    * the oracle replays count/run/ppm from id arithmetic — the whole
+    * decode→scan→classify path is value-certified without the oracle
+    * touching a sample (the q153 discipline). mapPartitions map-only;
+    * samples never shuffle; 4 longs per doc out.
+    */
+  val Q279Samples = 4096
+
+  def makeClipWav(id: Long): Array[Byte] = {
+    val n = Q279Samples
+    val bytes = makeWav(16000, 1, n)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val clipLen = if (id % 5 == 0) ((id % 3) + 1).toInt * 16 else 0
+    var i = 0
+    while (i < n) {
+      val v: Short =
+        if (i >= 100 && i < 100 + clipLen) 32767
+        else if (i % 2 == 0) 2000
+        else -2000
+      bb.putShort(44 + i * 2, v)
+      i += 1
+    }
+    bytes
+  }
+
+  /** (n_samples, n_clipped, max_run) over our mono-16-bit layout:
+    * clipped = |s| ≥ 32767 (covers −32768, the other rail).
+    */
+  def wavClipStats(bytes: Array[Byte]): (Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nSamples = bb.getInt(40) / 2
+    var clipped = 0L; var maxRun = 0L; var run = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(44 + i * 2).toInt
+      if (s >= 32767 || s <= -32768) {
+        clipped += 1; run += 1
+        if (run > maxRun) maxRun = run
+      } else run = 0
+      i += 1
+    }
+    (nSamples.toLong, clipped, maxRun)
+  }
+
+  def q279AudioClipping(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (n, clipped, maxRun) = wavClipStats(makeClipWav(id))
+          (id, n, clipped, maxRun, clipped * 1000000L / n)
+        }
+      }.toDF("doc_id", "n_samples", "n_clipped", "max_clip_run", "clipped_ppm")
+      .orderBy(col("doc_id"))
+  }
+
+  val q279Oracle: String =
+    s"""SELECT doc_id, CAST($Q279Samples AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN ((doc_id % 3) + 1) * 16 ELSE 0 END AS BIGINT) AS n_clipped,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN ((doc_id % 3) + 1) * 16 ELSE 0 END AS BIGINT) AS max_clip_run,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN ((doc_id % 3) + 1) * 16 ELSE 0 END
+            * 1000000 // $Q279Samples AS BIGINT) AS clipped_ppm
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_audio_clipping" -> q279AudioClipping _,
     "q189_pixel_histogram" -> q189PixelHistogram _,
     "q153_audio_silence" -> q153AudioSilence _,
     "q151_image_ahash_dedup" -> q151ImageAhashDedup _,
@@ -527,6 +600,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q279_audio_clipping" -> q279Oracle,
     "q189_pixel_histogram" -> q189Oracle,
     "q153_audio_silence" -> q153Oracle,
     "q151_image_ahash_dedup" -> q151Oracle,

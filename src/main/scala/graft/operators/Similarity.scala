@@ -680,7 +680,7 @@ object Similarity {
               GROUP BY a.cid, r.j),
        cent${i + 1} AS (SELECT cid, list(m ORDER BY j) AS ce FROM cm$i GROUP BY cid)"""
 
-  private def trainedOraclePrelude: String =
+  private[graft] def trainedOraclePrelude: String =
     s"""ev AS (SELECT vec_id, embedding FROM embeddings),
        cent0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings WHERE vec_id < $IvfK),
        ${(0 until IvfTrainRounds).map(lloydRoundSql).mkString(",\n       ")},

@@ -85,4 +85,19 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** File-source stream over the embeddings table (the eventsStream
+    * pattern): the parquet file hard-linked into a fresh temp dir so the
+    * stream sees exactly one input file, schema taken from the batch
+    * table.
+    */
+  def embeddingsStream(spark: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-embeddings-stream")
+    val src = Paths.get(s"$d/embeddings.parquet")
+    val dst = dir.resolve("embeddings.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    spark.readStream.schema(embeddings(spark, d).schema).parquet(dir.toString)
+  }
 }

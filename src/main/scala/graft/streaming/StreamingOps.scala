@@ -707,7 +707,70 @@ object StreamingOps {
        FROM events WHERE user_id % 10 <> 0
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q280
+  /** STREAMING IVF list-assignment monitor — the online half of vector
+    * ingestion: as embeddings stream in, each is assigned to its nearest
+    * stored-IVF centroid and the per-inverted-list arrival counts roll up
+    * (the live histogram a drift alarm like q245 watches). The centroid
+    * table is K rows — materialized once from the PERSISTED index and
+    * broadcast into a `mapPartitions` argmin (the q133 broadcast-vocab
+    * precedent; a join + per-vector ranking window would be ILLEGAL here:
+    * streaming supports neither window functions nor chained
+    * aggregations, so argmin-then-count must be map-side argmin + ONE
+    * streaming aggregation). The assignment rule is exact µ-unit integer
+    * L2 (the q272 PQ discipline — coordinates and centroids quantized to
+    * round(x·10⁶), HALF_UP away from zero, ties to smallest cid), so the
+    * streamed counts are bit-equal to a batch replay and the oracle
+    * replays training + quantized assignment in SQL. State is one count
+    * per list — K rows, regardless of stream volume.
+    */
+  def q280StreamIvfMonitor(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val centRows = graft.operators.Similarity.ivfCentroidTable(spark, d)
+      .select(col("cid"),
+        expr("transform(ce, x -> cast(round(x * 1000000) as bigint))").as("cq"))
+      .as[(Long, Array[Long])].collect() // K=16 config-sized rows
+      .sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(centRows)
+    val assigned = graft.sources.Tables.embeddingsStream(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = centB.value
+        it.map { case (_, emb) =>
+          val xq = emb.map(v => BigDecimal(v.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue)
+          var bestCid = Long.MaxValue
+          var bestD = Long.MaxValue
+          cents.foreach { case (cid, cq) =>
+            var s = 0L; var j = 0
+            while (j < xq.length) { val dd = xq(j) - cq(j); s += dd * dd; j += 1 }
+            if (s < bestD || (s == bestD && cid < bestCid)) { bestD = s; bestCid = cid }
+          }
+          bestCid
+        }
+      }.toDF("cid")
+    val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+    runToMemory(spark, counts, s"stream_ivf_${System.nanoTime()}")
+      .orderBy(col("cid"))
+  }
+
+  val q280Oracle: String =
+    s"""WITH ${graft.operators.Similarity.trainedOraclePrelude},
+       cq AS (SELECT cid, r.j, CAST(round(ce[r.j + 1] * 1000000) AS BIGINT) AS cq
+              FROM cent${graft.operators.Similarity.IvfTrainRounds}, range(64) r(j)),
+       xq AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM ev, range(64) r(j)),
+       d2 AS (SELECT x.vec_id, c.cid, sum((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+              FROM xq x JOIN cq c ON c.j = x.j GROUP BY 1, 2),
+       a AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d2) WHERE rn = 1)
+       SELECT cid, count(*) AS n_assigned FROM a GROUP BY cid ORDER BY cid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
     "q213_stream_anti_denylist" -> q213StreamAntiDenylist _,
     "q190_stream_daily_actives" -> q190StreamDailyActives _,
@@ -725,6 +788,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,
     "q213_stream_anti_denylist" -> q213Oracle,
     "q190_stream_daily_actives" -> q190Oracle,

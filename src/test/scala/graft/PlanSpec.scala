@@ -272,7 +272,8 @@ class PlanSpec extends SparkSuite {
       "q275_packing_efficiency" -> ("documents", 1),     // one token-count pass into a single row
       "q276_bm25_topk" -> ("documents", 2),              // stats pass + tf explode (tf frame pinned, posting-list-sized)
       "q277_matryoshka_overlap" -> ("embeddings", 2),    // corpus scan + broadcast query side
-      "q278_perplexity_buckets" -> ("documents", 0))     // per-doc score table pinned; LM is the stored artifact
+      "q278_perplexity_buckets" -> ("documents", 0),     // per-doc score table pinned; LM is the stored artifact
+      "q279_audio_clipping" -> ("documents", 1))         // map-only id scan; samples never shuffle
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
