@@ -955,7 +955,80 @@ object Curation {
          CAST((padded_seqs - packed_seqs) * 1000000 // padded_seqs AS BIGINT) AS seqs_saved_ppm
        FROM p"""
 
+  // ---------------------------------------------------------------- q283
+  /** Round-8 curation capstone — the span-level additions COMPOSED in the
+    * order a real pipeline runs them: (1) EXACT dedup first (keep the
+    * min-id copy per distinct text — collapsing replicas before span
+    * analysis, so a replicated crawl doesn't read as 100% duplicated
+    * substrings), (2) the q270 substring gate on the survivors (drop
+    * docs whose cross-doc duplicated-span coverage reaches half their
+    * tokens), (3) the q275 packing readout over what remains. Stage
+    * counts ride the output row, so the report shows what each stage
+    * cost. One row out; every number is an exact integer; the oracle
+    * replays all three stages.
+    */
+  def q283SubstringCuration(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val survivors = docs
+      .withColumn("h", substring(md5(col("text")), 1, 16))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"))
+    val cov = graft.operators.Dedup.substringDupCoverage(survivors, k = 8)
+      .localCheckpoint() // per-doc frame, read by the gate and both counts
+    val L = Q275SeqLen
+    cov.agg(count(lit(1)).as("n_after_dedup"),
+        expr("cast(count_if(covered * 2 < n_tokens) as bigint)").as("n_after_gate"),
+        expr("cast(sum(case when covered * 2 < n_tokens then n_tokens else 0 end) as bigint)")
+          .as("tokens_final"),
+        expr(s"cast(sum(case when covered * 2 < n_tokens then (n_tokens + ${L - 1}) div $L else 0 end) as bigint)")
+          .as("padded_seqs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_raw"))))
+      .withColumn("packed_seqs",
+        expr(s"cast((tokens_final + ${L - 1}) div $L as bigint)"))
+      .select(col("n_raw"), col("n_after_dedup"), col("n_after_gate"),
+        col("tokens_final"), col("padded_seqs"), col("packed_seqs"))
+  }
+
+  val q283Oracle: String =
+    s"""WITH dd AS (SELECT doc_id, text FROM (
+                      SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY substring(md5(text), 1, 16)
+                        ORDER BY doc_id) AS rn
+                      FROM documents) WHERE rn = 1),
+       t AS (SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM dd WHERE len(string_split(text, ' ')) >= 8),
+       g0 AS (SELECT doc_id, w,
+                CAST(unnest(range(0, len(w) - 7)) AS INTEGER) AS p
+              FROM t),
+       g AS (SELECT doc_id, p,
+               substring(md5(array_to_string(w[p + 1 : p + 8], ' ')), 1, 16) AS gk
+             FROM g0),
+       f AS (SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+       sw AS (SELECT g.doc_id, g.p,
+                coalesce(max(g.p + 8) OVER (PARTITION BY g.doc_id ORDER BY g.p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+              FROM g JOIN f USING (gk)),
+       cov AS (SELECT doc_id,
+                 CAST(sum(greatest(0, p + 8 - greatest(p, prev_end))) AS BIGINT) AS covered
+               FROM sw GROUP BY doc_id),
+       j AS (SELECT t.doc_id, t.n_tokens, coalesce(cov.covered, 0) AS covered
+             FROM t LEFT JOIN cov USING (doc_id)),
+       m AS (SELECT count(*) AS n_after_dedup,
+               CAST(sum(CASE WHEN covered * 2 < n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gate,
+               CAST(sum(CASE WHEN covered * 2 < n_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final,
+               CAST(sum(CASE WHEN covered * 2 < n_tokens
+                 THEN (n_tokens + ${Q275SeqLen - 1}) // $Q275SeqLen ELSE 0 END) AS BIGINT) AS padded_seqs
+             FROM j)
+       SELECT (SELECT count(*) FROM documents) AS n_raw,
+         n_after_dedup, n_after_gate, tokens_final, padded_seqs,
+         CAST((tokens_final + ${Q275SeqLen - 1}) // $Q275SeqLen AS BIGINT) AS packed_seqs
+       FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_substring_curation" -> q283SubstringCuration _,
     "q275_packing_efficiency" -> q275PackingEfficiency _,
     "q231_curation_capstone" -> q231CurationCapstone _,
     "q247_rejection_attribution" -> q247RejectionAttribution _,
@@ -970,6 +1043,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q283_substring_curation" -> q283Oracle,
     "q275_packing_efficiency" -> q275Oracle,
     "q231_curation_capstone" -> q231Oracle,
     "q247_rejection_attribution" -> q247Oracle,

@@ -1502,7 +1502,50 @@ object Dedup {
               // CAST(sum(n_tokens) AS BIGINT) AS BIGINT) AS coverage_ppm
        FROM j GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q282
+  /** LSH S-CURVE planner — the design table behind every (bands, rows)
+    * choice in this file: with b bands of r rows, a pair at Jaccard j
+    * becomes an LSH candidate with P = 1 − (1 − jʳ)ᵇ, and the curve's
+    * half-point sits near (1/b)^(1/r). The planner enumerates the
+    * 32-hash factorizations against a Jaccard grid and flags the
+    * DEPLOYED config ([[NumBands]]×[[RowsPerBand]]) — the number that
+    * says what recall q31/q125/q239 give up at each similarity level,
+    * and what moving along the curve would cost. Broadcast arithmetic
+    * only (no corpus read — the corpus enters through the deployed
+    * constants); doubles derive from textually identical pow/round
+    * formulas in both engines, rounded to 6 places (the q62 sketch
+    * discipline).
+    */
+  def q282LshPlanner(spark: SparkSession, d: String): DataFrame = {
+    val configs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+      .map { case (b, r) => s"named_struct('b', $b, 'r', $r)" }
+      .mkString("array(", ", ", ")")
+    val jGrid = "array(0.3D, 0.5D, 0.7D, 0.8D, 0.9D)"
+    spark.range(1)
+      .select(explode(expr(configs)).as("cfg"))
+      .select(col("cfg.b").cast("long").as("bands"),
+        col("cfg.r").cast("long").as("rows_per_band"))
+      .select(col("bands"), col("rows_per_band"), explode(expr(jGrid)).as("j"))
+      .withColumn("p_candidate", expr(
+        "round(1.0 - pow(1.0 - pow(j, cast(rows_per_band as double)), cast(bands as double)), 6)"))
+      .withColumn("j_half", expr(
+        "round(pow(1.0 / cast(bands as double), 1.0 / cast(rows_per_band as double)), 6)"))
+      .withColumn("deployed",
+        col("bands") === NumBands && col("rows_per_band") === RowsPerBand)
+      .orderBy(col("bands"), col("j"))
+  }
+
+  val q282Oracle: String =
+    s"""WITH cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (32, 1)) c(b, r)),
+       jg AS (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS j)
+       SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band, j,
+         round(1.0 - pow(1.0 - pow(j, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p_candidate,
+         round(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)), 6) AS j_half,
+         b = $NumBands AND r = $RowsPerBand AS deployed
+       FROM cfg, jg ORDER BY bands, j"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_lsh_planner" -> q282LshPlanner _,
     "q270_substring_dedup" -> q270SubstringDedup _,
     "q263_dedup_savings" -> q263DedupSavings _,
     "q242_incremental_clusters" -> q242IncrementalClusters _,
@@ -1525,6 +1568,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q282_lsh_planner" -> q282Oracle,
     "q270_substring_dedup" -> q270Oracle,
     "q263_dedup_savings" -> q263Oracle,
     "q242_incremental_clusters" -> q242Oracle,

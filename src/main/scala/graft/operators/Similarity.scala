@@ -1392,7 +1392,64 @@ object Similarity {
        FROM tk t LEFT JOIN gt g ON g.vec_id = t.vec_id
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q284
+  /** LATE-INTERACTION retrieval (ColBERT-style MaxSim) — documents and
+    * queries are SETS of vectors (one per token/chunk), and relevance is
+    * Σ over query vectors of the best match in the document:
+    * score(D) = Σ_q max_{d∈D} cos(q, d). Single-vector retrieval (q34/
+    * q51) compresses a document to one point and loses term-level
+    * matching; MaxSim keeps it and is the standard quality/cost midpoint
+    * between bi- and cross-encoders. Vector groups stand in for
+    * multi-vector docs (gid = vec_id div 8 — 8 vectors each); the query
+    * is group 0's vector set, broadcast. Shape: one corpus scan; cosines
+    * quantized to exact µ-units (the q241 discipline); the per-(group,
+    * query-vector) max and the per-group sum are ONE aggregation pass
+    * keyed by gid (max and sum fold map-side); top-5 groups by exact
+    * integer score. At 100 TB the corpus side is pruned by an ANN probe
+    * per query vector first (q51), scoring only candidate groups — the
+    * MaxSim contract is unchanged.
+    */
+  def q284MaxSimRetrieval(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr("vec_id div 8").as("gid"), expr(toDouble).as("ed"))
+    val q = emb.filter(col("gid") === 0)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+    emb.filter(col("gid") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_u", expr("cast(round(" +
+        "aggregate(zip_with(ed, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v) /" +
+        "(sqrt(aggregate(ed, 0D, (acc, v) -> acc + v * v)) *" +
+        " sqrt(aggregate(qe, 0D, (acc, v) -> acc + v * v))) * 1000000) as bigint)"))
+      .groupBy(col("gid"), col("qid"))
+      .agg(max(col("cos_u")).as("best"))
+      .groupBy(col("gid"))
+      .agg(expr("cast(sum(best) as bigint)").as("maxsim_u"),
+        count(lit(1)).as("n_query_vecs"))
+      .orderBy(col("maxsim_u").desc, col("gid"))
+      .limit(5)
+      .select(col("gid"), col("n_query_vecs"), col("maxsim_u"))
+  }
+
+  val q284Oracle: String =
+    """WITH ev AS (SELECT vec_id, vec_id // 8 AS gid, embedding FROM embeddings),
+       q AS (SELECT vec_id AS qid, embedding AS qe FROM ev WHERE gid = 0),
+       s AS (SELECT e.gid, e.vec_id, q.qid,
+               CAST(round(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)) /
+                 (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                  sqrt(sum(CAST(q.qe[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)))) * 1000000)
+                 AS BIGINT) AS cos_u
+             FROM ev e, q, range(64) r(j)
+             WHERE e.gid <> 0
+             GROUP BY 1, 2, 3),
+       m AS (SELECT gid, qid, max(cos_u) AS best FROM s GROUP BY 1, 2),
+       g AS (SELECT gid, CAST(sum(best) AS BIGINT) AS maxsim_u,
+               count(*) AS n_query_vecs
+             FROM m GROUP BY gid)
+       SELECT gid, n_query_vecs, maxsim_u FROM g
+       ORDER BY maxsim_u DESC, gid LIMIT 5"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_maxsim_retrieval" -> q284MaxSimRetrieval _,
     "q277_matryoshka_overlap" -> q277MatryoshkaOverlap _,
     "q273_hard_negatives" -> q273HardNegatives _,
     "q272_pq_ann" -> q272PqAnn _,
@@ -1415,6 +1472,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q284_maxsim_retrieval" -> q284Oracle,
     "q277_matryoshka_overlap" -> q277Oracle,
     "q273_hard_negatives" -> q273Oracle,
     "q272_pq_ann" -> q272Oracle,

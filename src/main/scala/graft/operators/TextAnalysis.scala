@@ -2154,7 +2154,92 @@ object TextAnalysis {
          CAST(max(key) - 100000000000000 AS BIGINT) AS max_avg_pico
        FROM t GROUP BY tercile ORDER BY tercile"""
 
+  // ---------------------------------------------------------------- q281
+  /** Quality-threshold SWEEP — the gate-tuning curve behind every LM
+    * filter decision (q228/q231 apply ONE threshold; this shows what
+    * each candidate costs): for the nine decile boundaries of the
+    * per-doc average log-probability, the documents and bigram mass a
+    * keep-if-at-or-above gate would retain. Thresholds are RANK-DEFINED
+    * physical values (the q132/q61 rule — both engines select the same
+    * rows, no float boundary), selected by [[BucketRank]] two-phase rank
+    * (no single-task window over the per-doc frame); the sweep itself is
+    * one conditional pass of the pinned per-doc table against the
+    * broadcast 9-row boundary frame. Keys are the q278 exact pico-nat
+    * integers, so keep sets are host-independent at every threshold.
+    */
+  def q281ThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val lp = bigramLmTable(spark, d).select(col("g2"), col("lp_micro"))
+    val perDoc = hashedBigrams(spark, d).join(lp, "g2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+      .withColumn("key", expr(
+        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+      .localCheckpoint() // read by the rank select and the sweep pass
+    val targets = (1 to 9).map(i => expr(s"($i * __n) div 10"))
+    val bounds = BucketRank.select(
+        perDoc.withColumn("__g", lit(1)), "__g",
+        bucket = expr("key div 1000000000000"),
+        ord = Seq(col("key"), col("doc_id")), targets = targets)
+      .select(col("key").as("thr"), col("__grank"))
+      // decile index recovered by ranking the 9-row boundary frame itself
+      .withColumn("decile", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__grank"))).cast("long"))
+      .select(col("decile"), col("thr"))
+    perDoc.crossJoin(broadcast(bounds))
+      .groupBy(col("decile"), col("thr"))
+      .agg(expr("cast(count_if(key >= thr) as bigint)").as("n_docs_kept"),
+        expr("cast(sum(case when key >= thr then n_big else 0 end) as bigint)")
+          .as("bigrams_kept"),
+        count(lit(1)).as("n_docs_total"))
+      .withColumn("keep_ppm",
+        expr("cast(n_docs_kept * 1000000L div n_docs_total as bigint)"))
+      .select(col("decile"), (col("thr") - lit(100000000000000L)).as("thr_avg_pico"),
+        col("n_docs_kept"), col("bigrams_kept"), col("keep_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val q281Oracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       pd AS (SELECT b.doc_id, count(*) AS n_big,
+                CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+              FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1),
+       k AS (SELECT doc_id, n_big,
+               CAST((d_sum * 1000000 + n_big * 100000000000000) // n_big AS BIGINT) AS key
+             FROM pd),
+       r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn,
+               count(*) OVER () AS n FROM k),
+       bounds AS (SELECT CAST(g.i AS BIGINT) AS decile, key AS thr
+                  FROM r, (SELECT unnest(generate_series(1, 9)) AS i) g
+                  WHERE rn = (i * n) // 10),
+       sw AS (SELECT b.decile, b.thr,
+                CAST(sum(CASE WHEN k.key >= b.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                CAST(sum(CASE WHEN k.key >= b.thr THEN k.n_big ELSE 0 END) AS BIGINT) AS bigrams_kept,
+                count(*) AS n_docs_total
+              FROM k, bounds b GROUP BY 1, 2)
+       SELECT decile, CAST(thr - 100000000000000 AS BIGINT) AS thr_avg_pico,
+         n_docs_kept, bigrams_kept,
+         CAST(n_docs_kept * 1000000 // n_docs_total AS BIGINT) AS keep_ppm
+       FROM sw ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_threshold_sweep" -> q281ThresholdSweep _,
     "q276_bm25_topk" -> q276Bm25TopK _,
     "q278_perplexity_buckets" -> q278PerplexityBuckets _,
     "q274_tokenizer_fertility" -> q274TokenizerFertility _,
@@ -2191,6 +2276,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q281_threshold_sweep" -> q281Oracle,
     "q276_bm25_topk" -> q276Oracle,
     "q278_perplexity_buckets" -> q278Oracle,
     "q274_tokenizer_fertility" -> q274Oracle,

@@ -273,7 +273,10 @@ class PlanSpec extends SparkSuite {
       "q276_bm25_topk" -> ("documents", 2),              // stats pass + tf explode (tf frame pinned, posting-list-sized)
       "q277_matryoshka_overlap" -> ("embeddings", 2),    // corpus scan + broadcast query side
       "q278_perplexity_buckets" -> ("documents", 0),     // per-doc score table pinned; LM is the stored artifact
-      "q279_audio_clipping" -> ("documents", 1))         // map-only id scan; samples never shuffle
+      "q279_audio_clipping" -> ("documents", 1),         // map-only id scan; samples never shuffle
+      "q281_threshold_sweep" -> ("documents", 0),        // per-doc score table pinned; LM from artifact
+      "q283_substring_curation" -> ("documents", 1),     // coverage frame pinned; n_raw count scan
+      "q284_maxsim_retrieval" -> ("embeddings", 2))      // corpus scan + broadcast query-group side
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
