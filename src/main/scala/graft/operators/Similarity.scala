@@ -1448,7 +1448,100 @@ object Similarity {
        SELECT gid, n_query_vecs, maxsim_u FROM g
        ORDER BY maxsim_u DESC, gid LIMIT 5"""
 
+  // ---------------------------------------------------------------- q285
+  /** HYBRID retrieval via Reciprocal-Rank Fusion — the standard way a RAG
+    * stack combines a sparse (BM25, q276) and a dense (embedding cosine,
+    * q34) ranking without calibrating their incomparable scores:
+    * RRF(d) = Σ_lists 1/(k + rank_d), k = 60. Kept exact: each
+    * reciprocal is the integer 10⁹ div (60 + rank) (absent from a list
+    * contributes 0), so fusion order is host-independent. Each side
+    * ranks only its top-50 — TakeOrderedAndProject prunes the corpus,
+    * the ranking window sees a 50-row frame, never the corpus (the q15
+    * rule). The document table and its embedding twin are keyed by the
+    * same id (vec_id ↔ doc_id); the fixture queries with doc 0's
+    * embedding on the dense side and the q276 term set on the sparse
+    * side. One corpus scan per modality.
+    */
+  def q285RankFusion(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparseRanked = graft.operators.TextAnalysis
+      .bm25Scores(spark, d, graft.operators.TextAnalysis.Q276Terms)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), expr(toDouble).as("ed"))
+    val q = emb.filter(col("vec_id") === 0).select(col("ed").as("qe"))
+    val denseRanked = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .orderBy(col("cos_u").desc, col("vec_id")).limit(50)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    sparseRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("bm25_rank", "dense_rank"))
+      .withColumn("rrf_u", expr(
+        """cast(case when bm25_rank > 0 then 1000000000 div (60 + bm25_rank) else 0 end
+             + case when dense_rank > 0 then 1000000000 div (60 + dense_rank) else 0 end
+           as bigint)"""))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"), col("rrf_u"))
+  }
+
+  val q285Oracle: String = {
+    val terms = graft.operators.TextAnalysis.Q276Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             string_split(text, ' ') AS w
+           FROM documents),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
+       tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(w) AS tok FROM d)
+              WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       idf AS (SELECT tok,
+                 CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+               FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok), st),
+       sc AS (SELECT tf.doc_id,
+                CAST(CAST(idf.idf_micro AS HUGEINT) * 2200 * tf.tf * st.total_tokens
+                  // (CAST(1000 AS HUGEINT) * tf.tf * st.total_tokens
+                      + CAST(300 AS HUGEINT) * st.total_tokens
+                      + CAST(900 AS HUGEINT) * tf.dl * st.n_docs) AS BIGINT) AS s
+              FROM tf JOIN idf USING (tok), st),
+       bm AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+              FROM sc WHERE doc_id <> 0 GROUP BY doc_id),
+       bmr AS (SELECT doc_id, CAST(rn AS BIGINT) AS bm25_rank FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+                 FROM bm) WHERE rn <= 50),
+       ev AS (SELECT vec_id, embedding FROM embeddings),
+       qv AS (SELECT embedding AS qe FROM ev WHERE vec_id = 0),
+       cs AS (SELECT e.vec_id,
+                CAST(round(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)) /
+                  (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                   sqrt(sum(CAST(q.qe[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)))) * 1000000)
+                  AS BIGINT) AS cos_u
+              FROM ev e, qv q, range(64) r(j)
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       dnr AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY cos_u DESC, vec_id) AS rn
+                 FROM cs) WHERE rn <= 50),
+       fused AS (SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+                   coalesce(b.bm25_rank, 0) AS bm25_rank,
+                   coalesce(n.dense_rank, 0) AS dense_rank
+                 FROM bmr b FULL OUTER JOIN dnr n ON b.doc_id = n.doc_id)
+       SELECT doc_id, bm25_rank, dense_rank,
+         CAST(CASE WHEN bm25_rank > 0 THEN 1000000000 // (60 + bm25_rank) ELSE 0 END
+            + CASE WHEN dense_rank > 0 THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+           AS BIGINT) AS rrf_u
+       FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_rank_fusion" -> q285RankFusion _,
     "q284_maxsim_retrieval" -> q284MaxSimRetrieval _,
     "q277_matryoshka_overlap" -> q277MatryoshkaOverlap _,
     "q273_hard_negatives" -> q273HardNegatives _,
@@ -1472,6 +1565,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q285_rank_fusion" -> q285Oracle,
     "q284_maxsim_retrieval" -> q284Oracle,
     "q277_matryoshka_overlap" -> q277Oracle,
     "q273_hard_negatives" -> q273Oracle,

@@ -2007,14 +2007,19 @@ object TextAnalysis {
   val Q276Terms: Seq[String] = Seq("spark", "window", "hash", "customer")
   val Q276K = 10
 
-  def q276Bm25TopK(spark: SparkSession, d: String): DataFrame = {
+  /** Per-document BM25 scores for `terms` over the documents table —
+    * (doc_id, dl, n_terms_hit, score_micro); only docs hitting ≥1 term
+    * appear. The q276 arithmetic (see its scaladoc); reused by the q285
+    * rank fusion.
+    */
+  def bm25Scores(spark: SparkSession, d: String, terms: Seq[String]): DataFrame = {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       expr("cast(sum(dl) as bigint)").as("total_tokens"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-      .filter(col("tok").isin(Q276Terms: _*))
+      .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint() // posting-list-sized; read by the df side and the scorer
@@ -2034,10 +2039,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("n_terms_hit"),
         expr("cast(sum(s) as bigint)").as("score_micro"))
+  }
+
+  def q276Bm25TopK(spark: SparkSession, d: String): DataFrame =
+    bm25Scores(spark, d, Q276Terms)
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(Q276K)
       .select(col("doc_id"), col("dl"), col("n_terms_hit"), col("score_micro"))
-  }
 
   val q276Oracle: String = {
     val terms = Q276Terms.map(t => s"'$t'").mkString(", ")
