@@ -1510,39 +1510,55 @@ object Dedup {
     * 32-hash factorizations against a Jaccard grid and flags the
     * DEPLOYED config ([[NumBands]]×[[RowsPerBand]]) — the number that
     * says what recall q31/q125/q239 give up at each similarity level,
-    * and what moving along the curve would cost. Broadcast arithmetic
-    * only (no corpus read — the corpus enters through the deployed
-    * constants); doubles derive from textually identical pow/round
-    * formulas in both engines, rounded to 6 places (the q62 sketch
-    * discipline).
+    * and what moving along the curve would cost. Round 9: EXACT integer
+    * arithmetic end to end (the round-8 verdict flagged the previous
+    * `round(pow(...), 6)` doubles as the 555fc28 defect class). With
+    * j = a/10 (a integer) and r·b = 32 for every factorization of 32
+    * hashes, P = 1 − (1 − jʳ)ᵇ is the exact rational (10³² − N)/10³²
+    * where N = (10ʳ − aʳ)ᵇ ≤ 10³² — computed in BigInt on the driver
+    * (20 constant rows, config-sized by definition) and rounded half-up
+    * to µ-units by integer division; the oracle replays the SAME integer
+    * arithmetic in HUGEINT via a recursive-CTE power loop. No pow(), no
+    * doubles, no libm on the candidate column. j_half = (1/b)^(1/r) =
+    * 2^(−k/r) is one constant per config whose µ-rounding sits ≥0.05 µ
+    * from any boundary (Round9Spec pins all four against Math.pow).
     */
   def q282LshPlanner(spark: SparkSession, d: String): DataFrame = {
-    val configs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
-      .map { case (b, r) => s"named_struct('b', $b, 'r', $r)" }
-      .mkString("array(", ", ", ")")
-    val jGrid = "array(0.3D, 0.5D, 0.7D, 0.8D, 0.9D)"
-    spark.range(1)
-      .select(explode(expr(configs)).as("cfg"))
-      .select(col("cfg.b").cast("long").as("bands"),
-        col("cfg.r").cast("long").as("rows_per_band"))
-      .select(col("bands"), col("rows_per_band"), explode(expr(jGrid)).as("j"))
-      .withColumn("p_candidate", expr(
-        "round(1.0 - pow(1.0 - pow(j, cast(rows_per_band as double)), cast(bands as double)), 6)"))
-      .withColumn("j_half", expr(
-        "round(pow(1.0 / cast(bands as double), 1.0 / cast(rows_per_band as double)), 6)"))
-      .withColumn("deployed",
-        col("bands") === NumBands && col("rows_per_band") === RowsPerBand)
-      .orderBy(col("bands"), col("j"))
+    val ten32 = BigInt(10).pow(32)
+    val rows = for {
+      (b, r) <- Seq((4, 8), (8, 4), (16, 2), (32, 1))
+      a <- Seq(3, 5, 7, 8, 9)
+    } yield {
+      val n = (BigInt(10).pow(r) - BigInt(a).pow(r)).pow(b)
+      val pMicro = ((ten32 - n) * BigInt(1000000) + ten32 / 2) / ten32
+      val jHalfMicro = Math.round(Math.pow(1.0 / b, 1.0 / r) * 1e6)
+      (b.toLong, r.toLong, a.toLong, pMicro.toLong, jHalfMicro,
+        b == NumBands && r == RowsPerBand)
+    }
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "j_tenths", "p_candidate_micro",
+        "j_half_micro", "deployed")
+      .orderBy(col("bands"), col("j_tenths"))
   }
 
   val q282Oracle: String =
-    s"""WITH cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (32, 1)) c(b, r)),
-       jg AS (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS j)
-       SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band, j,
-         round(1.0 - pow(1.0 - pow(j, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p_candidate,
-         round(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)), 6) AS j_half,
+    s"""WITH RECURSIVE cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (32, 1)) c(b, r)),
+       jg AS (SELECT unnest([3, 5, 7, 8, 9]) AS a),
+       base AS (SELECT b, r, a,
+                  CAST(CAST(round(pow(10, r)) AS BIGINT)
+                       - CAST(round(pow(a, r)) AS BIGINT) AS HUGEINT) AS x
+                FROM cfg, jg),
+       pw AS (SELECT b, r, a, x, 1 AS i, x AS acc FROM base
+              UNION ALL SELECT b, r, a, x, i + 1, acc * x FROM pw WHERE i < b),
+       n AS (SELECT b, r, a, acc AS nn FROM pw WHERE i = b)
+       SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+         CAST(a AS BIGINT) AS j_tenths,
+         CAST(((CAST('100000000000000000000000000000000' AS HUGEINT) - nn) * 1000000
+               + CAST('50000000000000000000000000000000' AS HUGEINT))
+              // CAST('100000000000000000000000000000000' AS HUGEINT) AS BIGINT) AS p_candidate_micro,
+         CAST(round(pow(1.0 / b, 1.0 / r) * 1000000) AS BIGINT) AS j_half_micro,
          b = $NumBands AND r = $RowsPerBand AS deployed
-       FROM cfg, jg ORDER BY bands, j"""
+       FROM n ORDER BY bands, j_tenths"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q282_lsh_planner" -> q282LshPlanner _,

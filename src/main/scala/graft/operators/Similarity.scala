@@ -1215,12 +1215,24 @@ object Similarity {
 
   def q272PqAnn(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = Tables.embeddings(spark, d)
-      .select(col("vec_id"), expr(toDouble).as("ed"))
-    val emb = raw.unionByName(
-      raw.filter(col("vec_id") === 0).select(lit(900000L).as("vec_id"), col("ed")))
-    val lf = pqLongForm(emb).localCheckpoint()
-    val cent1 = pqCodebook(lf).localCheckpoint() // 1 024 rows, read 3×
+    // round 9: the µ-int long form is CORPUS-sized, so it is a persisted
+    // artifact, not a localCheckpoint (an executor loss invalidates a
+    // local checkpoint mid-query; a parquet table replays from storage —
+    // this is the PQ analogue of q235's stored IVF lists, written once at
+    // ingest). Bucketed on vec_id: HashPartitioning(vec_id) satisfies
+    // every ClusteredDistribution(vec_id, …) downstream, so the assign /
+    // ADC groupBys skip their exchanges. The planted rank-1 twin
+    // (vec 900000 = vec 0) rides the artifact so the certificate is
+    // reproducible from the stored table alone.
+    val lf = Artifacts.buildOrGet(spark, "pq_lf", d, Some(("vec_id", 8))) {
+      val raw = Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(toDouble).as("ed"))
+      pqLongForm(raw.unionByName(
+        raw.filter(col("vec_id") === 0).select(lit(900000L).as("vec_id"), col("ed"))))
+    }
+    // 1 024 rows, read 3× — KB-sized and single-job-scoped by design: a
+    // lost executor just recomputes it from the stored long form
+    val cent1 = pqCodebook(lf).localCheckpoint()
     val codes = pqAssign(lf, cent1)
     val adcTable = cent1
       .join(lf.filter(col("vec_id") === 0)
@@ -1280,9 +1292,13 @@ object Similarity {
     * embedding model nothing; the near-miss neighbors on the wrong side
     * of the label boundary are what sharpen it. Shape: the 5-row query
     * frame broadcasts, the corpus is scanned ONCE with the label
-    * inequality pushed into the scan-side filter, ranking is per-query
-    * (the window partitions by qid — 5 bounded partitions, never a
-    * global task). Cosines are quantized to exact µ-units before the
+    * inequality pushed into the scan-side filter, ranking is per-query.
+    * Each per-qid window partition is CORPUS-sized, not bounded — what
+    * keeps it scale-safe on this engine is the `row_number ≤ 3` filter,
+    * which Spark 4's WindowGroupLimit rule pushes map-side (each task
+    * keeps 3 rows per qid before the exchange); the full 100 TB rewrite
+    * replaces the brute scan itself (below), which also shrinks the
+    * window input to probe size. Cosines are quantized to exact µ-units before the
     * rank (the q241 tie discipline) so top-3 membership is
     * host-independent. At 100 TB the brute scan becomes the q51 IVF
     * probe with the label filter pushed to the stored lists (q166's
@@ -1337,9 +1353,13 @@ object Similarity {
     * the three widths map-side, prefix cosines are computed on sliced
     * arrays by index-ordered folds (same summation order both engines),
     * quantized to exact µ-units before ranking (the q241 discipline).
-    * Windows partition by width — 3 bounded partitions. At 100 TB each
-    * width's ranking is the q51 IVF probe over an index built at that
-    * width; the overlap-readout contract is unchanged.
+    * Each per-width window partition is CORPUS-sized (3 partitions, each
+    * holding every vector) — the `row_number ≤ 10` filter is what keeps
+    * it scale-safe here: Spark 4's WindowGroupLimit pushes the limit
+    * map-side, so each task forwards 10 rows per width. The full 100 TB
+    * rewrite replaces the brute scan with the q51 IVF probe over an
+    * index built per width, which also shrinks the window input to probe
+    * size; the overlap-readout contract is unchanged.
     */
   def q277MatryoshkaOverlap(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

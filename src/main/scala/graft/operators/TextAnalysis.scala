@@ -1336,6 +1336,42 @@ object TextAnalysis {
     Artifacts.buildOrGet(spark, "bigram_lm", d,
       Some(("g2", 8)))(buildBigramLm(spark, d))
 
+  /** Per-document LM score rows the doc-score artifact stores: for every
+    * document with ≥1 bigram, its bigram count, exact µ-nat corpus-LM sum
+    * (`d_sum`), exact µ-nat DSIR importance weight (`w` = Σ lpt − lpc),
+    * and the q278 pico-nat average sort key — (d_sum·10⁶ + n_big·10¹⁴)
+    * div n_big, an exact integer so ordering and thresholding never touch
+    * a double. ONE corpus pass (hashed bigram stream ⋈ stored model,
+    * model side pre-bucketed on g2) feeds the per-doc aggregate.
+    */
+  private def buildDocLm(spark: SparkSession, d: String): DataFrame = {
+    val lp = bigramLmTable(spark, d)
+      .select(col("g2"), col("lp_micro"), col("lpt_micro"))
+    hashedBigrams(spark, d).join(lp, "g2")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"),
+        expr("cast(sum(lpt_micro - lp_micro) as bigint)").as("w"))
+      .withColumn("key", expr(
+        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+  }
+
+  /** The PERSISTED per-document LM score table — round 9's closure of the
+    * "five consumers rebuild the same scoring frame" regression (q247's
+    * 5.3× round-8 drift): q228/q230/q231/q247/q278/q281 each need the
+    * per-doc (n_big, d_sum | w | key) frame, and each previously re-ran
+    * the corpus scoring join behind a job-scoped `localCheckpoint`. Built
+    * once per (session, dir) — exactly the table a 100 TB deployment
+    * materializes right after the LM itself, and a RELIABLE artifact
+    * where `localCheckpoint` was not (an executor loss invalidates a
+    * local checkpoint mid-query; a parquet table replays from storage).
+    * Bucketed on doc_id so the q231/q247 document join-backs skip the
+    * artifact-side exchange. q286 is the driven, measured build.
+    */
+  def docLmTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "doc_lm", d,
+      Some(("doc_id", 8)))(buildDocLm(spark, d))
+
   // ---------------------------------------------------------------- q228
   /** Corpus bigram-LM quality scoring — the KenLM-style perplexity filter
     * every pretraining pipeline runs (CCNet's core signal): train an
@@ -1348,20 +1384,14 @@ object TextAnalysis {
     * partition order; quantized integers sum exactly in any order, and
     * the 1e-6 grid makes a cross-engine libm last-bit difference
     * irrelevant). Shuffles are keyed by md5-prefix hashes of grams, never
-    * gram text (the q183 rule). Round 7: the model table is PERSISTED
-    * ([[bigramLmTable]], built once per session; q236 measures the build)
-    * — scoring is now exactly the 100 TB shape: ONE corpus pass producing
-    * the hashed bigram stream, one join against the stored vocab-sized
-    * model (its side pre-bucketed on the join key), per-doc exact sums, a
-    * 5-row language rollup.
+    * gram text (the q183 rule). Round 7 persisted the model
+    * ([[bigramLmTable]]); round 9 persists the per-doc scores too
+    * ([[docLmTable]], q286 measures the build) — this query is now a pure
+    * PROBE: zero corpus scans, one doc-count-sized read of the stored
+    * score table into a 5-row language rollup.
     */
   def q228BigramLmScore(spark: SparkSession, d: String): DataFrame = {
-    val big = hashedBigrams(spark, d)
-    val lp = bigramLmTable(spark, d).select(col("g2"), col("lp_micro"))
-    val d1 = big.join(lp, "g2")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_big"),
-        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+    val d1 = docLmTable(spark, d)
       .withColumn("d_avg", expr("CAST(d_sum AS DOUBLE) / CAST(n_big AS DOUBLE)"))
     d1.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1427,21 +1457,13 @@ object TextAnalysis {
     * extra LM costs one more map-side-combined aggregate.
     */
   def q230ImportanceWeights(spark: SparkSession, d: String): DataFrame = {
-    val big = hashedBigrams(spark, d)
-    // both LMs live in the stored model table (round 7): lp_micro is the
-    // corpus LM, lpt_micro the target LM — one pre-bucketed join serves
-    // the weight computation
-    val lp = bigramLmTable(spark, d)
-      .select(col("g2"), col("lp_micro").as("lpc"), col("lpt_micro").as("lpt"))
-    // the per-doc weight table is referenced twice (corpus average +
-    // final rollup); localCheckpoint pins it so the scoring pass runs
-    // once — materializing the weight table is also what a real DSIR
-    // pipeline does before resampling
-    val d1 = big.join(lp, "g2")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_big"),
-        expr("cast(sum(lpt - lpc) as bigint)").as("w"))
-      .localCheckpoint()
+    // round 9: the per-doc weight table IS the stored doc-score artifact
+    // (docLmTable's `w` column = Σ lpt − lpc) — materializing the weight
+    // table before resampling is exactly what a real DSIR pipeline does,
+    // and the two consumers below (corpus average + final rollup) re-read
+    // the parquet artifact instead of re-running the scoring join
+    val d1 = docLmTable(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_big"), col("w"))
     val g = d1.agg(
       expr("cast(sum(cast(w as decimal(38,0))) as decimal(38,0))").as("sw"),
       expr("cast(sum(n_big) as decimal(38,0))").as("sb"))
@@ -2022,7 +2044,12 @@ object TextAnalysis {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // posting-list-sized; read by the df side and the scorer
+      // posting-list-sized (only query-term hits), read by the df side and
+      // the scorer. Single-job-scoped by design: on executor loss the
+      // query re-runs from the scan (bounded — the pinned frame is the
+      // inverted-index slice for 4 terms, not the corpus); a shared
+      // deployment persists the full inverted index instead (q286 pattern)
+      .localCheckpoint()
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_micro", expr(
@@ -2091,17 +2118,12 @@ object TextAnalysis {
     */
   def q278PerplexityBuckets(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lp = bigramLmTable(spark, d).select(col("g2"), col("lp_micro"))
-    val perDoc = hashedBigrams(spark, d).join(lp, "g2")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_big"),
-        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
-      .withColumn("key", expr(
-        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
-      // the per-doc score table feeds three consumers (local ranks, bucket
-      // offsets, the doc count) — pinned so scoring runs once (the q231
-      // precedent; at 100 TB this is the persisted score table)
-      .localCheckpoint()
+    // round 9: the per-doc score frame (n_big, d_sum, key) is the stored
+    // doc-score artifact — the three consumers below (local ranks, bucket
+    // offsets, the doc count) each re-read the parquet table; no corpus
+    // scan, no localCheckpoint
+    val perDoc = docLmTable(spark, d)
+      .select(col("doc_id"), col("n_big"), col("d_sum"), col("key"))
     val withB = perDoc.withColumn("__b", expr("key div 1000000000000"))
     val local = withB.withColumn("__lr",
       row_number().over(Window.partitionBy(col("__b"))
@@ -2171,19 +2193,15 @@ object TextAnalysis {
     * physical values (the q132/q61 rule — both engines select the same
     * rows, no float boundary), selected by [[BucketRank]] two-phase rank
     * (no single-task window over the per-doc frame); the sweep itself is
-    * one conditional pass of the pinned per-doc table against the
+    * one conditional pass of the stored doc-score artifact against the
     * broadcast 9-row boundary frame. Keys are the q278 exact pico-nat
     * integers, so keep sets are host-independent at every threshold.
     */
   def q281ThresholdSweep(spark: SparkSession, d: String): DataFrame = {
-    val lp = bigramLmTable(spark, d).select(col("g2"), col("lp_micro"))
-    val perDoc = hashedBigrams(spark, d).join(lp, "g2")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_big"),
-        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
-      .withColumn("key", expr(
-        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
-      .localCheckpoint() // read by the rank select and the sweep pass
+    // round 9: rank select + sweep pass both read the stored doc-score
+    // artifact (its `key` column is the q278 pico-nat integer)
+    val perDoc = docLmTable(spark, d)
+      .select(col("doc_id"), col("n_big"), col("key"))
     val targets = (1 to 9).map(i => expr(s"($i * __n) div 10"))
     val bounds = BucketRank.select(
         perDoc.withColumn("__g", lit(1)), "__g",
@@ -2246,7 +2264,73 @@ object TextAnalysis {
          CAST(n_docs_kept * 1000000 // n_docs_total AS BIGINT) AS keep_ppm
        FROM sw ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q286
+  /** Build the per-document LM score ARTIFACT — the driven, measured
+    * version of the scoring job q228/q230/q231/q247/q278/q281 amortize
+    * (round 9; the q236 pattern one level up the derivation chain):
+    * force-rebuilds the persisted doc-score table (bigram count, exact
+    * µ-nat corpus-LM sum, exact µ-nat DSIR weight, pico-nat average key;
+    * bucketed on doc_id for the document join-backs), then reports the
+    * acceptance summary a pipeline gates the refresh on: doc coverage,
+    * total bigram mass, and exact checksums pinning every stored score
+    * of both derived columns. Fully deterministic → full oracle
+    * replaying model + scoring.
+    */
+  def q286BuildDocLm(spark: SparkSession, d: String): DataFrame = {
+    val t = Artifacts.rebuild(spark, "doc_lm", d,
+      Some(("doc_id", 8)))(buildDocLm(spark, d))
+    t.agg(
+      count(lit(1)).as("n_docs"),
+      expr("cast(sum(n_big) as bigint)").as("n_bigrams"),
+      expr("cast(sum(cast(d_sum as decimal(38,0))) as bigint)").as("lp_checksum"),
+      expr("cast(sum(cast(w as decimal(38,0))) as bigint)").as("w_checksum"),
+      expr("cast(min(key) - 100000000000000 as bigint)").as("min_avg_pico"),
+      expr("cast(max(key) - 100000000000000 as bigint)").as("max_avg_pico"))
+  }
+
+  val q286Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       bcT AS (SELECT g2, count(*) AS c2t FROM big WHERE lang = 'en' GROUP BY g2),
+       ucT AS (SELECT g1, count(*) AS c1t FROM big WHERE lang = 'en' GROUP BY g1),
+       vT AS (SELECT count(DISTINCT g2) AS nvt FROM big WHERE lang = 'en'),
+       lm AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro,
+                CAST(round(ln((CAST(coalesce(bcT.c2t, 0) AS DOUBLE) + 1.0) /
+                     (CAST(coalesce(ucT.c1t, 0) AS DOUBLE) + CAST(vT.nvt AS DOUBLE))) * 1000000) AS BIGINT) AS lpt_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1
+                LEFT JOIN bcT ON bc.g2 = bcT.g2
+                LEFT JOIN ucT ON bc.g1 = ucT.g1
+                CROSS JOIN v CROSS JOIN vT),
+       pd AS (SELECT b.doc_id, count(*) AS n_big,
+                CAST(sum(lm.lp_micro) AS BIGINT) AS d_sum,
+                CAST(sum(lm.lpt_micro - lm.lp_micro) AS BIGINT) AS w
+              FROM big b JOIN lm ON b.g2 = lm.g2 GROUP BY 1),
+       k AS (SELECT doc_id, n_big, d_sum, w,
+               CAST((d_sum * 1000000 + n_big * 100000000000000) // n_big AS BIGINT) AS key
+             FROM pd)
+       SELECT count(*) AS n_docs,
+         CAST(sum(n_big) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(d_sum AS HUGEINT)) AS BIGINT) AS lp_checksum,
+         CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS w_checksum,
+         CAST(min(key) - 100000000000000 AS BIGINT) AS min_avg_pico,
+         CAST(max(key) - 100000000000000 AS BIGINT) AS max_avg_pico
+       FROM k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_build_doc_lm" -> q286BuildDocLm _,
     "q281_threshold_sweep" -> q281ThresholdSweep _,
     "q276_bm25_topk" -> q276Bm25TopK _,
     "q278_perplexity_buckets" -> q278PerplexityBuckets _,
@@ -2284,6 +2368,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q286_build_doc_lm" -> q286Oracle,
     "q281_threshold_sweep" -> q281Oracle,
     "q276_bm25_topk" -> q276Oracle,
     "q278_perplexity_buckets" -> q278Oracle,

@@ -68,36 +68,44 @@ object Tables {
   def eventsRawSchema(spark: SparkSession, d: String): org.apache.spark.sql.types.StructType =
     eventsRaw(spark, d).schema
 
+  /** One staged single-file directory per (dataset dir, table), created on
+    * first use and registered for JVM-exit deletion — round 9 closes the
+    * r8 advice's disk leak (every eventsStream/embeddingsStream call used
+    * to mint a fresh temp dir that outlived the process). The hardlink
+    * (copy on cross-filesystem) is idempotent per key, so repeated stream
+    * constructions over one dataset reuse one directory.
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
+  private def stagedSingleFileDir(d: String, tableFile: String): java.nio.file.Path =
+    stagedDirs.computeIfAbsent((d, tableFile), { _ =>
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory(s"graft-stream-${tableFile.takeWhile(_ != '.')}")
+      val dst = dir.resolve(tableFile)
+      try Files.createLink(dst, Paths.get(s"$d/$tableFile"))
+      catch { case _: Exception => Files.copy(Paths.get(s"$d/$tableFile"), dst) }
+      dir.toFile.deleteOnExit(); dst.toFile.deleteOnExit()
+      dir
+    })
+
   /** Streaming twin of `events`: file-source readStream + the same ns→µs
     * conversion. Spark's file stream source wants a directory to monitor;
-    * the single-file fixture is staged into a temp dir via hardlink (a real
-    * deployment streams from a landing directory already).
+    * the single-file fixture is staged into a cached temp dir via hardlink
+    * (a real deployment streams from a landing directory already).
     */
-  def eventsStream(spark: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-events-stream")
-    val src = Paths.get(s"$d/events.parquet")
-    val dst = dir.resolve("events.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) } // cross-filesystem fallback
+  def eventsStream(spark: SparkSession, d: String): DataFrame =
     withEventTs(
-      spark.readStream.schema(eventsRawSchema(spark, d)).parquet(dir.toString))
-  }
+      spark.readStream.schema(eventsRawSchema(spark, d))
+        .parquet(stagedSingleFileDir(d, "events.parquet").toString))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
   /** File-source stream over the embeddings table (the eventsStream
-    * pattern): the parquet file hard-linked into a fresh temp dir so the
-    * stream sees exactly one input file, schema taken from the batch
+    * pattern): the parquet file hard-linked into the cached staged dir so
+    * the stream sees exactly one input file, schema taken from the batch
     * table.
     */
-  def embeddingsStream(spark: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val dir = Files.createTempDirectory("graft-embeddings-stream")
-    val src = Paths.get(s"$d/embeddings.parquet")
-    val dst = dir.resolve("embeddings.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) }
-    spark.readStream.schema(embeddings(spark, d).schema).parquet(dir.toString)
-  }
+  def embeddingsStream(spark: SparkSession, d: String): DataFrame =
+    spark.readStream.schema(embeddings(spark, d).schema)
+      .parquet(stagedSingleFileDir(d, "embeddings.parquet").toString)
 }

@@ -221,10 +221,10 @@ class PlanSpec extends SparkSuite {
       "q225_sessionize_skew_safe" -> ("events", 2),      // local pass + chunk-stats pass
       "q226_group_aware_split" -> ("documents", 1),      // one groups-sized aggregate
       "q227_temperature_sample" -> ("documents", 4),     // counts + offsets + whole + crossing
-      "q228_bigram_lm_score" -> ("documents", 1),        // ONE scoring pass; model is the stored artifact
+      "q228_bigram_lm_score" -> ("documents", 0),        // pure probe of the stored doc-score artifact (round 9)
       "q229_embedding_audit" -> ("embeddings", 1),       // one conditional-aggregate pass
-      "q230_importance_weights" -> ("documents", 1),     // ONE scoring pass; both LMs from the stored artifact
-      "q231_curation_capstone" -> ("documents", 2),      // scoring pass + split/gate pass; LM from artifact
+      "q230_importance_weights" -> ("documents", 0),     // pure probe: weights live in the doc-score artifact (round 9)
+      "q231_curation_capstone" -> ("documents", 2),      // split/gate pass, statically forked by the quota total (AQE reuses the exchange); scores from the doc-score artifact
       "q232_cluster_size_histogram" -> ("documents", 0), // pure artifact probe: rollups over the cluster table
       "q233_fingerprint_bit_balance" -> ("documents", 1),
       "q97_dedup_clusters" -> ("documents", 0),          // pure artifact probe
@@ -242,7 +242,7 @@ class PlanSpec extends SparkSuite {
       "q244_cuped_readout" -> ("events", 2),             // bounds pass + per-user pre/post aggregate (pinned)
       "q245_ivf_drift" -> ("embeddings", 0),             // batch + distributions all from the stored index
       "q246_conversion_ztest" -> ("events", 1),          // one per-user conversion aggregate
-      "q247_rejection_attribution" -> ("documents", 2),  // LM scoring pass + flags pass (scores pinned)
+      "q247_rejection_attribution" -> ("documents", 1),  // ONE flags pass; scores from the doc-score artifact
       "q248_stream_neardup_filter" -> ("documents", 3),  // fixture write + seen rollup + corpus side (stream work is per-batch)
       "q249_semantic_dedup" -> ("embeddings", 0),        // pairs + cells all from the stored IVF assignment table
       "q250_lm_maintain" -> ("documents", 0),            // batch + probe pinned at build; merge reads only the stored LM
@@ -266,17 +266,19 @@ class PlanSpec extends SparkSuite {
       "q269_outage_report" -> ("events", 1),             // one distinct-minutes pass; gaps window the aggregate
       "q270_substring_dedup" -> ("documents", 3),        // gram pass ×(df, spans) + token-count join-back
       "q271_audience_overlap" -> ("events", 4),          // distinct (type,user) frame read by sketches + both exact sides
-      "q272_pq_ann" -> ("embeddings", 0),                // µ-int long form localCheckpoint-pinned; all stages read it
+      "q272_pq_ann" -> ("embeddings", 0),                // µ-int long form is the stored pq_lf artifact; all stages read it
       "q273_hard_negatives" -> ("embeddings", 2),        // corpus scan + broadcast query side
       "q274_tokenizer_fertility" -> ("documents", 1),    // one map-only pass into the languages aggregate
       "q275_packing_efficiency" -> ("documents", 1),     // one token-count pass into a single row
       "q276_bm25_topk" -> ("documents", 2),              // stats pass + tf explode (tf frame pinned, posting-list-sized)
       "q277_matryoshka_overlap" -> ("embeddings", 2),    // corpus scan + broadcast query side
-      "q278_perplexity_buckets" -> ("documents", 0),     // per-doc score table pinned; LM is the stored artifact
+      "q278_perplexity_buckets" -> ("documents", 0),     // pure probe of the stored doc-score artifact
       "q279_audio_clipping" -> ("documents", 1),         // map-only id scan; samples never shuffle
-      "q281_threshold_sweep" -> ("documents", 0),        // per-doc score table pinned; LM from artifact
+      "q281_threshold_sweep" -> ("documents", 0),        // pure probe of the stored doc-score artifact
       "q283_substring_curation" -> ("documents", 1),     // coverage frame pinned; n_raw count scan
-      "q284_maxsim_retrieval" -> ("embeddings", 2))      // corpus scan + broadcast query-group side
+      "q284_maxsim_retrieval" -> ("embeddings", 2),      // corpus scan + broadcast query-group side
+      "q285_rank_fusion" -> ("documents", 2),            // bm25 stats sides (tf frame pinned)
+      "q286_build_doc_lm" -> ("documents", 0))           // report reads the just-written artifact
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Round-9 hardening: the q282 exact-integer rewrite (the last
+  * `round(double, 6)` output in the catalog), the source-level guard that
+  * keeps that defect class out, the per-doc LM score artifact's probe
+  * consistency, and the q285 embeddings scan ceiling (the one round-8
+  * query that shipped without one).
+  */
+class Round9Spec extends SparkSuite {
+
+  // ------------------------------------------------------------- q282
+  test("q282: planner outputs are exact integers matching the pow derivation") {
+    val rows = graft.operators.Dedup.queries("q282_lsh_planner")(spark, sf).collect()
+    assert(rows.length === 20)
+    // no double-typed column anywhere in the output — the r8 verdict's
+    // "555fc28 class" must stay out of this query
+    val df = graft.operators.Dedup.queries("q282_lsh_planner")(spark, sf)
+    assert(!df.schema.exists(_.dataType == DoubleType),
+      s"q282 re-grew a double output column: ${df.schema.treeString}")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bands").toInt
+      val rr = r.getAs[Long]("rows_per_band").toInt
+      val a = r.getAs[Long]("j_tenths").toInt
+      val j = a / 10.0
+      // independent double-precision replay of the S-curve: the exact
+      // BigInt value must sit within 1 µ of it (the doubles carry ~1e-10
+      // absolute error; the exact integer is the ground truth)
+      val p = 1.0 - math.pow(1.0 - math.pow(j, rr.toDouble), b.toDouble)
+      assert(math.abs(r.getAs[Long]("p_candidate_micro") - p * 1e6) <= 1.0,
+        s"b=$b r=$rr j=$j: exact=${r.getAs[Long]("p_candidate_micro")} double=${p * 1e6}")
+      val jh = math.pow(1.0 / b, 1.0 / rr)
+      assert(r.getAs[Long]("j_half_micro") === Math.round(jh * 1e6))
+      // the µ-rounding of each j_half constant sits far from a .5
+      // boundary, so a cross-engine libm last-bit difference cannot
+      // flip it (the reason round-to-µ is legal for these four values)
+      val frac = jh * 1e6 - math.floor(jh * 1e6)
+      assert(math.abs(frac - 0.5) > 0.05,
+        s"j_half for b=$b r=$rr rounds within 0.05µ of a boundary: $frac")
+    }
+    val deployed = rows.filter(_.getAs[Boolean]("deployed"))
+    assert(deployed.length === 5 &&
+      deployed.forall(_.getAs[Long]("bands") == graft.operators.Dedup.NumBands))
+  }
+
+  test("no new round(x, 6) double outputs enter the catalog (source grep)") {
+    // the r8 verdict's done-criterion: round-to-6-places on a DOUBLE is
+    // the defect class behind every round-7 hash fail (JVM vs DuckDB libm
+    // at 5e-7 boundaries). The three grandfathered sites live in
+    // EventAnalytics (theta/ts_slope — each divides an EXACT integer by a
+    // power of ten first, so the rounding is exact); anything beyond them
+    // fails here before it fails a driver hash.
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val pat = java.util.regex.Pattern.compile("""round\([^)]*, *6\)""")
+    val hits = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p))
+        val m = pat.matcher(text)
+        var n = 0
+        while (m.find()) n += 1
+        if (n > 0) hits(p.getFileName.toString) = n
+      }
+    }
+    assert(hits.keySet.subsetOf(Set("EventAnalytics.scala")) &&
+      hits.getOrElse("EventAnalytics.scala", 0) <= 3,
+      s"new round(x, 6) sites: $hits — use exact µ-unit integers instead")
+  }
+
+  // ----------------------------------------------------- doc-LM artifact
+  test("doc-score artifact probes equal the direct scoring derivation") {
+    // the artifact (q286's build) must hold exactly the frame its five
+    // probes used to derive inline: hashed bigrams ⋈ stored LM → per-doc
+    // exact sums. Checked column-for-column at sf0.001.
+    import graft.operators.TextAnalysis
+    val direct = TextAnalysis.hashedBigrams(spark, sf)
+      .join(TextAnalysis.bigramLmTable(spark, sf)
+        .select(col("g2"), col("lp_micro"), col("lpt_micro")), "g2")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"),
+        expr("cast(sum(lpt_micro - lp_micro) as bigint)").as("w"))
+      .withColumn("key", expr(
+        "cast((d_sum * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+    val stored = TextAnalysis.docLmTable(spark, sf)
+    assert(stored.count() === direct.count())
+    assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty,
+      "stored doc-score artifact diverges from the inline derivation")
+    spark.catalog.clearCache()
+  }
+
+  test("doc-LM probes scan documents zero times") {
+    // q286's build pays the corpus scan; the five probes must not
+    Seq("q228_bigram_lm_score", "q230_importance_weights",
+        "q278_perplexity_buckets", "q281_threshold_sweep").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val n = graft.Explain.scanCounts(df).getOrElse("documents", 0)
+      assert(n === 0, s"$q scans documents $n× — the probe contract broke")
+    }
+  }
+
+  // ------------------------------------------------------------- q285
+  test("q285: embeddings scan ceiling (the r8 gap)") {
+    val df = graft.SparkEntry.queries("q285_rank_fusion")(spark, sf)
+    val n = graft.Explain.scanCounts(df).getOrElse("embeddings", 0)
+    assert(n <= 2, s"q285 scans embeddings $n× (ceiling 2: corpus + query side)")
+  }
+}
