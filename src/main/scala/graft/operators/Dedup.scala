@@ -1560,7 +1560,116 @@ object Dedup {
          b = $NumBands AND r = $RowsPerBand AS deployed
        FROM n ORDER BY bands, j_tenths"""
 
+  // ---------------------------------------------------------------- q289
+  /** Near-dup cluster PURITY audit — do the clusters respect document
+    * metadata, the sanity gate before keep-one-per-cluster dedup applies
+    * a per-language quota (q227/q231): a cluster mixing languages either
+    * means the LSH threshold is catching translations/boilerplate across
+    * languages (a policy decision) or the banding is broken (a bug).
+    * Per multi-doc component: member count and DISTINCT language count
+    * (planted copies inherit their base doc's language via the id-offset
+    * map, the q30/q263 planting convention), rolled into one row —
+    * multi-doc clusters, their doc mass, pure vs mixed counts, and the
+    * worst mixing degree. On this corpus every cluster is language-pure
+    * (copies of one doc), so n_mixed = 0 is the certificate; a corpus
+    * with real cross-language boilerplate reports its mixing honestly.
+    * Shape: the stored cluster table (component-bucketed) joined once
+    * against documents for language — ONE corpus scan, group-sized
+    * aggregates. Full oracle replaying clustering + the purity rollup.
+    */
+  def q289ClusterPurity(spark: SparkSession, d: String): DataFrame = {
+    val langs = Tables.documents(spark, d).select(col("doc_id").as("base"), col("lang"))
+    nearDupClusterTable(spark, d)
+      .withColumn("base", col("doc_id") % 1000000L)
+      .join(langs, "base")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("lang")).as("nl"))
+      .filter(col("sz") >= 2)
+      .agg(count(lit(1)).as("n_multi_clusters"),
+        expr("cast(sum(sz) as bigint)").as("docs_in_multi"),
+        expr("cast(count_if(nl = 1) as bigint)").as("n_pure"),
+        expr("cast(count_if(nl > 1) as bigint)").as("n_mixed"),
+        expr("cast(sum(CASE WHEN nl > 1 THEN sz ELSE 0 END) as bigint)")
+          .as("docs_in_mixed"),
+        expr("cast(max(nl) as bigint)").as("max_langs_in_cluster"))
+  }
+
+  val q289Oracle: String =
+    s"""WITH RECURSIVE
+       $clusterOraclePrelude,
+       lg AS (SELECT c.doc_id, c.component, d.lang
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+       cs AS (SELECT component, count(*) AS sz, count(DISTINCT lang) AS nl
+              FROM lg GROUP BY 1)
+       SELECT count(*) AS n_multi_clusters,
+         CAST(sum(sz) AS BIGINT) AS docs_in_multi,
+         CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
+         CAST(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+         CAST(sum(CASE WHEN nl > 1 THEN sz ELSE 0 END) AS BIGINT) AS docs_in_mixed,
+         CAST(max(nl) AS BIGINT) AS max_langs_in_cluster
+       FROM cs WHERE sz >= 2"""
+
+  // ---------------------------------------------------------------- q293
+  /** NEAR-DUP token savings — q263's savings readout upgraded from exact
+    * text identity to the cluster table: keep-one-per-near-dup-cluster
+    * is what production dedup actually ships (exact dedup misses the
+    * truncated/boilerplate variants the LSH clusters catch), and the
+    * budget question is token MASS, not doc counts — a cluster keeping
+    * its min-id survivor drops the other members' tokens. Per language:
+    * clusters, member docs, raw vs kept token mass, exact-ppm savings
+    * (languages inherit from the base doc via the id-offset planting
+    * map; clusters are language-pure on this corpus — q289 certifies
+    * that). Shape: the stored cluster table joined to member token
+    * counts (one pass over the cluster corpus) and rolled up per
+    * component riding the table's component bucketing; survivor tokens
+    * via min-struct, no window. Full oracle replaying clustering +
+    * survivorship.
+    */
+  def q293ClusterTokenSavings(spark: SparkSession, d: String): DataFrame = {
+    val corpus = q97Corpus(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val langs = Tables.documents(spark, d).select(col("doc_id").as("base"), col("lang"))
+    val m = nearDupClusterTable(spark, d)
+      .join(corpus, "doc_id")
+      .withColumn("base", col("doc_id") % 1000000L)
+      .join(langs, "base")
+    val cl = m.groupBy(col("component"))
+      .agg(min(col("lang")).as("lang"),
+        count(lit(1)).as("sz"),
+        expr("cast(sum(n_tokens) as bigint)").as("tok_raw"),
+        expr("min(struct(doc_id, n_tokens)).n_tokens").as("tok_kept"))
+    cl.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_clusters"),
+        expr("cast(sum(sz) as bigint)").as("n_docs"),
+        expr("cast(sum(tok_raw) as bigint)").as("tokens_raw"),
+        expr("cast(sum(tok_kept) as bigint)").as("tokens_kept"))
+      .withColumn("savings_ppm",
+        expr("cast((tokens_raw - tokens_kept) * 1000000L div tokens_raw as bigint)"))
+      .orderBy(col("lang"))
+  }
+
+  val q293Oracle: String =
+    s"""WITH RECURSIVE
+       $clusterOraclePrelude,
+       tk AS (SELECT c.component, c.doc_id,
+                CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, dd.lang
+              FROM comp c JOIN docs2 d2 ON d2.doc_id = c.doc_id
+                JOIN documents dd ON dd.doc_id = c.doc_id % 1000000),
+       cl AS (SELECT component, min(lang) AS lang, count(*) AS csz,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_raw,
+                CAST(arg_min(n_tokens, doc_id) AS BIGINT) AS tok_kept
+              FROM tk GROUP BY 1)
+       SELECT lang, count(*) AS n_clusters,
+         CAST(sum(csz) AS BIGINT) AS n_docs,
+         CAST(sum(tok_raw) AS BIGINT) AS tokens_raw,
+         CAST(sum(tok_kept) AS BIGINT) AS tokens_kept,
+         CAST((CAST(sum(tok_raw) AS BIGINT) - CAST(sum(tok_kept) AS BIGINT)) * 1000000
+              // CAST(sum(tok_raw) AS BIGINT) AS BIGINT) AS savings_ppm
+       FROM cl GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_cluster_token_savings" -> q293ClusterTokenSavings _,
+    "q289_cluster_purity" -> q289ClusterPurity _,
     "q282_lsh_planner" -> q282LshPlanner _,
     "q270_substring_dedup" -> q270SubstringDedup _,
     "q263_dedup_savings" -> q263DedupSavings _,
@@ -1584,6 +1693,8 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q293_cluster_token_savings" -> q293Oracle,
+    "q289_cluster_purity" -> q289Oracle,
     "q282_lsh_planner" -> q282Oracle,
     "q270_substring_dedup" -> q270Oracle,
     "q263_dedup_savings" -> q263Oracle,

@@ -1189,6 +1189,24 @@ object Similarity {
         expr(s"pos % $PqSubDim").as("jj"),
         expr("cast(round(x * 1000000) as bigint)").as("xq"))
 
+  /** The PERSISTED µ-int long-form table (round 9 — was a corpus-sized
+    * localCheckpoint inside q272): one row per (vector, subspace, offset)
+    * with the quantized coordinate, bucketed on vec_id so
+    * HashPartitioning(vec_id) satisfies every ClusteredDistribution
+    * (vec_id, …) downstream — the assign/ADC groupBys skip their
+    * exchanges. The planted rank-1 twin (vec 900000 = vec 0) rides the
+    * artifact so q272's certificate is reproducible from the stored table
+    * alone; consumers that want the raw corpus filter it out. Shared by
+    * q272 (flat PQ) and q291 (IVF+PQ).
+    */
+  def pqLfTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "pq_lf", d, Some(("vec_id", 8))) {
+      val raw = Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(toDouble).as("ed"))
+      pqLongForm(raw.unionByName(
+        raw.filter(col("vec_id") === 0).select(lit(900000L).as("vec_id"), col("ed"))))
+    }
+
   /** Nearest codeword per (vector, subspace): exact integer L2 argmin,
     * ties to the smallest cid (min-struct — no window needed).
     */
@@ -1224,12 +1242,7 @@ object Similarity {
     // ADC groupBys skip their exchanges. The planted rank-1 twin
     // (vec 900000 = vec 0) rides the artifact so the certificate is
     // reproducible from the stored table alone.
-    val lf = Artifacts.buildOrGet(spark, "pq_lf", d, Some(("vec_id", 8))) {
-      val raw = Tables.embeddings(spark, d)
-        .select(col("vec_id"), expr(toDouble).as("ed"))
-      pqLongForm(raw.unionByName(
-        raw.filter(col("vec_id") === 0).select(lit(900000L).as("vec_id"), col("ed"))))
-    }
+    val lf = pqLfTable(spark, d)
     // 1 024 rows, read 3× — KB-sized and single-job-scoped by design: a
     // lost executor just recomputes it from the stored long form
     val cent1 = pqCodebook(lf).localCheckpoint()
@@ -1560,7 +1573,255 @@ object Similarity {
        FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10"""
   }
 
+  // ---------------------------------------------------------------- q288
+  /** Label-centroid SEPARATION matrix — the embedding-space health check
+    * before any label-conditioned training-data selection (hard-negative
+    * mining, stratified sampling, per-class dedup): per label an exact
+    * µ-unit integer centroid, then for every label pair a signed
+    * squared-cosine in exact ppm — s = sign(⟨ca,cb⟩)·⟨ca,cb⟩²·10⁶ div
+    * (‖ca‖²·‖cb‖²) — which avoids the sqrt that would force doubles: the
+    * whole matrix is integer arithmetic end to end (DECIMAL(38,0)-guarded
+    * products; centroid means by the q272 offset floor-division so
+    * truncating div and floor agree). Diagonal rows are exactly 10⁶ by
+    * construction — the built-in self-check; off-diagonals near 0 mean
+    * the label clusters are mutually near-orthogonal (separable), values
+    * near 10⁶ flag label pairs a classifier or mining step will confuse.
+    * Shape: one corpus scan explodes to (label, dim) partial sums
+    * (map-side combined, K·dims rows out); the K²·dims pair join and the
+    * matrix are config-sized. Fully deterministic → full oracle.
+    */
+  def q288LabelSeparation(spark: SparkSession, d: String): DataFrame = {
+    val lf = Tables.embeddings(spark, d)
+      .select(col("label"), posexplode(expr(toDouble)).as(Seq("j", "x")))
+      .select(col("label"), col("j"),
+        expr("cast(round(x * 1000000) as bigint)").as("xq"))
+    val cent = lf.groupBy(col("label"), col("j"))
+      .agg(expr("cast((sum(xq + 10000000) div count(*)) - 10000000 as bigint)").as("cq"))
+      .localCheckpoint() // K·dims = 640 rows, read by both matrix sides
+    val a = cent.select(col("label").as("label_a"), col("j"), col("cq").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("j"), col("cq").as("cb"))
+    val dots = a.join(b, "j")
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(expr("cast(sum(ca * cb) as bigint)").as("dot_u2"))
+    val norms = dots.filter(col("label_a") === col("label_b"))
+      .select(col("label_a").as("nl"), col("dot_u2").as("n2"))
+    dots
+      .join(broadcast(norms), col("label_a") === col("nl"))
+      .withColumnRenamed("n2", "n2a").drop("nl")
+      .join(broadcast(norms), col("label_b") === col("nl"))
+      .withColumnRenamed("n2", "n2b").drop("nl")
+      .withColumn("s_ppm", expr(
+        """cast(CASE WHEN dot_u2 >= 0
+             THEN cast(dot_u2 as decimal(38,0)) * dot_u2 * 1000000
+                  div (cast(n2a as decimal(38,0)) * n2b)
+             ELSE -(cast(dot_u2 as decimal(38,0)) * dot_u2 * 1000000
+                    div (cast(n2a as decimal(38,0)) * n2b))
+           END as bigint)"""))
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        col("dot_u2"), col("s_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q288Oracle: String =
+    """WITH lf AS (SELECT label, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       cent AS (SELECT label, j,
+                  CAST((sum(xq + 10000000) // count(*)) - 10000000 AS BIGINT) AS cq
+                FROM lf GROUP BY 1, 2),
+       dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                  CAST(sum(a.cq * b.cq) AS BIGINT) AS dot_u2
+                FROM cent a JOIN cent b ON a.j = b.j AND a.label <= b.label
+                GROUP BY 1, 2),
+       norms AS (SELECT label_a AS nl, dot_u2 AS n2 FROM dots WHERE label_a = label_b)
+       SELECT CAST(d.label_a AS BIGINT) AS label_a,
+         CAST(d.label_b AS BIGINT) AS label_b, d.dot_u2,
+         CAST(CASE WHEN d.dot_u2 >= 0
+           THEN CAST(d.dot_u2 AS HUGEINT) * d.dot_u2 * 1000000
+                // (CAST(na.n2 AS HUGEINT) * nb.n2)
+           ELSE -(CAST(d.dot_u2 AS HUGEINT) * d.dot_u2 * 1000000
+                  // (CAST(na.n2 AS HUGEINT) * nb.n2))
+         END AS BIGINT) AS s_ppm
+       FROM dots d JOIN norms na ON d.label_a = na.nl
+         JOIN norms nb ON d.label_b = nb.nl
+       ORDER BY label_a, label_b"""
+
+  // ---------------------------------------------------------------- q291
+  /** IVF+PQ composed ANN — the FAISS-IVFADC serving shape, assembled from
+    * the repo's two stored index halves: the IVF coarse quantizer prunes
+    * the corpus to nprobe inverted lists (the q51 stored-index probe),
+    * and PQ asymmetric-distance scoring ranks ONLY those candidates (the
+    * q272 machinery restricted by a semi-join) — so the expensive scoring
+    * touches nprobe/K of the corpus and reads 8 B/vector codes, which is
+    * the memory/recall trade every billion-vector deployment runs.
+    * Probe ranking replays q51's double-cosine centroid rank (identical
+    * formula text both engines); ADC scoring is q272's exact integer
+    * arithmetic (quantized coordinates, offset floor-division codebook
+    * means, integer squared distances) so candidate ranking is
+    * host-independent. Output carries each hit's inverted list id — the
+    * operator-facing evidence of which probes produced the answer. At
+    * 100 TB the codes are precomputed at ingest (stored beside the
+    * lists); here the candidate subset is encoded on the fly from the
+    * stored long-form table, same arithmetic. Full oracle replaying IVF
+    * training + probe + PQ training + restricted encoding + ADC.
+    */
+  def q291IvfPqAnn(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val q = assigned.filter(col("vec_id") === 0L).select(col("ed").as("qe"))
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .orderBy(col("sim").desc, col("cid").asc)
+      .limit(IvfNProbe)
+      .select(col("cid"))
+    val candIds = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("cid").as("list_cid"))
+    val lf = pqLfTable(spark, d)
+    val cent1 = pqCodebook(lf).localCheckpoint() // 1 024 rows, read twice
+    val candLf = lf.join(candIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val codes = pqAssign(candLf, cent1)
+    val adcTable = cent1
+      .join(lf.filter(col("vec_id") === 0)
+        .select(col("sub"), col("jj"), col("xq").as("qx")), Seq("sub", "jj"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("t"))
+    val top = codes
+      .join(broadcast(adcTable), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(expr("cast(sum(t) as bigint)").as("adc_dist"))
+      .join(candIds, "vec_id")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+    top.withColumn("rank", // 10-row frame: the window never sees the corpus
+        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("list_cid"), col("adc_dist"))
+  }
+
+  val q291Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       probes AS (SELECT cid FROM pairT WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT $IvfNProbe),
+       cand AS (SELECT a.vec_id, a.cid AS list_cid
+                FROM assignedT a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> 0),
+       evt AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT 900000, embedding FROM embeddings WHERE vec_id = 0),
+       lf AS (SELECT vec_id, r.j // $PqSubDim AS sub, r.j % $PqSubDim AS jj,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM evt, range(${PqSubspaces * PqSubDim}) r(j)),
+       cent0p AS (SELECT sub, vec_id AS cid, jj, xq AS cq FROM lf WHERE vec_id < $PqCodebook),
+       d0p AS (SELECT l.vec_id, l.sub, c.cid, sum((l.xq - c.cq) * (l.xq - c.cq)) AS d2
+               FROM lf l JOIN cent0p c ON c.sub = l.sub AND c.jj = l.jj
+               GROUP BY 1, 2, 3),
+       a0p AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                 FROM d0p) WHERE rn = 1),
+       cent1p AS (SELECT l.sub, a.cid, l.jj,
+                    CAST((sum(l.xq + $PqMeanOffset) // count(*)) - $PqMeanOffset AS BIGINT) AS cq
+                  FROM a0p a JOIN lf l ON l.vec_id = a.vec_id AND l.sub = a.sub
+                  GROUP BY 1, 2, 3),
+       d1p AS (SELECT l.vec_id, l.sub, c.cid, sum((l.xq - c.cq) * (l.xq - c.cq)) AS d2
+               FROM lf l JOIN cand ON l.vec_id = cand.vec_id
+                 JOIN cent1p c ON c.sub = l.sub AND c.jj = l.jj
+               GROUP BY 1, 2, 3),
+       codes AS (SELECT vec_id, sub, cid FROM (
+                   SELECT vec_id, sub, cid,
+                     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                   FROM d1p) WHERE rn = 1),
+       qt AS (SELECT c.sub, c.cid, sum((q.xq - c.cq) * (q.xq - c.cq)) AS t
+              FROM cent1p c JOIN lf q ON q.vec_id = 0 AND q.sub = c.sub AND q.jj = c.jj
+              GROUP BY 1, 2),
+       adc AS (SELECT a.vec_id, CAST(sum(t.t) AS BIGINT) AS adc_dist
+               FROM codes a JOIN qt t ON t.sub = a.sub AND t.cid = a.cid
+               GROUP BY a.vec_id)
+       SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank,
+              vec_id, c.list_cid, adc_dist
+       FROM adc JOIN cand c USING (vec_id) ORDER BY adc_dist, vec_id LIMIT 10"""
+
+  // ---------------------------------------------------------------- q292
+  /** K-CENTER coreset selection (farthest-point / Gonzalez sampling) —
+    * the diverse-subset selector behind "pick N maximally-different
+    * examples" curation steps (seed sets for active learning, probe sets
+    * for eval, dedup-aware sampling): greedily add the vector FARTHEST
+    * from the already-selected set, 8 rounds from the deterministic seed
+    * vec 0. The greedy farthest-point rule is the classic 2-approximation
+    * to the NP-hard k-center optimum, and the final max-min distance IS
+    * the coverage certificate: every corpus vector sits within
+    * `coverage_d2` of some selected center — reported on every output
+    * row. All distances are exact integer µ² L2 over the STORED
+    * long-form table (zero raw-embedding scans; j = sub·8 + jj
+    * reassembles the PQ layout), so selection and ties are
+    * host-independent and the oracle replays all 8 rounds in SQL.
+    * Shape per round: one 64-row broadcast distance fold + a 1-row
+    * TakeOrdered argmax + a min-fold into the running distance frame
+    * (vec-count-sized, two longs per row, localCheckpoint-pinned per
+    * round — the q210 BPE-round pattern; nothing returns to the driver).
+    */
+  val KCenterRounds = 8
+
+  def q292KCenterCoreset(spark: SparkSession, d: String): DataFrame = {
+    val lf = pqLfTable(spark, d).filter(col("vec_id") =!= 900000L)
+      .select(col("vec_id"),
+        (col("sub") * PqSubDim + col("jj")).as("j"), col("xq"))
+    def distTo(center: DataFrame): DataFrame =
+      lf.join(broadcast(center), "j")
+        .groupBy(col("vec_id"))
+        .agg(expr("cast(sum((xq - cq) * (xq - cq)) as bigint)").as("nd"))
+    val c0 = lf.filter(col("vec_id") === 0L).select(col("j"), col("xq").as("cq"))
+    var md = distTo(c0).withColumnRenamed("nd", "md").localCheckpoint()
+    var selected = spark.range(1)
+      .select(lit(0L).as("round"), lit(0L).as("vec_id"), lit(0L).as("sel_d2"))
+    for (r <- 1 until KCenterRounds) {
+      val cSel = md.orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint() // 1 row: the round's argmax
+      selected = selected.unionByName(cSel
+        .select(lit(r.toLong).as("round"), col("vec_id"), col("md").as("sel_d2")))
+      val cCoords = lf
+        .join(broadcast(cSel.select(col("vec_id"))), "vec_id")
+        .select(col("j"), col("xq").as("cq"))
+      md = md.join(distTo(cCoords).withColumnRenamed("nd", "nd2"), "vec_id")
+        .select(col("vec_id"), least(col("md"), col("nd2")).as("md"))
+        .localCheckpoint()
+    }
+    val cov = md.agg(expr("cast(max(md) as bigint)").as("coverage_d2"))
+    selected.crossJoin(broadcast(cov))
+      .select(col("round"), col("vec_id"), col("sel_d2"), col("coverage_d2"))
+      .orderBy(col("round"))
+  }
+
+  val q292Oracle: String = {
+    val rounds = (1 until KCenterRounds).map { r =>
+      s"""c$r AS (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id ASC LIMIT 1),
+       m$r AS (SELECT m.vec_id, least(m.md, d.nd) AS md FROM m${r - 1} m JOIN
+                 (SELECT l.vec_id, sum((l.xq - c.xq) * (l.xq - c.xq)) AS nd
+                  FROM lf l JOIN (SELECT l2.j, l2.xq FROM lf l2 JOIN c$r ON l2.vec_id = c$r.vec_id) c
+                    ON c.j = l.j GROUP BY 1) d
+                 ON d.vec_id = m.vec_id)"""
+    }.mkString(",\n       ")
+    val selRows = (1 until KCenterRounds)
+      .map(r => s"SELECT $r AS round, vec_id, md AS sel_d2 FROM c$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH lf AS (SELECT vec_id, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       m0 AS (SELECT l.vec_id, sum((l.xq - c.xq) * (l.xq - c.xq)) AS md
+              FROM lf l JOIN (SELECT j, xq FROM lf WHERE vec_id = 0) c ON c.j = l.j
+              GROUP BY 1),
+       $rounds,
+       sel AS (SELECT 0 AS round, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS sel_d2
+       UNION ALL $selRows)
+       SELECT CAST(round AS BIGINT) AS round, vec_id, CAST(sel_d2 AS BIGINT) AS sel_d2,
+         (SELECT CAST(max(md) AS BIGINT) FROM m${KCenterRounds - 1}) AS coverage_d2
+       FROM sel ORDER BY round"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_kcenter_coreset" -> q292KCenterCoreset _,
+    "q291_ivf_pq_ann" -> q291IvfPqAnn _,
+    "q288_label_separation" -> q288LabelSeparation _,
     "q285_rank_fusion" -> q285RankFusion _,
     "q284_maxsim_retrieval" -> q284MaxSimRetrieval _,
     "q277_matryoshka_overlap" -> q277MatryoshkaOverlap _,
@@ -1585,6 +1846,9 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q292_kcenter_coreset" -> q292Oracle,
+    "q291_ivf_pq_ann" -> q291Oracle,
+    "q288_label_separation" -> q288Oracle,
     "q285_rank_fusion" -> q285Oracle,
     "q284_maxsim_retrieval" -> q284Oracle,
     "q277_matryoshka_overlap" -> q277Oracle,

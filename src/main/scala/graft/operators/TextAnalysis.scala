@@ -2329,7 +2329,102 @@ object TextAnalysis {
          CAST(max(key) - 100000000000000 AS BIGINT) AS max_avg_pico
        FROM k"""
 
+  // ---------------------------------------------------------------- q287
+  /** DSIR selection LIFT curve — the evaluation behind q230's importance
+    * weights: if the weights work, documents ranked by per-bigram weight
+    * should concentrate the target domain (English) at the top. Documents
+    * are deciled by exact pico-nat average weight — wkey = (w·10⁶ +
+    * n_big·10¹⁴) div n_big, the q278 offset-division key applied to the
+    * DSIR weight column — and each decile reports its doc count, English
+    * count, exact-ppm English share, and weight-key bounds. English share
+    * rising monotonically toward decile 10 IS the method working; a flat
+    * curve says the weights carry no signal. Pure probe of the stored
+    * doc-score artifact (zero corpus scans); decile assignment is the
+    * q278 two-phase rank (bucket-local row_number + broadcast offsets +
+    * the SQL-standard tile formula — no single-task window). DuckDB's
+    * native ntile(10) is the independent spec.
+    */
+  def q287DsirLift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docLmTable(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_big"), col("w"))
+      .withColumn("wkey", expr(
+        "cast((w * 1000000 + n_big * 100000000000000) div n_big as bigint)"))
+    val withB = perDoc.withColumn("__b", expr("wkey div 1000000000000"))
+    val local = withB.withColumn("__lr",
+      row_number().over(Window.partitionBy(col("__b"))
+        .orderBy(col("wkey"), col("doc_id"))).cast("long"))
+    val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(
+        sum(col("__bn")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val n1 = perDoc.agg(count(lit(1)).as("__n"))
+    local.join(broadcast(offsets), "__b")
+      .withColumn("__rank", col("__off") + col("__lr"))
+      .crossJoin(broadcast(n1))
+      .withColumn("decile", expr(
+        """CAST(CASE
+             WHEN __rank <= (__n % 10) * (__n div 10 + 1)
+             THEN (__rank - 1) div (__n div 10 + 1) + 1
+             ELSE __n % 10 + (__rank - (__n % 10) * (__n div 10 + 1) - 1) div (__n div 10) + 1
+           END AS BIGINT)"""))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(lang = 'en') as bigint)").as("n_en"),
+        expr("cast(sum(cast(w as decimal(38,0))) as bigint)").as("w_sum_micro"),
+        expr("cast(min(wkey) - 100000000000000 as bigint)").as("min_w_pico"),
+        expr("cast(max(wkey) - 100000000000000 as bigint)").as("max_w_pico"))
+      .withColumn("en_ppm", expr("cast(n_en * 1000000L div n_docs as bigint)"))
+      .select(col("decile"), col("n_docs"), col("n_en"), col("en_ppm"),
+        col("w_sum_micro"), col("min_w_pico"), col("max_w_pico"))
+      .orderBy(col("decile"))
+  }
+
+  val q287Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       bcT AS (SELECT g2, count(*) AS c2t FROM big WHERE lang = 'en' GROUP BY g2),
+       ucT AS (SELECT g1, count(*) AS c1t FROM big WHERE lang = 'en' GROUP BY g1),
+       vT AS (SELECT count(DISTINCT g2) AS nvt FROM big WHERE lang = 'en'),
+       lm AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro,
+                CAST(round(ln((CAST(coalesce(bcT.c2t, 0) AS DOUBLE) + 1.0) /
+                     (CAST(coalesce(ucT.c1t, 0) AS DOUBLE) + CAST(vT.nvt AS DOUBLE))) * 1000000) AS BIGINT) AS lpt_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1
+                LEFT JOIN bcT ON bc.g2 = bcT.g2
+                LEFT JOIN ucT ON bc.g1 = ucT.g1
+                CROSS JOIN v CROSS JOIN vT),
+       pd AS (SELECT b.doc_id, b.lang, count(*) AS n_big,
+                CAST(sum(lm.lpt_micro - lm.lp_micro) AS BIGINT) AS w
+              FROM big b JOIN lm ON b.g2 = lm.g2 GROUP BY 1, 2),
+       k AS (SELECT doc_id, lang, n_big, w,
+               CAST((w * 1000000 + n_big * 100000000000000) // n_big AS BIGINT) AS wkey
+             FROM pd),
+       t AS (SELECT *, CAST(ntile(10) OVER (ORDER BY wkey, doc_id) AS BIGINT) AS decile FROM k)
+       SELECT decile, count(*) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+              // count(*) AS BIGINT) AS en_ppm,
+         CAST(sum(CAST(w AS HUGEINT)) AS BIGINT) AS w_sum_micro,
+         CAST(min(wkey) - 100000000000000 AS BIGINT) AS min_w_pico,
+         CAST(max(wkey) - 100000000000000 AS BIGINT) AS max_w_pico
+       FROM t GROUP BY decile ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_dsir_lift" -> q287DsirLift _,
     "q286_build_doc_lm" -> q286BuildDocLm _,
     "q281_threshold_sweep" -> q281ThresholdSweep _,
     "q276_bm25_topk" -> q276Bm25TopK _,
@@ -2368,6 +2463,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q287_dsir_lift" -> q287Oracle,
     "q286_build_doc_lm" -> q286Oracle,
     "q281_threshold_sweep" -> q281Oracle,
     "q276_bm25_topk" -> q276Oracle,

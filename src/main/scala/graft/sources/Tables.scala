@@ -108,4 +108,9 @@ object Tables {
   def embeddingsStream(spark: SparkSession, d: String): DataFrame =
     spark.readStream.schema(embeddings(spark, d).schema)
       .parquet(stagedSingleFileDir(d, "embeddings.parquet").toString)
+
+  /** File-source stream over the documents table (same pattern). */
+  def documentsStream(spark: SparkSession, d: String): DataFrame =
+    spark.readStream.schema(documents(spark, d).schema)
+      .parquet(stagedSingleFileDir(d, "documents.parquet").toString)
 }

@@ -769,7 +769,94 @@ object StreamingOps {
                FROM d2) WHERE rn = 1)
        SELECT cid, count(*) AS n_assigned FROM a GROUP BY cid ORDER BY cid"""
 
+  // ---------------------------------------------------------------- q290
+  /** STREAMING LM quality gate — the online half of the q231 curation
+    * gate: documents stream in, each is scored against the PERSISTED
+    * bigram-LM model (stream-static join on the md5-prefix gram hash —
+    * the model side is the stored vocab-sized table, bucketed on the join
+    * key), and per-doc exact µ-nat sums accumulate in ONE streaming
+    * aggregation (bigram explode and hashing are map-side; streaming
+    * allows the single post-join aggregate, and the per-doc state is
+    * doc-count-sized — a production run emits per micro-batch with a
+    * watermark instead of Complete mode, same arithmetic). The admission
+    * rule is q231's exact integer cross-multiplication against the
+    * corpus average read from the STORED doc-score artifact. Because the
+    * streamed scoring replays exactly the artifact's derivation, the
+    * readout carries a consistency certificate: n_scoring_mismatch
+    * counts streamed (n_big, d_sum) pairs that differ from the stored
+    * table — 0 proves stream == batch scoring bit-for-bit. Full oracle
+    * replaying model, scoring, gate, and the self-comparison.
+    */
+  def q290StreamLmGate(spark: SparkSession, d: String): DataFrame = {
+    val lp = graft.operators.TextAnalysis.bigramLmTable(spark, d)
+      .select(col("g2"), col("lp_micro"))
+    def md5l(e: String): String =
+      s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+    val big = graft.sources.Tables.documentsStream(spark, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), expr(md5l("bg")).as("g2"))
+    val scored = big.join(lp, "g2")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"),
+        expr("cast(sum(lp_micro) as bigint)").as("d_sum"))
+    val perDoc = runToMemory(spark, scored, s"stream_lm_gate_${System.nanoTime()}")
+    val stored = graft.operators.TextAnalysis.docLmTable(spark, d)
+      .select(col("doc_id"), col("n_big").as("n_big_s"), col("d_sum").as("d_sum_s"))
+    val gl = stored.agg(
+      expr("cast(sum(cast(d_sum_s as decimal(38,0))) as decimal(38,0))").as("sw"),
+      expr("cast(sum(n_big_s) as decimal(38,0))").as("sb"))
+    perDoc.join(stored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(gl))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("""cast(count_if(cast(d_sum as decimal(38,0)) * sb >=
+                cast(n_big as decimal(38,0)) * (sw - 200000 * sb)) as bigint)""")
+          .as("n_admitted"),
+        expr("""cast(count_if(n_big_s IS NULL OR n_big <> n_big_s
+                OR d_sum <> d_sum_s) as bigint)""").as("n_scoring_mismatch"))
+      .orderBy(col("lang"))
+  }
+
+  val q290Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       pd AS (SELECT b.doc_id, b.lang, count(*) AS n_big,
+                CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+              FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1, 2),
+       pd2 AS (SELECT doc_id, n_big AS n_big_s, d_sum AS d_sum_s FROM pd),
+       gl AS (SELECT CAST(sum(CAST(d_sum AS HUGEINT)) AS DECIMAL(38,0)) AS sw,
+                     CAST(sum(n_big) AS DECIMAL(38,0)) AS sb FROM pd)
+       SELECT p.lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN CAST(p.d_sum AS DECIMAL(38,0)) * gl.sb >=
+                CAST(p.n_big AS DECIMAL(38,0)) * (gl.sw - 200000 * gl.sb)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN s.doc_id IS NULL OR p.n_big <> s.n_big_s
+                OR p.d_sum <> s.d_sum_s THEN 1 ELSE 0 END) AS BIGINT) AS n_scoring_mismatch
+       FROM pd p LEFT JOIN pd2 s ON p.doc_id = s.doc_id CROSS JOIN gl
+       GROUP BY p.lang ORDER BY p.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
     "q213_stream_anti_denylist" -> q213StreamAntiDenylist _,
@@ -788,6 +875,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,
     "q213_stream_anti_denylist" -> q213Oracle,

@@ -278,7 +278,14 @@ class PlanSpec extends SparkSuite {
       "q283_substring_curation" -> ("documents", 1),     // coverage frame pinned; n_raw count scan
       "q284_maxsim_retrieval" -> ("embeddings", 2),      // corpus scan + broadcast query-group side
       "q285_rank_fusion" -> ("documents", 2),            // bm25 stats sides (tf frame pinned)
-      "q286_build_doc_lm" -> ("documents", 0))           // report reads the just-written artifact
+      "q286_build_doc_lm" -> ("documents", 0),           // report reads the just-written artifact
+      "q287_dsir_lift" -> ("documents", 0),              // pure probe of the stored doc-score artifact
+      "q288_label_separation" -> ("embeddings", 0),      // one (label, dim) pass pinned at 640 rows; matrix reads the pin
+      "q289_cluster_purity" -> ("documents", 1),         // cluster-table probe + one language join
+      "q290_stream_lm_gate" -> ("documents", 0),         // stream pre-run; gate reads memory sink + artifacts
+      "q291_ivf_pq_ann" -> ("embeddings", 0),            // both index halves are stored tables
+      "q292_kcenter_coreset" -> ("embeddings", 0),       // distances fold over the stored long form
+      "q293_cluster_token_savings" -> ("documents", 4))  // cluster corpus legs (base + 2 planted) + language join
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
