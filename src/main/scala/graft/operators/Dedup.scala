@@ -1667,7 +1667,213 @@ object Dedup {
               // CAST(sum(tok_raw) AS BIGINT) AS BIGINT) AS savings_ppm
        FROM cl GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q294
+  /** Cross-SNAPSHOT duplicate flow — which ingest batch re-collects which:
+    * the cluster corpus spans three snapshots by id range (base crawl at
+    * doc_id < 100, two later batches offset by 1 M / 2 M — the q97
+    * planting convention), and every near-dup cluster that straddles two
+    * snapshots is a document the later crawl RE-collected. Per ordered
+    * snapshot pair (a < b): clusters containing members of both, and the
+    * doc mass each side contributes to those shared clusters — the matrix
+    * that decides which upstream source to stop re-fetching (production
+    * corpora key this by crawl id / domain; the id-offset stands in).
+    * Shape: the stored cluster table rolled up per (component, snapshot)
+    * — component-bucketed, so the per-component self-join rides the
+    * stored distribution with no extra exchange on the big side; pair
+    * rows are cluster-count-sized. Full oracle replaying clustering.
+    */
+  def q294SnapshotDupFlow(spark: SparkSession, d: String): DataFrame = {
+    val m = nearDupClusterTable(spark, d)
+      .withColumn("snap", (col("doc_id") / 1000000L).cast("long"))
+      .groupBy(col("component"), col("snap"))
+      .agg(count(lit(1)).as("n"))
+    val a = m.select(col("component"), col("snap").as("snap_a"), col("n").as("na"))
+    val b = m.select(col("component"), col("snap").as("snap_b"), col("n").as("nb"))
+    a.join(b, Seq("component"))
+      .filter(col("snap_a") < col("snap_b"))
+      .groupBy(col("snap_a"), col("snap_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        expr("cast(sum(na) as bigint)").as("docs_from_a"),
+        expr("cast(sum(nb) as bigint)").as("docs_from_b"))
+      .orderBy(col("snap_a"), col("snap_b"))
+  }
+
+  val q294Oracle: String =
+    s"""WITH RECURSIVE
+       $clusterOraclePrelude,
+       m AS (SELECT component, doc_id // 1000000 AS snap, count(*) AS n
+             FROM comp GROUP BY 1, 2)
+       SELECT a.snap AS snap_a, b.snap AS snap_b,
+         count(*) AS n_shared_clusters,
+         CAST(sum(a.n) AS BIGINT) AS docs_from_a,
+         CAST(sum(b.n) AS BIGINT) AS docs_from_b
+       FROM m a JOIN m b ON a.component = b.component AND a.snap < b.snap
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------- q295
+  /** The PERSISTED cross-document K-gram table — the substring-dedup
+    * index that makes q270's signal INCREMENTAL: (gk, gdf) for every
+    * 8-token gram seen in ≥2 documents of the q270 planted corpus,
+    * md5-prefix keyed (gram text never stored), bucketed by gk so
+    * incoming-batch probes (q296) join with zero exchange on the stored
+    * side. This is the q286/q234/q235/q240 driven-build pattern: the
+    * expensive corpus pass runs ONCE at ingest, every admission probe
+    * rides the artifact. At 100 TB the gram table is the bounded rewrite
+    * of "re-run substring dedup on every crawl": ~50 rows of 24 B per
+    * corpus doc, and a new batch touches only its own grams.
+    */
+  private def buildGramDf(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d)
+      .withColumn("text",
+        when(col("doc_id") % 20 === 0, concat(col("text"), lit(" " + Q270Span)))
+          .otherwise(col("text")))
+    val k = Q270K
+    planted
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+            i -> substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 16))"""))
+        .as("gk"))
+      .groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= 2)
+  }
+
+  def gramDfTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "gram_df", d,
+      Some(("gk", 8)))(buildGramDf(spark, d))
+
+  /** q295 — the driven BUILD of [[gramDfTable]] (rebuild + certified
+    * readout): gram count, total/max df, and an order-independent
+    * checksum over the hex keys (Σ 60-bit prefixes in DECIMAL(38,0) mod
+    * 10¹⁸, the q191 discipline) so the oracle certifies CONTENT, not
+    * just counts. Oracle replays gram generation + the rollup.
+    */
+  def q295BuildGramDf(spark: SparkSession, d: String): DataFrame = {
+    val t = Artifacts.rebuild(spark, "gram_df", d,
+      Some(("gk", 8)))(buildGramDf(spark, d))
+    t.agg(count(lit(1)).as("n_grams"),
+      expr("cast(sum(gdf) as bigint)").as("sum_df"),
+      expr("cast(max(gdf) as bigint)").as("max_df"),
+      expr("""cast(sum(cast(conv(substring(gk, 1, 15), 16, 10) as decimal(38,0)))
+              % 1000000000000000000 as bigint)""").as("key_checksum"))
+  }
+
+  val q295Oracle: String =
+    s"""WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' $Q270Span' ELSE text END AS text
+           FROM documents),
+       t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d
+             WHERE len(string_split(text, ' ')) >= $Q270K),
+       g AS (SELECT doc_id,
+               substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+             FROM (SELECT doc_id, w,
+                     CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p
+                   FROM t)),
+       f AS (SELECT gk, count(DISTINCT doc_id) AS gdf FROM g GROUP BY gk
+             HAVING count(DISTINCT doc_id) >= 2)
+       SELECT count(*) AS n_grams,
+         CAST(sum(gdf) AS BIGINT) AS sum_df,
+         CAST(max(gdf) AS BIGINT) AS max_df,
+         CAST(sum(CAST(('0x' || substring(gk, 1, 15)) AS BIGINT))
+              % 1000000000000000000 AS BIGINT) AS key_checksum
+       FROM f"""
+
+  // ---------------------------------------------------------------- q296
+  /** INCREMENTAL substring-dedup admission — q248's stored-index pattern
+    * applied to the span-level signal: an incoming batch (1-in-17 of the
+    * corpus by consistent hash, half of it carrying the planted
+    * boilerplate span) is gated against [[gramDfTable]] WITHOUT rescanning
+    * the corpus: the batch's K-grams hash map-side, join the stored
+    * cross-doc gram table on its bucketed key, per-doc covered-token mass
+    * comes from the same doc-partitioned sweep-line as q270, and a doc is
+    * REJECTED when duplicated substrings cover ≥ half its tokens. Per
+    * language: batch size, admitted/rejected counts, admitted token mass
+    * — the contract a streaming/batch ingest gate ships. One scan of
+    * documents (the batch side); the corpus side is the artifact. Full
+    * oracle replaying both sides.
+    */
+  def q296SubstringAdmission(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Q270K
+    val batch = Tables.documents(spark, d)
+      .filter(col("doc_id") % 17 === 3)
+      .withColumn("text",
+        when(col("doc_id") % 34 === 3, concat(col("text"), lit(" " + Q270Span)))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = batch.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $k),
+              i -> substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 16))""")))
+      .toDF("doc_id", "p", "gk")
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams
+      .join(gramDfTable(spark, d).select(col("gk")), "gk")
+      .withColumn("prev_end", coalesce(max(col("p") + lit(k)).over(wPrev), lit(0)))
+      .withColumn("contrib",
+        greatest(lit(0), col("p") + lit(k) - greatest(col("p"), col("prev_end"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("covered"))
+    batch.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("covered"))
+      .withColumn("admit", col("covered") * 2 < col("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        expr("cast(count_if(admit) as bigint)").as("n_admitted"),
+        expr("cast(count_if(NOT admit) as bigint)").as("n_rejected"),
+        expr("cast(sum(case when admit then n_tokens else 0 end) as bigint)")
+          .as("tokens_admitted"))
+      .orderBy(col("lang"))
+  }
+
+  val q296Oracle: String =
+    s"""WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' $Q270Span' ELSE text END AS text
+           FROM documents),
+       t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d
+             WHERE len(string_split(text, ' ')) >= $Q270K),
+       g AS (SELECT doc_id,
+               substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+             FROM (SELECT doc_id, w,
+                     CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p
+                   FROM t)),
+       f AS (SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+       bd AS (SELECT doc_id, lang,
+                CASE WHEN doc_id % 34 = 3 THEN text || ' $Q270Span' ELSE text END AS text
+              FROM documents WHERE doc_id % 17 = 3),
+       bt AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM bd),
+       bg AS (SELECT doc_id, p,
+                substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+              FROM (SELECT doc_id, w,
+                      CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p
+                    FROM bt WHERE len(w) >= $Q270K)),
+       sw AS (SELECT bg.doc_id, bg.p,
+                coalesce(max(bg.p + $Q270K) OVER (PARTITION BY bg.doc_id ORDER BY bg.p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+              FROM bg JOIN f USING (gk)),
+       cov AS (SELECT doc_id,
+                 CAST(sum(greatest(0, p + $Q270K - greatest(p, prev_end))) AS BIGINT) AS covered
+               FROM sw GROUP BY doc_id),
+       j AS (SELECT bt.lang, bt.n_tokens, coalesce(cov.covered, 0) AS covered
+             FROM bt LEFT JOIN cov USING (doc_id))
+       SELECT lang, count(*) AS n_batch,
+         CAST(sum(CASE WHEN covered * 2 < n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN covered * 2 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+         CAST(sum(CASE WHEN covered * 2 < n_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+       FROM j GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_substring_admission" -> q296SubstringAdmission _,
+    "q295_build_gram_df" -> q295BuildGramDf _,
+    "q294_snapshot_dup_flow" -> q294SnapshotDupFlow _,
     "q293_cluster_token_savings" -> q293ClusterTokenSavings _,
     "q289_cluster_purity" -> q289ClusterPurity _,
     "q282_lsh_planner" -> q282LshPlanner _,
@@ -1693,6 +1899,9 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q296_substring_admission" -> q296Oracle,
+    "q295_build_gram_df" -> q295Oracle,
+    "q294_snapshot_dup_flow" -> q294Oracle,
     "q293_cluster_token_savings" -> q293Oracle,
     "q289_cluster_purity" -> q289Oracle,
     "q282_lsh_planner" -> q282Oracle,

@@ -645,7 +645,68 @@ object Profiling {
          t.min_group_size, t.l_min, t.n_homogeneous
        FROM risk r CROSS JOIN tot t ORDER BY k"""
 
+  // ---------------------------------------------------------------- q302
+  /** Hash-deterministic BOOTSTRAP — the confidence interval on a corpus
+    * metric (mean tokens/doc here) without an RNG: resample b draws doc i
+    * with multiplicity ~Poisson(1), the weight read off an inverse-CDF
+    * table against the doc's md5-prefix hash of (b, doc_id) — the
+    * thresholds are LITERAL ppm constants of the Poisson(1) CDF
+    * (367879 / 735759 / 919699 / 981012 / 996340), so both engines
+    * compare the same integers and every resample is reproducible on any
+    * cluster (the q73 consistent-hash discipline applied to resampling).
+    * All B=20 resamples ride ONE corpus scan (docs explode to (b, w)
+    * pairs map-side; the shuffle is B rows of partial sums) — the
+    * distributed-bootstrap shape that replaces B full passes at 100 TB.
+    * Output: per-resample effective n and mean in ppm; the p5/p95 of the
+    * 20 means is the CI (exact ranks 2 and 19 — derivable from the
+    * frame). Full oracle.
+    */
+  def q302BootstrapCi(spark: SparkSession, d: String): DataFrame = {
+    val b = Q302Resamples
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("t"),
+        explode(expr(s"sequence(1, $b)")).as("b"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(cast(b as string), '#', cast(doc_id as string))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("u_ppm", expr("h % 1000000"))
+      .withColumn("w", expr(
+        """CASE WHEN u_ppm < 367879 THEN 0 WHEN u_ppm < 735759 THEN 1
+                WHEN u_ppm < 919699 THEN 2 WHEN u_ppm < 981012 THEN 3
+                WHEN u_ppm < 996340 THEN 4 ELSE 5 END"""))
+      .groupBy(col("b"))
+      .agg(expr("cast(sum(w) as bigint)").as("n_eff"),
+        expr("cast(sum(w * t) as bigint)").as("sum_wt"))
+      .withColumn("mean_tokens_ppm", expr("cast(sum_wt * 1000000 div n_eff as bigint)"))
+      .select(col("b").cast("long").as("b"), col("n_eff"), col("sum_wt"),
+        col("mean_tokens_ppm"))
+      .orderBy(col("b"))
+  }
+
+  val Q302Resamples = 20
+
+  val q302Oracle: String =
+    s"""WITH x AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+             unnest(range(1, ${Q302Resamples + 1})) AS b
+           FROM documents),
+       h AS (SELECT b, t,
+               CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000 AS u_ppm
+             FROM x),
+       w AS (SELECT b, t,
+               CASE WHEN u_ppm < 367879 THEN 0 WHEN u_ppm < 735759 THEN 1
+                    WHEN u_ppm < 919699 THEN 2 WHEN u_ppm < 981012 THEN 3
+                    WHEN u_ppm < 996340 THEN 4 ELSE 5 END AS w
+             FROM h)
+       SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(sum(w * t) AS BIGINT) AS sum_wt,
+         CAST(CAST(sum(w * t) AS BIGINT) * 1000000 // CAST(sum(w) AS BIGINT) AS BIGINT)
+           AS mean_tokens_ppm
+       FROM w GROUP BY b ORDER BY b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_bootstrap_ci" -> q302BootstrapCi _,
     "q251_k_anonymity" -> q251KAnonymity _,
     "q214_pareto_coverage" -> q214ParetoCoverage _,
     "q204_dispersion_index" -> q204DispersionIndex _,
@@ -660,6 +721,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q302_bootstrap_ci" -> q302Oracle,
     "q251_k_anonymity" -> q251Oracle,
     "q214_pareto_coverage" -> q214Oracle,
     "q204_dispersion_index" -> q204Oracle,

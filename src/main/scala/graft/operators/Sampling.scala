@@ -638,7 +638,78 @@ object Sampling {
               CAST(max(i) AS BIGINT) AS max_shared_grams
        FROM cls GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q298
+  /** Mixture TEMPERATURE sweep — the design table behind q227's single-τ
+    * quota (the q281/q282 operating-curve pattern applied to corpus
+    * mixing): sampling weight w_i ∝ n_i^τ interpolates between
+    * proportional (τ=1, big languages dominate) and uniform (τ=0, rare
+    * languages repeat for many epochs); the sweep prices each stop. Per
+    * (τ, language): token mass, mixture share in ppm, the token
+    * allocation under a fixed budget, and the implied epochs over that
+    * language's data in ppm — epochs_ppm > 10⁶ is the over-repetition
+    * flag q254's cap enforces. τ grid = {1, ½, ¼, 0}: every weight is
+    * exact (n, √n, ⁴√n, 1 — IEEE sqrt is correctly rounded, so both
+    * engines produce the identical double, quantized to µ-units BEFORE
+    * any division; all downstream math is integer). Shape: ONE corpus
+    * scan into a languages-sized aggregate, a 4-way constant explode,
+    * and a 4-row broadcast of per-τ weight totals. Full oracle.
+    */
+  def q298MixtureSweep(spark: SparkSession, d: String): DataFrame = {
+    // the languages-sized aggregate feeds both the weight rows and the
+    // per-τ totals — pin it (the q176/q227 rule) so the corpus pass runs
+    // once, not once per re-embed; single-job scope is fine for a 5-row
+    // frame that exists only inside this query
+    val c = Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(size(split(text, ' '))) as bigint)").as("n_tokens"))
+      .localCheckpoint()
+    val w = c.select(col("lang"), col("n_docs"), col("n_tokens"),
+        explode(expr("array(1000, 500, 250, 0)")).as("tau_milli"))
+      .withColumn("w_micro", expr(
+        """CASE tau_milli
+             WHEN 1000 THEN n_tokens * 1000000
+             WHEN 500 THEN cast(round(sqrt(cast(n_tokens as double)) * 1000000) as bigint)
+             WHEN 250 THEN cast(round(sqrt(sqrt(cast(n_tokens as double))) * 1000000) as bigint)
+             ELSE 1000000 END"""))
+    val tot = w.groupBy(col("tau_milli"))
+      .agg(expr("cast(sum(w_micro) as bigint)").as("w_total"))
+    w.join(broadcast(tot), "tau_milli")
+      .withColumn("share_ppm", expr("cast(w_micro * 1000000 div w_total as bigint)"))
+      .withColumn("alloc_tokens",
+        expr(s"cast($Q298Budget * share_ppm div 1000000 as bigint)"))
+      .withColumn("epochs_ppm", expr("cast(alloc_tokens * 1000000 div n_tokens as bigint)"))
+      .select(col("tau_milli").cast("long").as("tau_milli"), col("lang"),
+        col("n_docs"), col("n_tokens"), col("share_ppm"), col("alloc_tokens"),
+        col("epochs_ppm"))
+      .orderBy(col("tau_milli"), col("lang"))
+  }
+
+  val Q298Budget = 1000000L
+
+  val q298Oracle: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+       w AS (SELECT lang, n_docs, n_tokens, t.tau_milli,
+               CASE t.tau_milli
+                 WHEN 1000 THEN n_tokens * 1000000
+                 WHEN 500 THEN CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                 WHEN 250 THEN CAST(round(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1000000) AS BIGINT)
+                 ELSE 1000000 END AS w_micro
+             FROM c, (VALUES (1000), (500), (250), (0)) t(tau_milli)),
+       tot AS (SELECT tau_milli, CAST(sum(w_micro) AS BIGINT) AS w_total
+               FROM w GROUP BY tau_milli)
+       SELECT CAST(w.tau_milli AS BIGINT) AS tau_milli, w.lang, w.n_docs, w.n_tokens,
+         CAST(w.w_micro * 1000000 // t.w_total AS BIGINT) AS share_ppm,
+         CAST($Q298Budget * (w.w_micro * 1000000 // t.w_total) // 1000000 AS BIGINT) AS alloc_tokens,
+         CAST(($Q298Budget * (w.w_micro * 1000000 // t.w_total) // 1000000) * 1000000
+              // w.n_tokens AS BIGINT) AS epochs_ppm
+       FROM w JOIN tot t ON t.tau_milli = w.tau_milli
+       ORDER BY tau_milli, lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_mixture_sweep" -> q298MixtureSweep _,
     "q268_weighted_reservoir" -> q268WeightedReservoir _,
     "q261_split_contamination" -> q261SplitContamination _,
     "q255_fold_assignment" -> q255FoldAssignment _,
@@ -652,6 +723,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q298_mixture_sweep" -> q298Oracle,
     "q268_weighted_reservoir" -> q268Oracle,
     "q261_split_contamination" -> q261Oracle,
     "q255_fold_assignment" -> q255Oracle,

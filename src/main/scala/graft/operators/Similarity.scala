@@ -1818,7 +1818,219 @@ object Similarity {
        FROM sel ORDER BY round"""
   }
 
+  // ---------------------------------------------------------------- q297
+  /** IVF list-BALANCE monitor — the index-health readout between q235
+    * (build) and q245 (drift): serving latency on an IVF index is gated
+    * by its LONGEST inverted list (a probe scans whole lists), so a
+    * skewed clustering quietly turns nprobe=4 into a full scan. Per
+    * stored list: member count, corpus share in ppm, load factor vs the
+    * ideal n/K in ppm, and an over-threshold flag (load > 2× ideal — the
+    * classic rebalance trigger); ordered by cid. Pure artifact probe:
+    * reads [[ivfAssignTable]] only (K-row result, zero embeddings scans
+    * once the index exists — plan-asserted). At 100 TB this is the
+    * dashboard row that schedules q235 retrains; q245 watches the DATA
+    * move, this watches the LISTS it lands in. Full oracle replaying the
+    * trained assignment.
+    */
+  def q297IvfListBalance(spark: SparkSession, d: String): DataFrame = {
+    val sizes = ivfAssignTable(spark, d)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    sizes
+      .crossJoin(broadcast(sizes.agg(
+        expr("cast(sum(n_members) as bigint)").as("n_total"),
+        count(lit(1)).as("k"))))
+      .select(col("cid"), col("n_members"),
+        expr("cast(n_members * 1000000 div n_total as bigint)").as("share_ppm"),
+        expr("cast(n_members * k * 1000000 div n_total as bigint)").as("load_ppm"),
+        expr("n_members * k > 2 * n_total").as("overloaded"))
+      .orderBy(col("cid"))
+  }
+
+  val q297Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       m AS (SELECT cid, count(*) AS n_members FROM assignedT GROUP BY cid),
+       t AS (SELECT CAST(sum(n_members) AS BIGINT) AS n_total, count(*) AS k FROM m)
+       SELECT m.cid, m.n_members,
+         CAST(m.n_members * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+         CAST(m.n_members * t.k * 1000000 // t.n_total AS BIGINT) AS load_ppm,
+         m.n_members * t.k > 2 * t.n_total AS overloaded
+       FROM m, t ORDER BY m.cid"""
+
+  // ---------------------------------------------------------------- q300
+  /** BITEXT mining with the margin criterion (Artetxe & Schwenk) — the
+    * parallel-corpus step of a multilingual training pipeline: candidate
+    * translation pairs between an English and a German document set are
+    * the cross-lingual neighbor pairs whose similarity stands OUT from
+    * each side's neighborhood, not the globally largest cosines (hub
+    * vectors near everything would flood a raw-cosine top list). Score =
+    * the absolute-margin variant, 2k·dot(a,b) − Σtop-k dots(a,·) −
+    * Σtop-k dots(·,b) — every term an exact integer over the stored
+    * µ-int long form ([[pqLfTable]], so dot products are
+    * order-independent BIGINT sums and the oracle is value-exact; the
+    * same discipline as q272/q284). Shape: one documents scan for
+    * language labels, zero embeddings scans (artifact); pairwise dots
+    * ride a (sub, jj)-keyed join — fixture-sized here, and at 100 TB the
+    * pair generator is the stored IVF lists (both sides bucketed by
+    * centroid, pairs only within a list — the q249 SemDeDup shape) with
+    * margin statistics unchanged. Top-10 pairs by margin, then doc ids.
+    */
+  def q300BitextMarginMining(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Q300MarginK
+    val langs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+      .join(langs, "vec_id")
+      .filter(col("lang").isin("en", "de"))
+    val a = lf.filter(col("lang") === "en")
+      .select(col("vec_id").as("va"), col("sub"), col("jj"), col("xq").as("xa"))
+    val b = lf.filter(col("lang") === "de")
+      .select(col("vec_id").as("vb"), col("sub"), col("jj"), col("xq").as("xb"))
+    val dots = a.join(b, Seq("sub", "jj"))
+      .groupBy(col("va"), col("vb"))
+      .agg(expr("cast(sum(xa * xb) as bigint)").as("dot"))
+    val wa = Window.partitionBy(col("va")).orderBy(col("dot").desc, col("vb").asc)
+    val wb = Window.partitionBy(col("vb")).orderBy(col("dot").desc, col("va").asc)
+    val sa = dots.withColumn("rn", row_number().over(wa)).filter(col("rn") <= k)
+      .groupBy(col("va")).agg(expr("cast(sum(dot) as bigint)").as("sum_a"))
+    val sb = dots.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .groupBy(col("vb")).agg(expr("cast(sum(dot) as bigint)").as("sum_b"))
+    dots.join(sa, "va").join(sb, "vb")
+      .withColumn("margin", expr(s"cast(2 * $k * dot - sum_a - sum_b as bigint)"))
+      .orderBy(col("margin").desc, col("va").asc, col("vb").asc)
+      .limit(10)
+      .select(col("va").as("doc_en"), col("vb").as("doc_de"),
+        col("dot"), col("margin"))
+  }
+
+  val Q300MarginK = 4
+
+  val q300Oracle: String =
+    s"""WITH lv AS (SELECT e.vec_id, d.lang, r.j,
+             CAST(round(CAST(e.embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+                range(64) r(j)
+           WHERE d.lang IN ('en', 'de')),
+       dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM lv a JOIN lv b ON a.j = b.j
+                WHERE a.lang = 'en' AND b.lang = 'de'
+                GROUP BY 1, 2),
+       sa AS (SELECT va, CAST(sum(dot) AS BIGINT) AS sum_a FROM (
+                SELECT va, dot, row_number() OVER (PARTITION BY va
+                  ORDER BY dot DESC, vb ASC) AS rn FROM dots)
+              WHERE rn <= $Q300MarginK GROUP BY va),
+       sb AS (SELECT vb, CAST(sum(dot) AS BIGINT) AS sum_b FROM (
+                SELECT vb, dot, row_number() OVER (PARTITION BY vb
+                  ORDER BY dot DESC, va ASC) AS rn FROM dots)
+              WHERE rn <= $Q300MarginK GROUP BY vb)
+       SELECT d.va AS doc_en, d.vb AS doc_de, d.dot,
+         CAST(2 * $Q300MarginK * d.dot - sa.sum_a - sb.sum_b AS BIGINT) AS margin
+       FROM dots d JOIN sa ON sa.va = d.va JOIN sb ON sb.vb = d.vb
+       ORDER BY margin DESC, d.va ASC, d.vb ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q303
+  /** nDCG@10 ranking-quality eval — q241 scores recall (set membership);
+    * position-weighted quality is what retrieval actually ships, and the
+    * question here is the Matryoshka trade: how much nDCG does serving
+    * the 16-dim prefix cost vs the full 64 dims? For 5 query vectors and
+    * both widths: top-10 by exact integer dot (stored µ-int long form,
+    * zero embeddings scans for the dots; one scan for labels), graded
+    * relevance = same-label (the standard label-as-relevance eval
+    * protocol), DCG with the canonical 1/log₂(i+1) discounts as LITERAL
+    * µ-unit constants (both engines compare identical integers — no
+    * runtime log), IDCG from the cumulative discount table at
+    * min(n_relevant, 10). Per-(width, query) windows are corpus-sized
+    * with a `row_number ≤ 10` filter WindowGroupLimit pushes map-side
+    * (the q273 discipline); the 100 TB rewrite draws candidates from the
+    * stored IVF lists instead. Full oracle.
+    */
+  def q303NdcgEval(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nQ = Q303Queries
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+    val qSide = lf.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("sub"), col("jj"), col("xq").as("xquery"))
+    val dots = lf.join(broadcast(qSide), Seq("sub", "jj"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("win", explode(expr("array(64, 16)")))
+      .filter(col("win") === 64 || col("sub") < 2)
+      .groupBy(col("win").as("width"), col("qid"), col("vec_id"))
+      .agg(expr("cast(sum(xq * xquery) as bigint)").as("dot"))
+    val graded = dots
+      .join(labels, "vec_id")
+      .join(broadcast(labels.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
+      .withColumn("grade", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val w = Window.partitionBy(col("width"), col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val top = graded.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .withColumn("disc", expr(s"element_at(array(${Q303Discounts.mkString(",")}), cast(rn as int))"))
+      .groupBy(col("width"), col("qid"))
+      .agg(expr("cast(sum(grade) as bigint)").as("n_rel_top10"),
+        expr("cast(sum(grade * disc) as bigint)").as("dcg_micro"))
+    // n_rel is width-independent (relevance is a label property); count it
+    // once off the width=64 leg
+    val nRel = graded.filter(col("width") === 64)
+      .groupBy(col("qid"))
+      .agg(expr("cast(count_if(grade = 1) as bigint)").as("n_rel"))
+    top.join(broadcast(nRel), "qid")
+      .withColumn("idcg_micro", expr(
+        s"element_at(array(${Q303CumDiscounts.mkString(",")}), cast(least(n_rel, 10) as int))"))
+      .withColumn("ndcg_ppm", expr("cast(dcg_micro * 1000000 div idcg_micro as bigint)"))
+      .select(col("width").cast("long").as("width"), col("qid"), col("n_rel_top10"),
+        col("dcg_micro"), col("ndcg_ppm"))
+      .orderBy(col("width"), col("qid"))
+  }
+
+  val Q303Queries = 5
+  /** round(10⁶/log₂(i+1)) for i = 1..10 — fixed by definition of DCG. */
+  val Q303Discounts: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  val Q303CumDiscounts: Seq[Long] = Q303Discounts.scanLeft(0L)(_ + _).tail
+
+  val q303Oracle: String = {
+    val disc = Q303Discounts.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+    val cum = Q303CumDiscounts.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+    s"""WITH lv AS (SELECT vec_id, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       d0 AS (SELECT w.width, q.vec_id AS qid, v.vec_id,
+                CAST(sum(v.xq * q.xq) AS BIGINT) AS dot
+              FROM lv v JOIN lv q ON q.j = v.j AND q.vec_id < $Q303Queries
+                   AND v.vec_id <> q.vec_id,
+                   (VALUES (64), (16)) w(width)
+              WHERE w.width = 64 OR v.j < 16
+              GROUP BY 1, 2, 3),
+       g AS (SELECT d0.width, d0.qid, d0.vec_id, d0.dot,
+               CASE WHEN e.label = qe.label THEN 1 ELSE 0 END AS grade
+             FROM d0 JOIN embeddings e ON e.vec_id = d0.vec_id
+                  JOIN embeddings qe ON qe.vec_id = d0.qid),
+       top AS (SELECT width, qid, grade,
+                 row_number() OVER (PARTITION BY width, qid
+                   ORDER BY dot DESC, vec_id ASC) AS rn
+               FROM g),
+       dcg AS (SELECT t.width, t.qid,
+                 CAST(sum(t.grade) AS BIGINT) AS n_rel_top10,
+                 CAST(sum(t.grade * dt.disc) AS BIGINT) AS dcg_micro
+               FROM top t JOIN (VALUES $disc) dt(rn, disc) ON dt.rn = t.rn
+               WHERE t.rn <= 10 GROUP BY 1, 2),
+       nr AS (SELECT qid, CAST(sum(grade) AS BIGINT) AS n_rel
+              FROM g WHERE width = 64 GROUP BY qid)
+       SELECT CAST(d.width AS BIGINT) AS width, d.qid AS qid, d.n_rel_top10, d.dcg_micro,
+         CAST(d.dcg_micro * 1000000 // ct.cum AS BIGINT) AS ndcg_ppm
+       FROM dcg d JOIN nr ON nr.qid = d.qid
+            JOIN (VALUES $cum) ct(k, cum) ON ct.k = least(nr.n_rel, 10)
+       ORDER BY width, qid"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_ndcg_eval" -> q303NdcgEval _,
+    "q300_bitext_margin" -> q300BitextMarginMining _,
+    "q297_ivf_list_balance" -> q297IvfListBalance _,
     "q292_kcenter_coreset" -> q292KCenterCoreset _,
     "q291_ivf_pq_ann" -> q291IvfPqAnn _,
     "q288_label_separation" -> q288LabelSeparation _,
@@ -1846,6 +2058,9 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q303_ndcg_eval" -> q303Oracle,
+    "q300_bitext_margin" -> q300Oracle,
+    "q297_ivf_list_balance" -> q297Oracle,
     "q292_kcenter_coreset" -> q292Oracle,
     "q291_ivf_pq_ann" -> q291Oracle,
     "q288_label_separation" -> q288Oracle,

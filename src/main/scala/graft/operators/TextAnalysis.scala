@@ -2423,7 +2423,79 @@ object TextAnalysis {
          CAST(max(wkey) - 100000000000000 AS BIGINT) AS max_w_pico
        FROM t GROUP BY decile ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q301
+  /** Contamination ATTRIBUTION matrix — q95 answers "is this doc
+    * contaminated"; model cards need the per-benchmark version: WHICH
+    * eval set leaked into WHICH corpus source, and how much. Benchmarks
+    * = the first 20 docs split 4 ways by id (the fixture's stand-in for
+    * held-out eval suites); corpus docs carry planted leaks (1-in-37
+    * appends the 5-token opening snippet of benchmark doc_id%37 — four
+    * distinct plant classes) plus whatever organic 5-gram overlap exists.
+    * Per (source, benchmark): contaminated docs and distinct shared
+    * 5-grams — the matrix that decides which SOURCE to quarantine, not
+    * just which document to drop. Shape: benchmark grams are an
+    * eval-set-sized broadcast (eval suites are small by definition — the
+    * asymmetry this operator exploits at 100 TB); the corpus side is one
+    * scan whose grams join that broadcast map-side, so the shuffle
+    * carries only matching (doc, benchmark, gram) hits. Full oracle.
+    */
+  def q301ContaminationMatrix(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    def grams(df: DataFrame, idCols: Seq[String]): DataFrame = df
+      .withColumn("__toks", split(col("text"), " "))
+      .select(idCols.map(col) :+ explode(expr(
+        """CASE WHEN size(__toks) >= 5
+           THEN transform(sequence(1, size(__toks) - 4), i -> concat_ws(' ', slice(__toks, i, 5)))
+           ELSE array() END""")).as("gram"): _*)
+    val evalGrams = grams(
+      docs.filter(col("doc_id") < 20)
+        .withColumn("benchmark", (col("doc_id") % 4).cast("long")),
+      Seq("benchmark")).distinct()
+    val snippets = docs.filter(col("doc_id") < 4)
+      .select((col("doc_id") % 4).cast("long").as("bench"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("snip"))
+    val incoming = docs.filter(col("doc_id") >= 20)
+      .withColumn("bench", (col("doc_id") % 37).cast("long"))
+      .join(broadcast(snippets), Seq("bench"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("snip").isNotNull, concat(col("text"), lit(" "), col("snip")))
+          .otherwise(col("text")).as("text"))
+    grams(incoming, Seq("doc_id", "source")).distinct()
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("source"), col("benchmark"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        expr("cast(count(distinct gram) as bigint)").as("n_shared_grams"))
+      .orderBy(col("source"), col("benchmark"))
+  }
+
+  val q301Oracle: String =
+    """WITH ev AS (SELECT DISTINCT doc_id % 4 AS benchmark, gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE doc_id < 20))),
+       sn AS (SELECT doc_id % 4 AS bench,
+                array_to_string((string_split(text, ' '))[1:5], ' ') AS snip
+              FROM documents WHERE doc_id < 4),
+       inc AS (SELECT d.doc_id, d.source,
+                 CASE WHEN sn.snip IS NOT NULL THEN d.text || ' ' || sn.snip
+                      ELSE d.text END AS text
+               FROM documents d LEFT JOIN sn ON sn.bench = d.doc_id % 37
+               WHERE d.doc_id >= 20),
+       ig AS (SELECT DISTINCT doc_id, source, gram FROM (
+                SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 5
+                  THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [] END) AS gram
+                FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM inc)))
+       SELECT ig.source, ev.benchmark,
+         CAST(count(DISTINCT ig.doc_id) AS BIGINT) AS n_contaminated_docs,
+         CAST(count(DISTINCT ig.gram) AS BIGINT) AS n_shared_grams
+       FROM ig JOIN ev ON ev.gram = ig.gram
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_contamination_matrix" -> q301ContaminationMatrix _,
     "q287_dsir_lift" -> q287DsirLift _,
     "q286_build_doc_lm" -> q286BuildDocLm _,
     "q281_threshold_sweep" -> q281ThresholdSweep _,
@@ -2463,6 +2535,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q301_contamination_matrix" -> q301Oracle,
     "q287_dsir_lift" -> q287Oracle,
     "q286_build_doc_lm" -> q286Oracle,
     "q281_threshold_sweep" -> q281Oracle,

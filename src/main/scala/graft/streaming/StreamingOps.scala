@@ -855,7 +855,79 @@ object StreamingOps {
        FROM pd p LEFT JOIN pd2 s ON p.doc_id = s.doc_id CROSS JOIN gl
        GROUP BY p.lang ORDER BY p.lang"""
 
+  // ---------------------------------------------------------------- q299
+  final case class QuotaDoc(doc_id: Long, source: String, n_tokens: Long)
+  final case class QuotaSummary(source: String, n_seen: Long, n_admitted: Long,
+                                tokens_admitted: Long, last_admitted_doc: Long)
+
+  /** Streaming per-source TOKEN-QUOTA admission — the ingest-side budget
+    * enforcer (q227 decides the mix offline; this holds the line while
+    * the crawl streams in): per source, admit documents in doc_id order
+    * while the source's admitted token mass is still under
+    * [[Q299TokenQuota]], then reject the rest — the crawler back-pressure
+    * signal. State via `mapGroupsWithState`: a few longs per source
+    * (admitted tokens + running counts), regardless of stream volume;
+    * rows inside a microbatch are sorted by doc_id before folding, so
+    * the fold is deterministic given the batch split. Admission is by
+    * STREAM order (batch arrival, then doc_id within the batch) — the
+    * honest streaming contract; the oracle's global doc_id order holds
+    * here because the staged single-file source delivers one batch, and
+    * stays valid on any source whose batches arrive in id order (a
+    * landing directory named by sequence does). Emits one running
+    * summary per (source, batch) in Update mode; the final per-source
+    * row is selected by max n_seen. Oracle: cumulative prefix sum under
+    * doc_id order, admit while the sum BEFORE the doc is under quota.
+    */
+  def q299StreamQuotaAdmission(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documentsStream(spark, d)
+      .select(col("doc_id"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      .as[QuotaDoc]
+    val summaries = docs.groupByKey(_.source)
+      .mapGroupsWithState[QuotaSummary, QuotaSummary](GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[QuotaDoc], state: GroupState[QuotaSummary]) =>
+          val prev = state.getOption.getOrElse(QuotaSummary(source, 0L, 0L, 0L, -1L))
+          var (seen, adm, tok, last) =
+            (prev.n_seen, prev.n_admitted, prev.tokens_admitted, prev.last_admitted_doc)
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            seen += 1
+            if (tok < Q299TokenQuota) { adm += 1; tok += r.n_tokens; last = r.doc_id }
+          }
+          val updated = QuotaSummary(source, seen, adm, tok, last)
+          state.update(updated)
+          updated
+      }
+    val out = runToMemory(spark, summaries.toDF(),
+      s"stream_quota_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("source"))
+      .agg(max(struct(col("n_seen"), col("n_admitted"), col("tokens_admitted"),
+        col("last_admitted_doc"))).as("s"))
+      .select(col("source"), col("s.n_seen").as("n_seen"),
+        col("s.n_admitted").as("n_admitted"),
+        col("s.tokens_admitted").as("tokens_admitted"),
+        col("s.last_admitted_doc").as("last_admitted_doc"))
+      .orderBy(col("source"))
+  }
+
+  val Q299TokenQuota = 600L
+
+  val q299Oracle: String =
+    s"""WITH t AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+       w AS (SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             FROM t)
+       SELECT source, count(*) AS n_seen,
+         CAST(sum(CASE WHEN before < $Q299TokenQuota THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         CAST(sum(CASE WHEN before < $Q299TokenQuota THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted,
+         CAST(max(CASE WHEN before < $Q299TokenQuota THEN doc_id ELSE -1 END) AS BIGINT) AS last_admitted_doc
+       FROM w GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -875,6 +947,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q299_stream_quota_admission" -> q299Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

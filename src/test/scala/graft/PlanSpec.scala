@@ -285,7 +285,17 @@ class PlanSpec extends SparkSuite {
       "q290_stream_lm_gate" -> ("documents", 0),         // stream pre-run; gate reads memory sink + artifacts
       "q291_ivf_pq_ann" -> ("embeddings", 0),            // both index halves are stored tables
       "q292_kcenter_coreset" -> ("embeddings", 0),       // distances fold over the stored long form
-      "q293_cluster_token_savings" -> ("documents", 4))  // cluster corpus legs (base + 2 planted) + language join
+      "q293_cluster_token_savings" -> ("documents", 4),  // cluster corpus legs (base + 2 planted) + language join
+      "q294_snapshot_dup_flow" -> ("documents", 0),      // pure cluster-table probe
+      "q295_build_gram_df" -> ("documents", 0),          // report reads the just-written artifact
+      "q296_substring_admission" -> ("documents", 2),    // incoming batch ×(grams, token counts); corpus side is the stored gram table
+      "q297_ivf_list_balance" -> ("embeddings", 0),      // pure probe of the stored assignment table
+      "q298_mixture_sweep" -> ("documents", 1),          // one pass into the languages aggregate; τ grid is constant
+      "q299_stream_quota_admission" -> ("documents", 0), // stream pre-run; summary reads the memory sink
+      "q300_bitext_margin" -> ("embeddings", 0),         // dots ride the stored µ-int long form; one documents scan for langs
+      "q301_contamination_matrix" -> ("documents", 3),   // eval grams + snippet frame + incoming corpus
+      "q302_bootstrap_ci" -> ("documents", 1),           // all B resamples ride one scan
+      "q303_ndcg_eval" -> ("embeddings", 4))             // 4 label legs, every one pruned to (vec_id, label) — dots ride the stored long form; vectors never rescan
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
