@@ -1032,7 +1032,72 @@ object Curation {
          CAST((tokens_final + ${Q275SeqLen - 1}) // $Q275SeqLen AS BIGINT) AS packed_seqs
        FROM m"""
 
+  // ---------------------------------------------------------------- q310
+  /** LENGTH-BUCKET batching — the middle point q275 deliberately leaves
+    * out: between pad-every-doc-to-max (wasteful) and concat-and-chunk
+    * (crosses document boundaries) sits the fairseq/T5 scheme — group
+    * documents into length buckets, pad each doc to its bucket top, batch
+    * within the bucket. This query sweeps bucket width ∈ {16, 32, 64}
+    * and reads out, per width: bucket count, batch count (fixed batch
+    * size 8, last batch per bucket partial), padded stream size, pad
+    * waste in ppm of the padded stream, and the fraction of batches that
+    * are partial (the straggler cost of narrow buckets). All integers:
+    * bucket top is ceil-to-width by integer arithmetic, waste is exact
+    * ppm by integer division. Shape: ONE documents scan — the ×3 width
+    * sweep explodes map-side on the narrow (n) frame — then a
+    * (width × bucket)-sized aggregate; no shuffle carries text. The
+    * decision readout: how much waste does each width trade against
+    * batch-shape uniformity before q118's packing is justified.
+    */
+  def q310BucketBatching(spark: SparkSession, d: String): DataFrame = {
+    val b = Q310BatchSize
+    Tables.documents(spark, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("n"), explode(expr("array(16, 32, 64)")).as("width"))
+      .withColumn("top", expr("((n + width - 1) div width) * width"))
+      .groupBy(col("width"), col("top"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(top - n) as bigint)").as("pad"),
+        expr("cast(sum(n) as bigint)").as("tok"))
+      .groupBy(col("width"))
+      .agg(expr("cast(count(1) as bigint)").as("n_buckets"),
+        expr("cast(sum(n_docs) as bigint)").as("n_docs"),
+        expr(s"cast(sum((n_docs + ${b - 1}) div $b) as bigint)").as("n_batches"),
+        expr(s"cast(count_if(n_docs % $b != 0) as bigint)").as("n_partial_batches"),
+        expr("cast(sum(n_docs * top) as bigint)").as("padded_tokens"),
+        expr("cast(sum(pad) as bigint)").as("pad_tokens"))
+      .withColumn("waste_ppm",
+        expr("cast(pad_tokens * 1000000 div padded_tokens as bigint)"))
+      .select(col("width").cast("long").as("width"), col("n_buckets"),
+        col("n_docs"), col("n_batches"), col("n_partial_batches"),
+        col("padded_tokens"), col("pad_tokens"), col("waste_ppm"))
+      .orderBy(col("width"))
+  }
+
+  val Q310BatchSize = 8
+
+  val q310Oracle: String =
+    s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+       x AS (SELECT n, w.width, ((n + w.width - 1) // w.width) * w.width AS top
+             FROM t, (VALUES (16), (32), (64)) w(width)),
+       bk AS (SELECT width, top, count(*) AS n_docs,
+                CAST(sum(top - n) AS BIGINT) AS pad,
+                CAST(sum(n) AS BIGINT) AS tok
+              FROM x GROUP BY 1, 2)
+       SELECT CAST(width AS BIGINT) AS width,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum((n_docs + ${Q310BatchSize - 1}) // $Q310BatchSize) AS BIGINT) AS n_batches,
+         CAST(count(*) FILTER (n_docs % $Q310BatchSize != 0) AS BIGINT) AS n_partial_batches,
+         CAST(sum(n_docs * top) AS BIGINT) AS padded_tokens,
+         CAST(sum(pad) AS BIGINT) AS pad_tokens,
+         CAST(CAST(sum(pad) AS BIGINT) * 1000000
+              // CAST(sum(n_docs * top) AS BIGINT) AS BIGINT) AS waste_ppm
+       FROM bk GROUP BY width ORDER BY width"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_bucket_batching" -> q310BucketBatching _,
     "q283_substring_curation" -> q283SubstringCuration _,
     "q275_packing_efficiency" -> q275PackingEfficiency _,
     "q231_curation_capstone" -> q231CurationCapstone _,
@@ -1048,6 +1113,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q310_bucket_batching" -> q310Oracle,
     "q283_substring_curation" -> q283Oracle,
     "q275_packing_efficiency" -> q275Oracle,
     "q231_curation_capstone" -> q231Oracle,

@@ -1870,7 +1870,298 @@ object Dedup {
          CAST(sum(CASE WHEN covered * 2 < n_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
        FROM j GROUP BY lang ORDER BY lang"""
 
+  // ---------------------------------------------------------------- q305
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm) — the guaranteed-detection local fingerprinting scheme:
+    * hash every k-gram, slide a window of w consecutive gram hashes, and
+    * select each window's minimum (ties to the RIGHTMOST position, the
+    * paper's rule). The guarantee q270's global K-gram df pass cannot
+    * give: any shared run of ≥ w+k−1 tokens shares ≥1 SELECTED
+    * fingerprint, at ~2/(w+1) storage density — the index stays a small
+    * fraction of the corpus by construction. Determinism without struct
+    * minima: (hash, position) packs into ONE BIGINT,
+    * v = h·2²⁰ + (2²⁰−1−p) — min(v) is min hash with ties to max p — so
+    * both engines take a plain integer window MIN (frame CURRENT ROW …
+    * w−1 FOLLOWING over the per-doc gram sequence; doc-keyed partitions,
+    * the sweep-safe direction). Hashes are 40-bit md5 prefixes; gram
+    * text never shuffles. Certificate: docs with doc_id % 20 == 0 get a
+    * 31-token span appended — every window fully inside the span selects
+    * a span-internal gram whose hash is IDENTICAL across planted docs,
+    * so each planted doc must share a fingerprint (planted_ok pins it).
+    * Readout per language: grams, selected fingerprints, the measured
+    * density against the theoretical 2/(w+1), docs sharing any
+    * fingerprint, and the certificate.
+    */
+  /** Winnowing selection over a (doc_id, text, keep...) frame: the
+    * window-min fingerprint set, one row per selected (doc, position,
+    * hash) — the shared core of q305 (audit), q316 (index build) and
+    * q317 (admission probe). Ties-right is encoded in the single-BIGINT
+    * min; see q305's scaladoc for the contract.
+    */
+  private[graft] def winnowSelect(docs: DataFrame, k: Int, ww: Int,
+                                  keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select((col("doc_id") +: keep.map(col)) :+ split(col("text"), " ").as("w"): _*)
+      .filter(size(col("w")) >= k + ww - 1)
+    val grams = base.select((col("doc_id") +: keep.map(col)) :+
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $k),
+              i -> CAST(conv(substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 10), 16, 10) AS BIGINT))""")): _*)
+      .toDF(("doc_id" +: keep) ++ Seq("p", "h"): _*)
+    val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, ww - 1)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("v", expr("h * 1048576 + (1048575 - p)"))
+      .withColumn("vmin", min(col("v")).over(wFrame))
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .filter(col("p") <= col("ng") - ww)
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(col("ng"),
+        expr("vmin div 1048576").as("sh"),
+        expr("1048575 - (vmin % 1048576)").as("sp")): _*)
+      .distinct()
+  }
+
+  def q305Winnowing(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d)
+      .withColumn("text",
+        when(col("doc_id") % 20 === 0, concat(col("text"), lit(" " + Q305Span)))
+          .otherwise(col("text")))
+    val sel = winnowSelect(planted, Q305K, Q305W, keep = Seq("lang"))
+      // the selected-fingerprint frame IS the winnowing index (~2/(w+1)
+      // of gram count); three consumers read it — pinned job-scope here,
+      // persisted as the q316 artifact in a 100 TB deployment
+      .localCheckpoint()
+    val shared = sel.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val docShared = sel.select(col("doc_id"), col("sh")).distinct()
+      .join(shared, "sh").select(col("doc_id")).distinct()
+      .withColumn("has_shared", lit(true))
+    val perDoc = sel.groupBy(col("doc_id"), col("lang"), col("ng"))
+      .agg(count(lit(1)).as("n_sel"))
+      .join(docShared, Seq("doc_id"), "left")
+      .na.fill(false, Seq("has_shared"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(ng) as bigint)").as("n_grams"),
+        expr("cast(sum(n_sel) as bigint)").as("n_selected"),
+        expr("cast(count_if(has_shared) as bigint)").as("n_docs_shared"),
+        expr("cast(count_if(doc_id % 20 = 0) as bigint)").as("n_planted"),
+        expr("cast(count_if(doc_id % 20 = 0 AND has_shared) as bigint)").as("n_planted_shared"))
+      .withColumn("density_ppm",
+        expr("cast(n_selected * 1000000 div n_grams as bigint)"))
+      .withColumn("planted_ok", expr("n_planted_shared = n_planted"))
+      .orderBy(col("lang"))
+  }
+
+  val Q305K = 4
+  val Q305W = 4
+  val Q305Span: String =
+    "the quick brown fox jumps over the lazy dog while scanning large " +
+    "corpora for duplicated spans that winnowing fingerprints must detect " +
+    "across documents sharing this exact thirty token long marker sequence"
+
+  val q305Oracle: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 20 = 0 THEN text || ' $Q305Span' ELSE text END AS text
+           FROM documents),
+       t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM d
+             WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       g AS (SELECT doc_id, lang, p,
+               CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                 AS h
+             FROM (SELECT doc_id, lang, w,
+                     CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM t)),
+       vm AS (SELECT doc_id, lang, p,
+                min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM g),
+       sel AS (SELECT DISTINCT doc_id, lang, ng,
+                 vmin // 1048576 AS sh, 1048575 - (vmin % 1048576) AS sp
+               FROM vm WHERE p <= ng - $Q305W),
+       sh2 AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sel)
+               GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+       ds AS (SELECT DISTINCT s.doc_id FROM (SELECT DISTINCT doc_id, sh FROM sel) s
+              JOIN sh2 USING (sh)),
+       pd AS (SELECT sel.doc_id, sel.lang, sel.ng, count(*) AS n_sel,
+                (sel.doc_id IN (SELECT doc_id FROM ds)) AS has_shared
+              FROM sel GROUP BY 1, 2, 3, 5)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ng) AS BIGINT) AS n_grams,
+         CAST(sum(n_sel) AS BIGINT) AS n_selected,
+         CAST(count(*) FILTER (has_shared) AS BIGINT) AS n_docs_shared,
+         CAST(count(*) FILTER (doc_id % 20 = 0) AS BIGINT) AS n_planted,
+         CAST(count(*) FILTER (doc_id % 20 = 0 AND has_shared) AS BIGINT) AS n_planted_shared,
+         CAST(CAST(sum(n_sel) AS BIGINT) * 1000000 // CAST(sum(ng) AS BIGINT) AS BIGINT)
+           AS density_ppm,
+         count(*) FILTER (doc_id % 20 = 0 AND has_shared) = count(*) FILTER (doc_id % 20 = 0)
+           AS planted_ok
+       FROM pd GROUP BY lang ORDER BY lang"""
+
+  // ------------------------------------------------- winnowing artifact
+  /** The PERSISTED winnowing fingerprint index over the clean corpus —
+    * (doc_id, sh, sp, ng) selected by [[winnowSelect]], bucketed on the
+    * hash so admission probes join without an exchange on the index
+    * side. Built once per (session, dir); q316 is the driven build.
+    */
+  def winnowIndexTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "winnow_idx", d, Some(("sh", 8)))(
+      winnowSelect(Tables.documents(spark, d), Q305K, Q305W))
+
+  // ---------------------------------------------------------------- q316
+  /** DRIVEN build of the winnowing fingerprint index (the q235/q286/q295
+    * pattern: the corpus pass is paid here, measured here, and every
+    * later probe reads the stored table). Readout: corpus docs indexed,
+    * fingerprints selected, distinct hashes, density against 2/(w+1),
+    * and an order-independent BIGINT hash checksum pinning the stored
+    * selection bit-for-bit — the oracle replays the full selection, so
+    * a drifted window frame or tie rule fails on the checksum, not just
+    * on counts.
+    */
+  def q316BuildWinnowIndex(spark: SparkSession, d: String): DataFrame = {
+    val idx = Artifacts.rebuild(spark, "winnow_idx", d, Some(("sh", 8)))(
+      winnowSelect(Tables.documents(spark, d), Q305K, Q305W))
+    idx.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_fingerprints"),
+        countDistinct(col("sh")).as("n_distinct_hashes"),
+        expr("cast(sum(ng) as bigint)").as("n_grams"),
+        expr("cast(sum(sh % 1000000007) as bigint)").as("hash_checksum"))
+      .withColumn("density_ppm",
+        expr("cast(n_fingerprints * 1000000 div n_grams as bigint)"))
+  }
+
+  val q316Oracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       g AS (SELECT doc_id, p,
+               CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                 AS h
+             FROM (SELECT doc_id, w,
+                     CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM t)),
+       vm AS (SELECT doc_id, p,
+                min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM g),
+       sel AS (SELECT DISTINCT doc_id, ng,
+                 vmin // 1048576 AS sh, 1048575 - (vmin % 1048576) AS sp
+               FROM vm WHERE p <= ng - $Q305W)
+       SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_fingerprints,
+         CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct_hashes,
+         CAST(sum(ng) AS BIGINT) AS n_grams,
+         CAST(sum(sh % 1000000007) AS BIGINT) AS hash_checksum,
+         CAST(count(*) * 1000000 // CAST(sum(ng) AS BIGINT) AS BIGINT) AS density_ppm
+       FROM sel"""
+
+  // ---------------------------------------------------------------- q317
+  /** Winnowing ADMISSION — overlap detection for an incoming batch
+    * against the stored fingerprint index (the MOSS use case at corpus
+    * scale, and the q248/q296 incremental-admission pattern at
+    * fingerprint level): 25 batch docs are exact copies of corpus docs
+    * (every window is a shared run ⇒ winnowing MUST surface ≥1 shared
+    * fingerprint — the guarantee, certified), 25 are synthetic novels
+    * whose tokens exist in no corpus gram. Shape: the 50-doc batch is
+    * pinned, fingerprinted batch-side, and joined to the stored index on
+    * the hash — ZERO corpus scans (plan-asserted); the index side is
+    * sh-bucketed so the probe join shuffles only the batch. Readout per
+    * class: docs, docs with any index hit, total (batch-fp, corpus-doc)
+    * hit pairs, and the copies-all-hit certificate.
+    */
+  def q317WinnowAdmission(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d)
+    val copies = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val novel = base.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 19),
+                 j -> concat('nv', cast(doc_id as string), 'x', cast(j as string))), ' ')""")
+          .as("text"))
+    val batch = copies.unionByName(novel).localCheckpoint()
+    val sel = winnowSelect(batch, Q305K, Q305W).localCheckpoint()
+    val idx = winnowIndexTable(spark, d)
+      .select(col("doc_id").as("ref_id"), col("sh"))
+    val hits = sel.select(col("doc_id"), col("sh")).distinct()
+      .join(idx, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_pairs"),
+        countDistinct(col("ref_id")).as("n_refs_hit"))
+    sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_pairs", "n_refs_hit"))
+      .withColumn("kind",
+        when(col("doc_id") < 3000000L, lit("copy")).otherwise(lit("novel")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_fp) as bigint)").as("n_fingerprints"),
+        expr("cast(count_if(n_hit_pairs > 0) as bigint)").as("n_docs_hit"),
+        expr("cast(sum(n_hit_pairs) as bigint)").as("n_hit_pairs"),
+        expr("cast(sum(n_refs_hit) as bigint)").as("n_refs_hit"))
+      .withColumn("all_hit", expr("n_docs_hit = n_docs"))
+      .orderBy(col("kind"))
+  }
+
+  val q317Oracle: String =
+    s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                   WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       cg AS (SELECT doc_id, p,
+               CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                 AS h
+             FROM (SELECT doc_id, w,
+                     CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM corpus)),
+       cvm AS (SELECT doc_id, p,
+                min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM cg),
+       idx AS (SELECT DISTINCT doc_id AS ref_id, vmin // 1048576 AS sh
+               FROM cvm WHERE p <= ng - $Q305W),
+       batch AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 25
+                 UNION ALL
+                 SELECT doc_id + 3000000 AS doc_id,
+                   array_to_string(list_transform(range(0, 20),
+                     j -> 'nv' || doc_id || 'x' || j), ' ') AS text
+                 FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+       bt AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch
+              WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       bg AS (SELECT doc_id, p,
+               CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                 AS h
+             FROM (SELECT doc_id, w,
+                     CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM bt)),
+       bvm AS (SELECT doc_id, p,
+                min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM bg),
+       bsel AS (SELECT DISTINCT doc_id, ng,
+                  vmin // 1048576 AS sh, 1048575 - (vmin % 1048576) AS sp
+                FROM bvm WHERE p <= ng - $Q305W),
+       hits AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_hit_pairs,
+                  CAST(count(DISTINCT idx.ref_id) AS BIGINT) AS n_refs_hit
+                FROM (SELECT DISTINCT doc_id, sh FROM bsel) b
+                JOIN idx ON idx.sh = b.sh GROUP BY 1),
+       pd AS (SELECT s.doc_id, count(*) AS n_fp,
+                coalesce(max(h.n_hit_pairs), 0) AS n_hit_pairs,
+                coalesce(max(h.n_refs_hit), 0) AS n_refs_hit
+              FROM bsel s LEFT JOIN hits h ON h.doc_id = s.doc_id GROUP BY 1)
+       SELECT CASE WHEN doc_id < 3000000 THEN 'copy' ELSE 'novel' END AS kind,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_fp) AS BIGINT) AS n_fingerprints,
+         CAST(count(*) FILTER (n_hit_pairs > 0) AS BIGINT) AS n_docs_hit,
+         CAST(sum(n_hit_pairs) AS BIGINT) AS n_hit_pairs,
+         CAST(sum(n_refs_hit) AS BIGINT) AS n_refs_hit,
+         count(*) FILTER (n_hit_pairs > 0) = count(*) AS all_hit
+       FROM pd GROUP BY 1 ORDER BY kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_build_winnow_index" -> q316BuildWinnowIndex _,
+    "q317_winnow_admission" -> q317WinnowAdmission _,
+    "q305_winnowing" -> q305Winnowing _,
     "q296_substring_admission" -> q296SubstringAdmission _,
     "q295_build_gram_df" -> q295BuildGramDf _,
     "q294_snapshot_dup_flow" -> q294SnapshotDupFlow _,
@@ -1899,6 +2190,9 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q316_build_winnow_index" -> q316Oracle,
+    "q317_winnow_admission" -> q317Oracle,
+    "q305_winnowing" -> q305Oracle,
     "q296_substring_admission" -> q296Oracle,
     "q295_build_gram_df" -> q295Oracle,
     "q294_snapshot_dup_flow" -> q294Oracle,

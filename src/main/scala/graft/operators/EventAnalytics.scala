@@ -2172,7 +2172,165 @@ object EventAnalytics {
        LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type
        ORDER BY type_a, type_b"""
 
+  // ---------------------------------------------------------------- q304
+  /** PageRank over the event-type transition graph — the graph-centrality
+    * readout behind "which state actually anchors the user journey"
+    * (markov centrality of the q144 transition matrix, not raw visit
+    * counts). Three power iterations with damping 0.85 in EXACT integer
+    * arithmetic: ranks live as pico-units (Σ≈10¹²), every step is BIGINT
+    * multiply + integral division (`div` here, `//` in the oracle — both
+    * truncate, and all values are non-negative so truncation and floor
+    * agree), so the iterate is bit-identical at any parallelism and in
+    * DuckDB. Scale shape: the 100 TB part is the ONE events scan that
+    * aggregates transitions to the K×K edge frame (K = event types);
+    * every iteration after that joins K-row rank frames against the K²
+    * edge frame with both sides broadcast — iteration cost is independent
+    * of corpus size, which is exactly why PageRank-style centrality is
+    * computed on the aggregated transition graph and never on raw events.
+    * Nodes with no out-edges would leak rank (documented simplification;
+    * none exist in a lead-derived transition graph, where only the last
+    * event of a user emits no edge).
+    */
+  def q304Pagerank(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // the K²-row edge frame and K-row node frame feed every iteration —
+    // pin both (config-sized, the q298 rule) so the events scan that
+    // aggregates transitions runs once, not once per power iteration
+    val edges = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nodes = Tables.events(spark, d).select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val tot = edges.groupBy(col("src")).agg(expr("cast(sum(n) as bigint)").as("tot"))
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr("cast(1000000000000 div n_nodes as bigint)").as("r"))
+    val rFinal = (1 to 3).foldLeft(r0) { (rank, _) =>
+      val inflow = edges
+        .join(broadcast(rank.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(tot), "src")
+        .withColumn("c", expr("(85 * ((r * n) div tot)) div 100"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("cast(sum(c) as bigint)").as("inflow"))
+      nodes.join(broadcast(inflow), Seq("node"), "left")
+        .na.fill(0L, Seq("inflow"))
+        .crossJoin(broadcast(nn))
+        .select(col("node"), expr(
+          "cast((1000000000000 * 15) div (100 * n_nodes) + inflow as bigint)").as("r"))
+    }
+    val wr = Window.orderBy(col("r").desc, col("node").asc)
+    rFinal.join(broadcast(tot.withColumnRenamed("src", "node")), Seq("node"), "left")
+      .na.fill(0L, Seq("tot"))
+      .select(col("node"), col("tot").as("out_transitions"),
+        col("r").as("pr_pico"),
+        row_number().over(wr).cast("long").as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  val q304Oracle: String =
+    """WITH t AS (SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM events),
+       e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+             FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+       nodes AS (SELECT DISTINCT event_type AS node FROM events),
+       nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM e GROUP BY 1),
+       r0 AS (SELECT node, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn),
+       c1 AS (SELECT e.dst AS node,
+                CAST(sum((85 * ((r0.r * e.n) // tot.tot)) // 100) AS BIGINT) AS inflow
+              FROM e JOIN r0 ON r0.node = e.src JOIN tot ON tot.src = e.src
+              GROUP BY 1),
+       r1 AS (SELECT n.node,
+                CAST((1000000000000 * 15) // (100 * nn.n_nodes)
+                     + coalesce(c1.inflow, 0) AS BIGINT) AS r
+              FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON c1.node = n.node),
+       c2 AS (SELECT e.dst AS node,
+                CAST(sum((85 * ((r1.r * e.n) // tot.tot)) // 100) AS BIGINT) AS inflow
+              FROM e JOIN r1 ON r1.node = e.src JOIN tot ON tot.src = e.src
+              GROUP BY 1),
+       r2 AS (SELECT n.node,
+                CAST((1000000000000 * 15) // (100 * nn.n_nodes)
+                     + coalesce(c2.inflow, 0) AS BIGINT) AS r
+              FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON c2.node = n.node),
+       c3 AS (SELECT e.dst AS node,
+                CAST(sum((85 * ((r2.r * e.n) // tot.tot)) // 100) AS BIGINT) AS inflow
+              FROM e JOIN r2 ON r2.node = e.src JOIN tot ON tot.src = e.src
+              GROUP BY 1),
+       r3 AS (SELECT n.node,
+                CAST((1000000000000 * 15) // (100 * nn.n_nodes)
+                     + coalesce(c3.inflow, 0) AS BIGINT) AS r
+              FROM nodes n CROSS JOIN nn LEFT JOIN c3 ON c3.node = n.node)
+       SELECT r3.node, CAST(coalesce(tot.tot, 0) AS BIGINT) AS out_transitions,
+         r3.r AS pr_pico,
+         CAST(row_number() OVER (ORDER BY r3.r DESC, r3.node ASC) AS BIGINT) AS rnk
+       FROM r3 LEFT JOIN tot ON tot.src = r3.node
+       ORDER BY rnk"""
+
+  // ---------------------------------------------------------------- q313
+  /** Sequence-PATTERN matching over per-user event journeys — the
+    * MATCH_RECOGNIZE gap (SQL:2016 row pattern matching, which Spark
+    * lacks as an operator): each user's journey becomes the string of
+    * event-type initials in (ts, event_id) order, and patterns are
+    * counted as non-overlapping greedy regex matches — `v+c*p` (a
+    * browse run converting to purchase, optional clicks between) and
+    * `e{2,}` (a repeated-error run, the rage-click signal). Initials are
+    * distinct across this fixture's five event types, so the encoding is
+    * faithful. Determinism: collect_list order is fixed by array_sort on
+    * (ts, event_id, initial) structs; both engines' regex engines (Java
+    * util.regex, RE2) agree on leftmost greedy matching for these
+    * backreference-free patterns. Scale shape: one events scan, one
+    * user-keyed exchange; per-user journey strings are session-bounded
+    * (thousands of chars, not GB) — the same per-key-bounded contract as
+    * q87 sessionize; a per-session variant splits the key first. Output:
+    * per pattern, users matched, total matches, and the max per-user
+    * match count.
+    */
+  def q313PatternMatch(spark: SparkSession, d: String): DataFrame = {
+    val seqs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c0"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, c0))), x -> x.c0), '')")
+        .as("s"))
+    val pats = seqs.select(col("user_id"),
+        explode(expr("""array(
+          struct('browse_to_buy' as pattern, cast(regexp_count(s, 'v+c*p') as bigint) as m),
+          struct('error_run' as pattern, cast(regexp_count(s, 'e{2,}') as bigint) as m))"""))
+          .as("x"))
+      .select(col("user_id"), col("x.pattern").as("pattern"), col("x.m").as("m"))
+    pats.groupBy(col("pattern"))
+      .agg(expr("cast(count_if(m > 0) as bigint)").as("n_users_matched"),
+        expr("cast(sum(m) as bigint)").as("n_matches"),
+        expr("cast(max(m) as bigint)").as("max_per_user"))
+      .orderBy(col("pattern"))
+  }
+
+  val q313Oracle: String =
+    """WITH s AS (SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+         FROM events GROUP BY user_id),
+       m AS (SELECT user_id, 'browse_to_buy' AS pattern,
+               CAST(len(regexp_extract_all(s, 'v+c*p')) AS BIGINT) AS m FROM s
+             UNION ALL
+             SELECT user_id, 'error_run' AS pattern,
+               CAST(len(regexp_extract_all(s, 'e{2,}')) AS BIGINT) AS m FROM s)
+       SELECT pattern, CAST(count(*) FILTER (m > 0) AS BIGINT) AS n_users_matched,
+         CAST(sum(m) AS BIGINT) AS n_matches,
+         CAST(max(m) AS BIGINT) AS max_per_user
+       FROM m GROUP BY pattern ORDER BY pattern"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_pagerank" -> q304Pagerank _,
+    "q313_pattern_match" -> q313PatternMatch _,
     "q271_audience_overlap" -> q271AudienceOverlap _,
     "q269_outage_report" -> q269OutageReport _,
     "q264_theil_sen" -> q264TheilSen _,
@@ -2213,6 +2371,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q304_pagerank" -> q304Oracle,
+    "q313_pattern_match" -> q313Oracle,
     "q271_audience_overlap" -> q271Oracle,
     "q269_outage_report" -> q269Oracle,
     "q264_theil_sen" -> q264Oracle,

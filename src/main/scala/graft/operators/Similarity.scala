@@ -2027,7 +2027,220 @@ object Similarity {
        ORDER BY width, qid"""
   }
 
+  // ---------------------------------------------------------------- q307
+  /** Johnson–Lindenstrauss RANDOM PROJECTION audit — the
+    * dimensionality-reduction step before a cheaper ANN index (64 → 8
+    * dims here): project with a ±1 sign matrix and certify the JL
+    * contract, E‖y‖² = d_out·‖x‖², by reading the per-vector norm ratio.
+    * The sign matrix is HASH-DERIVED (md5 parity of (k, dim) — no RNG,
+    * no stored matrix: any executor and the oracle regenerate entry
+    * (k, dim) independently, which is exactly how a 1000-executor
+    * projection avoids broadcasting anything). Arithmetic is exact:
+    * coordinates are the stored µ-ints, projections are BIGINT sums,
+    * norms are BIGINT sums of squares, and the ratio surfaces as ppm by
+    * integer division — the distribution (min/avg/max, tail counts
+    * outside [½×, 2×]) is bit-stable at any parallelism. Shape: ZERO raw
+    * embedding scans for the math (the stored µ-int long form, probed
+    * twice: once ×8 exploded for projections, once for norms); one
+    * embeddings scan for labels only. At 100 TB the projected table
+    * would persist as the serving artifact; the audit is its gate.
+    */
+  def q307RandomProjection(spark: SparkSession, d: String): DataFrame = {
+    val dOut = Q307OutDims
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+      .withColumn("dim", expr(s"sub * $PqSubDim + jj"))
+    val proj = lf
+      .select(col("vec_id"), col("dim"), col("xq"),
+        explode(expr(s"sequence(0, ${dOut - 1})")).as("k"))
+      .withColumn("sgn", expr(
+        """1 - 2 * (CAST(conv(substring(md5(concat('rp#', CAST(k AS STRING), '#', CAST(dim AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"""))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(expr("cast(sum(sgn * xq) as bigint)").as("y"))
+      .groupBy(col("vec_id"))
+      .agg(expr("cast(sum(y * y) as bigint)").as("y2"))
+    val norms = lf.groupBy(col("vec_id"))
+      .agg(expr("cast(sum(xq * xq) as bigint)").as("x2"))
+    val labels = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    proj.join(norms, "vec_id").join(labels, "vec_id")
+      .withColumn("ratio_ppm", expr(
+        s"cast(cast(y2 as decimal(38,0)) * 1000000 div ($dOut * x2) as bigint)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(min(ratio_ppm) as bigint)").as("min_ratio_ppm"),
+        expr("cast(sum(ratio_ppm) div count(1) as bigint)").as("avg_ratio_ppm"),
+        expr("cast(max(ratio_ppm) as bigint)").as("max_ratio_ppm"),
+        expr("cast(count_if(ratio_ppm < 500000) as bigint)").as("n_below_half"),
+        expr("cast(count_if(ratio_ppm > 2000000) as bigint)").as("n_above_double"))
+      .orderBy(col("label"))
+  }
+
+  val Q307OutDims = 8
+
+  val q307Oracle: String =
+    s"""WITH lv AS (SELECT vec_id, r.j AS dim,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       pr AS (SELECT vec_id, k.k,
+                CAST(sum((1 - 2 * (CAST(('0x' || substr(md5('rp#' || k.k || '#' || dim), 1, 15)) AS BIGINT) % 2)) * xq) AS BIGINT) AS y
+              FROM lv, range($Q307OutDims) k(k) GROUP BY 1, 2),
+       py AS (SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS y2 FROM pr GROUP BY 1),
+       nx AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS x2 FROM lv GROUP BY 1),
+       r AS (SELECT CAST(e.label AS BIGINT) AS label,
+               CAST(CAST(py.y2 AS HUGEINT) * 1000000 // ($Q307OutDims * nx.x2) AS BIGINT) AS ratio_ppm
+             FROM py JOIN nx USING (vec_id) JOIN embeddings e ON e.vec_id = py.vec_id)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+         CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS avg_ratio_ppm,
+         CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+         CAST(count(*) FILTER (ratio_ppm < 500000) AS BIGINT) AS n_below_half,
+         CAST(count(*) FILTER (ratio_ppm > 2000000) AS BIGINT) AS n_above_double
+       FROM r GROUP BY label ORDER BY label"""
+
+  // ------------------------------------------------------ kNN graph
+  /** The PERSISTED within-cell k-NN graph over a bounded corpus slice:
+    * for each vector, its [[Q314K]] nearest same-IVF-cell neighbors by
+    * exact µ-int dot (ties to the smaller neighbor id) — the candidate
+    * structure NN-descent, SemDeDup-style pruning and hubness audits all
+    * start from. Pairs form ONLY inside a stored inverted list (the
+    * q249 Σ cell² bound); the slice cap mirrors q249's — at 100 TB the
+    * build shards by cell. Bucketed on nbr_id so in-degree probes (q315)
+    * aggregate without an exchange.
+    */
+  def knnGraphTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "knn_graph", d, Some(("nbr_id", 8)))(
+      buildKnnGraph(spark, d))
+
+  val Q314Slice = 1000L
+  val Q314K = 3
+
+  private def buildKnnGraph(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = ivfAssignTable(spark, d).filter(col("vec_id") < Q314Slice)
+      .select(col("vec_id"), col("cid"))
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < Q314Slice)
+    val a = lf.join(slice, "vec_id")
+      .select(col("cid"), col("vec_id").as("va"), col("sub"), col("jj"),
+        col("xq").as("xa"))
+    val b = lf.join(slice, "vec_id")
+      .select(col("cid"), col("vec_id").as("vb"), col("sub"), col("jj"),
+        col("xq").as("xb"))
+    val dots = a.join(b, Seq("cid", "sub", "jj"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("cid"), col("va"), col("vb"))
+      .agg(expr("cast(sum(xa * xb) as bigint)").as("dot"))
+    val w = Window.partitionBy(col("va")).orderBy(col("dot").desc, col("vb").asc)
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= Q314K)
+      .select(col("cid"), col("va").as("vec_id"), col("vb").as("nbr_id"),
+        col("dot"), col("rn").cast("long").as("rn"))
+  }
+
+  // ---------------------------------------------------------------- q314
+  /** DRIVEN k-NN graph build (the q235/q295 pattern — the pairwise cost
+    * is paid and measured here; probes read the stored table). Readout
+    * per inverted list: members, edges, sources with edges, the exact
+    * BIGINT edge-dot checksum, and the max edge dot — the numbers a
+    * graph-quality gate watches between rebuilds. Cells of one member
+    * emit zero edges (left join keeps the row). Full oracle replays IVF
+    * training + within-cell exact-integer ranking.
+    */
+  def q314BuildKnnGraph(spark: SparkSession, d: String): DataFrame = {
+    val g = Artifacts.rebuild(spark, "knn_graph", d, Some(("nbr_id", 8)))(
+      buildKnnGraph(spark, d))
+    val members = ivfAssignTable(spark, d).filter(col("vec_id") < Q314Slice)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val stats = g.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("vec_id")).as("n_sources"),
+        expr("cast(sum(dot) as bigint)").as("edge_dot_sum"),
+        expr("cast(max(dot) as bigint)").as("max_dot"))
+    members.join(stats, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_edges", "n_sources", "edge_dot_sum", "max_dot"))
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        col("n_edges"), col("n_sources"), col("edge_dot_sum"), col("max_dot"))
+      .orderBy(col("cid"))
+  }
+
+  val q314Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       lv AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       dots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                JOIN lv a ON a.vec_id = x.vec_id
+                JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+                GROUP BY 1, 2, 3),
+       e AS (SELECT cid, va, vb, dot FROM (
+               SELECT *, row_number() OVER (PARTITION BY va
+                 ORDER BY dot DESC, vb ASC) AS rn FROM dots) WHERE rn <= $Q314K),
+       m AS (SELECT cid, count(*) AS n_members FROM sub GROUP BY 1),
+       s AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(count(DISTINCT va) AS BIGINT) AS n_sources,
+               CAST(sum(dot) AS BIGINT) AS edge_dot_sum,
+               CAST(max(dot) AS BIGINT) AS max_dot
+             FROM e GROUP BY 1)
+       SELECT CAST(m.cid AS BIGINT) AS cid, CAST(m.n_members AS BIGINT) AS n_members,
+         coalesce(s.n_edges, 0) AS n_edges, coalesce(s.n_sources, 0) AS n_sources,
+         coalesce(s.edge_dot_sum, 0) AS edge_dot_sum, coalesce(s.max_dot, 0) AS max_dot
+       FROM m LEFT JOIN s ON s.cid = m.cid ORDER BY cid"""
+
+  // ---------------------------------------------------------------- q315
+  /** HUBNESS audit (Radovanović et al.) — the k-occurrence distribution
+    * of the stored k-NN graph: how often each vector appears in OTHERS'
+    * top-k. High-dimensional spaces grow hubs (vectors near everything)
+    * whose over-representation degrades retrieval diversity and poisons
+    * semantic dedup; the in-degree histogram is the standard detector.
+    * Pure artifact probe: in-degrees aggregate the nbr_id-bucketed graph
+    * (no exchange), anti-hubs (in-degree 0) come from the assignment
+    * slice — ZERO embeddings math rescans. Output: one row per observed
+    * k-occurrence, with the vector count and share in ppm.
+    */
+  def q315HubnessAudit(spark: SparkSession, d: String): DataFrame = {
+    val g = knnGraphTable(spark, d)
+    val indeg = g.groupBy(col("nbr_id")).agg(count(lit(1)).as("occ"))
+    val slice = ivfAssignTable(spark, d).filter(col("vec_id") < Q314Slice)
+      .select(col("vec_id"))
+    val all = slice.join(indeg.withColumnRenamed("nbr_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .na.fill(0L, Seq("occ"))
+    val total = all.agg(count(lit(1)).as("n_total"))
+    all.groupBy(col("occ")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("cast(n_vecs * 1000000 div n_total as bigint)"))
+      .select(col("occ"), col("n_vecs"), col("share_ppm"))
+      .orderBy(col("occ"))
+  }
+
+  val q315Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       lv AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       dots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                JOIN lv a ON a.vec_id = x.vec_id
+                JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+                GROUP BY 1, 2, 3),
+       e AS (SELECT va, vb FROM (
+               SELECT va, vb, row_number() OVER (PARTITION BY va
+                 ORDER BY dot DESC, vb ASC) AS rn FROM dots) WHERE rn <= $Q314K),
+       indeg AS (SELECT s.vec_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS occ
+                 FROM sub s LEFT JOIN (SELECT vb, count(*) AS c FROM e GROUP BY 1) cnt
+                   ON cnt.vb = s.vec_id),
+       tot AS (SELECT count(*) AS n_total FROM indeg)
+       SELECT occ, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS share_ppm
+       FROM indeg CROSS JOIN tot GROUP BY occ, tot.n_total ORDER BY occ"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_build_knn_graph" -> q314BuildKnnGraph _,
+    "q315_hubness_audit" -> q315HubnessAudit _,
+    "q307_random_projection" -> q307RandomProjection _,
     "q303_ndcg_eval" -> q303NdcgEval _,
     "q300_bitext_margin" -> q300BitextMarginMining _,
     "q297_ivf_list_balance" -> q297IvfListBalance _,
@@ -2058,6 +2271,9 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q314_build_knn_graph" -> q314Oracle,
+    "q315_hubness_audit" -> q315Oracle,
+    "q307_random_projection" -> q307Oracle,
     "q303_ndcg_eval" -> q303Oracle,
     "q300_bitext_margin" -> q300Oracle,
     "q297_ivf_list_balance" -> q297Oracle,

@@ -2494,7 +2494,457 @@ object TextAnalysis {
        FROM ig JOIN ev ON ev.gram = ig.gram
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------- q306
+  /** Batch PERCEPTRON training rounds — the supervised quality-classifier
+    * step of a curation stack (the fastText/logreg filter in its
+    * deterministic integer core): a linear separator for lang='en' over
+    * five integer document features (bias, token count, char count,
+    * 'the'-count, long-word count), trained by TWO full-batch perceptron
+    * updates — w ← w + Σ_misclassified y·x — entirely in BIGINT, so
+    * weights and misclassification counts are bit-identical at any
+    * parallelism and in the oracle (no learning-rate doubles, no
+    * sigmoid). Round 1 starts at w = 0 where every doc scores 0 and
+    * y·score ≤ 0 counts ALL docs misclassified — the update equals the
+    * class-difference feature sums. Round 3 is evaluation-only (the
+    * readout an operator gates on). Whether the synthetic corpus is
+    * separable is irrelevant to the contract — the trajectory itself is
+    * exact. Scale shape: ONE documents scan builds the narrow per-doc
+    * feature frame (pinned job-scope — five BIGINTs per doc; at 100 TB
+    * this is the persisted feature table every training epoch reads);
+    * each round is then a 5-value aggregate with the weight row
+    * BROADCAST — gradient-style map-side partial sums, the distributed
+    * linear-model shape.
+    */
+  def q306PerceptronRounds(spark: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(spark, d).select(
+        expr("CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
+        expr("CAST(1 AS BIGINT)").as("x0"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("x1"),
+        col("n_chars").cast("long").as("x2"),
+        expr("cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint)").as("x3"),
+        expr("cast(size(filter(split(text, ' '), w -> length(w) > 5)) as bigint)").as("x4"))
+      .localCheckpoint()
+    val w1 = f.agg(
+      expr("cast(count(1) as bigint)").as("n1"),
+      expr("cast(sum(y * x0) as bigint)").as("a0"),
+      expr("cast(sum(y * x1) as bigint)").as("a1"),
+      expr("cast(sum(y * x2) as bigint)").as("a2"),
+      expr("cast(sum(y * x3) as bigint)").as("a3"),
+      expr("cast(sum(y * x4) as bigint)").as("a4"))
+    val scored2 = f.crossJoin(broadcast(w1))
+      .withColumn("m", expr("y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0"))
+    val w2 = scored2.agg(
+      expr("cast(count_if(m) as bigint)").as("n2"),
+      expr("cast(max(a0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) as bigint)").as("b0"),
+      expr("cast(max(a1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) as bigint)").as("b1"),
+      expr("cast(max(a2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) as bigint)").as("b2"),
+      expr("cast(max(a3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) as bigint)").as("b3"),
+      expr("cast(max(a4) + coalesce(sum(CASE WHEN m THEN y * x4 END), 0) as bigint)").as("b4"))
+    val n3 = f.crossJoin(broadcast(w2))
+      .agg(expr(
+        "cast(count_if(y * (b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4) <= 0) as bigint)")
+        .as("nm3"))
+    val r1 = w1.select(lit(1L).as("round"), col("n1").as("n_misclassified"),
+      col("a0").as("w_bias"), col("a1").as("w_tokens"), col("a2").as("w_chars"),
+      col("a3").as("w_the"), col("a4").as("w_long"))
+    val r2 = w2.select(lit(2L).as("round"), col("n2").as("n_misclassified"),
+      col("b0").as("w_bias"), col("b1").as("w_tokens"), col("b2").as("w_chars"),
+      col("b3").as("w_the"), col("b4").as("w_long"))
+    val r3 = w2.crossJoin(n3).select(lit(3L).as("round"),
+      col("nm3").as("n_misclassified"),
+      col("b0").as("w_bias"), col("b1").as("w_tokens"), col("b2").as("w_chars"),
+      col("b3").as("w_the"), col("b4").as("w_long"))
+    r1.unionByName(r2).unionByName(r3).orderBy(col("round"))
+  }
+
+  val q306Oracle: String =
+    """WITH f AS (SELECT
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+                CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       s2 AS (SELECT f.*, (y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0) AS m
+              FROM f CROSS JOIN w1),
+       w2 AS (SELECT CAST(count(*) FILTER (m) AS BIGINT) AS n2,
+                CAST(max(w1.a0) + coalesce(sum(y*x0) FILTER (m), 0) AS BIGINT) AS b0,
+                CAST(max(w1.a1) + coalesce(sum(y*x1) FILTER (m), 0) AS BIGINT) AS b1,
+                CAST(max(w1.a2) + coalesce(sum(y*x2) FILTER (m), 0) AS BIGINT) AS b2,
+                CAST(max(w1.a3) + coalesce(sum(y*x3) FILTER (m), 0) AS BIGINT) AS b3,
+                CAST(max(w1.a4) + coalesce(sum(y*x4) FILTER (m), 0) AS BIGINT) AS b4
+              FROM s2 CROSS JOIN w1),
+       n3 AS (SELECT CAST(count(*) FILTER (
+                  y * (b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4) <= 0) AS BIGINT) AS nm3
+              FROM f CROSS JOIN w2)
+       SELECT CAST(1 AS BIGINT) AS round, n1 AS n_misclassified,
+         a0 AS w_bias, a1 AS w_tokens, a2 AS w_chars, a3 AS w_the, a4 AS w_long
+       FROM w1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), n2, b0, b1, b2, b3, b4 FROM w2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), nm3, b0, b1, b2, b3, b4 FROM w2 CROSS JOIN n3
+       ORDER BY round"""
+
+  // ---------------------------------------------------------------- q308
+  /** HEAPS-LAW vocabulary growth — the tokenizer-budget readout: how fast
+    * does the distinct-token vocabulary grow as the corpus grows, read at
+    * four prefix checkpoints (25/50/75/100% of documents in doc_id
+    * order). V(n) ∝ n^β sublinear growth is the empirical law; the
+    * operational question is the marginal new-token rate between
+    * checkpoints — when it flattens, a bigger corpus stops buying
+    * vocabulary. Exact formulation: a token belongs to the earliest
+    * prefix containing its FIRST document (min doc_id per token — one
+    * vocab-sized aggregate), so checkpoint vocabularies are cumulative
+    * counts, not four tokenize passes. The four threshold doc_ids are
+    * found by the BucketRank two-phase rank (no single-task global
+    * window; proven equal to row_number in Round6Spec) and BROADCAST.
+    * Scale shape: one tokenize pass + one narrow per-doc pass; shuffles
+    * carry (token-hash → min doc_id) — hash keys, never token text
+    * beyond the first aggregate's input. Output per checkpoint: docs,
+    * tokens, cumulative vocabulary, NEW tokens vs the previous
+    * checkpoint, and vocabulary per million tokens.
+    */
+  def q308HeapsGrowth(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    // narrow (doc_id, token-count) frame feeds the threshold search and
+    // both prefix aggregates — pinned job-scope (the q298 rule)
+    val ids = docs.select(col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("nt"))
+      .localCheckpoint()
+    val targets = (1 to 4).map(k => expr(s"(__n * $k) div 4"))
+    val bounds = BucketRank.select(
+        ids.withColumn("__g", lit(1)), "__g",
+        bucket = expr("doc_id div 4096"),
+        ord = Seq(col("doc_id")), targets = targets)
+      .select(col("doc_id").as("thr"), col("__grank"))
+      .withColumn("ck", row_number().over(Window.orderBy(col("__grank"))).cast("long"))
+      .select(col("ck"), col("thr"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), expr(md5l("t")).as("g"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc.crossJoin(broadcast(bounds))
+      .filter(col("fd") <= col("thr"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("vocab"))
+    val prefix = ids.crossJoin(broadcast(bounds))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_docs"), expr("cast(sum(nt) as bigint)").as("n_tokens"))
+    val w4 = Window.orderBy(col("ck"))
+    prefix.join(vocab, "ck")
+      .withColumn("new_tokens",
+        col("vocab") - coalesce(lag(col("vocab"), 1).over(w4), lit(0L)))
+      .withColumn("vocab_per_mtoken",
+        expr("cast(vocab * 1000000 div n_tokens as bigint)"))
+      .select(col("ck"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("new_tokens"), col("vocab_per_mtoken"))
+      .orderBy(col("ck"))
+  }
+
+  val q308Oracle: String =
+    """WITH n AS (SELECT count(*) AS nn FROM documents),
+       rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r FROM documents),
+       th AS (SELECT c.ck, rk.doc_id AS thr
+              FROM (VALUES (1), (2), (3), (4)) c(ck)
+              JOIN n ON true JOIN rk ON rk.r = (n.nn * c.ck) // 4),
+       fo AS (SELECT CAST(('0x' || substr(md5(t.w), 1, 15)) AS BIGINT) AS g,
+                min(t.doc_id) AS fd
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents) t
+              WHERE t.w <> '' GROUP BY 1),
+       v AS (SELECT th.ck, CAST(count(*) AS BIGINT) AS vocab
+             FROM fo JOIN th ON fo.fd <= th.thr GROUP BY 1),
+       p AS (SELECT th.ck, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents d JOIN th ON d.doc_id <= th.thr GROUP BY 1)
+       SELECT CAST(p.ck AS BIGINT) AS ck, p.n_docs, p.n_tokens, v.vocab,
+         v.vocab - coalesce(lag(v.vocab) OVER (ORDER BY p.ck), 0) AS new_tokens,
+         CAST(v.vocab * 1000000 // p.n_tokens AS BIGINT) AS vocab_per_mtoken
+       FROM p JOIN v ON v.ck = p.ck ORDER BY ck"""
+
+  // ---------------------------------------------------------------- q309
+  /** Jensen–Shannon DIVERGENCE matrix between per-language unigram
+    * distributions — the domain-shift / mixture-distance readout behind
+    * "how different are these corpus slices really" (the number DSIR,
+    * mixture reweighting, and drift alarms all start from; symmetric and
+    * bounded at ln 2, unlike raw KL). Exactness: with p_t = c_p/N_p the
+    * per-term ratio p_t/m_t = 2·c_p·N_q / (c_p·N_q + c_q·N_p) is an
+    * exact integer rational; its ln is quantized to µ-nats (the q238
+    * round-to-µ discipline — BIGINT thereafter), each term is WEIGHTED
+    * by the integer count c_p, and JSD surfaces in nano-nats via integer
+    * division by N_p/N_q — no double accumulates across rows, so the
+    * matrix is bit-stable at any parallelism. Scale shape: ONE tokenize
+    * pass into the (lang, token-hash) count aggregate (pinned job-scope,
+    * vocab-sized — the q238 rule); the 10 language pairs then replicate
+    * the VOCAB frame, not the corpus, and the pair joins carry 8-byte
+    * hashes. Absent-side terms (c_q = 0) keep weight c_p·ln 2 via the
+    * left join's coalesce — the support union is handled per side, which
+    * is what makes two left joins equal the full-outer formulation.
+    */
+  def q309JsdMatrix(spark: SparkSession, d: String): DataFrame = {
+    val v = Tables.documents(spark, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("lang"), expr(md5l("t")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = v.groupBy(col("lang")).agg(expr("cast(sum(c) as bigint)").as("n"))
+    val pairs = tot.as("x").join(tot.as("y"), col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("la"), col("x.n").as("na"),
+        col("y.lang").as("lb"), col("y.n").as("nb"))
+    def side(self: String, other: String, nSelf: String, nOther: String,
+             selfCol: String): DataFrame = {
+      val sp = v.join(broadcast(pairs), col("lang") === col(selfCol))
+        .select(col("la"), col("lb"), col("na"), col("nb"), col("g"),
+          col("c").as("cp"))
+      val ot = v.select(col("lang").as("olang"), col("g").as("og"),
+        col("c").as("cq"))
+      sp.join(ot, sp("g") === ot("og") && ot("olang") === sp(other), "left")
+        .na.fill(0L, Seq("cq"))
+        .withColumn("lnmu", expr(
+          s"""CAST(round(ln(CAST(2 * cp * $nOther AS DOUBLE) /
+              CAST(cp * $nOther + cq * $nSelf AS DOUBLE)) * 1000000) AS BIGINT)"""))
+        .groupBy(col("la"), col("lb"))
+        .agg(expr("cast(sum(cp * lnmu) as bigint)").as(s"sum_$self"))
+    }
+    val sp = side("p", "lb", "na", "nb", "la")
+    val sq = side("q", "la", "nb", "na", "lb")
+    pairs.join(sp, Seq("la", "lb")).join(sq, Seq("la", "lb"))
+      .withColumn("jsd_nano", expr(
+        "cast(((sum_p * 1000 div na) + (sum_q * 1000 div nb)) div 2 as bigint)"))
+      .select(col("la"), col("lb"), col("na").as("tokens_a"),
+        col("nb").as("tokens_b"), col("sum_p"), col("sum_q"), col("jsd_nano"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  val q309Oracle: String =
+    """WITH v AS (SELECT lang, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS g,
+             CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1, 2),
+       tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM v GROUP BY 1),
+       pairs AS (SELECT x.lang AS la, x.n AS na, y.lang AS lb, y.n AS nb
+                 FROM tot x JOIN tot y ON x.lang < y.lang),
+       sp AS (SELECT p.la, p.lb,
+                CAST(sum(a.c * CAST(round(ln(CAST(2 * a.c * p.nb AS DOUBLE) /
+                  CAST(a.c * p.nb + coalesce(b.c, 0) * p.na AS DOUBLE)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS sum_p
+              FROM pairs p JOIN v a ON a.lang = p.la
+              LEFT JOIN v b ON b.g = a.g AND b.lang = p.lb
+              GROUP BY 1, 2),
+       sq AS (SELECT p.la, p.lb,
+                CAST(sum(a.c * CAST(round(ln(CAST(2 * a.c * p.na AS DOUBLE) /
+                  CAST(a.c * p.na + coalesce(b.c, 0) * p.nb AS DOUBLE)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS sum_q
+              FROM pairs p JOIN v a ON a.lang = p.lb
+              LEFT JOIN v b ON b.g = a.g AND b.lang = p.la
+              GROUP BY 1, 2)
+       SELECT p.la AS la, p.lb AS lb, p.na AS tokens_a, p.nb AS tokens_b,
+         sp.sum_p, sq.sum_q,
+         CAST(((sp.sum_p * 1000 // p.na) + (sq.sum_q * 1000 // p.nb)) // 2 AS BIGINT)
+           AS jsd_nano
+       FROM pairs p JOIN sp ON sp.la = p.la AND sp.lb = p.lb
+       JOIN sq ON sq.la = p.la AND sq.lb = p.lb
+       ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------- q311
+  /** Cross-SOURCE 3-gram overlap matrix — the between-slice contamination
+    * audit (q301 audits corpus-vs-benchmark; this audits the corpus
+    * against ITSELF across its 20 sources): for every source pair, how
+    * much of each side's distinct 3-gram set the other already has.
+    * Near-identical sources are merge candidates (their marginal tokens
+    * are paid twice); disjoint ones genuinely diversify the mixture.
+    * Shape: one tokenize pass → distinct (source, gram-hash) — gram TEXT
+    * never shuffles (16-hex md5, the q270 key) — then the pair
+    * intersection is a gram-hash self-join of the DISTINCT frame with
+    * per-bucket fan-out bounded by sources² (≤400), not corpus size.
+    * Recomputing the cheap gram subtree on each side of the self-join is
+    * the minhashNearDups tradeoff, documented there. Output: both set
+    * sizes, the intersection, and Jaccard in ppm — exact integers.
+    */
+  def q311SourceGramOverlap(spark: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(spark, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(w) - 3),
+            i -> substring(md5(concat_ws(' ', slice(w, i + 1, 3))), 1, 16))"""))
+        .as("gk"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gk") === col("b.gk") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("x").join(sizes.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n_grams").as("n_a"), col("y.n_grams").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("cast(n_common * 1000000 div (n_a + n_b - n_common) as bigint)"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q311Oracle: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+       g AS (SELECT DISTINCT source,
+               substring(md5(array_to_string(w[p + 1 : p + 3], ' ')), 1, 16) AS gk
+             FROM (SELECT source, w,
+                     CAST(unnest(range(0, len(w) - 2)) AS INTEGER) AS p FROM t)),
+       s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+       i AS (SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+             FROM g a JOIN g b ON a.gk = b.gk AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT x.source AS src_a, y.source AS src_b, x.n_grams AS n_a,
+         y.n_grams AS n_b, coalesce(i.n_common, 0) AS n_common,
+         CAST(coalesce(i.n_common, 0) * 1000000
+              // (x.n_grams + y.n_grams - coalesce(i.n_common, 0)) AS BIGINT)
+           AS jaccard_ppm
+       FROM s x JOIN s y ON x.source < y.source
+       LEFT JOIN i ON i.src_a = x.source AND i.src_b = y.source
+       ORDER BY src_a, src_b"""
+
+  // ---------------------------------------------------------------- q318
+  /** word2vec NEGATIVE-SAMPLING distribution — the unigram^(3/4) table
+    * (Mikolov et al.): raising counts to the 3/4 power flattens the
+    * head so frequent tokens stop dominating the negative draws. The
+    * power is computed WITHOUT pow(): c^0.75 = √(c·√c) — two IEEE
+    * correctly-rounded sqrts composed identically in both engines (the
+    * q298 sqrt discipline; pow() is the libm call the 555fc28 ban
+    * exists for), then µ-quantized. Readout: the top-10 tokens with
+    * raw vs smoothed shares in exact ppm — the flattening, measured.
+    * One tokenize pass into the pinned vocab aggregate; total weights
+    * are BIGINT sums; top-10 is TakeOrderedAndProject over vocab rows.
+    */
+  def q318NegativeSampling(spark: SparkSession, d: String): DataFrame = {
+    val v = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("w_micro", expr(
+        "cast(round(sqrt(cast(c as double) * sqrt(cast(c as double))) * 1000000) as bigint)"))
+      .localCheckpoint()
+    val tot = v.agg(expr("cast(sum(w_micro) as bigint)").as("w_total"),
+      expr("cast(sum(c) as bigint)").as("c_total"))
+    v.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "cast(cast(w_micro as decimal(38,0)) * 1000000 div w_total as bigint)"))
+      .withColumn("raw_share_ppm", expr("cast(c * 1000000 div c_total as bigint)"))
+      .orderBy(col("c").desc, col("t").asc).limit(10)
+      .select(col("t").as("token"), col("c"), col("w_micro"),
+        col("share_ppm"), col("raw_share_ppm"))
+  }
+
+  val q318Oracle: String =
+    """WITH v AS (SELECT w AS t, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> '' GROUP BY 1),
+       vv AS (SELECT t, c,
+                CAST(round(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS w_micro
+              FROM v),
+       tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+                 CAST(sum(c) AS BIGINT) AS c_total FROM vv)
+       SELECT t AS token, c, w_micro,
+         CAST(CAST(w_micro AS HUGEINT) * 1000000 // w_total AS BIGINT) AS share_ppm,
+         CAST(c * 1000000 // c_total AS BIGINT) AS raw_share_ppm
+       FROM vv CROSS JOIN tot ORDER BY c DESC, t ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q319
+  /** Vocabulary-TRUNCATION inflation — the tokenizer-budget trade the
+    * other direction from q308: cap the vocabulary at the top-V tokens
+    * (by count, ties to the smaller hash) and let out-of-vocabulary
+    * occurrences fall back to character level (len(word) units, the
+    * byte-fallback every BPE tokenizer ships). Readout per V ∈ {4, 8,
+    * 16}: kept vocab, OOV occurrence count, total post-fallback units,
+    * and token inflation in ppm — the serving-cost curve a vocab-size
+    * decision reads. The rank-V boundary is found by the BucketRank
+    * two-phase rank (no vocab-wide single-task window) and membership
+    * is the exact (count, hash) boundary comparison — no row_number
+    * over the corpus. Two documents passes (vocab pin + occurrence
+    * join); the occurrence join carries 8-byte hashes.
+    */
+  def q319VocabTruncation(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(expr(md5l("t")).as("g"), length(col("t")).cast("long").as("len"))
+    val v = tok.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("neg", -col("c"))
+      .localCheckpoint()
+    val targets = Seq(4, 8, 16).map(vv => expr(s"least($vv, __n)"))
+    val bounds = BucketRank.select(v.withColumn("__g", lit(1)), "__g",
+        bucket = expr("neg div 16"), ord = Seq(col("neg"), col("g")),
+        targets = targets)
+      .select(col("neg").as("neg_thr"), col("g").as("g_thr"),
+        col("__grank"), col("__n"))
+    val grid = spark.range(1).select(explode(expr("array(4, 8, 16)")).as("V"))
+    val th = grid.crossJoin(bounds).filter(expr("__grank = least(V, __n)"))
+      .select(col("V"), col("neg_thr"), col("g_thr"))
+    val cls = v.crossJoin(broadcast(th))
+      .withColumn("in_vocab",
+        expr("neg < neg_thr OR (neg = neg_thr AND g <= g_thr)"))
+      .select(col("V"), col("g"), col("in_vocab"))
+    val kept = cls.groupBy(col("V"))
+      .agg(expr("cast(count_if(in_vocab) as bigint)").as("n_vocab_kept"))
+    tok.join(cls, "g")
+      .groupBy(col("V"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        expr("cast(count_if(NOT in_vocab) as bigint)").as("n_oov_occurrences"),
+        expr("cast(sum(CASE WHEN in_vocab THEN 1 ELSE len END) as bigint)").as("n_units"))
+      .join(kept, "V")
+      .withColumn("inflation_ppm",
+        expr("cast(n_units * 1000000 div n_occurrences as bigint)"))
+      .select(col("V").cast("long").as("v_size"), col("n_vocab_kept"),
+        col("n_occurrences"), col("n_oov_occurrences"), col("n_units"),
+        col("inflation_ppm"))
+      .orderBy(col("v_size"))
+  }
+
+  val q319Oracle: String =
+    """WITH tok AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS g,
+             CAST(len(w) AS BIGINT) AS len
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> ''),
+       v AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       rk AS (SELECT g, c, row_number() OVER (ORDER BY c DESC, g ASC) AS r FROM v),
+       nn AS (SELECT count(*) AS n FROM v),
+       th AS (SELECT vv.V, rk.c AS c_thr, rk.g AS g_thr
+              FROM (VALUES (4), (8), (16)) vv(V)
+              JOIN nn ON true JOIN rk ON rk.r = least(vv.V, nn.n)),
+       cls AS (SELECT th.V, v.g,
+                 (v.c > th.c_thr OR (v.c = th.c_thr AND v.g <= th.g_thr)) AS in_vocab
+               FROM v CROSS JOIN th),
+       kept AS (SELECT V, CAST(count(*) FILTER (in_vocab) AS BIGINT) AS n_vocab_kept
+                FROM cls GROUP BY 1),
+       agg AS (SELECT cls.V, CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(count(*) FILTER (NOT in_vocab) AS BIGINT) AS n_oov_occurrences,
+                 CAST(sum(CASE WHEN in_vocab THEN 1 ELSE len END) AS BIGINT) AS n_units
+               FROM tok JOIN cls ON cls.g = tok.g GROUP BY 1)
+       SELECT CAST(a.V AS BIGINT) AS v_size, k.n_vocab_kept, a.n_occurrences,
+         a.n_oov_occurrences, a.n_units,
+         CAST(a.n_units * 1000000 // a.n_occurrences AS BIGINT) AS inflation_ppm
+       FROM agg a JOIN kept k ON k.V = a.V ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_negative_sampling" -> q318NegativeSampling _,
+    "q319_vocab_truncation" -> q319VocabTruncation _,
+    "q306_perceptron_rounds" -> q306PerceptronRounds _,
+    "q308_heaps_growth" -> q308HeapsGrowth _,
+    "q309_jsd_matrix" -> q309JsdMatrix _,
+    "q311_source_gram_overlap" -> q311SourceGramOverlap _,
     "q301_contamination_matrix" -> q301ContaminationMatrix _,
     "q287_dsir_lift" -> q287DsirLift _,
     "q286_build_doc_lm" -> q286BuildDocLm _,
@@ -2535,6 +2985,12 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q318_negative_sampling" -> q318Oracle,
+    "q319_vocab_truncation" -> q319Oracle,
+    "q306_perceptron_rounds" -> q306Oracle,
+    "q308_heaps_growth" -> q308Oracle,
+    "q309_jsd_matrix" -> q309Oracle,
+    "q311_source_gram_overlap" -> q311Oracle,
     "q301_contamination_matrix" -> q301Oracle,
     "q287_dsir_lift" -> q287Oracle,
     "q286_build_doc_lm" -> q286Oracle,

@@ -926,7 +926,99 @@ object StreamingOps {
          CAST(max(CASE WHEN before < $Q299TokenQuota THEN doc_id ELSE -1 END) AS BIGINT) AS last_admitted_doc
        FROM w GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------- q312
+  /** STREAMING HyperLogLog cardinality monitor — live distinct-user
+    * counts per event type where the user sets are too large to hold as
+    * dedup state (q190's dropDuplicates keeps one state row PER USER;
+    * HLL state is 64 registers per event type, full stop — the only
+    * cardinality shape that survives 100 TB streams). Registers are
+    * hash-derived and mergeable: bucket = first md5 byte mod 64, rank =
+    * leading zero bits of the next 60 hash bits + 1 (computed via
+    * `bin()` string length — identical in both engines), and the
+    * streaming aggregation `max(rank) per (type, bucket)` IS the
+    * register merge: order- and batch-boundary-independent by
+    * construction, so the streamed registers are bit-equal to the
+    * oracle's batch replay. The readout certifies the estimator against
+    * the exact batch distinct: raw HLL (α·m²/Σ2^⁻reg, exact integer
+    * rationals over a common 2⁶⁰ denominator in DECIMAL(38,0)/HUGEINT)
+    * with the standard linear-counting switch below 2.5m when empty
+    * buckets remain (ln rounded to milli, the q238 discipline), bounded
+    * at 40% + 10 — ≳3σ for m = 64 in both regimes, FALSE on real
+    * divergence. State: 64·K rows regardless of stream volume.
+    */
+  def q312StreamHllDistinct(spark: SparkSession, d: String): DataFrame = {
+    val regs = eventsStream(spark, d)
+      .select(col("event_type"),
+        expr("md5(cast(user_id as string))").as("md"))
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md, 1, 2), 16, 10) AS BIGINT) % 64").as("bucket"),
+        expr("CAST(conv(substring(md, 3, 15), 16, 10) AS BIGINT)").as("h60"))
+      .withColumn("rank", expr("CAST(61 - length(bin(h60)) AS BIGINT)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val name = s"stream_hll_${System.nanoTime()}"
+    val stored = runToMemory(spark, regs, name, OutputMode.Complete())
+    val perType = stored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("buckets_hit"),
+        expr("cast(sum(reg) as bigint)").as("reg_sum"),
+        expr("cast(sum(cast(shiftleft(cast(1 as bigint), cast(60 - reg as int)) as decimal(38,0))) as decimal(38,0))")
+          .as("d_hit"))
+      .withColumn("d_prime", expr(
+        "d_hit + cast(64 - buckets_hit as decimal(38,0)) * 1152921504606846976"))
+      .withColumn("est_raw_milli", expr(
+        "cast((cast(2904064 as decimal(38,0)) * 1152921504606846976) div d_prime as bigint)"))
+      .withColumn("est_milli", expr(
+        """CASE WHEN est_raw_milli <= 160000 AND buckets_hit < 64
+             THEN cast(round(64 * ln(64.0 / (64 - buckets_hit)) * 1000) as bigint)
+             ELSE est_raw_milli END"""))
+    val exact = graft.sources.Tables.events(spark, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users_exact"))
+    perType.join(exact, "event_type")
+      .select(col("event_type"), col("n_users_exact"), col("buckets_hit"),
+        col("reg_sum"), col("est_milli"),
+        expr("abs(est_milli - n_users_exact * 1000) <= n_users_exact * 400 + 10000")
+          .as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val q312Oracle: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+       h AS (SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 64 AS bucket,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15)) AS BIGINT) AS h60
+             FROM u),
+       r AS (SELECT event_type, bucket,
+               CAST(max(61 - len(bin(h60))) AS BIGINT) AS reg
+             FROM h GROUP BY 1, 2),
+       t AS (SELECT event_type, count(*) AS buckets_hit,
+               CAST(sum(reg) AS BIGINT) AS reg_sum,
+               sum((CAST(1 AS HUGEINT) << CAST(60 - reg AS INTEGER)))
+                 + (64 - count(*)) * CAST(1152921504606846976 AS HUGEINT) AS d_prime
+             FROM r GROUP BY 1),
+       e AS (SELECT event_type,
+               CAST((CAST(2904064 AS HUGEINT) * 1152921504606846976) // d_prime AS BIGINT)
+                 AS est_raw_milli,
+               buckets_hit, reg_sum
+             FROM t),
+       est AS (SELECT event_type, buckets_hit, reg_sum,
+                 CASE WHEN est_raw_milli <= 160000 AND buckets_hit < 64
+                   THEN CAST(round(64 * ln(64.0 / (64 - buckets_hit)) * 1000) AS BIGINT)
+                   ELSE est_raw_milli END AS est_milli
+               FROM e),
+       x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+             FROM events GROUP BY 1)
+       SELECT est.event_type AS event_type, x.n_users_exact,
+         CAST(est.buckets_hit AS BIGINT) AS buckets_hit,
+         est.reg_sum, est.est_milli,
+         abs(est.est_milli - x.n_users_exact * 1000) <= x.n_users_exact * 400 + 10000
+           AS within_bound
+       FROM est JOIN x ON x.event_type = est.event_type
+       ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
@@ -947,6 +1039,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q312_stream_hll_distinct" -> q312Oracle,
     "q299_stream_quota_admission" -> q299Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,

@@ -295,7 +295,17 @@ class PlanSpec extends SparkSuite {
       "q300_bitext_margin" -> ("embeddings", 0),         // dots ride the stored µ-int long form; one documents scan for langs
       "q301_contamination_matrix" -> ("documents", 3),   // eval grams + snippet frame + incoming corpus
       "q302_bootstrap_ci" -> ("documents", 1),           // all B resamples ride one scan
-      "q303_ndcg_eval" -> ("embeddings", 4))             // 4 label legs, every one pruned to (vec_id, label) — dots ride the stored long form; vectors never rescan
+      "q303_ndcg_eval" -> ("embeddings", 4),             // 4 label legs, every one pruned to (vec_id, label) — dots ride the stored long form; vectors never rescan
+      "q304_pagerank" -> ("events", 2),                  // edge + node frames pinned (K-sized); iterations are broadcast joins
+      "q305_winnowing" -> ("documents", 1),              // one gram pass; the fingerprint frame is pinned (the index)
+      "q306_perceptron_rounds" -> ("documents", 1),      // one feature pass pinned; rounds are broadcast aggregates
+      "q307_random_projection" -> ("embeddings", 1),     // labels only; projections/norms ride the stored µ-int long form
+      "q308_heaps_growth" -> ("documents", 2),           // token-count frame pinned + one tokenize pass (first-occurrence)
+      "q309_jsd_matrix" -> ("documents", 1),             // one tokenize pass pinned at vocab size; pairs replicate the vocab
+      "q310_bucket_batching" -> ("documents", 1),        // one token-count pass; width sweep explodes map-side
+      "q311_source_gram_overlap" -> ("documents", 4),    // distinct-gram subtree ×(sizes ×2 + both self-join sides) — the minhash tradeoff
+      "q312_stream_hll_distinct" -> ("events", 1),       // stream pre-run; batch side is the exact-distinct certificate
+      "q313_pattern_match" -> ("events", 1))             // one events scan into per-user journey strings
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -107,4 +107,115 @@ class Round9Spec extends SparkSuite {
     val n = graft.Explain.scanCounts(df).getOrElse("embeddings", 0)
     assert(n <= 2, s"q285 scans embeddings $n× (ceiling 2: corpus + query side)")
   }
+
+  // ------------------------------------------------------------- q304
+  test("q304: pagerank mass is conserved up to integer-truncation dust") {
+    val rows = graft.SparkEntry.queries("q304_pagerank")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("pr_pico")).sum
+    // every edge contribution and the teleport term truncate downward —
+    // at K=5 nodes and ≤25 edges the lost mass is bounded well under 1e6
+    // pico-units; anything bigger means the recurrence is wrong
+    assert(total <= 1000000000000L && total >= 1000000000000L - 1000000L,
+      s"pagerank mass $total drifted from 1e12")
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to rows.length).toSeq)
+  }
+
+  // ------------------------------------------------------------- q305
+  test("q305: winnowing density sits near the theoretical 2/(w+1)") {
+    val rows = graft.SparkEntry.queries("q305_winnowing")(spark, sf).collect()
+    rows.foreach { r =>
+      val density = r.getAs[Long]("density_ppm")
+      // 2/(w+1) = 400000 ppm for w=4; random hashes concentrate tightly
+      // around it at per-language gram counts in the thousands
+      assert(density > 250000 && density < 550000,
+        s"lang ${r.getAs[String]("lang")}: density $density ppm far from 400000")
+      assert(r.getAs[Boolean]("planted_ok"),
+        s"lang ${r.getAs[String]("lang")}: a planted span escaped winnowing — " +
+          "the ≥ w+k−1 shared-run guarantee broke")
+    }
+  }
+
+  // ------------------------------------------------------------- q306
+  test("q306: perceptron round-1 update equals the class-difference sums") {
+    val rows = graft.SparkEntry.queries("q306_perceptron_rounds")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length === 3)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    // at w = 0 every doc scores 0 and y·0 ≤ 0: all docs count misclassified
+    assert(rows(0).getAs[Long]("n_misclassified") === nDocs)
+    // round 3 is evaluation-only: weights must equal round 2's exactly
+    Seq("w_bias", "w_tokens", "w_chars", "w_the", "w_long").foreach { c =>
+      assert(rows(2).getAs[Long](c) === rows(1).getAs[Long](c),
+        s"eval row mutated weight $c")
+    }
+  }
+
+  // ------------------------------------------------------------- q307
+  test("q307: JL norm ratios concentrate around 1 for every label") {
+    val rows = graft.SparkEntry.queries("q307_random_projection")(spark, sf).collect()
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_ratio_ppm")
+      val n = r.getAs[Long]("n_vecs")
+      assert(avg > 600000 && avg < 1600000,
+        s"label ${r.getAs[Long]("label")}: avg ratio $avg ppm — JL contract broken")
+      // at d_out = 8 the ratio's relative σ is √(2/8) = 0.5 — tails
+      // outside [½×, 2×] are expected for a sizable minority; the gate is
+      // "not a majority", the avg above is the concentration certificate
+      assert(r.getAs[Long]("n_below_half") + r.getAs[Long]("n_above_double") <= n / 2,
+        s"label ${r.getAs[Long]("label")}: heavy JL tails")
+    }
+  }
+
+  // ------------------------------------------------------------- q308
+  test("q308: vocabulary growth is cumulative and ends at the full vocab") {
+    val rows = graft.SparkEntry.queries("q308_heaps_growth")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("ck"))
+    assert(rows.length === 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+      assert(a.getAs[Long]("n_docs") <= b.getAs[Long]("n_docs"))
+    }
+    val full = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").select(col("t")).distinct().count()
+    assert(rows(3).getAs[Long]("vocab") === full,
+      "checkpoint 4 vocabulary must equal the corpus distinct-token count")
+  }
+
+  // ------------------------------------------------------------- q309
+  test("q309: JSD stays within its ln-2 bound and strictly positive") {
+    val rows = graft.SparkEntry.queries("q309_jsd_matrix")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jsd_nano")
+      assert(j > 0 && j <= 693147181L,
+        s"${r.getAs[String]("la")}/${r.getAs[String]("lb")}: jsd $j nano-nats " +
+          "outside (0, ln 2]")
+    }
+  }
+
+  // ------------------------------------------------------------- q310
+  test("q310: padded stream decomposes into tokens + pad at every width") {
+    val rows = graft.SparkEntry.queries("q310_bucket_batching")(spark, sf).collect()
+    val tok = rows.map(r =>
+      r.getAs[Long]("padded_tokens") - r.getAs[Long]("pad_tokens")).distinct
+    assert(tok.length === 1, "raw token mass must be width-invariant")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batches") >= r.getAs[Long]("n_docs") / Q310B,
+        "batch count below the pigeonhole floor")
+    }
+  }
+  private val Q310B = graft.operators.Curation.Q310BatchSize
+
+  // ------------------------------------------------------------- q312
+  test("q312: streamed HLL registers certify against exact distincts") {
+    val rows = graft.SparkEntry.queries("q312_stream_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("event_type")}: estimate " +
+          s"${r.getAs[Long]("est_milli")} vs exact ${r.getAs[Long]("n_users_exact")}")
+      assert(r.getAs[Long]("buckets_hit") <= 64)
+    }
+  }
 }
