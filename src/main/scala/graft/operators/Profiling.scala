@@ -705,7 +705,112 @@ object Profiling {
            AS mean_tokens_ppm
        FROM w GROUP BY b ORDER BY b"""
 
+  // ---------------------------------------------------------------- q323
+  /** CORPUS DATASHEET — the dataset-card stats block (Gebru et al.'s
+    * datasheet, the numbers section) as one driven query: size, token
+    * and char mass, language/source diversity, exact-duplicate mass,
+    * central tendency (exact lower median tokens via the BucketRank
+    * two-phase rank — no single-task window), long-doc share, and the
+    * 3-gram diversity pair (distinct grams, cross-document grams — the
+    * q270 df signal at datasheet granularity). Every value an exact
+    * BIGINT in a uniform (metric, value) frame — the shape release
+    * tooling diffs between corpus versions. Shape: ONE narrow per-doc
+    * pass (pinned; text rides as an md5-prefix hash, never shuffles) +
+    * one gram pass; medians and rollups read the pin.
+    */
+  def q323CorpusDatasheet(spark: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("nt"),
+        col("n_chars").cast("long").as("nc"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("th"))
+      .localCheckpoint()
+    val m1 = per.agg(
+      count(lit(1)).as("n_docs"),
+      expr("cast(sum(nt) as bigint)").as("n_tokens"),
+      expr("cast(sum(nc) as bigint)").as("n_chars_total"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      expr("cast(count_if(nt >= 100) as bigint)").as("n_docs_ge_100_tokens"),
+      expr("cast(max(nt) as bigint)").as("max_tokens"))
+    val dup = per.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .agg(expr("cast(coalesce(sum(cnt), 0) as bigint)").as("n_exact_dup_docs"))
+    val med = BucketRank.select(per.withColumn("__g", lit(1)), "__g",
+        bucket = expr("nt div 64"), ord = Seq(col("nt"), col("doc_id")),
+        targets = Seq(expr("(__n + 1) div 2")))
+      .agg(expr("cast(max(nt) as bigint)").as("median_tokens"))
+    val gAgg = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 3),
+            i -> substring(md5(concat_ws(' ', slice(w, i + 1, 3))), 1, 16))"""))
+        .as("gk"))
+      .groupBy(col("gk")).agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("n_distinct_3grams"),
+        expr("cast(count_if(df >= 2) as bigint)").as("n_crossdoc_3grams"))
+    m1.crossJoin(dup).crossJoin(med).crossJoin(gAgg)
+      .select(expr(
+        """stack(11,
+             'n_docs', n_docs,
+             'n_tokens', n_tokens,
+             'n_chars_total', n_chars_total,
+             'n_langs', n_langs,
+             'n_sources', n_sources,
+             'n_docs_ge_100_tokens', n_docs_ge_100_tokens,
+             'max_tokens', max_tokens,
+             'n_exact_dup_docs', n_exact_dup_docs,
+             'median_tokens', median_tokens,
+             'n_distinct_3grams', n_distinct_3grams,
+             'n_crossdoc_3grams', n_crossdoc_3grams) as (metric, value)"""))
+      .orderBy(col("metric"))
+  }
+
+  val q323Oracle: String =
+    """WITH per AS (SELECT doc_id, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(n_chars AS BIGINT) AS nc,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS th
+           FROM documents),
+       m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars_total,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(*) FILTER (nt >= 100) AS BIGINT) AS n_docs_ge_100_tokens,
+                CAST(max(nt) AS BIGINT) AS max_tokens
+              FROM per),
+       dup AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_exact_dup_docs
+               FROM (SELECT th, count(*) AS cnt FROM per GROUP BY 1) WHERE cnt >= 2),
+       med AS (SELECT CAST(nt AS BIGINT) AS median_tokens FROM (
+                 SELECT nt, row_number() OVER (ORDER BY nt, doc_id) AS r FROM per),
+                 (SELECT count(*) AS n FROM per)
+               WHERE r = (n + 1) // 2),
+       g AS (SELECT substring(md5(array_to_string(w[p + 1 : p + 3], ' ')), 1, 16) AS gk,
+               doc_id
+             FROM (SELECT doc_id, w, CAST(unnest(range(0, len(w) - 2)) AS INTEGER) AS p
+                   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                         WHERE len(string_split(text, ' ')) >= 3))),
+       ga AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_3grams,
+                CAST(count(*) FILTER (df >= 2) AS BIGINT) AS n_crossdoc_3grams
+              FROM (SELECT gk, count(DISTINCT doc_id) AS df FROM g GROUP BY 1))
+       SELECT u.metric, u.value FROM (
+         SELECT 'n_docs' AS metric, n_docs AS value FROM m1
+         UNION ALL SELECT 'n_tokens', n_tokens FROM m1
+         UNION ALL SELECT 'n_chars_total', n_chars_total FROM m1
+         UNION ALL SELECT 'n_langs', n_langs FROM m1
+         UNION ALL SELECT 'n_sources', n_sources FROM m1
+         UNION ALL SELECT 'n_docs_ge_100_tokens', n_docs_ge_100_tokens FROM m1
+         UNION ALL SELECT 'max_tokens', max_tokens FROM m1
+         UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM dup
+         UNION ALL SELECT 'median_tokens', median_tokens FROM med
+         UNION ALL SELECT 'n_distinct_3grams', n_distinct_3grams FROM ga
+         UNION ALL SELECT 'n_crossdoc_3grams', n_crossdoc_3grams FROM ga) u
+       ORDER BY u.metric"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_corpus_datasheet" -> q323CorpusDatasheet _,
     "q302_bootstrap_ci" -> q302BootstrapCi _,
     "q251_k_anonymity" -> q251KAnonymity _,
     "q214_pareto_coverage" -> q214ParetoCoverage _,
@@ -721,6 +826,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q323_corpus_datasheet" -> q323Oracle,
     "q302_bootstrap_ci" -> q302Oracle,
     "q251_k_anonymity" -> q251Oracle,
     "q214_pareto_coverage" -> q214Oracle,

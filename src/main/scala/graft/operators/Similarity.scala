@@ -2237,7 +2237,211 @@ object Similarity {
          CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS share_ppm
        FROM indeg CROSS JOIN tot GROUP BY occ, tot.n_total ORDER BY occ"""
 
+  // ---------------------------------------------------------------- q320
+  /** MULTI-PROBE LSH (Lv et al.) with a FULL value oracle — q35's
+    * hyperplane ANN uses native xxhash hyperplanes, so its oracle is the
+    * planted-twin certificate; here the 8 hyperplanes are HASH-DERIVED
+    * ±1 sign rows (the q307 trick), every projection is an exact BIGINT
+    * dot over the stored µ-int long form, and DuckDB replays bucketing,
+    * probe sequence and ranking value-for-value. The multi-probe idea:
+    * instead of more hash tables, probe the query's own bucket PLUS the
+    * buckets reached by flipping the hyperplane bits with the smallest
+    * |margin| (the hyperplanes the query sits closest to — where its
+    * true neighbors most likely fell on the other side). Probe sequence
+    * is deterministic: |margin| asc, bit index asc, 3 flips → 4 buckets.
+    * Readout per query: base-bucket candidates vs multi-probe
+    * candidates (the recall the extra probes buy), top-3 by exact dot.
+    * The planted twin (vec 900000 = vec 0) encodes to the SAME bucket
+    * and must surface at rank 1 for qid 0 — zero-failure certificate on
+    * top of the full oracle. At 100 TB the bucket table is the
+    * persisted index (bucket-bucketed); probes touch 4 posting lists.
+    */
+  def q320MultiprobeLsh(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lf = pqLfTable(spark, d)
+      .withColumn("dim", expr(s"sub * $PqSubDim + jj"))
+    val proj = lf
+      .select(col("vec_id"), col("dim"), col("xq"),
+        explode(expr("sequence(0, 7)")).as("i"))
+      .withColumn("sgn", expr(
+        """1 - 2 * (CAST(conv(substring(md5(concat('lsh#', CAST(i AS STRING), '#', CAST(dim AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"""))
+      .groupBy(col("vec_id"), col("i"))
+      .agg(expr("cast(sum(sgn * xq) as bigint)").as("p"))
+      .localCheckpoint() // (corpus × 8) projection rows feed buckets AND margins
+    val buckets = proj.groupBy(col("vec_id"))
+      .agg(expr(
+        "cast(sum(CASE WHEN p >= 0 THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE 0 END) as bigint)")
+        .as("bucket"))
+    val qproj = proj.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "qid")
+    val qbase = buckets.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    val wm = Window.partitionBy(col("qid")).orderBy(abs(col("p")).asc, col("i").asc)
+    val flips = qproj.withColumn("rn", row_number().over(wm)).filter(col("rn") <= 3)
+      .join(qbase, "qid")
+      .select(col("qid"), expr(
+        "cast(bucket ^ shiftleft(cast(1 as bigint), cast(i as int)) as bigint)")
+        .as("bucket"))
+    val probeSet = qbase.unionByName(flips).distinct().localCheckpoint() // ≤20 rows
+    val cand = buckets.join(broadcast(probeSet), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val candBase = buckets.join(broadcast(qbase), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_candidates_base"))
+    val qlf = lf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("jj"), col("xq").as("xquery"))
+    val dots = lf.join(broadcast(qlf), Seq("sub", "jj"))
+      .join(cand, Seq("qid", "vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(expr("cast(sum(xq * xquery) as bigint)").as("dot"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id").asc)
+    val top1 = dots.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("top1_id"), col("dot").as("top1_dot"))
+    cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+      .join(probeSet.groupBy(col("qid")).agg(count(lit(1)).as("n_buckets_probed")), "qid")
+      .join(candBase, Seq("qid"), "left").na.fill(0L, Seq("n_candidates_base"))
+      .join(top1, "qid")
+      .select(col("qid"), col("n_buckets_probed"), col("n_candidates_base"),
+        col("n_candidates"), col("top1_id"), col("top1_dot"))
+      .orderBy(col("qid"))
+  }
+
+  val q320Oracle: String =
+    s"""WITH lv0 AS (SELECT vec_id, r.j AS dim,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       lv AS (SELECT * FROM lv0
+              UNION ALL SELECT 900000, dim, xq FROM lv0 WHERE vec_id = 0),
+       proj AS (SELECT vec_id, i.i,
+                  CAST(sum((1 - 2 * (CAST(('0x' || substr(md5('lsh#' || i.i || '#' || dim), 1, 15)) AS BIGINT) % 2)) * xq) AS BIGINT) AS p
+                FROM lv, range(8) i(i) GROUP BY 1, 2),
+       bk AS (SELECT vec_id,
+                CAST(sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY 1),
+       qbase AS (SELECT vec_id AS qid, bucket FROM bk WHERE vec_id < 5),
+       flips AS (SELECT p.vec_id AS qid,
+                   CAST(xor(q.bucket, (CAST(1 AS BIGINT) << p.i)) AS BIGINT) AS bucket
+                 FROM proj p JOIN qbase q ON q.qid = p.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY abs(p.p) ASC, p.i ASC) <= 3),
+       ps AS (SELECT DISTINCT qid, bucket FROM
+                (SELECT * FROM qbase UNION ALL SELECT * FROM flips)),
+       cand AS (SELECT ps.qid, bk.vec_id FROM bk JOIN ps ON ps.bucket = bk.bucket
+                WHERE bk.vec_id <> ps.qid),
+       cb AS (SELECT q.qid, CAST(count(*) AS BIGINT) AS n_candidates_base
+              FROM bk JOIN qbase q ON q.bucket = bk.bucket WHERE bk.vec_id <> q.qid
+              GROUP BY 1),
+       dots AS (SELECT c.qid, c.vec_id, CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM cand c JOIN lv a ON a.vec_id = c.vec_id
+                JOIN lv b ON b.vec_id = c.qid AND b.dim = a.dim
+                GROUP BY 1, 2),
+       t1 AS (SELECT qid, vec_id AS top1_id, dot AS top1_dot FROM dots
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY dot DESC, vec_id ASC) = 1)
+       SELECT c.qid AS qid, p.n_buckets_probed,
+         coalesce(cb.n_candidates_base, 0) AS n_candidates_base,
+         c.n_candidates, t1.top1_id, t1.top1_dot
+       FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1) c
+       JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_buckets_probed FROM ps GROUP BY 1) p
+         ON p.qid = c.qid
+       LEFT JOIN cb ON cb.qid = c.qid
+       JOIN t1 ON t1.qid = c.qid
+       ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q322
+  /** IVF OPERATING CURVE — q241 certifies recall@10 at the deployed
+    * nprobe; the tuning decision needs the whole curve: recall@10 as
+    * nprobe sweeps {1, 2, 4, 8} of the 16 stored lists. Ground truth
+    * (exact brute-force top-10 per query) computes ONCE; the sweep
+    * explodes only the K-row probe ranking, and each setting's
+    * candidate search touches just its nprobe inverted lists. Output
+    * per setting: total hits over the 10-query sample and mean recall
+    * in ppm — the marginal-recall-per-probe curve that justifies (or
+    * indicts) the deployed [[IvfNProbe]]. Full oracle replays training,
+    * both search paths and the sweep.
+    */
+  def q322NprobeSweep(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      .localCheckpoint() // 10 rows, read by three consumers
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    val bftop = assigned.select(col("vec_id"), col("ed"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      .localCheckpoint() // 100 rows of ground truth, one per sweep setting
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_u").desc, col("cid").asc)
+    val probes = cent.crossJoin(broadcast(queries))
+      .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .withColumn("sim_u", expr("cast(round(sim * 1000000) as bigint)"))
+      .withColumn("rc", row_number().over(wp))
+      .select(col("qid"), col("cid"), col("qe"), col("rc"),
+        explode(expr("array(1, 2, 4, 8)")).as("np"))
+      .filter(col("rc") <= col("np"))
+      .select(col("np"), col("qid"), col("cid"), col("qe"))
+    val wqn = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    val ivftop = assigned.select(col("vec_id"), col("cid"), col("ed"))
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .withColumn("rn", row_number().over(wqn))
+      .filter(col("rn") <= 10)
+      .select(col("np"), col("qid"), col("vec_id"))
+    ivftop.join(bftop, Seq("qid", "vec_id"))
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("n_queries", lit(10L))
+      .withColumn("recall_ppm", expr("cast(n_hits * 1000000 div 100 as bigint)"))
+      .select(col("np").cast("long").as("nprobe"), col("n_queries"),
+        col("n_hits"), col("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
+  val q322Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       bf AS (SELECT q.vec_id AS qid, e.vec_id,
+                CAST(round(1000000 *
+                  sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                  (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                   sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE))))) AS BIGINT) AS cos_u
+              FROM ev e, ev q, range(64) r(j)
+              WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2),
+       bftop AS (SELECT qid, vec_id FROM bf
+                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id ASC) <= 10),
+       pr AS (SELECT vec_id AS qid, cid,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY CAST(round(sim * 1000000) AS BIGINT) DESC, cid ASC) AS rc
+              FROM pairT WHERE vec_id < 10),
+       probes AS (SELECT g.np, pr.qid, pr.cid
+                  FROM pr CROSS JOIN (VALUES (1), (2), (4), (8)) g(np)
+                  WHERE pr.rc <= g.np),
+       ivftop AS (SELECT np, qid, vec_id FROM (
+                    SELECT p.np, p.qid, a.vec_id, bf.cos_u
+                    FROM assignedT a JOIN probes p ON p.cid = a.cid
+                    JOIN bf ON bf.qid = p.qid AND bf.vec_id = a.vec_id
+                    WHERE a.vec_id <> p.qid)
+                  QUALIFY row_number() OVER (PARTITION BY np, qid
+                    ORDER BY cos_u DESC, vec_id ASC) <= 10)
+       SELECT CAST(i.np AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS n_queries,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(count(*) * 1000000 // 100 AS BIGINT) AS recall_ppm
+       FROM ivftop i JOIN bftop b ON b.qid = i.qid AND b.vec_id = i.vec_id
+       GROUP BY i.np ORDER BY nprobe"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_multiprobe_lsh" -> q320MultiprobeLsh _,
+    "q322_nprobe_sweep" -> q322NprobeSweep _,
     "q314_build_knn_graph" -> q314BuildKnnGraph _,
     "q315_hubness_audit" -> q315HubnessAudit _,
     "q307_random_projection" -> q307RandomProjection _,
@@ -2271,6 +2475,8 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q320_multiprobe_lsh" -> q320Oracle,
+    "q322_nprobe_sweep" -> q322Oracle,
     "q314_build_knn_graph" -> q314Oracle,
     "q315_hubness_audit" -> q315Oracle,
     "q307_random_projection" -> q307Oracle,

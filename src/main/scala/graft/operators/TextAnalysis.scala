@@ -2515,8 +2515,12 @@ object TextAnalysis {
     * BROADCAST — gradient-style map-side partial sums, the distributed
     * linear-model shape.
     */
-  def q306PerceptronRounds(spark: SparkSession, d: String): DataFrame = {
-    val f = Tables.documents(spark, d).select(
+  /** The pinned per-doc feature frame + round-1 weight row shared by
+    * q306 (training trajectory) and q321 (calibration readout).
+    */
+  private def perceptronFeatures(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+        col("doc_id"),
         expr("CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("y"),
         expr("CAST(1 AS BIGINT)").as("x0"),
         expr("cast(size(split(text, ' ')) as bigint)").as("x1"),
@@ -2524,22 +2528,35 @@ object TextAnalysis {
         expr("cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint)").as("x3"),
         expr("cast(size(filter(split(text, ' '), w -> length(w) > 5)) as bigint)").as("x4"))
       .localCheckpoint()
-    val w1 = f.agg(
+
+  /** Round-1 weight row (a0…a4 + n1) over the feature frame. */
+  private def perceptronW1(f: DataFrame): DataFrame =
+    f.agg(
       expr("cast(count(1) as bigint)").as("n1"),
       expr("cast(sum(y * x0) as bigint)").as("a0"),
       expr("cast(sum(y * x1) as bigint)").as("a1"),
       expr("cast(sum(y * x2) as bigint)").as("a2"),
       expr("cast(sum(y * x3) as bigint)").as("a3"),
       expr("cast(sum(y * x4) as bigint)").as("a4"))
-    val scored2 = f.crossJoin(broadcast(w1))
+
+  /** Round-2 weight row (b0…b4 + n2) — the trained separator both q306
+    * and q321 read.
+    */
+  private def perceptronW2(f: DataFrame, w1: DataFrame): DataFrame =
+    f.crossJoin(broadcast(w1))
       .withColumn("m", expr("y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0"))
-    val w2 = scored2.agg(
-      expr("cast(count_if(m) as bigint)").as("n2"),
-      expr("cast(max(a0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) as bigint)").as("b0"),
-      expr("cast(max(a1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) as bigint)").as("b1"),
-      expr("cast(max(a2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) as bigint)").as("b2"),
-      expr("cast(max(a3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) as bigint)").as("b3"),
-      expr("cast(max(a4) + coalesce(sum(CASE WHEN m THEN y * x4 END), 0) as bigint)").as("b4"))
+      .agg(
+        expr("cast(count_if(m) as bigint)").as("n2"),
+        expr("cast(max(a0) + coalesce(sum(CASE WHEN m THEN y * x0 END), 0) as bigint)").as("b0"),
+        expr("cast(max(a1) + coalesce(sum(CASE WHEN m THEN y * x1 END), 0) as bigint)").as("b1"),
+        expr("cast(max(a2) + coalesce(sum(CASE WHEN m THEN y * x2 END), 0) as bigint)").as("b2"),
+        expr("cast(max(a3) + coalesce(sum(CASE WHEN m THEN y * x3 END), 0) as bigint)").as("b3"),
+        expr("cast(max(a4) + coalesce(sum(CASE WHEN m THEN y * x4 END), 0) as bigint)").as("b4"))
+
+  def q306PerceptronRounds(spark: SparkSession, d: String): DataFrame = {
+    val f = perceptronFeatures(spark, d)
+    val w1 = perceptronW1(f)
+    val w2 = perceptronW2(f, w1)
     val n3 = f.crossJoin(broadcast(w2))
       .agg(expr(
         "cast(count_if(y * (b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4) <= 0) as bigint)")
@@ -2938,7 +2955,89 @@ object TextAnalysis {
          CAST(a.n_units * 1000000 // a.n_occurrences AS BIGINT) AS inflation_ppm
        FROM agg a JOIN kept k ON k.V = a.V ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q321
+  /** Classifier CALIBRATION bins — the readout that turns q306's trained
+    * separator into an operating decision: score every doc with the
+    * round-2 weights (exact BIGINT dot), cut the corpus into five
+    * equal-mass score bins, and read the actual positive rate per bin.
+    * A monotone positive-rate curve means the score RANKS usefully even
+    * where the sign boundary misclassifies; a flat one indicts the
+    * features, not the threshold. Quintile boundaries come from the
+    * BucketRank two-phase rank over (score, doc_id) — no corpus-wide
+    * single-task window — and bin assignment is "1 + boundaries
+    * passed", an exact lexicographic comparison against the broadcast
+    * 5-row threshold frame. One pinned feature pass; everything after
+    * is broadcast arithmetic. Full oracle replays training, scoring and
+    * the same boundary rule.
+    */
+  def q321CalibrationBins(spark: SparkSession, d: String): DataFrame = {
+    val f = perceptronFeatures(spark, d)
+    val w2 = perceptronW2(f, perceptronW1(f))
+    val scored = f.crossJoin(broadcast(w2))
+      .select(col("doc_id"), col("y"),
+        expr("cast(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 as bigint)").as("s"))
+    val targets = (1 to 5).map(k => expr(s"(__n * $k) div 5"))
+    val th = BucketRank.select(scored.withColumn("__g", lit(1)), "__g",
+        bucket = expr("s div 1000000"), ord = Seq(col("s"), col("doc_id")),
+        targets = targets)
+      .select(col("s").as("s_thr"), col("doc_id").as("d_thr"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("passed",
+        expr("CASE WHEN s > s_thr OR (s = s_thr AND doc_id > d_thr) THEN 1 ELSE 0 END"))
+      .groupBy(col("doc_id"), col("y"), col("s"))
+      .agg(expr("cast(1 + sum(passed) as bigint)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(y = 1) as bigint)").as("n_pos"),
+        expr("cast(sum(s) as bigint)").as("sum_score"))
+      .withColumn("pos_ppm", expr("cast(n_pos * 1000000 div n_docs as bigint)"))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("pos_ppm"),
+        col("sum_score"))
+      .orderBy(col("bin"))
+  }
+
+  val q321Oracle: String =
+    """WITH f AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       s2 AS (SELECT f.*, (y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0) AS m
+              FROM f CROSS JOIN w1),
+       w2 AS (SELECT CAST(max(w1.a0) + coalesce(sum(y*x0) FILTER (m), 0) AS BIGINT) AS b0,
+                CAST(max(w1.a1) + coalesce(sum(y*x1) FILTER (m), 0) AS BIGINT) AS b1,
+                CAST(max(w1.a2) + coalesce(sum(y*x2) FILTER (m), 0) AS BIGINT) AS b2,
+                CAST(max(w1.a3) + coalesce(sum(y*x3) FILTER (m), 0) AS BIGINT) AS b3,
+                CAST(max(w1.a4) + coalesce(sum(y*x4) FILTER (m), 0) AS BIGINT) AS b4
+              FROM s2 CROSS JOIN w1),
+       sc AS (SELECT doc_id, y,
+                CAST(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 AS BIGINT) AS s
+              FROM f CROSS JOIN w2),
+       rk AS (SELECT doc_id, s, row_number() OVER (ORDER BY s, doc_id) AS r FROM sc),
+       nn AS (SELECT count(*) AS n FROM sc),
+       th AS (SELECT rk.s AS s_thr, rk.doc_id AS d_thr
+              FROM (VALUES (1), (2), (3), (4), (5)) k(k)
+              JOIN nn ON true JOIN rk ON rk.r = (nn.n * k.k) // 5),
+       b AS (SELECT sc.doc_id, sc.y, sc.s,
+               CAST(1 + sum(CASE WHEN sc.s > th.s_thr
+                      OR (sc.s = th.s_thr AND sc.doc_id > th.d_thr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bin
+             FROM sc CROSS JOIN th GROUP BY 1, 2, 3)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (y = 1) * 1000000 // count(*) AS BIGINT) AS pos_ppm,
+         CAST(sum(s) AS BIGINT) AS sum_score
+       FROM b GROUP BY bin ORDER BY bin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_calibration_bins" -> q321CalibrationBins _,
     "q318_negative_sampling" -> q318NegativeSampling _,
     "q319_vocab_truncation" -> q319VocabTruncation _,
     "q306_perceptron_rounds" -> q306PerceptronRounds _,
@@ -2985,6 +3084,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q321_calibration_bins" -> q321Oracle,
     "q318_negative_sampling" -> q318Oracle,
     "q319_vocab_truncation" -> q319Oracle,
     "q306_perceptron_rounds" -> q306Oracle,

@@ -305,7 +305,17 @@ class PlanSpec extends SparkSuite {
       "q310_bucket_batching" -> ("documents", 1),        // one token-count pass; width sweep explodes map-side
       "q311_source_gram_overlap" -> ("documents", 4),    // distinct-gram subtree ×(sizes ×2 + both self-join sides) — the minhash tradeoff
       "q312_stream_hll_distinct" -> ("events", 1),       // stream pre-run; batch side is the exact-distinct certificate
-      "q313_pattern_match" -> ("events", 1))             // one events scan into per-user journey strings
+      "q313_pattern_match" -> ("events", 1),             // one events scan into per-user journey strings
+      "q314_build_knn_graph" -> ("embeddings", 0),       // report reads the just-written artifact + stored assignment
+      "q315_hubness_audit" -> ("embeddings", 0),         // pure probe of the stored kNN graph + assignment slice
+      "q316_build_winnow_index" -> ("documents", 0),     // report reads the just-written artifact
+      "q317_winnow_admission" -> ("documents", 2),       // copy + novel batch legs (pinned); the index side is stored
+      "q318_negative_sampling" -> ("documents", 1),      // one tokenize pass pinned at vocab size
+      "q319_vocab_truncation" -> ("documents", 2),       // vocab pin + the occurrence-classification join
+      "q320_multiprobe_lsh" -> ("embeddings", 0),        // projections/buckets/dots all ride the stored µ-int long form
+      "q321_calibration_bins" -> ("documents", 1),       // one pinned feature pass; thresholds/bins are broadcast arithmetic
+      "q322_nprobe_sweep" -> ("embeddings", 0),          // both index halves are stored tables; sweep explodes the K-row ranking
+      "q323_corpus_datasheet" -> ("documents", 2))       // per-doc pin + one gram pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

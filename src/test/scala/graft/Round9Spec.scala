@@ -207,6 +207,76 @@ class Round9Spec extends SparkSuite {
   }
   private val Q310B = graft.operators.Curation.Q310BatchSize
 
+  // ------------------------------------------------------- q314/q315
+  test("q315: hubness histogram mass equals the stored graph's edge count") {
+    val hist = graft.SparkEntry.queries("q315_hubness_audit")(spark, sf).collect()
+    val edgeMass = hist.map(r => r.getAs[Long]("occ") * r.getAs[Long]("n_vecs")).sum
+    val edges = graft.operators.Similarity.knnGraphTable(spark, sf).count()
+    assert(edgeMass === edges,
+      s"Σ occ·n_vecs = $edgeMass but the stored graph has $edges edges")
+  }
+
+  // ------------------------------------------------------- q316/q317
+  test("q317: every exact copy hits the stored winnowing index; novels never do") {
+    val rows = graft.SparkEntry.queries("q317_winnow_admission")(spark, sf)
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(rows("copy").getAs[Boolean]("all_hit"),
+      "an exact copy produced no shared fingerprint — the winnowing guarantee broke")
+    assert(rows("copy").getAs[Long]("n_docs") === 25L)
+    // novel docs are built from tokens that exist in no corpus gram:
+    // zero hits is a hard invariant, not a probabilistic expectation
+    assert(rows("novel").getAs[Long]("n_hit_pairs") === 0L,
+      "a synthetic novel doc matched a corpus fingerprint")
+  }
+
+  // ------------------------------------------------------------- q319
+  test("q319: inflation falls as the vocabulary cap rises") {
+    val rows = graft.SparkEntry.queries("q319_vocab_truncation")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("v_size"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("inflation_ppm") >= b.getAs[Long]("inflation_ppm"),
+        "a larger vocabulary must not inflate the token stream more")
+      assert(a.getAs[Long]("n_oov_occurrences") >= b.getAs[Long]("n_oov_occurrences"))
+    }
+    assert(rows.forall(_.getAs[Long]("inflation_ppm") >= 1000000L))
+  }
+
+  // ------------------------------------------------------------- q320
+  test("q320: the planted twin surfaces at rank 1; extra probes never lose candidates") {
+    val rows = graft.SparkEntry.queries("q320_multiprobe_lsh")(spark, sf).collect()
+    val q0 = rows.find(_.getAs[Long]("qid") == 0L).get
+    // identical vectors project identically ⇒ same bucket ⇒ the twin is
+    // a candidate, and its dot is maximal — rank 1 with zero failure
+    // probability under any sign matrix
+    assert(q0.getAs[Long]("top1_id") === 900000L,
+      s"twin not at rank 1: ${q0.getAs[Long]("top1_id")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_candidates_base"),
+        "multi-probe produced fewer candidates than its own base bucket")
+      assert(r.getAs[Long]("n_buckets_probed") <= 4L)
+    }
+  }
+
+  // ------------------------------------------------------------- q321
+  test("q321: calibration bins partition the corpus") {
+    val rows = graft.SparkEntry.queries("q321_calibration_bins")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bin")).sorted.toSeq === (1L to 5L))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n,
+      "bins must partition every document exactly once")
+  }
+
+  // ------------------------------------------------------------- q322
+  test("q322: recall@10 is monotone in nprobe") {
+    val rows = graft.SparkEntry.queries("q322_nprobe_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("recall_ppm") <= b.getAs[Long]("recall_ppm"),
+        "probing more inverted lists must not lose recall")
+    }
+    assert(rows.last.getAs[Long]("recall_ppm") >= rows.head.getAs[Long]("recall_ppm"))
+  }
+
   // ------------------------------------------------------------- q312
   test("q312: streamed HLL registers certify against exact distincts") {
     val rows = graft.SparkEntry.queries("q312_stream_hll_distinct")(spark, sf).collect()
