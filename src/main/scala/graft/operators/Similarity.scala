@@ -2439,7 +2439,128 @@ object Similarity {
        FROM ivftop i JOIN bftop b ON b.qid = i.qid AND b.vec_id = i.vec_id
        GROUP BY i.np ORDER BY nprobe"""
 
+  // ---------------------------------------------------------------- q324
+  /** INCREMENTAL kNN-graph maintenance — the q242/q296 pattern for the
+    * q314 artifact: a batch of 50 new vectors (exact copies of vectors
+    * 0–49, ids +5·10⁵) arrives; identical coordinates assign to the
+    * SAME stored centroid, so maintenance recomputes edges ONLY for the
+    * affected inverted lists (existing members included — a new vector
+    * can displace their old neighbors) instead of rebuilding the whole
+    * graph. Equality with a full rebuild holds by construction — the
+    * affected cells' entire membership re-ranks — and the oracle IS
+    * that full replay (training + union ranking), so every edge count
+    * is value-certified. Tie discipline: a copy ties its original on
+    * every dot; `nbr_id asc` breaks ties deterministically in both
+    * engines. Readout per affected cell: membership before/added, edge
+    * counts before/after, NEW edges (not in the stored graph), and
+    * edges sourced at batch vectors. Zero embeddings scans — stored
+    * assignment, stored graph, stored µ-int long form.
+    */
+  def q324KnnMaintain(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slice = ivfAssignTable(spark, d).filter(col("vec_id") < Q314Slice)
+      .select(col("vec_id"), col("cid"))
+    val g = knnGraphTable(spark, d)
+    val batch = slice.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("cid"))
+    val affected = batch.select(col("cid")).distinct()
+    val members = slice.join(broadcast(affected), "cid").unionByName(batch)
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < Q314Slice)
+    val lfAll = lf.unionByName(
+      lf.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("sub"), col("jj"),
+          col("xq")))
+    val a = lfAll.join(members, "vec_id")
+      .select(col("cid"), col("vec_id").as("va"), col("sub"), col("jj"),
+        col("xq").as("xa"))
+    val b = lfAll.join(members, "vec_id")
+      .select(col("cid"), col("vec_id").as("vb"), col("sub"), col("jj"),
+        col("xq").as("xb"))
+    val w = Window.partitionBy(col("va")).orderBy(col("dot").desc, col("vb").asc)
+    val after = a.join(b, Seq("cid", "sub", "jj"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("cid"), col("va"), col("vb"))
+      .agg(expr("cast(sum(xa * xb) as bigint)").as("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= Q314K)
+      .localCheckpoint() // affected-cells-sized; read by three rollups
+    val before = g.join(broadcast(affected), "cid")
+    val newEdges = after.select(col("cid"), col("va"), col("vb"))
+      .join(before.select(col("vec_id").as("va"), col("nbr_id").as("vb")),
+        Seq("va", "vb"), "left_anti")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_edges_new"))
+    val stats = after.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_edges_after"),
+        expr("cast(count_if(va >= 500000) as bigint)").as("n_batch_src_edges"))
+    slice.join(broadcast(affected), "cid")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_members_before"))
+      .join(batch.groupBy(col("cid")).agg(count(lit(1)).as("n_added")), "cid")
+      .join(before.groupBy(col("cid")).agg(count(lit(1)).as("n_edges_before")),
+        Seq("cid"), "left")
+      .join(stats, Seq("cid"), "left")
+      .join(newEdges, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_edges_before", "n_edges_after", "n_batch_src_edges",
+        "n_edges_new"))
+      .select(col("cid").cast("long").as("cid"), col("n_members_before"),
+        col("n_added"), col("n_edges_before"), col("n_edges_after"),
+        col("n_edges_new"), col("n_batch_src_edges"))
+      .orderBy(col("cid"))
+  }
+
+  val q324Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       batch AS (SELECT vec_id + 500000 AS vec_id, cid FROM sub WHERE vec_id < 50),
+       aff AS (SELECT DISTINCT cid FROM batch),
+       mem AS (SELECT s.vec_id, s.cid FROM sub s JOIN aff ON aff.cid = s.cid
+               UNION ALL SELECT vec_id, cid FROM batch),
+       lv0 AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       lv AS (SELECT * FROM lv0
+              UNION ALL SELECT vec_id + 500000, j, xq FROM lv0 WHERE vec_id < 50),
+       dots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM mem x JOIN mem y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                JOIN lv a ON a.vec_id = x.vec_id
+                JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+                GROUP BY 1, 2, 3),
+       aft AS (SELECT cid, va, vb FROM (
+                 SELECT *, row_number() OVER (PARTITION BY va
+                   ORDER BY dot DESC, vb ASC) AS rn FROM dots) WHERE rn <= $Q314K),
+       bdots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                   CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                 FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                 JOIN aff ON aff.cid = x.cid
+                 JOIN lv0 a ON a.vec_id = x.vec_id
+                 JOIN lv0 b ON b.vec_id = y.vec_id AND b.j = a.j
+                 GROUP BY 1, 2, 3),
+       bef AS (SELECT cid, va, vb FROM (
+                 SELECT *, row_number() OVER (PARTITION BY va
+                   ORDER BY dot DESC, vb ASC) AS rn FROM bdots) WHERE rn <= $Q314K),
+       ne AS (SELECT a.cid, CAST(count(*) AS BIGINT) AS n_edges_new
+              FROM aft a LEFT JOIN bef b ON b.va = a.va AND b.vb = a.vb
+              WHERE b.va IS NULL GROUP BY 1),
+       st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_edges_after,
+                CAST(count(*) FILTER (va >= 500000) AS BIGINT) AS n_batch_src_edges
+              FROM aft GROUP BY 1),
+       bc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_edges_before
+              FROM bef GROUP BY 1),
+       mb AS (SELECT s.cid, CAST(count(*) AS BIGINT) AS n_members_before
+              FROM sub s JOIN aff ON aff.cid = s.cid GROUP BY 1),
+       ad AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_added FROM batch GROUP BY 1)
+       SELECT CAST(mb.cid AS BIGINT) AS cid, mb.n_members_before, ad.n_added,
+         coalesce(bc.n_edges_before, 0) AS n_edges_before,
+         coalesce(st.n_edges_after, 0) AS n_edges_after,
+         coalesce(ne.n_edges_new, 0) AS n_edges_new,
+         coalesce(st.n_batch_src_edges, 0) AS n_batch_src_edges
+       FROM mb JOIN ad ON ad.cid = mb.cid
+       LEFT JOIN bc ON bc.cid = mb.cid
+       LEFT JOIN st ON st.cid = mb.cid
+       LEFT JOIN ne ON ne.cid = mb.cid
+       ORDER BY cid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_knn_maintain" -> q324KnnMaintain _,
     "q320_multiprobe_lsh" -> q320MultiprobeLsh _,
     "q322_nprobe_sweep" -> q322NprobeSweep _,
     "q314_build_knn_graph" -> q314BuildKnnGraph _,
@@ -2475,6 +2596,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q324_knn_maintain" -> q324Oracle,
     "q320_multiprobe_lsh" -> q320Oracle,
     "q322_nprobe_sweep" -> q322Oracle,
     "q314_build_knn_graph" -> q314Oracle,

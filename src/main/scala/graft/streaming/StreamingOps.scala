@@ -1017,7 +1017,85 @@ object StreamingOps {
        FROM est JOIN x ON x.event_type = est.event_type
        ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q325
+  /** STREAMING winnowing admission — q317's overlap gate run where
+    * ingestion actually happens: documents stream in, each microbatch is
+    * fingerprinted (winnowing inside `foreachBatch`, where window
+    * functions are legal batch plans — the q248 shape) and joined to the
+    * STORED fingerprint index; flagged docs are quarantined, clean docs
+    * admitted to a table. The batch fixture interleaves 25 exact corpus
+    * copies (every window a shared run ⇒ MUST flag — winnowing's
+    * guarantee) with 25 synthetic novels whose tokens exist in no corpus
+    * gram (MUST pass) across two microbatches, so the readout is
+    * closed-form certain and the oracle is the literal expected table.
+    * State: none beyond the stored index — admission is stateless per
+    * batch, which is what lets it run at any stream rate.
+    */
+  def q325StreamWinnowAdmission(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val idx = graft.operators.Dedup.winnowIndexTable(spark, d)
+      .select(col("doc_id").as("ref_id"), col("sh"))
+    val base = graft.sources.Tables.documents(spark, d)
+    val copies = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        lit("copy").as("kind"))
+    val novel = base.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 19),
+                 j -> concat('nv', cast(doc_id as string), 'x', cast(j as string))), ' ')""")
+          .as("text"),
+        lit("novel").as("kind"))
+    val tmp = graft.core.Scratch.dir("stream_winnow")
+    copies.unionByName(novel).repartition(2, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("kind", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val admitted = s"graft_q325_admitted_${graft.core.Utils.pathDigest(d)}"
+    graft.etl.Warehouse.dropManagedTable(spark, admitted)
+    spark.sql(s"CREATE TABLE $admitted (doc_id BIGINT, kind STRING) USING parquet")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val flagged = graft.operators.Dedup
+            .winnowSelect(b.select(col("doc_id"), col("text")),
+              graft.operators.Dedup.Q305K, graft.operators.Dedup.Q305W)
+            .select(col("doc_id"), col("sh")).distinct()
+            .join(idx, "sh")
+            .select(col("doc_id")).distinct()
+          b.join(flagged, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("kind"))
+            .write.mode("append").saveAsTable(admitted)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    copies.unionByName(novel)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
+      .join(spark.table(admitted).groupBy(col("kind"))
+        .agg(count(lit(1)).as("na")), Seq("kind"), "left")
+      .select(col("kind"), col("n_seen"),
+        coalesce(col("na"), lit(0L)).as("n_admitted"))
+      .orderBy(col("kind"))
+  }
+
+  val q325Oracle: String =
+    """SELECT kind, n_seen, n_admitted FROM (
+         SELECT 'copy' AS kind, CAST(25 AS BIGINT) AS n_seen,
+                CAST(0 AS BIGINT) AS n_admitted
+         UNION ALL SELECT 'novel', CAST(25 AS BIGINT), CAST(25 AS BIGINT))
+       ORDER BY kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_stream_winnow_admission" -> q325StreamWinnowAdmission _,
     "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
@@ -1039,6 +1117,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q325_stream_winnow_admission" -> q325Oracle,
     "q312_stream_hll_distinct" -> q312Oracle,
     "q299_stream_quota_admission" -> q299Oracle,
     "q290_stream_lm_gate" -> q290Oracle,

@@ -277,6 +277,18 @@ class Round9Spec extends SparkSuite {
     assert(rows.last.getAs[Long]("recall_ppm") >= rows.head.getAs[Long]("recall_ppm"))
   }
 
+  // ------------------------------------------------------------- q324
+  test("q324: maintenance never shrinks a cell's edge set") {
+    val rows = graft.SparkEntry.queries("q324_knn_maintain")(spark, sf).collect()
+    // per-source edge count is min(k, members−1): membership only grows,
+    // so each affected cell's edge count is monotone under maintenance
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_edges_after") >= r.getAs[Long]("n_edges_before"),
+        s"cell ${r.getAs[Long]("cid")} lost edges during incremental maintenance")
+    }
+    assert(rows.map(_.getAs[Long]("n_added")).sum === 50L)
+  }
+
   // ------------------------------------------------------------- q312
   test("q312: streamed HLL registers certify against exact distincts") {
     val rows = graft.SparkEntry.queries("q312_stream_hll_distinct")(spark, sf).collect()
