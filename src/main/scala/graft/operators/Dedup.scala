@@ -2085,11 +2085,20 @@ object Dedup {
     val sel = winnowSelect(batch, Q305K, Q305W).localCheckpoint()
     val idx = winnowIndexTable(spark, d)
       .select(col("doc_id").as("ref_id"), col("sh"))
-    val hits = sel.select(col("doc_id"), col("sh")).distinct()
-      .join(idx, "sh")
+    // hit counts ride the per-hash df SUMMARY (1 row per hash — immune
+    // to a universal-boilerplate hot fingerprint by construction;
+    // SkewBenchWinnow measures the raw join growing linearly with corpus
+    // size while this leg stays flat). Σ df equals the raw pair count.
+    // Only the distinct-ref ATTRIBUTION leg joins raw index rows — at
+    // 100 TB that leg joins a capped per-hash ref list with a driven
+    // overflow report (the q223/q224 MaxBucketSize discipline).
+    val dfSum = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val bsel = sel.select(col("doc_id"), col("sh")).distinct()
+    val hits = bsel.join(dfSum, "sh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_pairs"),
-        countDistinct(col("ref_id")).as("n_refs_hit"))
+      .agg(expr("cast(sum(df) as bigint)").as("n_hit_pairs"))
+      .join(bsel.join(idx, "sh").groupBy(col("doc_id"))
+        .agg(countDistinct(col("ref_id")).as("n_refs_hit")), "doc_id")
     sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       .join(hits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit_pairs", "n_refs_hit"))

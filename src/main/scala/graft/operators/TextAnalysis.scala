@@ -3036,7 +3036,150 @@ object TextAnalysis {
          CAST(sum(s) AS BIGINT) AS sum_score
        FROM b GROUP BY bin ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q326
+  /** Exact LEAVE-ONE-OUT influence — the data-valuation readout (the
+    * question Data Shapley / influence functions approximate, answered
+    * EXACTLY for the linear round-1 model): for each of 50 probe
+    * documents, how does deleting it change the classifier's error
+    * count on the remaining corpus? Linearity makes it closed-form:
+    * w⁻ⁱ = w − yᵢxᵢ, and every other doc's score shifts by
+    * −yᵢ·(xᵢ·xⱼ) — a 5-term integer dot — so the whole sweep is ONE
+    * probes × corpus pass with the 50-row probe frame BROADCAST, not 50
+    * retrainings (and not the n² all-pairs sweep; the probe cap is the
+    * scale contract, exactly q302's B-resamples shape). delta > 0 means
+    * the doc was load-bearing (removing it creates errors elsewhere);
+    * delta < 0 means it was actively harmful — the docs a curation loop
+    * would drop first. All BIGINT; full oracle.
+    */
+  def q326LooInfluence(spark: SparkSession, d: String): DataFrame = {
+    val f = perceptronFeatures(spark, d)
+    val w1 = perceptronW1(f)
+    val scored = f.crossJoin(broadcast(w1))
+      .select(col("doc_id"), col("y"), col("x0"), col("x1"), col("x2"),
+        col("x3"), col("x4"),
+        expr("cast(a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 as bigint)").as("s"))
+    val probes = scored.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("pid"), col("y").as("py"),
+        col("x0").as("p0"), col("x1").as("p1"), col("x2").as("p2"),
+        col("x3").as("p3"), col("x4").as("p4"),
+        expr("CASE WHEN y * s <= 0 THEN 1 ELSE 0 END").as("m_self"))
+    val n2 = scored.agg(
+      expr("cast(count_if(y * s <= 0) as bigint)").as("n_miscl_full"))
+    scored.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("pid"))
+      .withColumn("s_loo", expr(
+        "s - py * (p0*x0 + p1*x1 + p2*x2 + p3*x3 + p4*x4)"))
+      .groupBy(col("pid"), col("py"), col("m_self"))
+      .agg(expr("cast(count_if(y * s_loo <= 0) as bigint)").as("n_miscl_loo"))
+      .crossJoin(broadcast(n2))
+      .withColumn("delta",
+        expr("cast(n_miscl_loo - (n_miscl_full - m_self) as bigint)"))
+      .select(col("pid").as("doc_id"), col("py").as("y"),
+        col("m_self").cast("long").as("m_self"), col("n_miscl_loo"),
+        col("delta"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q326Oracle: String =
+    """WITH f AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       sc AS (SELECT f.*, CAST(a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 AS BIGINT) AS s
+              FROM f CROSS JOIN w1),
+       pr AS (SELECT doc_id AS pid, y AS py, x0 AS p0, x1 AS p1, x2 AS p2,
+                x3 AS p3, x4 AS p4,
+                CASE WHEN y * s <= 0 THEN 1 ELSE 0 END AS m_self
+              FROM sc WHERE doc_id < 50),
+       n2 AS (SELECT CAST(count(*) FILTER (y * s <= 0) AS BIGINT) AS n_miscl_full
+              FROM sc),
+       lo AS (SELECT pr.pid, pr.py, pr.m_self,
+                CAST(count(*) FILTER (
+                  sc.y * (sc.s - pr.py * (pr.p0*sc.x0 + pr.p1*sc.x1 + pr.p2*sc.x2
+                    + pr.p3*sc.x3 + pr.p4*sc.x4)) <= 0) AS BIGINT) AS n_miscl_loo
+              FROM sc CROSS JOIN pr WHERE sc.doc_id <> pr.pid
+              GROUP BY 1, 2, 3)
+       SELECT lo.pid AS doc_id, lo.py AS y, CAST(lo.m_self AS BIGINT) AS m_self,
+         lo.n_miscl_loo,
+         CAST(lo.n_miscl_loo - (n2.n_miscl_full - lo.m_self) AS BIGINT) AS delta
+       FROM lo CROSS JOIN n2 ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q327
+  /** McNEMAR's test between two classifiers on the SAME documents — the
+    * paired model-comparison statistic (an unpaired accuracy diff wastes
+    * the pairing): q306's trained perceptron against the one-feature
+    * lexical rule "contains 'the' ⇒ English". Only the DISCORDANT pairs
+    * matter — b (rule right, perceptron wrong) vs c (perceptron right,
+    * rule wrong) — and the statistic (b−c)²/(b+c) surfaces in exact
+    * milli-units by integer division. One pinned feature pass; both
+    * classifiers score map-side off broadcast weights. Full oracle
+    * replays training and both predictions.
+    */
+  def q327McnemarRules(spark: SparkSession, d: String): DataFrame = {
+    val f = perceptronFeatures(spark, d)
+    val w2 = perceptronW2(f, perceptronW1(f))
+    f.crossJoin(broadcast(w2))
+      .withColumn("pc", expr(
+        "CASE WHEN b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 > 0 THEN 1 ELSE -1 END"))
+      .withColumn("rl", expr("CASE WHEN x3 > 0 THEN 1 ELSE -1 END"))
+      .agg(
+        expr("cast(count_if(pc = y AND rl = y) as bigint)").as("n_both_right"),
+        expr("cast(count_if(pc != y AND rl != y) as bigint)").as("n_both_wrong"),
+        expr("cast(count_if(rl = y AND pc != y) as bigint)").as("n_only_rule"),
+        expr("cast(count_if(pc = y AND rl != y) as bigint)").as("n_only_perceptron"))
+      .withColumn("mcnemar_milli", expr(
+        """CASE WHEN n_only_rule + n_only_perceptron = 0 THEN 0
+             ELSE cast((n_only_rule - n_only_perceptron) * (n_only_rule - n_only_perceptron)
+                  * 1000 div (n_only_rule + n_only_perceptron) as bigint) END"""))
+  }
+
+  val q327Oracle: String =
+    """WITH f AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       s2 AS (SELECT f.*, (y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0) AS m
+              FROM f CROSS JOIN w1),
+       w2 AS (SELECT CAST(max(w1.a0) + coalesce(sum(y*x0) FILTER (m), 0) AS BIGINT) AS b0,
+                CAST(max(w1.a1) + coalesce(sum(y*x1) FILTER (m), 0) AS BIGINT) AS b1,
+                CAST(max(w1.a2) + coalesce(sum(y*x2) FILTER (m), 0) AS BIGINT) AS b2,
+                CAST(max(w1.a3) + coalesce(sum(y*x3) FILTER (m), 0) AS BIGINT) AS b3,
+                CAST(max(w1.a4) + coalesce(sum(y*x4) FILTER (m), 0) AS BIGINT) AS b4
+              FROM s2 CROSS JOIN w1),
+       p AS (SELECT f.y,
+               CASE WHEN b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 > 0 THEN 1 ELSE -1 END AS pc,
+               CASE WHEN x3 > 0 THEN 1 ELSE -1 END AS rl
+             FROM f CROSS JOIN w2),
+       c AS (SELECT CAST(count(*) FILTER (pc = y AND rl = y) AS BIGINT) AS n_both_right,
+               CAST(count(*) FILTER (pc != y AND rl != y) AS BIGINT) AS n_both_wrong,
+               CAST(count(*) FILTER (rl = y AND pc != y) AS BIGINT) AS n_only_rule,
+               CAST(count(*) FILTER (pc = y AND rl != y) AS BIGINT) AS n_only_perceptron
+             FROM p)
+       SELECT n_both_right, n_both_wrong, n_only_rule, n_only_perceptron,
+         CASE WHEN n_only_rule + n_only_perceptron = 0 THEN 0
+           ELSE CAST((n_only_rule - n_only_perceptron) * (n_only_rule - n_only_perceptron)
+                * 1000 // (n_only_rule + n_only_perceptron) AS BIGINT) END AS mcnemar_milli
+       FROM c"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_loo_influence" -> q326LooInfluence _,
+    "q327_mcnemar_rules" -> q327McnemarRules _,
     "q321_calibration_bins" -> q321CalibrationBins _,
     "q318_negative_sampling" -> q318NegativeSampling _,
     "q319_vocab_truncation" -> q319VocabTruncation _,
@@ -3084,6 +3227,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q326_loo_influence" -> q326Oracle,
+    "q327_mcnemar_rules" -> q327Oracle,
     "q321_calibration_bins" -> q321Oracle,
     "q318_negative_sampling" -> q318Oracle,
     "q319_vocab_truncation" -> q319Oracle,

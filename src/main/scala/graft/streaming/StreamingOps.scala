@@ -1033,8 +1033,12 @@ object StreamingOps {
     */
   def q325StreamWinnowAdmission(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // the flag decision joins the per-hash df SUMMARY, not raw index
+    // rows — immune to a universal-boilerplate hot fingerprint
+    // (SkewBenchWinnow: raw join grows linearly with corpus, this stays
+    // flat)
     val idx = graft.operators.Dedup.winnowIndexTable(spark, d)
-      .select(col("doc_id").as("ref_id"), col("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val base = graft.sources.Tables.documents(spark, d)
     val copies = base.filter(col("doc_id") < 25)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
