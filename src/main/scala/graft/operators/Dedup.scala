@@ -2167,7 +2167,187 @@ object Dedup {
          count(*) FILTER (n_hit_pairs > 0) = count(*) AS all_hit
        FROM pd GROUP BY 1 ORDER BY kind"""
 
+  // ---------------------------------------------------------------- q328
+  /** DEDUP FUNNEL — the marginal-catch readout every dedup-stack design
+    * starts from: an incoming batch runs through the three STORED
+    * detection artifacts in specificity order and each doc is charged to
+    * the FIRST stage that catches it, so later columns are what each
+    * stage adds beyond the previous — exact text hash vs the corpus,
+    * then ≥50% K-gram coverage vs the stored cross-document gram table
+    * (q295 — high-overlap, but blind to grams unique in the corpus),
+    * then ANY shared winnowing fingerprint vs the stored q316 index
+    * (winnowing's ≥ w+k−1 shared-run guarantee — the per-doc safety
+    * net). The planted batch exposes exactly this structure: 30 exact
+    * copies (MUST be caught at stage 1 — certified), 30 last-word-drop
+    * edits (escape exact; mostly invisible to the gdf≥2 gram table
+    * because their originals' grams are corpus-unique; caught by
+    * winnowing), 30 synthetic fresh docs (tokens in no corpus gram —
+    * must reach 'clean'). Probes only: one corpus scan for the text-hash
+    * set; gram and fingerprint legs ride stored artifacts.
+    */
+  def q328DedupFunnel(spark: SparkSession, d: String): DataFrame = {
+    val k = Q270K
+    val base = Tables.documents(spark, d)
+    val copies = base.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("text"),
+        lit("copy").as("kind"))
+    val edits = base.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+          .as("text"),
+        lit("edit").as("kind"))
+    val fresh = base.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 19),
+                 j -> concat('fz', cast(doc_id as string), 'y', cast(j as string))), ' ')""")
+          .as("text"),
+        lit("fresh").as("kind"))
+    val batch = copies.unionByName(edits).unionByName(fresh).localCheckpoint()
+    val corpusHash = base
+      .select(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("th"))
+      .distinct()
+    val s1 = batch
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("th"))
+      .join(corpusHash, "th").select(col("doc_id")).distinct()
+      .withColumn("exact", lit(true))
+    val bw = batch.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val grams = bw.filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $k),
+              i -> substring(md5(concat_ws(' ', slice(w, i + 1, $k))), 1, 16))""")))
+      .toDF("doc_id", "p", "gk")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val s2 = grams.join(gramDfTable(spark, d).select(col("gk")), "gk")
+      .withColumn("prev_end", coalesce(max(col("p") + lit(k)).over(wPrev), lit(0)))
+      .withColumn("contrib",
+        greatest(lit(0), col("p") + lit(k) - greatest(col("p"), col("prev_end"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("covered"))
+      .join(bw.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .filter(col("covered") * 2 >= col("n_tokens"))
+      .select(col("doc_id")).withColumn("substr_hit", lit(true))
+    val wdf = winnowIndexTable(spark, d).groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+    val s3 = winnowSelect(batch, Q305K, Q305W)
+      .select(col("doc_id"), col("sh")).distinct()
+      .join(wdf, "sh").select(col("doc_id")).distinct()
+      .withColumn("winnow_hit", lit(true))
+    batch.select(col("doc_id"), col("kind"))
+      .join(s1, Seq("doc_id"), "left")
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .na.fill(false, Seq("exact", "substr_hit", "winnow_hit"))
+      .withColumn("stage", expr(
+        """CASE WHEN exact THEN 1 WHEN substr_hit THEN 2
+             WHEN winnow_hit THEN 3 ELSE 4 END"""))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(stage = 1) as bigint)").as("caught_exact"),
+        expr("cast(count_if(stage = 2) as bigint)").as("caught_substring"),
+        expr("cast(count_if(stage = 3) as bigint)").as("caught_winnow"),
+        expr("cast(count_if(stage = 4) as bigint)").as("n_clean"))
+      .withColumn("certified", expr(
+        "(kind != 'copy' OR caught_exact = n_docs) AND (kind != 'fresh' OR n_clean = n_docs)"))
+      .orderBy(col("kind"))
+  }
+
+  val q328Oracle: String =
+    s"""WITH batch AS (
+         SELECT doc_id + 4000000 AS doc_id, text, 'copy' AS kind
+         FROM documents WHERE doc_id < 30
+         UNION ALL
+         SELECT doc_id + 5000000,
+           array_to_string(string_split(text, ' ')[1 : len(string_split(text, ' ')) - 1], ' '),
+           'edit'
+         FROM documents WHERE doc_id >= 30 AND doc_id < 60
+         UNION ALL
+         SELECT doc_id + 6000000,
+           array_to_string(list_transform(range(0, 20),
+             j -> 'fz' || doc_id || 'y' || j), ' '),
+           'fresh'
+         FROM documents WHERE doc_id >= 60 AND doc_id < 90),
+       ch AS (SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS th
+              FROM documents),
+       s1 AS (SELECT DISTINCT b.doc_id FROM batch b
+              JOIN ch ON ch.th = CAST(('0x' || substr(md5(b.text), 1, 15)) AS BIGINT)),
+       cd AS (SELECT doc_id,
+                CASE WHEN doc_id % 20 = 0 THEN text || ' $Q270Span' ELSE text END AS text
+              FROM documents),
+       ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM cd
+              WHERE len(string_split(text, ' ')) >= $Q270K),
+       cg AS (SELECT doc_id,
+                substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+              FROM (SELECT doc_id, w,
+                      CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p FROM ct)),
+       gdf AS (SELECT gk FROM cg GROUP BY gk HAVING count(DISTINCT doc_id) >= 2),
+       bt AS (SELECT doc_id, string_split(text, ' ') AS w,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM batch),
+       bg AS (SELECT doc_id, p,
+                substring(md5(array_to_string(w[p + 1 : p + $Q270K], ' ')), 1, 16) AS gk
+              FROM (SELECT doc_id, w,
+                      CAST(unnest(range(0, len(w) - ${Q270K - 1})) AS INTEGER) AS p
+                    FROM bt WHERE len(w) >= $Q270K)),
+       sw AS (SELECT g.doc_id, g.p,
+                coalesce(max(g.p + $Q270K) OVER (PARTITION BY g.doc_id ORDER BY g.p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end
+              FROM bg g JOIN gdf USING (gk)),
+       cov AS (SELECT doc_id,
+                 CAST(sum(greatest(0, p + $Q270K - greatest(p, prev_end))) AS BIGINT) AS covered
+               FROM sw GROUP BY doc_id),
+       s2 AS (SELECT bt.doc_id FROM bt JOIN cov USING (doc_id)
+              WHERE cov.covered * 2 >= bt.n_tokens),
+       wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       wg AS (SELECT doc_id, p,
+                CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                  AS h
+              FROM (SELECT doc_id, w,
+                      CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM wt)),
+       wvm AS (SELECT doc_id, p,
+                 min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+               FROM wg),
+       widx AS (SELECT DISTINCT vmin // 1048576 AS sh
+                FROM wvm WHERE p <= ng - $Q305W),
+       et AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch
+              WHERE len(string_split(text, ' ')) >= ${Q305K + Q305W - 1}),
+       eg AS (SELECT doc_id, p,
+                CAST(('0x' || substr(md5(array_to_string(w[p + 1 : p + $Q305K], ' ')), 1, 10)) AS BIGINT)
+                  AS h
+              FROM (SELECT doc_id, w,
+                      CAST(unnest(range(0, len(w) - ${Q305K - 1})) AS INTEGER) AS p FROM et)),
+       evm AS (SELECT doc_id, p,
+                 min(h * 1048576 + (1048575 - p)) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND ${Q305W - 1} FOLLOWING) AS vmin,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+               FROM eg),
+       esel AS (SELECT DISTINCT doc_id, vmin // 1048576 AS sh
+                FROM evm WHERE p <= ng - $Q305W),
+       s3 AS (SELECT DISTINCT e.doc_id FROM esel e JOIN widx ON widx.sh = e.sh),
+       st AS (SELECT b.doc_id, b.kind,
+                CASE WHEN b.doc_id IN (SELECT doc_id FROM s1) THEN 1
+                     WHEN b.doc_id IN (SELECT doc_id FROM s2) THEN 2
+                     WHEN b.doc_id IN (SELECT doc_id FROM s3) THEN 3
+                     ELSE 4 END AS stage
+              FROM batch b)
+       SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (stage = 1) AS BIGINT) AS caught_exact,
+         CAST(count(*) FILTER (stage = 2) AS BIGINT) AS caught_substring,
+         CAST(count(*) FILTER (stage = 3) AS BIGINT) AS caught_winnow,
+         CAST(count(*) FILTER (stage = 4) AS BIGINT) AS n_clean,
+         (kind != 'copy' OR count(*) FILTER (stage = 1) = count(*))
+           AND (kind != 'fresh' OR count(*) FILTER (stage = 4) = count(*)) AS certified
+       FROM st GROUP BY kind ORDER BY kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_dedup_funnel" -> q328DedupFunnel _,
     "q316_build_winnow_index" -> q316BuildWinnowIndex _,
     "q317_winnow_admission" -> q317WinnowAdmission _,
     "q305_winnowing" -> q305Winnowing _,
@@ -2199,6 +2379,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q328_dedup_funnel" -> q328Oracle,
     "q316_build_winnow_index" -> q316Oracle,
     "q317_winnow_admission" -> q317Oracle,
     "q305_winnowing" -> q305Oracle,

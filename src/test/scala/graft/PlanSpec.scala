@@ -319,7 +319,8 @@ class PlanSpec extends SparkSuite {
       "q324_knn_maintain" -> ("embeddings", 0),          // stored assignment + stored graph + stored µ-int long form
       "q325_stream_winnow_admission" -> ("documents", 2), // copy + novel readout legs; stream pre-ran, index is stored
       "q326_loo_influence" -> ("documents", 1),          // one pinned feature pass; the 50-probe sweep is broadcast
-      "q327_mcnemar_rules" -> ("documents", 1))          // one pinned feature pass; both classifiers score map-side
+      "q327_mcnemar_rules" -> ("documents", 1),          // one pinned feature pass; both classifiers score map-side
+      "q328_dedup_funnel" -> ("documents", 1))           // corpus text-hash leg; gram + fingerprint stages ride stored artifacts
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

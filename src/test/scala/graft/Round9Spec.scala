@@ -277,6 +277,24 @@ class Round9Spec extends SparkSuite {
     assert(rows.last.getAs[Long]("recall_ppm") >= rows.head.getAs[Long]("recall_ppm"))
   }
 
+  // ------------------------------------------------------------- q328
+  test("q328: the funnel's certificates hold and the stages partition the batch") {
+    val rows = graft.SparkEntry.queries("q328_dedup_funnel")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("certified"),
+        s"kind ${r.getAs[String]("kind")}: funnel certificate failed")
+      val total = r.getAs[Long]("caught_exact") + r.getAs[Long]("caught_substring") +
+        r.getAs[Long]("caught_winnow") + r.getAs[Long]("n_clean")
+      assert(total === r.getAs[Long]("n_docs"), "stages must partition the batch")
+    }
+    // the design point: last-word edits are invisible to exact hashing
+    // and mostly invisible to the gdf≥2 gram table — winnowing is the
+    // stage that catches them
+    val edit = rows.find(_.getAs[String]("kind") == "edit").get
+    assert(edit.getAs[Long]("caught_winnow") > edit.getAs[Long]("caught_substring"),
+      "winnowing should be the marginal catcher for near-identical edits")
+  }
+
   // ------------------------------------------------------------- q324
   test("q324: maintenance never shrinks a cell's edge set") {
     val rows = graft.SparkEntry.queries("q324_knn_maintain")(spark, sf).collect()
