@@ -3177,7 +3177,81 @@ object TextAnalysis {
                 * 1000 // (n_only_rule + n_only_perceptron) AS BIGINT) END AS mcnemar_milli
        FROM c"""
 
+  // ---------------------------------------------------------------- q329
+  /** ACTIVE-LEARNING batch selection — uncertainty sampling with a
+    * diversity constraint: the next labeling batch is the documents the
+    * q306 classifier is LEAST sure about (smallest |score|, the margin
+    * criterion), at most ONE per source so the batch doesn't collapse
+    * into the noisiest slice. Scale shape: the per-source champion is an
+    * aggregate ARGMIN — min(struct(|s|, doc_id)) per source — not a
+    * ranking window over a 20-value partition key (the q15 low-NDV rule:
+    * a per-source row_number would serialize the corpus into 20 tasks);
+    * the 20 champions then rank in a frame the size of the source count.
+    * Output: the selected batch with scores and per-source uncertainty,
+    * ordered by |score|. Full oracle replays training, scoring and both
+    * selection steps.
+    */
+  def q329ActiveLearning(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = perceptronFeatures(spark, d)
+    val w2 = perceptronW2(f, perceptronW1(f))
+    val langs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val scored = f.crossJoin(broadcast(w2))
+      .select(col("doc_id"), col("y"),
+        expr("cast(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 as bigint)").as("s"))
+      .join(langs, "doc_id")
+      .withColumn("u", abs(col("s")))
+    val champs = scored
+      .groupBy(col("source"))
+      .agg(min(struct(col("u"), col("doc_id"), col("s"), col("y"))).as("c"),
+        count(lit(1)).as("n_source_docs"))
+      .select(col("source"), col("n_source_docs"), col("c.u").as("u"),
+        col("c.doc_id").as("doc_id"), col("c.s").as("s"), col("c.y").as("y"))
+    val wr = Window.orderBy(col("u").asc, col("doc_id").asc)
+    champs.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("source"), col("doc_id"), col("s"), col("u"),
+        col("y"), col("n_source_docs"))
+      .orderBy(col("rnk"))
+  }
+
+  val q329Oracle: String =
+    """WITH f AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       s2 AS (SELECT f.*, (y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0) AS m
+              FROM f CROSS JOIN w1),
+       w2 AS (SELECT CAST(max(w1.a0) + coalesce(sum(y*x0) FILTER (m), 0) AS BIGINT) AS b0,
+                CAST(max(w1.a1) + coalesce(sum(y*x1) FILTER (m), 0) AS BIGINT) AS b1,
+                CAST(max(w1.a2) + coalesce(sum(y*x2) FILTER (m), 0) AS BIGINT) AS b2,
+                CAST(max(w1.a3) + coalesce(sum(y*x3) FILTER (m), 0) AS BIGINT) AS b3,
+                CAST(max(w1.a4) + coalesce(sum(y*x4) FILTER (m), 0) AS BIGINT) AS b4
+              FROM s2 CROSS JOIN w1),
+       sc AS (SELECT f.doc_id, f.y, d.source,
+                CAST(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 AS BIGINT) AS s,
+                abs(CAST(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 AS BIGINT)) AS u
+              FROM f CROSS JOIN w2 JOIN documents d ON d.doc_id = f.doc_id),
+       ch AS (SELECT source, n_source_docs, u, doc_id, s, y FROM (
+                SELECT sc.*, count(*) OVER (PARTITION BY source) AS n_source_docs,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY u ASC, doc_id ASC) AS rs
+                FROM sc) WHERE rs = 1)
+       SELECT CAST(row_number() OVER (ORDER BY u ASC, doc_id ASC) AS BIGINT) AS rnk,
+         source, doc_id, s, u, y, CAST(n_source_docs AS BIGINT) AS n_source_docs
+       FROM ch QUALIFY row_number() OVER (ORDER BY u ASC, doc_id ASC) <= 10
+       ORDER BY rnk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_active_learning" -> q329ActiveLearning _,
     "q326_loo_influence" -> q326LooInfluence _,
     "q327_mcnemar_rules" -> q327McnemarRules _,
     "q321_calibration_bins" -> q321CalibrationBins _,
@@ -3227,6 +3301,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q329_active_learning" -> q329Oracle,
     "q326_loo_influence" -> q326Oracle,
     "q327_mcnemar_rules" -> q327Oracle,
     "q321_calibration_bins" -> q321Oracle,
