@@ -588,7 +588,72 @@ object MediaCodecDemo extends Serializable {
             * 1000000 // $Q279Samples AS BIGINT) AS clipped_ppm
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q330
+  /** Audio LOUDNESS normalization — the gain computation every audio
+    * ingest runs before training (normalize to a target level, −20 dBFS
+    * here): per file, the exact integer sum of squares over the REAL
+    * PCM bytes (LE int16 parsed in mapPartitions — samples never leave
+    * the partition), dBFS via log10 rounded to milli-dB (the q238
+    * round-to-µ discipline — both engines round the same exact-integer
+    * ratio), and the milli-dB gain to reach target. The WAV carries a
+    * deterministic sample pattern (s_i = (31·id + 17·i) mod 2¹⁶ − 2¹⁵)
+    * so the oracle replays the byte-exact energy from SQL — the whole
+    * synthesize→binary→parse→normalize path is hash-checked. Shape: one
+    * documents id scan; decode is map-only; output is one narrow row
+    * per file.
+    */
+  val Q330Samples = 512
+
+  def makeGainWav(id: Long): Array[Byte] = {
+    val bytes = makeWav(16000, 1, Q330Samples)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < Q330Samples) {
+      bb.putShort(44 + i * 2, (((id * 31 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  def wavSumSq(bytes: Array[Byte]): (Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(40) / 2
+    var s = 0L; var i = 0
+    while (i < n) {
+      val v = bb.getShort(44 + i * 2).toLong
+      s += v * v; i += 1
+    }
+    (n.toLong, s)
+  }
+
+  def q330AudioGain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (n, sumSq) = wavSumSq(makeGainWav(id))
+        (id, n, sumSq)
+      }).toDF("doc_id", "n_samples", "sum_sq")
+      .withColumn("dbfs_milli", expr(
+        "cast(round(10 * log10(cast(sum_sq as double) / (cast(n_samples as double) * 1073741824.0)) * 1000) as bigint)"))
+      .withColumn("gain_mdb", expr("cast(-20000 - dbfs_milli as bigint)"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q330Oracle: String =
+    s"""WITH s AS (SELECT d.doc_id,
+             CAST(sum(((d.doc_id * 31 + t.i * 17) % 65536 - 32768)
+                      * ((d.doc_id * 31 + t.i * 17) % 65536 - 32768)) AS BIGINT) AS sum_sq
+           FROM documents d CROSS JOIN range($Q330Samples) t(i)
+           GROUP BY 1)
+       SELECT doc_id, CAST($Q330Samples AS BIGINT) AS n_samples, sum_sq,
+         CAST(round(10 * log10(CAST(sum_sq AS DOUBLE) / ($Q330Samples.0 * 1073741824.0)) * 1000) AS BIGINT)
+           AS dbfs_milli,
+         CAST(-20000 - CAST(round(10 * log10(CAST(sum_sq AS DOUBLE) / ($Q330Samples.0 * 1073741824.0)) * 1000) AS BIGINT) AS BIGINT)
+           AS gain_mdb
+       FROM s ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_audio_gain" -> q330AudioGain _,
     "q279_audio_clipping" -> q279AudioClipping _,
     "q189_pixel_histogram" -> q189PixelHistogram _,
     "q153_audio_silence" -> q153AudioSilence _,
@@ -600,6 +665,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q330_audio_gain" -> q330Oracle,
     "q279_audio_clipping" -> q279Oracle,
     "q189_pixel_histogram" -> q189Oracle,
     "q153_audio_silence" -> q153Oracle,

@@ -321,7 +321,8 @@ class PlanSpec extends SparkSuite {
       "q326_loo_influence" -> ("documents", 1),          // one pinned feature pass; the 50-probe sweep is broadcast
       "q327_mcnemar_rules" -> ("documents", 1),          // one pinned feature pass; both classifiers score map-side
       "q328_dedup_funnel" -> ("documents", 1),           // corpus text-hash leg; gram + fingerprint stages ride stored artifacts
-      "q329_active_learning" -> ("documents", 2))        // pinned feature pass + source-label join leg
+      "q329_active_learning" -> ("documents", 2),        // pinned feature pass + source-label join leg
+      "q330_audio_gain" -> ("documents", 1))             // map-only id scan; PCM bytes never leave the partition
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
