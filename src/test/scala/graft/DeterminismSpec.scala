@@ -180,6 +180,37 @@ class DeterminismSpec extends SparkSuite {
     assert(runAt("2") == runAt("32"))
   }
 
+  test("q304 pagerank iterate is bit-identical across partition counts") {
+    // the integer power-iteration recurrence must not depend on how the
+    // transition aggregate was partitioned
+    def runAt(n: String) = withShufflePartitions(n) {
+      graft.operators.EventAnalytics.q304Pagerank(spark, sf).collect().toSeq
+    }
+    assert(runAt("2") == runAt("32"))
+  }
+
+  test("q309 JSD nano-nat sums are bit-identical across partition counts") {
+    def runAt(n: String) = withShufflePartitions(n) {
+      graft.operators.TextAnalysis.q309JsdMatrix(spark, sf).collect().toSeq
+    }
+    assert(runAt("2") == runAt("32"))
+  }
+
+  test("q314 kNN graph artifact build is bit-identical across partition counts") {
+    // drop the stored graph between runs: the certified object is the
+    // persisted edge set itself, not just the rollup
+    def runAt(n: String) = withShufflePartitions(n) {
+      graft.etl.Warehouse.dropManagedTable(spark,
+        graft.operators.Artifacts.tableName("knn_graph", sf))
+      val stats = graft.operators.Similarity.q314BuildKnnGraph(spark, sf)
+        .collect().toSeq
+      val edges = graft.operators.Similarity.knnGraphTable(spark, sf)
+        .orderBy("vec_id", "rn").collect().toSeq
+      (stats, edges)
+    }
+    assert(runAt("2") == runAt("32"))
+  }
+
   test("q232 cluster artifact build (iterative CC) is bit-identical across partition counts") {
     // drop the stored cluster table between runs: the certified object is
     // the persisted (doc_id, component) labeling itself plus the histogram
