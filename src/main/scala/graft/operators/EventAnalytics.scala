@@ -2328,7 +2328,51 @@ object EventAnalytics {
          CAST(max(m) AS BIGINT) AS max_per_user
        FROM m GROUP BY pattern ORDER BY pattern"""
 
+  // ---------------------------------------------------------------- q331
+  /** Time-INTERVAL range frame — the window feature q49's numeric RANGE
+    * frame doesn't exercise: a per-user rolling 7-day spend where the
+    * frame is defined by TIME distance, not row count (sparse activity
+    * makes ROWS frames wrong: 10 events in an hour and 10 across a year
+    * both span "10 rows"). The frame rides epoch seconds —
+    * `rangeBetween(−7·86400, 0)` over `ts` cast to long — which is the
+    * same RANGE-peers semantics in both engines (equal timestamps are
+    * peers; exact integer cents make the peer-group sum
+    * order-independent). Readout per user: events, total spend, and the
+    * PEAK rolling-week spend — the burst detector a spend-limit alarm
+    * watches. One user-keyed exchange (high-NDV, the sweep-safe
+    * direction); the rolling sum is a single sorted pass per user.
+    */
+  def q331IntervalFrame(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es")).rangeBetween(-7L * 86400, 0)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("es", expr("cast(ts as long)"))
+      .withColumn("w7", sum(col("cents")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(cents) as bigint)").as("total_cents"),
+        expr("cast(max(w7) as bigint)").as("max_7d_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q331Oracle: String =
+    """WITH e AS (SELECT user_id, epoch(ts) AS es,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+       r AS (SELECT user_id, cents,
+               CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS w7
+             FROM e)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         CAST(max(w7) AS BIGINT) AS max_7d_cents
+       FROM r GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_interval_frame" -> q331IntervalFrame _,
     "q304_pagerank" -> q304Pagerank _,
     "q313_pattern_match" -> q313PatternMatch _,
     "q271_audience_overlap" -> q271AudienceOverlap _,
@@ -2371,6 +2415,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q331_interval_frame" -> q331Oracle,
     "q304_pagerank" -> q304Oracle,
     "q313_pattern_match" -> q313Oracle,
     "q271_audience_overlap" -> q271Oracle,

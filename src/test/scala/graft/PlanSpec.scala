@@ -322,7 +322,8 @@ class PlanSpec extends SparkSuite {
       "q327_mcnemar_rules" -> ("documents", 1),          // one pinned feature pass; both classifiers score map-side
       "q328_dedup_funnel" -> ("documents", 1),           // corpus text-hash leg; gram + fingerprint stages ride stored artifacts
       "q329_active_learning" -> ("documents", 2),        // pinned feature pass + source-label join leg
-      "q330_audio_gain" -> ("documents", 1))             // map-only id scan; PCM bytes never leave the partition
+      "q330_audio_gain" -> ("documents", 1),             // map-only id scan; PCM bytes never leave the partition
+      "q331_interval_frame" -> ("events", 1))            // one user-keyed exchange; the RANGE frame is one sorted pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
