@@ -113,10 +113,17 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench_times.json: ${e.getMessage}")
     }
     // Final tiny summary as the very last stdout line: even if the bound
-    // truncates everything above, both totals survive.
+    // truncates everything above, both totals survive. Round 10 adds the
+    // builds/probes split (round-9 verdict item 5): the qNNN_build_*
+    // queries rebuild their stored artifacts every pass BY DESIGN, and as
+    // that family grows its cost must not mask probe-cost regressions —
+    // the split keeps both lines separately comparable across rounds.
     val warmTotal = warm.map(w => ms(w.map(_._2).sum)).getOrElse("null")
     val minTotal = minp.map(m => ms(m.map(_._2).sum)).getOrElse("null")
-    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total":${ms(cold.map(_._2).sum)}}""")
+    val record = minp.getOrElse(cold)
+    val builds = record.filter(_._1.contains("_build_")).map(_._2).sum
+    val probes = record.filterNot(_._1.contains("_build_")).map(_._2).sum
+    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total_builds":${ms(builds)},"total_probes":${ms(probes)},"total":${ms(cold.map(_._2).sum)}}""")
     spark.stop()
   }
 }

@@ -1225,7 +1225,127 @@ object EtlQueries {
        ORDER BY item_id"""
   }
 
+  // ---------------------------------------------------------------- q335
+  /** Z-ORDER zone-map PRUNING audit — the readout that justifies q111's
+    * layout machinery (the q275-justifies-q118 pattern): q111 BUILDS the
+    * Morton-clustered layout and certifies disjoint per-partition
+    * z-ranges; this query measures what that buys at scan time. Min/max
+    * zone maps prune files only when a file's key range is narrow, and a
+    * single-column sort (arrival order here: equal-width `l_orderkey`
+    * ranges — the natural ingest layout) leaves every OTHER column's
+    * per-file range full-width, so a two-column rectangle predicate
+    * prunes nothing. Interleaving the
+    * bits of both keys (Morton/Z-value) bounds each file's range in BOTH
+    * dimensions. This query computes, in one lineitem scan (both layouts
+    * explode map-side from the same row): per layout, the 64 equal-width
+    * bucket zone maps, how many buckets a 12.5%×12.5% (partkey, suppkey)
+    * rectangle touches, the rows those buckets hold (the actual I/O), and
+    * the matching rows (identical across layouts — the correctness
+    * certificate; layout moves I/O, never answers). Keys are scaled to
+    * 16 bits by exact integer division off one broadcast bounds row, the
+    * interleave is an integer bit-fold (codegen'd higher-order expression,
+    * no UDF), and every readout is an exact BIGINT / ppm — DuckDB replays
+    * the interleave bit-for-bit. At 100 TB the bucket id is the write-time
+    * clustering key (`repartitionByRange(zb)`), and the zone-map readout
+    * is exactly the scan planner's file-skipping estimate.
+    */
+  def q335ZorderLayout(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      max(col("l_partkey")).cast("long").as("pmax"),
+      max(col("l_suppkey")).cast("long").as("smax"),
+      max(col("l_orderkey")).cast("long").as("okmax"))
+    val t = li.crossJoin(broadcast(bounds))
+      .withColumn("a16", expr("cast(l_partkey as bigint) * 65536 div (pmax + 1)"))
+      .withColumn("s16", expr("cast(l_suppkey as bigint) * 65536 div (smax + 1)"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), cast(0 as bigint),
+           (acc, i) -> acc + shiftleft(shiftright(a16, i) & 1, 2 * i)
+                          + shiftleft(shiftright(s16, i) & 1, 2 * i + 1))"""))
+      .withColumn("p1", expr("(pmax + 1) div 4"))
+      .withColumn("p2", expr("(pmax + 1) div 4 + (pmax + 1) div 8"))
+      .withColumn("s1", expr("(smax + 1) div 4"))
+      .withColumn("s2", expr("(smax + 1) div 4 + (smax + 1) div 8"))
+      .withColumn("lb", explode(array(
+        struct(lit("arrival").as("layout"),
+          expr("cast(l_orderkey as bigint) * 64 div (okmax + 1)").as("bkt")),
+        struct(lit("zorder").as("layout"),
+          expr("z div 67108864").as("bkt")))))
+      .select(col("lb.layout").as("layout"), col("lb.bkt").as("bkt"),
+        col("l_partkey"), col("l_suppkey"),
+        col("p1"), col("p2"), col("s1"), col("s2"))
+    val perB = t.groupBy(col("layout"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).cast("long").as("minp"),
+        max(col("l_partkey")).cast("long").as("maxp"),
+        min(col("l_suppkey")).cast("long").as("mins"),
+        max(col("l_suppkey")).cast("long").as("maxs"),
+        expr("""cast(count_if(l_partkey between p1 and p2
+                        and l_suppkey between s1 and s2) as bigint)""").as("m"),
+        first(col("p1")).as("p1"), first(col("p2")).as("p2"),
+        first(col("s1")).as("s1"), first(col("s2")).as("s2"))
+      .withColumn("touched", expr(
+        "minp <= p2 AND maxp >= p1 AND mins <= s2 AND maxs >= s1"))
+    perB.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("cast(count_if(touched) as bigint)").as("n_buckets_touched"),
+        expr("cast(sum(CASE WHEN touched THEN n ELSE 0 END) as bigint)")
+          .as("rows_in_touched"),
+        expr("cast(sum(m) as bigint)").as("rows_matching"),
+        expr("cast(sum(n) as bigint)").as("n_rows"))
+      .withColumn("read_ppm",
+        expr("cast(rows_in_touched * 1000000 div n_rows as bigint)"))
+      .select(col("layout"), col("n_buckets"), col("n_buckets_touched"),
+        col("rows_in_touched"), col("rows_matching"), col("read_ppm"))
+      .orderBy(col("layout"))
+  }
+
+  val q335Oracle: String =
+    """WITH b AS (SELECT CAST(max(l_partkey) AS BIGINT) AS pmax,
+             CAST(max(l_suppkey) AS BIGINT) AS smax,
+             CAST(max(l_orderkey) AS BIGINT) AS okmax FROM lineitem),
+       t0 AS (SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+                CAST(l.l_partkey AS BIGINT) * 65536 // (b.pmax + 1) AS a16,
+                CAST(l.l_suppkey AS BIGINT) * 65536 // (b.smax + 1) AS s16,
+                CAST(l.l_orderkey AS BIGINT) * 64 // (b.okmax + 1) AS ab,
+                (b.pmax + 1) // 4 AS p1,
+                (b.pmax + 1) // 4 + (b.pmax + 1) // 8 AS p2,
+                (b.smax + 1) // 4 AS s1,
+                (b.smax + 1) // 4 + (b.smax + 1) // 8 AS s2
+              FROM lineitem l, b),
+       t AS (SELECT *,
+               (SELECT CAST(sum((((a16 >> u.i) & 1) << (2 * u.i))
+                          + (((s16 >> u.i) & 1) << (2 * u.i + 1))) AS BIGINT)
+                FROM LATERAL (SELECT unnest(generate_series(0, 15)) AS i) u) AS z
+             FROM t0),
+       lay AS (SELECT 'arrival' AS layout, ab AS bkt, l_partkey, l_suppkey,
+                 p1, p2, s1, s2 FROM t
+               UNION ALL
+               SELECT 'zorder', z // 67108864, l_partkey, l_suppkey,
+                 p1, p2, s1, s2 FROM t),
+       perb AS (SELECT layout, bkt, CAST(count(*) AS BIGINT) AS n,
+                  CAST(min(l_partkey) AS BIGINT) AS minp,
+                  CAST(max(l_partkey) AS BIGINT) AS maxp,
+                  CAST(min(l_suppkey) AS BIGINT) AS mins,
+                  CAST(max(l_suppkey) AS BIGINT) AS maxs,
+                  CAST(count(*) FILTER (l_partkey BETWEEN p1 AND p2
+                         AND l_suppkey BETWEEN s1 AND s2) AS BIGINT) AS m,
+                  any_value(p1) AS p1, any_value(p2) AS p2,
+                  any_value(s1) AS s1, any_value(s2) AS s2
+                FROM lay GROUP BY 1, 2),
+       pb AS (SELECT *, (minp <= p2 AND maxp >= p1 AND mins <= s2 AND maxs >= s1)
+                AS touched FROM perb)
+       SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(count(*) FILTER (touched) AS BIGINT) AS n_buckets_touched,
+         CAST(sum(CASE WHEN touched THEN n ELSE 0 END) AS BIGINT) AS rows_in_touched,
+         CAST(sum(m) AS BIGINT) AS rows_matching,
+         CAST(CAST(sum(CASE WHEN touched THEN n ELSE 0 END) AS BIGINT) * 1000000
+              // CAST(sum(n) AS BIGINT) AS BIGINT) AS read_ppm
+       FROM pb GROUP BY layout ORDER BY layout"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_zorder_layout" -> q335ZorderLayout _,
     "q191_reconciliation" -> q191Reconciliation _,
     "q192_key_rotation" -> q192KeyRotation _,
     "q197_union_evolution" -> q197UnionEvolution _,
@@ -1260,6 +1380,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q335_zorder_layout" -> q335Oracle,
     "q191_reconciliation" -> q191Oracle,
     "q192_key_rotation" -> q192Oracle,
     "q197_union_evolution" -> q197Oracle,

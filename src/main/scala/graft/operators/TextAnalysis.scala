@@ -397,6 +397,216 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q334
+  /** LUHN-VALIDATED payment-card detection — the PII class q80's regex
+    * scrub cannot see: a 16-digit run is only a card number if its Luhn
+    * mod-10 checksum holds, and flagging every digit run instead drowns
+    * the release audit in order ids and timestamps. Per document: extract
+    * separator-tolerant digit runs (`[0-9](?:[- ]?[0-9]){12,18}`, RE2 —
+    * no lookarounds, so Spark's Java regex and DuckDB's RE2 agree),
+    * normalize separators away, keep 13–19-digit candidates (ISO/IEC 7812
+    * lengths), and validate the checksum with an EXACT integer fold over
+    * the digit array — no UDF, one codegen'd higher-order expression, so
+    * the detector is a map-only corpus pass at any scale. The corpus has
+    * no organic cards, so four planted classes make every branch
+    * observable: a valid 16-digit number, its off-by-one invalid twin
+    * (MUST fail the checksum — the branch a regex-only scan cannot
+    * take), a dash-separated valid card (separator normalization), and a
+    * 12-digit run (too short — MUST not even be a candidate). Full
+    * oracle: DuckDB replays extraction, normalization and the checksum
+    * digit-for-digit.
+    */
+  val CardRunRe = "[0-9](?:[- ]?[0-9]){12,18}"
+
+  def q334LuhnScan(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("kind", expr(
+        """CASE cast(doc_id % 10 as int)
+           WHEN 0 THEN 'valid16' WHEN 1 THEN 'invalid16'
+           WHEN 2 THEN 'valid_dashed' WHEN 3 THEN 'short_run'
+           ELSE 'none' END"""))
+      .withColumn("aug", concat(col("text"), expr(
+        """CASE kind
+           WHEN 'valid16' THEN ' pay 4539578763621486 now'
+           WHEN 'invalid16' THEN ' pay 4539578763621487 now'
+           WHEN 'valid_dashed' THEN ' card 4111-1111-1111-1111 ok'
+           WHEN 'short_run' THEN ' ref 123456789012 x'
+           ELSE '' END""")))
+    val cands = docs
+      .select(col("doc_id"), col("kind"),
+        explode(expr(s"regexp_extract_all(aug, '$CardRunRe', 0)")).as("cand"))
+      .withColumn("norm", regexp_replace(col("cand"), "[- ]", ""))
+      .filter(length(col("norm")).between(13, 19))
+      .withColumn("luhn_ok", expr(
+        """aggregate(sequence(0, length(norm) - 1), 0,
+           (acc, i) -> acc + CASE WHEN i % 2 = 0
+             THEN cast(substring(reverse(norm), i + 1, 1) as int)
+             ELSE CASE WHEN cast(substring(reverse(norm), i + 1, 1) as int) * 2 > 9
+               THEN cast(substring(reverse(norm), i + 1, 1) as int) * 2 - 9
+               ELSE cast(substring(reverse(norm), i + 1, 1) as int) * 2 END
+           END) % 10 = 0"""))
+    docs.groupBy(col("kind")).agg(count(lit(1)).as("n_docs"))
+      .join(cands.groupBy(col("kind"))
+        .agg(count(lit(1)).as("nc"),
+          expr("cast(count_if(luhn_ok) as bigint)").as("nv")),
+        Seq("kind"), "left")
+      .select(col("kind"), col("n_docs"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nv"), lit(0L)).as("n_luhn_valid"))
+      .orderBy(col("kind"))
+  }
+
+  val q334Oracle: String =
+    s"""WITH base AS (SELECT doc_id,
+             CASE CAST(doc_id % 10 AS INT)
+               WHEN 0 THEN 'valid16' WHEN 1 THEN 'invalid16'
+               WHEN 2 THEN 'valid_dashed' WHEN 3 THEN 'short_run'
+               ELSE 'none' END AS kind,
+             text || CASE CAST(doc_id % 10 AS INT)
+               WHEN 0 THEN ' pay 4539578763621486 now'
+               WHEN 1 THEN ' pay 4539578763621487 now'
+               WHEN 2 THEN ' card 4111-1111-1111-1111 ok'
+               WHEN 3 THEN ' ref 123456789012 x'
+               ELSE '' END AS aug
+           FROM documents),
+       c0 AS (SELECT doc_id, kind,
+                unnest(regexp_extract_all(aug, '$CardRunRe')) AS cand
+              FROM base),
+       c1 AS (SELECT doc_id, kind,
+                regexp_replace(cand, '[- ]', '', 'g') AS norm
+              FROM c0),
+       c2 AS (SELECT doc_id, kind, norm FROM c1
+              WHERE len(norm) BETWEEN 13 AND 19),
+       lu AS (SELECT doc_id, kind,
+                ((SELECT sum(CASE WHEN (u.i - 1) % 2 = 0 THEN x.d
+                    ELSE CASE WHEN 2 * x.d > 9 THEN 2 * x.d - 9 ELSE 2 * x.d END END)
+                  FROM LATERAL (SELECT unnest(generate_series(1, len(norm))) AS i) u,
+                       LATERAL (SELECT CAST(substr(reverse(norm), u.i, 1) AS INT) AS d) x)
+                 % 10 = 0) AS ok
+              FROM c2),
+       nd AS (SELECT kind, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY 1),
+       agg AS (SELECT kind, CAST(count(*) AS BIGINT) AS nc,
+                 CAST(count(*) FILTER (ok) AS BIGINT) AS nv
+               FROM lu GROUP BY 1)
+       SELECT nd.kind, nd.n_docs,
+         coalesce(agg.nc, 0) AS n_candidates,
+         coalesce(agg.nv, 0) AS n_luhn_valid
+       FROM nd LEFT JOIN agg ON agg.kind = nd.kind
+       ORDER BY nd.kind"""
+
+  // ---------------------------------------------------------------- q336
+  /** STUPID-BACKOFF scoring (Brants et al. 2007) off the STORED bigram
+    * LM — the OOV-robust scorer the add-1 path (q228) is not: an add-1
+    * model can only score bigrams it has a row for, so an incoming batch
+    * with novel tokens is unscorable; stupid backoff scores EVERY bigram
+    * by falling back to α·P(w₂) when (w₁,w₂) is unseen. The unigram
+    * distribution is NOT a second corpus pass: the stored model rows are
+    * sufficient statistics (the q250 argument — c₁(w) = Σ c₂ over the
+    * w-context rows, N = Σ c₂, V = distinct g1), so the whole scorer is a
+    * vocab-sized aggregate of the stored table plus one batch-sized
+    * probe. ln α = ln 0.4 is the pinned integer −916291 µ-nats; backoff
+    * unigram log-probs quantize to µ-nats per distinct count (the q228
+    * discipline), so scores are exact BIGINT sums. Fixture: 10 corpus
+    * docs re-offered verbatim (every bigram in the model ⇒ ZERO backoff
+    * — certificate) and the same 10 with two novel tokens appended
+    * (exactly 2 backoff bigrams each ⇒ 20). Full oracle replays model,
+    * sufficient statistics, probe and both score paths.
+    */
+  val LnAlphaMicro = -916291L // round(ln(0.4)·10⁶)
+
+  def q336StupidBackoff(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val probe = base
+      .select((col("doc_id") + 5000000L).as("doc_id"), lit("seen").as("kind"),
+        col("text"))
+      .unionByName(base.select((col("doc_id") + 6000000L).as("doc_id"),
+        lit("mixed").as("kind"),
+        concat(col("text"), lit(" zq"), col("doc_id").cast("string"),
+          lit(" wq"), col("doc_id").cast("string")).as("text")))
+    val probeBig = probe
+      .select(col("doc_id"), col("kind"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("kind"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), col("kind"),
+        expr(md5l("bg")).as("g2"),
+        expr(md5l("split(bg, chr(1))[1]")).as("gr"))
+    val model = bigramLmTable(spark, d)
+    val uni = model.groupBy(col("g1"))
+      .agg(expr("cast(sum(c2) as bigint)").as("c1"))
+      .withColumnRenamed("g1", "gr")
+    val tot = model.agg(expr("cast(sum(c2) as bigint)").as("ntot"),
+      countDistinct(col("g1")).as("vl"))
+    probeBig
+      .join(model.select(col("g2"), col("lp_micro")), Seq("g2"), "left")
+      .join(uni, Seq("gr"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_micro", expr(
+        s"""CASE WHEN lp_micro IS NOT NULL THEN lp_micro
+            ELSE $LnAlphaMicro + CAST(round(ln((CAST(coalesce(c1, 0) AS DOUBLE) + 1.0)
+              / (CAST(ntot AS DOUBLE) + CAST(vl AS DOUBLE))) * 1000000) AS BIGINT) END"""))
+      .groupBy(col("kind"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        expr("cast(count_if(lp_micro IS NULL) as bigint)").as("n_backoff"),
+        expr("cast(sum(s_micro) as bigint)").as("score_sum_micro"))
+      .orderBy(col("kind"))
+  }
+
+  val q336Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       tot AS (SELECT CAST(sum(c2) AS BIGINT) AS ntot,
+                      CAST(count(DISTINCT g1) AS BIGINT) AS vl FROM bc),
+       probe AS (SELECT doc_id + 5000000 AS doc_id, 'seen' AS kind, text
+                 FROM documents WHERE doc_id < 10
+                 UNION ALL
+                 SELECT doc_id + 6000000, 'mixed',
+                   text || ' zq' || CAST(doc_id AS VARCHAR)
+                        || ' wq' || CAST(doc_id AS VARCHAR)
+                 FROM documents WHERE doc_id < 10),
+       ptok AS (SELECT doc_id, kind, string_split(text, ' ') AS ws FROM probe),
+       pbig AS (SELECT doc_id, kind,
+                  CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2,
+                  CAST(('0x' || substr(md5(string_split(bg, chr(1))[2]), 1, 15)) AS BIGINT) AS gr
+                FROM (SELECT doc_id, kind,
+                        unnest(CASE WHEN len(ws) >= 2
+                          THEN list_transform(generate_series(1, len(ws) - 1),
+                                              i -> ws[i] || chr(1) || ws[i+1])
+                          ELSE [] END) AS bg
+                      FROM ptok)),
+       sc AS (SELECT p.doc_id, p.kind, lp.lp_micro,
+                CASE WHEN lp.lp_micro IS NOT NULL THEN lp.lp_micro
+                  ELSE $LnAlphaMicro + CAST(round(ln((CAST(coalesce(u.c1, 0) AS DOUBLE) + 1.0)
+                    / (CAST(t.ntot AS DOUBLE) + CAST(t.vl AS DOUBLE))) * 1000000) AS BIGINT) END AS s_micro
+              FROM pbig p
+              LEFT JOIN lp ON lp.g2 = p.g2
+              LEFT JOIN uc u ON u.g1 = p.gr
+              CROSS JOIN tot t)
+       SELECT kind, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(*) FILTER (lp_micro IS NULL) AS BIGINT) AS n_backoff,
+         CAST(sum(s_micro) AS BIGINT) AS score_sum_micro
+       FROM sc GROUP BY kind ORDER BY kind"""
+
   // ---------------------------------------------------------------- q94
   /** Repetition quality signals (the Gopher/C4-style filters that catch
     * degenerate machine text): per document,
@@ -3292,6 +3502,8 @@ object TextAnalysis {
     "q95_text_decontamination" -> q95Decontamination _,
     "q79_chunk_documents" -> q79ChunkDocuments _,
     "q80_pii_redact" -> q80PiiRedact _,
+    "q334_luhn_scan" -> q334LuhnScan _,
+    "q336_stupid_backoff" -> q336StupidBackoff _,
     "q70_text_normalize" -> q70TextNormalize _,
     "q65_text_lang_id_ngram" -> q65LangIdNgram _,
     "q66_text_tfidf_topterms" -> q66TfIdfTopTerms _,
@@ -3342,6 +3554,8 @@ object TextAnalysis {
     "q95_text_decontamination" -> q95Oracle,
     "q79_chunk_documents" -> q79Oracle,
     "q80_pii_redact" -> q80Oracle,
+    "q334_luhn_scan" -> q334Oracle,
+    "q336_stupid_backoff" -> q336Oracle,
     "q70_text_normalize" -> q70Oracle,
     "q65_text_lang_id_ngram" -> q65Oracle,
     "q66_text_tfidf_topterms" -> q66Oracle,

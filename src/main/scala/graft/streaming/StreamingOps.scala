@@ -1098,7 +1098,156 @@ object StreamingOps {
          UNION ALL SELECT 'novel', CAST(25 AS BIGINT), CAST(25 AS BIGINT))
        ORDER BY kind"""
 
+  // ---------------------------------------------------------------- q333
+  /** STREAMING vector-dedup admission against the STORED RP-LSH index
+    * (q332's artifact) — the embedding-level front door the q248 (text
+    * band index) and q325 (winnowing) gates run for text: vectors stream
+    * in, each microbatch re-derives its 8 sign projections from the
+    * hash-derived hyperplanes (nothing shipped — any executor regenerates
+    * sign(i, dim) from md5), probes its ONE base posting list of the
+    * bucket-bucketed index, verifies candidates by EXACT µ-int dot
+    * against the stored long form, and rejects a vector iff some
+    * candidate clears cos ≥ 0.95 — decided in exact integer
+    * cross-multiplication (dot² · 10⁴ ≥ 9025 · |a|² · |b|², all
+    * DECIMAL(38,0), so the admission bit is host-independent and DuckDB
+    * replays it). Fixture: 5 exact corpus copies (their original shares
+    * their bucket at cos = 1 ⇒ MUST reject) + 5 negated corpus vectors
+    * (cos = −1 to their source; admitted unless a real near-neighbor
+    * happens to share the complement bucket — the oracle replays the
+    * whole decision, so the readout is exact, not assumed) across two
+    * microbatches. State: none beyond the stored index — per batch the
+    * work is (batch × 64) projection rows + one posting-list probe, which
+    * is what lets the gate run at ingest rate at 100 TB.
+    */
+  def q333StreamLshAdmission(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, StructField, StructType}
+    val idx = graft.operators.Similarity.rpLshTable(spark, d)
+      .select(col("vec_id"), col("bucket"))
+    val lfC = graft.operators.Similarity.pqLfTable(spark, d)
+      .select(col("vec_id"),
+        (col("sub") * graft.operators.Similarity.PqSubDim + col("jj")).as("dim"),
+        col("xq"))
+    val base = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    val copies = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("ed"), lit("copy").as("kind"))
+    val inverses = base.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        expr("transform(ed, x -> -x)").as("ed"), lit("inverse").as("kind"))
+    val tmp = graft.core.Scratch.dir("stream_lsh")
+    copies.unionByName(inverses).repartition(2, col("vec_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ed", ArrayType(DoubleType)),
+      StructField("kind", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val admitted = s"graft_q333_admitted_${graft.core.Utils.pathDigest(d)}"
+    graft.etl.Warehouse.dropManagedTable(spark, admitted)
+    spark.sql(s"CREATE TABLE $admitted (vec_id BIGINT, kind STRING) USING parquet")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val blf = b.select(col("vec_id").as("bid"),
+              posexplode(col("ed")).as(Seq("dim", "x")))
+            .select(col("bid"), col("dim"),
+              expr("cast(round(x * 1000000) as bigint)").as("xq"))
+          val bproj = blf
+            .select(col("bid"), col("dim"), col("xq"),
+              explode(expr("sequence(0, 7)")).as("i"))
+            .withColumn("sgn", expr(
+              """1 - 2 * (CAST(conv(substring(md5(concat('lsh#', CAST(i AS STRING), '#', CAST(dim AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"""))
+            .groupBy(col("bid"), col("i"))
+            .agg(expr("cast(sum(sgn * xq) as bigint)").as("p"))
+          val bbk = bproj.groupBy(col("bid"))
+            .agg(expr(
+              "cast(sum(CASE WHEN p >= 0 THEN shiftleft(cast(1 as bigint), cast(i as int)) ELSE 0 END) as bigint)")
+              .as("bucket"))
+          val bnorm = blf.groupBy(col("bid"))
+            .agg(expr("cast(sum(xq * xq) as bigint)").as("b2"))
+          val cand = idx.join(broadcast(bbk), "bucket")
+            .select(col("bid"), col("vec_id"))
+          val rejected = lfC.join(cand, "vec_id")
+            .join(broadcast(blf.select(col("bid"), col("dim"), col("xq").as("qx"))),
+              Seq("bid", "dim"))
+            .groupBy(col("bid"), col("vec_id"))
+            .agg(expr("cast(sum(xq * qx) as bigint)").as("dot"),
+              expr("cast(sum(xq * xq) as bigint)").as("n2"))
+            .join(broadcast(bnorm), "bid")
+            .filter(expr(
+              """dot > 0 AND cast(dot as decimal(38,0)) * dot * 10000
+                 >= cast(9025 as decimal(38,0)) * n2 * b2"""))
+            .select(col("bid").as("vec_id")).distinct()
+          b.join(rejected, Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("kind"))
+            .write.mode("append").saveAsTable(admitted)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    copies.unionByName(inverses)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
+      .join(spark.table(admitted).groupBy(col("kind"))
+        .agg(count(lit(1)).as("na")), Seq("kind"), "left")
+      .select(col("kind"), col("n_seen"),
+        coalesce(col("na"), lit(0L)).as("n_admitted"))
+      .orderBy(col("kind"))
+  }
+
+  /** Full replay: DuckDB recomputes corpus buckets (twin included), batch
+    * projections, the base-bucket candidate probe, exact dots/norms and
+    * the integer cos²-threshold decision — the admission bit is derived,
+    * never assumed.
+    */
+  val q333Oracle: String =
+    """WITH lv0 AS (SELECT vec_id, r.j AS dim,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       lv AS (SELECT * FROM lv0
+              UNION ALL SELECT 900000, dim, xq FROM lv0 WHERE vec_id = 0),
+       proj AS (SELECT vec_id, i.i,
+                  CAST(sum((1 - 2 * (CAST(('0x' || substr(md5('lsh#' || i.i || '#' || dim), 1, 15)) AS BIGINT) % 2)) * xq) AS BIGINT) AS p
+                FROM lv, range(8) i(i) GROUP BY 1, 2),
+       bk AS (SELECT vec_id,
+                CAST(sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY 1),
+       norms AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM lv GROUP BY 1),
+       batch AS (SELECT vec_id + 2000000 AS bid, 'copy' AS kind, dim, xq
+                 FROM lv0 WHERE vec_id < 5
+                 UNION ALL
+                 SELECT vec_id + 3000000, 'inverse', dim, -xq
+                 FROM lv0 WHERE vec_id >= 5 AND vec_id < 10),
+       bproj AS (SELECT bid, kind, i.i,
+                   CAST(sum((1 - 2 * (CAST(('0x' || substr(md5('lsh#' || i.i || '#' || dim), 1, 15)) AS BIGINT) % 2)) * xq) AS BIGINT) AS p
+                 FROM batch, range(8) i(i) GROUP BY 1, 2, 3),
+       bbk AS (SELECT bid, kind,
+                 CAST(sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+               FROM bproj GROUP BY 1, 2),
+       bnorm AS (SELECT bid, CAST(sum(xq * xq) AS BIGINT) AS b2 FROM batch GROUP BY 1),
+       cand AS (SELECT b.bid, k.vec_id FROM bbk b JOIN bk k ON k.bucket = b.bucket),
+       dots AS (SELECT c.bid, c.vec_id, CAST(sum(a.xq * q.xq) AS BIGINT) AS dot
+                FROM cand c JOIN lv a ON a.vec_id = c.vec_id
+                JOIN batch q ON q.bid = c.bid AND q.dim = a.dim
+                GROUP BY 1, 2),
+       rej AS (SELECT DISTINCT d.bid FROM dots d
+               JOIN norms n ON n.vec_id = d.vec_id
+               JOIN bnorm b ON b.bid = d.bid
+               WHERE d.dot > 0
+                 AND CAST(d.dot AS HUGEINT) * d.dot * 10000
+                     >= 9025 * CAST(n.n2 AS HUGEINT) * b.b2)
+       SELECT k.kind, CAST(count(*) AS BIGINT) AS n_seen,
+         CAST(sum(CASE WHEN r.bid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       FROM bbk k LEFT JOIN rej r ON r.bid = k.bid
+       GROUP BY k.kind ORDER BY k.kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_stream_lsh_admission" -> q333StreamLshAdmission _,
     "q325_stream_winnow_admission" -> q325StreamWinnowAdmission _,
     "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
@@ -1121,6 +1270,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q333_stream_lsh_admission" -> q333Oracle,
     "q325_stream_winnow_admission" -> q325Oracle,
     "q312_stream_hll_distinct" -> q312Oracle,
     "q299_stream_quota_admission" -> q299Oracle,

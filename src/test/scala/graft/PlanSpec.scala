@@ -312,7 +312,7 @@ class PlanSpec extends SparkSuite {
       "q317_winnow_admission" -> ("documents", 2),       // copy + novel batch legs (pinned); the index side is stored
       "q318_negative_sampling" -> ("documents", 1),      // one tokenize pass pinned at vocab size
       "q319_vocab_truncation" -> ("documents", 2),       // vocab pin + the occurrence-classification join
-      "q320_multiprobe_lsh" -> ("embeddings", 0),        // projections/buckets/dots all ride the stored µ-int long form
+      "q320_multiprobe_lsh" -> ("embeddings", 0),        // pure probe: buckets/margins read the stored rp_lsh index, dots the stored long form
       "q321_calibration_bins" -> ("documents", 1),       // one pinned feature pass; thresholds/bins are broadcast arithmetic
       "q322_nprobe_sweep" -> ("embeddings", 0),          // both index halves are stored tables; sweep explodes the K-row ranking
       "q323_corpus_datasheet" -> ("documents", 2),       // per-doc pin + one gram pass
@@ -323,7 +323,12 @@ class PlanSpec extends SparkSuite {
       "q328_dedup_funnel" -> ("documents", 1),           // corpus text-hash leg; gram + fingerprint stages ride stored artifacts
       "q329_active_learning" -> ("documents", 2),        // pinned feature pass + source-label join leg
       "q330_audio_gain" -> ("documents", 1),             // map-only id scan; PCM bytes never leave the partition
-      "q331_interval_frame" -> ("events", 1))            // one user-keyed exchange; the RANGE frame is one sorted pass
+      "q331_interval_frame" -> ("events", 1),            // one user-keyed exchange; the RANGE frame is one sorted pass
+      "q332_build_rp_lsh" -> ("embeddings", 0),          // report reads the just-written artifact; projections ride the stored long form
+      "q333_stream_lsh_admission" -> ("embeddings", 2),  // copy + inverse readout legs; stream pre-ran, index + long form are stored
+      "q334_luhn_scan" -> ("documents", 2),              // per-kind doc counts + the candidate-extraction leg
+      "q335_zorder_layout" -> ("lineitem", 2),           // 1-row bounds agg + the dual-layout explode pass
+      "q336_stupid_backoff" -> ("documents", 2))         // seen + mixed probe legs; model and unigram stats are the stored artifact
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
