@@ -652,7 +652,71 @@ object MediaCodecDemo extends Serializable {
            AS gain_mdb
        FROM s ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q339
+  /** ZERO-CROSSING RATE — the classic voiced/unvoiced and
+    * frequency-content proxy (high ZCR ⇒ fricatives/noise, low ZCR ⇒
+    * voiced speech/tones), the third audio feature after q153's energy
+    * and q279's clipping runs. Strict sign flips (sᵢ·sᵢ₋₁ < 0 — zeros
+    * never count, so the silent prefix contributes nothing) counted over
+    * the decoded 16-bit PCM in the same mapPartitions decode pass as the
+    * rest of the audio family: samples never shuffle, each WAV reduces
+    * to one (pattern, crossings) row. The synthesized pattern makes the
+    * answer closed-form — blocks of 8 samples alternate ±1000 after a
+    * `pattern·8`-frame silent prefix, so crossings = (n − z₀)/8 − 1 —
+    * and the oracle replays that arithmetic without seeing a byte, so
+    * hash equality certifies the whole decode→count path. ZCR in exact
+    * ppm of sample transitions.
+    */
+  def wavZeroCrossings(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nSamples = bb.getInt(40) / 2
+    var crossings = 0L
+    var prev = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(44 + i * 2).toLong
+      if (s * prev < 0) crossings += 1
+      if (s != 0) prev = s
+      i += 1
+    }
+    crossings
+  }
+
+  def q339ZeroCrossing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val pattern = (id % 4).toInt
+          val wav = makePatternWav(pattern)
+          val n = java.nio.ByteBuffer.wrap(wav)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(40) / 2
+          (pattern.toLong, n.toLong, wavZeroCrossings(wav))
+        }
+      }.toDF("pattern", "n_samples", "crossings")
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("n_samples")).as("n_samples"),
+        first(col("crossings")).as("crossings_per_doc"),
+        expr("cast(first(crossings) * 1000000 div (first(n_samples) - 1) as bigint)")
+          .as("zcr_ppm"))
+      .orderBy(col("pattern"))
+  }
+
+  val q339Oracle: String = {
+    val n = Q153Frames * Q153SamplesPerFrame
+    s"""SELECT CAST(doc_id % 4 AS BIGINT) AS pattern,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST($n AS BIGINT) AS n_samples,
+       CAST(($n - (doc_id % 4) * 8 * $Q153SamplesPerFrame) // 8 - 1 AS BIGINT)
+         AS crossings_per_doc,
+       CAST((($n - (doc_id % 4) * 8 * $Q153SamplesPerFrame) // 8 - 1) * 1000000
+            // (CAST($n AS BIGINT) - 1) AS BIGINT) AS zcr_ppm
+       FROM documents GROUP BY doc_id % 4 ORDER BY pattern"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_zero_crossing" -> q339ZeroCrossing _,
     "q330_audio_gain" -> q330AudioGain _,
     "q279_audio_clipping" -> q279AudioClipping _,
     "q189_pixel_histogram" -> q189PixelHistogram _,
@@ -665,6 +729,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q339_zero_crossing" -> q339Oracle,
     "q330_audio_gain" -> q330Oracle,
     "q279_audio_clipping" -> q279Oracle,
     "q189_pixel_histogram" -> q189Oracle,

@@ -2446,6 +2446,114 @@ object Similarity {
          (SELECT CAST(sum(abs(p)) AS BIGINT) FROM proj) AS proj_abs_sum
        FROM bk"""
 
+  // ---------------------------------------------------------------- q337
+  /** KENDALL-τ RANK AGREEMENT between the sparse (BM25) and dense
+    * (cosine) retrieval rankings — the statistic that decides whether
+    * q285's reciprocal-rank fusion is worth running: fusion only helps
+    * when the two retrievers DISAGREE (τ well below 1 means each ranking
+    * carries signal the other lacks), and a τ near 1 says one retriever
+    * is redundant. Both top-50 rankings are exactly q285's (same exact
+    * integer BM25 scores, same µ-unit cosine ranking, same total-order
+    * tie-breaks); τ is computed over their common documents as exact
+    * concordant/discordant pair counts — a (≤50)² self-join over the
+    * RANKING FRAME, never the corpus, so the pair stage costs the same
+    * at any corpus size. Readout keeps every division non-negative (the
+    * truncating-div vs floor-div cross-engine trap): C and D are exact
+    * BIGINTs and the agreement share is C·10⁶ div (C+D). Full oracle
+    * replays both retrievers and all pairs.
+    */
+  def q337RankCorrelation(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparseRanked = graft.operators.TextAnalysis
+      .bm25Scores(spark, d, graft.operators.TextAnalysis.Q276Terms)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .withColumn("br", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("br"))
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), expr(toDouble).as("ed"))
+    val q = emb.filter(col("vec_id") === 0).select(col("ed").as("qe"))
+    val denseRanked = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .orderBy(col("cos_u").desc, col("vec_id")).limit(50)
+      .withColumn("dr", row_number().over(
+        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dr"))
+    val common = sparseRanked.join(denseRanked, "doc_id")
+      .localCheckpoint() // ≤50 rows; both pair sides read it
+    val pairs = common.select(col("doc_id").as("ida"), col("br").as("bra"),
+        col("dr").as("dra"))
+      .join(common.select(col("doc_id").as("idb"), col("br").as("brb"),
+        col("dr").as("drb")), col("ida") < col("idb"))
+    pairs.agg(
+        expr("cast(count(1) as bigint)").as("n_pairs"),
+        expr("cast(count_if((bra - brb) * (dra - drb) > 0) as bigint)")
+          .as("n_concordant"),
+        expr("cast(count_if((bra - brb) * (dra - drb) < 0) as bigint)")
+          .as("n_discordant"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .withColumn("agree_ppm", expr(
+        """CASE WHEN n_concordant + n_discordant > 0
+           THEN cast(n_concordant * 1000000 div (n_concordant + n_discordant) as bigint)
+           ELSE cast(0 as bigint) END"""))
+      .select(col("n_common"), col("n_pairs"), col("n_concordant"),
+        col("n_discordant"), col("agree_ppm"))
+  }
+
+  val q337Oracle: String = {
+    val terms = graft.operators.TextAnalysis.Q276Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             string_split(text, ' ') AS w
+           FROM documents),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
+       tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(w) AS tok FROM d)
+              WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+       idf AS (SELECT tok,
+                 CAST(round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+               FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok), st),
+       sc AS (SELECT tf.doc_id,
+                CAST(CAST(idf.idf_micro AS HUGEINT) * 2200 * tf.tf * st.total_tokens
+                  // (CAST(1000 AS HUGEINT) * tf.tf * st.total_tokens
+                      + CAST(300 AS HUGEINT) * st.total_tokens
+                      + CAST(900 AS HUGEINT) * tf.dl * st.n_docs) AS BIGINT) AS s
+              FROM tf JOIN idf USING (tok), st),
+       bm AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+              FROM sc WHERE doc_id <> 0 GROUP BY doc_id),
+       bmr AS (SELECT doc_id, CAST(rn AS BIGINT) AS br FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+                 FROM bm) WHERE rn <= 50),
+       ev AS (SELECT vec_id, embedding FROM embeddings),
+       qv AS (SELECT embedding AS qe FROM ev WHERE vec_id = 0),
+       cs AS (SELECT e.vec_id,
+                CAST(round(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)) /
+                  (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                   sqrt(sum(CAST(q.qe[r.j+1] AS DOUBLE) * CAST(q.qe[r.j+1] AS DOUBLE)))) * 1000000)
+                  AS BIGINT) AS cos_u
+              FROM ev e CROSS JOIN qv q, range(64) r(j)
+              WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       der AS (SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS dr FROM (
+                 SELECT vec_id, row_number() OVER (ORDER BY cos_u DESC, vec_id) AS rn
+                 FROM cs) WHERE rn <= 50),
+       com AS (SELECT bmr.doc_id, bmr.br, der.dr FROM bmr JOIN der USING (doc_id)),
+       p AS (SELECT a.br AS bra, a.dr AS dra, b.br AS brb, b.dr AS drb
+             FROM com a JOIN com b ON a.doc_id < b.doc_id),
+       ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(*) FILTER ((bra - brb) * (dra - drb) > 0) AS BIGINT) AS n_concordant,
+                CAST(count(*) FILTER ((bra - brb) * (dra - drb) < 0) AS BIGINT) AS n_discordant
+              FROM p)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM com) AS n_common,
+         n_pairs, n_concordant, n_discordant,
+         CASE WHEN n_concordant + n_discordant > 0
+           THEN CAST(n_concordant * 1000000 // (n_concordant + n_discordant) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS agree_ppm
+       FROM ag"""
+  }
+
   // ---------------------------------------------------------------- q322
   /** IVF OPERATING CURVE — q241 certifies recall@10 at the deployed
     * nprobe; the tuning decision needs the whole curve: recall@10 as
@@ -2659,6 +2767,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_knn_maintain" -> q324KnnMaintain _,
     "q332_build_rp_lsh" -> q332BuildRpLsh _,
+    "q337_rank_correlation" -> q337RankCorrelation _,
     "q320_multiprobe_lsh" -> q320MultiprobeLsh _,
     "q322_nprobe_sweep" -> q322NprobeSweep _,
     "q314_build_knn_graph" -> q314BuildKnnGraph _,
@@ -2696,6 +2805,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q324_knn_maintain" -> q324Oracle,
     "q332_build_rp_lsh" -> q332Oracle,
+    "q337_rank_correlation" -> q337Oracle,
     "q320_multiprobe_lsh" -> q320Oracle,
     "q322_nprobe_sweep" -> q322Oracle,
     "q314_build_knn_graph" -> q314Oracle,

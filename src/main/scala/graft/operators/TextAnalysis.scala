@@ -3246,6 +3246,130 @@ object TextAnalysis {
          CAST(sum(s) AS BIGINT) AS sum_score
        FROM b GROUP BY bin ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q338
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) over q321's score
+    * bins — the calibration FIX to q321's diagnosis: a classifier's
+    * per-bin positive rate need not rise with the score, and the
+    * standard repair (Zadrozny & Elkan 2002) is the monotone regression
+    * that pools adjacent violating bins. Computed by the closed-form
+    * min-max characterization instead of the sequential PAV loop:
+    * iso(i) = max_{j≤i} min_{l≥i} mean(y over bins j..l) — 15 interval
+    * means over the 5-row bin frame, selection decided ENTIRELY by
+    * integer cross-multiplication (p₁·n₂ vs p₂·n₁ — no rational ever
+    * becomes a double; ties to the smaller interval end so the winning
+    * interval is total-order deterministic), fitted rate emitted as
+    * exact ppm. Every stage after the one pinned feature pass runs on
+    * bin-count-sized frames, so calibration cost is independent of
+    * corpus size. The fitted column is nondecreasing BY CONSTRUCTION —
+    * asserted in Round10Spec — while the raw column need not be. Full
+    * oracle replays training, binning, all 15 interval means and both
+    * min/max selections.
+    */
+  def q338IsotonicCalibration(spark: SparkSession, d: String): DataFrame = {
+    val f = perceptronFeatures(spark, d)
+    val w2 = perceptronW2(f, perceptronW1(f))
+    val scored = f.crossJoin(broadcast(w2))
+      .select(col("doc_id"), col("y"),
+        expr("cast(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 as bigint)").as("s"))
+    val targets = (1 to 5).map(k => expr(s"(__n * $k) div 5"))
+    val th = BucketRank.select(scored.withColumn("__g", lit(1)), "__g",
+        bucket = expr("s div 1000000"), ord = Seq(col("s"), col("doc_id")),
+        targets = targets)
+      .select(col("s").as("s_thr"), col("doc_id").as("d_thr"))
+    val bins = scored.crossJoin(broadcast(th))
+      .withColumn("passed",
+        expr("CASE WHEN s > s_thr OR (s = s_thr AND doc_id > d_thr) THEN 1 ELSE 0 END"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(expr("cast(1 + sum(passed) as bigint)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(y = 1) as bigint)").as("n_pos"))
+      .localCheckpoint() // 5 rows; every interval below derives from it
+    val iv = bins.select(col("bin").as("j"))
+      .join(bins.select(col("bin").as("l")), col("j") <= col("l"))
+      .join(bins.select(col("bin").as("m"), col("n_docs"), col("n_pos")),
+        col("m").between(col("j"), col("l")))
+      .groupBy(col("j"), col("l"))
+      .agg(expr("cast(sum(n_docs) as bigint)").as("n"),
+        expr("cast(sum(n_pos) as bigint)").as("p"))
+    val cand = bins.select(col("bin").as("i"))
+      .join(iv, col("j") <= col("i") && col("l") >= col("i"))
+    // inner min over l (fixed i, j): keep the interval no other interval
+    // beats — smaller rational wins, ties to the smaller l
+    val inner = cand.alias("x").join(cand.alias("y"),
+        expr("""x.i = y.i AND x.j = y.j AND
+               (y.p * x.n < x.p * y.n OR (y.p * x.n = x.p * y.n AND y.l < x.l))"""),
+        "left_anti")
+    // outer max over j (fixed i) — larger rational wins, ties to smaller j
+    val outer = inner.alias("x").join(inner.alias("y"),
+        expr("""x.i = y.i AND
+               (y.p * x.n > x.p * y.n OR (y.p * x.n = x.p * y.n AND y.j < x.j))"""),
+        "left_anti")
+      .select(col("i").as("bin"), expr("cast(p * 1000000 div n as bigint)").as("iso_ppm"))
+    bins.withColumn("raw_ppm", expr("cast(n_pos * 1000000 div n_docs as bigint)"))
+      .join(outer, "bin")
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("raw_ppm"), col("iso_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  val q338Oracle: String =
+    """WITH f AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+           CAST(1 AS BIGINT) AS x0,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+           CAST(n_chars AS BIGINT) AS x2,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) AS x3,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 5)) AS BIGINT) AS x4
+         FROM documents),
+       w1 AS (SELECT CAST(sum(y*x0) AS BIGINT) AS a0, CAST(sum(y*x1) AS BIGINT) AS a1,
+                CAST(sum(y*x2) AS BIGINT) AS a2, CAST(sum(y*x3) AS BIGINT) AS a3,
+                CAST(sum(y*x4) AS BIGINT) AS a4
+              FROM f),
+       s2 AS (SELECT f.*, (y * (a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4) <= 0) AS m
+              FROM f CROSS JOIN w1),
+       w2 AS (SELECT CAST(max(w1.a0) + coalesce(sum(y*x0) FILTER (m), 0) AS BIGINT) AS b0,
+                CAST(max(w1.a1) + coalesce(sum(y*x1) FILTER (m), 0) AS BIGINT) AS b1,
+                CAST(max(w1.a2) + coalesce(sum(y*x2) FILTER (m), 0) AS BIGINT) AS b2,
+                CAST(max(w1.a3) + coalesce(sum(y*x3) FILTER (m), 0) AS BIGINT) AS b3,
+                CAST(max(w1.a4) + coalesce(sum(y*x4) FILTER (m), 0) AS BIGINT) AS b4
+              FROM s2 CROSS JOIN w1),
+       sc AS (SELECT doc_id, y,
+                CAST(b0*x0 + b1*x1 + b2*x2 + b3*x3 + b4*x4 AS BIGINT) AS s
+              FROM f CROSS JOIN w2),
+       rk AS (SELECT doc_id, s, row_number() OVER (ORDER BY s, doc_id) AS r FROM sc),
+       nn AS (SELECT count(*) AS n FROM sc),
+       th AS (SELECT rk.s AS s_thr, rk.doc_id AS d_thr
+              FROM (VALUES (1), (2), (3), (4), (5)) k(k)
+              JOIN nn ON true JOIN rk ON rk.r = (nn.n * k.k) // 5),
+       b AS (SELECT sc.doc_id, sc.y,
+               CAST(1 + sum(CASE WHEN sc.s > th.s_thr
+                      OR (sc.s = th.s_thr AND sc.doc_id > th.d_thr)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bin
+             FROM sc CROSS JOIN th GROUP BY 1, 2),
+       bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos
+                FROM b GROUP BY bin),
+       iv AS (SELECT j.bin AS j, l.bin AS l,
+                CAST(sum(m.n_docs) AS BIGINT) AS n, CAST(sum(m.n_pos) AS BIGINT) AS p
+              FROM bins j JOIN bins l ON j.bin <= l.bin
+              JOIN bins m ON m.bin BETWEEN j.bin AND l.bin
+              GROUP BY 1, 2),
+       cand AS (SELECT i.bin AS i, iv.j, iv.l, iv.p, iv.n
+                FROM bins i JOIN iv ON iv.j <= i.bin AND iv.l >= i.bin),
+       inn AS (SELECT * FROM cand x WHERE NOT EXISTS (
+                 SELECT 1 FROM cand y WHERE y.i = x.i AND y.j = x.j
+                   AND (y.p * x.n < x.p * y.n
+                     OR (y.p * x.n = x.p * y.n AND y.l < x.l)))),
+       outt AS (SELECT * FROM inn x WHERE NOT EXISTS (
+                  SELECT 1 FROM inn y WHERE y.i = x.i
+                    AND (y.p * x.n > x.p * y.n
+                      OR (y.p * x.n = x.p * y.n AND y.j < x.j))))
+       SELECT bins.bin, bins.n_docs, bins.n_pos,
+         CAST(bins.n_pos * 1000000 // bins.n_docs AS BIGINT) AS raw_ppm,
+         CAST(o.p * 1000000 // o.n AS BIGINT) AS iso_ppm
+       FROM bins JOIN outt o ON o.i = bins.bin
+       ORDER BY bins.bin"""
+
   // ---------------------------------------------------------------- q326
   /** Exact LEAVE-ONE-OUT influence — the data-valuation readout (the
     * question Data Shapley / influence functions approximate, answered
@@ -3465,6 +3589,7 @@ object TextAnalysis {
     "q326_loo_influence" -> q326LooInfluence _,
     "q327_mcnemar_rules" -> q327McnemarRules _,
     "q321_calibration_bins" -> q321CalibrationBins _,
+    "q338_isotonic_calibration" -> q338IsotonicCalibration _,
     "q318_negative_sampling" -> q318NegativeSampling _,
     "q319_vocab_truncation" -> q319VocabTruncation _,
     "q306_perceptron_rounds" -> q306PerceptronRounds _,
@@ -3517,6 +3642,7 @@ object TextAnalysis {
     "q326_loo_influence" -> q326Oracle,
     "q327_mcnemar_rules" -> q327Oracle,
     "q321_calibration_bins" -> q321Oracle,
+    "q338_isotonic_calibration" -> q338Oracle,
     "q318_negative_sampling" -> q318Oracle,
     "q319_vocab_truncation" -> q319Oracle,
     "q306_perceptron_rounds" -> q306Oracle,

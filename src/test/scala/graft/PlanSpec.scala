@@ -328,7 +328,10 @@ class PlanSpec extends SparkSuite {
       "q333_stream_lsh_admission" -> ("embeddings", 2),  // copy + inverse readout legs; stream pre-ran, index + long form are stored
       "q334_luhn_scan" -> ("documents", 2),              // per-kind doc counts + the candidate-extraction leg
       "q335_zorder_layout" -> ("lineitem", 2),           // 1-row bounds agg + the dual-layout explode pass
-      "q336_stupid_backoff" -> ("documents", 2))         // seen + mixed probe legs; model and unigram stats are the stored artifact
+      "q336_stupid_backoff" -> ("documents", 2),         // seen + mixed probe legs; model and unigram stats are the stored artifact
+      "q337_rank_correlation" -> ("documents", 2),       // the two BM25 stats legs (tf frame pinned); pairs ride the 50-row pin
+      "q338_isotonic_calibration" -> ("documents", 1),   // one pinned feature pass; intervals/selections ride the 5-row bin pin
+      "q339_zero_crossing" -> ("documents", 1))          // map-only id scan; PCM bytes never leave the partition
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -60,8 +60,8 @@ class Round10Spec extends SparkSuite {
     assert(offenders.isEmpty,
       s"corpus-sized localCheckpoint pins:\n${offenders.mkString("\n")}")
     val audited = Map(
-      "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 15,
-      "Similarity.scala" -> 13, "Sampling.scala" -> 5, "Profiling.scala" -> 3,
+      "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 16,
+      "Similarity.scala" -> 14, "Sampling.scala" -> 5, "Profiling.scala" -> 3,
       "Curation.scala" -> 3, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3)
     assert(counts.toMap === audited,
@@ -139,6 +139,42 @@ class Round10Spec extends SparkSuite {
     val (nd, nb) = rows("mixed")
     assert(nb === 2L * nd,
       s"mixed docs should back off exactly twice each: $nb backoffs for $nd docs")
+  }
+
+  // ------------------------------------------------------------- q337
+  test("q337: pair counts are consistent and agreement is a valid share") {
+    val r = graft.SparkEntry.queries("q337_rank_correlation")(spark, sf)
+      .collect().head
+    val (nc, np) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_pairs"))
+    assert(np === nc * (nc - 1) / 2, "pair count must be C(n_common, 2)")
+    assert(r.getAs[Long]("n_concordant") + r.getAs[Long]("n_discordant") <= np)
+    val a = r.getAs[Long]("agree_ppm")
+    assert(a >= 0L && a <= 1000000L)
+  }
+
+  // ------------------------------------------------------------- q338
+  test("q338: isotonic fit is nondecreasing and mass-preserving per pool") {
+    val rows = graft.SparkEntry.queries("q338_isotonic_calibration")(spark, sf)
+      .orderBy(col("bin")).collect()
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic fit must be nondecreasing: ${iso.mkString(",")}")
+    // the fitted value never leaves the observed range
+    val raw = rows.map(_.getAs[Long]("raw_ppm"))
+    assert(iso.forall(v => v >= raw.min - 1 && v <= raw.max + 1))
+  }
+
+  // ------------------------------------------------------------- q339
+  test("q339: zero crossings follow the closed form per pattern") {
+    val rows = graft.SparkEntry.queries("q339_zero_crossing")(spark, sf)
+      .collect().map(r => r.getAs[Long]("pattern") ->
+        r.getAs[Long]("crossings_per_doc")).toMap
+    val n = graft.operators.Multimodal.Q153Frames *
+      graft.operators.Multimodal.Q153SamplesPerFrame
+    (0L to 3L).foreach { p =>
+      val expected = (n - p * 8 * graft.operators.Multimodal.Q153SamplesPerFrame) / 8 - 1
+      assert(rows(p) === expected, s"pattern $p")
+    }
   }
 
   test("q320 probes the stored index: no projection recompute in the plan") {
