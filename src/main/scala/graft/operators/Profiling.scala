@@ -362,6 +362,70 @@ object Profiling {
               CAST(sum(abs(n_even - n_odd)) OVER () AS BIGINT) AS total_l1
        FROM h ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q341
+  /** POPULATION STABILITY INDEX — the log-based drift measure q174
+    * deliberately skipped in round 5 ("PSI and KL need logs —
+    * libm-divergence across engines"), now safe under the µ-nat
+    * quantized-ln discipline the LM/JSD family established (q228/q309):
+    * one correctly-rounded ln per BIN (not per row) of an exact integer
+    * ratio, rounded to µ-nats so partition order and libm last bits
+    * cannot move the sum. Same bins and halves as q174 so the two gates
+    * pair: per bin, PSI's (p−q)·ln(p/q) term with add-1 smoothing
+    * (zero-count bins stay finite), the numerator (n_even+1)(N_odd+k) −
+    * (n_odd+1)(N_even+k) kept as an exact BIGINT so each term's SIGN is
+    * integer-exact (and term · ln ≥ 0 always, keeping the final division
+    * non-negative — the truncating-div vs floor-div trap never opens).
+    * Total PSI in nano-nats via one DECIMAL(38,0) division; the standard
+    * thresholds (0.1 ≈ 10⁸ nano-nats "watch", 0.25 "act") apply
+    * directly. One scan, |bins|-sized everything after.
+    */
+  def q341PsiDrift(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(expr("cast(round(o_totalprice * 100) as bigint) div 5000000").as("bin"),
+        expr("o_orderkey % 2").as("half"))
+      .groupBy(col("bin"))
+      .agg(expr("cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) as bigint)").as("n_even"),
+        expr("cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) as bigint)").as("n_odd"))
+      .withColumn("ne", expr("cast(sum(n_even) over () as bigint)"))
+      .withColumn("no", expr("cast(sum(n_odd) over () as bigint)"))
+      .withColumn("k", expr("cast(count(1) over () as bigint)"))
+      .withColumn("num", expr(
+        "(n_even + 1) * (no + k) - (n_odd + 1) * (ne + k)"))
+      .withColumn("lr_micro", expr(
+        """cast(round(ln(cast((n_even + 1) * (no + k) as double)
+           / cast((n_odd + 1) * (ne + k) as double)) * 1000000) as bigint)"""))
+      .withColumn("psi_nano", expr(
+        """cast(sum(cast(num as decimal(38,0)) * lr_micro) over () * 1000
+           div (cast(ne + k as decimal(38,0)) * (no + k)) as bigint)"""))
+      .select(col("bin"), col("n_even"), col("n_odd"), col("lr_micro"),
+        col("psi_nano"))
+      .orderBy(col("bin"))
+
+  val q341Oracle: String =
+    """WITH b AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+                o_orderkey % 2 AS half
+         FROM orders),
+       h AS (
+         SELECT bin,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+         FROM b GROUP BY 1),
+       t AS (SELECT *,
+               CAST(sum(n_even) OVER () AS BIGINT) AS ne,
+               CAST(sum(n_odd) OVER () AS BIGINT) AS no,
+               CAST(count(*) OVER () AS BIGINT) AS k
+             FROM h),
+       x AS (SELECT *,
+               (n_even + 1) * (no + k) - (n_odd + 1) * (ne + k) AS num,
+               CAST(round(ln(CAST((n_even + 1) * (no + k) AS DOUBLE)
+                 / CAST((n_odd + 1) * (ne + k) AS DOUBLE)) * 1000000) AS BIGINT) AS lr_micro
+             FROM t)
+       SELECT bin, n_even, n_odd, lr_micro,
+         CAST(sum(CAST(num AS HUGEINT) * lr_micro) OVER () * 1000
+              // (CAST(ne + k AS HUGEINT) * (no + k)) AS BIGINT) AS psi_nano
+       FROM x ORDER BY bin"""
+
   // ---------------------------------------------------------------- q176
   /** Median/MAD robust outlier gate — the outlier detector that still works
     * when the data is skewed enough to drag mean±3σ (q159) off the map:
@@ -818,6 +882,7 @@ object Profiling {
     "q176_mad_outliers" -> q176MadOutliers _,
     "q178_gini_concentration" -> q178GiniConcentration _,
     "q174_histogram_drift" -> q174HistogramDrift _,
+    "q341_psi_drift" -> q341PsiDrift _,
     "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
@@ -834,6 +899,7 @@ object Profiling {
     "q176_mad_outliers" -> q176Oracle,
     "q178_gini_concentration" -> q178Oracle,
     "q174_histogram_drift" -> q174Oracle,
+    "q341_psi_drift" -> q341Oracle,
     "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,

@@ -708,7 +708,53 @@ object Sampling {
        FROM w JOIN tot t ON t.tau_milli = w.tau_milli
        ORDER BY tau_milli, lang"""
 
+  // ---------------------------------------------------------------- q340
+  /** DETERMINISTIC EPOCH ORDERING with a resume point — the data-loader
+    * contract every multi-epoch training run needs: epoch e's global
+    * document order is a pure function of (e, doc_id) (md5-prefix hash
+    * order, doc_id tie-break — the one hash family both engines replay
+    * bit-for-bit), so any worker at any cluster size derives the same
+    * permutation, epochs are decorrelated (different e ⇒ independent
+    * order), and a crashed run RESUMES mid-epoch by global position with
+    * no stored shuffle state. The readout is the resume slice: global
+    * ranks [[Q340Resume]]+1 … +20 for epochs 0 and 1. The global rank is
+    * NOT a single-task window: epoch is a 2-value partition key, exactly
+    * the low-NDV trap, so ranks come from the BucketRank two-phase form
+    * (per-(epoch, hash-bucket) counts → broadcast offsets → bucket-local
+    * windows) — parallel at any corpus size. Full oracle replays the
+    * hash order with DuckDB's plain window (the semantic spec the
+    * two-phase form must equal).
+    */
+  val Q340Resume = 100L
+
+  def q340EpochOrder(spark: SparkSession, d: String): DataFrame = {
+    val epochs = Tables.documents(spark, d).select(col("doc_id"))
+      .withColumn("epoch", explode(expr("array(cast(0 as bigint), cast(1 as bigint))")))
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat('ep#', CAST(epoch AS STRING), '#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+    val targets = (1L to 20L).map(i => lit(Q340Resume + i))
+    BucketRank.select(epochs, "epoch",
+        bucket = expr("h div 1099511627776"), // 2^40: 15 hex chars = 60 bits
+        ord = Seq(col("h"), col("doc_id")), targets = targets)
+      .select(col("epoch"), col("__grank").as("grank"), col("doc_id"))
+      .orderBy(col("epoch"), col("grank"))
+  }
+
+  val q340Oracle: String =
+    s"""WITH e AS (SELECT doc_id, epoch FROM documents,
+             (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) ep(epoch)),
+       h AS (SELECT epoch, doc_id,
+               CAST(('0x' || substr(md5('ep#' || epoch || '#' || doc_id), 1, 15)) AS BIGINT) AS h
+             FROM e),
+       r AS (SELECT epoch, doc_id,
+               CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS grank
+             FROM h)
+       SELECT epoch, grank, doc_id FROM r
+       WHERE grank BETWEEN $Q340Resume + 1 AND $Q340Resume + 20
+       ORDER BY epoch, grank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_epoch_order" -> q340EpochOrder _,
     "q298_mixture_sweep" -> q298MixtureSweep _,
     "q268_weighted_reservoir" -> q268WeightedReservoir _,
     "q261_split_contamination" -> q261SplitContamination _,
@@ -723,6 +769,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q340_epoch_order" -> q340Oracle,
     "q298_mixture_sweep" -> q298Oracle,
     "q268_weighted_reservoir" -> q268Oracle,
     "q261_split_contamination" -> q261Oracle,

@@ -331,7 +331,9 @@ class PlanSpec extends SparkSuite {
       "q336_stupid_backoff" -> ("documents", 2),         // seen + mixed probe legs; model and unigram stats are the stored artifact
       "q337_rank_correlation" -> ("documents", 2),       // the two BM25 stats legs (tf frame pinned); pairs ride the 50-row pin
       "q338_isotonic_calibration" -> ("documents", 1),   // one pinned feature pass; intervals/selections ride the 5-row bin pin
-      "q339_zero_crossing" -> ("documents", 1))          // map-only id scan; PCM bytes never leave the partition
+      "q339_zero_crossing" -> ("documents", 1),          // map-only id scan; PCM bytes never leave the partition
+      "q340_epoch_order" -> ("documents", 2),            // BucketRank two-phase: count pass + hit-bucket join-back
+      "q341_psi_drift" -> ("orders", 1))                 // one conditional-aggregation scan; PSI windows the bin frame
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -177,6 +177,32 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------- q340
+  test("q340: epochs are decorrelated and the resume slice is exact") {
+    val rows = graft.SparkEntry.queries("q340_epoch_order")(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("grank")).sorted.toSeq ===
+        (graft.operators.Sampling.Q340Resume + 1 to
+          graft.operators.Sampling.Q340Resume + 20).toSeq,
+        "resume slice must be exactly ranks R+1..R+20")
+    }
+    // a different epoch seed must produce a different order — the same 20
+    // doc_ids at the same ranks would mean the permutations correlate
+    val s0 = byEpoch(0L).sortBy(_.getAs[Long]("grank")).map(_.getAs[Long]("doc_id")).toSeq
+    val s1 = byEpoch(1L).sortBy(_.getAs[Long]("grank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(s0 !== s1, "epoch 0 and epoch 1 orders coincide")
+  }
+
+  // ------------------------------------------------------------- q341
+  test("q341: PSI is nonnegative and identical on every output row") {
+    val rows = graft.SparkEntry.queries("q341_psi_drift")(spark, sf).collect()
+    val psi = rows.map(_.getAs[Long]("psi_nano")).distinct
+    assert(psi.length === 1, "psi_nano must be the same total on every row")
+    assert(psi.head >= 0L, "PSI is a nonnegative divergence")
+  }
+
   test("q320 probes the stored index: no projection recompute in the plan") {
     // the probe's plan must read the rp_lsh artifact table (FileScan on
     // the managed table) and never re-derive projections from pq_lf for
