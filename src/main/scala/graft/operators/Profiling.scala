@@ -426,6 +426,78 @@ object Profiling {
               // (CAST(ne + k AS HUGEINT) * (no + k)) AS BIGINT) AS psi_nano
        FROM x ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q343
+  /** CUSUM CHANGE-POINT LOCALIZATION (Page 1954) — q174/q341 DETECT that
+    * two slices drifted; CUSUM answers WHEN: the classic sequential
+    * statistic over the daily revenue series, computed distributed via
+    * its prefix-sum closed form instead of the sequential recurrence:
+    * S_t = max(0, S_{t−1} + d_t) equals P_t − min(P_0..P_t) where P is
+    * the running sum of deviations — so one running sum + one running
+    * min replace the unparallelizable loop. Exactness: deviations are
+    * scaled through by N days (d_t = N·x_t − T ∓ allowance, x in exact
+    * cents, T = ΣX, allowance = T/100 ≈ 1% of a mean day), so CUSUM,
+    * thresholds and ties are integer-exact. Both directions are kept
+    * (upward surge and downward drop); alarm when CUSUM > T/20. The
+    * readout is the localization: the 10 days with the largest upward
+    * CUSUM (ties by day) with both statistics and the corpus-wide alarm
+    * counts on every row. All windows run on the |days|-sized daily
+    * frame (~2.4k rows — the date domain is fixed, independent of SF:
+    * the q341 bins argument), after ONE orders scan.
+    */
+  def q343CusumChangepoint(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .select(expr("CAST(o_orderdate AS DATE)").as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("vc"))
+      .groupBy(col("day"))
+      .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("x"))
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scored = daily
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("tt", sum(col("x")).over(wAll))
+      .withColumn("pu", sum(expr("nn * x - tt - tt div 100")).over(wRun))
+      .withColumn("pd", sum(expr("nn * x - tt + tt div 100")).over(wRun))
+      .withColumn("cusum_up", expr("pu - least(min(pu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), cast(0 as bigint))"))
+      .withColumn("cusum_dn", expr("greatest(max(pd) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), cast(0 as bigint)) - pd"))
+      .withColumn("n_alarm_up", expr("cast(sum(CASE WHEN cusum_up * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("n_alarm_dn", expr("cast(sum(CASE WHEN cusum_dn * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+    scored.orderBy(col("cusum_up").desc, col("day").asc).limit(10)
+      .select(col("day"), col("x"), col("cusum_up"), col("cusum_dn"),
+        col("n_alarm_up"), col("n_alarm_dn"))
+      .orderBy(col("cusum_up").desc, col("day").asc)
+  }
+
+  val q343Oracle: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+       t AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS nn,
+               CAST(sum(x) OVER () AS BIGINT) AS tt FROM daily),
+       p AS (SELECT *,
+               CAST(sum(nn * x - tt - tt // 100) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pu,
+               CAST(sum(nn * x - tt + tt // 100) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pd
+             FROM t),
+       c AS (SELECT *,
+               pu - least(CAST(min(pu) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+                 CAST(0 AS BIGINT)) AS cusum_up,
+               greatest(CAST(max(pd) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+                 CAST(0 AS BIGINT)) - pd AS cusum_dn
+             FROM p),
+       a AS (SELECT *,
+               CAST(sum(CASE WHEN cusum_up * 20 > tt THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_alarm_up,
+               CAST(sum(CASE WHEN cusum_dn * 20 > tt THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_alarm_dn
+             FROM c)
+       SELECT day, x, cusum_up, cusum_dn, n_alarm_up, n_alarm_dn
+       FROM a ORDER BY cusum_up DESC, day ASC LIMIT 10"""
+
   // ---------------------------------------------------------------- q176
   /** Median/MAD robust outlier gate — the outlier detector that still works
     * when the data is skewed enough to drag mean±3σ (q159) off the map:
@@ -883,6 +955,7 @@ object Profiling {
     "q178_gini_concentration" -> q178GiniConcentration _,
     "q174_histogram_drift" -> q174HistogramDrift _,
     "q341_psi_drift" -> q341PsiDrift _,
+    "q343_cusum_changepoint" -> q343CusumChangepoint _,
     "q159_zscore_outliers" -> q159ZscoreOutliers _,
     "q134_equidepth_bins" -> q134EquidepthBins _,
     "q114_data_quality" -> q114DataQuality _,
@@ -900,6 +973,7 @@ object Profiling {
     "q178_gini_concentration" -> q178Oracle,
     "q174_histogram_drift" -> q174Oracle,
     "q341_psi_drift" -> q341Oracle,
+    "q343_cusum_changepoint" -> q343Oracle,
     "q159_zscore_outliers" -> q159Oracle,
     "q134_equidepth_bins" -> q134Oracle,
     "q114_data_quality" -> q114Oracle,

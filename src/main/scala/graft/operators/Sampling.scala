@@ -753,7 +753,99 @@ object Sampling {
        WHERE grank BETWEEN $Q340Resume + 1 AND $Q340Resume + 20
        ORDER BY epoch, grank"""
 
+  // ---------------------------------------------------------------- q342
+  /** SEQUENCE PACKING readout — the concat-and-cut batching step every
+    * pre-training run performs (documents in q340's deterministic hash
+    * order are concatenated into one token stream and cut every
+    * [[Q342Budget]] tokens): how many packs the corpus yields, how much
+    * document fragmentation the cut creates, and what the head packs
+    * look like. Token counts are q39's whitespace segmentation; the
+    * global token-offset of every document is a prefix sum in
+    * (md5-prefix hash, doc_id) order via the TWO-PHASE bucket form
+    * (per-bucket token totals → broadcast cumulative offsets →
+    * bucket-local running sums — no single-task window over the corpus;
+    * the q214 pattern). A document then spans packs start div L …
+    * (end−1) div L, all exact BIGINTs: `crossings` = Σ(last−first) is
+    * the fragmentation count, pack detail rows (packs 0–9) report
+    * overlapping docs, docs starting in the pack, token fill (= L by
+    * construction except the final pack), and the doc owning the pack's
+    * first token. Corpus totals ride every row (the q341 shape). Full
+    * oracle replays the plain-window prefix sum — equality certifies the
+    * two-phase rewrite.
+    */
+  val Q342Budget = 128L
+
+  def q342SequencePacking(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = Q342Budget
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat('pk#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("bucket", expr("h div 1099511627776")) // 2^40
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bucket"))
+      .agg(expr("cast(sum(n_tok) as bigint)").as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wB), lit(0L)))
+      .select(col("bucket"), col("off"))
+      .localCheckpoint() // bucket-sized (≤2^20 rows by construction); read by the totals AND detail legs
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefixed = base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + sum(col("n_tok")).over(wLocal))
+      .withColumn("st", col("cum") - col("n_tok"))
+      .withColumn("fp", expr(s"st div $L"))
+      .withColumn("lp", expr(s"(cum - 1) div $L"))
+    val totals = prefixed.groupBy()
+      .agg(expr("cast(sum(n_tok) as bigint)").as("total_tokens"),
+        expr(s"cast((sum(n_tok) + $L - 1) div $L as bigint)").as("n_packs"),
+        expr("cast(sum(lp - fp) as bigint)").as("crossings"))
+    val detail = prefixed.filter(col("fp") <= 9L)
+      .withColumn("pack_id", explode(expr("sequence(fp, least(lp, cast(9 as bigint)))")))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(CASE WHEN fp = pack_id THEN 1 ELSE 0 END) as bigint)").as("n_starts"),
+        expr(s"cast(sum(least(cum, (pack_id + 1) * $L) - greatest(st, pack_id * $L)) as bigint)").as("n_tokens"),
+        expr(s"min(CASE WHEN st <= pack_id * $L THEN doc_id END)").as("head_doc"))
+    detail.crossJoin(broadcast(totals)).orderBy(col("pack_id"))
+  }
+
+  val q342Oracle: String = {
+    val L = Q342Budget
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substr(md5('pk#' || doc_id), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+       p AS (SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM d),
+       s AS (SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum,
+               CAST(cum - n_tok AS BIGINT) AS st,
+               CAST((cum - n_tok) // $L AS BIGINT) AS fp,
+               CAST((cum - 1) // $L AS BIGINT) AS lp FROM p),
+       tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST((sum(n_tok) + $L - 1) // $L AS BIGINT) AS n_packs,
+                 CAST(sum(lp - fp) AS BIGINT) AS crossings FROM s),
+       e AS (SELECT s.*, u.pack_id
+             FROM s, unnest(generate_series(s.fp, least(s.lp, 9))) u(pack_id)
+             WHERE s.fp <= 9),
+       g AS (SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (fp = pack_id) AS BIGINT) AS n_starts,
+               CAST(sum(least(cum, (pack_id + 1) * $L)
+                    - greatest(st, pack_id * $L)) AS BIGINT) AS n_tokens,
+               min(CASE WHEN st <= pack_id * $L THEN doc_id END) AS head_doc
+             FROM e GROUP BY 1)
+       SELECT g.pack_id, g.n_docs, g.n_starts, g.n_tokens, g.head_doc,
+         t.total_tokens, t.n_packs, t.crossings
+       FROM g, tot t ORDER BY g.pack_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_sequence_packing" -> q342SequencePacking _,
     "q340_epoch_order" -> q340EpochOrder _,
     "q298_mixture_sweep" -> q298MixtureSweep _,
     "q268_weighted_reservoir" -> q268WeightedReservoir _,
@@ -769,6 +861,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q342_sequence_packing" -> q342Oracle,
     "q340_epoch_order" -> q340Oracle,
     "q298_mixture_sweep" -> q298Oracle,
     "q268_weighted_reservoir" -> q268Oracle,

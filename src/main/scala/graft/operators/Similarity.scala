@@ -2251,6 +2251,100 @@ object Similarity {
          CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS share_ppm
        FROM indeg CROSS JOIN tot GROUP BY occ, tot.n_total ORDER BY occ"""
 
+  // ---------------------------------------------------------------- q344
+  /** SEMI-SUPERVISED LABEL PROPAGATION over the stored k-NN graph (Zhu &
+    * Ghahramani 2002, hard-label majority variant) — the label-a-corpus-
+    * from-few-seeds step behind weak supervision and taxonomy bootstrap:
+    * 20% of the slice (vec_id % 5 == 0) keep their true label as seeds;
+    * two rounds propagate by MAJORITY VOTE over each vector's stored
+    * out-neighbors (ties to the smallest label — the aggregate ARGMIN
+    * min-struct, never a ranking window over the low-NDV label key;
+    * the q329 rule), labeled vectors never flip, vectors with no labeled
+    * neighbor stay unlabeled. Pure artifact probe: rounds join the
+    * nbr_id-bucketed stored graph with slice-sized label frames — the
+    * embeddings matrix is never rescanned for math, and iteration cost
+    * is |edges| per round regardless of corpus size (at 100 TB the graph
+    * shards by cell exactly as its build does). Readout per TRUE label:
+    * coverage after each round plus correct/wrong counts among non-seed
+    * propagated labels — the accuracy certificate only a synthetic
+    * corpus with known labels can issue. Full oracle replays IVF
+    * training, the graph build and both majority rounds.
+    */
+  def q344LabelPropagation(spark: SparkSession, d: String): DataFrame = {
+    val g = knnGraphTable(spark, d).select(col("vec_id"), col("nbr_id"))
+    val l0 = Tables.embeddings(spark, d).filter(col("vec_id") < Q314Slice)
+      .select(col("vec_id"), col("label").cast("long").as("tl"))
+      .withColumn("lab", expr("CASE WHEN vec_id % 5 = 0 THEN tl END"))
+      .localCheckpoint() // slice-sized (≤Q314Slice rows × 3 longs); read by both legs of round 1
+    def propagate(prev: DataFrame): DataFrame = {
+      val nbrLabs = prev.filter(col("lab").isNotNull)
+        .select(col("vec_id").as("nbr_id"), col("lab").as("nlab"))
+      val votes = g.join(nbrLabs, "nbr_id")
+        .groupBy(col("vec_id"), col("nlab"))
+        .agg(count(lit(1)).as("c"))
+      val win = votes.groupBy(col("vec_id"))
+        .agg(expr("min(struct(-c, nlab)).nlab").as("wlab"))
+      prev.join(win, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("tl"),
+          coalesce(col("lab"), col("wlab")).as("lab"))
+    }
+    val l1 = propagate(l0)
+      .localCheckpoint() // slice-sized; read by both round-2 legs + the readout join
+    val l2 = propagate(l1)
+    l2.join(l1.select(col("vec_id"), col("lab").as("lab1")), "vec_id")
+      .groupBy(col("tl").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("cast(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) as bigint)").as("n_seeds"),
+        expr("cast(count(lab1) as bigint)").as("n_labeled_r1"),
+        expr("cast(count(lab) as bigint)").as("n_labeled_r2"),
+        expr("cast(sum(CASE WHEN vec_id % 5 <> 0 AND lab = tl THEN 1 ELSE 0 END) as bigint)").as("n_correct_r2"),
+        expr("cast(sum(CASE WHEN vec_id % 5 <> 0 AND lab IS NOT NULL AND lab <> tl THEN 1 ELSE 0 END) as bigint)").as("n_wrong_r2"))
+      .orderBy(col("label"))
+  }
+
+  val q344Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       lv AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       dots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                JOIN lv a ON a.vec_id = x.vec_id
+                JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+                GROUP BY 1, 2, 3),
+       gr AS (SELECT va AS vec_id, vb AS nbr_id FROM (
+                SELECT va, vb, row_number() OVER (PARTITION BY va
+                  ORDER BY dot DESC, vb ASC) AS rn FROM dots) WHERE rn <= $Q314K),
+       l0 AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS tl,
+                CASE WHEN e.vec_id % 5 = 0 THEN CAST(e.label AS BIGINT) END AS lab
+              FROM embeddings e WHERE e.vec_id < $Q314Slice),
+       v1 AS (SELECT g.vec_id, l.lab AS nlab, count(*) AS c
+              FROM gr g JOIN l0 l ON l.vec_id = g.nbr_id
+              WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+       w1 AS (SELECT vec_id, nlab AS wlab FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c DESC, nlab ASC) AS rn FROM v1) WHERE rn = 1),
+       l1 AS (SELECT l0.vec_id, l0.tl, coalesce(l0.lab, w1.wlab) AS lab
+              FROM l0 LEFT JOIN w1 USING (vec_id)),
+       v2 AS (SELECT g.vec_id, l.lab AS nlab, count(*) AS c
+              FROM gr g JOIN l1 l ON l.vec_id = g.nbr_id
+              WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+       w2 AS (SELECT vec_id, nlab AS wlab FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c DESC, nlab ASC) AS rn FROM v2) WHERE rn = 1),
+       l2 AS (SELECT l1.vec_id, l1.tl, coalesce(l1.lab, w2.wlab) AS lab
+              FROM l1 LEFT JOIN w2 USING (vec_id))
+       SELECT l2.tl AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(count(*) FILTER (l2.vec_id % 5 = 0) AS BIGINT) AS n_seeds,
+         CAST(count(l1.lab) AS BIGINT) AS n_labeled_r1,
+         CAST(count(l2.lab) AS BIGINT) AS n_labeled_r2,
+         CAST(count(*) FILTER (l2.vec_id % 5 <> 0 AND l2.lab = l2.tl) AS BIGINT) AS n_correct_r2,
+         CAST(count(*) FILTER (l2.vec_id % 5 <> 0 AND l2.lab IS NOT NULL
+              AND l2.lab <> l2.tl) AS BIGINT) AS n_wrong_r2
+       FROM l2 JOIN l1 USING (vec_id) GROUP BY 1 ORDER BY 1"""
+
   // ------------------------------------------------ RP-LSH bucket index
   /** The PERSISTED random-projection LSH index (round 10 — was a
     * corpus-sized `localCheckpoint` inside q320: an executor loss
@@ -2772,6 +2866,7 @@ object Similarity {
     "q322_nprobe_sweep" -> q322NprobeSweep _,
     "q314_build_knn_graph" -> q314BuildKnnGraph _,
     "q315_hubness_audit" -> q315HubnessAudit _,
+    "q344_label_propagation" -> q344LabelPropagation _,
     "q307_random_projection" -> q307RandomProjection _,
     "q303_ndcg_eval" -> q303NdcgEval _,
     "q300_bitext_margin" -> q300BitextMarginMining _,
@@ -2810,6 +2905,7 @@ object Similarity {
     "q322_nprobe_sweep" -> q322Oracle,
     "q314_build_knn_graph" -> q314Oracle,
     "q315_hubness_audit" -> q315Oracle,
+    "q344_label_propagation" -> q344Oracle,
     "q307_random_projection" -> q307Oracle,
     "q303_ndcg_eval" -> q303Oracle,
     "q300_bitext_margin" -> q300Oracle,

@@ -333,7 +333,10 @@ class PlanSpec extends SparkSuite {
       "q338_isotonic_calibration" -> ("documents", 1),   // one pinned feature pass; intervals/selections ride the 5-row bin pin
       "q339_zero_crossing" -> ("documents", 1),          // map-only id scan; PCM bytes never leave the partition
       "q340_epoch_order" -> ("documents", 2),            // BucketRank two-phase: count pass + hit-bucket join-back
-      "q341_psi_drift" -> ("orders", 1))                 // one conditional-aggregation scan; PSI windows the bin frame
+      "q341_psi_drift" -> ("orders", 1),                 // one conditional-aggregation scan; PSI windows the bin frame
+      "q342_sequence_packing" -> ("documents", 2),       // two-phase prefix sum: pinned bucket offsets; totals leg + pack-detail leg
+      "q343_cusum_changepoint" -> ("orders", 1),         // one scan; all CUSUM windows run on the |days|-sized frame
+      "q344_label_propagation" -> ("embeddings", 1))     // seed frame only; rounds probe the stored kNN graph + pinned label frames
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -27,10 +27,12 @@ class Round10Spec extends SparkSuite {
   //    stage outputs (batch-sized).
   //  - TextAnalysis.scala 15: vocab-sized LM/BPE round frames, 1-row
   //    argmax pins, probe streams (config-count rows).
-  //  - Similarity.scala 13: K-row centroid/codebook rounds, ≤20-row probe
+  //  - Similarity.scala 16: K-row centroid/codebook rounds, ≤20-row probe
   //    sets, 10-row query frames, vec-count×2-long k-center rounds
-  //    (fault-tolerance tradeoff documented at q292).
-  //  - Sampling.scala 5 / Profiling.scala 3 / Curation.scala 3 /
+  //    (fault-tolerance tradeoff documented at q292), q344's two
+  //    slice-sized (≤Q314Slice×3-long) label-round frames.
+  //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
+  //    Profiling.scala 3 / Curation.scala 3 /
   //    EventAnalytics.scala 5 / Cdc.scala 1: stratum-, QI-group-, source-,
   //    day-, users- or K-sized aggregate frames read by several branches.
   //  - SkewBenchWinnow.scala 3: the skew-rehearsal harness's synthetic
@@ -61,7 +63,7 @@ class Round10Spec extends SparkSuite {
       s"corpus-sized localCheckpoint pins:\n${offenders.mkString("\n")}")
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 16,
-      "Similarity.scala" -> 14, "Sampling.scala" -> 5, "Profiling.scala" -> 3,
+      "Similarity.scala" -> 16, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
       "Curation.scala" -> 3, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3)
     assert(counts.toMap === audited,
@@ -201,6 +203,47 @@ class Round10Spec extends SparkSuite {
     val psi = rows.map(_.getAs[Long]("psi_nano")).distinct
     assert(psi.length === 1, "psi_nano must be the same total on every row")
     assert(psi.head >= 0L, "PSI is a nonnegative divergence")
+  }
+
+  // ------------------------------------------------------------- q342
+  test("q342: every head pack is exactly full and the pack count is exact") {
+    val rows = graft.SparkEntry.queries("q342_sequence_packing")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("pack_id")).sorted.toSeq === (0L to 9L),
+      "pack detail must cover packs 0..9 exactly")
+    val L = graft.operators.Sampling.Q342Budget
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === L,
+        s"pack ${r.getAs[Long]("pack_id")} must hold exactly $L tokens (concat-and-cut)")
+      assert(r.getAs[Long]("n_starts") >= 1L && r.getAs[Long]("n_docs") >= r.getAs[Long]("n_starts"))
+    }
+    val total = rows.head.getAs[Long]("total_tokens")
+    assert(rows.head.getAs[Long]("n_packs") === (total + L - 1) / L)
+  }
+
+  // ------------------------------------------------------------- q343
+  test("q343: CUSUM is nonnegative and the readout is the descending top-10") {
+    val rows = graft.SparkEntry.queries("q343_cusum_changepoint")(spark, sf).collect()
+    assert(rows.length === 10)
+    val ups = rows.map(_.getAs[Long]("cusum_up"))
+    assert(ups.forall(_ >= 0L) && rows.map(_.getAs[Long]("cusum_dn")).forall(_ >= 0L),
+      "CUSUM statistics are nonnegative by construction")
+    assert(ups.zip(ups.tail).forall { case (a, b) => a >= b },
+      "rows must be the top-10 by descending upward CUSUM")
+  }
+
+  // ------------------------------------------------------------- q344
+  test("q344: label coverage is monotone and seeds never flip") {
+    val rows = graft.SparkEntry.queries("q344_label_propagation")(spark, sf).collect()
+    rows.foreach { r =>
+      val (seeds, r1, r2) = (r.getAs[Long]("n_seeds"),
+        r.getAs[Long]("n_labeled_r1"), r.getAs[Long]("n_labeled_r2"))
+      assert(seeds <= r1 && r1 <= r2, "coverage must be monotone across rounds")
+      assert(r.getAs[Long]("n_correct_r2") + r.getAs[Long]("n_wrong_r2") === r2 - seeds,
+        "every non-seed labeled vec is exactly one of correct/wrong")
+      assert(r2 <= r.getAs[Long]("n_vecs"))
+    }
+    assert(rows.map(_.getAs[Long]("n_labeled_r2")).sum >
+      rows.map(_.getAs[Long]("n_seeds")).sum, "propagation must actually label new vecs")
   }
 
   test("q320 probes the stored index: no projection recompute in the plan") {
