@@ -52,9 +52,9 @@ object SkewBenchWinnow {
     // same build and the timed delta is the JOIN shape only
     val idx = graft.operators.Dedup.winnowSelect(corpus, k, w)
       .select(col("doc_id").as("ref_id"), col("sh"))
-      .localCheckpoint()
+      .localCheckpoint() // rehearsal-sized (bench harness)
     val dfSummary = idx.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df")).localCheckpoint()
+      .agg(count(lit(1)).as("df")).localCheckpoint() // rehearsal-sized df summary (bench harness)
     val hotTop = dfSummary.orderBy(col("df").desc).limit(1)
       .collect()(0).getLong(1)
 
@@ -62,7 +62,7 @@ object SkewBenchWinnow {
       .filter(col("doc_id") < 100000000L)
       .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
     val bsel = graft.operators.Dedup.winnowSelect(batch, k, w)
-      .select(col("doc_id"), col("sh")).distinct().localCheckpoint()
+      .select(col("doc_id"), col("sh")).distinct().localCheckpoint() // rehearsal-batch-sized (bench harness)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

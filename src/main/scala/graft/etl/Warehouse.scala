@@ -122,5 +122,5 @@ object Warehouse extends Logging {
   // materialization barrier; localCheckpoint keeps it executor-side (no
   // driver collect) so the pattern survives at scale.
   private def overwriteSelf(spark: SparkSession, df: DataFrame, table: String): Unit =
-    df.localCheckpoint(eager = true).write.mode(SaveMode.Overwrite).saveAsTable(table)
+    df.localCheckpoint(eager = true).write.mode(SaveMode.Overwrite).saveAsTable(table) // rewritten-table-sized barrier (note above)
 }

@@ -981,7 +981,7 @@ object Curation {
     // use the q286 pattern; this is a one-shot report, not a shared
     // derivation)
     val cov = graft.operators.Dedup.substringDupCoverage(survivors, k = 8)
-      .localCheckpoint()
+      .localCheckpoint() // doc-count-sized narrow coverage (note above)
     val L = Q275SeqLen
     cov.agg(count(lit(1)).as("n_after_dedup"),
         expr("cast(count_if(covered * 2 < n_tokens) as bigint)").as("n_after_gate"),

@@ -458,7 +458,7 @@ object Dedup {
     var labels = nodes.select(col(nodes.columns.head).as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .localCheckpoint() // node-sized (pair-incident ids)
     var prevSum = labels.agg(sum(col("component").cast("decimal(38,0)")))
       .head.getDecimal(0)
     var converged = false
@@ -468,7 +468,7 @@ object Dedup {
         .select(edges("b").as("id"), col("component"))
       val next = labels.select(col("id"), col("component")).union(propagated)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint() // node-sized round frame
       val nextSum = next.agg(sum(col("component").cast("decimal(38,0)")))
         .head.getDecimal(0)
       converged = nextSum.compareTo(prevSum) == 0
@@ -544,7 +544,7 @@ object Dedup {
     var edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // edge-sized (shrinks per round)
 
     def labelSum(e: DataFrame) =
       e.select(least(col("a"), col("b")).as("m"), greatest(col("a"), col("b")).as("id"))
@@ -555,7 +555,7 @@ object Dedup {
     var converged = prevSum == null // no edges ⇒ nothing to do
     var round = 0
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      edges = smallStar(largeStar(edges)).distinct().localCheckpoint() // edge-sized round frame
       val nextSum = labelSum(edges)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -1243,7 +1243,7 @@ object Dedup {
     // this once per micro-batch)
     val sigs = minhashSignatures(batch)
       .select(col("doc_id").as("in_id"), col("shingles"), col("sig"))
-      .localCheckpoint()
+      .localCheckpoint() // batch-sized signatures
     val inB = sigs.select(col("in_id"),
       posexplode(expr(BandKeysExpr)).as(Seq("band_id", "band_key")))
     // the candidate list is read twice (verification join + corpus prune)
@@ -1252,7 +1252,7 @@ object Dedup {
     val cand = inB
       .join(bands.withColumnRenamed("doc_id", "ref_id"), Seq("band_id", "band_key"))
       .select(col("in_id"), col("ref_id")).distinct()
-      .localCheckpoint()
+      .localCheckpoint() // candidate-pairs-sized (capped)
     val sIn = sigs.select(col("in_id"), col("shingles").as("sh_in"))
     val sRef = minhashSignatures(
         corpusDocs.join(cand.select(col("ref_id")).distinct(),
@@ -1932,7 +1932,7 @@ object Dedup {
       // the selected-fingerprint frame IS the winnowing index (~2/(w+1)
       // of gram count); three consumers read it — pinned job-scope here,
       // persisted as the q316 artifact in a 100 TB deployment
-      .localCheckpoint()
+      .localCheckpoint() // index-sized, ~2/(w+1) of grams (note above)
     val shared = sel.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select(col("sh"))
@@ -2081,8 +2081,8 @@ object Dedup {
         expr("""array_join(transform(sequence(0, 19),
                  j -> concat('nv', cast(doc_id as string), 'x', cast(j as string))), ' ')""")
           .as("text"))
-    val batch = copies.unionByName(novel).localCheckpoint()
-    val sel = winnowSelect(batch, Q305K, Q305W).localCheckpoint()
+    val batch = copies.unionByName(novel).localCheckpoint() // batch-sized fixture
+    val sel = winnowSelect(batch, Q305K, Q305W).localCheckpoint() // batch-sized fixture selection
     val idx = winnowIndexTable(spark, d)
       .select(col("doc_id").as("ref_id"), col("sh"))
     // hit counts ride the per-hash df SUMMARY (1 row per hash — immune
@@ -2202,7 +2202,7 @@ object Dedup {
                  j -> concat('fz', cast(doc_id as string), 'y', cast(j as string))), ' ')""")
           .as("text"),
         lit("fresh").as("kind"))
-    val batch = copies.unionByName(edits).unionByName(fresh).localCheckpoint()
+    val batch = copies.unionByName(edits).unionByName(fresh).localCheckpoint() // batch-sized fixture
     val corpusHash = base
       .select(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("th"))
       .distinct()

@@ -325,7 +325,7 @@ object EventAnalytics {
         expr("cast(round(value * 100) as bigint)").as("vc"))
       .groupBy(col("user_id"), col("h"))
       .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("v"))
-      .localCheckpoint()
+      .localCheckpoint() // user-hour-sized aggregate
     val grid = pts.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
@@ -2204,9 +2204,9 @@ object EventAnalytics {
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint() // K^2-sized transition counts
     val nodes = Tables.events(spark, d).select(col("event_type").as("node"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint() // K-sized node list
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     val tot = edges.groupBy(col("src")).agg(expr("cast(sum(n) as bigint)").as("tot"))
     val r0 = nodes.crossJoin(broadcast(nn))

@@ -534,7 +534,7 @@ object Profiling {
     // the MAD selection (bucket counts + rank join); localCheckpoint pins
     // it so its two corpus passes run once, not once per re-embed — total
     // corpus passes stay at 5 (2 med + 2 MAD + 1 classify), all parallel
-    val med = pickMiddle(x, col("c"), "m").localCheckpoint()
+    val med = pickMiddle(x, col("c"), "m").localCheckpoint() // 3-row median frame (note above)
     val dev = x.join(broadcast(med.select(col("g"), col("m"))), Seq("g"))
       .withColumn("dev", abs(col("c") - col("m")))
     val mad = pickMiddle(dev, col("dev"), "mad", carry = Seq("m"))
@@ -860,7 +860,7 @@ object Profiling {
         expr("cast(size(split(text, ' ')) as bigint)").as("nt"),
         col("n_chars").cast("long").as("nc"),
         expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("th"))
-      .localCheckpoint()
+      .localCheckpoint() // doc-count-sized narrow (5 longs/row)
     val m1 = per.agg(
       count(lit(1)).as("n_docs"),
       expr("cast(sum(nt) as bigint)").as("n_tokens"),

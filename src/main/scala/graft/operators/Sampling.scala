@@ -303,7 +303,7 @@ object Sampling {
       .withColumn("target", expr(
         s"CAST(floor($Q227Budget.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) AS BIGINT)"))
       .select(col("lang"), col("n"), col("target"))
-      .localCheckpoint()
+      .localCheckpoint() // languages-sized target frame
     // bucket offsets in hash order, per language — a compact frame
     val off = docs.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
@@ -312,7 +312,7 @@ object Sampling {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
       .join(broadcast(tgt.select(col("lang"), col("target"))), Seq("lang"))
-      .localCheckpoint()
+      .localCheckpoint() // (lang, bucket)-sized offsets
     val whole = off.filter(col("off") + col("cnt") <= col("target"))
       .select(col("lang"), col("b"))
     val crossing = off.filter(col("off") < col("target") &&
@@ -495,7 +495,7 @@ object Sampling {
     val counts = Tables.documents(spark, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // stratum-count frame: every later step derives from it
+      .localCheckpoint() // stratum-sized count frame: every later step derives from it
     val total = counts.agg(sum(col("n_docs")).as("t"))
     counts.crossJoin(broadcast(total))
       .withColumn("base", expr(s"($QuotaTotal * n_docs) div t"))
@@ -663,7 +663,7 @@ object Sampling {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         expr("cast(sum(size(split(text, ' '))) as bigint)").as("n_tokens"))
-      .localCheckpoint()
+      .localCheckpoint() // languages-sized (5 rows)
     val w = c.select(col("lang"), col("n_docs"), col("n_tokens"),
         explode(expr("array(1000, 500, 250, 0)")).as("tau_milli"))
       .withColumn("w_micro", expr(
@@ -775,15 +775,17 @@ object Sampling {
     */
   val Q342Budget = 128L
 
-  def q342SequencePacking(spark: SparkSession, d: String): DataFrame = {
+  /** The q342 two-phase GLOBAL token prefix-sum in (h, doc_id) order —
+    * per-bucket token totals → broadcast cumulative bucket offsets →
+    * bucket-local running sums, so no single-task window ever sees the
+    * corpus (the q214 pattern). Input must carry (doc_id, n_tok, h,
+    * bucket); output adds `cum` (inclusive running total) and `st`
+    * (exclusive start offset). Shared by q342 and the SkewBenchPacking
+    * rehearsal, which plants degenerate token/bucket distributions
+    * against exactly this code path.
+    */
+  def tokenPrefixSum(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = Q342Budget
-    val base = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("h", expr(
-        """CAST(conv(substring(md5(concat('pk#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
-      .withColumn("bucket", expr("h div 1099511627776")) // 2^40
     val wB = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("bucket"))
@@ -794,9 +796,20 @@ object Sampling {
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val prefixed = base.join(broadcast(offsets), Seq("bucket"))
+    base.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", col("off") + sum(col("n_tok")).over(wLocal))
       .withColumn("st", col("cum") - col("n_tok"))
+  }
+
+  def q342SequencePacking(spark: SparkSession, d: String): DataFrame = {
+    val L = Q342Budget
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat('pk#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("bucket", expr("h div 1099511627776")) // 2^40
+    val prefixed = tokenPrefixSum(base)
       .withColumn("fp", expr(s"st div $L"))
       .withColumn("lp", expr(s"(cum - 1) div $L"))
     val totals = prefixed.groupBy()

@@ -1411,10 +1411,10 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(expr("concat_ws(' ', split(word, ''))").as("seq"), col("n"))
-      .localCheckpoint()
+      .localCheckpoint() // vocab-sized
     val steps = (0 until 3).map { step =>
-      val t = topPair(v).localCheckpoint()
-      v = mergeStep(v, t).localCheckpoint()
+      val t = topPair(v).localCheckpoint() // 1 row (argmax pair)
+      v = mergeStep(v, t).localCheckpoint() // vocab-sized round frame
       t.select(lit(step.toLong).as("step"), col("w1"), col("w2"), col("cnt"))
     }
     steps.reduce(_ union _).orderBy(col("step"))
@@ -1767,12 +1767,12 @@ object TextAnalysis {
     // builds it runs ONCE (each lazy reference would re-embed the corpus
     // scan); same for the languages-sized prior table
     val cnt = tok.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint() // vocab-sized (lang x gram counts)
     val tot = cnt.groupBy(col("lang")).agg(expr("cast(sum(c) as bigint)").as("tl"))
     val vg = cnt.select(col("g")).distinct()
     val voc = vg.agg(count(lit(1)).as("v"))
     val pri = Tables.documents(spark, d).groupBy(col("lang")).agg(count(lit(1)).as("dl"))
-      .localCheckpoint()
+      .localCheckpoint() // languages-sized prior
     val prior = pri.crossJoin(broadcast(pri.agg(expr("cast(sum(dl) as bigint)").as("d"))))
       .select(col("lang"),
         expr("CAST(round(ln(CAST(dl AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)")
@@ -2259,7 +2259,7 @@ object TextAnalysis {
       // query re-runs from the scan (bounded — the pinned frame is the
       // inverted-index slice for 4 terms, not the corpus); a shared
       // deployment persists the full inverted index instead (q286 pattern)
-      .localCheckpoint()
+      .localCheckpoint() // 4-term posting-slice-sized (note above)
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_micro", expr(
@@ -2737,7 +2737,7 @@ object TextAnalysis {
         col("n_chars").cast("long").as("x2"),
         expr("cast(size(filter(split(text, ' '), w -> w = 'the')) as bigint)").as("x3"),
         expr("cast(size(filter(split(text, ' '), w -> length(w) > 5)) as bigint)").as("x4"))
-      .localCheckpoint()
+      .localCheckpoint() // doc-count-sized narrow features (4 longs/row)
 
   /** Round-1 weight row (a0…a4 + n1) over the feature frame. */
   private def perceptronW1(f: DataFrame): DataFrame =
@@ -2845,7 +2845,7 @@ object TextAnalysis {
     // both prefix aggregates — pinned job-scope (the q298 rule)
     val ids = docs.select(col("doc_id"),
         expr("cast(size(split(text, ' ')) as bigint)").as("nt"))
-      .localCheckpoint()
+      .localCheckpoint() // doc-count-sized narrow (2 longs/row; note above)
     val targets = (1 to 4).map(k => expr(s"(__n * $k) div 4"))
     val bounds = BucketRank.select(
         ids.withColumn("__g", lit(1)), "__g",
@@ -2923,7 +2923,7 @@ object TextAnalysis {
       .filter(col("t") =!= "")
       .select(col("lang"), expr(md5l("t")).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint() // vocab-sized (lang x gram counts)
     val tot = v.groupBy(col("lang")).agg(expr("cast(sum(c) as bigint)").as("n"))
     val pairs = tot.as("x").join(tot.as("y"), col("x.lang") < col("y.lang"))
       .select(col("x.lang").as("la"), col("x.n").as("na"),
@@ -3062,7 +3062,7 @@ object TextAnalysis {
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .withColumn("w_micro", expr(
         "cast(round(sqrt(cast(c as double) * sqrt(cast(c as double))) * 1000000) as bigint)"))
-      .localCheckpoint()
+      .localCheckpoint() // vocab-sized weights
     val tot = v.agg(expr("cast(sum(w_micro) as bigint)").as("w_total"),
       expr("cast(sum(c) as bigint)").as("c_total"))
     v.crossJoin(broadcast(tot))
@@ -3110,7 +3110,7 @@ object TextAnalysis {
       .select(expr(md5l("t")).as("g"), length(col("t")).cast("long").as("len"))
     val v = tok.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .withColumn("neg", -col("c"))
-      .localCheckpoint()
+      .localCheckpoint() // vocab-sized counts
     val targets = Seq(4, 8, 16).map(vv => expr(s"least($vv, __n)"))
     val bounds = BucketRank.select(v.withColumn("__g", lit(1)), "__g",
         bucket = expr("neg div 16"), ord = Seq(col("neg"), col("g")),
