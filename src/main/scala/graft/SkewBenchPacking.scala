@@ -52,10 +52,12 @@ object SkewBenchPacking {
     val nDocs = base.count()
 
     val uniform = base.withColumn("bucket", expr("h div 1099511627776"))
-    // one hot bucket (bucket 0) carries 1000x tokens — mass skew, row
-    // counts unchanged
+    // one document carries 1 000 000x its token count — its bucket now
+    // holds (far) more than the whole rest of the corpus's token MASS,
+    // while row counts stay unchanged: the prefix-sum's window cost is
+    // row-proportional, so this must not move the needle
     val massSkew = uniform.withColumn("n_tok",
-      expr("CASE WHEN bucket = 0 THEN n_tok * 1000 ELSE n_tok END"))
+      expr("CASE WHEN doc_id = 0 THEN n_tok * 1000000 ELSE n_tok END"))
     // every row in one bucket — the degenerate single-window worst case
     val rowSkew = base.withColumn("bucket", lit(0L))
 
@@ -74,6 +76,7 @@ object SkewBenchPacking {
       (sec, chk.getLong(1))
     }
 
+    run(uniform) // warm-up: codegen + shuffle paths, untimed
     val (uSec, uTot) = run(uniform)
     val (mSec, mTot) = run(massSkew)
     val (rSec, _) = run(rowSkew)
