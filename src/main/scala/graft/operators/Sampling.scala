@@ -857,8 +857,74 @@ object Sampling {
        FROM g, tot t ORDER BY g.pack_id"""
   }
 
+  // ---------------------------------------------------------------- q347
+  /** FILL-IN-THE-MIDDLE span planning (Bavarian et al. 2022) — the
+    * document-transform plan behind FIM pre-training: a hash-selected
+    * half of the corpus (the standard ~50% FIM rate) is scheduled for
+    * prefix/middle/suffix reordering, with the two cut points drawn
+    * DETERMINISTICALLY per document from independent md5 streams over
+    * [0, n_tok] (any worker at any cluster size re-derives the same
+    * plan with zero stored state — the q340 trick applied to span
+    * selection; a seeded RNG would be partition-order-dependent). The
+    * readout is the per-language audit an operator checks before
+    * launching the run: docs / FIM docs, token masses of the three span
+    * classes (exact BIGINTs; they sum to the FIM token mass — the
+    * planted invariant Round11Spec asserts), degenerate empty-middle
+    * count (cut1 = cut2), and the middle-token share in exact ppm —
+    * the knob FIM papers tune (middle ≈ uniform ⇒ E[share] ≈ 1/3).
+    * Map-only: one documents scan, one shuffle on the 20-value lang
+    * key; full oracle replays the md5 arithmetic bit-for-bit.
+    */
+  def q347FimSpanPlan(spark: SparkSession, d: String): DataFrame = {
+    def h(tag: String): String =
+      s"CAST(conv(substring(md5(concat('$tag#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val planned = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+      .withColumn("is_fim", expr(s"${h("fim")} % 2 = 0"))
+      .withColumn("h1", expr(s"${h("fima")} % (n_tok + 1)"))
+      .withColumn("h2", expr(s"${h("fimb")} % (n_tok + 1)"))
+      .withColumn("c1", least(col("h1"), col("h2")))
+      .withColumn("c2", greatest(col("h1"), col("h2")))
+    planned.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(CASE WHEN is_fim THEN 1 ELSE 0 END) as bigint)").as("n_fim"),
+        expr("cast(sum(CASE WHEN is_fim THEN n_tok ELSE 0 END) as bigint)").as("fim_tokens"),
+        expr("cast(sum(CASE WHEN is_fim THEN c1 ELSE 0 END) as bigint)").as("prefix_tokens"),
+        expr("cast(sum(CASE WHEN is_fim THEN c2 - c1 ELSE 0 END) as bigint)").as("middle_tokens"),
+        expr("cast(sum(CASE WHEN is_fim THEN n_tok - c2 ELSE 0 END) as bigint)").as("suffix_tokens"),
+        expr("cast(sum(CASE WHEN is_fim AND c1 = c2 THEN 1 ELSE 0 END) as bigint)").as("n_empty_middle"))
+      .withColumn("middle_share_ppm",
+        expr("middle_tokens * 1000000 div fim_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q347Oracle: String = {
+    def h(tag: String): String =
+      s"CAST(('0x' || substring(md5('$tag#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH base AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+       pl AS (SELECT lang, n_tok,
+               ${h("fim")} % 2 = 0 AS is_fim,
+               least(${h("fima")} % (n_tok + 1), ${h("fimb")} % (n_tok + 1)) AS c1,
+               greatest(${h("fima")} % (n_tok + 1), ${h("fimb")} % (n_tok + 1)) AS c2
+             FROM base)
+       SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN is_fim THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+         CAST(sum(CASE WHEN is_fim THEN n_tok ELSE 0 END) AS BIGINT) AS fim_tokens,
+         CAST(sum(CASE WHEN is_fim THEN c1 ELSE 0 END) AS BIGINT) AS prefix_tokens,
+         CAST(sum(CASE WHEN is_fim THEN c2 - c1 ELSE 0 END) AS BIGINT) AS middle_tokens,
+         CAST(sum(CASE WHEN is_fim THEN n_tok - c2 ELSE 0 END) AS BIGINT) AS suffix_tokens,
+         CAST(sum(CASE WHEN is_fim AND c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_middle,
+         CAST(sum(CASE WHEN is_fim THEN c2 - c1 ELSE 0 END) * 1000000
+              // sum(CASE WHEN is_fim THEN n_tok ELSE 0 END) AS BIGINT) AS middle_share_ppm
+       FROM pl GROUP BY lang ORDER BY lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q342_sequence_packing" -> q342SequencePacking _,
+    "q347_fim_plan" -> q347FimSpanPlan _,
     "q340_epoch_order" -> q340EpochOrder _,
     "q298_mixture_sweep" -> q298MixtureSweep _,
     "q268_weighted_reservoir" -> q268WeightedReservoir _,
@@ -875,6 +941,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "q342_sequence_packing" -> q342Oracle,
+    "q347_fim_plan" -> q347Oracle,
     "q340_epoch_order" -> q340Oracle,
     "q298_mixture_sweep" -> q298Oracle,
     "q268_weighted_reservoir" -> q268Oracle,

@@ -2387,6 +2387,195 @@ object Similarity {
               AND l2.lab <> l2.tl) AS BIGINT) AS n_wrong_r2
        FROM l2 JOIN l1 USING (vec_id) GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q345
+  /** TRIANGLE CENSUS / clustering-coefficient audit of the stored kNN
+    * graph — the graph-quality statistic between q315's hubness (who is
+    * over-cited) and q344's propagation (does labeling spread): a kNN
+    * graph whose neighborhoods CLOSE into triangles has clusterable
+    * local structure (community detection, SemDeDup-style grouping, and
+    * label propagation all work); a hub-dominated graph has wedges that
+    * never close. Edges come symmetrized (u < v canonical form, distinct)
+    * from the PERSISTED graph; triangles are counted once each by the
+    * standard distributed wedge join — wedges rooted at the LOWEST vertex
+    * (e1(a,b) ⋈ e2(a,c), b < c), closed by a semi-equi-join against the
+    * edge set on (b, c). Readout: top-10 nodes by local triangle count
+    * (ties by id) with degree and the local clustering coefficient
+    * 2·tri/(deg·(deg−1)) in exact ppm, plus the global census on every
+    * row (triangle count, wedge count Σ deg·(deg−1)/2, transitivity
+    * 3·tri/wedges ppm — the q341 totals-ride-along shape). All counts
+    * exact BIGINTs → full oracle (training + graph build + census
+    * replayed).
+    *
+    * Scale shape: zero embeddings scans — the census reads only the
+    * stored nbr_id-bucketed edge table. Wedge count is bounded by
+    * Σ deg² where out-degree is k by construction and in-degree is the
+    * monitored q315 hubness statistic — the join is vertex-keyed and
+    * never quadratic in |V|; at 100 TB the census shards by the graph's
+    * stored cell structure exactly as the build did.
+    */
+  def q345TriangleCensus(spark: SparkSession, d: String): DataFrame = {
+    val g = knnGraphTable(spark, d).select(col("vec_id"), col("nbr_id"))
+    val und = g.filter(col("vec_id") =!= col("nbr_id"))
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).cast("long").as("deg"))
+    val wedges = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("a"), col("v").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(
+      und.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).cast("long").as("n_tri"))
+    val totals = tri.agg(count(lit(1)).cast("long").as("n_triangles"))
+      .crossJoin(deg.agg(
+        expr("cast(sum(deg * (deg - 1) div 2) as bigint)").as("n_wedges")))
+      .withColumn("transitivity_ppm",
+        expr("3 * n_triangles * 1000000 div n_wedges"))
+    deg.join(perNode, deg("x") === perNode("x"), "left")
+      .select(deg("x").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .filter(col("deg") >= 2)
+      .withColumn("lcc_ppm", expr("2 * n_tri * 1000000 div (deg * (deg - 1))"))
+      .crossJoin(broadcast(totals)) // 1-row census frame
+      .orderBy(col("n_tri").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val q345Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       lv AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       dots AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                  CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+                FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+                JOIN lv a ON a.vec_id = x.vec_id
+                JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+                GROUP BY 1, 2, 3),
+       gr AS (SELECT va AS vec_id, vb AS nbr_id FROM (
+                SELECT va, vb, row_number() OVER (PARTITION BY va
+                  ORDER BY dot DESC, vb ASC) AS rn FROM dots) WHERE rn <= $Q314K),
+       und AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+                 greatest(vec_id, nbr_id) AS v
+               FROM gr WHERE vec_id <> nbr_id),
+       deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+                 SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+       tri AS (SELECT w.a, w.b, w.c FROM (
+                 SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v) w
+               JOIN und t ON t.u = w.b AND t.v = w.c),
+       pern AS (SELECT x, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                  SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri) GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+       wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+       SELECT d.x AS vec_id, d.deg, coalesce(p.n_tri, 0) AS n_tri,
+         CAST(2 * coalesce(p.n_tri, 0) * 1000000 // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_ppm,
+         t.n_triangles, w.n_wedges,
+         CAST(3 * t.n_triangles * 1000000 // w.n_wedges AS BIGINT) AS transitivity_ppm
+       FROM deg d LEFT JOIN pern p ON p.x = d.x, tot t, wed w
+       WHERE d.deg >= 2
+       ORDER BY coalesce(p.n_tri, 0) DESC, d.x ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q348
+  /** One-vs-rest ROC-AUC of the nearest-centroid scorer — the
+    * threshold-FREE separability metric next to q288's fixed centroid
+    * cosine matrix and the accuracy-style numbers of the classifier
+    * battery: for each label ℓ, every vector is scored by its exact
+    * integer dot with ℓ's UNDIVIDED centroid sum S_ℓ[j] = Σ xq over ℓ's
+    * vectors (monotone-equivalent to the mean centroid, so the AUC is
+    * identical and the score stays an exact BIGINT — no division, the
+    * q113 trick), and AUC(ℓ) comes from the grouped Mann–Whitney U:
+    * group by exact score, concordant = Σ p_s·(negatives strictly
+    * below), tied = Σ p_s·n_s, AUC = (2·conc + tied)/(2·n_pos·n_neg) in
+    * exact ppm (ties at half weight — the standard U convention,
+    * exactly). The strictly-below prefix runs in the q342 two-phase
+    * form on score bands ((score + 2⁶⁰) div 2⁴⁴ — shifted nonnegative
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree):
+    * per-(label, band) totals → per-label band offsets → band-local
+    * windows, never a window over the full score-ordered corpus (the
+    * per-label window is the low-NDV trap q329 names). The oracle
+    * replays the U statistic with the PLAIN per-label window — equality
+    * certifies the banded rewrite. Zero embeddings scans: scores ride
+    * the stored µ-int long form, labels the stored assignment table;
+    * the centroid-sum frame is 640 broadcast rows. Final ratio in
+    * DECIMAL(38,0) (concordant can pass 2⁶³ once n_pos·n_neg does —
+    * the q341 guard).
+    */
+  def q348CentroidAuc(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val labels = ivfAssignTable(spark, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val cent = lf.join(labels, "vec_id")
+      .groupBy(col("lab").as("lbl"), col("sub"), col("jj"))
+      .agg(expr("cast(sum(xq) as bigint)").as("s"))
+    val scores = lf.join(broadcast(cent), Seq("sub", "jj"))
+      .groupBy(col("lbl"), col("vec_id"))
+      .agg(expr("cast(sum(xq * s) as bigint)").as("score"))
+    val grouped = scores.join(labels, "vec_id")
+      .withColumn("pos", expr("CASE WHEN lab = lbl THEN 1 ELSE 0 END"))
+      .groupBy(col("lbl"), col("score"))
+      .agg(expr("cast(sum(pos) as bigint)").as("p"),
+        expr("cast(sum(1 - pos) as bigint)").as("n"))
+      .withColumn("band",
+        expr("(score + 1152921504606846976) div 17592186044416"))
+    val wB = Window.partitionBy(col("lbl")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grouped.groupBy(col("lbl"), col("band"))
+      .agg(expr("cast(sum(n) as bigint)").as("bn"))
+      .withColumn("offn", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("lbl"), col("band"), col("offn"))
+    val wL = Window.partitionBy(col("lbl"), col("band")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped.join(broadcast(offsets), Seq("lbl", "band"))
+      .withColumn("cumneg", col("offn") + coalesce(sum(col("n")).over(wL), lit(0L)))
+      .groupBy(col("lbl"))
+      .agg(expr("cast(sum(p) as bigint)").as("n_pos"),
+        expr("cast(sum(n) as bigint)").as("n_neg"),
+        expr("cast(sum(cast(p as decimal(38,0)) * cumneg) as decimal(38,0))").as("concordant"),
+        expr("cast(sum(cast(p as decimal(38,0)) * n) as decimal(38,0))").as("tied"))
+      .select(col("lbl").as("label"),
+        col("n_pos"), col("n_neg"),
+        expr("cast(concordant as bigint)").as("concordant"),
+        expr("cast(tied as bigint)").as("tied"),
+        expr("""cast((2 * concordant + tied) * 1000000
+                div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)""")
+          .as("auc_ppm"))
+      .orderBy(col("label"))
+  }
+
+  val q348Oracle: String =
+    """WITH lv AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       cent AS (SELECT lab AS lbl, j, CAST(sum(xq) AS BIGINT) AS s
+                FROM lv GROUP BY 1, 2),
+       sc AS (SELECT c.lbl, v.vec_id, CAST(sum(v.xq * c.s) AS BIGINT) AS score
+              FROM lv v JOIN cent c ON c.j = v.j GROUP BY 1, 2),
+       lab1 AS (SELECT DISTINCT vec_id, lab FROM lv),
+       g AS (SELECT sc.lbl, sc.score,
+               CAST(sum(CASE WHEN l.lab = sc.lbl THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN l.lab = sc.lbl THEN 0 ELSE 1 END) AS BIGINT) AS n
+             FROM sc JOIN lab1 l ON l.vec_id = sc.vec_id GROUP BY 1, 2),
+       w AS (SELECT lbl, score, p, n,
+               coalesce(sum(n) OVER (PARTITION BY lbl ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+             FROM g)
+       SELECT lbl AS label,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(n) AS BIGINT) AS n_neg,
+         CAST(sum(p * cumneg) AS BIGINT) AS concordant,
+         CAST(sum(p * n) AS BIGINT) AS tied,
+         CAST((2 * sum(p * cumneg) + sum(p * n)) * 1000000
+              // (2 * sum(p) * sum(n)) AS BIGINT) AS auc_ppm
+       FROM w GROUP BY lbl ORDER BY lbl"""
+
   // ------------------------------------------------ RP-LSH bucket index
   /** The PERSISTED random-projection LSH index (round 10 — was a
     * corpus-sized `localCheckpoint` inside q320: an executor loss
@@ -2909,6 +3098,8 @@ object Similarity {
     "q314_build_knn_graph" -> q314BuildKnnGraph _,
     "q315_hubness_audit" -> q315HubnessAudit _,
     "q344_label_propagation" -> q344LabelPropagation _,
+    "q345_knn_triangles" -> q345TriangleCensus _,
+    "q348_centroid_auc" -> q348CentroidAuc _,
     "q307_random_projection" -> q307RandomProjection _,
     "q303_ndcg_eval" -> q303NdcgEval _,
     "q300_bitext_margin" -> q300BitextMarginMining _,
@@ -2948,6 +3139,8 @@ object Similarity {
     "q314_build_knn_graph" -> q314Oracle,
     "q315_hubness_audit" -> q315Oracle,
     "q344_label_propagation" -> q344Oracle,
+    "q345_knn_triangles" -> q345Oracle,
+    "q348_centroid_auc" -> q348Oracle,
     "q307_random_projection" -> q307Oracle,
     "q303_ndcg_eval" -> q303Oracle,
     "q300_bitext_margin" -> q300Oracle,

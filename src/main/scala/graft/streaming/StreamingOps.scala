@@ -926,6 +926,80 @@ object StreamingOps {
          CAST(max(CASE WHEN before < $Q299TokenQuota THEN doc_id ELSE -1 END) AS BIGINT) AS last_admitted_doc
        FROM w GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------- q346
+  final case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  final case class PackState(source: String, n_docs: Long, n_tokens: Long,
+                             n_crossings: Long)
+
+  /** STREAMING sequence packer — the online shape of q342's offline
+    * concat-and-cut: as documents stream in per source, a running token
+    * total assigns each to its position in the source's fixed-budget
+    * ([[graft.operators.Sampling.Q342Budget]]-token) pack stream, and
+    * the packer tracks how many documents straddle a pack boundary
+    * (fragmentation — the q342 `crossings` statistic, maintained online).
+    * State via `mapGroupsWithState` is three longs per SOURCE — never
+    * per document or per pack — so state size is |sources| at any stream
+    * volume; rows inside a microbatch fold in doc_id order, making the
+    * fold deterministic given the batch split (the q299 contract: exact
+    * under the staged single-batch source, and under any landing
+    * directory that delivers batches in id order). Emits one running
+    * summary per (source, batch) in Update mode; final row per source by
+    * max n_docs; completed-pack count and last-pack fill derive from the
+    * exact token total. Oracle: the per-source plain-window prefix-sum
+    * replay — equality certifies the online fold against the batch
+    * semantics (the q342 certification, per source).
+    */
+  def q346StreamPacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val L = graft.operators.Sampling.Q342Budget
+    val docs = graft.sources.Tables.documentsStream(spark, d)
+      .select(col("doc_id"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+      .as[PackDoc]
+    val summaries = docs.groupByKey(_.source)
+      .mapGroupsWithState[PackState, PackState](GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val prev = state.getOption.getOrElse(PackState(source, 0L, 0L, 0L))
+          var (nd, tok, cross) = (prev.n_docs, prev.n_tokens, prev.n_crossings)
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            val st = tok
+            tok += r.n_tok
+            cross += (tok - 1) / L - st / L
+            nd += 1
+          }
+          val updated = PackState(source, nd, tok, cross)
+          state.update(updated)
+          updated
+      }
+    val out = runToMemory(spark, summaries.toDF(),
+      s"stream_packing_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("source"))
+      .agg(max(struct(col("n_docs"), col("n_tokens"), col("n_crossings"))).as("s"))
+      .select(col("source"), col("s.n_docs").as("n_docs"),
+        col("s.n_tokens").as("n_tokens"),
+        expr(s"s.n_tokens div $L").as("n_packs_done"),
+        expr(s"s.n_tokens % $L").as("fill_last"),
+        col("s.n_crossings").as("n_crossings"))
+      .orderBy(col("source"))
+  }
+
+  val q346Oracle: String = {
+    val L = graft.operators.Sampling.Q342Budget
+    s"""WITH t AS (SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+       w AS (SELECT source, doc_id, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             FROM t)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_tok) // $L AS BIGINT) AS n_packs_done,
+         CAST(sum(n_tok) % $L AS BIGINT) AS fill_last,
+         CAST(sum((st + n_tok - 1) // $L - st // $L) AS BIGINT) AS n_crossings
+       FROM w GROUP BY source ORDER BY source"""
+  }
+
   // ---------------------------------------------------------------- q312
   /** STREAMING HyperLogLog cardinality monitor — live distinct-user
     * counts per event type where the user sets are too large to hold as
@@ -1251,6 +1325,7 @@ object StreamingOps {
     "q325_stream_winnow_admission" -> q325StreamWinnowAdmission _,
     "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
+    "q346_stream_packing" -> q346StreamPacking _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1274,6 +1349,7 @@ object StreamingOps {
     "q325_stream_winnow_admission" -> q325Oracle,
     "q312_stream_hll_distinct" -> q312Oracle,
     "q299_stream_quota_admission" -> q299Oracle,
+    "q346_stream_packing" -> q346Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

@@ -336,7 +336,10 @@ class PlanSpec extends SparkSuite {
       "q341_psi_drift" -> ("orders", 1),                 // one conditional-aggregation scan; PSI windows the bin frame
       "q342_sequence_packing" -> ("documents", 2),       // two-phase prefix sum: pinned bucket offsets; totals leg + pack-detail leg
       "q343_cusum_changepoint" -> ("orders", 1),         // one scan; all CUSUM windows run on the |days|-sized frame
-      "q344_label_propagation" -> ("embeddings", 1))     // seed frame only; rounds probe the stored kNN graph + pinned label frames
+      "q344_label_propagation" -> ("embeddings", 1),     // seed frame only; rounds probe the stored kNN graph + pinned label frames
+      "q345_knn_triangles" -> ("embeddings", 0),         // census reads only the stored nbr_id-bucketed edge table
+      "q347_fim_plan" -> ("documents", 1),               // map-only plan pass into the language aggregate
+      "q348_centroid_auc" -> ("embeddings", 0))          // scores ride the stored long form; labels the stored assignment table
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

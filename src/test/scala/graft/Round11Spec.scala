@@ -54,4 +54,73 @@ class Round11Spec extends SparkSuite {
       s"IVF-restricted generator recovered only $overlap/10 all-pairs " +
         s"top-margin pairs:\n  restricted=$restricted\n  allPairs=$allPairs")
   }
+
+  // ------------------------------------------------------------- q345
+  test("q345: triangle census agrees with a brute-force adjacency count") {
+    import spark.implicits._
+    // independent ground truth: collect the (slice-sized) undirected edge
+    // set and count triangles by set intersection — an algorithm-
+    // independent check of the distributed wedge join
+    val und = graft.operators.Similarity.knnGraphTable(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).as[(Long, Long)].collect()
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val bruteTri = und.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v) // w > v > u counts each once
+    }.sum
+    val row = graft.operators.Similarity.q345TriangleCensus(spark, sf)
+      .select(col("n_triangles"), col("n_wedges"), col("transitivity_ppm"))
+      .limit(1).collect()(0)
+    assert(row.getLong(0) === bruteTri.toLong,
+      s"census ${row.getLong(0)} != brute ${bruteTri}")
+    val bruteWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getLong(1) === bruteWedges)
+    assert(row.getLong(2) === 3L * bruteTri * 1000000L / bruteWedges)
+  }
+
+  // ------------------------------------------------------------- q346
+  test("q346: streaming pack totals satisfy the pack arithmetic per source") {
+    val rows = graft.SparkEntry.queries("q346_stream_packing")(spark, sf).collect()
+    val L = graft.operators.Sampling.Q342Budget
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, packs, fill, cross) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tok == packs * L + fill, s"token identity broken: $r")
+      assert(fill >= 0 && fill < L)
+      // every completed pack boundary is crossed by at most one doc, and a
+      // crossing needs a boundary: crossings <= interior boundaries
+      assert(cross >= 0 && cross <= packs, s"crossings out of range: $r")
+    }
+  }
+
+  // ------------------------------------------------------------- q347
+  test("q347: FIM spans partition the FIM token mass exactly") {
+    val rows = graft.SparkEntry.queries("q347_fim_plan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nf) = (r.getLong(1), r.getLong(2))
+      val (tot, pre, mid, suf) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(pre + mid + suf === tot, s"span partition broken: $r")
+      assert(nf > 0 && nf < nd, s"degenerate FIM rate: $r")
+      val share = r.getLong(8)
+      assert(share >= 0 && share <= 1000000)
+    }
+  }
+
+  // ------------------------------------------------------------- q348
+  test("q348: centroid AUC separates every label well above chance") {
+    val rows = graft.SparkEntry.queries("q348_centroid_auc")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (np, nn, conc, tied, auc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(conc + tied <= np * nn, s"U statistic exceeds pair count: $r")
+      // measured at round 11: 0.76-0.85 across all 10 labels on the
+      // fixture — the synthetic label structure is real signal; chance
+      // would be ~0.5
+      assert(auc > 700000L && auc < 1000000L, s"AUC out of expected band: $r")
+    }
+  }
 }
