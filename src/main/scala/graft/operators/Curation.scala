@@ -1096,7 +1096,108 @@ object Curation {
               // CAST(sum(n_docs * top) AS BIGINT) AS BIGINT) AS waste_ppm
        FROM bk GROUP BY width ORDER BY width"""
 
+  // ---------------------------------------------------------------- q350
+  /** DoReMi-style EXCESS-LOSS domain reweighting (Xie et al. 2023's
+    * group-DRO signal, the deterministic batch shape) — which SOURCES
+    * deserve more sampling weight because the reference model finds them
+    * hard: per source, the mean bigram-LM loss in exact µ-nats off the
+    * PERSISTED per-doc score table (zero corpus text scans — one
+    * documents scan for the source column only), the corpus-wide
+    * baseline loss, the CLIPPED excess max(loss − baseline, 0) (DoReMi
+    * upweights only above-baseline domains), and sampling weights
+    * proportional to excess normalized to EXACTLY 1 000 000 ppm by
+    * largest-remainder apportionment (the q256 machinery — floor shares
+    * + the leftover distributed by remainder rank, ties by source).
+    * Degenerate all-at-baseline corpora fall back to the uniform
+    * apportionment through the same code path (excess masses replaced
+    * by 1s — no special-cased branch to drift). Loss stays in NEGATED
+    * (positive) µ-nats so every division is on nonnegative integers —
+    * Spark's truncating `div` and DuckDB's flooring `//` agree (the
+    * q348 shift trick, sign-free form). All windows run on the
+    * |sources|-sized aggregate. Full oracle replays LM scoring + the
+    * apportionment.
+    */
+  def q350DomainReweight(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val perSrc = graft.operators.TextAnalysis.docLmTable(spark, d)
+      .join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_big) as bigint)").as("n_bigrams"),
+        expr("cast(sum(cast(-d_sum as decimal(38,0))) as bigint)").as("nl"))
+      .withColumn("loss_micro", expr("nl div n_bigrams"))
+    val base = perSrc.agg(
+        expr("cast(sum(cast(nl as decimal(38,0))) as bigint)").as("nlt"),
+        expr("cast(sum(n_bigrams) as bigint)").as("nbt"))
+      .select(expr("nlt div nbt").as("base_micro"))
+    val ex = perSrc.crossJoin(broadcast(base))
+      .withColumn("excess_micro",
+        expr("greatest(loss_micro - base_micro, cast(0 as bigint))"))
+    val tot = ex.agg(expr("cast(sum(excess_micro) as bigint)").as("tot"),
+      count(lit(1)).as("nsrc"))
+    val sized = ex.crossJoin(broadcast(tot))
+      .withColumn("m", expr("CASE WHEN tot = 0 THEN cast(1 as bigint) ELSE excess_micro END"))
+      .withColumn("mt", expr("CASE WHEN tot = 0 THEN nsrc ELSE tot END"))
+      .withColumn("wbase", expr("m * 1000000 div mt"))
+      .withColumn("rem", expr("m * 1000000 % mt"))
+      .localCheckpoint() // sources-sized weight frame; read by the rank leg and the leftover total
+    val wR = Window.orderBy(col("rem").desc, col("source").asc)
+    sized.withColumn("rk", row_number().over(wR))
+      .crossJoin(broadcast(sized.agg(
+        expr("cast(1000000 - sum(wbase) as bigint)").as("leftover"))))
+      .withColumn("weight_ppm",
+        expr("wbase + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("loss_micro"), col("excess_micro"), col("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q350Oracle: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       big AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS g1,
+                 CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+               FROM (SELECT doc_id, lang,
+                       unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS bg
+                     FROM tok)),
+       bc AS (SELECT g2, min(g1) AS g1, count(*) AS c2 FROM big GROUP BY g2),
+       uc AS (SELECT g1, count(*) AS c1 FROM big GROUP BY g1),
+       v AS (SELECT count(DISTINCT g2) AS nv FROM big),
+       lp AS (SELECT bc.g2,
+                CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0) /
+                     (CAST(uc.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE))) * 1000000) AS BIGINT) AS lp_micro
+              FROM bc JOIN uc ON bc.g1 = uc.g1 CROSS JOIN v),
+       d AS (SELECT b.doc_id, count(*) AS n_big,
+               CAST(sum(lp.lp_micro) AS BIGINT) AS d_sum
+             FROM big b JOIN lp ON b.g2 = lp.g2 GROUP BY 1),
+       ds AS (SELECT dd.source, count(*) AS n_docs,
+                CAST(sum(d.n_big) AS BIGINT) AS n_bigrams,
+                CAST(sum(CAST(-d.d_sum AS HUGEINT)) AS BIGINT) AS nl
+              FROM d JOIN documents dd ON dd.doc_id = d.doc_id GROUP BY 1),
+       pb AS (SELECT *, nl // n_bigrams AS loss_micro FROM ds),
+       bt AS (SELECT CAST(sum(CAST(nl AS HUGEINT)) AS BIGINT) AS nlt,
+                CAST(sum(n_bigrams) AS BIGINT) AS nbt FROM ds),
+       exr AS (SELECT pb.*, greatest(loss_micro - (bt.nlt // bt.nbt), 0) AS excess_micro
+               FROM pb, bt),
+       tt AS (SELECT CAST(sum(excess_micro) AS BIGINT) AS tot, count(*) AS nsrc FROM exr),
+       sz AS (SELECT exr.*, CASE WHEN tt.tot = 0 THEN 1 ELSE excess_micro END AS m,
+                CASE WHEN tt.tot = 0 THEN tt.nsrc ELSE tt.tot END AS mt
+              FROM exr, tt),
+       wb AS (SELECT *, m * 1000000 // mt AS wbase, m * 1000000 % mt AS rem FROM sz),
+       rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM wb),
+       lo AS (SELECT CAST(1000000 - sum(wbase) AS BIGINT) AS leftover FROM wb)
+       SELECT source, n_docs, n_bigrams,
+         CAST(loss_micro AS BIGINT) AS loss_micro,
+         CAST(excess_micro AS BIGINT) AS excess_micro,
+         CAST(wbase + CASE WHEN rk.rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+       FROM rk, lo ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_domain_reweight" -> q350DomainReweight _,
     "q310_bucket_batching" -> q310BucketBatching _,
     "q283_substring_curation" -> q283SubstringCuration _,
     "q275_packing_efficiency" -> q275PackingEfficiency _,
@@ -1113,6 +1214,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q350_domain_reweight" -> q350Oracle,
     "q310_bucket_batching" -> q310Oracle,
     "q283_substring_curation" -> q283Oracle,
     "q275_packing_efficiency" -> q275Oracle,

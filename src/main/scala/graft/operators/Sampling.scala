@@ -922,9 +922,64 @@ object Sampling {
        FROM pl GROUP BY lang ORDER BY lang"""
   }
 
+  // ---------------------------------------------------------------- q352
+  /** PACK-FRAGMENTATION profile by document length band — the QA readout
+    * behind the q342 packer (q275 reports corpus-level padding economics;
+    * this reports WHICH documents the cut boundaries actually split):
+    * every document's pack span (first/last pack from the same two-phase
+    * [[tokenPrefixSum]] the packer uses, identical hash order), rolled up
+    * per 16-token length band (capped at band 8 — exact integer banding,
+    * no quantile pass needed). Per band: docs, token mass, boundary-
+    * crossing docs and the crossing share in exact ppm — long documents
+    * fragment more (a 128-token budget cuts nearly every 100+-token doc),
+    * and this profile is the evidence an operator reads before choosing
+    * budget vs truncation policy. One corpus scan + the two-phase
+    * machinery; oracle replays the PLAIN global window — equality
+    * re-certifies the bucket rewrite on a second consumer.
+    */
+  def q352PackFragmentation(spark: SparkSession, d: String): DataFrame = {
+    val L = Q342Budget
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat('pk#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("bucket", expr("h div 1099511627776")) // 2^40
+    val prefixed = tokenPrefixSum(base)
+      .withColumn("crossing", expr(s"CASE WHEN (cum - 1) div $L > st div $L THEN 1 ELSE 0 END"))
+      .withColumn("band", expr("least(n_tok div 16, cast(8 as bigint))"))
+    prefixed.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(n_tok) as bigint)").as("n_tokens"),
+        expr("cast(sum(crossing) as bigint)").as("n_crossing"))
+      .withColumn("crossing_ppm", expr("n_crossing * 1000000 div n_docs"))
+      .orderBy(col("band"))
+  }
+
+  val q352Oracle: String = {
+    val L = Q342Budget
+    s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substring(md5('pk#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+       w AS (SELECT doc_id, n_tok, h,
+               coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             FROM d),
+       x AS (SELECT least(n_tok // 16, 8) AS band, n_tok,
+               CASE WHEN (st + n_tok - 1) // $L > st // $L THEN 1 ELSE 0 END AS crossing
+             FROM w)
+       SELECT band, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(crossing) AS BIGINT) AS n_crossing,
+         CAST(sum(crossing) * 1000000 // count(*) AS BIGINT) AS crossing_ppm
+       FROM x GROUP BY band ORDER BY band"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q342_sequence_packing" -> q342SequencePacking _,
     "q347_fim_plan" -> q347FimSpanPlan _,
+    "q352_pack_fragmentation" -> q352PackFragmentation _,
     "q340_epoch_order" -> q340EpochOrder _,
     "q298_mixture_sweep" -> q298MixtureSweep _,
     "q268_weighted_reservoir" -> q268WeightedReservoir _,
@@ -942,6 +997,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "q342_sequence_packing" -> q342Oracle,
     "q347_fim_plan" -> q347Oracle,
+    "q352_pack_fragmentation" -> q352Oracle,
     "q340_epoch_order" -> q340Oracle,
     "q298_mixture_sweep" -> q298Oracle,
     "q268_weighted_reservoir" -> q268Oracle,

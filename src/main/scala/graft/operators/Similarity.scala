@@ -2576,6 +2576,169 @@ object Similarity {
               // (2 * sum(p) * sum(n)) AS BIGINT) AS auc_ppm
        FROM w GROUP BY lbl ORDER BY lbl"""
 
+  // ---------------------------------------------------------------- q349
+  /** MINI-BATCH centroid maintenance (Sculley 2010's web-scale k-means
+    * update, the ingest-time shape) — the missing member of the
+    * incremental-maintenance family (q250 folds new text into the stored
+    * LM, q242 into the stored clusters, q324 into the stored kNN graph;
+    * this folds a new vector batch into the STORED IVF centroids without
+    * retraining): the q245 perturbed batch assigns to its nearest stored
+    * centroid (K-row broadcast argmax), and each touched centroid moves
+    * to the count-weighted mean c' = (c·n_stored + Σ batch)/(n_stored +
+    * n_batch) — the exact online-k-means step, with the batch's per-dim
+    * sums in DECIMAL(25,6) (the kmeansIteration discipline: a float sum
+    * is merge-order-dependent; the exact sum makes the update
+    * bit-reproducible at any parallelism, so the full update is
+    * oracle-replayable). Readout per centroid: stored/batch counts and
+    * the dim-1/dim-33 coordinates before and after (the q86 convention).
+    * Zero embeddings scans — batch and counts ride the stored assignment
+    * table; the update itself is K·dims arithmetic on the K-row centroid
+    * table. Untouched centroids pass through unchanged (asserted in
+    * Round11Spec together with the weighted-mean bound).
+    */
+  def q349CentroidMaintain(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val batch = assigned.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 9000000L).as("bid"),
+        expr("transform(ed, (x, j) -> x + 0.01 * ((j % 3) + 1))").as("be"))
+    val w = Window.partitionBy(col("bid")).orderBy(col("sim").desc, col("cid").asc)
+    val bassign = batch.crossJoin(broadcast(cent))
+      .withColumn("sim", cosineCols(spark, "be", "ce"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bid"), col("cid"), col("be"))
+    val bsum = bassign.select(col("cid"), posexplode(col("be")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(graft.core.Exact.dsum(col("x")).as("bs"),
+        count(lit(1)).cast("long").as("nb"))
+    val stored = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_stored"))
+    val upd = cent.select(col("cid"), posexplode(col("ce")).as(Seq("dim", "c")))
+      .filter(col("dim").isin(0, 32))
+      .join(bsum, Seq("cid", "dim"), "left")
+      .join(stored, "cid")
+      .withColumn("cnew", expr(
+        "CASE WHEN bs IS NULL THEN c ELSE (c * n_stored + bs) / (n_stored + nb) END"))
+    upd.groupBy(col("cid"), col("n_stored"))
+      .agg(expr("cast(coalesce(max(nb), 0) as bigint)").as("n_batch"),
+        max(when(col("dim") === 0, col("c"))).as("c0_before"),
+        max(when(col("dim") === 0, col("cnew"))).as("c0_after"),
+        max(when(col("dim") === 32, col("c"))).as("c32_before"),
+        max(when(col("dim") === 32, col("cnew"))).as("c32_after"))
+      .select(col("cid"), col("n_stored"), col("n_batch"),
+        col("c0_before"), col("c0_after"), col("c32_before"), col("c32_after"))
+      .orderBy(col("cid"))
+  }
+
+  val q349Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       batch AS (SELECT vec_id + 9000000 AS bid,
+                   [CAST(embedding[j+1] AS DOUBLE) + 0.01 * ((j % 3) + 1)
+                    FOR j IN generate_series(0, 63)] AS be
+                 FROM embeddings WHERE vec_id < 20),
+       bpair AS (SELECT b.bid, c.cid,
+                   sum(b.be[r.j+1] * c.ce[r.j+1]) /
+                   (sqrt(sum(b.be[r.j+1] * b.be[r.j+1])) * sqrt(sum(c.ce[r.j+1] * c.ce[r.j+1]))) AS sim
+                 FROM batch b, cent$IvfTrainRounds c, range(64) r(j) GROUP BY 1, 2),
+       bassign AS (SELECT bid, cid FROM (
+                     SELECT bid, cid, row_number() OVER (PARTITION BY bid
+                       ORDER BY sim DESC, cid ASC) AS rn FROM bpair) WHERE rn = 1),
+       bs AS (SELECT a.cid, r.j,
+                CAST(CAST(sum(CAST(b.be[r.j+1] AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bs,
+                CAST(count(*) AS BIGINT) AS nb
+              FROM bassign a JOIN batch b ON b.bid = a.bid, range(64) r(j)
+              WHERE r.j IN (0, 32)
+              GROUP BY 1, 2),
+       m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_stored FROM assignedT GROUP BY 1)
+       SELECT c.cid, m.n_stored, coalesce(b0.nb, 0) AS n_batch,
+         c.ce[1] AS c0_before,
+         CASE WHEN b0.bs IS NULL THEN c.ce[1]
+              ELSE (c.ce[1] * m.n_stored + b0.bs) / (m.n_stored + b0.nb) END AS c0_after,
+         c.ce[33] AS c32_before,
+         CASE WHEN b32.bs IS NULL THEN c.ce[33]
+              ELSE (c.ce[33] * m.n_stored + b32.bs) / (m.n_stored + b32.nb) END AS c32_after
+       FROM cent$IvfTrainRounds c
+       JOIN m ON m.cid = c.cid
+       LEFT JOIN bs b0 ON b0.cid = c.cid AND b0.j = 0
+       LEFT JOIN bs b32 ON b32.cid = c.cid AND b32.j = 32
+       ORDER BY c.cid"""
+
+  // ---------------------------------------------------------------- q351
+  /** MRR@10 retrieval eval — the first-hit metric that completes the
+    * eval battery (q241 recall@10 scores SET membership, q303 nDCG@10
+    * position-weighted quality, q337 inter-ranker agreement; MRR is what
+    * a single-answer retrieval product reports): for the 10-query sample,
+    * rank the corpus by exact integer dot off the stored µ-int long form
+    * (zero embeddings scans for the math; one assignment-table read for
+    * labels), find the FIRST same-label hit in the top-10, and score
+    * 1/rank — kept exact as the µ-reciprocal 1 000 000 div rank, 0 when
+    * no relevant doc appears in the cutoff (the standard MRR@k
+    * convention). Per-query rows carry the corpus-wide mean µ-MRR on
+    * every row (the q341 shape) so the headline number rides the same
+    * frame. Per-query windows are corpus-sized with a row_number ≤ 10
+    * filter WindowGroupLimit prunes map-side (the q273/q303 discipline).
+    * Full oracle.
+    */
+  def q351MrrEval(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nQ = 10L
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val labels = ivfAssignTable(spark, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val qSide = lf.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("sub"), col("jj"), col("xq").as("xquery"))
+    val dots = lf.join(broadcast(qSide), Seq("sub", "jj"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(expr("cast(sum(xq * xquery) as bigint)").as("dot"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val top = dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .join(labels, "vec_id")
+      .join(broadcast(labels.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("lab").as("qlab"))), "qid")
+    val perQ = top.groupBy(col("qid"))
+      .agg(expr("min(CASE WHEN lab = qlab THEN rn END)").as("first_rel_rank"))
+      .withColumn("rr_micro", expr(
+        "CASE WHEN first_rel_rank IS NULL THEN cast(0 as bigint) " +
+          "ELSE 1000000 div first_rel_rank END"))
+      .withColumn("first_rel_rank",
+        coalesce(col("first_rel_rank").cast("long"), lit(0L)))
+    perQ.crossJoin(broadcast(perQ.agg(
+        expr(s"cast(sum(rr_micro) div $nQ as bigint)").as("mean_rr_micro"))))
+      .select(col("qid"), col("first_rel_rank"), col("rr_micro"),
+        col("mean_rr_micro"))
+      .orderBy(col("qid"))
+  }
+
+  val q351Oracle: String =
+    """WITH lv AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       q AS (SELECT vec_id AS qid, j, xq, lab AS qlab FROM lv WHERE vec_id < 10),
+       dots AS (SELECT q.qid, v.vec_id, CAST(sum(v.xq * q.xq) AS BIGINT) AS dot
+                FROM lv v JOIN q ON q.j = v.j AND v.vec_id <> q.qid
+                GROUP BY 1, 2),
+       top AS (SELECT qid, vec_id, rn FROM (
+                 SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY dot DESC, vec_id ASC) AS rn FROM dots) WHERE rn <= 10),
+       lab1 AS (SELECT DISTINCT vec_id, lab FROM lv),
+       ql AS (SELECT DISTINCT qid, qlab FROM q),
+       perq AS (SELECT t.qid,
+                  min(CASE WHEN l.lab = ql.qlab THEN t.rn END) AS fr
+                FROM top t JOIN lab1 l ON l.vec_id = t.vec_id
+                JOIN ql ON ql.qid = t.qid GROUP BY 1),
+       sc AS (SELECT qid, coalesce(fr, 0) AS first_rel_rank,
+                CASE WHEN fr IS NULL THEN 0 ELSE 1000000 // fr END AS rr_micro
+              FROM perq),
+       mm AS (SELECT CAST(sum(rr_micro) // 10 AS BIGINT) AS mean_rr_micro FROM sc)
+       SELECT CAST(sc.qid AS BIGINT) AS qid,
+         CAST(sc.first_rel_rank AS BIGINT) AS first_rel_rank,
+         CAST(sc.rr_micro AS BIGINT) AS rr_micro,
+         mm.mean_rr_micro
+       FROM sc, mm ORDER BY sc.qid"""
+
   // ------------------------------------------------ RP-LSH bucket index
   /** The PERSISTED random-projection LSH index (round 10 — was a
     * corpus-sized `localCheckpoint` inside q320: an executor loss
@@ -3100,6 +3263,8 @@ object Similarity {
     "q344_label_propagation" -> q344LabelPropagation _,
     "q345_knn_triangles" -> q345TriangleCensus _,
     "q348_centroid_auc" -> q348CentroidAuc _,
+    "q349_centroid_maintain" -> q349CentroidMaintain _,
+    "q351_mrr_eval" -> q351MrrEval _,
     "q307_random_projection" -> q307RandomProjection _,
     "q303_ndcg_eval" -> q303NdcgEval _,
     "q300_bitext_margin" -> q300BitextMarginMining _,
@@ -3141,6 +3306,8 @@ object Similarity {
     "q344_label_propagation" -> q344Oracle,
     "q345_knn_triangles" -> q345Oracle,
     "q348_centroid_auc" -> q348Oracle,
+    "q349_centroid_maintain" -> q349Oracle,
+    "q351_mrr_eval" -> q351Oracle,
     "q307_random_projection" -> q307Oracle,
     "q303_ndcg_eval" -> q303Oracle,
     "q300_bitext_margin" -> q300Oracle,

@@ -339,7 +339,11 @@ class PlanSpec extends SparkSuite {
       "q344_label_propagation" -> ("embeddings", 1),     // seed frame only; rounds probe the stored kNN graph + pinned label frames
       "q345_knn_triangles" -> ("embeddings", 0),         // census reads only the stored nbr_id-bucketed edge table
       "q347_fim_plan" -> ("documents", 1),               // map-only plan pass into the language aggregate
-      "q348_centroid_auc" -> ("embeddings", 0))          // scores ride the stored long form; labels the stored assignment table
+      "q348_centroid_auc" -> ("embeddings", 0),          // scores ride the stored long form; labels the stored assignment table
+      "q349_centroid_maintain" -> ("embeddings", 0),     // batch + counts ride the stored assignment table; update is K-row arithmetic
+      "q350_domain_reweight" -> ("documents", 1),        // one source-column scan; scores off the stored doc_lm artifact
+      "q351_mrr_eval" -> ("embeddings", 0),              // dots ride the stored long form; labels the stored assignment table
+      "q352_pack_fragmentation" -> ("documents", 2))     // the q342 two-phase shape: count pass + banded rollup
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

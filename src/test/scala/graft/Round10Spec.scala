@@ -47,7 +47,7 @@ class Round10Spec extends SparkSuite {
   //    (fault-tolerance tradeoff documented at q292), q344's two
   //    slice-sized (≤Q314Slice×3-long) label-round frames.
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
-  //    Profiling.scala 3 / Curation.scala 3 /
+  //    Profiling.scala 3 / Curation.scala 4 /
   //    EventAnalytics.scala 5 / Cdc.scala 1: stratum-, QI-group-, source-,
   //    day-, users- or K-sized aggregate frames read by several branches.
   //  - SkewBenchWinnow.scala 3 / SkewBenchPacking.scala 1: the
@@ -77,7 +77,7 @@ class Round10Spec extends SparkSuite {
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 16,
       "Similarity.scala" -> 16, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
-      "Curation.scala" -> 3, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
+      "Curation.scala" -> 4, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)
     assert(counts.toMap === audited,
       s"localCheckpoint inventory drifted — re-audit the new/removed pins " +

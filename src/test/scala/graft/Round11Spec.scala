@@ -123,4 +123,66 @@ class Round11Spec extends SparkSuite {
       assert(auc > 700000L && auc < 1000000L, s"AUC out of expected band: $r")
     }
   }
+
+  // ------------------------------------------------------------- q349
+  test("q349: untouched centroids pass through; the batch lands fully") {
+    val rows = graft.SparkEntry.queries("q349_centroid_maintain")(spark, sf).collect()
+    assert(rows.length === graft.operators.Similarity.IvfK)
+    val batchTotal = rows.map(_.getLong(2)).sum
+    assert(batchTotal === 20L, s"batch members lost: $batchTotal != 20")
+    rows.foreach { r =>
+      val (nb, c0b, c0a, c32b, c32a) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      if (nb == 0L) {
+        assert(c0a === c0b && c32a === c32b,
+          s"untouched centroid moved: $r")
+      } else {
+        // a count-weighted mean with a non-empty batch moves the
+        // coordinate unless the batch mean equals it exactly —
+        // vanishingly unlikely on real data, so movement is the signal
+        assert(c0a != c0b || c32a != c32b, s"touched centroid frozen: $r")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- q350
+  test("q350: domain weights apportion to exactly one million ppm") {
+    val rows = graft.SparkEntry.queries("q350_domain_reweight")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(5)).sum === 1000000L,
+      "largest-remainder apportionment must sum exactly to 1e6")
+    // weight is monotone in excess up to the +/-1 remainder unit
+    val byExcess = rows.map(r => (r.getLong(4), r.getLong(5))).sortBy(_._1)
+    byExcess.sliding(2).foreach {
+      case Array((e1, w1), (e2, w2)) =>
+        if (e2 > e1) assert(w2 + 1 >= w1, s"weight not monotone: ($e1,$w1) vs ($e2,$w2)")
+      case _ =>
+    }
+  }
+
+  // ------------------------------------------------------------- q351
+  test("q351: reciprocal ranks are consistent with the first-hit ranks") {
+    val rows = graft.SparkEntry.queries("q351_mrr_eval")(spark, sf).collect()
+    assert(rows.length === 10)
+    val meanExpected = rows.map(_.getLong(2)).sum / 10
+    rows.foreach { r =>
+      val (fr, rr, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (fr == 0L) assert(rr === 0L)
+      else assert(rr === 1000000L / fr, s"rr inconsistent: $r")
+      assert(mean === meanExpected)
+    }
+  }
+
+  // ------------------------------------------------------------- q352
+  test("q352: fragmentation bands partition the corpus") {
+    val rows = graft.SparkEntry.queries("q352_pack_fragmentation")(spark, sf).collect()
+    val totalDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === totalDocs,
+      "length bands must partition every document")
+    rows.foreach { r =>
+      val (nd, nc, ppm) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(nc <= nd && ppm >= 0 && ppm <= 1000000)
+      assert(ppm === nc * 1000000L / nd)
+    }
+  }
 }
