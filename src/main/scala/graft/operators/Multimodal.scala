@@ -715,7 +715,86 @@ object MediaCodecDemo extends Serializable {
        FROM documents GROUP BY doc_id % 4 ORDER BY pattern"""
   }
 
+  // ---------------------------------------------------------------- q355
+  /** LETTERBOX / border detection over decoded pixels — the crop-planning
+    * pass an image-training pipeline runs before resizing (black bars
+    * waste patch tokens and skew aspect-ratio statistics): every image is
+    * decoded (byte-level BMP pixel access, the q151 machinery) and its
+    * maximal runs of UNIFORM rows at the top and bottom are measured —
+    * the letterbox signature. The corpus plants the structure: every 5th
+    * doc gets (doc_id % 3 + 1) uniform black rows stamped on both edges
+    * of its q151 pattern (whose interior rows are never uniform — the
+    * x·31 stride spans the byte range), so detected border widths have a
+    * CLOSED FORM the oracle replays from id arithmetic alone, the q151
+    * proof shape. Readout per border width: images, total rows a cropper
+    * would remove, and the mean crop share of image height in exact ppm.
+    * Scale shape: decode + row-scan in mapPartitions (pixels never
+    * shuffle; per-partition codec init), the rollup shuffles one small
+    * tuple per image.
+    */
+  def makeBorderedBmp(seed: Int, border: Int): Array[Byte] = {
+    val bmp = makePatternBmp(seed)
+    val (w, h) = (64, 48)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    for (y <- (0 until border) ++ ((h - border) until h); x <- 0 until w * 3)
+      bmp(54 + y * rowSize + x) = 0
+    bmp
+  }
+
+  /** (top, bottom) maximal uniform-row run lengths of a 24-bit BMP. */
+  def borderRuns(bytes: Array[Byte]): (Int, Int) = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val w = le32(18); val h = le32(22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    def uniform(y: Int): Boolean = {
+      val base = 54 + y * rowSize
+      val v = bytes(base)
+      var i = 1
+      while (i < w * 3) {
+        if (bytes(base + i) != v) return false
+        i += 1
+      }
+      true
+    }
+    var top = 0
+    while (top < h && uniform(top)) top += 1
+    var bottom = 0
+    while (bottom < h - top && uniform(h - 1 - bottom)) bottom += 1
+    (top, bottom)
+  }
+
+  def q355BorderDetect(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val b = if (id % 5 == 0) ((id % 3) + 1).toInt else 0
+          val (top, bottom) = borderRuns(makeBorderedBmp((id % 8).toInt, b))
+          (id, top.toLong, bottom.toLong, 48L)
+        }
+      }.toDF("doc_id", "top_rows", "bottom_rows", "height")
+    per.groupBy((col("top_rows") + col("bottom_rows")).as("border_rows"))
+      .agg(count(lit(1)).as("n_images"),
+        expr("cast(sum(top_rows + bottom_rows) as bigint)").as("rows_cropped"),
+        expr("cast(sum((top_rows + bottom_rows) * 1000000 div height) div count(1) as bigint)")
+          .as("mean_crop_ppm"))
+      .orderBy(col("border_rows"))
+  }
+
+  val q355Oracle: String =
+    """WITH b AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN (doc_id % 3 + 1) * 2 ELSE 0 END AS border_rows
+           FROM documents)
+       SELECT CAST(border_rows AS BIGINT) AS border_rows,
+         count(*) AS n_images,
+         CAST(sum(border_rows) AS BIGINT) AS rows_cropped,
+         CAST(sum(border_rows * 1000000 // 48) // count(*) AS BIGINT) AS mean_crop_ppm
+       FROM b GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_border_detect" -> q355BorderDetect _,
     "q339_zero_crossing" -> q339ZeroCrossing _,
     "q330_audio_gain" -> q330AudioGain _,
     "q279_audio_clipping" -> q279AudioClipping _,
@@ -729,6 +808,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q355_border_detect" -> q355Oracle,
     "q339_zero_crossing" -> q339Oracle,
     "q330_audio_gain" -> q330Oracle,
     "q279_audio_clipping" -> q279Oracle,

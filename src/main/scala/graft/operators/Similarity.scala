@@ -2739,6 +2739,91 @@ object Similarity {
          mm.mean_rr_micro
        FROM sc, mm ORDER BY sc.qid"""
 
+  // ---------------------------------------------------------------- q353
+  /** SPLIT-CONFORMAL prediction calibration (Vovk; the Angelopoulos &
+    * Bates recipe) — the distribution-free coverage guarantee an ML
+    * serving stack wraps around any scorer, here the q348
+    * nearest-centroid scorer: a calibration slice (vec_id % 5 == 1)
+    * supplies nonconformity values (the NEGATED true-class score — exact
+    * BIGINTs, so the quantile is a rank selection, not an approximation),
+    * the conformal threshold is the ⌈(n_cal+1)(1−α)⌉-th smallest at
+    * α = 10% (exact integer ceil: ((n+1)·9+9) div 10), selected via the
+    * [[BucketRank]] two-phase form (score-banded, shifted nonnegative —
+    * never a global sort window), and every TEST vector's prediction set
+    * is {labels whose score ≥ −threshold}. Readout: calibration size,
+    * the exact threshold, test coverage in ppm (the guarantee holds in
+    * EXPECTATION over calibration draws: ≥ 1−α; a single fixture draw
+    * wobbles — measured 0.837 at n_cal=100/sf0.001, 0.913 at sf0.01)
+    * and the mean prediction-set size in µ-labels (the
+    * efficiency number conformal papers report). Zero embeddings scans;
+    * scores ride the stored µ-int long form. Full oracle replays the
+    * scoring, the plain-rank quantile (certifying the BucketRank
+    * rewrite), and the set construction.
+    */
+  def q353ConformalCalibration(spark: SparkSession, d: String): DataFrame = {
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val labels = ivfAssignTable(spark, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val cent = lf.join(labels, "vec_id")
+      .groupBy(col("lab").as("lbl"), col("sub"), col("jj"))
+      .agg(expr("cast(sum(xq) as bigint)").as("s"))
+    val scores = lf.join(broadcast(cent), Seq("sub", "jj"))
+      .groupBy(col("lbl"), col("vec_id"))
+      .agg(expr("cast(sum(xq * s) as bigint)").as("score"))
+      .join(labels, "vec_id")
+    val calib = scores.filter(col("vec_id") % 5 === 1 && col("lbl") === col("lab"))
+      .select(col("vec_id"), (-col("score")).as("nc"))
+      .withColumn("__g", lit(1))
+    val thr = graft.operators.BucketRank.select(calib, "__g",
+        bucket = expr("(nc + 1152921504606846976) div 17592186044416"),
+        ord = Seq(col("nc").asc, col("vec_id").asc),
+        targets = Seq(expr("((__n + 1) * 9 + 9) div 10")))
+      .select(col("nc").as("thr"), col("__n").as("n_cal"))
+    val test = scores.filter(col("vec_id") % 5 >= 2)
+      .crossJoin(broadcast(thr))
+      .groupBy(col("vec_id"), col("lab"), col("thr"), col("n_cal"))
+      .agg(expr("cast(sum(CASE WHEN -score <= thr THEN 1 ELSE 0 END) as bigint)").as("set_size"),
+        expr("cast(max(CASE WHEN lbl = lab AND -score <= thr THEN 1 ELSE 0 END) as bigint)").as("covered"))
+    test.groupBy(col("thr"), col("n_cal"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("cast(sum(covered) as bigint)").as("n_covered"),
+        expr("cast(sum(set_size) as bigint)").as("total_set_size"))
+      .select(col("n_cal"), col("thr").as("threshold_nc"), col("n_test"),
+        col("n_covered"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"),
+        expr("total_set_size * 1000000 div n_test").as("mean_set_micro"))
+  }
+
+  val q353Oracle: String =
+    """WITH lv AS (SELECT vec_id, CAST(label AS BIGINT) AS lab, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       cent AS (SELECT lab AS lbl, j, CAST(sum(xq) AS BIGINT) AS s
+                FROM lv GROUP BY 1, 2),
+       sc AS (SELECT c.lbl, v.vec_id, CAST(sum(v.xq * c.s) AS BIGINT) AS score
+              FROM lv v JOIN cent c ON c.j = v.j GROUP BY 1, 2),
+       lab1 AS (SELECT DISTINCT vec_id, lab FROM lv),
+       s2 AS (SELECT sc.lbl, sc.vec_id, sc.score, l.lab
+              FROM sc JOIN lab1 l ON l.vec_id = sc.vec_id),
+       calib AS (SELECT vec_id, -score AS nc FROM s2
+                 WHERE vec_id % 5 = 1 AND lbl = lab),
+       nct AS (SELECT count(*) AS n_cal FROM calib),
+       thr AS (SELECT nc AS thr, nct.n_cal FROM calib, nct
+               ORDER BY nc ASC, vec_id ASC
+               LIMIT 1 OFFSET (SELECT ((n_cal + 1) * 9 + 9) // 10 - 1 FROM nct)),
+       test AS (SELECT s2.vec_id, s2.lab, t.thr, t.n_cal,
+                  CAST(sum(CASE WHEN -s2.score <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS set_size,
+                  CAST(max(CASE WHEN s2.lbl = s2.lab AND -s2.score <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS covered
+                FROM s2, thr t WHERE s2.vec_id % 5 >= 2
+                GROUP BY 1, 2, 3, 4)
+       SELECT CAST(n_cal AS BIGINT) AS n_cal,
+         CAST(thr AS BIGINT) AS threshold_nc,
+         count(*) AS n_test,
+         CAST(sum(covered) AS BIGINT) AS n_covered,
+         CAST(sum(covered) * 1000000 // count(*) AS BIGINT) AS coverage_ppm,
+         CAST(sum(set_size) * 1000000 // count(*) AS BIGINT) AS mean_set_micro
+       FROM test GROUP BY n_cal, thr"""
+
   // ------------------------------------------------ RP-LSH bucket index
   /** The PERSISTED random-projection LSH index (round 10 — was a
     * corpus-sized `localCheckpoint` inside q320: an executor loss
@@ -3265,6 +3350,7 @@ object Similarity {
     "q348_centroid_auc" -> q348CentroidAuc _,
     "q349_centroid_maintain" -> q349CentroidMaintain _,
     "q351_mrr_eval" -> q351MrrEval _,
+    "q353_conformal_sets" -> q353ConformalCalibration _,
     "q307_random_projection" -> q307RandomProjection _,
     "q303_ndcg_eval" -> q303NdcgEval _,
     "q300_bitext_margin" -> q300BitextMarginMining _,
@@ -3308,6 +3394,7 @@ object Similarity {
     "q348_centroid_auc" -> q348Oracle,
     "q349_centroid_maintain" -> q349Oracle,
     "q351_mrr_eval" -> q351Oracle,
+    "q353_conformal_sets" -> q353Oracle,
     "q307_random_projection" -> q307Oracle,
     "q303_ndcg_eval" -> q303Oracle,
     "q300_bitext_margin" -> q300Oracle,

@@ -1000,6 +1000,116 @@ object StreamingOps {
        FROM w GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q354
+  final case class CusumEvent(event_type: String, day: String)
+  final case class CusumState(event_type: String, n_days: Long, cal_sum: Long,
+                              target: Long, s_up: Long, max_cusum: Long,
+                              n_alarm_days: Long, open_day: String,
+                              open_count: Long)
+  final case class CusumOut(event_type: String, n_days: Long, target: Long,
+                            max_cusum: Long, n_alarm_days: Long)
+
+  /** STREAMING CUSUM volume alarm — q343's changepoint statistic run
+    * ONLINE per event type, the live pipeline-health monitor (did a
+    * source's daily event volume surge?): daily counts accumulate inside
+    * the fold (rows arrive day-ordered — the q299 staged-source
+    * contract), the first [[Q354CalDays]] CLOSED days calibrate the
+    * target T (their truncating integer mean), and every later closed
+    * day updates the one-sided upper CUSUM S⁺ = max(0, S⁺ + x − T −
+    * T div 100) with an alarm whenever S⁺·20 > T (the q343 slack and
+    * threshold conventions, all exact BIGINTs). Only CLOSED days fold —
+    * the still-open last day is excluded exactly as q190 excludes the
+    * unproven window, which is what makes the oracle exact: the batch
+    * twin replays the same recurrence over all days but the per-type
+    * max. State per event type: eight scalars, regardless of stream
+    * volume. Readout per type: closed days, target, max S⁺, alarm-day
+    * count.
+    */
+  val Q354CalDays = 5L
+
+  def q354StreamCusumAlarm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.eventsStream(spark, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .as[CusumEvent]
+    val folded = ev.groupByKey(_.event_type)
+      .mapGroupsWithState[CusumState, CusumOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(tpe, 0L, 0L, 0L, 0L, 0L, 0L, "", 0L))
+          def closeDay(x: Long): Unit = {
+            val n = st.n_days + 1
+            if (n <= Q354CalDays) {
+              val cal = st.cal_sum + x
+              val t = if (n == Q354CalDays) cal / Q354CalDays else 0L
+              st = st.copy(n_days = n, cal_sum = cal, target = t)
+            } else {
+              val s = math.max(0L, st.s_up + x - st.target - st.target / 100L)
+              st = st.copy(n_days = n, s_up = s,
+                max_cusum = math.max(st.max_cusum, s),
+                n_alarm_days = st.n_alarm_days +
+                  (if (s * 20L > st.target) 1L else 0L))
+            }
+          }
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.open_day == "") st = st.copy(open_day = r.day, open_count = 1L)
+            else if (r.day == st.open_day) st = st.copy(open_count = st.open_count + 1L)
+            else {
+              closeDay(st.open_count)
+              st = st.copy(open_day = r.day, open_count = 1L)
+            }
+          }
+          state.update(st)
+          CusumOut(tpe, st.n_days, st.target, st.max_cusum, st.n_alarm_days)
+      }
+    val out = runToMemory(spark, folded.toDF(),
+      s"stream_cusum_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("event_type"))
+      .agg(max(struct(col("n_days"), col("target"), col("max_cusum"),
+        col("n_alarm_days"))).as("s"))
+      .select(col("event_type"), col("s.n_days").as("n_days"),
+        col("s.target").as("target"), col("s.max_cusum").as("max_cusum"),
+        col("s.n_alarm_days").as("n_alarm_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val q354Oracle: String =
+    s"""WITH daily AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       closed AS (SELECT * FROM daily dd
+                  WHERE day < (SELECT max(day) FROM daily m
+                               WHERE m.event_type = dd.event_type)),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+              FROM closed),
+       tgt AS (SELECT event_type,
+                 CAST(sum(x) // $Q354CalDays AS BIGINT) AS target
+               FROM rk WHERE rn <= $Q354CalDays GROUP BY 1),
+       -- the max(0, ...) recurrence via its prefix closed form (q343):
+       -- S_i = P_i - min(0, min_{j<=i} P_j), P_i = sum of (x - T - T//100)
+       pu AS (SELECT r.event_type, r.rn, t.target,
+                sum(r.x - t.target - t.target // 100) OVER (
+                  PARTITION BY r.event_type ORDER BY r.rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+              FROM rk r JOIN tgt t ON t.event_type = r.event_type
+              WHERE r.rn > $Q354CalDays),
+       s AS (SELECT event_type, rn, target,
+               p - least(min(p) OVER (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_up
+             FROM pu),
+       agg AS (SELECT event_type, target,
+                 CAST(max(s_up) AS BIGINT) AS max_cusum,
+                 CAST(sum(CASE WHEN s_up * 20 > target THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+               FROM s GROUP BY 1, 2),
+       nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM closed GROUP BY 1)
+       SELECT nd.event_type, nd.n_days,
+         coalesce(a.target, 0) AS target,
+         coalesce(a.max_cusum, 0) AS max_cusum,
+         coalesce(a.n_alarm_days, 0) AS n_alarm_days
+       FROM nd LEFT JOIN agg a ON a.event_type = nd.event_type
+       ORDER BY nd.event_type"""
+
   // ---------------------------------------------------------------- q312
   /** STREAMING HyperLogLog cardinality monitor — live distinct-user
     * counts per event type where the user sets are too large to hold as
@@ -1326,6 +1436,7 @@ object StreamingOps {
     "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
     "q346_stream_packing" -> q346StreamPacking _,
+    "q354_stream_cusum_alarm" -> q354StreamCusumAlarm _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1350,6 +1461,7 @@ object StreamingOps {
     "q312_stream_hll_distinct" -> q312Oracle,
     "q299_stream_quota_admission" -> q299Oracle,
     "q346_stream_packing" -> q346Oracle,
+    "q354_stream_cusum_alarm" -> q354Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

@@ -343,7 +343,10 @@ class PlanSpec extends SparkSuite {
       "q349_centroid_maintain" -> ("embeddings", 0),     // batch + counts ride the stored assignment table; update is K-row arithmetic
       "q350_domain_reweight" -> ("documents", 1),        // one source-column scan; scores off the stored doc_lm artifact
       "q351_mrr_eval" -> ("embeddings", 0),              // dots ride the stored long form; labels the stored assignment table
-      "q352_pack_fragmentation" -> ("documents", 2))     // the q342 two-phase shape: count pass + banded rollup
+      "q352_pack_fragmentation" -> ("documents", 2),     // the q342 two-phase shape: count pass + banded rollup
+      "q353_conformal_sets" -> ("embeddings", 0),        // scores/labels ride the stored artifacts; quantile is BucketRank over the calibration slice
+      "q354_stream_cusum_alarm" -> ("events", 0),        // stream pre-run; summary reads the memory sink
+      "q355_border_detect" -> ("documents", 1))          // map-only id scan; pixels never leave the partition
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -185,4 +185,42 @@ class Round11Spec extends SparkSuite {
       assert(ppm === nc * 1000000L / nd)
     }
   }
+
+  // ------------------------------------------------------------- q353
+  test("q353: conformal identities hold and coverage sits near the target") {
+    val r = graft.SparkEntry.queries("q353_conformal_sets")(spark, sf).collect()(0)
+    val (nCal, nTest, nCov, covPpm, meanSet) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(covPpm === nCov * 1000000L / nTest)
+    // a single calibration draw wobbles around 1-alpha = 0.9; measured
+    // 0.837 (sf0.001, n_cal=100) and 0.913 (sf0.01)
+    assert(covPpm > 750000L && covPpm <= 1000000L, s"coverage out of band: $r")
+    // every covered vector contributes >= 1 label to its set, so the mean
+    // set size (in micro-labels) dominates the coverage share
+    assert(meanSet >= covPpm, s"set size below coverage: $r")
+    assert(nCal > 0 && nTest > 0)
+  }
+
+  // ------------------------------------------------------------- q354
+  test("q354: streaming CUSUM calibrates and bounds its alarms") {
+    val rows = graft.SparkEntry.queries("q354_stream_cusum_alarm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, tgt, mx, al) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd > graft.streaming.StreamingOps.Q354CalDays,
+        s"fixture type with too few closed days: $r")
+      assert(tgt > 0L, s"calibration produced no target: $r")
+      assert(mx >= 0L && al >= 0L && al <= nd - graft.streaming.StreamingOps.Q354CalDays)
+    }
+  }
+
+  // ------------------------------------------------------------- q355
+  test("q355: border runs detect exactly the planted letterbox") {
+    import graft.operators.Multimodal._
+    assert(borderRuns(makePatternBmp(3)) === ((0, 0)),
+      "pattern interior misread as uniform")
+    for (b <- 1 to 3)
+      assert(borderRuns(makeBorderedBmp(5, b)) === ((b, b)),
+        s"planted $b-row letterbox not recovered")
+  }
 }
