@@ -2346,7 +2346,101 @@ object Dedup {
            AND (kind != 'fresh' OR count(*) FILTER (stage = 4) = count(*)) AS certified
        FROM st GROUP BY kind ORDER BY kind"""
 
+  // ---------------------------------------------------------------- q358
+  /** Bloom-filter FALSE-POSITIVE-RATE audit — the measured counterpart to
+    * q83's bloom pre-filter and q282's LSH planner: before a 100 TB
+    * pipeline trusts a bloom membership gate (cross-corpus dedup, join
+    * pre-filtering, denylist admission), it measures the filter's
+    * realized FPR on a disjoint probe set instead of trusting the
+    * (1−e^(−kn/m))^k formula alone. The filter is built RELATIONALLY —
+    * the bitset is the distinct set-position table, the per-key positions
+    * come from k=5 squared carter-wegman hashes h_i(key) = y², y =
+    * (key·A_i + B_i) mod P, all mod P = 2³¹−1 then mod m, with literal
+    * (A_i, B_i) multipliers — the squaring matters: a PURELY affine
+    * family is translation-structured on sequential surrogate keys
+    * (measured: 1 false positive where ~14 were expected at 45% fill —
+    * the build/probe parity split rides straight through an affine map),
+    * while y² mod P scatters the parity classes; everything stays
+    * 64-bit-safe (y² < P² < 2⁶²) integer arithmetic both engines replay
+    * exactly (no xxhash — the oracle must reproduce every bit).
+    * Build side: even order keys; probe side: odd order keys (disjoint by
+    * construction, so every probe hit is a FALSE positive). m = 8n bits
+    * sizes the filter from the measured build count (the 1-row broadcast
+    * frame), k = 5 ≈ (m/n)·ln2. Readout: build size, geometry, set-bit
+    * count and fill ratio, probe count, false positives, measured FPR in
+    * exact ppm. Scale shape: position expansion is a k-way explode
+    * (map-side), the bitset is position-keyed (a distinct shuffle of k·n
+    * longs — exactly how a distributed bitmap shards), the probe is a
+    * position-keyed left-semi join plus one key-grouped count; no
+    * broadcast of anything corpus-sized, no driver-side bitset.
+    */
+  val Q358P = 2147483647L // 2^31 − 1, prime
+  val Q358K = 5
+  val Q358Seeds: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 1117695901L),
+    (16807L, 282475249L), (48271L, 69621L), (69069L, 362437L))
+
+  def q358BloomFprAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.orders(spark, d).select(col("o_orderkey").as("key"))
+    val build = keys.filter(col("key") % 2 === 0)
+    val probe = keys.filter(col("key") % 2 === 1)
+    val geom = build.agg(count(lit(1)).as("n_build"))
+      .withColumn("m_bits", col("n_build") * 8)
+    val seeds = Q358Seeds.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("hi", "ha", "hb")
+    def positions(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(geom)) // 1-row geometry frame
+        .crossJoin(broadcast(seeds)) // k-row hash family
+        .withColumn("yy", expr(s"((key % $Q358P) * ha + hb) % $Q358P"))
+        .withColumn("pos", expr(s"yy * yy % $Q358P % m_bits"))
+    val bits = positions(build).select(col("pos")).distinct()
+    val present = positions(probe)
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
+      .filter(col("n_present") === Q358K)
+    val counts = probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(present.agg(count(lit(1)).as("fp_count"))) // 1-row frames
+      .crossJoin(bits.agg(count(lit(1)).as("set_bits")))
+    geom.crossJoin(counts) // all 1-row aggregate frames
+      .select(col("n_build"), col("m_bits"), lit(Q358K.toLong).as("k_hashes"),
+        col("set_bits"), expr("set_bits * 1000000 div m_bits").as("fill_ppm"),
+        col("n_probe"), col("fp_count"),
+        expr("fp_count * 1000000 div n_probe").as("fpr_ppm"))
+  }
+
+  val q358Oracle: String = {
+    val seedRows = Q358Seeds
+      .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH seeds(ha, hb) AS (VALUES $seedRows),
+       build AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0),
+       probe AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 1),
+       geom AS (SELECT count(*) AS n_build, count(*) * 8 AS m_bits FROM build),
+       by AS (SELECT b.key, ((b.key % $Q358P) * s.ha + s.hb) % $Q358P AS yy, g.m_bits
+              FROM build b, seeds s, geom g),
+       bits AS (SELECT DISTINCT yy * yy % $Q358P % m_bits AS pos FROM by),
+       py AS (SELECT p.key, ((p.key % $Q358P) * s.ha + s.hb) % $Q358P AS yy, g.m_bits
+              FROM probe p, seeds s, geom g),
+       pp AS (SELECT key, yy * yy % $Q358P % m_bits AS pos FROM py),
+       fp AS (SELECT pp.key FROM pp JOIN bits ON pp.pos = bits.pos
+              GROUP BY pp.key HAVING count(*) = $Q358K),
+       cnt AS (SELECT (SELECT count(*) FROM probe) AS n_probe,
+                      (SELECT count(*) FROM fp) AS fp_count,
+                      (SELECT count(*) FROM bits) AS set_bits)
+       SELECT CAST(g.n_build AS BIGINT) AS n_build,
+              CAST(g.m_bits AS BIGINT) AS m_bits,
+              CAST($Q358K AS BIGINT) AS k_hashes,
+              CAST(c.set_bits AS BIGINT) AS set_bits,
+              CAST(c.set_bits * 1000000 // g.m_bits AS BIGINT) AS fill_ppm,
+              CAST(c.n_probe AS BIGINT) AS n_probe,
+              CAST(c.fp_count AS BIGINT) AS fp_count,
+              CAST(c.fp_count * 1000000 // c.n_probe AS BIGINT) AS fpr_ppm
+       FROM geom g, cnt c"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_bloom_fpr_audit" -> q358BloomFprAudit _,
     "q328_dedup_funnel" -> q328DedupFunnel _,
     "q316_build_winnow_index" -> q316BuildWinnowIndex _,
     "q317_winnow_admission" -> q317WinnowAdmission _,
@@ -2379,6 +2473,7 @@ object Dedup {
     "q125_crosscorpus_neardup" -> q125CrossCorpusNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q358_bloom_fpr_audit" -> q358Oracle,
     "q328_dedup_funnel" -> q328Oracle,
     "q316_build_winnow_index" -> q316Oracle,
     "q317_winnow_admission" -> q317Oracle,

@@ -649,8 +649,13 @@ object EtlQueries {
     */
   def zValue(xCol: String, yCol: String, bits: Int): org.apache.spark.sql.Column = {
     require(bits <= 16, s"zValue interleaves at most 16 bits per key, got $bits")
-    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val x1 = (c.cast("long").bitwiseOR(shiftleft(c.cast("long"), 8)))
+    def spread(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // truncate to the declared key width first — restores the old fold's
+      // contract for out-of-domain inputs (the fold interleaved only the
+      // low `bits` bits; without this mask, bits 16..23 of a wide input
+      // would survive the 0x00FF00FF step and corrupt the z-value)
+      val c = raw.cast("long").bitwiseAND(lit((1L << bits) - 1L))
+      val x1 = (c.bitwiseOR(shiftleft(c, 8)))
         .bitwiseAND(lit(0x00FF00FFL))
       val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
       val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))

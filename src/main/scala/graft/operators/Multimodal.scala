@@ -793,7 +793,196 @@ object MediaCodecDemo extends Serializable {
          CAST(sum(border_rows * 1000000 // 48) // count(*) AS BIGINT) AS mean_crop_ppm
        FROM b GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q356
+  /** OTSU binarization threshold per image pattern — the classic
+    * histogram-based foreground/background split a vision-data pipeline
+    * runs before masking, cropping, or OCR-region detection: for each
+    * decoded image the 256-level intensity histogram is computed at the
+    * byte level (the q189 decode — header parse, row stride, channel
+    * read), and the Otsu threshold is the intensity t maximizing the
+    * between-class variance σ²_B(t) = (S·ω₀ − N·s₀)² / (ω₀·(N−ω₀)).
+    * Everything stays exact integers: the argmax certificate rides the
+    * output as the UNDIVIDED numerator a² = (S·ω₀ − N·s₀)² and
+    * denominator ω₀(N−ω₀) (both BIGINT-safe: |a| ≤ S·N ≈ 2.4·10⁹ for a
+    * 64×48 image, a² ≤ 5.8·10¹⁸ < 2⁶³), with the ordering key the
+    * single-rounded double a²/den — deterministic IEEE on both engines,
+    * ties to the smaller t. Scale shape: histograms ride DISTINCT
+    * patterns only (images with equal pixel content share the decode —
+    * the q189 dedup-before-decode rule), pixels never shuffle
+    * (mapPartitions decode → 256-row long form per pattern), and the
+    * window math runs on the patterns×levels frame, K-sized. The oracle
+    * replays the synthesis arithmetic ((x·31 + y·17 + 97·p) mod 256)
+    * over range(64)×range(48) and the identical window algebra, so hash
+    * equality certifies decode → histogram → argmax end to end.
+    */
+  def pixelHistogram256(bytes: Array[Byte]): Array[Long] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val w = le32(18); val h = le32(22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val bins = new Array[Long](256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bins(bytes(54 + y * rowSize + x * 3) & 0xFF) += 1
+        x += 1
+      }
+      y += 1
+    }
+    bins
+  }
+
+  def q356OtsuThreshold(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 8).as("pattern"))
+      .agg(count(lit(1)).as("n_images"))
+    val hist = pats.select(col("pattern")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val h = pixelHistogram256(makePatternBmp(p.toInt))
+          h.iterator.zipWithIndex.collect { case (n, v) if n > 0 => (p, v.toLong, n) }
+        }
+      }.toDF("pattern", "v", "n")
+    val byV = Window.partitionBy(col("pattern")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("pattern"))
+    val best = hist
+      .withColumn("w0", sum(col("n")).over(byV))
+      .withColumn("s0", sum(expr("v * n")).over(byV))
+      .withColumn("nn", sum(col("n")).over(whole))
+      .withColumn("ss", sum(expr("v * n")).over(whole))
+      .filter(col("w0") < col("nn")) // both classes nonempty
+      .withColumn("a", expr("ss * w0 - nn * s0"))
+      .withColumn("a2", expr("cast(a * a as bigint)"))
+      .withColumn("den", expr("cast(w0 * (nn - w0) as bigint)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pattern"))
+        .orderBy((col("a2").cast("double") / col("den")).desc, col("v").asc)))
+      .filter(col("rn") === 1)
+    pats.join(best, "pattern")
+      .select(col("pattern"), col("n_images"), col("v").as("otsu_t"),
+        col("a2").as("between_num"), col("den").as("between_den"),
+        col("w0").as("n_below"))
+      .orderBy(col("pattern"))
+  }
+
+  val q356Oracle: String =
+    """WITH pats AS (SELECT doc_id % 8 AS pattern, count(*) AS n_images
+                     FROM documents GROUP BY 1),
+       px AS (SELECT p.pattern, (x.i * 31 + y.i * 17 + p.pattern * 97) % 256 AS v
+              FROM (SELECT DISTINCT doc_id % 8 AS pattern FROM documents) p,
+                   range(64) x(i), range(48) y(i)),
+       hist AS (SELECT pattern, v, count(*) AS n FROM px GROUP BY 1, 2),
+       w AS (SELECT pattern, v, n,
+               sum(n) OVER (PARTITION BY pattern ORDER BY v) AS w0,
+               sum(v * n) OVER (PARTITION BY pattern ORDER BY v) AS s0,
+               sum(n) OVER (PARTITION BY pattern) AS nn,
+               sum(v * n) OVER (PARTITION BY pattern) AS ss
+             FROM hist),
+       sc AS (SELECT pattern, v,
+                CAST(ss * w0 - nn * s0 AS BIGINT) AS a,
+                CAST(w0 * (nn - w0) AS BIGINT) AS den,
+                CAST(w0 AS BIGINT) AS w0b
+              FROM w WHERE w0 < nn),
+       r AS (SELECT pattern, v, CAST(a * a AS BIGINT) AS a2, den, w0b,
+               row_number() OVER (PARTITION BY pattern
+                 ORDER BY CAST(a * a AS DOUBLE) / den DESC, v ASC) AS rn
+             FROM sc)
+       SELECT p.pattern, p.n_images, CAST(r.v AS BIGINT) AS otsu_t,
+              r.a2 AS between_num, r.den AS between_den, r.w0b AS n_below
+       FROM pats p JOIN r ON r.pattern = p.pattern AND r.rn = 1
+       ORDER BY p.pattern"""
+
+  // ---------------------------------------------------------------- q359
+  /** Audio DECIMATION (integer downsampling) over real PCM bytes — the
+    * rate-reduction pass a speech pipeline runs before feature
+    * extraction (16 kHz capture → lower-rate model input): every 16-bit
+    * sample is read, consecutive groups of 3 are averaged with
+    * TRUNCATING integer division (Java `/` here, `//` in the oracle —
+    * measured: both truncate toward zero on negatives, and audio
+    * samples are signed, so the convention is pinned by test rather
+    * than assumed), and the per-doc readout carries the decimated stream's
+    * exact integer signature: output length, signed sum, absolute sum,
+    * peak, and the count of straddle groups (groups spanning a waveform
+    * edge — where decimation actually low-passes; the rest of the groups
+    * sit inside a constant run and pass through exactly). The oracle
+    * replays the q153 synthesis closed form (silence prefix of seed·8
+    * frames, then a ±1000 square wave with half-period 8) over
+    * range(2730)×range(3) in SQL. Scale shape: decode + decimate in
+    * mapPartitions, map-only — samples never shuffle, one small tuple
+    * per doc reaches the exchange.
+    */
+  val Q359Factor = 3
+
+  def decimateStats(bytes: Array[Byte], r: Int): (Long, Long, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(40) / 2
+    val nOut = n / r
+    var sumOut = 0L; var sumAbs = 0L; var maxAbs = 0L; var straddle = 0L
+    var g = 0
+    while (g < nOut) {
+      var s = 0L
+      val first = bb.getShort(44 + g * r * 2).toLong
+      var same = true
+      var i = 0
+      while (i < r) {
+        val v = bb.getShort(44 + (g * r + i) * 2).toLong
+        s += v
+        if (v != first) same = false
+        i += 1
+      }
+      val m = s / r // truncating, matching the oracle's `//` (both → 0)
+      sumOut += m
+      sumAbs += math.abs(m)
+      if (math.abs(m) > maxAbs) maxAbs = math.abs(m)
+      if (!same) straddle += 1
+      g += 1
+    }
+    (nOut.toLong, sumOut, sumAbs, maxAbs, straddle)
+  }
+
+  def q359AudioDecimate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (nOut, sumOut, sumAbs, maxAbs, straddle) =
+            decimateStats(makePatternWav((id % 4).toInt), Q359Factor)
+          (id, nOut, sumOut, sumAbs, maxAbs, straddle)
+        }
+      }.toDF("doc_id", "n_out", "sum_out", "sum_abs", "max_abs", "n_straddle")
+      .orderBy(col("doc_id"))
+  }
+
+  val q359Oracle: String = {
+    val nOut = Q153Frames * Q153SamplesPerFrame / Q359Factor
+    s"""WITH seeds AS (SELECT DISTINCT doc_id % 4 AS seed FROM documents),
+       sv AS (SELECT s.seed, g.i AS g,
+                sum(CASE WHEN (g.i*3 + k.j) // 256 < s.seed * 8 THEN 0
+                         WHEN ((g.i*3 + k.j) // 8) % 2 = 0 THEN 1000 ELSE -1000 END) AS sm,
+                min(CASE WHEN (g.i*3 + k.j) // 256 < s.seed * 8 THEN 0
+                         WHEN ((g.i*3 + k.j) // 8) % 2 = 0 THEN 1000 ELSE -1000 END) AS mnv,
+                max(CASE WHEN (g.i*3 + k.j) // 256 < s.seed * 8 THEN 0
+                         WHEN ((g.i*3 + k.j) // 8) % 2 = 0 THEN 1000 ELSE -1000 END) AS mxv
+              FROM seeds s, range($nOut) g(i), range(3) k(j)
+              GROUP BY 1, 2),
+       agg AS (SELECT seed,
+                 CAST(sum(sm // 3) AS BIGINT) AS sum_out,
+                 CAST(sum(abs(sm // 3)) AS BIGINT) AS sum_abs,
+                 CAST(max(abs(sm // 3)) AS BIGINT) AS max_abs,
+                 CAST(sum(CASE WHEN mnv <> mxv THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+               FROM sv GROUP BY 1)
+       SELECT d.doc_id, CAST($nOut AS BIGINT) AS n_out, a.sum_out, a.sum_abs,
+              a.max_abs, a.n_straddle
+       FROM documents d JOIN agg a ON a.seed = d.doc_id % 4
+       ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_otsu_threshold" -> q356OtsuThreshold _,
+    "q359_audio_decimate" -> q359AudioDecimate _,
     "q355_border_detect" -> q355BorderDetect _,
     "q339_zero_crossing" -> q339ZeroCrossing _,
     "q330_audio_gain" -> q330AudioGain _,
@@ -808,6 +997,8 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q356_otsu_threshold" -> q356Oracle,
+    "q359_audio_decimate" -> q359Oracle,
     "q355_border_detect" -> q355Oracle,
     "q339_zero_crossing" -> q339Oracle,
     "q330_audio_gain" -> q330Oracle,

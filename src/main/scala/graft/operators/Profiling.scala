@@ -455,15 +455,23 @@ object Profiling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRun = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // pu/pd run in DECIMAL(38,0): DuckDB sums BIGINT windows in HUGEINT
+    // internally, so only the Spark side would wrap under default
+    // non-ANSI mode once nn·x prefix mass nears 2^63 (~SF 100 worst
+    // case). Summing decimal terms and casting the finished prefix back
+    // to BIGINT is value-identical wherever the result fits — i.e. at
+    // every SF where the oracle's own final CAST is defined.
     val scored = daily
       .withColumn("nn", count(lit(1)).over(wAll))
-      .withColumn("tt", sum(col("x")).over(wAll))
-      .withColumn("pu", sum(expr("nn * x - tt - tt div 100")).over(wRun))
-      .withColumn("pd", sum(expr("nn * x - tt + tt div 100")).over(wRun))
+      .withColumn("tt", expr("cast(sum(cast(x as decimal(38,0))) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("term_u", expr("cast(nn as decimal(38,0)) * x - tt - tt div 100"))
+      .withColumn("term_d", expr("cast(nn as decimal(38,0)) * x - tt + tt div 100"))
+      .withColumn("pu", expr("cast(sum(term_u) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)"))
+      .withColumn("pd", expr("cast(sum(term_d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)"))
       .withColumn("cusum_up", expr("pu - least(min(pu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), cast(0 as bigint))"))
       .withColumn("cusum_dn", expr("greatest(max(pd) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), cast(0 as bigint)) - pd"))
-      .withColumn("n_alarm_up", expr("cast(sum(CASE WHEN cusum_up * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
-      .withColumn("n_alarm_dn", expr("cast(sum(CASE WHEN cusum_dn * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("n_alarm_up", expr("cast(sum(CASE WHEN cast(cusum_up as decimal(38,0)) * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("n_alarm_dn", expr("cast(sum(CASE WHEN cast(cusum_dn as decimal(38,0)) * 20 > tt THEN 1 ELSE 0 END) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
     scored.orderBy(col("cusum_up").desc, col("day").asc).limit(10)
       .select(col("day"), col("x"), col("cusum_up"), col("cusum_dn"),
         col("n_alarm_up"), col("n_alarm_dn"))

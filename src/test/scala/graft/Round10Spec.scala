@@ -42,10 +42,11 @@ class Round10Spec extends SparkSuite {
   //    stage outputs (batch-sized).
   //  - TextAnalysis.scala 16: vocab-sized LM/BPE round frames, 1-row
   //    argmax pins, probe streams (config-count rows).
-  //  - Similarity.scala 16: K-row centroid/codebook rounds, ≤20-row probe
+  //  - Similarity.scala 17: K-row centroid/codebook rounds, ≤20-row probe
   //    sets, 10-row query frames, vec-count×2-long k-center rounds
   //    (fault-tolerance tradeoff documented at q292), q344's two
-  //    slice-sized (≤Q314Slice×3-long) label-round frames.
+  //    slice-sized (≤Q314Slice×3-long) label-round frames, q357's
+  //    slice-sized 10-queries×vectors dot frame (read by 3 branches).
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
   //    Profiling.scala 3 / Curation.scala 4 /
   //    EventAnalytics.scala 5 / Cdc.scala 1: stratum-, QI-group-, source-,
@@ -76,7 +77,7 @@ class Round10Spec extends SparkSuite {
       s"localCheckpoint pin audit failures:\n${offenders.mkString("\n")}")
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 16,
-      "Similarity.scala" -> 16, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
+      "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
       "Curation.scala" -> 4, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)
     assert(counts.toMap === audited,

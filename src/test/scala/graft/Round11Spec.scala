@@ -223,4 +223,113 @@ class Round11Spec extends SparkSuite {
       assert(borderRuns(makeBorderedBmp(5, b)) === ((b, b)),
         s"planted $b-row letterbox not recovered")
   }
+
+  // ------------------------------------------------------------- q356
+  test("q356: the reported threshold is the true between-class-variance argmax") {
+    val rows = graft.SparkEntry.queries("q356_otsu_threshold")(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val (pat, t, a2, den, w0) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // independent ground truth: recompute the full histogram from the
+      // decoded bytes and scan every candidate split by brute force
+      val h = graft.operators.Multimodal
+        .pixelHistogram256(graft.operators.Multimodal.makePatternBmp(pat.toInt))
+      val nn = h.sum
+      val ss = h.zipWithIndex.map { case (n, v) => n * v.toLong }.sum
+      var bw0 = 0L; var bs0 = 0L
+      var best: (Double, Long, BigInt, Long, Long) = null
+      for (v <- 0 until 256 if h(v) > 0) {
+        bw0 += h(v); bs0 += h(v) * v.toLong
+        if (bw0 < nn) {
+          val a = BigInt(ss) * bw0 - BigInt(nn) * bs0
+          val d = bw0 * (nn - bw0)
+          val score = (a * a).toDouble / d.toDouble
+          if (best == null || score > best._1)
+            best = (score, v.toLong, a * a, d, bw0)
+        }
+      }
+      assert(t === best._2, s"pattern $pat: argmax $t != brute ${best._2}")
+      assert(BigInt(a2) === best._3 && den === best._4 && w0 === best._5,
+        s"pattern $pat certificate mismatch: $r vs $best")
+    }
+  }
+
+  // ------------------------------------------------------------- q357
+  test("q357: SQ8 recall agrees with a brute-force recomputation") {
+    import spark.implicits._
+    // independent ground truth from the raw embeddings table (the query
+    // runs off the stored long form — this recomputes from scratch)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint)) as xq")
+      .as[(Long, Seq[Long])].collect().toMap
+    val dims = vecs.head._2.length
+    val mn = (0 until dims).map(j => vecs.values.map(_(j)).min)
+    val mx = (0 until dims).map(j => vecs.values.map(_(j)).max)
+    def recon(v: Seq[Long]): Seq[Long] = (0 until dims).map { j =>
+      val code = if (mx(j) > mn(j)) (v(j) - mn(j)) * 255 / (mx(j) - mn(j)) else 0L
+      mn(j) + code * (mx(j) - mn(j)) / 255
+    }
+    val rows = graft.SparkEntry.queries("q357_sq8_recall")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      def top10(score: Long => Long): Seq[Long] =
+        vecs.keys.filter(_ != qid).toSeq
+          .sortBy(v => (-score(v), v)).take(10)
+      val qx = vecs(qid); val qh = recon(vecs(qid))
+      val ex = top10(v => vecs(v).zip(qx).map { case (a, b) => a * b }.sum)
+      val sqTop = top10(v => recon(vecs(v)).zip(qh).map { case (a, b) => a * b }.sum)
+      assert(r.getLong(1) === (ex.toSet & sqTop.toSet).size.toLong,
+        s"qid $qid n_hits mismatch: $r vs exact=$ex sq8=$sqTop")
+      val exScore = (v: Long) => vecs(v).zip(qx).map { case (a, b) => a * b }.sum
+      val worst = sqTop.minBy(v => (exScore(v), -v))
+      val rank = 1 + vecs.keys.filter(_ != qid).count(v =>
+        exScore(v) > exScore(worst) || (exScore(v) == exScore(worst) && v < worst))
+      assert(r.getLong(3) === rank.toLong, s"qid $qid rank_worst mismatch: $r vs $rank")
+    }
+  }
+
+  // ------------------------------------------------------------- q358
+  test("q358: bloom audit equals a brute-force bitset replay") {
+    import graft.operators.Dedup.{Q358P, Q358K, Q358Seeds}
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val build = keys.filter(_ % 2 == 0); val probe = keys.filter(_ % 2 == 1)
+    val m = build.length * 8L
+    def pos(key: Long, a: Long, b: Long): Long = {
+      val y = ((key % Q358P) * a + b) % Q358P
+      y * y % Q358P % m
+    }
+    val bits = (for (k <- build; (a, b) <- Q358Seeds) yield pos(k, a, b)).toSet
+    val fp = probe.count(k => Q358Seeds.forall { case (a, b) => bits(pos(k, a, b)) })
+    val r = graft.SparkEntry.queries("q358_bloom_fpr_audit")(spark, sf).collect()(0)
+    assert(r.getLong(0) === build.length.toLong)
+    assert(r.getLong(1) === m)
+    assert(r.getLong(3) === bits.size.toLong, s"set_bits mismatch: $r")
+    assert(r.getLong(6) === fp.toLong, s"fp_count mismatch: $r")
+    assert(r.getLong(7) === fp.toLong * 1000000L / probe.length)
+  }
+
+  // ------------------------------------------------------------- q359
+  test("q359: decimation identities hold against an array-level replay") {
+    import graft.operators.Multimodal._
+    for (seed <- 0 to 3) {
+      val wav = makePatternWav(seed)
+      val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = Array.tabulate(8192)(i => bb.getShort(44 + i * 2).toLong)
+      val groups = samples.grouped(3).filter(_.length == 3).toArray
+      val means = groups.map(g => g.sum / 3)
+      val (nOut, sumOut, sumAbs, maxAbs, straddle) = decimateStats(wav, Q359Factor)
+      assert(nOut === groups.length.toLong)
+      assert(sumOut === means.sum)
+      assert(sumAbs === means.map(math.abs).sum)
+      assert(maxAbs === means.map(math.abs).max)
+      assert(straddle === groups.count(g => g.distinct.length > 1).toLong)
+      // the decimated stream still carries the silence-prefix signature:
+      // seed*8 frames of 256 samples -> seed*8*256/3 all-zero leading means
+      assert(means.take(seed * 8 * 256 / 3).forall(_ == 0L))
+    }
+  }
 }
