@@ -3,7 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Record linkage: fuzzy (edit-distance) joins with blocking. The reference
   * pipeline loads entity tables (customers, suppliers) whose identifiers
@@ -215,13 +215,109 @@ object Linkage {
          CAST(count(*) - $Q224Cap AS BIGINT) AS dropped
        FROM customer GROUP BY 1 HAVING count(*) > $Q224Cap ORDER BY blk"""
 
+  // ---------------------------------------------------------------- q360
+  /** Blocking-QUALITY audit — Christen's reduction-ratio / pair-
+    * completeness pair, the two numbers that justify any blocking scheme
+    * before a linkage run (q98's prefix blocks, q199's sorted windows,
+    * the LSH bands): RR says how much of the quadratic pair space the
+    * blocking avoids, PC says how many TRUE matches survive it — and the
+    * tension between them is the whole design problem. Ground truth is
+    * PLANTED the q355 way: every 7th document gets a perturbed twin
+    * (text + ' zzzz', id + 10⁷) whose relationship to its parent is known
+    * by id arithmetic, so PC has a closed form the oracle replays. Two
+    * schemes are audited side by side: 16-char text-prefix blocking
+    * (append-robust — every truth pair co-blocks whenever the text
+    * carries 16 chars, PC ≈ 10⁶ ppm) and 64-char length-band blocking
+    * (append-FRAGILE — a pair crosses a band edge iff n_chars mod 64 ≥
+    * 59, so PC lands measurably below 10⁶ and the metric discriminates).
+    * Scale shape — the point of the operator: NOTHING pairwise is ever
+    * materialized. Candidate-pair counts come from Σ n_b(n_b−1)/2 over
+    * the block-size frame (one groupBy per scheme, DECIMAL(38,0)-guarded
+    * — pair counts square the corpus), truth co-blocking is a map-side
+    * closed form evaluated per PARENT row (the twin's key is derivable
+    * from the parent's), and total pairs is arithmetic off one count.
+    * An O(n) audit of an O(n²) question.
+    */
+  def q360BlockingQuality(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val twins = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zzzz")).as("text"),
+        (col("n_chars") + 5L).as("n_chars"))
+    val corpus = docs.unionByName(twins)
+    def schemeStats(name: String, key: Column): DataFrame = {
+      val blocks = corpus.withColumn("blk", key)
+        .groupBy(col("blk")).agg(count(lit(1)).as("nb"))
+      blocks.agg(count(lit(1)).as("n_blocks"),
+          expr("cast(sum(nb) as bigint)").as("n_records"),
+          expr("cast(sum(cast(nb as decimal(38,0)) * (nb - 1) div 2) as bigint)")
+            .as("cand_pairs"))
+        .withColumn("scheme", lit(name))
+    }
+    // truth co-blocking: evaluated on the PARENT rows alone — the twin's
+    // block key is a pure function of the parent's text/length
+    val truth = docs.filter(col("doc_id") % 7 === 0)
+      .agg(count(lit(1)).as("n_truth"),
+        expr("cast(count_if(substring(text, 1, 16) = substring(concat(text, ' zzzz'), 1, 16)) as bigint)")
+          .as("co_prefix16"),
+        expr("cast(count_if(n_chars div 64 = (n_chars + 5) div 64) as bigint)")
+          .as("co_lenband64"))
+    val schemes = schemeStats("prefix16", substring(col("text"), 1, 16))
+      .unionByName(schemeStats("lenband64", expr("n_chars div 64").cast("string")))
+    schemes.crossJoin(broadcast(truth)) // 1-row truth frame
+      .withColumn("total_pairs",
+        expr("cast(cast(n_records as decimal(38,0)) * (n_records - 1) div 2 as bigint)"))
+      .select(col("scheme"), col("n_records"), col("n_blocks"), col("cand_pairs"),
+        col("total_pairs"),
+        expr("cast(cast(total_pairs - cand_pairs as decimal(38,0)) * 1000000 div total_pairs as bigint)")
+          .as("rr_ppm"),
+        col("n_truth"),
+        expr("""cast(CASE WHEN scheme = 'prefix16' THEN co_prefix16 ELSE co_lenband64 END
+                * 1000000 div n_truth as bigint)""").as("pc_ppm"))
+      .orderBy(col("scheme"))
+  }
+
+  val q360Oracle: String =
+    """WITH docs AS (SELECT doc_id, text, n_chars FROM documents),
+       twins AS (SELECT doc_id + 10000000 AS doc_id, text || ' zzzz' AS text,
+                   n_chars + 5 AS n_chars
+                 FROM docs WHERE doc_id % 7 = 0),
+       corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM twins),
+       bp AS (SELECT substr(text, 1, 16) AS blk, count(*) AS nb FROM corpus GROUP BY 1),
+       bl AS (SELECT CAST(n_chars // 64 AS VARCHAR) AS blk, count(*) AS nb FROM corpus GROUP BY 1),
+       sp AS (SELECT 'prefix16' AS scheme, count(*) AS n_blocks,
+                CAST(sum(nb) AS BIGINT) AS n_records,
+                CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS BIGINT) AS cand_pairs
+              FROM bp),
+       sl AS (SELECT 'lenband64' AS scheme, count(*) AS n_blocks,
+                CAST(sum(nb) AS BIGINT) AS n_records,
+                CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS BIGINT) AS cand_pairs
+              FROM bl),
+       truth AS (SELECT count(*) AS n_truth,
+                   CAST(count_if(substr(text, 1, 16) = substr(text || ' zzzz', 1, 16)) AS BIGINT) AS co_prefix16,
+                   CAST(count_if(n_chars // 64 = (n_chars + 5) // 64) AS BIGINT) AS co_lenband64
+                 FROM docs WHERE doc_id % 7 = 0),
+       s AS (SELECT * FROM sp UNION ALL SELECT * FROM sl)
+       SELECT s.scheme, s.n_records, CAST(s.n_blocks AS BIGINT) AS n_blocks,
+         s.cand_pairs,
+         CAST(CAST(s.n_records AS HUGEINT) * (s.n_records - 1) // 2 AS BIGINT) AS total_pairs,
+         CAST((CAST(s.n_records AS HUGEINT) * (s.n_records - 1) // 2 - s.cand_pairs) * 1000000
+           // (CAST(s.n_records AS HUGEINT) * (s.n_records - 1) // 2) AS BIGINT) AS rr_ppm,
+         CAST(t.n_truth AS BIGINT) AS n_truth,
+         CAST((CASE WHEN s.scheme = 'prefix16' THEN t.co_prefix16 ELSE t.co_lenband64 END)
+           * 1000000 // t.n_truth AS BIGINT) AS pc_ppm
+       FROM s, truth t ORDER BY s.scheme"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_blocking_quality" -> q360BlockingQuality _,
     "q98_fuzzy_join" -> q98FuzzyJoin _,
     "q194_linkage_patterns" -> q194LinkagePatterns _,
     "q199_sorted_neighborhood" -> q199SortedNeighborhood _,
     "q224_block_overflow_report" -> q224BlockOverflowReport _)
 
   val oracles: Map[String, String] = Map(
+    "q360_blocking_quality" -> q360Oracle,
     "q98_fuzzy_join" -> q98Oracle,
     "q194_linkage_patterns" -> q194Oracle,
     "q199_sorted_neighborhood" -> q199Oracle,

@@ -953,7 +953,63 @@ object Profiling {
          UNION ALL SELECT 'n_crossdoc_3grams', n_crossdoc_3grams FROM ga) u
        ORDER BY u.metric"""
 
+  // ---------------------------------------------------------------- q363
+  /** Earth-mover (1-D Wasserstein) DISTRIBUTION drift per source — the
+    * transport-metric companion to q341's PSI and q174's per-bin
+    * histogram drift: PSI is bin-local (mass moved two bins or twenty
+    * bins away scores the same), while EMD = Σ|cdf_p − cdf_q| over the
+    * binned length axis charges mass by how FAR it moved — the number
+    * that distinguishes "slightly longer documents" from "a bimodal new
+    * crawl". Each source's document-length distribution (16 fixed
+    * 256-char bins, capped — the q341 fixed-bins argument: the frame is
+    * |sources|×16 regardless of corpus size) is compared against the
+    * corpus-wide baseline in exact truncated-ppm mass units; the readout
+    * is per-source EMD in ppm·bins and the largest single CDF gap.
+    * One corpus scan into the (source, bin) frame; everything after runs
+    * on K-sized frames with 16-row windows. Full oracle.
+    */
+  def q363EmdDrift(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.documents(spark, d)
+      .select(col("source"), expr("least(n_chars div 256, 15)").as("bin"))
+    val perSrc = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val srcTot = perSrc.groupBy(col("source")).agg(expr("cast(sum(c) as bigint)").as("n_docs"))
+    val corpus = binned.groupBy(col("bin")).agg(count(lit(1)).as("cc"))
+    val tot = binned.agg(count(lit(1)).as("nn"))
+    val spine = srcTot
+      .crossJoin(spark.range(16).select(col("id").as("bin"))) // sources × 16
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
+    val cum = spine.join(perSrc, Seq("source", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(corpus), Seq("bin"), "left").na.fill(0L, Seq("cc"))
+      .crossJoin(broadcast(tot)) // 1-row corpus count
+      .withColumn("gap", expr("c * 1000000 div n_docs - cc * 1000000 div nn"))
+      .withColumn("cum_gap", abs(sum(col("gap")).over(w)))
+    cum.groupBy(col("source"), col("n_docs"))
+      .agg(expr("cast(sum(cum_gap) as bigint)").as("emd_ppm"),
+        expr("cast(max(cum_gap) as bigint)").as("max_gap_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q363Oracle: String =
+    """WITH b AS (SELECT source, least(n_chars // 256, 15) AS bin FROM documents),
+       ps AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+       stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM ps GROUP BY 1),
+       corp AS (SELECT bin, count(*) AS cc FROM b GROUP BY 1),
+       tot AS (SELECT count(*) AS nn FROM b),
+       spine AS (SELECT s.source, s.n_docs, r.i AS bin FROM stot s, range(16) r(i)),
+       cum AS (SELECT sp.source, sp.n_docs,
+                 abs(sum(COALESCE(p.c, 0) * 1000000 // sp.n_docs
+                   - COALESCE(c2.cc, 0) * 1000000 // t.nn)
+                   OVER (PARTITION BY sp.source ORDER BY sp.bin)) AS cum_gap
+               FROM spine sp
+               LEFT JOIN ps p ON p.source = sp.source AND p.bin = sp.bin
+               LEFT JOIN corp c2 ON c2.bin = sp.bin, tot t)
+       SELECT source, n_docs, CAST(sum(cum_gap) AS BIGINT) AS emd_ppm,
+         CAST(max(cum_gap) AS BIGINT) AS max_gap_ppm
+       FROM cum GROUP BY 1, 2 ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_emd_drift" -> q363EmdDrift _,
     "q323_corpus_datasheet" -> q323CorpusDatasheet _,
     "q302_bootstrap_ci" -> q302BootstrapCi _,
     "q251_k_anonymity" -> q251KAnonymity _,
@@ -972,6 +1028,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q363_emd_drift" -> q363Oracle,
     "q323_corpus_datasheet" -> q323Oracle,
     "q302_bootstrap_ci" -> q302Oracle,
     "q251_k_anonymity" -> q251Oracle,

@@ -976,7 +976,81 @@ object Sampling {
        FROM x GROUP BY band ORDER BY band"""
   }
 
+  // ---------------------------------------------------------------- q361
+  /** Shuffle-MIXING audit of the training order — did the q340 hash
+    * permutation actually interleave the sources, or does the stream
+    * feed the model long single-source stretches (the curriculum-
+    * by-accident failure mode a data-order bug produces)? Source RUNS
+    * are counted exactly in the global (md5-prefix hash, doc_id) order:
+    * a run starts wherever the previous document (in that order) came
+    * from a different source, and per source the audit reports measured
+    * runs, exact mean run length in µ-docs, the closed-form expected
+    * runs under a uniform random permutation E[R_s] = n_s·(N−n_s+1)/N
+    * (DECIMAL(38,0)-guarded — the product squares the corpus), and the
+    * measured/expected ratio in ppm (~10⁶ = well mixed; far below =
+    * clumping). The global predecessor is computed WITHOUT a global
+    * window — bucket-local lag()s over the hash's top-40-bit buckets
+    * plus a predecessor chain on the bucket-summary frame (≤2²⁰ rows by
+    * construction — the q340/q342 bucket geometry), where each bucket's
+    * first row takes its predecessor from the previous bucket's
+    * min/max-struct endpoints. The oracle replays the PLAIN global
+    * window lag — equality certifies the boundary chain.
+    */
+  def q361MixingRuns(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+      .withColumn("h", expr(
+        """CAST(conv(substring(md5(concat('mix#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+      .withColumn("b", expr("h div 1099511627776")) // 2^40: ≤ 2^20 buckets
+    val wB = Window.partitionBy(col("b")).orderBy(col("h"), col("doc_id"))
+    // starts visible INSIDE a bucket (predecessor in the same bucket)
+    val inner = base.withColumn("prev", lag(col("source"), 1).over(wB))
+      .filter(col("prev").isNotNull && col("prev") =!= col("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("inner_starts"))
+    // bucket endpoints; (h, doc_id) is unique so the struct order is total
+    val ends = base.groupBy(col("b"))
+      .agg(min(struct(col("h"), col("doc_id"), col("source"))).as("f"),
+        max(struct(col("h"), col("doc_id"), col("source"))).as("l"))
+    val wChain = Window.orderBy(col("b")) // bucket-summary frame, ≤ 2^20 rows
+    val bucketStarts = ends
+      .withColumn("prev_last", lag(col("l.source"), 1).over(wChain))
+      .filter(col("prev_last").isNull || col("prev_last") =!= col("f.source"))
+      .groupBy(col("f.source").as("source")).agg(count(lit(1)).as("first_starts"))
+    val perSource = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(inner, Seq("source"), "left").na.fill(0L, Seq("inner_starts"))
+      .join(bucketStarts, Seq("source"), "left").na.fill(0L, Seq("first_starts"))
+      .withColumn("n_runs", col("inner_starts") + col("first_starts"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(expr("cast(sum(n_docs) as bigint)").as("nn")))) // 1-row total
+      .withColumn("exp_runs_micro", expr(
+        "cast(cast(n_docs as decimal(38,0)) * (nn - n_docs + 1) * 1000000 div nn as bigint)"))
+      .select(col("source"), col("n_docs"), col("n_runs"),
+        expr("n_docs * 1000000 div n_runs").as("mean_run_micro"),
+        col("exp_runs_micro"),
+        expr("cast(cast(n_runs as decimal(38,0)) * 1000000000000 div exp_runs_micro as bigint)")
+          .as("mix_ratio_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q361Oracle: String =
+    """WITH h AS (SELECT doc_id, source,
+           CAST(('0x' || substr(md5('mix#' || doc_id), 1, 15)) AS BIGINT) AS h
+         FROM documents),
+       o AS (SELECT source, lag(source) OVER (ORDER BY h, doc_id) AS prev FROM h),
+       st AS (SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN prev IS NULL OR prev <> source THEN 1 ELSE 0 END) AS n_runs
+              FROM o GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM st)
+       SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+         CAST(s.n_runs AS BIGINT) AS n_runs,
+         CAST(s.n_docs * 1000000 // s.n_runs AS BIGINT) AS mean_run_micro,
+         CAST(CAST(s.n_docs AS HUGEINT) * (t.nn - s.n_docs + 1) * 1000000 // t.nn AS BIGINT) AS exp_runs_micro,
+         CAST(CAST(s.n_runs AS HUGEINT) * 1000000000000
+           // (CAST(s.n_docs AS HUGEINT) * (t.nn - s.n_docs + 1) * 1000000 // t.nn) AS BIGINT) AS mix_ratio_ppm
+       FROM st s, tot t ORDER BY s.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_mixing_runs" -> q361MixingRuns _,
     "q342_sequence_packing" -> q342SequencePacking _,
     "q347_fim_plan" -> q347FimSpanPlan _,
     "q352_pack_fragmentation" -> q352PackFragmentation _,
@@ -995,6 +1069,7 @@ object Sampling {
     "q227_temperature_sample" -> q227TemperatureSample _)
 
   val oracles: Map[String, String] = Map(
+    "q361_mixing_runs" -> q361Oracle,
     "q342_sequence_packing" -> q342Oracle,
     "q347_fim_plan" -> q347Oracle,
     "q352_pack_fragmentation" -> q352Oracle,

@@ -3446,7 +3446,170 @@ object Similarity {
        FROM hits h LEFT JOIN rw r ON r.qid = h.qid
        ORDER BY h.qid"""
 
+  // ---------------------------------------------------------------- q362
+  /** GRAPH-WALK ANN — the NSW/HNSW-family search primitive over the
+    * PERSISTED kNN graph, completing the index trilogy (inverted lists
+    * probe cells, LSH probes buckets, a proximity graph WALKS): each
+    * query enters its stored IVF cell at the cell's best-connected
+    * member (max in-degree in the stored graph, ties to the smaller id
+    * — the medoid-proxy entry point production graph indexes pin), then
+    * runs a 2-hop beam-3 greedy descent: score the entry and its stored
+    * out-neighbors by exact µ-int dot, keep the top-3 as the frontier,
+    * expand THEIR out-neighbors, and return the best vector seen. The
+    * readout is the search-quality certificate: candidates actually
+    * visited (≤ 13 of a whole cell — the pruning that makes graph
+    * search the serving path at scale), the exact rank of the returned
+    * vector within its cell and within the whole slice (rank-1 in cell
+    * = the walk found the cell optimum without scanning the cell).
+    * Ranks are strictly-better COUNT aggregates against the broadcast
+    * best row (the q357 rule — never a corpus-ordered window). Zero
+    * embeddings scans: dots ride the stored µ-int long form, topology
+    * the stored graph, entries the stored assignment. The oracle
+    * replays training, graph build, entry selection, and both hops.
+    */
+  def q362GraphWalkAnn(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nQ = 10L
+    val lfs = pqLfTable(spark, d).filter(col("vec_id") < Q314Slice)
+    val qlf = lfs.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("sub"), col("jj"), col("xq").as("qx"))
+    val assign = ivfAssignTable(spark, d).filter(col("vec_id") < Q314Slice)
+      .select(col("vec_id"), col("cid"))
+    val graph = knnGraphTable(spark, d).select(col("vec_id"), col("nbr_id"))
+    val probe = assign.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val indeg = graph.groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("indeg"))
+    val members = probe.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+    val entry = members.join(indeg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("indeg"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(max(struct(col("indeg"), (-col("vec_id")).as("ni"))).as("e"))
+      .select(col("qid"), col("cid"), (-col("e.ni")).as("node"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(lfs.withColumnRenamed("vec_id", "node"), Seq("node"))
+        .join(broadcast(qlf), Seq("qid", "sub", "jj"))
+        .groupBy(col("qid"), col("node"))
+        .agg(expr("cast(sum(xq * qx) as bigint)").as("dot"))
+    val c1 = entry.select(col("qid"), col("node"))
+      .unionByName(entry.select(col("qid"), col("node"))
+        .join(graph, col("node") === graph("vec_id"))
+        .select(col("qid"), col("nbr_id").as("node")))
+      .distinct().filter(col("node") =!= col("qid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("node").asc)
+    val f1 = score(c1).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("qid"), col("node"))
+    val c2 = c1.unionByName(
+        f1.join(graph, col("node") === graph("vec_id"))
+          .select(col("qid"), col("nbr_id").as("node")))
+      .distinct().filter(col("node") =!= col("qid"))
+    val best = score(c2).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("node").as("found_id"), col("dot").as("bd"))
+    val nVisited = c2.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
+    val nCell = members.groupBy(col("qid")).agg(count(lit(1)).as("n_cell"))
+    // exact dots of every slice vector vs every query (the q351 shape)
+    val dotsAll = lfs.join(broadcast(qlf), Seq("sub", "jj"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(expr("cast(sum(xq * qx) as bigint)").as("dot"))
+    def strictlyBetter(pool: DataFrame): DataFrame =
+      pool.join(broadcast(best
+          .join(probe.withColumnRenamed("cid", "pcid"), Seq("qid"))), Seq("qid"))
+        .filter(col("dot") > col("bd") ||
+          (col("dot") === col("bd") && col("vec_id") < col("found_id")))
+    val rankSlice = strictlyBetter(dotsAll)
+      .groupBy(col("qid")).agg((count(lit(1)) + 1L).as("rank_slice"))
+    val rankCell = strictlyBetter(dotsAll.join(assign, Seq("vec_id")))
+      .filter(col("cid") === col("pcid")) // probe cell rides the broadcast
+      .groupBy(col("qid")).agg((count(lit(1)) + 1L).as("rank_cell"))
+    probe.join(nCell, Seq("qid"))
+      .join(nVisited, Seq("qid"))
+      .join(best.select(col("qid"), col("found_id")), Seq("qid"))
+      .join(rankCell, Seq("qid"), "left")
+      .join(rankSlice, Seq("qid"), "left")
+      .select(col("qid"), col("cid"), col("n_cell"), col("n_visited"),
+        col("found_id"),
+        coalesce(col("rank_cell"), lit(1L)).as("rank_cell"),
+        coalesce(col("rank_slice"), lit(1L)).as("rank_slice"))
+      .orderBy(col("qid"))
+  }
+
+  val q362Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       sub AS (SELECT vec_id, cid FROM assignedT WHERE vec_id < $Q314Slice),
+       lv AS (SELECT vec_id, r.j,
+                CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+              FROM embeddings, range(64) r(j) WHERE vec_id < $Q314Slice),
+       gd AS (SELECT x.cid, x.vec_id AS va, y.vec_id AS vb,
+                CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+              FROM sub x JOIN sub y ON x.cid = y.cid AND x.vec_id != y.vec_id
+              JOIN lv a ON a.vec_id = x.vec_id
+              JOIN lv b ON b.vec_id = y.vec_id AND b.j = a.j
+              GROUP BY 1, 2, 3),
+       gr AS (SELECT va AS vec_id, vb AS nbr_id FROM (
+                SELECT va, vb, row_number() OVER (PARTITION BY va
+                  ORDER BY dot DESC, vb ASC) AS rn FROM gd) WHERE rn <= $Q314K),
+       indeg AS (SELECT nbr_id AS vec_id, count(*) AS ind FROM gr GROUP BY 1),
+       probe AS (SELECT vec_id AS qid, cid FROM sub WHERE vec_id < 10),
+       members AS (SELECT p.qid, p.cid, s.vec_id FROM probe p
+                   JOIN sub s ON s.cid = p.cid AND s.vec_id <> p.qid),
+       entry AS (SELECT qid, vec_id AS node FROM (
+                   SELECT m.qid, m.vec_id,
+                     row_number() OVER (PARTITION BY m.qid
+                       ORDER BY coalesce(i.ind, 0) DESC, m.vec_id ASC) AS rn
+                   FROM members m LEFT JOIN indeg i ON i.vec_id = m.vec_id)
+                 WHERE rn = 1),
+       dotq AS (SELECT qa.vec_id AS qid, vb.vec_id AS node,
+                  CAST(sum(qa.xq * vb.xq) AS BIGINT) AS dot
+                FROM lv qa JOIN lv vb ON vb.j = qa.j AND vb.vec_id <> qa.vec_id
+                WHERE qa.vec_id < 10 GROUP BY 1, 2),
+       c1 AS (SELECT DISTINCT qid, node FROM (
+                SELECT qid, node FROM entry
+                UNION ALL
+                SELECT e.qid, g.nbr_id AS node FROM entry e
+                JOIN gr g ON g.vec_id = e.node) WHERE node <> qid),
+       f1 AS (SELECT qid, node FROM (
+                SELECT c.qid, c.node,
+                  row_number() OVER (PARTITION BY c.qid
+                    ORDER BY d.dot DESC, c.node ASC) AS rn
+                FROM c1 c JOIN dotq d ON d.qid = c.qid AND d.node = c.node)
+              WHERE rn <= 3),
+       c2 AS (SELECT DISTINCT qid, node FROM (
+                SELECT qid, node FROM c1
+                UNION ALL
+                SELECT f.qid, g.nbr_id AS node FROM f1 f
+                JOIN gr g ON g.vec_id = f.node) WHERE node <> qid),
+       best AS (SELECT qid, node AS found_id, dot AS bd FROM (
+                  SELECT c.qid, c.node, d.dot,
+                    row_number() OVER (PARTITION BY c.qid
+                      ORDER BY d.dot DESC, c.node ASC) AS rn
+                  FROM c2 c JOIN dotq d ON d.qid = c.qid AND d.node = c.node)
+                WHERE rn = 1),
+       nv AS (SELECT qid, count(*) AS n_visited FROM c2 GROUP BY 1),
+       nc AS (SELECT qid, count(*) AS n_cell FROM members GROUP BY 1),
+       rs AS (SELECT b.qid, 1 + count(*) FILTER (d.dot > b.bd
+                OR (d.dot = b.bd AND d.node < b.found_id)) AS rank_slice
+              FROM best b JOIN dotq d ON d.qid = b.qid GROUP BY 1),
+       rc AS (SELECT b.qid, 1 + count(*) FILTER (d.dot > b.bd
+                OR (d.dot = b.bd AND d.node < b.found_id)) AS rank_cell
+              FROM best b JOIN probe p ON p.qid = b.qid
+              JOIN dotq d ON d.qid = b.qid
+              JOIN sub s ON s.vec_id = d.node AND s.cid = p.cid
+              GROUP BY 1)
+       SELECT p.qid, p.cid, CAST(nc.n_cell AS BIGINT) AS n_cell,
+         CAST(nv.n_visited AS BIGINT) AS n_visited,
+         b.found_id, CAST(coalesce(rc.rank_cell, 1) AS BIGINT) AS rank_cell,
+         CAST(coalesce(rs.rank_slice, 1) AS BIGINT) AS rank_slice
+       FROM probe p JOIN nc USING (qid) JOIN nv USING (qid)
+       JOIN best b USING (qid)
+       LEFT JOIN rc USING (qid) LEFT JOIN rs USING (qid)
+       ORDER BY p.qid"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_graph_walk_ann" -> q362GraphWalkAnn _,
     "q357_sq8_recall" -> q357Sq8Recall _,
     "q324_knn_maintain" -> q324KnnMaintain _,
     "q332_build_rp_lsh" -> q332BuildRpLsh _,
@@ -3492,6 +3655,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q362_graph_walk_ann" -> q362Oracle,
     "q357_sq8_recall" -> q357Oracle,
     "q324_knn_maintain" -> q324Oracle,
     "q332_build_rp_lsh" -> q332Oracle,

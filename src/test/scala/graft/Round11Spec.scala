@@ -332,4 +332,125 @@ class Round11Spec extends SparkSuite {
       assert(means.take(seed * 8 * 256 / 3).forall(_ == 0L))
     }
   }
+
+  // ------------------------------------------------------------- q360
+  test("q360: RR/PC agree with a brute-force block replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val corpus = docs ++ docs.filter(_._1 % 7 == 0)
+      .map { case (id, t, n) => (id + 10000000L, t + " zzzz", n + 5) }
+    def stats(key: ((Long, String, Long)) => String): (Long, Long, Long) = {
+      val blocks = corpus.groupBy(key).map(_._2.size.toLong)
+      (blocks.size.toLong, blocks.map(n => n * (n - 1) / 2).sum, corpus.length.toLong)
+    }
+    val truth = docs.filter(_._1 % 7 == 0)
+    val rows = graft.SparkEntry.queries("q360_blocking_quality")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((scheme, key, coBlocked) <- Seq(
+      ("prefix16", (d: (Long, String, Long)) => d._2.take(16),
+        truth.count(d => d._2.take(16) == (d._2 + " zzzz").take(16))),
+      ("lenband64", (d: (Long, String, Long)) => (d._3 / 64).toString,
+        truth.count(d => d._3 / 64 == (d._3 + 5) / 64)))) {
+      val (nBlocks, cand, m) = stats(key)
+      val r = rows(scheme)
+      assert(r.getLong(1) === m && r.getLong(2) === nBlocks && r.getLong(3) === cand,
+        s"$scheme geometry mismatch: $r vs ($m, $nBlocks, $cand)")
+      val total = m * (m - 1) / 2
+      assert(r.getLong(4) === total)
+      assert(r.getLong(5) === (total - cand) * 1000000L / total)
+      assert(r.getLong(7) === coBlocked.toLong * 1000000L / truth.length,
+        s"$scheme PC mismatch: $r")
+    }
+  }
+
+  // ------------------------------------------------------------- q361
+  test("q361: two-phase run counting equals a single-process replay") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): Long = {
+      val hex = md.digest(s"mix#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ordered = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (h(id), id) }
+    val runs = scala.collection.mutable.Map.empty[String, Long]
+    var prev: String = null
+    ordered.foreach { case (_, s) =>
+      if (prev == null || prev != s) runs(s) = runs.getOrElse(s, 0L) + 1
+      prev = s
+    }
+    val rows = graft.SparkEntry.queries("q361_mixing_runs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === runs(r.getString(0)),
+        s"${r.getString(0)} runs mismatch: $r vs ${runs(r.getString(0))}")
+      assert(r.getLong(3) === r.getLong(1) * 1000000L / r.getLong(2))
+    }
+  }
+
+  // ------------------------------------------------------------- q362
+  test("q362: walk ranks verified by brute recomputation, visits bounded") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < graft.operators.Similarity.Q314Slice)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint)) as xq")
+      .as[(Long, Seq[Long])].collect().toMap
+    val cellOf = graft.operators.Similarity.ivfAssignTable(spark, sf)
+      .filter(col("vec_id") < graft.operators.Similarity.Q314Slice)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rows = graft.SparkEntry.queries("q362_graph_walk_ann")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (qid, cid, nCell, nVisited, found, rCell, rSlice) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(cellOf(qid) === cid, s"probe cell must be the query's own: $r")
+      assert(cellOf(found) === cid, s"walk escaped its cell: $r")
+      assert(nVisited >= 1 && nVisited <= 13, s"visit bound broken: $r")
+      assert(nCell === cellOf.count { case (v, c) => c == cid && v != qid }.toLong)
+      val bd = dot(vecs(qid), vecs(found))
+      def better(pool: Iterable[Long]): Long = pool.count(v =>
+        dot(vecs(qid), vecs(v)) > bd ||
+          (dot(vecs(qid), vecs(v)) == bd && v < found)).toLong
+      val cellPool = cellOf.collect { case (v, c) if c == cid && v != qid => v }
+      val slicePool = vecs.keys.filter(_ != qid)
+      assert(rCell === 1 + better(cellPool), s"rank_cell mismatch: $r")
+      assert(rSlice === 1 + better(slicePool), s"rank_slice mismatch: $r")
+      assert(rSlice >= rCell)
+    }
+  }
+
+  // ------------------------------------------------------------- q363
+  test("q363: per-source EMD equals a brute CDF replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val nn = docs.length.toLong
+    val corpusBins = Array.tabulate(16)(b =>
+      docs.count { case (_, n) => math.min(n / 256, 15) == b }.toLong)
+    val rows = graft.SparkEntry.queries("q363_emd_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src)
+      val ns = mine.length.toLong
+      assert(r.getLong(1) === ns)
+      val srcBins = Array.tabulate(16)(b =>
+        mine.count { case (_, n) => math.min(n / 256, 15) == b }.toLong)
+      var cum = 0L; var emd = 0L; var mx = 0L
+      for (b <- 0 until 16) {
+        cum += srcBins(b) * 1000000L / ns - corpusBins(b) * 1000000L / nn
+        emd += math.abs(cum); mx = math.max(mx, math.abs(cum))
+      }
+      assert(r.getLong(2) === emd, s"$src EMD mismatch: $r vs $emd")
+      assert(r.getLong(3) === mx)
+    }
+  }
 }
