@@ -1196,7 +1196,73 @@ object Curation {
          CAST(wbase + CASE WHEN rk.rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
        FROM rk, lo ORDER BY source"""
 
+  // ---------------------------------------------------------------- q366
+  /** Selection-PARITY audit of the quality gate — the governance readout
+    * a curation pipeline owes its corpus card (and the four-fifths
+    * disparate-impact convention made it a standard number): when the
+    * q69 gate (≥20 tokens, stopword ratio ≤ ½, allowed languages) drops
+    * documents, does it drop them EVENLY across sources, or is one
+    * crawl's content being systematically filtered out? Per source: the
+    * gate's selection rate in exact ppm and the parity ratio against
+    * the best-treated source — computed CROSS-MULTIPLIED from raw
+    * counts (sel_s·n_best·10⁶ div (n_s·sel_best), DECIMAL(38,0)-guarded)
+    * so no truncated rate ever divides another, plus the four-fifths
+    * flag. The stopword-ratio test runs in integers (2·stops ≤ tokens ⟺
+    * ratio ≤ ½ — no double division). One corpus scan into the
+    * |sources| frame; the best-source row is a 1-row broadcast. Full
+    * oracle.
+    */
+  def q366SelectionParity(spark: SparkSession, d: String): DataFrame = {
+    val stops = TextAnalysis.Lexicons("en").map(w => s"'$w'").mkString(", ")
+    val gate = Tables.documents(spark, d)
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .withColumn("sc", expr(
+        s"cast(size(filter(split(text, ' '), x -> x IN ($stops))) as long)"))
+      .withColumn("sel", expr(
+        "cast(nt >= 20 AND 2 * sc <= nt AND lang IN ('en', 'de', 'fr') as long)"))
+    val per = gate.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), expr("cast(sum(sel) as bigint)").as("n_selected"))
+      .withColumn("rate_ppm", expr("n_selected * 1000000 div n_docs"))
+    val best = per.orderBy(col("rate_ppm").desc, col("source").asc).limit(1)
+      .select(col("n_docs").as("bn"), col("n_selected").as("bs"))
+    per.crossJoin(broadcast(best)) // 1-row best-source counts
+      .withColumn("parity_ppm", expr(
+        """CASE WHEN bs = 0 THEN cast(1000000 as bigint)
+             ELSE cast(cast(n_selected as decimal(38,0)) * bn * 1000000
+                       div (cast(n_docs as decimal(38,0)) * bs) as bigint) END"""))
+      .select(col("source"), col("n_docs"), col("n_selected"), col("rate_ppm"),
+        col("parity_ppm"), (col("parity_ppm") < 800000L).as("below_four_fifths"))
+      .orderBy(col("source"))
+  }
+
+  val q366Oracle: String = {
+    val stops = TextAnalysis.Lexicons("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH g AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stops))) AS BIGINT) AS sc,
+           lang
+         FROM documents),
+       per AS (SELECT source, count(*) AS n_docs,
+                 CAST(count_if(nt >= 20 AND 2 * sc <= nt
+                   AND lang IN ('en', 'de', 'fr')) AS BIGINT) AS n_selected
+               FROM g GROUP BY 1),
+       rated AS (SELECT *, CAST(n_selected * 1000000 // n_docs AS BIGINT) AS rate_ppm
+                 FROM per),
+       best AS (SELECT n_docs AS bn, n_selected AS bs FROM rated
+                ORDER BY rate_ppm DESC, source ASC LIMIT 1)
+       SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.n_selected,
+         r.rate_ppm,
+         CAST(CASE WHEN b.bs = 0 THEN 1000000
+           ELSE CAST(r.n_selected AS HUGEINT) * b.bn * 1000000
+                // (CAST(r.n_docs AS HUGEINT) * b.bs) END AS BIGINT) AS parity_ppm,
+         (CASE WHEN b.bs = 0 THEN 1000000
+           ELSE CAST(r.n_selected AS HUGEINT) * b.bn * 1000000
+                // (CAST(r.n_docs AS HUGEINT) * b.bs) END) < 800000 AS below_four_fifths
+       FROM rated r, best b ORDER BY r.source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_selection_parity" -> q366SelectionParity _,
     "q350_domain_reweight" -> q350DomainReweight _,
     "q310_bucket_batching" -> q310BucketBatching _,
     "q283_substring_curation" -> q283SubstringCuration _,
@@ -1214,6 +1280,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q366_selection_parity" -> q366Oracle,
     "q350_domain_reweight" -> q350Oracle,
     "q310_bucket_batching" -> q310Oracle,
     "q283_substring_curation" -> q283Oracle,

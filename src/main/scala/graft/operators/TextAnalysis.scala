@@ -3584,7 +3584,164 @@ object TextAnalysis {
        FROM ch QUALIFY row_number() OVER (ORDER BY u ASC, doc_id ASC) <= 10
        ORDER BY rnk"""
 
+  // ---------------------------------------------------------------- q364
+  /** Interpolated KNESER–NEY bigram probabilities — the smoothing that
+    * actually ships in n-gram LMs (Chen & Goodman 1999), completing the
+    * estimator family next to q228's add-one corpus LM and q336's stupid
+    * backoff: absolute discounting max(c(vw)−D, 0)/c(v) plus the
+    * back-off weight λ(v) = D·N₁₊(v,•)/c(v) times the CONTINUATION
+    * probability p_cont(w) = N₁₊(•,w)/|bigram types| — "how many
+    * contexts does w complete", the distributional novelty term that
+    * makes KN beat raw-frequency back-off ("Francisco" is frequent but
+    * only ever follows "San"). Everything is exact integer µ-probability
+    * arithmetic with truncating division (D = 750 000 µ = the canonical
+    * 0.75): no estimator term ever touches a double. Readout: the 10
+    * most frequent bigram types with every KN component exposed — raw
+    * count, context mass, both continuation counts, λ, p_cont, and the
+    * final interpolated p_KN. One corpus bigram pass into model-sized
+    * count frames (the q236 build shape: counts, context rollup,
+    * continuation rollup), top-10 via TakeOrderedAndProject, full
+    * oracle replaying the md5-hashed bigram stream and the identical
+    * integer estimator.
+    */
+  val Q364D = 750000L
+
+  def q364KneserNey(spark: SparkSession, d: String): DataFrame = {
+    val big = Tables.documents(spark, d)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+        .as("bg"))
+      .select(expr(md5l("split(bg, chr(1))[0]")).as("gv"),
+        expr(md5l("split(bg, chr(1))[1]")).as("gw"),
+        expr(md5l("bg")).as("g2"))
+    val c = big.groupBy(col("gv"), col("gw"), col("g2"))
+      .agg(count(lit(1)).as("cvw"))
+    val cv = c.groupBy(col("gv"))
+      .agg(expr("cast(sum(cvw) as bigint)").as("cv"),
+        count(lit(1)).as("n1p_v")) // N1+(v, •): distinct continuations of v
+    val contW = c.groupBy(col("gw"))
+      .agg(count(lit(1)).as("n1p_w")) // N1+(•, w): distinct contexts of w
+    val nTypes = c.agg(count(lit(1)).as("n_types"))
+    c.orderBy(col("cvw").desc, col("g2").asc).limit(10)
+      .join(cv, "gv").join(contW, "gw")
+      .crossJoin(broadcast(nTypes)) // 1-row type count
+      .withColumn("pcont_mu", expr("n1p_w * 1000000 div n_types"))
+      .withColumn("lambda_mu", expr(s"$Q364D * n1p_v div cv"))
+      .withColumn("pkn_mu", expr(
+        s"greatest(cvw * 1000000 - $Q364D, cast(0 as bigint)) div cv" +
+          " + lambda_mu * pcont_mu div 1000000"))
+      .select(col("g2"), col("cvw"), col("cv"), col("n1p_v"), col("n1p_w"),
+        col("pcont_mu"), col("lambda_mu"), col("pkn_mu"))
+      .orderBy(col("cvw").desc, col("g2").asc)
+  }
+
+  val q364Oracle: String =
+    s"""WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       raw AS (SELECT unnest(CASE WHEN len(ws) >= 2
+                 THEN list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || chr(1) || ws[i+1])
+                 ELSE [] END) AS bg FROM tok),
+       bg AS (SELECT
+                CAST(('0x' || substr(md5(string_split(bg, chr(1))[1]), 1, 15)) AS BIGINT) AS gv,
+                CAST(('0x' || substr(md5(string_split(bg, chr(1))[2]), 1, 15)) AS BIGINT) AS gw,
+                CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS g2
+              FROM raw),
+       c AS (SELECT gv, gw, g2, count(*) AS cvw FROM bg GROUP BY 1, 2, 3),
+       cv AS (SELECT gv, CAST(sum(cvw) AS BIGINT) AS cv, count(*) AS n1p_v
+              FROM c GROUP BY 1),
+       cw AS (SELECT gw, count(*) AS n1p_w FROM c GROUP BY 1),
+       nt AS (SELECT count(*) AS n_types FROM c),
+       top AS (SELECT * FROM c ORDER BY cvw DESC, g2 ASC LIMIT 10)
+       SELECT t.g2, CAST(t.cvw AS BIGINT) AS cvw, v.cv,
+         CAST(v.n1p_v AS BIGINT) AS n1p_v, CAST(w.n1p_w AS BIGINT) AS n1p_w,
+         CAST(w.n1p_w * 1000000 // n.n_types AS BIGINT) AS pcont_mu,
+         CAST($Q364D * v.n1p_v // v.cv AS BIGINT) AS lambda_mu,
+         CAST(greatest(t.cvw * 1000000 - $Q364D, 0) // v.cv
+           + ($Q364D * v.n1p_v // v.cv) * (w.n1p_w * 1000000 // n.n_types) // 1000000
+           AS BIGINT) AS pkn_mu
+       FROM top t JOIN cv v USING (gv) JOIN cw w USING (gw), nt n
+       ORDER BY t.cvw DESC, t.g2 ASC"""
+
+  // ---------------------------------------------------------------- q367
+  /** PHRASE search via positional adjacency — the retrieval capability
+    * BM25's bag-of-words scoring cannot express: "new york" as a phrase
+    * is not the AND of "new" and "york". The adjacency stream (the same
+    * one-pass bigram explode every LM build uses) IS the positional
+    * postings list specialized to distance 1, so phrase document
+    * frequency needs no position columns at all; bag-of-words AND df
+    * comes from one doc-keyed join of the two terms' posting lists. The
+    * readout, for the 5 most frequent word pairs: occurrences, phrase
+    * df, bag df, and phrase selectivity (df_phrase/df_bag in exact ppm)
+    * — the number that tells a retrieval stack how much precision the
+    * phrase operator buys over AND. Scale shape: both df sides filter
+    * against the broadcast 5-pair frame BEFORE any distinct/join — the
+    * posting lists touched are the 10 query terms', never the corpus
+    * vocabulary's. Full oracle replaying tokenization, selection, and
+    * both df definitions.
+    */
+  def q367PhraseSearch(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pairs = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val top5 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occur"))
+      .orderBy(col("n_occur").desc, col("w1").asc, col("w2").asc).limit(5)
+    val dfPhrase = pairs.join(broadcast(top5.select(col("w1"), col("w2"))),
+        Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("df_phrase"))
+    val words = tok.select(col("doc_id"), explode(col("ws")).as("w")).distinct()
+    val a = words.join(broadcast(top5.select(col("w1")).distinct()),
+      words("w") === col("w1")).select(col("doc_id"), col("w1"))
+    val b = words.join(broadcast(top5.select(col("w2")).distinct()),
+      words("w") === col("w2")).select(col("doc_id").as("doc_b"), col("w2"))
+    val dfBag = a.join(b, col("doc_id") === col("doc_b"))
+      .join(broadcast(top5.select(col("w1"), col("w2"))), Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("df_bag"))
+    top5.join(dfPhrase, Seq("w1", "w2")).join(dfBag, Seq("w1", "w2"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("n_occur"), col("df_phrase"), col("df_bag"),
+        expr("df_phrase * 1000000 div df_bag").as("selectivity_ppm"))
+      .orderBy(col("n_occur").desc, col("phrase").asc)
+  }
+
+  val q367Oracle: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       pairs AS (SELECT doc_id, string_split(p, chr(1))[1] AS w1,
+                   string_split(p, chr(1))[2] AS w2
+                 FROM (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || chr(1) || ws[i+1])
+                         ELSE [] END) AS p FROM tok)),
+       top5 AS (SELECT w1, w2, count(*) AS n_occur FROM pairs GROUP BY 1, 2
+                ORDER BY n_occur DESC, w1 ASC, w2 ASC LIMIT 5),
+       dfp AS (SELECT p.w1, p.w2, count(DISTINCT p.doc_id) AS df_phrase
+               FROM pairs p JOIN top5 t ON t.w1 = p.w1 AND t.w2 = p.w2
+               GROUP BY 1, 2),
+       words AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM tok),
+       dfb AS (SELECT t.w1, t.w2, count(DISTINCT a.doc_id) AS df_bag
+               FROM top5 t
+               JOIN words a ON a.w = t.w1
+               JOIN words b ON b.w = t.w2 AND b.doc_id = a.doc_id
+               GROUP BY 1, 2)
+       SELECT t.w1 || ' ' || t.w2 AS phrase, CAST(t.n_occur AS BIGINT) AS n_occur,
+         CAST(p.df_phrase AS BIGINT) AS df_phrase, CAST(b.df_bag AS BIGINT) AS df_bag,
+         CAST(p.df_phrase * 1000000 // b.df_bag AS BIGINT) AS selectivity_ppm
+       FROM top5 t JOIN dfp p ON p.w1 = t.w1 AND p.w2 = t.w2
+       JOIN dfb b ON b.w1 = t.w1 AND b.w2 = t.w2
+       ORDER BY t.n_occur DESC, phrase ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_kneser_ney" -> q364KneserNey _,
+    "q367_phrase_search" -> q367PhraseSearch _,
     "q329_active_learning" -> q329ActiveLearning _,
     "q326_loo_influence" -> q326LooInfluence _,
     "q327_mcnemar_rules" -> q327McnemarRules _,
@@ -3638,6 +3795,8 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q364_kneser_ney" -> q364Oracle,
+    "q367_phrase_search" -> q367Oracle,
     "q329_active_learning" -> q329Oracle,
     "q326_loo_influence" -> q326Oracle,
     "q327_mcnemar_rules" -> q327Oracle,

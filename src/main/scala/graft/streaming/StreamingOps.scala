@@ -1430,7 +1430,85 @@ object StreamingOps {
        FROM bbk k LEFT JOIN rej r ON r.bid = k.bid
        GROUP BY k.kind ORDER BY k.kind"""
 
+  // ---------------------------------------------------------------- q365
+  /** Streaming QUANTILE monitor — the latency/price-percentile dashboard
+    * next to q312's HLL cardinality monitor, and the same state-size
+    * argument: exact streaming quantiles need all values, so the
+    * operator keeps a fixed 16-register histogram per event type (bin =
+    * 20-dollar value band, capped — state is 16×K rows at ANY stream
+    * volume) as the streaming aggregation, and the quantile readout
+    * derives batch-side from the registers: p50/p95 land in the first
+    * bin whose cumulative count reaches the rank target. The
+    * certificate is the oracle's job: it computes the EXACT rank-
+    * selected p50/p95 from the events table and derives the bins
+    * arithmetically from them — hash equality proves the streamed
+    * histogram put every quantile in exactly the right register. The
+    * exact values ride the output too (computed batch-side via the
+    * BucketRank two-phase selection whose buckets ARE the stream's own
+    * bins — never a per-type corpus sort window, the q176 discipline).
+    */
+  def q365StreamQuantileMonitor(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = eventsStream(spark, d)
+      .select(col("event_type"),
+        expr("least(cast(round(value * 100) as bigint) div 2000, 15)").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val name = s"stream_quant_${System.nanoTime()}"
+    val stored = runToMemory(spark, bins, name, OutputMode.Complete())
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val cum = stored
+      .withColumn("cum", sum(col("c")).over(wB))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val fromRegs = cum.groupBy(col("event_type"))
+      .agg(expr("cast(min(n) as bigint)").as("n_events"),
+        count(lit(1)).as("bins_hit"),
+        expr("cast(min(CASE WHEN cum >= (n + 1) div 2 THEN bin END) as bigint)")
+          .as("p50_bin"),
+        expr("cast(min(CASE WHEN cum >= (19 * (n + 1)) div 20 THEN bin END) as bigint)")
+          .as("p95_bin"))
+    // exact quantiles batch-side; BucketRank buckets = the stream's bins
+    val ev = graft.sources.Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+    val sel = graft.operators.BucketRank.select(ev, "event_type",
+      bucket = expr("least(vc div 2000, 15)"),
+      ord = Seq(col("vc"), col("event_id")),
+      targets = Seq(expr("(__n + 1) div 2"), expr("(19 * (__n + 1)) div 20")))
+    val exact = sel.groupBy(col("event_type"))
+      .agg(expr("min(CASE WHEN __grank = (__n + 1) div 2 THEN vc END)")
+          .as("p50_exact_cents"),
+        expr("min(CASE WHEN __grank = (19 * (__n + 1)) div 20 THEN vc END)")
+          .as("p95_exact_cents"))
+    fromRegs.join(exact, "event_type")
+      .select(col("event_type"), col("n_events"), col("bins_hit"),
+        col("p50_bin"), col("p50_exact_cents"),
+        col("p95_bin"), col("p95_exact_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q365Oracle: String =
+    """WITH e AS (SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+       r AS (SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM e),
+       ex AS (SELECT event_type, CAST(min(n) AS BIGINT) AS n_events,
+                CAST(min(CASE WHEN rk = (n + 1) // 2 THEN vc END) AS BIGINT) AS p50_exact_cents,
+                CAST(min(CASE WHEN rk = (19 * (n + 1)) // 20 THEN vc END) AS BIGINT) AS p95_exact_cents
+              FROM r GROUP BY 1),
+       bh AS (SELECT event_type, count(DISTINCT least(vc // 2000, 15)) AS bins_hit
+              FROM e GROUP BY 1)
+       SELECT x.event_type, x.n_events, CAST(b.bins_hit AS BIGINT) AS bins_hit,
+         CAST(least(x.p50_exact_cents // 2000, 15) AS BIGINT) AS p50_bin,
+         x.p50_exact_cents,
+         CAST(least(x.p95_exact_cents // 2000, 15) AS BIGINT) AS p95_bin,
+         x.p95_exact_cents
+       FROM ex x JOIN bh b USING (event_type) ORDER BY x.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_stream_quantile_monitor" -> q365StreamQuantileMonitor _,
     "q333_stream_lsh_admission" -> q333StreamLshAdmission _,
     "q325_stream_winnow_admission" -> q325StreamWinnowAdmission _,
     "q312_stream_hll_distinct" -> q312StreamHllDistinct _,
@@ -1456,6 +1534,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q365_stream_quantile_monitor" -> q365Oracle,
     "q333_stream_lsh_admission" -> q333Oracle,
     "q325_stream_winnow_admission" -> q325Oracle,
     "q312_stream_hll_distinct" -> q312Oracle,

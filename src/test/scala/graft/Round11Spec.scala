@@ -453,4 +453,118 @@ class Round11Spec extends SparkSuite {
       assert(r.getLong(3) === mx)
     }
   }
+
+  private def md5p(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ------------------------------------------------------------- q364
+  test("q364: KN components equal a single-process estimator replay") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+    val bigs = texts.map(_.split(" ")).filter(_.length >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+    val c = bigs.groupBy(identity).map { case ((v, w), g) =>
+      (md5p(v), md5p(w), md5p(v + "\u0001" + w)) -> g.length.toLong }
+    val cv = c.groupBy(_._1._1).map { case (gv, m) =>
+      gv -> (m.values.sum, m.size.toLong) }
+    val cw = c.groupBy(_._1._2).map { case (gw, m) => gw -> m.size.toLong }
+    val nTypes = c.size.toLong
+    val D = graft.operators.TextAnalysis.Q364D
+    val expected = c.toSeq.sortBy { case ((_, _, g2), n) => (-n, g2) }.take(10)
+      .map { case ((gv, gw, g2), cvw) =>
+        val (cvTot, n1pv) = cv(gv)
+        val n1pw = cw(gw)
+        val pcont = n1pw * 1000000L / nTypes
+        val lambda = D * n1pv / cvTot
+        val pkn = math.max(cvw * 1000000L - D, 0L) / cvTot + lambda * pcont / 1000000L
+        (g2, cvw, cvTot, n1pv, n1pw, pcont, lambda, pkn)
+      }
+    val rows = graft.SparkEntry.queries("q364_kneser_ney")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.toSeq === expected, s"KN replay mismatch")
+  }
+
+  // ------------------------------------------------------------- q365
+  test("q365: streamed registers put both quantiles in the right bin") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id", "cast(round(value * 100) as bigint) as vc")
+      .as[(String, Long, Long)].collect()
+    val rows = graft.SparkEntry.queries("q365_stream_quantile_monitor")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = ev.filter(_._1 == t).sortBy(e => (e._3, e._2)).map(_._3)
+      val n = vs.length
+      assert(r.getLong(1) === n.toLong)
+      val p50 = vs(((n + 1) / 2 - 1).toInt)
+      val p95 = vs((19 * (n + 1) / 20 - 1).toInt)
+      assert(r.getLong(4) === p50, s"$t p50 mismatch: $r vs $p50")
+      assert(r.getLong(6) === p95, s"$t p95 mismatch: $r vs $p95")
+      assert(r.getLong(3) === math.min(p50 / 2000, 15))
+      assert(r.getLong(5) === math.min(p95 / 2000, 15))
+      assert(r.getLong(2) === vs.map(v => math.min(v / 2000, 15)).distinct.length.toLong)
+    }
+  }
+
+  // ------------------------------------------------------------- q366
+  test("q366: parity ratios replay from raw gate counts") {
+    import spark.implicits._
+    val stops = graft.operators.TextAnalysis.Lexicons("en").toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("lang"))
+      .as[(String, String, String)].collect()
+    val per = docs.groupBy(_._1).map { case (src, g) =>
+      val sel = g.count { case (_, t, l) =>
+        val ws = t.split(" ")
+        ws.length >= 20 && 2L * ws.count(stops) <= ws.length &&
+          Set("en", "de", "fr")(l)
+      }
+      src -> (g.length.toLong, sel.toLong)
+    }
+    val (bn, bs) = per.toSeq.sortBy { case (src, (n, s)) =>
+      (-(s * 1000000L / n), src) }.head._2
+    val rows = graft.SparkEntry.queries("q366_selection_parity")(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, s) = per(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === s)
+      assert(r.getLong(3) === s * 1000000L / n)
+      val parity = if (bs == 0) 1000000L
+        else (BigInt(s) * bn * 1000000 / (BigInt(n) * bs)).toLong
+      assert(r.getLong(4) === parity, s"${r.getString(0)} parity: $r vs $parity")
+      assert(r.getBoolean(5) === (parity < 800000L))
+    }
+  }
+
+  // ------------------------------------------------------------- q367
+  test("q367: phrase vs bag document frequencies replay exactly") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val pairs = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      if (ws.length >= 2) ws.sliding(2).map(p => (id, p(0), p(1))) else Iterator.empty
+    }
+    val top5 = pairs.groupBy(p => (p._2, p._3)).toSeq
+      .map { case (k, g) => (k, g.length.toLong) }
+      .sortBy { case ((w1, w2), n) => (-n, w1, w2) }.take(5)
+    val rows = graft.SparkEntry.queries("q367_phrase_search")(spark, sf).collect()
+    assert(rows.length === 5)
+    top5.zip(rows.sortBy(r => (-r.getLong(1), r.getString(0)))).foreach {
+      case (((w1, w2), n), r) =>
+        assert(r.getString(0) === s"$w1 $w2" && r.getLong(1) === n)
+        val dfP = pairs.filter(p => p._2 == w1 && p._3 == w2).map(_._1).distinct.length
+        val withW1 = docs.filter(_._2.split(" ").contains(w1)).map(_._1).toSet
+        val withW2 = docs.filter(_._2.split(" ").contains(w2)).map(_._1).toSet
+        val dfB = (withW1 & withW2).size
+        assert(r.getLong(2) === dfP.toLong && r.getLong(3) === dfB.toLong,
+          s"df mismatch for '$w1 $w2': $r vs ($dfP, $dfB)")
+        assert(r.getLong(4) === dfP.toLong * 1000000L / dfB)
+    }
+  }
 }
