@@ -1261,7 +1261,106 @@ object Curation {
        FROM rated r, best b ORDER BY r.source"""
   }
 
+  // ---------------------------------------------------------------- q368
+  /** Greedy MAX-COVERAGE source selection — the submodular data-selection
+    * step behind "which corpora should the next training mix add first":
+    * each greedy round picks the source contributing the most bigram
+    * types NOT yet covered by the already-selected sources (the classic
+    * (1−1/e) greedy for coverage, ties to the lexicographically smaller
+    * source), reporting per step the marginal novel grams, the running
+    * union size, and cumulative coverage of the corpus gram universe in
+    * exact ppm. Scale shape: ONE corpus pass builds the distinct
+    * (source, gram-hash) frame (vocab-sized, pinned — every round reads
+    * it); each of the 4 rounds is a left-anti join against the growing
+    * covered-gram set plus one aggregate, and the only driver traffic is
+    * the 1-row argmax per round (K-sized by construction — the q176
+    * collect discipline). The oracle replays all four rounds unrolled.
+    */
+  val Q368Steps = 4
+
+  def q368CoverageSelection(spark: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(spark, d)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), chr(1), element_at(ws, i + 1)))"))
+        .as("bg"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(bg), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .distinct()
+      .localCheckpoint() // vocab-sized distinct (source, gram) frame; read by all rounds
+    val universe = g.agg(countDistinct(col("gk")).as("u"))
+    var covered: DataFrame = null
+    var selected = List.empty[String]
+    var steps = List.empty[(Int, String, Long, Long)]
+    var cum = 0L
+    for (step <- 1 to Q368Steps) {
+      val remaining = selected.foldLeft(g)((df, s) => df.filter(col("source") =!= s))
+      val cand = if (covered == null) remaining
+                 else remaining.join(covered, Seq("gk"), "left_anti")
+      val pick = cand.groupBy(col("source")).agg(count(lit(1)).as("m"))
+        .orderBy(col("m").desc, col("source").asc).limit(1)
+        .collect()(0) // 1-row greedy argmax (K-sized driver traffic)
+      val (src, marginal) = (pick.getString(0), pick.getLong(1))
+      cum += marginal
+      steps = steps :+ ((step, src, marginal, cum))
+      selected = selected :+ src
+      val newCov = g.filter(col("source") === src).select(col("gk"))
+      covered = if (covered == null) newCov
+                else covered.unionByName(newCov).distinct()
+    }
+    import spark.implicits._
+    steps.toDF("step", "source", "marginal_grams", "cum_grams")
+      .crossJoin(broadcast(universe)) // 1-row universe count
+      .select(col("step").cast("long").as("step"), col("source"),
+        col("marginal_grams"), col("cum_grams"),
+        expr("cast(cum_grams * 1000000 div u as bigint)").as("coverage_ppm"))
+      .orderBy(col("step"))
+  }
+
+  val q368Oracle: String =
+    """WITH tok AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       raw AS (SELECT source, unnest(CASE WHEN len(ws) >= 2
+                 THEN list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || chr(1) || ws[i+1])
+                 ELSE [] END) AS bg FROM tok),
+       g AS (SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS gk FROM raw),
+       u AS (SELECT count(DISTINCT gk) AS u FROM g),
+       p1 AS (SELECT source, count(*) AS m FROM g GROUP BY 1
+              ORDER BY m DESC, source ASC LIMIT 1),
+       c1 AS (SELECT gk FROM g WHERE source = (SELECT source FROM p1)),
+       p2 AS (SELECT source, count(*) AS m FROM g
+              WHERE source <> (SELECT source FROM p1)
+                AND gk NOT IN (SELECT gk FROM c1)
+              GROUP BY 1 ORDER BY m DESC, source ASC LIMIT 1),
+       c2 AS (SELECT gk FROM c1 UNION
+              SELECT gk FROM g WHERE source = (SELECT source FROM p2)),
+       p3 AS (SELECT source, count(*) AS m FROM g
+              WHERE source NOT IN (SELECT source FROM p1 UNION SELECT source FROM p2)
+                AND gk NOT IN (SELECT gk FROM c2)
+              GROUP BY 1 ORDER BY m DESC, source ASC LIMIT 1),
+       c3 AS (SELECT gk FROM c2 UNION
+              SELECT gk FROM g WHERE source = (SELECT source FROM p3)),
+       p4 AS (SELECT source, count(*) AS m FROM g
+              WHERE source NOT IN (SELECT source FROM p1 UNION SELECT source FROM p2
+                                   UNION SELECT source FROM p3)
+                AND gk NOT IN (SELECT gk FROM c3)
+              GROUP BY 1 ORDER BY m DESC, source ASC LIMIT 1),
+       st AS (SELECT 1 AS step, source, m FROM p1
+              UNION ALL SELECT 2, source, m FROM p2
+              UNION ALL SELECT 3, source, m FROM p3
+              UNION ALL SELECT 4, source, m FROM p4),
+       cumt AS (SELECT step, source, m,
+                  sum(m) OVER (ORDER BY step) AS cum FROM st)
+       SELECT CAST(c.step AS BIGINT) AS step, c.source,
+         CAST(c.m AS BIGINT) AS marginal_grams,
+         CAST(c.cum AS BIGINT) AS cum_grams,
+         CAST(c.cum * 1000000 // u.u AS BIGINT) AS coverage_ppm
+       FROM cumt c, u ORDER BY c.step"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_coverage_selection" -> q368CoverageSelection _,
     "q366_selection_parity" -> q366SelectionParity _,
     "q350_domain_reweight" -> q350DomainReweight _,
     "q310_bucket_batching" -> q310BucketBatching _,
@@ -1280,6 +1379,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q368_coverage_selection" -> q368Oracle,
     "q366_selection_parity" -> q366Oracle,
     "q350_domain_reweight" -> q350Oracle,
     "q310_bucket_batching" -> q310Oracle,

@@ -1008,7 +1008,64 @@ object Profiling {
          CAST(max(cum_gap) AS BIGINT) AS max_gap_ppm
        FROM cum GROUP BY 1, 2 ORDER BY source"""
 
+  // ---------------------------------------------------------------- q369
+  /** EWMA anomaly trend over the daily order series — the smoothed-
+    * baseline detector between q124's rolling mean/σ and q343's CUSUM:
+    * an exponentially weighted moving average reacts faster than a flat
+    * window and, unlike CUSUM, tracks the level itself. The recurrence
+    * S_t = ½x_t + ½S_{t−1} is kept EXACT by truncating the geometric
+    * tail at 20 terms and never dividing inside the sum: the scaled form
+    * Σ_{k=0..19} x_{t−k}·2^(19−k) is a pure integer (weights are powers
+    * of two, the 21st term would carry weight < 10⁻⁶ of the first), and
+    * the µ-normalized EWMA divides ONCE by the exact weight mass
+    * 2²⁰−1. Deviation x_t·10⁶ − ewma_µ ranks the 10 most
+    * above-baseline days. The 20 lagged terms are literal lag() columns
+    * over the |days|-sized daily frame (the q343 argument — the date
+    * domain is fixed, independent of SF) after ONE orders scan; early
+    * days zero-pad exactly alike in both engines. Full oracle.
+    */
+  val Q369Terms = 20
+
+  def q369EwmaTrend(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .select(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val wD = Window.orderBy(col("day")) // |days|-sized frame (q343 argument)
+    val scaled = (0 until Q369Terms)
+      .map(k => coalesce(lag(col("x"), k).over(wD), lit(0L)) *
+        lit(1L << (Q369Terms - 1 - k)))
+      .reduce(_ + _)
+    val mass = (1L << Q369Terms) - 1L
+    daily
+      .withColumn("nd", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("scaled", scaled)
+      .withColumn("ewma_mu", expr(s"scaled * 1000000 div $mass"))
+      .withColumn("dev_mu", expr("x * 1000000 - ewma_mu"))
+      .orderBy(col("dev_mu").desc, col("day").asc).limit(10)
+      .select(col("day"), col("x"), col("ewma_mu"), col("dev_mu"), col("nd").as("n_days"))
+      .orderBy(col("dev_mu").desc, col("day").asc)
+  }
+
+  val q369Oracle: String = {
+    val terms = (0 until Q369Terms)
+      .map(k => s"COALESCE(lag(x, $k) OVER (ORDER BY day), 0) * ${1L << (Q369Terms - 1 - k)}")
+      .mkString(" + ")
+    val mass = (1L << Q369Terms) - 1L
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+                       FROM orders GROUP BY 1),
+       s AS (SELECT day, CAST(x AS BIGINT) AS x,
+               CAST(($terms) * 1000000 // $mass AS BIGINT) AS ewma_mu,
+               CAST(count(*) OVER () AS BIGINT) AS n_days
+             FROM daily)
+       SELECT day, x, ewma_mu,
+         CAST(x * 1000000 - ewma_mu AS BIGINT) AS dev_mu, n_days
+       FROM s ORDER BY dev_mu DESC, day ASC LIMIT 10"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_ewma_trend" -> q369EwmaTrend _,
     "q363_emd_drift" -> q363EmdDrift _,
     "q323_corpus_datasheet" -> q323CorpusDatasheet _,
     "q302_bootstrap_ci" -> q302BootstrapCi _,
@@ -1028,6 +1085,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q369_ewma_trend" -> q369Oracle,
     "q363_emd_drift" -> q363Oracle,
     "q323_corpus_datasheet" -> q323Oracle,
     "q302_bootstrap_ci" -> q302Oracle,

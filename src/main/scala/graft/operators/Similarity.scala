@@ -3608,7 +3608,93 @@ object Similarity {
        LEFT JOIN rc USING (qid) LEFT JOIN rs USING (qid)
        ORDER BY p.qid"""
 
+  // ---------------------------------------------------------------- q370
+  /** Cumulative GAINS / LIFT curve of the centroid scorer — the
+    * operational view q348's AUC abstracts away: AUC says HOW separable
+    * label 7 is, the gains chart says what a reviewer working down the
+    * ranked list actually gets ("the top decile holds 4.7× its share of
+    * positives"). Every vector is scored by its exact BIGINT dot with
+    * label 7's undivided centroid sum (the q348/q113 no-division trick),
+    * assigned a GLOBAL descending rank via the two-phase band form
+    * (negated shifted bands so ascending band order = descending score;
+    * per-band counts → broadcast offsets → band-local windows — never a
+    * corpus-wide sort task), and bucketed into rank deciles. Per decile:
+    * members, positives, cumulative positives, lift in exact ppm
+    * (cum_pos·N·10⁶ div (cum_n·P), DECIMAL(38,0)-guarded), and positive
+    * recall. The oracle replays the PLAIN global window rank — equality
+    * certifies the banded rewrite. Zero embeddings scans.
+    */
+  def q370GainsCurve(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 7L
+    val lf = pqLfTable(spark, d).filter(col("vec_id") < 900000L)
+    val labels = ivfAssignTable(spark, d)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    val cent = lf.join(labels, "vec_id").filter(col("lab") === L)
+      .groupBy(col("sub"), col("jj"))
+      .agg(expr("cast(sum(xq) as bigint)").as("s"))
+    val scores = lf.join(broadcast(cent), Seq("sub", "jj"))
+      .groupBy(col("vec_id"))
+      .agg(expr("cast(sum(xq * s) as bigint)").as("score"))
+      .join(labels, "vec_id")
+      .withColumn("pos", expr(s"cast(cast(lab = $L as int) as long)"))
+      .withColumn("band",
+        expr("-((score + 1152921504606846976) div 17592186044416)"))
+    val wB = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤ 2^17-band frame
+    val offsets = scores.groupBy(col("band")).agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("band"), col("off"))
+    val wL = Window.partitionBy(col("band"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val ranked = scores.join(broadcast(offsets), Seq("band"))
+      .withColumn("grank", col("off") + row_number().over(wL))
+    val tot = ranked.agg(count(lit(1)).as("nn"),
+      expr("cast(sum(pos) as bigint)").as("pp"))
+    val dec = ranked.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("decile", expr("(grank - 1) * 10 div nn"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), expr("cast(sum(pos) as bigint)").as("n_pos"),
+        min(col("nn")).as("nn"), min(col("pp")).as("pp"))
+    val wD = Window.orderBy(col("decile")) // 10-row frame
+    dec.withColumn("cum_n", sum(col("n")).over(wD))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wD))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        expr("""cast(cast(cum_pos as decimal(38,0)) * nn * 1000000
+                div (cast(cum_n as decimal(38,0)) * pp) as bigint)""").as("lift_ppm"),
+        expr("cast(cum_pos * 1000000 div pp as bigint)").as("recall_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  val q370Oracle: String =
+    """WITH lv AS (SELECT vec_id, r.j,
+             CAST(round(CAST(embedding[r.j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           FROM embeddings, range(64) r(j)),
+       lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings),
+       cent AS (SELECT l.j, CAST(sum(l.xq) AS BIGINT) AS s
+                FROM lv l JOIN lab b USING (vec_id) WHERE b.lab = 7 GROUP BY 1),
+       sc AS (SELECT l.vec_id, CAST(sum(l.xq * c.s) AS BIGINT) AS score
+              FROM lv l JOIN cent c ON c.j = l.j GROUP BY 1),
+       r AS (SELECT s.vec_id, s.score,
+               CASE WHEN b.lab = 7 THEN 1 ELSE 0 END AS pos,
+               row_number() OVER (ORDER BY s.score DESC, s.vec_id ASC) AS grank,
+               count(*) OVER () AS nn,
+               sum(CASE WHEN b.lab = 7 THEN 1 ELSE 0 END) OVER () AS pp
+             FROM sc s JOIN lab b USING (vec_id)),
+       d AS (SELECT (grank - 1) * 10 // nn AS decile, count(*) AS n,
+               sum(pos) AS n_pos, min(nn) AS nn, min(pp) AS pp
+             FROM r GROUP BY 1),
+       c AS (SELECT *, sum(n) OVER (ORDER BY decile) AS cum_n,
+               sum(n_pos) OVER (ORDER BY decile) AS cum_pos FROM d)
+       SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+         CAST(n_pos AS BIGINT) AS n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+         CAST(CAST(cum_pos AS HUGEINT) * nn * 1000000
+           // (CAST(cum_n AS HUGEINT) * pp) AS BIGINT) AS lift_ppm,
+         CAST(cum_pos * 1000000 // pp AS BIGINT) AS recall_ppm
+       FROM c ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_gains_curve" -> q370GainsCurve _,
     "q362_graph_walk_ann" -> q362GraphWalkAnn _,
     "q357_sq8_recall" -> q357Sq8Recall _,
     "q324_knn_maintain" -> q324KnnMaintain _,
@@ -3655,6 +3741,7 @@ object Similarity {
     "q113_similarity_quantized" -> q113QuantizedTopK _)
 
   val oracles: Map[String, String] = Map(
+    "q370_gains_curve" -> q370Oracle,
     "q362_graph_walk_ann" -> q362Oracle,
     "q357_sq8_recall" -> q357Oracle,
     "q324_knn_maintain" -> q324Oracle,

@@ -48,7 +48,8 @@ class Round10Spec extends SparkSuite {
   //    slice-sized (≤Q314Slice×3-long) label-round frames, q357's
   //    slice-sized 10-queries×vectors dot frame (read by 3 branches).
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
-  //    Profiling.scala 3 / Curation.scala 4 /
+  //    Profiling.scala 3 / Curation.scala 5 (incl. q368's vocab-sized
+  //    distinct (source, gram) frame read by all greedy rounds) /
   //    EventAnalytics.scala 5 / Cdc.scala 1: stratum-, QI-group-, source-,
   //    day-, users- or K-sized aggregate frames read by several branches.
   //  - SkewBenchWinnow.scala 3 / SkewBenchPacking.scala 1: the
@@ -78,7 +79,7 @@ class Round10Spec extends SparkSuite {
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 16,
       "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
-      "Curation.scala" -> 4, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
+      "Curation.scala" -> 5, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)
     assert(counts.toMap === audited,
       s"localCheckpoint inventory drifted — re-audit the new/removed pins " +

@@ -567,4 +567,101 @@ class Round11Spec extends SparkSuite {
         assert(r.getLong(4) === dfP.toLong * 1000000L / dfB)
     }
   }
+
+  // ------------------------------------------------------------- q368
+  test("q368: greedy coverage equals a single-process replay; marginals shrink") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val bySource: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.flatMap { case (_, t) =>
+        val ws = t.split(" ")
+        if (ws.length >= 2) ws.sliding(2).map(p => md5p(p(0) + "\u0001" + p(1)))
+        else Iterator.empty
+      }.toSet
+    }
+    var covered = Set.empty[Long]; var picked = List.empty[(String, Long)]
+    for (_ <- 1 to graft.operators.Curation.Q368Steps) {
+      val (src, m) = bySource.view
+        .filterKeys(s => !picked.exists(_._1 == s))
+        .map { case (s, g) => (s, (g -- covered).size.toLong) }
+        .toSeq.sortBy { case (s, m) => (-m, s) }.head
+      picked = picked :+ ((src, m))
+      covered = covered ++ bySource(src)
+    }
+    val universe = bySource.values.reduce(_ ++ _).size.toLong
+    val rows = graft.SparkEntry.queries("q368_coverage_selection")(spark, sf).collect()
+    assert(rows.length === 4)
+    var cum = 0L
+    rows.zip(picked).zipWithIndex.foreach { case ((r, (src, m)), i) =>
+      cum += m
+      assert(r.getLong(0) === i + 1L && r.getString(1) === src &&
+        r.getLong(2) === m && r.getLong(3) === cum,
+        s"greedy step ${i + 1} mismatch: $r vs ($src, $m, $cum)")
+      assert(r.getLong(4) === cum * 1000000L / universe)
+    }
+    // greedy max-coverage marginals are non-increasing (submodularity)
+    assert(rows.map(_.getLong(2)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  // ------------------------------------------------------------- q369
+  test("q369: EWMA replay matches day for day") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderdate AS DATE) as day")
+      .as[java.sql.Date].collect()
+      .groupBy(identity).map { case (d, g) => d.toString -> g.length.toLong }
+    val days = daily.keys.toSeq.sorted
+    val xs = days.map(daily)
+    val T = graft.operators.Profiling.Q369Terms
+    val mass = (1L << T) - 1L
+    val ewma = xs.indices.map { t =>
+      (0 until T).map(k =>
+        (if (t - k >= 0) xs(t - k) else 0L) * (1L << (T - 1 - k))).sum * 1000000L / mass
+    }
+    val expected = days.indices
+      .map(t => (days(t), xs(t), ewma(t), xs(t) * 1000000L - ewma(t)))
+      .sortBy { case (d, _, _, dev) => (-dev, d) }.take(10)
+    val rows = graft.SparkEntry.queries("q369_ewma_trend")(spark, sf).collect()
+    rows.zip(expected).foreach { case (r, (d, x, e, dev)) =>
+      assert(r.getDate(0).toString === d && r.getLong(1) === x &&
+        r.getLong(2) === e && r.getLong(3) === dev,
+        s"EWMA mismatch: $r vs ($d, $x, $e, $dev)")
+      assert(r.getLong(4) === days.length.toLong)
+    }
+  }
+
+  // ------------------------------------------------------------- q370
+  test("q370: decile gains replay from a brute global ranking") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint)) as xq",
+        "cast(label as bigint) as lab")
+      .as[(Long, Seq[Long], Long)].collect()
+    val s7 = vecs.filter(_._3 == 7L).map(_._2)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val scored = vecs.map { case (id, xq, lab) =>
+      (id, xq.zip(s7).map { case (x, s) => x * s }.sum, lab == 7L)
+    }.sortBy { case (id, sc, _) => (-sc, id) }
+    val nn = scored.length.toLong
+    val pp = scored.count(_._3).toLong
+    val perDecile = scored.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / nn }
+    val rows = graft.SparkEntry.queries("q370_gains_curve")(spark, sf).collect()
+    assert(rows.length === 10)
+    var cumN = 0L; var cumP = 0L
+    rows.foreach { r =>
+      val dec = r.getLong(0)
+      val mine = perDecile(dec)
+      cumN += mine.length; cumP += mine.count(_._1._3)
+      assert(r.getLong(1) === mine.length.toLong &&
+        r.getLong(2) === mine.count(_._1._3).toLong &&
+        r.getLong(3) === cumP, s"decile $dec mismatch: $r")
+      assert(r.getLong(4) === (BigInt(cumP) * nn * 1000000 / (BigInt(cumN) * pp)).toLong)
+      assert(r.getLong(5) === cumP * 1000000L / pp)
+    }
+    // the scorer must beat random at the top of the list
+    assert(rows.head.getLong(4) > 1000000L, "top decile shows no lift")
+  }
 }
