@@ -2439,6 +2439,30 @@ object Dedup {
        FROM geom g, cnt c"""
   }
 
+  /** The PERSISTED reference bloom filter over corpus TEXT hashes — the
+    * relational bitset (one row per set position, pos-bucketed so probe
+    * joins skip their exchange) that q372's streaming admission probes:
+    * key = md5-prefix hash of the document text (the one hash family
+    * both engines replay bit-for-bit), k = [[Q358K]] squared
+    * carter-wegman positions, m = 8n from the corpus count. Geometry
+    * (m_bits) rides every row so a probe needs no corpus rescan to
+    * recover it.
+    */
+  def bloomBitsTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "bloom_bits", d, Some(("pos", 8))) {
+      import spark.implicits._
+      val geom = Tables.documents(spark, d).agg(count(lit(1)).as("nd"))
+        .withColumn("m_bits", col("nd") * 8)
+      val seeds = Q358Seeds.toDF("ha", "hb")
+      Tables.documents(spark, d)
+        .select(expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("key"))
+        .crossJoin(broadcast(geom)) // 1-row geometry
+        .crossJoin(broadcast(seeds)) // k-row hash family
+        .withColumn("yy", expr(s"((key % $Q358P) * ha + hb) % $Q358P"))
+        .select(expr(s"yy * yy % $Q358P % m_bits").as("pos"), col("m_bits"))
+        .distinct()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q358_bloom_fpr_audit" -> q358BloomFprAudit _,
     "q328_dedup_funnel" -> q328DedupFunnel _,

@@ -1064,7 +1064,132 @@ object Profiling {
        FROM s ORDER BY dev_mu DESC, day ASC LIMIT 10"""
   }
 
+  // ---------------------------------------------------------------- q371
+  /** Minimal-GENERALIZATION search for k-anonymity — the step q251's
+    * risk profile feeds: q251 reports how re-identifiable a release is,
+    * this finds the COARSEST-necessary generalization (the Samarati
+    * lattice walk restricted to one attribute ladder): the account-
+    * balance band widens through {$100, $250, $500, $1000} until every
+    * band reaches k = 10, and the chosen width — the smallest that
+    * satisfies k — rides every row (−1 when even the widest fails). The
+    * interesting behavior is scale-dependent and real: more rows let a
+    * FINER release satisfy the same k, so the chosen width tightens as
+    * the table grows. Exact integers throughout: balances as cents
+    * shifted nonnegative before the truncating band division (negative
+    * balances would split a band between the two engines' division
+    * conventions otherwise). ONE table scan evaluates the whole ladder:
+    * each row explodes to its 4 candidate bands (a 4× map-side
+    * expansion of one small column, not 4 scans), one groupBy builds
+    * all four group frames, and the verdict windows run on the 4-row
+    * ladder frame. Full oracle.
+    */
+  val Q371K = 10L
+  val Q371Widths = Seq(10000L, 25000L, 50000L, 100000L) // cents
+
+  def q371GeneralizationSearch(spark: SparkSession, d: String): DataFrame = {
+    val widthsArr = Q371Widths.mkString("array(", ", ", ")")
+    val rows = Tables.customer(spark, d)
+      .select(expr("cast(round(c_acctbal * 100) as bigint) + 100000").as("bc"))
+      .select(col("bc"),
+        explode(expr(s"transform($widthsArr, w -> cast(w as bigint))")).as("w"))
+    val groups = rows.groupBy(col("w"), expr("bc div w").as("band"))
+      .agg(count(lit(1)).as("n"))
+    val ladder = groups.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_groups"),
+        expr("cast(min(n) as bigint)").as("min_group_size"),
+        expr(s"cast(coalesce(sum(CASE WHEN n < $Q371K THEN n END), 0) as bigint)")
+          .as("n_rows_at_risk"))
+      .withColumn("satisfied", col("min_group_size") >= Q371K)
+    val chosen = ladder
+      .withColumn("chosen_width", expr(
+        "min(CASE WHEN satisfied THEN w END) OVER ()")) // 4-row ladder frame
+    chosen.select(expr("w div 100").as("width_cents"), col("n_groups"),
+        col("min_group_size"), col("n_rows_at_risk"), col("satisfied"),
+        expr("coalesce(chosen_width div 100, cast(-1 as bigint))").as("chosen_width_cents"))
+      .orderBy(col("width_cents"))
+  }
+
+  val q371Oracle: String = {
+    val widths = Q371Widths.map(w => s"($w)").mkString(", ")
+    s"""WITH base AS (SELECT
+           CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS bc FROM customer),
+       ws(w) AS (VALUES $widths),
+       g AS (SELECT ws.w, b.bc // ws.w AS band, count(*) AS n
+             FROM base b, ws GROUP BY 1, 2),
+       ladder AS (SELECT w, count(*) AS n_groups,
+                    CAST(min(n) AS BIGINT) AS min_group_size,
+                    CAST(coalesce(sum(n) FILTER (n < $Q371K), 0) AS BIGINT) AS n_rows_at_risk,
+                    min(n) >= $Q371K AS satisfied
+                  FROM g GROUP BY 1),
+       ch AS (SELECT *, min(CASE WHEN satisfied THEN w END) OVER () AS cw FROM ladder)
+       SELECT CAST(w // 100 AS BIGINT) AS width_cents,
+         CAST(n_groups AS BIGINT) AS n_groups, min_group_size, n_rows_at_risk,
+         satisfied, CAST(coalesce(cw // 100, -1) AS BIGINT) AS chosen_width_cents
+       FROM ch ORDER BY width_cents"""
+  }
+
+  // ---------------------------------------------------------------- q373
+  /** XmR (individuals / moving-range) CONTROL CHART over the daily order
+    * series — the third classic SPC detector beside q343's CUSUM (drift)
+    * and q369's EWMA (level): Shewhart limits x̄ ± 2.66·M̄R flag
+    * individual out-of-control days, with the 2.66 constant the
+    * standard d2-derived factor for n=2 moving ranges. Everything stays
+    * exact-integer by CROSS-MULTIPLYING the limit test instead of
+    * dividing: |x_t·N − Σx| · Nmr · 1000 > 2660 · ΣMR · N (N days, Nmr
+    * = N−1 moving ranges) — no mean, no MRbar, no doubles. The moving
+    * range is one lag() on the |days|-sized daily frame (the q343
+    * argument) after ONE orders scan; readout = the 10 largest-
+    * deviation days with the corpus-wide out-of-control count on every
+    * row. Full oracle.
+    */
+  def q373XmrControlChart(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, d)
+      .select(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val wD = Window.orderBy(col("day")) // |days|-sized frame (q343 argument)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = daily
+      .withColumn("mr", abs(col("x") - lag(col("x"), 1).over(wD)))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("smr", sum(col("mr")).over(wAll))
+      .withColumn("nmr", count(col("mr")).over(wAll))
+      .withColumn("dev_scaled", expr("abs(x * nn - sx) * nmr * 1000"))
+      .withColumn("limit_scaled", expr("2660 * smr * nn"))
+      .withColumn("out", col("dev_scaled") > col("limit_scaled"))
+      .withColumn("n_out", expr(
+        "cast(sum(CASE WHEN dev_scaled > limit_scaled THEN 1 ELSE 0 END) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+    scored.orderBy(col("dev_scaled").desc, col("day").asc).limit(10)
+      .select(col("day"), col("x"), col("dev_scaled"), col("limit_scaled"),
+        col("out"), col("n_out"))
+      .orderBy(col("dev_scaled").desc, col("day").asc)
+  }
+
+  val q373Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+                      FROM orders GROUP BY 1),
+       m AS (SELECT day, CAST(x AS BIGINT) AS x,
+               abs(x - lag(x) OVER (ORDER BY day)) AS mr FROM daily),
+       s AS (SELECT day, x,
+               CAST(count(*) OVER () AS BIGINT) AS nn,
+               CAST(sum(x) OVER () AS BIGINT) AS sx,
+               CAST(sum(mr) OVER () AS BIGINT) AS smr,
+               CAST(count(mr) OVER () AS BIGINT) AS nmr
+             FROM m),
+       c AS (SELECT day, x,
+               CAST(abs(x * nn - sx) * nmr * 1000 AS BIGINT) AS dev_scaled,
+               CAST(2660 * smr * nn AS BIGINT) AS limit_scaled
+             FROM s),
+       f AS (SELECT *, dev_scaled > limit_scaled AS out,
+               CAST(sum(CASE WHEN dev_scaled > limit_scaled THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_out
+             FROM c)
+       SELECT day, x, dev_scaled, limit_scaled, out, n_out
+       FROM f ORDER BY dev_scaled DESC, day ASC LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_generalization_search" -> q371GeneralizationSearch _,
+    "q373_xmr_control_chart" -> q373XmrControlChart _,
     "q369_ewma_trend" -> q369EwmaTrend _,
     "q363_emd_drift" -> q363EmdDrift _,
     "q323_corpus_datasheet" -> q323CorpusDatasheet _,
@@ -1085,6 +1210,8 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q371_generalization_search" -> q371Oracle,
+    "q373_xmr_control_chart" -> q373Oracle,
     "q369_ewma_trend" -> q369Oracle,
     "q363_emd_drift" -> q363Oracle,
     "q323_corpus_datasheet" -> q323Oracle,

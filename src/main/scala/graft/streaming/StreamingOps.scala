@@ -1507,7 +1507,128 @@ object StreamingOps {
          x.p95_exact_cents
        FROM ex x JOIN bh b USING (event_type) ORDER BY x.event_type"""
 
+  // ---------------------------------------------------------------- q372
+  /** Streaming BLOOM admission — the cheapest member of the streaming
+    * dedup-admission family (q325 probes the winnowing index, q333 the
+    * RP-LSH index; production front doors put a bloom FIRST because one
+    * membership probe costs k position lookups against a sharded bitset,
+    * no text processing at all): each microbatch hashes its documents'
+    * text (md5-prefix — the oracle-replayable family), derives the k=5
+    * squared carter-wegman positions, and probes the PERSISTED
+    * pos-bucketed bloom bitset built from the reference corpus
+    * ([[graft.operators.Dedup.bloomBitsTable]]); a document with all k
+    * positions present is quarantined. The certificate is the bloom
+    * contract itself: NO false negatives — every planted exact copy
+    * MUST be rejected (hard-asserted in the output), while novels admit
+    * except for measured false positives. Per-batch state: none
+    * (stateless stream-static probe, the q213/q325 shape); the bitset
+    * side is k·n positions sharded by pos at any corpus size. Full
+    * oracle replays build, batch synthesis, hashing, and the probe.
+    */
+  def q372StreamBloomAdmission(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.operators.Dedup.{Q358P, Q358K, Q358Seeds}
+    val bits = graft.operators.Dedup.bloomBitsTable(spark, d)
+    val geom = bits.agg(min(col("m_bits")).as("m_bits")) // 1-row geometry
+    import spark.implicits._
+    val seeds = Q358Seeds.toDF("ha", "hb")
+    val base = graft.sources.Tables.documents(spark, d)
+    val copies = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        lit("copy").as("kind"))
+    val novel = base.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("""array_join(transform(sequence(0, 19),
+                 j -> concat('nv', cast(doc_id as string), 'x', cast(j as string))), ' ')""")
+          .as("text"),
+        lit("novel").as("kind"))
+    val tmp = graft.core.Scratch.dir("stream_bloom")
+    copies.unionByName(novel).repartition(2, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("kind", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val admitted = s"graft_q372_admitted_${graft.core.Utils.pathDigest(d)}"
+    graft.etl.Warehouse.dropManagedTable(spark, admitted)
+    spark.sql(s"CREATE TABLE $admitted (doc_id BIGINT, kind STRING) USING parquet")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val pos = b
+            .select(col("doc_id"),
+              expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("key"))
+            .crossJoin(broadcast(geom))
+            .crossJoin(broadcast(seeds))
+            .withColumn("yy", expr(s"((key % $Q358P) * ha + hb) % $Q358P"))
+            .withColumn("pos", expr(s"yy * yy % $Q358P % m_bits"))
+          val rejected = pos.join(bits.select(col("pos")), Seq("pos"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+            .filter(col("np") === Q358K)
+            .select(col("doc_id"))
+          b.join(rejected, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("kind"))
+            .write.mode("append").saveAsTable(admitted)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    copies.unionByName(novel)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
+      .join(spark.table(admitted).groupBy(col("kind"))
+        .agg(count(lit(1)).as("na")), Seq("kind"), "left")
+      .na.fill(0L, Seq("na"))
+      .select(col("kind"), col("n_seen"), col("na").as("n_admitted"),
+        (col("n_seen") - col("na")).as("n_rejected"),
+        expr("kind <> 'copy' OR n_seen - na = n_seen").as("certified"))
+      .orderBy(col("kind"))
+  }
+
+  val q372Oracle: String = {
+    import graft.operators.Dedup.{Q358P, Q358K, Q358Seeds}
+    val seedRows = Q358Seeds.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH n AS (SELECT count(*) * 8 AS m FROM documents),
+       seeds(ha, hb) AS (VALUES $seedRows),
+       bk AS (SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS key
+              FROM documents),
+       bits AS (SELECT DISTINCT yy * yy % $Q358P % m AS pos FROM
+                (SELECT ((bk.key % $Q358P) * s.ha + s.hb) % $Q358P AS yy, n.m
+                 FROM bk, seeds s, n)),
+       batch AS (SELECT doc_id + 2000000 AS doc_id, text, 'copy' AS kind
+                 FROM documents WHERE doc_id < 25
+                 UNION ALL
+                 SELECT doc_id + 3000000,
+                   array_to_string(list_transform(generate_series(0, 19),
+                     j -> 'nv' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' '),
+                   'novel'
+                 FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+       pk AS (SELECT doc_id, kind,
+                CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS key FROM batch),
+       pp AS (SELECT doc_id, kind, yy * yy % $Q358P % m AS pos FROM
+              (SELECT pk.doc_id, pk.kind,
+                 ((pk.key % $Q358P) * s.ha + s.hb) % $Q358P AS yy, n.m
+               FROM pk, seeds s, n)),
+       rej AS (SELECT doc_id FROM pp JOIN bits USING (pos)
+               GROUP BY doc_id HAVING count(*) = $Q358K),
+       res AS (SELECT b.kind, count(*) AS n_seen,
+                 count(*) FILTER (r.doc_id IS NULL) AS n_admitted
+               FROM batch b LEFT JOIN rej r ON r.doc_id = b.doc_id GROUP BY 1)
+       SELECT kind, CAST(n_seen AS BIGINT) AS n_seen,
+         CAST(n_admitted AS BIGINT) AS n_admitted,
+         CAST(n_seen - n_admitted AS BIGINT) AS n_rejected,
+         (kind <> 'copy' OR n_seen - n_admitted = n_seen) AS certified
+       FROM res ORDER BY kind"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_stream_bloom_admission" -> q372StreamBloomAdmission _,
     "q365_stream_quantile_monitor" -> q365StreamQuantileMonitor _,
     "q333_stream_lsh_admission" -> q333StreamLshAdmission _,
     "q325_stream_winnow_admission" -> q325StreamWinnowAdmission _,
@@ -1534,6 +1655,7 @@ object StreamingOps {
     "q110_stream_stream_join" -> q110StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q372_stream_bloom_admission" -> q372Oracle,
     "q365_stream_quantile_monitor" -> q365Oracle,
     "q333_stream_lsh_admission" -> q333Oracle,
     "q325_stream_winnow_admission" -> q325Oracle,

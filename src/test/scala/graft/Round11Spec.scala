@@ -664,4 +664,82 @@ class Round11Spec extends SparkSuite {
     // the scorer must beat random at the top of the list
     assert(rows.head.getLong(4) > 1000000L, "top decile shows no lift")
   }
+
+  // ------------------------------------------------------------- q371
+  test("q371: ladder verdicts replay from raw band counts") {
+    import spark.implicits._
+    val bcs = graft.sources.Tables.customer(spark, sf)
+      .selectExpr("cast(round(c_acctbal * 100) as bigint) + 100000 as bc")
+      .as[Long].collect()
+    val k = graft.operators.Profiling.Q371K
+    val perWidth = graft.operators.Profiling.Q371Widths.map { w =>
+      val groups = bcs.groupBy(_ / w).map(_._2.length.toLong)
+      (w, groups.size.toLong, groups.min,
+        groups.filter(_ < k).sum, groups.min >= k)
+    }
+    val chosen = perWidth.filter(_._5).map(_._1).sorted.headOption.getOrElse(-100L)
+    val rows = graft.SparkEntry.queries("q371_generalization_search")(spark, sf).collect()
+    rows.zip(perWidth).foreach { case (r, (w, ng, mn, risk, sat)) =>
+      assert(r.getLong(0) === w / 100 && r.getLong(1) === ng &&
+        r.getLong(2) === mn && r.getLong(3) === risk &&
+        r.getBoolean(4) === sat, s"ladder rung mismatch: $r vs ($w, $ng, $mn, $risk, $sat)")
+      assert(r.getLong(5) === chosen / 100, s"chosen width mismatch: $r")
+    }
+  }
+
+  // ------------------------------------------------------------- q372
+  test("q372: streamed bloom admission equals a brute bitset replay") {
+    import spark.implicits._
+    import graft.operators.Dedup.{Q358P, Q358Seeds}
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val m = texts.length * 8L
+    def pos(key: Long, a: Long, b: Long): Long = {
+      val y = ((key % Q358P) * a + b) % Q358P
+      y * y % Q358P % m
+    }
+    val bits = (for ((_, t) <- texts; (a, b) <- Q358Seeds)
+      yield pos(md5p(t), a, b)).toSet
+    def rejected(t: String): Boolean =
+      Q358Seeds.forall { case (a, b) => bits(pos(md5p(t), a, b)) }
+    val copies = texts.filter(_._1 < 25).map(_._2)
+    val novels = texts.filter(d => d._1 >= 25 && d._1 < 50).map { case (id, _) =>
+      (0 to 19).map(j => s"nv${id}x$j").mkString(" ")
+    }
+    assert(copies.forall(rejected), "bloom false negative — impossible by contract")
+    val expectedNovelRej = novels.count(rejected).toLong
+    val rows = graft.SparkEntry.queries("q372_stream_bloom_admission")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = rows("copy"); val n = rows("novel")
+    assert(c.getLong(1) === 25L && c.getLong(3) === 25L && c.getBoolean(4),
+      s"copy certificate broken: $c")
+    assert(n.getLong(1) === 25L && n.getLong(3) === expectedNovelRej,
+      s"novel FP count mismatch: $n vs $expectedNovelRej")
+  }
+
+  // ------------------------------------------------------------- q373
+  test("q373: XmR limits replay day for day") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderdate AS DATE) as day").as[java.sql.Date].collect()
+      .groupBy(_.toString).map { case (d, g) => d -> g.length.toLong }
+    val days = daily.keys.toSeq.sorted
+    val xs = days.map(daily)
+    val nn = xs.length.toLong; val sx = xs.sum
+    val mrs = xs.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+    val smr = mrs.sum; val nmr = mrs.length.toLong
+    val scored = days.indices.map { t =>
+      val dev = math.abs(xs(t) * nn - sx) * nmr * 1000
+      (days(t), xs(t), dev, 2660L * smr * nn)
+    }
+    val nOut = scored.count { case (_, _, d, l) => d > l }.toLong
+    val expected = scored.sortBy { case (d, _, dev, _) => (-dev, d) }.take(10)
+    val rows = graft.SparkEntry.queries("q373_xmr_control_chart")(spark, sf).collect()
+    rows.zip(expected).foreach { case (r, (d, x, dev, lim)) =>
+      assert(r.getDate(0).toString === d && r.getLong(1) === x &&
+        r.getLong(2) === dev && r.getLong(3) === lim,
+        s"XmR mismatch: $r vs ($d, $x, $dev, $lim)")
+      assert(r.getBoolean(4) === (dev > lim) && r.getLong(5) === nOut)
+    }
+  }
 }
