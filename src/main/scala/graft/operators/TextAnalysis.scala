@@ -3739,7 +3739,188 @@ object TextAnalysis {
        JOIN dfb b ON b.w1 = t.w1 AND b.w2 = t.w2
        ORDER BY t.n_occur DESC, phrase ASC"""
 
+  // ---------------------------------------------------------------- q374
+  /** Per-class PRECISION / RECALL / F1 for the naive-Bayes language
+    * classifier — the eval readout q238's raw confusion matrix feeds but
+    * never computes (and the one a model card actually prints): for each
+    * language, exact tp/fp/fn counts from the per-doc predictions, then
+    * precision, recall, and F1 in exact ppm — with F1 computed by the
+    * single-division identity 2·tp·10⁶ div (2·tp + fp + fn) so no
+    * truncated ratio ever divides another. Corpus-wide macro-F1 (mean
+    * of per-class F1s) and micro-F1 (= accuracy for single-label
+    * multiclass — the identity is real, not a shortcut) ride every row.
+    * One prediction pass (shared [[naiveBayesPredictions]] machinery),
+    * then K-row frames. Oracle reuses the q238 prediction prelude.
+    */
+  def q374ClassifierF1(spark: SparkSession, d: String): DataFrame = {
+    // ONE prediction pass: collapse to the K²-row confusion matrix first,
+    // then every tp/fp/fn rollup reads the tiny pinned frame — three lazy
+    // references to the raw prediction frame would re-run the whole NB
+    // corpus scan per consumer (measured 3.5 s → q238-parity without it)
+    val cm = naiveBayesPredictions(spark, d)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // K²-sized confusion matrix, read by 3 rollups
+    val classes = cm.select(col("lang_true").as("cls")).distinct()
+    val perClass = classes
+      .join(cm.groupBy(col("lang_true").as("cls_t"))
+        .agg(expr("cast(sum(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END) as bigint)").as("tp"),
+          expr("cast(sum(CASE WHEN lang_true <> lang_pred THEN n ELSE 0 END) as bigint)").as("fn")),
+        col("cls") === col("cls_t"), "left")
+      .join(cm.filter(col("lang_true") =!= col("lang_pred"))
+        .groupBy(col("lang_pred").as("cls_p"))
+        .agg(expr("cast(sum(n) as bigint)").as("fp")),
+        col("cls") === col("cls_p"), "left")
+      .na.fill(0L, Seq("tp", "fn", "fp"))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN tp + fp = 0 THEN cast(0 as bigint) ELSE tp * 1000000 div (tp + fp) END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN tp + fn = 0 THEN cast(0 as bigint) ELSE tp * 1000000 div (tp + fn) END"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN cast(0 as bigint) ELSE 2 * tp * 1000000 div (2 * tp + fp + fn) END"))
+    val global = perClass.agg(
+      expr("cast(sum(f1_ppm) div count(1) as bigint)").as("macro_f1_ppm"),
+      expr("cast(sum(tp) * 1000000 div (sum(tp) + sum(fn)) as bigint)")
+        .as("micro_f1_ppm"))
+    perClass.crossJoin(broadcast(global)) // 1-row corpus aggregates
+      .select(col("cls").as("lang"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"),
+        col("macro_f1_ppm"), col("micro_f1_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q374Oracle: String =
+    s"""WITH $nbOraclePrelude,
+       pc AS (SELECT lang_true AS cls,
+                CAST(count_if(lang_true = lang_pred) AS BIGINT) AS tp,
+                CAST(count_if(lang_true <> lang_pred) AS BIGINT) AS fn
+              FROM pred GROUP BY 1),
+       fpc AS (SELECT lang_pred AS cls, CAST(count(*) AS BIGINT) AS fp
+               FROM pred WHERE lang_true <> lang_pred GROUP BY 1),
+       m AS (SELECT pc.cls, pc.tp, COALESCE(f.fp, 0) AS fp, pc.fn,
+               CASE WHEN pc.tp + COALESCE(f.fp, 0) = 0 THEN 0
+                 ELSE pc.tp * 1000000 // (pc.tp + COALESCE(f.fp, 0)) END AS precision_ppm,
+               CASE WHEN pc.tp + pc.fn = 0 THEN 0
+                 ELSE pc.tp * 1000000 // (pc.tp + pc.fn) END AS recall_ppm,
+               CASE WHEN 2 * pc.tp + COALESCE(f.fp, 0) + pc.fn = 0 THEN 0
+                 ELSE 2 * pc.tp * 1000000 // (2 * pc.tp + COALESCE(f.fp, 0) + pc.fn) END AS f1_ppm
+             FROM pc LEFT JOIN fpc f ON f.cls = pc.cls),
+       g AS (SELECT CAST(sum(f1_ppm) // count(*) AS BIGINT) AS macro_f1_ppm,
+               CAST(sum(tp) * 1000000 // (sum(tp) + sum(fn)) AS BIGINT) AS micro_f1_ppm
+             FROM m)
+       SELECT m.cls AS lang, m.tp, m.fp, m.fn,
+         CAST(m.precision_ppm AS BIGINT) AS precision_ppm,
+         CAST(m.recall_ppm AS BIGINT) AS recall_ppm,
+         CAST(m.f1_ppm AS BIGINT) AS f1_ppm,
+         g.macro_f1_ppm, g.micro_f1_ppm
+       FROM m, g ORDER BY lang"""
+
+  // ---------------------------------------------------------------- q375
+  /** Build the positional-free INVERTED-INDEX artifact — the text-side
+    * member of the driven index family (q235 inverted lists, q240 bands,
+    * q316 winnowing, q332 RP-LSH, bloom bits): one corpus tokenize pass
+    * into (term-hash, doc_id, tf) postings, bucketed by term hash so
+    * every probe-side join on the term key skips its exchange. The
+    * acceptance summary pins the build: vocabulary size, posting count,
+    * token mass (= Σ tf, which must equal the corpus token count — the
+    * conservation certificate), the heaviest term's df, and a mod-p
+    * checksum over (term-hash × tf) pinning every stored cell. q376 is
+    * the pure probe. Full oracle replays tokenize + rollups.
+    */
+  def invIndexTable(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "inv_index", d, Some(("th", 8)))(
+      buildInvIndex(spark, d))
+
+  private def buildInvIndex(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), expr(md5l("t")).as("th"))
+      .groupBy(col("th"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  def q375BuildInvIndex(spark: SparkSession, d: String): DataFrame = {
+    val idx = Artifacts.rebuild(spark, "inv_index", d, Some(("th", 8)))(
+      buildInvIndex(spark, d))
+    idx.agg(
+        countDistinct(col("th")).as("vocab_size"),
+        count(lit(1)).as("n_postings"),
+        expr("cast(sum(tf) as bigint)").as("token_mass"),
+        expr("cast(sum(cast(th % 1000000007 * (tf % 1000000007) % 1000000007 as decimal(38,0))) % 1000000007 as bigint)")
+          .as("checksum"))
+      .crossJoin(broadcast(idx.groupBy(col("th")).agg(count(lit(1)).as("df"))
+        .agg(expr("cast(max(df) as bigint)").as("max_df")))) // 1-row rollup
+      .select(col("vocab_size"), col("n_postings"), col("token_mass"),
+        col("max_df"), col("checksum"))
+  }
+
+  val q375Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dfm AS (SELECT CAST(max(df) AS BIGINT) AS max_df FROM
+               (SELECT th, count(*) AS df FROM idx GROUP BY 1))
+       SELECT CAST(count(DISTINCT th) AS BIGINT) AS vocab_size,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(sum(tf) AS BIGINT) AS token_mass,
+         d.max_df,
+         CAST(sum(th % 1000000007 * (tf % 1000000007) % 1000000007) % 1000000007 AS BIGINT) AS checksum
+       FROM idx, dfm d GROUP BY d.max_df"""
+
+  // ---------------------------------------------------------------- q376
+  /** TF-IDF top-k served OFF THE STORED INDEX — the probe that justifies
+    * q375's build (the serving-path argument every index family makes:
+    * q51 probes lists, q320 buckets, q362 walks the graph — this one
+    * reads posting lists): the 3 highest-df terms (a deterministic,
+    * worst-case query — the LONGEST posting lists) are taken from the
+    * index's df rollup, idf is µ-quantized round(ln(N/df)·10⁶) (the
+    * model convention), and documents rank by Σ tf·idf_µ with doc-id
+    * ties. ZERO text scans at query time: the only corpus-table touch
+    * is the 1-row document count the idf needs; everything else rides
+    * the th-bucketed stored postings. Full oracle replays build, term
+    * selection, and scoring.
+    */
+  def q376IndexProbeTopk(spark: SparkSession, d: String): DataFrame = {
+    val idx = invIndexTable(spark, d)
+    val nDocs = Tables.documents(spark, d).agg(count(lit(1)).as("nd"))
+    val terms = idx.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("th").asc).limit(3)
+      .crossJoin(broadcast(nDocs)) // 1-row corpus count
+      .withColumn("idf_mu", expr(
+        "CAST(round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select(col("th"), col("idf_mu"))
+    idx.join(broadcast(terms), Seq("th"))
+      .groupBy(col("doc_id"))
+      .agg(expr("cast(sum(tf * idf_mu) as bigint)").as("score_mu"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc).limit(10)
+      .select(col("doc_id"), col("score_mu"), col("n_terms_matched"))
+      .orderBy(col("score_mu").desc, col("doc_id").asc)
+  }
+
+  val q376Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       nd AS (SELECT count(*) AS nd FROM documents),
+       terms AS (SELECT th,
+           CAST(round(ln(CAST(n.nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_mu
+         FROM (SELECT th, count(*) AS df FROM idx GROUP BY 1
+               ORDER BY df DESC, th ASC LIMIT 3), nd n)
+       SELECT i.doc_id, CAST(sum(i.tf * t.idf_mu) AS BIGINT) AS score_mu,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+       FROM idx i JOIN terms t ON t.th = i.th
+       GROUP BY i.doc_id ORDER BY score_mu DESC, i.doc_id ASC LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_classifier_f1" -> q374ClassifierF1 _,
+    "q375_build_inv_index" -> q375BuildInvIndex _,
+    "q376_index_probe_topk" -> q376IndexProbeTopk _,
     "q364_kneser_ney" -> q364KneserNey _,
     "q367_phrase_search" -> q367PhraseSearch _,
     "q329_active_learning" -> q329ActiveLearning _,
@@ -3795,6 +3976,9 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q374_classifier_f1" -> q374Oracle,
+    "q375_build_inv_index" -> q375Oracle,
+    "q376_index_probe_topk" -> q376Oracle,
     "q364_kneser_ney" -> q364Oracle,
     "q367_phrase_search" -> q367Oracle,
     "q329_active_learning" -> q329Oracle,

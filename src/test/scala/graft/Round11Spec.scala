@@ -742,4 +742,66 @@ class Round11Spec extends SparkSuite {
       assert(r.getBoolean(4) === (dev > lim) && r.getLong(5) === nOut)
     }
   }
+
+  // ------------------------------------------------------------- q374
+  test("q374: P/R/F1 identities replay from the prediction frame") {
+    import spark.implicits._
+    val preds = graft.operators.TextAnalysis.naiveBayesPredictions(spark, sf)
+      .select(col("lang_true"), col("lang_pred")).as[(String, String)].collect()
+    val classes = preds.map(_._1).distinct.sorted
+    val stats = classes.map { c =>
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      val fn = preds.count(p => p._1 == c && p._2 != c).toLong
+      val fp = preds.count(p => p._1 != c && p._2 == c).toLong
+      (c, tp, fp, fn, 2 * tp * 1000000L / (2 * tp + fp + fn))
+    }
+    val macroF1 = stats.map(_._5).sum / stats.length
+    val microF1 = stats.map(_._2).sum * 1000000L / preds.length
+    val rows = graft.SparkEntry.queries("q374_classifier_f1")(spark, sf).collect()
+    rows.zip(stats).foreach { case (r, (c, tp, fp, fn, f1)) =>
+      assert(r.getString(0) === c && r.getLong(1) === tp &&
+        r.getLong(2) === fp && r.getLong(3) === fn && r.getLong(6) === f1,
+        s"class $c mismatch: $r vs ($tp, $fp, $fn, $f1)")
+      assert(r.getLong(4) === tp * 1000000L / (tp + fp))
+      assert(r.getLong(5) === tp * 1000000L / (tp + fn))
+      assert(r.getLong(7) === macroF1 && r.getLong(8) === microF1)
+    }
+    // micro-F1 equals accuracy for single-label multiclass — the identity
+    assert(microF1 === preds.count(p => p._1 == p._2).toLong * 1000000L / preds.length)
+  }
+
+  // ------------------------------------------------------------- q375/q376
+  test("q375/q376: inverted index build and probe replay from raw tokens") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val postings = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (md5p(w), id))
+    }.groupBy(identity).map { case ((th, id), g) => (th, id, g.length.toLong) }.toSeq
+    val b = graft.SparkEntry.queries("q375_build_inv_index")(spark, sf).collect()(0)
+    assert(b.getLong(0) === postings.map(_._1).distinct.length.toLong)
+    assert(b.getLong(1) === postings.length.toLong)
+    assert(b.getLong(2) === postings.map(_._3).sum)
+    // token-mass conservation: Σ tf must equal the corpus token count
+    assert(b.getLong(2) === docs.map(_._2.split(" ").count(_.nonEmpty)).sum.toLong)
+    val dfs = postings.groupBy(_._1).map { case (th, g) => th -> g.size.toLong }
+    assert(b.getLong(3) === dfs.values.max)
+    val p = 1000000007L
+    assert(b.getLong(4) === postings.map { case (th, _, tf) =>
+      BigInt(th % p * (tf % p) % p) }.sum.mod(BigInt(p)).toLong)
+    // probe: top-3 df terms, tf-idf scores, top-10 docs
+    val terms = dfs.toSeq.sortBy { case (th, df) => (-df, th) }.take(3).map {
+      case (th, df) =>
+        th -> math.round(math.log(docs.length.toDouble / df) * 1000000)
+    }.toMap
+    val scores = postings.filter(pt => terms.contains(pt._1))
+      .groupBy(_._2).map { case (id, g) =>
+        (id, g.map(pt => pt._3 * terms(pt._1)).sum, g.size.toLong)
+      }.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val rows = graft.SparkEntry.queries("q376_index_probe_topk")(spark, sf).collect()
+    rows.zip(scores).foreach { case (r, (id, s, m)) =>
+      assert(r.getLong(0) === id && r.getLong(1) === s && r.getLong(2) === m,
+        s"probe mismatch: $r vs ($id, $s, $m)")
+    }
+  }
 }
