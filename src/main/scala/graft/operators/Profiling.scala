@@ -1187,7 +1187,195 @@ object Profiling {
        SELECT day, x, dev_scaled, limit_scaled, out, n_out
        FROM f ORDER BY dev_scaled DESC, day ASC LIMIT 10"""
 
+  // ---------------------------------------------------------------- q378
+  /** BENFORD first-significant-digit audit over order totals — the classic
+    * fabricated-data / upstream-bug detector the SPC family (q343/q369/
+    * q373) can't express: naturally-generated multiplicative amounts put
+    * ~30.1% of first digits at 1, and a generator that draws uniforms (or
+    * a partner that invents rows) flattens the curve. Everything exact:
+    * the first digit reads off the cents' decimal string (no logs on the
+    * data side), observed shares are truncating-ppm, and the NINE expected
+    * Benford masses are the integer literals round(log10(1+1/d)·10⁶) —
+    * which sum to exactly 1 000 000, so the two distributions live on the
+    * same integer simplex and the L1 distance needs no normalization. One
+    * orders scan → 9-row frame; per-digit |obs−exp| plus the corpus L1 on
+    * every row (0.06 = the conventional "conform" bound on MAD·9 scale
+    * stays a consumer-side call). LEFT JOIN from the digit frame so an
+    * absent digit (the strongest possible signal) still reports. Full
+    * oracle.
+    */
+  def q378BenfordAudit(spark: SparkSession, d: String): DataFrame = {
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("long").as("digit"),
+        expr("CAST(element_at(array(301030,176091,124939,96910,79181,66947,57992,51153,45757), cast(id as int)) AS BIGINT)")
+          .as("exp_ppm"))
+    val obs = Tables.orders(spark, d)
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val n = Tables.orders(spark, d).agg(count(lit(1)).as("nn"))
+    val m = broadcast(digits).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(n)) // 1-row corpus count
+      .select(col("digit"), expr("cast(cnt as bigint)").as("n"),
+        expr("CAST(cnt * 1000000 div nn AS BIGINT)").as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", expr("CAST(abs(obs_ppm - exp_ppm) AS BIGINT)"))
+    m.withColumn("total_dev_ppm", expr(
+        "CAST(sum(dev_ppm) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"))
+      .orderBy(col("digit"))
+  }
+
+  val q378Oracle: String =
+    """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                  FROM orders),
+       nt AS (SELECT count(*) AS nn FROM c),
+       o AS (SELECT digit, count(*) AS cnt FROM c GROUP BY 1),
+       e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+               (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+               (9, 45757)) t(digit, exp_ppm)),
+       m AS (SELECT CAST(e.digit AS BIGINT) AS digit,
+               CAST(coalesce(o.cnt, 0) AS BIGINT) AS n,
+               CAST(coalesce(o.cnt, 0) * 1000000 // nn AS BIGINT) AS obs_ppm,
+               CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+             FROM e LEFT JOIN o ON o.digit = e.digit CROSS JOIN nt)
+       SELECT digit, n, obs_ppm, exp_ppm,
+         CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm,
+         CAST(sum(abs(obs_ppm - exp_ppm)) OVER () AS BIGINT) AS total_dev_ppm
+       FROM m ORDER BY digit"""
+
+  // ---------------------------------------------------------------- q379
+  /** KMV (k-minimum-values) distinct-cardinality sketch, audited against
+    * the exact count — the third cardinality estimator beside HLL (q10's
+    * approx_count_distinct, q120's register merge, q312's streaming
+    * monitor), and the one whose state is USABLE set samples rather than
+    * opaque registers. Domain: distinct stride-4 8-char shingles per
+    * source — the number that sizes a winnowing/MinHash fingerprint index
+    * (q305/q316) and is genuinely expensive to count exactly at corpus
+    * scale (the stride keeps the domain corpus-proportional at a quarter
+    * of the hash cost — the sketch estimates whatever domain it is fed,
+    * so the stride is a cost knob, not an accuracy one; 5.5→2.1 s at
+    * sf0.1 measured). The
+    * estimator path never builds the distinct set: dense_rank ≤ K over
+    * the shingle-hash stream is Catalyst's WindowGroupLimit shape, so
+    * each input partition forwards at most K distinct hashes per source
+    * (map-side k-min merge — the KMV merge property expressed as a plan),
+    * and est = (K−1)·2⁶⁰ div h_K in DECIMAL(38,0). The exact
+    * count(DISTINCT) rides ONLY as the audit (at 100 TB you ship the
+    * estimator; the audit certifies it at test scale). K=64 → expected
+    * error ~1/√62 ≈ 13%. Full oracle replays hash, rank, and estimate.
+    */
+  val KmvK = 64
+
+  def q379KmvDistinct(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, d)
+      .select(col("source"), explode(expr(
+        """CASE WHEN length(text) >= 8
+           THEN transform(sequence(1, length(text) - 7, 4), i -> substring(text, i, 8))
+           ELSE array() END""")).as("s"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hv").asc)
+    val hk = sh.withColumn("dr", dense_rank().over(w))
+      .filter(col("dr") <= lit(KmvK)).filter(col("dr") === lit(KmvK))
+      .groupBy(col("source")).agg(max(col("hv")).as("h_k"))
+    val exact = sh.groupBy(col("source"))
+      .agg(countDistinct(col("hv")).as("n_exact"))
+    exact.join(hk, "source")
+      .withColumn("est_kmv", expr(
+        s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * 1152921504606846976 div h_k AS BIGINT)"))
+      .withColumn("err_ppm", expr(
+        "CAST(CAST(abs(est_kmv - n_exact) AS DECIMAL(38,0)) * 1000000 div n_exact AS BIGINT)"))
+      .select(col("source"), col("n_exact"), col("h_k"), col("est_kmv"),
+        col("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q379Oracle: String =
+    s"""WITH sh AS (SELECT source,
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv
+         FROM (SELECT source, unnest(list_transform(
+                 generate_series(1, greatest(len(text) - 7, 0), 4),
+                 i -> substr(text, i, 8))) AS s FROM documents)),
+       dd AS (SELECT DISTINCT source, hv FROM sh),
+       r AS (SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+             FROM dd),
+       k AS (SELECT source, hv AS h_k FROM r WHERE rn = $KmvK),
+       e AS (SELECT source, CAST(count(DISTINCT hv) AS BIGINT) AS n_exact
+             FROM sh GROUP BY 1),
+       m AS (SELECT e.source, e.n_exact, k.h_k,
+               CAST(CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976 // k.h_k AS BIGINT) AS est_kmv
+             FROM e JOIN k ON k.source = e.source)
+       SELECT source, n_exact, h_k, est_kmv,
+         CAST(CAST(abs(est_kmv - n_exact) AS HUGEINT) * 1000000 // n_exact AS BIGINT) AS err_ppm
+       FROM m ORDER BY source"""
+
+  // ---------------------------------------------------------------- q380
+  /** Weekday SEASONAL-INDEX decomposition of the daily revenue series —
+    * the adjustment every detector in the SPC family (q343/q369/q373)
+    * silently needs: a Saturday that books 40% less than Monday is not an
+    * anomaly, it's seasonality, and flagging raw deviations confounds the
+    * two. Classical ratio-to-mean decomposition kept exact by never
+    * materializing a mean: the weekday index is the cross-multiplied
+    * ratio idx_w = (s_w·N_days·10⁶) div (n_w·s_tot) (weekday daily mean
+    * over corpus daily mean, DECIMAL(38,0)), and each day's seasonally-
+    * adjusted surprise is ratio_d = (rev_d·n_w·10⁶) div s_w — the day
+    * against its OWN weekday's mean, so a strong Saturday ranks above a
+    * merely-average Monday. One orders scan → |days| frame (the q343
+    * argument); 7-row index; top-10 surprise days with the index extremes
+    * riding every row. Full oracle.
+    */
+  def q380SeasonalIndex(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(spark, d)
+      .select(expr("CAST(o_orderdate AS DATE)").as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .groupBy(col("day")).agg(expr("cast(sum(cents) as bigint)").as("rev"))
+      .withColumn("wd", expr("cast(dayofweek(day) - 1 as bigint)"))
+    val wdAgg = daily.groupBy(col("wd")).agg(count(lit(1)).as("n_w"),
+      expr("cast(sum(rev) as bigint)").as("s_w"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      expr("cast(sum(rev) as bigint)").as("s_tot"))
+    val idx = wdAgg.crossJoin(broadcast(tot)) // 1-row corpus totals
+      .withColumn("idx_ppm", expr(
+        "CAST(CAST(s_w AS DECIMAL(38,0)) * n_days * 1000000 div (CAST(n_w AS DECIMAL(38,0)) * s_tot) AS BIGINT)"))
+    val iex = idx.agg(expr("cast(max(idx_ppm) as bigint)").as("max_idx_ppm"),
+      expr("cast(min(idx_ppm) as bigint)").as("min_idx_ppm"))
+    daily.join(broadcast(idx.select(col("wd"), col("n_w"), col("s_w"), col("idx_ppm"))), "wd")
+      .withColumn("ratio_ppm", expr(
+        "CAST(CAST(rev AS DECIMAL(38,0)) * n_w * 1000000 div s_w AS BIGINT)"))
+      .crossJoin(broadcast(iex)) // 1-row index extremes
+      .orderBy(col("ratio_ppm").desc, col("day").asc).limit(10)
+      .select(col("day"), col("wd"), col("rev"), col("idx_ppm"),
+        col("ratio_ppm"), col("max_idx_ppm"), col("min_idx_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("day").asc)
+  }
+
+  val q380Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+         FROM orders GROUP BY 1),
+       dd AS (SELECT day, rev, CAST(dayofweek(day) AS BIGINT) AS wd FROM daily),
+       w AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_w,
+               CAST(sum(rev) AS BIGINT) AS s_w FROM dd GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(rev) AS BIGINT) AS s_tot FROM dd),
+       i AS (SELECT wd, n_w, s_w,
+               CAST(CAST(s_w AS HUGEINT) * n_days * 1000000 // (CAST(n_w AS HUGEINT) * s_tot) AS BIGINT) AS idx_ppm
+             FROM w, t),
+       x AS (SELECT CAST(max(idx_ppm) AS BIGINT) AS max_idx_ppm,
+               CAST(min(idx_ppm) AS BIGINT) AS min_idx_ppm FROM i)
+       SELECT dd.day, dd.wd, dd.rev, i.idx_ppm,
+         CAST(CAST(dd.rev AS HUGEINT) * i.n_w * 1000000 // i.s_w AS BIGINT) AS ratio_ppm,
+         x.max_idx_ppm, x.min_idx_ppm
+       FROM dd JOIN i ON i.wd = dd.wd, x
+       ORDER BY ratio_ppm DESC, day ASC LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q378_benford_audit" -> q378BenfordAudit _,
+    "q379_kmv_distinct" -> q379KmvDistinct _,
+    "q380_seasonal_index" -> q380SeasonalIndex _,
     "q371_generalization_search" -> q371GeneralizationSearch _,
     "q373_xmr_control_chart" -> q373XmrControlChart _,
     "q369_ewma_trend" -> q369EwmaTrend _,
@@ -1210,6 +1398,9 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q378_benford_audit" -> q378Oracle,
+    "q379_kmv_distinct" -> q379Oracle,
+    "q380_seasonal_index" -> q380Oracle,
     "q371_generalization_search" -> q371Oracle,
     "q373_xmr_control_chart" -> q373Oracle,
     "q369_ewma_trend" -> q369Oracle,

@@ -3917,7 +3917,91 @@ object TextAnalysis {
        FROM idx i JOIN terms t ON t.th = i.th
        GROUP BY i.doc_id ORDER BY score_mu DESC, i.doc_id ASC LIMIT 10"""
 
+  // ---------------------------------------------------------------- q377
+  /** Incremental MAINTENANCE of the q375 inverted-index artifact — the
+    * nightly index refresh without a corpus re-scan (the q250/q242/q324
+    * probe-don't-rebuild contract, now for the text index): the stored
+    * (th, doc_id, tf) postings are themselves the sufficient statistics,
+    * and a batch with fresh doc_ids merges by plain UNION — no full-outer,
+    * no recount. The batch mirrors q250's: 10 exact re-crawls of docs 0–9
+    * under shifted ids (known terms gain postings) + 5 disjoint-alphabet
+    * fresh docs with repeated tokens (15 unseen terms, tf>1 exercised).
+    * Readout: vocab before/after, new-term count (an anti-join probe of
+    * the th-bucketed stored index — batch-sized, exchange-free on th),
+    * batch posting/token mass, merged mass (conservation: stored + batch),
+    * and the q375 mod-p checksum over every merged cell. The oracle
+    * rebuilds the merged index FROM SCRATCH over base∪batch — equality is
+    * the certificate that delta-merge ≡ rebuild. Report-only: the shared
+    * artifact is not mutated.
+    */
+  def q377InvIndexMaintain(spark: SparkSession, d: String): DataFrame = {
+    val stored = invIndexTable(spark, d)
+    val batch = Tables.documents(spark, d).filter(col("doc_id") < 10)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      .unionByName(spark.range(5)
+        .select((col("id") + 8000000L).as("doc_id"),
+          expr("concat('ivq', id, 'a ivq', id, 'b ivq', id, 'c ivq', id, 'a ivq', id, 'b')")
+            .as("text")))
+    val bp = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), expr(md5l("t")).as("th"))
+      .groupBy(col("th"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // batch-sized postings; read by merge + 2 delta stats
+    val merged = stored.select(col("th"), col("doc_id"), col("tf"))
+      .unionByName(bp)
+    val mstats = merged.agg(
+      countDistinct(col("th")).as("vocab_after"),
+      expr("cast(sum(tf) as bigint)").as("merged_token_mass"),
+      expr("cast(sum(cast(th % 1000000007 * (tf % 1000000007) % 1000000007 as decimal(38,0))) % 1000000007 as bigint)")
+        .as("merged_checksum"))
+    val bstats = bp.agg(count(lit(1)).as("n_batch_postings"),
+      expr("cast(sum(tf) as bigint)").as("batch_token_mass"))
+    val newTerms = bp.select(col("th")).distinct()
+      .join(stored.select(col("th")).distinct(), Seq("th"), "left_anti")
+      .agg(count(lit(1)).as("n_new_terms"))
+    stored.agg(countDistinct(col("th")).as("vocab_before"))
+      .crossJoin(broadcast(mstats)) // 1-row rollups
+      .crossJoin(broadcast(newTerms))
+      .crossJoin(broadcast(bstats))
+      .select(col("vocab_before"), col("vocab_after"), col("n_new_terms"),
+        col("n_batch_postings"), col("batch_token_mass"),
+        col("merged_token_mass"), col("merged_checksum"))
+  }
+
+  val q377Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       bdocs AS (SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id < 10
+                 UNION ALL
+                 SELECT i + 8000000, 'ivq'||i||'a ivq'||i||'b ivq'||i||'c ivq'||i||'a ivq'||i||'b'
+                 FROM generate_series(0, 4) t(i)),
+       btok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM bdocs)
+         WHERE t <> ''),
+       bp AS (SELECT th, doc_id, count(*) AS tf FROM btok GROUP BY 1, 2),
+       merged AS (SELECT * FROM idx UNION ALL SELECT * FROM bp),
+       vb AS (SELECT CAST(count(DISTINCT th) AS BIGINT) AS vocab_before FROM idx),
+       ms AS (SELECT CAST(count(DISTINCT th) AS BIGINT) AS vocab_after,
+                CAST(sum(tf) AS BIGINT) AS merged_token_mass,
+                CAST(sum(th % 1000000007 * (tf % 1000000007) % 1000000007) % 1000000007 AS BIGINT) AS merged_checksum
+              FROM merged),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_new_terms FROM
+                (SELECT DISTINCT th FROM bp) b
+              WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.th = b.th)),
+       bs AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_postings,
+                CAST(sum(tf) AS BIGINT) AS batch_token_mass FROM bp)
+       SELECT vb.vocab_before, ms.vocab_after, nt.n_new_terms,
+         bs.n_batch_postings, bs.batch_token_mass, ms.merged_token_mass,
+         ms.merged_checksum
+       FROM vb, ms, nt, bs"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_inv_index_maintain" -> q377InvIndexMaintain _,
     "q374_classifier_f1" -> q374ClassifierF1 _,
     "q375_build_inv_index" -> q375BuildInvIndex _,
     "q376_index_probe_topk" -> q376IndexProbeTopk _,
@@ -3976,6 +4060,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q377_inv_index_maintain" -> q377Oracle,
     "q374_classifier_f1" -> q374Oracle,
     "q375_build_inv_index" -> q375Oracle,
     "q376_index_probe_topk" -> q376Oracle,

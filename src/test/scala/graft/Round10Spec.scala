@@ -40,8 +40,9 @@ class Round10Spec extends SparkSuite {
   //  - Dedup.scala 10: star-contraction edge frames (shrink per round),
   //    band/batch fixtures and admission batches (batch-sized), funnel
   //    stage outputs (batch-sized).
-  //  - TextAnalysis.scala 17: vocab-sized LM/BPE round frames, 1-row
-  //    argmax pins, probe streams (config-count rows), q374's K²-sized
+  //  - TextAnalysis.scala 18: vocab-sized LM/BPE round frames, 1-row
+  //    argmax pins, probe streams (config-count rows), batch-sized q377
+  //    maintenance postings, q374's K²-sized
   //    confusion matrix (read by 3 rollups).
   //  - Similarity.scala 17: K-row centroid/codebook rounds, ≤20-row probe
   //    sets, 10-row query frames, vec-count×2-long k-center rounds
@@ -78,7 +79,7 @@ class Round10Spec extends SparkSuite {
     assert(offenders.isEmpty,
       s"localCheckpoint pin audit failures:\n${offenders.mkString("\n")}")
     val audited = Map(
-      "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 17,
+      "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 18,
       "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
       "Curation.scala" -> 5, "EventAnalytics.scala" -> 5, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)

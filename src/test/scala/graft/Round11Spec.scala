@@ -804,4 +804,117 @@ class Round11Spec extends SparkSuite {
         s"probe mismatch: $r vs ($id, $s, $m)")
     }
   }
+
+  // ------------------------------------------------------------- q377
+  test("q377: delta-merged index equals the from-scratch rebuild over base+batch") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def postings(ds: Seq[(Long, String)]): Map[(Long, Long), Long] =
+      ds.flatMap { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).map(w => (md5p(w), id))
+      }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val base = postings(docs)
+    val batchDocs = docs.filter(_._1 < 10).map { case (id, t) => (id + 7000000L, t) } ++
+      (0 until 5).map(i => (i + 8000000L,
+        s"ivq${i}a ivq${i}b ivq${i}c ivq${i}a ivq${i}b"))
+    val bp = postings(batchDocs)
+    val merged = base ++ bp // doc_ids disjoint: union IS the merge
+    assert(merged.size === base.size + bp.size)
+    val p = 1000000007L
+    val r = graft.SparkEntry.queries("q377_inv_index_maintain")(spark, sf).collect()(0)
+    assert(r.getLong(0) === base.keys.map(_._1).toSet.size.toLong, "vocab_before")
+    assert(r.getLong(1) === merged.keys.map(_._1).toSet.size.toLong, "vocab_after")
+    assert(r.getLong(2) ===
+      (bp.keys.map(_._1).toSet -- base.keys.map(_._1).toSet).size.toLong, "n_new_terms")
+    assert(r.getLong(2) === 15L, "fresh docs carry exactly 15 unseen terms")
+    assert(r.getLong(3) === bp.size.toLong && r.getLong(4) === bp.values.sum)
+    assert(r.getLong(5) === merged.values.sum, "mass conservation")
+    assert(r.getLong(6) === merged.map { case ((th, _), tf) =>
+      BigInt(th % p * (tf % p) % p) }.sum.mod(BigInt(p)).toLong, "checksum")
+  }
+
+  // ------------------------------------------------------------- q378
+  test("q378: Benford masses sum to exactly 1e6 and per-digit devs replay") {
+    import spark.implicits._
+    val exp = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+    assert(exp.values.sum === 1000000L, "Benford ppm masses are a partition of 1e6")
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)")).as[Long].collect()
+    val n = cents.length.toLong
+    val cnt = cents.groupBy(c => c.toString.head.asDigit.toLong)
+      .map { case (dg, g) => dg -> g.length.toLong }
+    val devs = (1L to 9L).map(dg => math.abs(cnt.getOrElse(dg, 0L) * 1000000L / n - exp(dg)))
+    val rows = graft.SparkEntry.queries("q378_benford_audit")(spark, sf).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val dg = r.getLong(0)
+      assert(r.getLong(1) === cnt.getOrElse(dg, 0L))
+      assert(r.getLong(2) === cnt.getOrElse(dg, 0L) * 1000000L / n)
+      assert(r.getLong(3) === exp(dg))
+      assert(r.getLong(4) === devs(dg.toInt - 1))
+      assert(r.getLong(5) === devs.sum)
+    }
+  }
+
+  // ------------------------------------------------------------- q379
+  test("q379: KMV h_k is the 64th smallest distinct shingle hash; plan keeps WindowGroupLimit") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val bySource = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap { case (_, t) =>
+        (0 to t.length - 8 by 4).map(i => md5p(t.substring(i, i + 8)))
+      }.toSet
+    }
+    val m = BigInt(1152921504606846976L) // 2^60
+    val rows = graft.SparkEntry.queries("q379_kmv_distinct")(spark, sf).collect()
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val hs = bySource(r.getString(0))
+      assert(r.getLong(1) === hs.size.toLong, "exact distinct")
+      val hk = hs.toSeq.sorted.apply(63)
+      assert(r.getLong(2) === hk, "64th smallest distinct hash")
+      val est = (BigInt(63) * m / hk).toLong
+      assert(r.getLong(3) === est)
+      assert(r.getLong(4) === (BigInt((est - hs.size).abs) * 1000000 / hs.size).toLong)
+      // the estimator's contract at K=64: within ~3 std errors (40%)
+      assert(r.getLong(4) < 400000L, s"KMV est off by ${r.getLong(4)} ppm")
+    }
+    // the estimator path must keep Catalyst's WindowGroupLimit shape —
+    // that partial per-partition k-min IS the KMV merge property
+    val plan = graft.operators.Profiling.q379KmvDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "dense_rank<=K must prune map-side")
+  }
+
+  // ------------------------------------------------------------- q380
+  test("q380: weekday index and seasonally-adjusted surprise replay day-for-day") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .select(expr("CAST(o_orderdate AS DATE)"), expr("cast(round(o_totalprice * 100) as bigint)"))
+      .as[(java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (dy, g) => (dy, g.map(_._2).sum) }.toSeq
+    def wd(d: java.sql.Date): Long = d.toLocalDate.getDayOfWeek.getValue % 7
+    val byWd = daily.groupBy(x => wd(x._1)).map { case (w, g) =>
+      w -> (g.size.toLong, g.map(_._2).sum)
+    }
+    val (nDays, sTot) = (daily.size.toLong, daily.map(_._2).sum)
+    val idx = byWd.map { case (w, (nw, sw)) =>
+      w -> (BigInt(sw) * nDays * 1000000 / (BigInt(nw) * sTot)).toLong
+    }
+    val surprise = daily.map { case (dy, rev) =>
+      val (nw, sw) = byWd(wd(dy))
+      (dy, rev, (BigInt(rev) * nw * 1000000 / sw).toLong)
+    }.sortBy { case (dy, _, r) => (-r, dy.getTime) }.take(10)
+    val rows = graft.SparkEntry.queries("q380_seasonal_index")(spark, sf).collect()
+    rows.zip(surprise).foreach { case (r, (dy, rev, ratio)) =>
+      assert(r.getDate(0) === dy && r.getLong(2) === rev && r.getLong(4) === ratio,
+        s"surprise mismatch: $r vs ($dy, $rev, $ratio)")
+      assert(r.getLong(1) === wd(dy))
+      assert(r.getLong(3) === idx(wd(dy)))
+      assert(r.getLong(5) === idx.values.max && r.getLong(6) === idx.values.min)
+    }
+  }
 }
