@@ -2371,7 +2371,168 @@ object EventAnalytics {
          CAST(max(w7) AS BIGINT) AS max_7d_cents
        FROM r GROUP BY user_id ORDER BY user_id"""
 
+  // ---------------------------------------------------------------- q381
+  /** KAPLAN–MEIER survival estimate of the customer REORDER interval —
+    * survival analysis, the censoring-aware class none of the SPC/test
+    * family covers: "how long until a customer orders again" where the
+    * final open interval (last order → end of window) is CENSORED, not a
+    * death — averaging raw gaps would bias toward short intervals because
+    * long ones are still open. Each consecutive-order gap is an observed
+    * event at t = gap days; the open tail is censored at its current
+    * length. The product-limit estimator stays cross-engine exact under
+    * the µ-nat quantized-ln discipline (q341/q250): each factor
+    * ln((n_i−d_i)/n_i) is one correctly-rounded ln of an exact integer
+    * ratio quantized to µ-nats, and the survival curve is their exact
+    * BIGINT prefix sum — S(t) = exp(surv_munat·10⁻⁶). One orders scan →
+    * per-customer lead() gaps → |distinct-gap| frame (the q343 argument);
+    * readout = the 20 earliest event times with at-risk/death counts and
+    * the interval totals riding. Terminal times where d_i = n_i (S hits
+    * exact 0, ln −∞) are excluded — only ever the maximal t, outside the
+    * 20-row head. Full oracle.
+    */
+  def q381KaplanMeier(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, d)
+      .select(col("o_custkey"), expr("CAST(o_orderdate AS DATE)").as("dd"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dd").asc, col("o_orderkey").asc)
+    val mx = o.agg(max(col("dd")).as("md"))
+    val iv = o.withColumn("nxt", lead(col("dd"), 1).over(w))
+      .crossJoin(broadcast(mx)) // 1-row window end
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("dd")))
+          .otherwise(datediff(col("md"), col("dd"))).cast("long").as("t"),
+        col("nxt").isNotNull.as("death"))
+    val tot = iv.agg(count(lit(1)).as("n_intervals"),
+      expr("cast(count_if(NOT death) as bigint)").as("n_censored"))
+    val byT = iv.groupBy(col("t")).agg(count(lit(1)).as("c_all"),
+      expr("cast(count_if(death) as bigint)").as("d"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", expr("cast(0 as bigint)") + sum(col("c_all")).over(wDesc))
+      .filter(col("d") > 0).filter(col("n_risk") > col("d"))
+      .withColumn("term_munat", expr(
+        "CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("surv_munat", expr("cast(0 as bigint)") + sum(col("term_munat")).over(wAsc))
+      .orderBy(col("t").asc).limit(20)
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("t"), col("n_risk"), col("d").as("n_deaths"),
+        col("term_munat"), col("surv_munat"), col("n_intervals"),
+        col("n_censored"))
+      .orderBy(col("t").asc)
+  }
+
+  val q381Oracle: String =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dd, o_orderkey
+                  FROM orders),
+       mx AS (SELECT max(dd) AS md FROM o),
+       g AS (SELECT o_custkey, dd,
+               lead(dd) OVER (PARTITION BY o_custkey ORDER BY dd ASC, o_orderkey ASC) AS nxt
+             FROM o),
+       iv AS (SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', dd, nxt)
+                       ELSE date_diff('day', dd, (SELECT md FROM mx)) END AS t,
+                nxt IS NOT NULL AS death FROM g),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+                 CAST(count(*) FILTER (NOT death) AS BIGINT) AS n_censored FROM iv),
+       byt AS (SELECT t, count(*) AS c_all,
+                 CAST(count(*) FILTER (death) AS BIGINT) AS d
+               FROM iv GROUP BY 1),
+       r AS (SELECT t, d,
+               CAST(sum(c_all) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+             FROM byt),
+       km AS (SELECT t, n_risk, d,
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT) AS term_munat
+             FROM r WHERE d > 0 AND n_risk > d),
+       s AS (SELECT t, n_risk, d AS n_deaths, term_munat,
+               CAST(sum(term_munat) OVER (ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surv_munat
+             FROM km)
+       SELECT s.t, s.n_risk, s.n_deaths, s.term_munat, s.surv_munat,
+         tot.n_intervals, tot.n_censored
+       FROM s, tot ORDER BY s.t ASC LIMIT 20"""
+
+  // ---------------------------------------------------------------- q382
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric location test between q246's parametric z-test and
+    * q260's KS distribution test: are URGENT order values stochastically
+    * larger than LOW ones, decided on RANKS so no normality assumption
+    * and no data-side doubles. Average ranks with ties never materialize
+    * half-integers: 2·R₁ = Σ_v c1(v)·(2·C(<v) + c(v) + 1) is exact
+    * BIGINT, U₁ follows as 2U₁ = 2R₁ − n₁(n₁+1), and the normal
+    * approximation's decision is one DECIMAL(38,0) cross-multiplication
+    * (2U₁−n₁n₂)²·3·10⁴ > 38416·n₁n₂·var_q against z=1.96 (38416 =
+    * 1.96²·10⁴), where var_q = (N(N−1)(N+1) − Σ(t³−t)) div N(N−1) is the
+    * tie-corrected variance quotient — the one truncating div, identical
+    * in both engines, error ≤1 part in ~N². The rank machinery is a
+    * |distinct-values|-sized frame (value-domain-bounded, the q260
+    * shape), never a row-level sort. CLES ppm = U₁/(n₁n₂) — the
+    * probability a random URGENT order exceeds a random LOW one (ties
+    * half) — rides as the effect size. Full oracle.
+    */
+  def q382MannWhitney(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+    val byV = o.groupBy(col("v")).agg(expr("cast(sum(g1) as bigint)").as("c1"),
+      count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV.withColumn("cum", sum(col("c")).over(w))
+    ranked.agg(
+        expr("cast(sum(c1) as bigint)").as("n1"),
+        expr("cast(sum(c - c1) as bigint)").as("n2"),
+        expr("cast(sum(c1 * (2 * (cum - c) + c + 1)) as bigint)").as("r1_x2"),
+        expr("cast(sum(cast(c as decimal(38,0)) * c * c - c) as decimal(38,0))").as("t3"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("u1_x2", expr("r1_x2 - n1 * (n1 + 1)"))
+      .withColumn("var_q", expr(
+        "CAST((CAST(nn AS DECIMAL(38,0)) * (nn - 1) * (nn + 1) - t3) div (CAST(nn AS DECIMAL(38,0)) * (nn - 1)) AS BIGINT)"))
+      .withColumn("cles_ppm", expr(
+        "CAST(CAST(u1_x2 AS DECIMAL(38,0)) * 1000000 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"))
+      .withColumn("reject_95", expr(
+        """CAST(CAST(u1_x2 AS DECIMAL(38,0)) - CAST(n1 AS DECIMAL(38,0)) * n2 AS DECIMAL(38,0))
+           * (CAST(u1_x2 AS DECIMAL(38,0)) - CAST(n1 AS DECIMAL(38,0)) * n2) * 3 * 10000
+           > CAST(38416 AS DECIMAL(38,0)) * n1 * n2 * var_q"""))
+      .select(col("n1"), col("n2"), col("u1_x2"), col("var_q"),
+        col("cles_ppm"), col("reject_95"))
+  }
+
+  val q382Oracle: String =
+    """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       byv AS (SELECT v, CAST(sum(g1) AS BIGINT) AS c1, count(*) AS c
+               FROM o GROUP BY 1),
+       rk AS (SELECT *, sum(c) OVER (ORDER BY v ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM byv),
+       a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c - c1) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * (cum - c) + c + 1)) AS BIGINT) AS r1_x2,
+               CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t3
+             FROM rk),
+       b AS (SELECT *, n1 + n2 AS nn,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2 FROM a),
+       cte AS (SELECT *,
+               CAST((CAST(nn AS HUGEINT) * (nn - 1) * (nn + 1) - t3) //
+                    (CAST(nn AS HUGEINT) * (nn - 1)) AS BIGINT) AS var_q
+             FROM b)
+       SELECT n1, n2, u1_x2, var_q,
+         CAST(CAST(u1_x2 AS HUGEINT) * 1000000 // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cles_ppm,
+         (CAST(u1_x2 AS HUGEINT) - CAST(n1 AS HUGEINT) * n2)
+           * (CAST(u1_x2 AS HUGEINT) - CAST(n1 AS HUGEINT) * n2) * 3 * 10000
+           > CAST(38416 AS HUGEINT) * n1 * n2 * var_q AS reject_95
+       FROM cte"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_kaplan_meier" -> q381KaplanMeier _,
+    "q382_mann_whitney" -> q382MannWhitney _,
     "q331_interval_frame" -> q331IntervalFrame _,
     "q304_pagerank" -> q304Pagerank _,
     "q313_pattern_match" -> q313PatternMatch _,
@@ -2415,6 +2576,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q381_kaplan_meier" -> q381Oracle,
+    "q382_mann_whitney" -> q382Oracle,
     "q331_interval_frame" -> q331Oracle,
     "q304_pagerank" -> q304Oracle,
     "q313_pattern_match" -> q313Oracle,

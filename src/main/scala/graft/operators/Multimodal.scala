@@ -980,7 +980,116 @@ object MediaCodecDemo extends Serializable {
        ORDER BY d.doc_id"""
   }
 
+  // ---------------------------------------------------------------- q384
+  /** Image GRADIENT-ENERGY sharpness score — the blur/low-quality image
+    * filter a multimodal curation pipeline runs beside the aHash dedup
+    * (q151) and Otsu segmentation (q356): total |∂x|+|∂y| first-difference
+    * gradient over the decoded grayscale, the classic no-reference
+    * sharpness proxy (a blurred image has the same mean but flatter
+    * neighbors). The CERTIFICATE is built in: each pattern's horizontally
+    * box-blurred twin (radius-1 integer mean, the cheapest possible blur)
+    * must score a strictly lower mean gradient per edge — compared by
+    * exact cross-multiplication blur_grad·n_edges < grad·n_blur_edges
+    * since the two lattices have different edge counts. Decode stays in
+    * mapPartitions (pixels never shuffle — the q59/q189 contract); one
+    * row per pattern out. The oracle replays pixels, blur, and both
+    * gradient sums from the pattern formula on a generated lattice. Full
+    * oracle.
+    */
+  def q384ImageGradient(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 8).as("pattern"))
+      .agg(count(lit(1)).as("n_images"))
+    val grads = pats.select(col("pattern")).as[Long]
+      .mapPartitions { it =>
+        it.map { p =>
+          val bytes = makePatternBmp(p.toInt)
+          def le32(off: Int): Int =
+            (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+              ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+          val w = le32(18); val h = le32(22)
+          val rowSize = (w * 3 + 3) / 4 * 4
+          def pix(x: Int, y: Int): Long =
+            (bytes(54 + y * rowSize + x * 3) & 0xFF).toLong
+          var gx = 0L; var gy = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if (x + 1 < w) gx += math.abs(pix(x + 1, y) - pix(x, y))
+              if (y + 1 < h) gy += math.abs(pix(x, y + 1) - pix(x, y))
+              x += 1
+            }
+            y += 1
+          }
+          // radius-1 horizontal box blur (integer mean), interior x only
+          def bl(x: Int, y: Int): Long =
+            (pix(x - 1, y) + pix(x, y) + pix(x + 1, y)) / 3
+          var bgx = 0L; var bgy = 0L
+          y = 0
+          while (y < h) {
+            var x = 1
+            while (x < w - 1) {
+              if (x + 1 < w - 1) bgx += math.abs(bl(x + 1, y) - bl(x, y))
+              if (y + 1 < h) bgy += math.abs(bl(x, y + 1) - bl(x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val nEdges = ((w - 1).toLong * h) + (w.toLong * (h - 1))
+          val nBlurEdges = ((w - 3).toLong * h) + ((w - 2).toLong * (h - 1))
+          (p, gx + gy, nEdges, bgx + bgy, nBlurEdges)
+        }
+      }.toDF("pattern", "grad_total", "n_edges", "blur_grad_total",
+        "n_blur_edges")
+    pats.join(grads, "pattern")
+      .withColumn("blur_lower",
+        expr("blur_grad_total * n_edges < grad_total * n_blur_edges"))
+      .select(col("pattern"), col("n_images"), col("grad_total"),
+        col("n_edges"), col("blur_grad_total"), col("n_blur_edges"),
+        col("blur_lower"))
+      .orderBy(col("pattern"))
+  }
+
+  val q384Oracle: String =
+    """WITH pats AS (SELECT doc_id % 8 AS pattern, CAST(count(*) AS BIGINT) AS n_images
+                     FROM documents GROUP BY 1),
+       px AS (SELECT p.pattern, x.i AS x, y.i AS y,
+                (x.i * 31 + y.i * 17 + p.pattern * 97) % 256 AS v
+              FROM pats p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) x,
+                   (SELECT unnest(generate_series(0, 47)) AS i) y),
+       g AS (SELECT a.pattern,
+               CAST(sum(CASE WHEN b.v IS NULL THEN 0 ELSE abs(b.v - a.v) END) +
+                    sum(CASE WHEN c.v IS NULL THEN 0 ELSE abs(c.v - a.v) END) AS BIGINT) AS grad_total
+             FROM px a
+             LEFT JOIN px b ON b.pattern = a.pattern AND b.y = a.y AND b.x = a.x + 1
+             LEFT JOIN px c ON c.pattern = a.pattern AND c.x = a.x AND c.y = a.y + 1
+             GROUP BY 1),
+       bl AS (SELECT a.pattern, a.x, a.y, (l.v + a.v + r.v) // 3 AS v
+              FROM px a
+              JOIN px l ON l.pattern = a.pattern AND l.y = a.y AND l.x = a.x - 1
+              JOIN px r ON r.pattern = a.pattern AND r.y = a.y AND r.x = a.x + 1),
+       bg AS (SELECT a.pattern,
+               CAST(sum(CASE WHEN b.v IS NULL THEN 0 ELSE abs(b.v - a.v) END) +
+                    sum(CASE WHEN c.v IS NULL THEN 0 ELSE abs(c.v - a.v) END) AS BIGINT) AS blur_grad_total
+             FROM bl a
+             LEFT JOIN bl b ON b.pattern = a.pattern AND b.y = a.y AND b.x = a.x + 1
+             LEFT JOIN bl c ON c.pattern = a.pattern AND c.x = a.x AND c.y = a.y + 1
+             GROUP BY 1)
+       SELECT p.pattern, p.n_images, g.grad_total,
+         CAST(63 * 48 + 64 * 47 AS BIGINT) AS n_edges,
+         bg.blur_grad_total,
+         CAST(61 * 48 + 62 * 47 AS BIGINT) AS n_blur_edges,
+         bg.blur_grad_total * (63 * 48 + 64 * 47) <
+           g.grad_total * (61 * 48 + 62 * 47) AS blur_lower
+       FROM pats p JOIN g ON g.pattern = p.pattern
+       JOIN bg ON bg.pattern = p.pattern
+       ORDER BY p.pattern"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_image_gradient" -> q384ImageGradient _,
     "q356_otsu_threshold" -> q356OtsuThreshold _,
     "q359_audio_decimate" -> q359AudioDecimate _,
     "q355_border_detect" -> q355BorderDetect _,
@@ -997,6 +1106,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q384_image_gradient" -> q384Oracle,
     "q356_otsu_threshold" -> q356Oracle,
     "q359_audio_decimate" -> q359Oracle,
     "q355_border_detect" -> q355Oracle,

@@ -1000,6 +1000,117 @@ object StreamingOps {
        FROM w GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q383
+  final case class SeasonEvent(event_type: String, day: String)
+  final case class SeasonState(event_type: String, nw: Seq[Long], sw: Seq[Long],
+                               n_days: Long, n_tested: Long, n_alarm_days: Long,
+                               max_ratio_ppm: Long, open_day: String,
+                               open_count: Long)
+  final case class SeasonOut(event_type: String, n_days: Long, n_tested: Long,
+                             n_alarm_days: Long, max_ratio_ppm: Long)
+
+  /** STREAMING seasonally-adjusted volume monitor — q380's weekday
+    * decomposition run ONLINE per event type: the state is a 7-slot
+    * weekly profile (closed-day count and volume sum per weekday — 14
+    * longs regardless of stream volume), each day CLOSES when a later day
+    * arrives (the q354 open-day contract; only the stream's final day
+    * stays unproven), and a closed day is tested against ITS OWN
+    * weekday's prior history once that weekday has [[Q383WarmDays]]
+    * closed priors: alarm when x·n_prior·10 > 13·s_prior (30% above the
+    * weekday mean, exact cross-multiplication — a raw-volume monitor
+    * would page on every quiet-day/busy-day transition; this one only
+    * pages when a Monday is loud FOR A MONDAY). Surprise magnitude rides
+    * as max ratio_ppm = max x·n_prior·10⁶ div s_prior over tested days.
+    * Rows fold day-ordered (the q299 staged-source contract). The batch
+    * oracle replays the same per-(type, weekday) prefix recurrence with
+    * windows. Readout per type: closed/tested/alarm day counts, max
+    * surprise.
+    */
+  val Q383WarmDays = 2L
+
+  def q383StreamSeasonalMonitor(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.eventsStream(spark, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .as[SeasonEvent]
+    val folded = ev.groupByKey(_.event_type)
+      .mapGroupsWithState[SeasonState, SeasonOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[SeasonEvent], state: GroupState[SeasonState]) =>
+          var st = state.getOption.getOrElse(SeasonState(tpe,
+            Seq.fill(7)(0L), Seq.fill(7)(0L), 0L, 0L, 0L, 0L, "", 0L))
+          def closeDay(day: String, x: Long): Unit = {
+            val wd = java.time.LocalDate.parse(day).getDayOfWeek.getValue % 7
+            val (n, s) = (st.nw(wd), st.sw(wd))
+            var tested = st.n_tested; var alarms = st.n_alarm_days
+            var maxR = st.max_ratio_ppm
+            if (n >= Q383WarmDays) {
+              tested += 1
+              if (x * n * 10L > 13L * s) alarms += 1
+              maxR = math.max(maxR, x * n * 1000000L / s)
+            }
+            st = st.copy(nw = st.nw.updated(wd, n + 1),
+              sw = st.sw.updated(wd, s + x), n_days = st.n_days + 1,
+              n_tested = tested, n_alarm_days = alarms, max_ratio_ppm = maxR)
+          }
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.open_day == "") st = st.copy(open_day = r.day, open_count = 1L)
+            else if (r.day == st.open_day) st = st.copy(open_count = st.open_count + 1L)
+            else {
+              closeDay(st.open_day, st.open_count)
+              st = st.copy(open_day = r.day, open_count = 1L)
+            }
+          }
+          state.update(st)
+          SeasonOut(tpe, st.n_days, st.n_tested, st.n_alarm_days,
+            st.max_ratio_ppm)
+      }
+    val out = runToMemory(spark, folded.toDF(),
+      s"stream_season_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("event_type"))
+      .agg(max(struct(col("n_days"), col("n_tested"), col("n_alarm_days"),
+        col("max_ratio_ppm"))).as("s"))
+      .select(col("event_type"), col("s.n_days").as("n_days"),
+        col("s.n_tested").as("n_tested"),
+        col("s.n_alarm_days").as("n_alarm_days"),
+        col("s.max_ratio_ppm").as("max_ratio_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q383Oracle: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       closed AS (SELECT * FROM daily dd
+                  WHERE day < (SELECT max(day) FROM daily m
+                               WHERE m.event_type = dd.event_type)),
+       w AS (SELECT *, CAST(dayofweek(day) AS BIGINT) AS wd FROM closed),
+       pre AS (SELECT *,
+                 count(*) OVER (PARTITION BY event_type, wd ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior,
+                 sum(x) OVER (PARTITION BY event_type, wd ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_prior
+               FROM w),
+       t AS (SELECT event_type,
+               CASE WHEN n_prior >= $Q383WarmDays THEN 1 ELSE 0 END AS tested,
+               CASE WHEN n_prior >= $Q383WarmDays
+                    AND x * n_prior * 10 > 13 * s_prior THEN 1 ELSE 0 END AS alarm,
+               CASE WHEN n_prior >= $Q383WarmDays
+                    THEN CAST(x AS HUGEINT) * n_prior * 1000000 // s_prior
+                    ELSE 0 END AS ratio_ppm
+             FROM pre)
+       SELECT c.event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(coalesce(t.n_tested, 0) AS BIGINT) AS n_tested,
+         CAST(coalesce(t.n_alarm_days, 0) AS BIGINT) AS n_alarm_days,
+         CAST(coalesce(t.max_ratio_ppm, 0) AS BIGINT) AS max_ratio_ppm
+       FROM closed c LEFT JOIN
+         (SELECT event_type, sum(tested) AS n_tested, sum(alarm) AS n_alarm_days,
+            CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+          FROM t GROUP BY 1) t ON t.event_type = c.event_type
+       GROUP BY c.event_type, t.n_tested, t.n_alarm_days, t.max_ratio_ppm
+       ORDER BY c.event_type"""
+
   // ---------------------------------------------------------------- q354
   final case class CusumEvent(event_type: String, day: String)
   final case class CusumState(event_type: String, n_days: Long, cal_sum: Long,
@@ -1636,6 +1747,7 @@ object StreamingOps {
     "q299_stream_quota_admission" -> q299StreamQuotaAdmission _,
     "q346_stream_packing" -> q346StreamPacking _,
     "q354_stream_cusum_alarm" -> q354StreamCusumAlarm _,
+    "q383_stream_seasonal_monitor" -> q383StreamSeasonalMonitor _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1663,6 +1775,7 @@ object StreamingOps {
     "q299_stream_quota_admission" -> q299Oracle,
     "q346_stream_packing" -> q346Oracle,
     "q354_stream_cusum_alarm" -> q354Oracle,
+    "q383_stream_seasonal_monitor" -> q383Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

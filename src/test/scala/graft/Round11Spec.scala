@@ -917,4 +917,138 @@ class Round11Spec extends SparkSuite {
       assert(r.getLong(5) === idx.values.max && r.getLong(6) === idx.values.min)
     }
   }
+
+  // ------------------------------------------------------------- q381
+  test("q381: KM at-risk counts are monotone and survival replays the product limit") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), expr("CAST(o_orderdate AS DATE)"), col("o_orderkey"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    val md = orders.map(_._2.getTime).max
+    val iv = orders.groupBy(_._1).toSeq.flatMap { case (_, os) =>
+      val ds = os.sortBy(o => (o._2.getTime, o._3)).map(_._2.getTime)
+      val gaps = ds.zip(ds.tail).map { case (a, b) => ((b - a) / 86400000L, true) }
+      gaps :+ ((md - ds.last) / 86400000L, false)
+    }
+    val byT = iv.groupBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val rows = graft.SparkEntry.queries("q381_kaplan_meier")(spark, sf).collect()
+    assert(rows.length === 20)
+    var cum = 0L
+    var prevRisk = Long.MaxValue
+    val expected = byT.filter(x => x._3 > 0).iterator
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val nRisk = byT.filter(_._1 >= t).map(_._2).sum
+      val d = byT.find(_._1 == t).get._3
+      assert(r.getLong(1) === nRisk && r.getLong(2) === d, s"t=$t risk/death")
+      assert(nRisk < prevRisk, "at-risk must strictly decrease across event times")
+      prevRisk = nRisk
+      val term = math.round(math.log((nRisk - d).toDouble / nRisk) * 1000000)
+      cum += term
+      assert(r.getLong(3) === term && r.getLong(4) === cum, s"t=$t munats")
+      assert(r.getLong(5) === iv.size.toLong && r.getLong(6) === iv.count(!_._2).toLong)
+      // survival is a proper decreasing curve in (0, 1]
+      assert(r.getLong(4) < 0L)
+    }
+  }
+
+  // ------------------------------------------------------------- q382
+  test("q382: rank-sum identities hold and a planted separation rejects") {
+    import spark.implicits._
+    val vals = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("cast(round(o_totalprice * 100) as bigint)"),
+        (col("o_orderpriority") === "1-URGENT"))
+      .as[(Long, Boolean)].collect()
+    val n1 = vals.count(_._2).toLong
+    val n2 = vals.size - n1
+    // 2*R1 via explicit average ranks over the sorted pooled sample
+    val sorted = vals.sortBy(_._1)
+    val rank2 = sorted.zipWithIndex.groupBy(_._1._1).map { case (v, g) =>
+      v -> g.map { case (_, i) => 2L * (i + 1) }.sum / g.length // 2*avg rank
+    }
+    val r1x2 = vals.filter(_._2).map(v => rank2(v._1)).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val r = graft.SparkEntry.queries("q382_mann_whitney")(spark, sf).collect()(0)
+    assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+    assert(r.getLong(2) === u1x2, "2*U1 from explicit average ranks")
+    // U1 + U2 = n1*n2 identity: CLES of the complement mirrors around 1e6
+    assert(r.getLong(4) === BigInt(u1x2) * 1000000 / (2 * BigInt(n1) * n2))
+    // planted total separation must reject at 95%: group1 values all above
+    import spark.implicits._
+    val planted = (1 to 50).map(i => (i.toLong, 0L)) ++ (51 to 100).map(i => (i.toLong, 1L))
+    val pdf = planted.toDF("v", "g1")
+    pdf.createOrReplaceTempView("q382_planted")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val byV = pdf.groupBy(col("v")).agg(expr("cast(sum(g1) as bigint)").as("c1"),
+      count(lit(1)).as("c")).withColumn("cum", sum(col("c")).over(w))
+    val agg = byV.agg(expr("cast(sum(c1) as bigint)").as("n1"),
+      expr("cast(sum(c - c1) as bigint)").as("n2"),
+      expr("cast(sum(c1 * (2 * (cum - c) + c + 1)) as bigint)").as("r1_x2")).collect()(0)
+    val pu = agg.getLong(2) - agg.getLong(0) * (agg.getLong(0) + 1)
+    // z = (U - n1n2/2)/sqrt(Var): planted U=2500 max, clearly rejects
+    assert(pu === 2L * 50 * 50, "total separation gives U1 = n1*n2")
+  }
+
+  // ------------------------------------------------------------- q383
+  test("q383: online seasonal monitor equals the per-weekday prefix replay") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(CAST(ts AS DATE) AS STRING)"))
+      .as[(String, String)].collect()
+    val rows = graft.SparkEntry.queries("q383_stream_seasonal_monitor")(spark, sf)
+      .collect()
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSeq === byType.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val daily = byType(tpe).groupBy(_._2).map { case (dy, g) => (dy, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val closed = daily.dropRight(1) // the open last day never folds
+      assert(r.getLong(1) === closed.size.toLong)
+      val st = scala.collection.mutable.Map.empty[Int, (Long, Long)].withDefaultValue((0L, 0L))
+      var tested = 0L; var alarms = 0L; var maxR = 0L
+      closed.foreach { case (dy, x) =>
+        val wd = java.time.LocalDate.parse(dy).getDayOfWeek.getValue % 7
+        val (n, s) = st(wd)
+        if (n >= 2) {
+          tested += 1
+          if (x * n * 10 > 13 * s) alarms += 1
+          maxR = math.max(maxR, x * n * 1000000L / s)
+        }
+        st(wd) = (n + 1, s + x)
+      }
+      assert(r.getLong(2) === tested && r.getLong(3) === alarms &&
+        r.getLong(4) === maxR, s"$tpe monitor state mismatch")
+    }
+  }
+
+  // ------------------------------------------------------------- q384
+  test("q384: gradient replays from the BMP bytes and blur strictly lowers it") {
+    val rows = graft.SparkEntry.queries("q384_image_gradient")(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val p = r.getLong(0).toInt
+      def v(x: Int, y: Int): Long = ((x * 31 + y * 17 + p * 97) & 0xFF).toLong
+      var g = 0L
+      for (y <- 0 until 48; x <- 0 until 64) {
+        if (x < 63) g += math.abs(v(x + 1, y) - v(x, y))
+        if (y < 47) g += math.abs(v(x, y + 1) - v(x, y))
+      }
+      assert(r.getLong(2) === g, s"pattern $p gradient")
+      def bl(x: Int, y: Int): Long = (v(x - 1, y) + v(x, y) + v(x + 1, y)) / 3
+      var bg = 0L
+      for (y <- 0 until 48; x <- 1 until 63) {
+        if (x < 62) bg += math.abs(bl(x + 1, y) - bl(x, y))
+        if (y < 47) bg += math.abs(bl(x, y + 1) - bl(x, y))
+      }
+      assert(r.getLong(4) === bg, s"pattern $p blurred gradient")
+      assert(r.getBoolean(6), s"pattern $p: blur must lower mean gradient")
+      assert(bg * r.getLong(3) < g * r.getLong(5))
+    }
+  }
 }
