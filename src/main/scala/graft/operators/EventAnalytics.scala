@@ -2530,7 +2530,129 @@ object EventAnalytics {
            > CAST(38416 AS HUGEINT) * n1 * n2 * var_q AS reject_95
        FROM cte"""
 
+  // ---------------------------------------------------------------- q386
+  /** PEARSON CORRELATION MATRIX of daily volumes between every event-type
+    * pair — "which streams co-move": a traffic-shaping incident that dents
+    * clicks AND views is infra; one that dents only purchases is product.
+    * q220's lagged cross-correlation asks when; this asks which pairs, for
+    * all pairs at once. Exactness: r itself is irrational, so the readout
+    * is r² in ppm decided entirely in DECIMAL(38,0) — cov = n·Σxy−ΣxΣy,
+    * var likewise, r²_ppm = cov²·10⁶ div (varx·vary) — plus cov's exact
+    * sign (the direction r² discards). One events scan → |days|×|types|
+    * daily frame (the q343 argument) → self-join on day upper-triangle →
+    * K(K−1)/2 rows. Full oracle.
+    */
+  def q386CorrMatrix(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // |days|x|types|-sized daily frame, read twice
+    val a = daily.select(col("event_type").as("ta"), col("day"), col("x").as("xa"))
+    val b = daily.select(col("event_type").as("tb"), col("day"), col("x").as("xb"))
+    a.join(b, "day").filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(xa) as bigint)").as("sa"),
+        expr("cast(sum(xb) as bigint)").as("sb"),
+        expr("cast(sum(xa * xb) as bigint)").as("sab"),
+        expr("cast(sum(xa * xa) as bigint)").as("saa"),
+        expr("cast(sum(xb * xb) as bigint)").as("sbb"))
+      .withColumn("cov_n", expr("CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
+      .withColumn("var_a", expr("CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DECIMAL(38,0))"))
+      .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
+      .select(col("ta"), col("tb"), col("n"),
+        expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
+        expr("CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0 ELSE cov_n * cov_n * 1000000 div (var_a * var_b) END AS BIGINT)")
+          .as("r2_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q386Oracle: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+               count(*) AS n,
+               CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb,
+               CAST(sum(a.x * b.x) AS BIGINT) AS sab,
+               CAST(sum(a.x * a.x) AS BIGINT) AS saa,
+               CAST(sum(b.x * b.x) AS BIGINT) AS sbb
+             FROM daily a JOIN daily b ON b.day = a.day
+             WHERE a.event_type < b.event_type GROUP BY 1, 2),
+       m AS (SELECT ta, tb, CAST(n AS BIGINT) AS n,
+               CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS cov_n,
+               CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS var_a,
+               CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS var_b
+             FROM p)
+       SELECT ta, tb, n,
+         CAST(sign(cov_n) AS BIGINT) AS cov_sign,
+         CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
+           ELSE cov_n * cov_n * 1000000 // (var_a * var_b) END AS BIGINT) AS r2_ppm
+       FROM m ORDER BY ta, tb"""
+
+  // ---------------------------------------------------------------- q387
+  /** DELTA-OF-DELTA COMPRESSION ESTIMATE for the daily volume series —
+    * the Gorilla-style storage-planning readout a 100 TB time-series
+    * landing zone runs before choosing an encoding: second differences of
+    * a smooth counter series are near zero, so Σ bits(|Δ²|) ≪ 64·N. The
+    * cost model is exact-integer: bits(v) = length of v's binary string
+    * (both engines: bin/to_base — no log2 doubles at integer boundaries),
+    * first value charged 64, first delta bits+1 sign, every later value
+    * bits(|Δ²|)+1. Readout per type: raw vs encoded bits and the ratio in
+    * ppm; a constant-rate synthetic series compresses ~30×, and a real
+    * bursty one visibly less — the number that decides the codec. One
+    * events scan → |days| frame, two lag()s. Full oracle.
+    */
+  def q387DeltaCompression(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    daily
+      .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("dod", col("d1") - lag(col("d1"), 1).over(w))
+      .withColumn("bits", expr(
+        """CASE WHEN d1 IS NULL THEN cast(64 as bigint)
+           WHEN dod IS NULL THEN cast(length(bin(abs(d1))) + 1 as bigint)
+           ELSE cast(length(bin(abs(dod))) + 1 as bigint) END"""))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("cast(count(1) * 64 as bigint)").as("raw_bits"),
+        expr("cast(sum(bits) as bigint)").as("enc_bits"))
+      .withColumn("ratio_ppm", expr(
+        "CAST(CAST(enc_bits AS DECIMAL(38,0)) * 1000000 div raw_bits AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("raw_bits"),
+        col("enc_bits"), col("ratio_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q387Oracle: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       l AS (SELECT event_type, day, x,
+               x - lag(x) OVER (PARTITION BY event_type ORDER BY day ASC) AS d1
+             FROM daily),
+       l2 AS (SELECT *,
+               d1 - lag(d1) OVER (PARTITION BY event_type ORDER BY day ASC) AS dod
+             FROM l),
+       b AS (SELECT event_type,
+               CASE WHEN d1 IS NULL THEN 64
+                 WHEN dod IS NULL THEN length(to_base(abs(d1), 2)) + 1
+                 ELSE length(to_base(abs(dod), 2)) + 1 END AS bits
+             FROM l2),
+       agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+                 CAST(sum(bits) AS BIGINT) AS enc_bits
+               FROM b GROUP BY 1)
+       SELECT event_type, n_days, raw_bits, enc_bits,
+         CAST(CAST(enc_bits AS HUGEINT) * 1000000 // raw_bits AS BIGINT) AS ratio_ppm
+       FROM agg ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_corr_matrix" -> q386CorrMatrix _,
+    "q387_delta_compression" -> q387DeltaCompression _,
     "q381_kaplan_meier" -> q381KaplanMeier _,
     "q382_mann_whitney" -> q382MannWhitney _,
     "q331_interval_frame" -> q331IntervalFrame _,
@@ -2576,6 +2698,8 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q386_corr_matrix" -> q386Oracle,
+    "q387_delta_compression" -> q387Oracle,
     "q381_kaplan_meier" -> q381Oracle,
     "q382_mann_whitney" -> q382Oracle,
     "q331_interval_frame" -> q331Oracle,

@@ -1372,7 +1372,70 @@ object Profiling {
        FROM dd JOIN i ON i.wd = dd.wd, x
        ORDER BY ratio_ppm DESC, day ASC LIMIT 10"""
 
+  // ---------------------------------------------------------------- q388
+  /** DIFFERENTIALLY-PRIVATE noisy release of the (event_type, day) count
+    * table — the publishable-statistics member of the privacy family
+    * (q251 k-anonymity measures re-identification risk, q371 picks the
+    * generalization; this RELEASES counts under ε=1 Laplace): each cell
+    * gets Laplace(1/ε) noise drawn DETERMINISTICALLY by inverse CDF on
+    * the cell key's md5-uniform (the q302 hash-bootstrap discipline —
+    * reproducible releases, and both engines replay the identical draw).
+    * The draw stays in the exact lattice: u_ppm = h·10⁶ div 2⁶⁰,
+    * centered c = u_ppm − 5·10⁵, noise_milli = −sign(c)·round(ln((10⁶ −
+    * 2|c|)/10⁶)·1000) — one correctly-rounded ln of an exact integer
+    * ratio per CELL (the µ-nat discipline), clamped one lattice step off
+    * the ln(0) pole. Readout: the utility audit an operator actually
+    * gates on — per type, cell count, L1 and max noise in milli-counts
+    * (scale-free: noise is O(1) per cell while counts grow with SF, so
+    * relative error vanishes at scale — the DP free lunch at 100 TB).
+    * Top-10 noisiest cells ride along. Full oracle.
+    */
+  def q388DpRelease(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(event_type, '|', day)), 1, 15), 16, 10) AS BIGINT)"))
+    val noisy = cells
+      .withColumn("u_ppm", expr("CAST(h AS DECIMAL(38,0)) * 1000000 div 1152921504606846976"))
+      .withColumn("c", expr("CAST(u_ppm - 500000 AS BIGINT)"))
+      .withColumn("noise_milli", expr(
+        """CAST(-sign(c) * round(ln(CAST(greatest(1000000 - 2 * abs(c), 1) AS DOUBLE)
+           / 1000000.0) * 1000) AS BIGINT)"""))
+    noisy.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        expr("cast(sum(abs(noise_milli)) as bigint)").as("l1_err_milli"),
+        expr("cast(max(abs(noise_milli)) as bigint)").as("max_err_milli"),
+        expr("cast(sum(x * 1000 + noise_milli) as bigint)").as("noisy_total_milli"),
+        expr("cast(sum(x) as bigint)").as("true_total"))
+      .select(col("event_type"), col("n_cells"), col("l1_err_milli"),
+        col("max_err_milli"), col("noisy_total_milli"), col("true_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val q388Oracle: String =
+    """WITH cells AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       h AS (SELECT *,
+               CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15)) AS BIGINT) AS hv
+             FROM cells),
+       n AS (SELECT event_type, x,
+               CAST(CAST(hv AS HUGEINT) * 1000000 // 1152921504606846976 - 500000 AS BIGINT) AS c
+             FROM h),
+       nm AS (SELECT event_type, x,
+               CAST(-sign(c) * round(ln(CAST(greatest(1000000 - 2 * abs(c), 1) AS DOUBLE)
+                 / 1000000.0) * 1000) AS BIGINT) AS noise_milli
+             FROM n)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(abs(noise_milli)) AS BIGINT) AS l1_err_milli,
+         CAST(max(abs(noise_milli)) AS BIGINT) AS max_err_milli,
+         CAST(sum(x * 1000 + noise_milli) AS BIGINT) AS noisy_total_milli,
+         CAST(sum(x) AS BIGINT) AS true_total
+       FROM nm GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_dp_release" -> q388DpRelease _,
     "q378_benford_audit" -> q378BenfordAudit _,
     "q379_kmv_distinct" -> q379KmvDistinct _,
     "q380_seasonal_index" -> q380SeasonalIndex _,
@@ -1398,6 +1461,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q388_dp_release" -> q388Oracle,
     "q378_benford_audit" -> q378Oracle,
     "q379_kmv_distinct" -> q379Oracle,
     "q380_seasonal_index" -> q380Oracle,

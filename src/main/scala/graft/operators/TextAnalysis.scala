@@ -4000,7 +4000,82 @@ object TextAnalysis {
          ms.merged_checksum
        FROM vb, ms, nt, bs"""
 
+  // ---------------------------------------------------------------- q385
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * KEYPHRASE layer above the single-token vocab (q105) and PMI pair
+    * (q167) views: candidate phrases are maximal stopword-free token
+    * runs, each word scores degree/frequency (degree = Σ length of the
+    * phrases it appears in — words living in long phrases matter more),
+    * and a phrase scores the sum of its members. Stopwords are INDUCED,
+    * not shipped: the top-20 corpus tokens (count desc, token asc — the
+    * q267 argument at fixed K). Runs group by the gaps-islands key
+    * pos − row_number (the q179 trick, here per doc over non-stop
+    * positions), so no self-join builds the phrases. Scores stay exact:
+    * w_ppm = deg·10⁶ div freq, phrase score = Σ w_ppm (identical across
+    * occurrences of the same phrase, so max() is a no-op aggregator).
+    * Three tokenize map passes (stopword induction, word stats, phrase
+    * assembly) — cheap scans, nothing corpus-sized pinned. Top-10
+    * phrases. Full oracle.
+    */
+  def q385RakeKeywords(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "t")
+      .filter(col("t") =!= "")
+    val stop = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(20)
+      .select(col("t").as("sw"))
+    val nonstop = tok.join(broadcast(stop), tok("t") === col("sw"), "left_anti")
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val runTok = nonstop
+      .withColumn("grp", col("pos") - row_number().over(wRun))
+      .withColumn("run_len",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+    val wp = runTok.groupBy(col("t"))
+      .agg(count(lit(1)).as("freq"), expr("cast(sum(run_len) as bigint)").as("deg"))
+      .select(col("t"), expr("CAST(deg * 1000000 div freq AS BIGINT)").as("w_ppm"))
+    val occ = runTok.join(wp, "t")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, t))), s -> s.t), ' ')")
+        .as("phrase"),
+        count(lit(1)).as("n_words"),
+        expr("cast(sum(w_ppm) as bigint)").as("score_ppm"))
+    occ.groupBy(col("phrase"))
+      .agg(expr("cast(max(n_words) as bigint)").as("n_words"),
+        count(lit(1)).as("n_occur"),
+        expr("cast(max(score_ppm) as bigint)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc).limit(10)
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+  }
+
+  val q385Oracle: String =
+    """WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           FROM documents),
+       tok AS (SELECT * FROM tok0 WHERE t <> ''),
+       stop AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1
+                               ORDER BY c DESC, t ASC LIMIT 20)),
+       ns AS (SELECT * FROM tok WHERE t NOT IN (SELECT t FROM stop)),
+       runs AS (SELECT *, pos - row_number() OVER (
+                  PARTITION BY doc_id ORDER BY pos) AS grp FROM ns),
+       rt AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS run_len
+              FROM runs),
+       wp AS (SELECT t, CAST(CAST(sum(run_len) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS w_ppm
+              FROM rt GROUP BY 1),
+       occ AS (SELECT r.doc_id, r.grp,
+                 string_agg(r.t, ' ' ORDER BY r.pos) AS phrase,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+               FROM rt r JOIN wp w ON w.t = r.t GROUP BY 1, 2)
+       SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_occur,
+         CAST(max(score_ppm) AS BIGINT) AS score_ppm
+       FROM occ GROUP BY 1 ORDER BY score_ppm DESC, phrase ASC LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_rake_keywords" -> q385RakeKeywords _,
     "q377_inv_index_maintain" -> q377InvIndexMaintain _,
     "q374_classifier_f1" -> q374ClassifierF1 _,
     "q375_build_inv_index" -> q375BuildInvIndex _,
@@ -4060,6 +4135,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q385_rake_keywords" -> q385Oracle,
     "q377_inv_index_maintain" -> q377Oracle,
     "q374_classifier_f1" -> q374Oracle,
     "q375_build_inv_index" -> q375Oracle,

@@ -1051,4 +1051,122 @@ class Round11Spec extends SparkSuite {
       assert(bg * r.getLong(3) < g * r.getLong(5))
     }
   }
+
+  // ------------------------------------------------------------- q385
+  test("q385: RAKE phrases replay from tokens — runs, degree/freq, member sums") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tok = docs.flatMap { case (id, t) =>
+      t.split(" ").zipWithIndex.filter(_._1.nonEmpty).map { case (w, i) => (id, i, w) }
+    }
+    val stop = tok.groupBy(_._3).map { case (w, g) => (w, g.size) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    // maximal stopword-free runs via consecutive positions
+    val runs = tok.filter(t => !stop(t._3)).groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      val sorted = ts.sortBy(_._2)
+      val grouped = sorted.zipWithIndex.groupBy { case ((_, pos, _), rn) => pos - rn }
+      grouped.values.map(g => (id, g.map(_._1._3)))
+    }
+    val wstat = runs.flatMap { case (_, ws) => ws.map(w => (w, ws.length.toLong)) }
+      .groupBy(_._1).map { case (w, g) =>
+        w -> g.map(_._2).sum * 1000000L / g.length
+      }
+    val phrases = runs.map { case (_, ws) =>
+      (ws.mkString(" "), ws.length.toLong, ws.map(wstat).sum)
+    }.groupBy(_._1).map { case (ph, g) =>
+      (ph, g.head._2, g.size.toLong, g.head._3)
+    }.toSeq.sortBy { case (ph, _, _, s) => (-s, ph) }.take(10)
+    val rows = graft.SparkEntry.queries("q385_rake_keywords")(spark, sf).collect()
+    rows.zip(phrases).foreach { case (r, (ph, nw, no, s)) =>
+      assert(r.getString(0) === ph && r.getLong(1) === nw &&
+        r.getLong(2) === no && r.getLong(3) === s,
+        s"RAKE mismatch: $r vs ($ph, $nw, $no, $s)")
+    }
+    // multi-word phrases must actually surface — RAKE's point over q105
+    assert(rows.exists(_.getLong(1) > 1L), "no multi-word phrase in top-10")
+  }
+
+  // ------------------------------------------------------------- q386
+  test("q386: r2 is symmetric, bounded by 1e6, and exact from integer moments") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    val types = daily.map(_._1).distinct.sorted
+    val series = types.map(t => t -> daily.filter(_._1 == t).map(r => r._2 -> r._3).toMap).toMap
+    val rows = graft.SparkEntry.queries("q386_corr_matrix")(spark, sf).collect()
+    assert(rows.length === types.combinations(2).size)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val days = (series(ta).keySet intersect series(tb).keySet).toSeq.sorted
+      val xs = days.map(series(ta)); val ys = days.map(series(tb))
+      val n = BigInt(days.size)
+      val cov = n * xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum -
+        BigInt(xs.sum) * BigInt(ys.sum)
+      val va = n * xs.map(v => BigInt(v) * v).sum - BigInt(xs.sum) * xs.sum
+      val vb = n * ys.map(v => BigInt(v) * v).sum - BigInt(ys.sum) * ys.sum
+      assert(r.getLong(2) === days.size.toLong)
+      assert(r.getLong(3) === cov.signum.toLong)
+      val r2 = if (va == 0 || vb == 0) 0L else (cov * cov * 1000000 / (va * vb)).toLong
+      assert(r.getLong(4) === r2, s"($ta,$tb) r2")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "Cauchy-Schwarz bound")
+    }
+  }
+
+  // ------------------------------------------------------------- q387
+  test("q387: delta-of-delta bits replay and beat raw 64-bit storage") {
+    import spark.implicits._
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)].collect()
+    def bits(v: Long): Long = java.lang.Long.toBinaryString(math.abs(v)).length.toLong
+    val rows = graft.SparkEntry.queries("q387_delta_compression")(spark, sf).collect()
+    rows.foreach { r =>
+      val xs = daily.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3)
+      val d1 = xs.zip(xs.tail).map { case (a, b) => b - a }
+      val dod = d1.zip(d1.tail).map { case (a, b) => b - a }
+      val enc = 64L + (if (d1.nonEmpty) bits(d1.head) + 1 else 0L) +
+        dod.map(v => bits(v) + 1).sum
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === 64L * xs.length)
+      assert(r.getLong(3) === enc, s"${r.getString(0)} encoded bits")
+      assert(r.getLong(4) === enc * 1000000L / (64L * xs.length))
+      assert(r.getLong(3) < r.getLong(2), "delta-of-delta must beat raw")
+    }
+  }
+
+  // ------------------------------------------------------------- q388
+  test("q388: Laplace draws are deterministic, zero-mean-ish, and totals reconcile") {
+    import spark.implicits._
+    val cells = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+    def noise(tpe: String, day: String): Long = {
+      val h = md5p(s"$tpe|$day")
+      val u = (BigInt(h) * 1000000 / BigInt(1152921504606846976L)).toLong
+      val c = u - 500000L
+      val arg = math.max(1000000L - 2 * math.abs(c), 1L)
+      -math.signum(c) * math.round(math.log(arg.toDouble / 1000000.0) * 1000)
+    }
+    val rows = graft.SparkEntry.queries("q388_dp_release")(spark, sf).collect()
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val mine = cells.filter(_._1 == tpe)
+      val ns = mine.map { case (t, dy, _) => noise(t, dy) }
+      assert(r.getLong(1) === mine.length.toLong)
+      assert(r.getLong(2) === ns.map(math.abs).sum, s"$tpe L1")
+      assert(r.getLong(3) === ns.map(math.abs).max)
+      assert(r.getLong(4) === mine.map(_._3).sum * 1000 + ns.sum)
+      assert(r.getLong(5) === mine.map(_._3).sum)
+      // utility: total relative error vanishes as counts grow
+      assert(math.abs(r.getLong(4) - r.getLong(5) * 1000) < r.getLong(5) * 1000,
+        "noisy total within 100% of truth even at fixture scale")
+    }
+  }
 }
