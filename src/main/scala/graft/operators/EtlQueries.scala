@@ -1358,7 +1358,175 @@ object EtlQueries {
               // CAST(sum(n) AS BIGINT) AS BIGINT) AS read_ppm
        FROM pb GROUP BY layout ORDER BY layout"""
 
+  // ---------------------------------------------------------------- q389
+  /** HILBERT vs Z-ORDER layout comparison — the range-scan locality study
+    * that decides which space-filling curve a 100 TB layout uses (q111/
+    * q335 ship z-order; Hilbert's rotations remove z's quadrant jumps, so
+    * a rectangle decomposes into FEWER contiguous curve ranges = fewer
+    * parquet row-group seeks). The Hilbert index is the standard xy2d
+    * bit-level recurrence UNROLLED into 5 straight-line integer stages
+    * (validated bijective + unit-step-adjacent on the full 32×32 grid in
+    * Round11Spec — no loops, no UDF, whole-stage codegen); z is the q335
+    * mask-shift interleave. Metric: for 5 literal query rectangles over
+    * the occupied (custkey%32, cents%32) cells, the number of maximal
+    * runs of consecutive curve indices — exactly the contiguous scan
+    * ranges a reader issues. Curve math runs on the ≤1024-row distinct
+    * cell frame (the orders scan dominates); totals and the hilbert-wins
+    * verdict ride every row. Full oracle replays both curves bit-for-bit.
+    */
+  def q389HilbertLayout(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cells = Tables.orders(spark, d)
+      .select(expr("o_custkey % 32").as("gx"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) % 32").as("gy"))
+      .distinct()
+    var h = cells.withColumn("x", col("gx")).withColumn("y", col("gy"))
+      .withColumn("hd", lit(0L))
+    for (s <- Seq(16, 8, 4, 2, 1)) {
+      h = h
+        .withColumn("rx", expr(s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END"))
+        .withColumn("ry", expr(s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END"))
+        .withColumn("hd", expr(s"hd + ${s.toLong * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 " +
+          s"WHEN rx = 0 AND ry = 1 THEN 1 WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END)"))
+        .withColumn("xn", expr(s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END"))
+        .withColumn("yn", expr(s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END"))
+        .withColumn("x", col("xn")).withColumn("y", col("yn"))
+    }
+    val keyed = h.select(col("gx"), col("gy"), col("hd").cast("long").as("hd"),
+      zValue("gx", "gy", 5).cast("long").as("zd"))
+    val rects = Seq((0L, 0L, 7L, 0L, 7L), (1L, 8L, 23L, 4L, 11L),
+      (2L, 0L, 31L, 16L, 19L), (3L, 12L, 19L, 12L, 19L),
+      (4L, 24L, 31L, 0L, 31L)).toDF("rid", "x0", "x1", "y0", "y1")
+    val ir = keyed.join(broadcast(rects),
+      col("gx") >= col("x0") && col("gx") <= col("x1") &&
+        col("gy") >= col("y0") && col("gy") <= col("y1"))
+    val wZ = Window.partitionBy(col("rid")).orderBy(col("zd").asc)
+    val wH = Window.partitionBy(col("rid")).orderBy(col("hd").asc)
+    val runs = ir
+      .withColumn("zb", when(col("zd") - lag(col("zd"), 1).over(wZ) > 1, 1L).otherwise(0L))
+      .withColumn("hb", when(col("hd") - lag(col("hd"), 1).over(wH) > 1, 1L).otherwise(0L))
+      .groupBy(col("rid"))
+      .agg(count(lit(1)).as("n_cells"),
+        expr("cast(sum(zb) + 1 as bigint)").as("z_runs"),
+        expr("cast(sum(hb) + 1 as bigint)").as("h_runs"))
+    runs
+      .withColumn("z_total", expr("cast(sum(z_runs) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("h_total", expr("cast(sum(h_runs) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("hilbert_wins", col("h_total") < col("z_total"))
+      .select(col("rid"), col("n_cells"), col("z_runs"), col("h_runs"),
+        col("z_total"), col("h_total"), col("hilbert_wins"))
+      .orderBy(col("rid"))
+  }
+
+  val q389Oracle: String = {
+    val levels = Seq(16, 8, 4, 2, 1).zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "c0" else s"t${i - 1}"
+      s"""t$i AS (SELECT gx, gy,
+           CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+           CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+           hd + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 AND ry = 1 THEN 1
+             WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END) AS hd
+         FROM (SELECT *, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                 CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev))"""
+    }.mkString(",\n       ")
+    val zExpr = (0 until 5).map(i =>
+      s"(((gx >> $i) & 1) << ${2 * i}) + (((gy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH cells AS (SELECT DISTINCT o_custkey % 32 AS gx,
+           CAST(round(o_totalprice * 100) AS BIGINT) % 32 AS gy FROM orders),
+       c0 AS (SELECT gx, gy, gx AS x, gy AS y, 0 AS hd FROM cells),
+       $levels,
+       keyed AS (SELECT gx, gy, CAST(hd AS BIGINT) AS hd,
+                   CAST($zExpr AS BIGINT) AS zd FROM t4),
+       rects AS (SELECT * FROM (VALUES (0, 0, 7, 0, 7), (1, 8, 23, 4, 11),
+                 (2, 0, 31, 16, 19), (3, 12, 19, 12, 19), (4, 24, 31, 0, 31))
+                 r(rid, x0, x1, y0, y1)),
+       ir AS (SELECT r.rid, k.zd, k.hd FROM keyed k JOIN rects r
+              ON k.gx BETWEEN r.x0 AND r.x1 AND k.gy BETWEEN r.y0 AND r.y1),
+       rr AS (SELECT rid,
+               CASE WHEN zd - lag(zd) OVER (PARTITION BY rid ORDER BY zd ASC) > 1
+                 THEN 1 ELSE 0 END AS zb,
+               CASE WHEN hd - lag(hd) OVER (PARTITION BY rid ORDER BY hd ASC) > 1
+                 THEN 1 ELSE 0 END AS hb
+             FROM ir),
+       agg AS (SELECT CAST(rid AS BIGINT) AS rid, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(zb) + 1 AS BIGINT) AS z_runs,
+                 CAST(sum(hb) + 1 AS BIGINT) AS h_runs
+               FROM rr GROUP BY 1)
+       SELECT rid, n_cells, z_runs, h_runs,
+         CAST(sum(z_runs) OVER () AS BIGINT) AS z_total,
+         CAST(sum(h_runs) OVER () AS BIGINT) AS h_total,
+         sum(h_runs) OVER () < sum(z_runs) OVER () AS hilbert_wins
+       FROM agg ORDER BY rid"""
+  }
+
+  // ---------------------------------------------------------------- q390
+  /** RENDEZVOUS (highest-random-weight) shard assignment audit — the
+    * consistent-placement layer a 100 TB ingest runs in front of its
+    * writers: shard(doc) = argmax over shards of h(doc, shard). Two exact
+    * certificates ride the readout: (1) MINIMAL DISRUPTION — growing 16→17
+    * shards, every reassigned doc moves TO the new shard (moves between
+    * old shards = 0, hard invariant of HRW, asserted as a column) and the
+    * remap fraction is ~1/17 ≈ 58 824 ppm, vs mod-hash's ~16/17 ≈
+    * 941 176 ppm (both measured); (2) balance — max/min shard fill in ppm
+    * of the mean. One documents scan → 17× map-side hash explode → two
+    * FILTERed max_by argmaxes per doc; shard frame is 16 rows. Full
+    * oracle.
+    */
+  def q390RendezvousShards(spark: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr("sequence(0, 16)")).as("s"))
+      .select(col("doc_id"), col("s"), expr(
+        "CAST(conv(substring(md5(concat(doc_id, '#', s)), 1, 15), 16, 10) AS BIGINT)")
+        .as("hv"))
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(s, hv) FILTER (WHERE s < 16)").as("s16"),
+        expr("max_by(s, hv)").as("s17"))
+    val bal = a.groupBy(col("s16")).agg(count(lit(1)).as("c"))
+      .agg(expr("cast(max(c) as bigint)").as("mx"),
+        expr("cast(min(c) as bigint)").as("mn"))
+    a.agg(count(lit(1)).as("n_docs"),
+        expr("cast(count_if(s17 <> s16) as bigint)").as("moved"),
+        expr("cast(count_if(s17 <> s16 AND s17 <> 16) as bigint)").as("bad_moves"),
+        expr("cast(count_if(doc_id % 16 <> doc_id % 17) as bigint)").as("mod_moved"))
+      .crossJoin(broadcast(bal)) // 1-row balance extremes
+      .select(col("n_docs"),
+        expr("CAST(mx * 16 * 1000000 div n_docs AS BIGINT)").as("max_shard_ppm"),
+        expr("CAST(mn * 16 * 1000000 div n_docs AS BIGINT)").as("min_shard_ppm"),
+        expr("CAST(moved * 1000000 div n_docs AS BIGINT)").as("remap_ppm"),
+        expr("CAST(mod_moved * 1000000 div n_docs AS BIGINT)").as("mod_remap_ppm"),
+        (col("bad_moves") === 0L).as("moves_only_to_new"),
+        col("moved") * lit(4L) < col("mod_moved") as "rendezvous_beats_mod")
+  }
+
+  val q390Oracle: String =
+    """WITH e AS (SELECT doc_id, s FROM documents,
+           (SELECT unnest(generate_series(0, 16)) AS s)),
+       h AS (SELECT doc_id, s,
+               CAST(('0x' || substr(md5(doc_id || '#' || s), 1, 15)) AS BIGINT) AS hv
+             FROM e),
+       a AS (SELECT doc_id, arg_max(s, hv) FILTER (s < 16) AS s16,
+               arg_max(s, hv) AS s17 FROM h GROUP BY 1),
+       bal AS (SELECT CAST(max(c) AS BIGINT) AS mx, CAST(min(c) AS BIGINT) AS mn
+               FROM (SELECT s16, count(*) AS c FROM a GROUP BY 1)),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (s17 <> s16) AS BIGINT) AS moved,
+                 CAST(count(*) FILTER (s17 <> s16 AND s17 <> 16) AS BIGINT) AS bad_moves,
+                 CAST(count(*) FILTER (doc_id % 16 <> doc_id % 17) AS BIGINT) AS mod_moved
+               FROM a)
+       SELECT n_docs,
+         CAST(mx * 16 * 1000000 // n_docs AS BIGINT) AS max_shard_ppm,
+         CAST(mn * 16 * 1000000 // n_docs AS BIGINT) AS min_shard_ppm,
+         CAST(moved * 1000000 // n_docs AS BIGINT) AS remap_ppm,
+         CAST(mod_moved * 1000000 // n_docs AS BIGINT) AS mod_remap_ppm,
+         bad_moves = 0 AS moves_only_to_new,
+         moved * 4 < mod_moved AS rendezvous_beats_mod
+       FROM agg, bal"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_rendezvous_shards" -> q390RendezvousShards _,
+    "q389_hilbert_layout" -> q389HilbertLayout _,
     "q335_zorder_layout" -> q335ZorderLayout _,
     "q191_reconciliation" -> q191Reconciliation _,
     "q192_key_rotation" -> q192KeyRotation _,
@@ -1394,6 +1562,8 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q390_rendezvous_shards" -> q390Oracle,
+    "q389_hilbert_layout" -> q389Oracle,
     "q335_zorder_layout" -> q335Oracle,
     "q191_reconciliation" -> q191Oracle,
     "q192_key_rotation" -> q192Oracle,

@@ -2650,7 +2650,74 @@ object EventAnalytics {
          CAST(CAST(enc_bits AS HUGEINT) * 1000000 // raw_bits AS BIGINT) AS ratio_ppm
        FROM agg ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q392
+  /** SPRT — Wald's sequential probability ratio test on the treatment
+    * arm's event stream, the SEQUENTIAL member of the testing family
+    * (q135/q246 are fixed-horizon, q382 nonparametric): every event moves
+    * the log-likelihood walk by a LITERAL µ-nat step (success
+    * ln(p₁/p₀) = ln(.20/.10) → +693147; failure ln(.80/.90) → −117783 —
+    * constants, so no data-side logs at all) and the test stops at the
+    * FIRST crossing of ±ln(19) = ±2 944 439 µ-nat (α = β = 0.05). The
+    * sequential walk is distributed by the q342/q214 two-phase shape: a
+    * within-day prefix window plus broadcast per-day offsets — no
+    * single-task corpus sort; the oracle replays the PLAIN global window,
+    * certifying the rewrite. Readout: stream size, successes, the
+    * stopping index and decision ('h1'/'h0'/'none'), the walk value at
+    * the stop, and the endpoint. Full oracle.
+    */
+  def q392Sprt(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d).filter(expr("user_id % 2 = 1"))
+      .select(col("ts"), col("event_id"), expr("CAST(ts AS DATE)").as("day"),
+        expr("CASE WHEN event_type = 'purchase' THEN cast(693147 as bigint) ELSE cast(-117783 as bigint) END")
+          .as("inc"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("ts").asc, col("event_id").asc)
+    val inDay = ev.withColumn("rn", row_number().over(wDay))
+      .withColumn("ps", sum(col("inc")).over(
+        wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("cnt"), expr("cast(sum(inc) as bigint)").as("tot"))
+      .withColumn("off_cnt", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("off_tot", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("day"), col("off_cnt"), col("off_tot"))
+    val walk = inDay.join(broadcast(offs), "day")
+      .select((col("off_cnt") + col("rn")).as("idx"),
+        (col("off_tot") + col("ps")).as("llr"), col("inc"))
+    walk.agg(count(lit(1)).as("n_events"),
+        expr("cast(count_if(inc > 0) as bigint)").as("n_success"),
+        expr("cast(sum(inc) as bigint)").as("final_llr_munat"),
+        min(when(col("llr") >= 2944439L || col("llr") <= -2944439L,
+          struct(col("idx"), col("llr")))).as("cross"))
+      .select(col("n_events"), col("n_success"),
+        coalesce(col("cross.idx"), lit(-1L)).as("cross_idx"),
+        coalesce(col("cross.llr"), lit(0L)).as("llr_at_cross"),
+        expr("CASE WHEN cross.llr > 0 THEN 'h1' WHEN cross.llr < 0 THEN 'h0' ELSE 'none' END")
+          .as("decision"),
+        col("final_llr_munat"))
+  }
+
+  val q392Oracle: String =
+    """WITH ev AS (SELECT ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 693147 ELSE -117783 END AS inc
+           FROM events WHERE user_id % 2 = 1),
+       w AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS idx,
+               sum(inc) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr, inc
+             FROM ev),
+       c AS (SELECT idx, llr FROM w
+             WHERE llr >= 2944439 OR llr <= -2944439 ORDER BY idx LIMIT 1)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events,
+         (SELECT CAST(count(*) FILTER (inc > 0) AS BIGINT) FROM ev) AS n_success,
+         CAST(coalesce((SELECT idx FROM c), -1) AS BIGINT) AS cross_idx,
+         CAST(coalesce((SELECT llr FROM c), 0) AS BIGINT) AS llr_at_cross,
+         CASE WHEN (SELECT llr FROM c) > 0 THEN 'h1'
+           WHEN (SELECT llr FROM c) < 0 THEN 'h0' ELSE 'none' END AS decision,
+         (SELECT CAST(sum(inc) AS BIGINT) FROM ev) AS final_llr_munat"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_sprt" -> q392Sprt _,
     "q386_corr_matrix" -> q386CorrMatrix _,
     "q387_delta_compression" -> q387DeltaCompression _,
     "q381_kaplan_meier" -> q381KaplanMeier _,
@@ -2698,6 +2765,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q392_sprt" -> q392Oracle,
     "q386_corr_matrix" -> q386Oracle,
     "q387_delta_compression" -> q387Oracle,
     "q381_kaplan_meier" -> q381Oracle,

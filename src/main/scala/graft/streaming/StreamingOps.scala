@@ -1000,6 +1000,75 @@ object StreamingOps {
        FROM w GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q391
+  /** STREAMING PSI drift gate — q341's Population Stability Index run as
+    * an admission monitor: an incoming crawl slice (the streamed
+    * documents) is binned by length and compared against the reference
+    * corpus's 16-bin histogram; the batch admits only if PSI stays under
+    * the standard 0.25 alarm line. The stream side is ONE tiny stateful
+    * aggregation (16 bins of state at any volume — the q312 register
+    * argument); the PSI arithmetic is exactly q341's µ-nat discipline:
+    * add-1 smoothing, per-bin lr_micro = one correctly-rounded ln of an
+    * exact integer ratio, total in nano-nats via one DECIMAL(38,0)
+    * division, per-term sign exact by construction. The slice is
+    * one-third of the corpus picked by doc_id — same length law, so the
+    * gate should measure NEAR-ZERO drift (the null result is the
+    * certificate; q363's EMD measures a real shift on a different
+    * slicing). Full oracle replays bins + PSI.
+    */
+  def q391StreamPsiMonitor(spark: SparkSession, d: String): DataFrame = {
+    val batchBins = runToMemory(spark,
+      graft.sources.Tables.documentsStream(spark, d)
+        .filter(expr("doc_id % 3 = 0"))
+        .groupBy(expr("least(n_chars div 256, 15)").as("bin"))
+        .agg(count(lit(1)).as("n_batch")),
+      s"stream_psi_${System.nanoTime()}")
+    val base = graft.sources.Tables.documents(spark, d)
+      .groupBy(expr("least(n_chars div 256, 15)").as("bin"))
+      .agg(count(lit(1)).as("n_base"))
+    base.join(batchBins, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_batch"))
+      .withColumn("nb", expr("cast(sum(n_base) over () as bigint)"))
+      .withColumn("na", expr("cast(sum(n_batch) over () as bigint)"))
+      .withColumn("k", expr("cast(count(1) over () as bigint)"))
+      .withColumn("num", expr(
+        "(n_batch + 1) * (nb + k) - (n_base + 1) * (na + k)"))
+      .withColumn("lr_micro", expr(
+        """cast(round(ln(cast((n_batch + 1) * (nb + k) as double)
+           / cast((n_base + 1) * (na + k) as double)) * 1000000) as bigint)"""))
+      .withColumn("psi_nano", expr(
+        """cast(sum(cast(num as decimal(38,0)) * lr_micro) over () * 1000
+           div (cast(na + k as decimal(38,0)) * (nb + k)) as bigint)"""))
+      .withColumn("alarm", col("psi_nano") > 250000000L)
+      .select(col("bin"), col("n_base"), col("n_batch"), col("lr_micro"),
+        col("psi_nano"), col("alarm"))
+      .orderBy(col("bin"))
+  }
+
+  val q391Oracle: String =
+    """WITH base AS (SELECT least(n_chars // 256, 15) AS bin, count(*) AS n_base
+                     FROM documents GROUP BY 1),
+       bat AS (SELECT least(n_chars // 256, 15) AS bin, count(*) AS n_batch
+               FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+       j AS (SELECT b.bin, CAST(b.n_base AS BIGINT) AS n_base,
+               CAST(coalesce(t.n_batch, 0) AS BIGINT) AS n_batch
+             FROM base b LEFT JOIN bat t ON t.bin = b.bin),
+       m AS (SELECT *, CAST(sum(n_base) OVER () AS BIGINT) AS nb,
+               CAST(sum(n_batch) OVER () AS BIGINT) AS na,
+               CAST(count(*) OVER () AS BIGINT) AS k
+             FROM j),
+       l AS (SELECT *,
+               CAST((n_batch + 1) * (nb + k) - (n_base + 1) * (na + k) AS BIGINT) AS num,
+               CAST(round(ln(CAST((n_batch + 1) * (nb + k) AS DOUBLE)
+                 / CAST((n_base + 1) * (na + k) AS DOUBLE)) * 1000000) AS BIGINT) AS lr_micro
+             FROM m)
+       SELECT CAST(bin AS BIGINT) AS bin, n_base, n_batch, lr_micro,
+         CAST(sum(CAST(num AS HUGEINT) * lr_micro) OVER () * 1000
+           // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) AS psi_nano,
+         CAST(sum(CAST(num AS HUGEINT) * lr_micro) OVER () * 1000
+           // (CAST(na + k AS HUGEINT) * (nb + k)) AS BIGINT) > 250000000 AS alarm
+       FROM l ORDER BY bin"""
+
   // ---------------------------------------------------------------- q383
   final case class SeasonEvent(event_type: String, day: String)
   final case class SeasonState(event_type: String, nw: Seq[Long], sw: Seq[Long],
@@ -1748,6 +1817,7 @@ object StreamingOps {
     "q346_stream_packing" -> q346StreamPacking _,
     "q354_stream_cusum_alarm" -> q354StreamCusumAlarm _,
     "q383_stream_seasonal_monitor" -> q383StreamSeasonalMonitor _,
+    "q391_stream_psi_monitor" -> q391StreamPsiMonitor _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1776,6 +1846,7 @@ object StreamingOps {
     "q346_stream_packing" -> q346Oracle,
     "q354_stream_cusum_alarm" -> q354Oracle,
     "q383_stream_seasonal_monitor" -> q383Oracle,
+    "q391_stream_psi_monitor" -> q391Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

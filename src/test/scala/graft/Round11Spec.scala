@@ -1169,4 +1169,139 @@ class Round11Spec extends SparkSuite {
         "noisy total within 100% of truth even at fixture scale")
     }
   }
+
+  // ------------------------------------------------------------- q389
+  private def hilbertD(n: Int, x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L); var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("q389: the unrolled Hilbert index is bijective, unit-adjacent, and the runs replay") {
+    // the scaladoc's claim, proven on the full 32x32 grid
+    val ds = for (x <- 0 until 32; y <- 0 until 32) yield ((x, y), hilbertD(32, x, y))
+    assert(ds.map(_._2).sorted === (0L until 1024L), "bijective onto 0..1023")
+    val inv = ds.map(_.swap).toMap
+    (0L until 1023L).foreach { i =>
+      val (a, b) = (inv(i), inv(i + 1))
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) === 1,
+        s"curve jumps between $i and ${i + 1}")
+    }
+    import spark.implicits._
+    val cells = graft.sources.Tables.orders(spark, sf)
+      .select(expr("o_custkey % 32"), expr("CAST(round(o_totalprice * 100) AS BIGINT) % 32"))
+      .distinct().as[(Long, Long)].collect()
+    def zd(x: Long, y: Long): Long =
+      (0 until 5).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    val rects = Seq((0, 0, 7, 0, 7), (1, 8, 23, 4, 11), (2, 0, 31, 16, 19),
+      (3, 12, 19, 12, 19), (4, 24, 31, 0, 31))
+    def runsOf(keys: Seq[Long]): Long = {
+      val s = keys.sorted
+      1L + s.zip(s.tail).count { case (a, b) => b - a > 1 }
+    }
+    val exp = rects.map { case (rid, x0, x1, y0, y1) =>
+      val in = cells.filter(c => c._1 >= x0 && c._1 <= x1 && c._2 >= y0 && c._2 <= y1)
+      (rid.toLong, in.size.toLong,
+        runsOf(in.map(c => zd(c._1, c._2))),
+        runsOf(in.map(c => hilbertD(32, c._1.toInt, c._2.toInt))))
+    }
+    val rows = graft.SparkEntry.queries("q389_hilbert_layout")(spark, sf).collect()
+    rows.zip(exp).foreach { case (r, (rid, nc, zr, hr)) =>
+      assert(r.getLong(0) === rid && r.getLong(1) === nc &&
+        r.getLong(2) === zr && r.getLong(3) === hr, s"rect $rid: $r vs ($nc,$zr,$hr)")
+      assert(r.getLong(4) === exp.map(_._3).sum && r.getLong(5) === exp.map(_._4).sum)
+    }
+    // the operational claim: hilbert needs no MORE scan ranges in total
+    assert(exp.map(_._4).sum <= exp.map(_._3).sum, "hilbert must not lose to z overall")
+  }
+
+  // ------------------------------------------------------------- q390
+  test("q390: HRW minimal disruption — every remapped doc lands on the new shard") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long].collect()
+    def shard(id: Long, n: Int): Int =
+      (0 until n).maxBy(s => (md5p(s"$id#$s"), s))
+    val s16 = ids.map(id => id -> shard(id, 16)).toMap
+    val s17 = ids.map(id => id -> shard(id, 17)).toMap
+    val moved = ids.count(id => s16(id) != s17(id)).toLong
+    ids.foreach { id =>
+      if (s16(id) != s17(id)) assert(s17(id) === 16,
+        s"doc $id moved between OLD shards — HRW invariant broken")
+    }
+    val sizes = s16.values.groupBy(identity).map(_._2.size.toLong)
+    val r = graft.SparkEntry.queries("q390_rendezvous_shards")(spark, sf).collect()(0)
+    assert(r.getLong(0) === ids.length.toLong)
+    assert(r.getLong(1) === sizes.max * 16 * 1000000L / ids.length)
+    assert(r.getLong(2) === sizes.min * 16 * 1000000L / ids.length)
+    assert(r.getLong(3) === moved * 1000000L / ids.length)
+    assert(r.getLong(4) === ids.count(id => id % 16 != id % 17).toLong * 1000000L / ids.length)
+    assert(r.getBoolean(5), "moves_only_to_new must hold")
+    assert(r.getBoolean(6), "rendezvous must beat mod-hash by > 4x")
+  }
+
+  // ------------------------------------------------------------- q391
+  test("q391: streamed PSI equals the batch replay and stays under the alarm line") {
+    import spark.implicits._
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    def bin(l: Long): Long = math.min(l / 256, 15)
+    val base = lens.groupBy(x => bin(x._2)).map { case (b, g) => b -> g.size.toLong }
+    val bat = lens.filter(_._1 % 3 == 0).groupBy(x => bin(x._2))
+      .map { case (b, g) => b -> g.size.toLong }
+    val (nb, na, k) = (base.values.sum, bat.values.sum, base.size.toLong)
+    val rows = graft.SparkEntry.queries("q391_stream_psi_monitor")(spark, sf).collect()
+    assert(rows.length === base.size)
+    var acc = BigInt(0)
+    val terms = base.toSeq.sortBy(_._1).map { case (b, nbase) =>
+      val nbatch = bat.getOrElse(b, 0L)
+      val lr = math.round(math.log(
+        ((nbatch + 1) * (nb + k)).toDouble / ((nbase + 1) * (na + k))) * 1000000)
+      acc += BigInt((nbatch + 1) * (nb + k) - (nbase + 1) * (na + k)) * lr
+      (b, nbase, nbatch, lr)
+    }
+    val psi = (acc * 1000 / (BigInt(na + k) * (nb + k))).toLong
+    rows.zip(terms).foreach { case (r, (b, nbase, nbatch, lr)) =>
+      assert(r.getLong(0) === b && r.getLong(1) === nbase && r.getLong(2) === nbatch)
+      assert(r.getLong(3) === lr && r.getLong(4) === psi)
+      assert(!r.getBoolean(5), "a same-law slice must not alarm")
+    }
+    assert(psi < 250000000L, "PSI of a uniform one-third slice is near zero")
+  }
+
+  // ------------------------------------------------------------- q392
+  test("q392: the SPRT walk stops at the first crossing of +/- ln(19)") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(expr("user_id % 2 = 1"))
+      .select(col("ts").cast("long"), col("event_id"),
+        (col("event_type") === "purchase"))
+      .as[(Long, Long, Boolean)].collect()
+      .sortBy(e => (e._1, e._2))
+    val incs = ev.map(e => if (e._3) 693147L else -117783L)
+    var s = 0L; var crossIdx = -1L; var crossLlr = 0L
+    incs.zipWithIndex.foreach { case (i, idx) =>
+      s += i
+      if (crossIdx < 0 && (s >= 2944439L || s <= -2944439L)) {
+        crossIdx = idx + 1; crossLlr = s
+      }
+    }
+    val r = graft.SparkEntry.queries("q392_sprt")(spark, sf).collect()(0)
+    assert(r.getLong(0) === ev.length.toLong)
+    assert(r.getLong(1) === ev.count(_._3).toLong)
+    assert(r.getLong(2) === crossIdx && r.getLong(3) === crossLlr)
+    assert(r.getString(4) === (if (crossIdx < 0) "none" else if (crossLlr > 0) "h1" else "h0"))
+    assert(r.getLong(5) === incs.sum)
+    // the fixture's true rate (~0.2) sits AT p1, so the test must accept h1
+    assert(r.getString(4) === "h1", "a real 2x effect must cross the upper bound")
+  }
 }
