@@ -2716,7 +2716,88 @@ object EventAnalytics {
            WHEN (SELECT llr FROM c) < 0 THEN 'h0' ELSE 'none' END AS decision,
          (SELECT CAST(sum(inc) AS BIGINT) FROM ev) AS final_llr_munat"""
 
+  // ---------------------------------------------------------------- q393
+  /** SHAPLEY channel attribution — the game-theoretic member of the
+    * attribution family (q172 last-touch and q262 position are heuristics;
+    * Shapley is the unique allocation satisfying efficiency/symmetry/
+    * dummy): channels = the 4 non-purchase event types, the coalition
+    * value v(S) = #converted users whose touched-channel set ⊆ S (an
+    * integer-valued monotone set function straight from the data), and
+    * φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n!·[v(S∪c)−v(S)] with n=4 → the weights
+    * ARE the integers {6,2,2,6}/24, so φ·24 is exact BIGINT. The
+    * EFFICIENCY axiom rides as a column: Σφ·24 = 24·(v(full)−v(∅)) must
+    * hold exactly. One events scan → per-user 4-bit mask + converted flag
+    * → 16-row mask frame; v(S) by a 16×16 subset-sum bit-test join;
+    * Shapley on the 4×16 lattice. Full oracle replays masks, v, and φ.
+    */
+  def q393ShapleyAttribution(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(expr("""cast(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+             + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) as bigint)""").as("mask"),
+        expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").as("conv"))
+    val m = users.filter(col("conv") === 1)
+      .groupBy(col("mask")).agg(count(lit(1)).as("cm"))
+      .localCheckpoint() // 16-row converted-mask frame, read by the lattice
+    val sets = spark.range(16).select(col("id").as("s"))
+    val v = sets.join(m, expr("(mask & ~s) & 15 = 0"), "left")
+      .groupBy(col("s")).agg(expr("cast(coalesce(sum(cm), 0) as bigint)").as("v"))
+      .localCheckpoint() // 16-row coalition-value table, read 3 times
+    val chans = spark.range(4)
+      .select(col("id").as("ci"), expr("shiftleft(1L, cast(id as int))").as("cbit"),
+        expr("element_at(array('click','view','signup','error'), cast(id + 1 as int))").as("channel"))
+    val phi = broadcast(chans).join(v.select(col("s"), col("v").as("v_s")),
+        expr("(s & cbit) = 0"))
+      .join(v.select(col("s").as("s2"), col("v").as("v_sc")),
+        expr("s2 = s + cbit"))
+      .withColumn("w", expr(
+        """CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"""))
+      .groupBy(col("channel"))
+      .agg(expr("cast(sum(w * (v_sc - v_s)) as bigint)").as("phi_x24"))
+    val tot = v.agg(
+      expr("cast(max(CASE WHEN s = 15 THEN v END) as bigint)").as("v_full"),
+      expr("cast(max(CASE WHEN s = 0 THEN v END) as bigint)").as("v_empty"))
+    phi.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("phi_sum_x24", expr(
+        "cast(sum(phi_x24) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) as bigint)"))
+      .withColumn("efficiency_holds",
+        col("phi_sum_x24") === (col("v_full") - col("v_empty")) * 24L)
+      .select(col("channel"), col("phi_x24"), col("v_full"), col("v_empty"),
+        col("phi_sum_x24"), col("efficiency_holds"))
+      .orderBy(col("channel"))
+  }
+
+  val q393Oracle: String =
+    """WITH u AS (SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+               + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+               + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS BIGINT) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+       m AS (SELECT mask, count(*) AS cm FROM u WHERE conv = 1 GROUP BY 1),
+       sets AS (SELECT unnest(generate_series(0, 15)) AS s),
+       v AS (SELECT s.s, CAST(coalesce(sum(m.cm), 0) AS BIGINT) AS v
+             FROM sets s LEFT JOIN m ON (m.mask & ~s.s) & 15 = 0 GROUP BY 1),
+       ch AS (SELECT * FROM (VALUES (0, 1, 'click'), (1, 2, 'view'),
+              (2, 4, 'signup'), (3, 8, 'error')) c(ci, cbit, channel)),
+       phi AS (SELECT ch.channel,
+                 CAST(sum((CASE bit_count(va.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                   WHEN 2 THEN 2 ELSE 6 END) * (vb.v - va.v)) AS BIGINT) AS phi_x24
+               FROM ch JOIN v va ON (va.s & ch.cbit) = 0
+               JOIN v vb ON vb.s = va.s + ch.cbit
+               GROUP BY 1),
+       tot AS (SELECT CAST(max(CASE WHEN s = 15 THEN v END) AS BIGINT) AS v_full,
+                 CAST(max(CASE WHEN s = 0 THEN v END) AS BIGINT) AS v_empty FROM v)
+       SELECT p.channel, p.phi_x24, t.v_full, t.v_empty,
+         CAST(sum(p.phi_x24) OVER () AS BIGINT) AS phi_sum_x24,
+         CAST(sum(p.phi_x24) OVER () AS BIGINT) = (t.v_full - t.v_empty) * 24 AS efficiency_holds
+       FROM phi p, tot t ORDER BY p.channel"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q393_shapley_attribution" -> q393ShapleyAttribution _,
     "q392_sprt" -> q392Sprt _,
     "q386_corr_matrix" -> q386CorrMatrix _,
     "q387_delta_compression" -> q387DeltaCompression _,
@@ -2765,6 +2846,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q393_shapley_attribution" -> q393Oracle,
     "q392_sprt" -> q392Oracle,
     "q386_corr_matrix" -> q386Oracle,
     "q387_delta_compression" -> q387Oracle,

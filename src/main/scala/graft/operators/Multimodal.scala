@@ -1088,7 +1088,90 @@ object MediaCodecDemo extends Serializable {
        JOIN bg ON bg.pattern = p.pattern
        ORDER BY p.pattern"""
 
+  // ---------------------------------------------------------------- q396
+  /** AUDIO LAG ALIGNMENT by integer cross-correlation — the
+    * echo/offset detector a multimodal dedup pipeline runs when two
+    * recordings might be the same take shifted in time (q151's aHash
+    * answers it for images; amplitude stats q153/q279 can't see a pure
+    * shift): signal B is A delayed by a PLANTED lag of seed·3+2 samples,
+    * and the detector scores Σ A[i−lag]·B[i] (exact integer dot — the
+    * samples are ±1000/0 shorts) over candidate lags 0..15, argmax must
+    * recover the plant exactly. The square-wave period is 16, so the lag
+    * window equals one period — unique peak, with the antiphase lag
+    * scoring NEGATIVE (reported as the separation audit). Decode + both
+    * correlations stay in mapPartitions (samples never shuffle); one row
+    * per pattern. Full oracle replays the sample formula, the delay, and
+    * all 16 lag scores.
+    */
+  def q396AudioLagAlign(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 4).as("seed"))
+      .agg(count(lit(1)).as("n_docs"))
+    val det = pats.select(col("seed")).as[Long]
+      .mapPartitions { it =>
+        it.map { seed =>
+          val bytes = makePatternWav(seed.toInt)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(40) / 2
+          def a(i: Int): Long =
+            if (i < 0 || i >= n) 0L else bb.getShort(44 + i * 2).toLong
+          val k = (seed * 3 + 2).toInt
+          def b(i: Int): Long = a(i - k)
+          val scores = (0 until 16).map { lag =>
+            var s = 0L; var i = 0
+            while (i < n) { s += a(i - lag) * b(i); i += 1 }
+            (lag.toLong, s)
+          }
+          val best = scores.maxBy { case (lag, s) => (s, -lag) }
+          val second = scores.filter(_._1 != best._1).map(_._2).max
+          (seed, k.toLong, best._1, best._2, second)
+        }
+      }.toDF("seed", "planted_lag", "detected_lag", "peak_score", "second_score")
+    pats.join(det, "seed")
+      .withColumn("recovered", col("detected_lag") === col("planted_lag"))
+      .select(col("seed"), col("n_docs"), col("planted_lag"),
+        col("detected_lag"), col("peak_score"), col("second_score"),
+        col("recovered"))
+      .orderBy(col("seed"))
+  }
+
+  val q396Oracle: String = {
+    val n = Q153Frames * Q153SamplesPerFrame
+    s"""WITH pats AS (SELECT doc_id % 4 AS seed, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY 1),
+       sig AS (SELECT p.seed, i.i,
+                 CASE WHEN i.i // 256 < p.seed * 8 THEN 0
+                   WHEN (i.i // 8) % 2 = 0 THEN 1000 ELSE -1000 END AS v
+               FROM pats p, range($n) i(i)),
+       lags AS (SELECT unnest(generate_series(0, 15)) AS lag),
+       sc AS (SELECT s.seed, l.lag,
+                CAST(sum(
+                  (CASE WHEN s.i - l.lag < 0 THEN 0
+                    WHEN (s.i - l.lag) // 256 < s.seed * 8 THEN 0
+                    WHEN ((s.i - l.lag) // 8) % 2 = 0 THEN 1000 ELSE -1000 END)
+                  * (CASE WHEN s.i - (s.seed * 3 + 2) < 0 THEN 0
+                    WHEN (s.i - (s.seed * 3 + 2)) // 256 < s.seed * 8 THEN 0
+                    WHEN ((s.i - (s.seed * 3 + 2)) // 8) % 2 = 0 THEN 1000 ELSE -1000 END)
+                ) AS BIGINT) AS s
+              FROM sig s, lags l GROUP BY 1, 2),
+       best AS (SELECT seed, arg_max(lag, s * 16 + (15 - lag)) AS detected_lag,
+                  CAST(max(s) AS BIGINT) AS peak_score
+                FROM sc GROUP BY 1),
+       sec AS (SELECT sc.seed, CAST(max(sc.s) AS BIGINT) AS second_score
+               FROM sc JOIN best b ON b.seed = sc.seed AND sc.lag <> b.detected_lag
+               GROUP BY 1)
+       SELECT p.seed, p.n_docs, CAST(p.seed * 3 + 2 AS BIGINT) AS planted_lag,
+         CAST(b.detected_lag AS BIGINT) AS detected_lag, b.peak_score,
+         s.second_score,
+         b.detected_lag = p.seed * 3 + 2 AS recovered
+       FROM pats p JOIN best b ON b.seed = p.seed JOIN sec s ON s.seed = p.seed
+       ORDER BY p.seed"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_audio_lag_align" -> q396AudioLagAlign _,
     "q384_image_gradient" -> q384ImageGradient _,
     "q356_otsu_threshold" -> q356OtsuThreshold _,
     "q359_audio_decimate" -> q359AudioDecimate _,
@@ -1106,6 +1189,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q396_audio_lag_align" -> q396Oracle,
     "q384_image_gradient" -> q384Oracle,
     "q356_otsu_threshold" -> q356Oracle,
     "q359_audio_decimate" -> q359Oracle,

@@ -1434,7 +1434,76 @@ object Profiling {
          CAST(sum(x) AS BIGINT) AS true_total
        FROM nm GROUP BY 1 ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q395
+  /** t-CLOSENESS release audit — the third rung of the privacy-risk
+    * ladder (q251 k-anonymity: group sizes; its l-diversity: distinct
+    * sensitive values; t-closeness: the sensitive DISTRIBUTION within a
+    * group must stay close to the global one — a group can be large and
+    * diverse yet still leak "this neighborhood is 90% BUILDING segment").
+    * Same QI scheme as q251 (nationkey × $1000 balance band), sensitive =
+    * market segment, distance = variational (½·L1 — the categorical
+    * t-closeness metric): t_ppm per group = Σ_s |c_gs·N − c_s·n_g|·10⁶
+    * div (2·n_g·N), one truncating div per group, everything else exact
+    * cross-multiplied BIGINTs. Zero cells COUNT (a missing segment is
+    * leakage), so the lattice is groups × broadcast segment frame, not
+    * the observed pairs. Readout: the 10 worst groups with the release
+    * verdict t_max riding every row. Full oracle.
+    */
+  def q395TCloseness(spark: SparkSession, d: String): DataFrame = {
+    val rows = Tables.customer(spark, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+    val cnt = rows.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c_gs"))
+    val segs = rows.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("c_s"))
+    val grps = rows.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("n_g"))
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val lattice = grps.crossJoin(broadcast(segs)) // segment frame is 5 rows
+      .join(cnt, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("c_gs"))
+      .crossJoin(broadcast(tot)) // 1-row total
+    val t = lattice.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(expr("cast(max(n_g) as bigint)").as("n_g"),
+        expr("""CAST(sum(abs(CAST(c_gs AS DECIMAL(38,0)) * nn - CAST(c_s AS DECIMAL(38,0)) * n_g)) * 1000000
+               div (2 * CAST(max(n_g) AS DECIMAL(38,0)) * max(nn)) AS BIGINT)""")
+          .as("t_ppm"))
+    val mx = t.agg(expr("cast(max(t_ppm) as bigint)").as("t_max_ppm"),
+      count(lit(1)).as("n_groups"))
+    t.crossJoin(broadcast(mx)) // 1-row verdict
+      .orderBy(col("t_ppm").desc, col("c_nationkey").asc, col("bal_band").asc)
+      .limit(10)
+      .select(col("c_nationkey"), col("bal_band"), col("n_g"), col("t_ppm"),
+        col("t_max_ppm"), col("n_groups"))
+      .orderBy(col("t_ppm").desc, col("c_nationkey").asc, col("bal_band").asc)
+  }
+
+  val q395Oracle: String =
+    """WITH r AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer),
+       cnt AS (SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS c_gs
+               FROM r GROUP BY 1, 2, 3),
+       segs AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS c_s FROM r GROUP BY 1),
+       grps AS (SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS n_g
+                FROM r GROUP BY 1, 2),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM r),
+       lat AS (SELECT g.c_nationkey, g.bal_band, g.n_g, s.c_s, t.nn,
+                 CAST(coalesce(c.c_gs, 0) AS BIGINT) AS c_gs
+               FROM grps g CROSS JOIN segs s CROSS JOIN tot t
+               LEFT JOIN cnt c ON c.c_nationkey = g.c_nationkey
+                 AND c.bal_band = g.bal_band AND c.c_mktsegment = s.c_mktsegment),
+       tg AS (SELECT c_nationkey, bal_band, CAST(max(n_g) AS BIGINT) AS n_g,
+               CAST(sum(abs(CAST(c_gs AS HUGEINT) * nn - CAST(c_s AS HUGEINT) * n_g)) * 1000000
+                 // (2 * CAST(max(n_g) AS HUGEINT) * max(nn)) AS BIGINT) AS t_ppm
+             FROM lat GROUP BY 1, 2),
+       mx AS (SELECT CAST(max(t_ppm) AS BIGINT) AS t_max_ppm,
+                CAST(count(*) AS BIGINT) AS n_groups FROM tg)
+       SELECT tg.c_nationkey, tg.bal_band, tg.n_g, tg.t_ppm, mx.t_max_ppm, mx.n_groups
+       FROM tg, mx ORDER BY tg.t_ppm DESC, tg.c_nationkey ASC, tg.bal_band ASC
+       LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q395_t_closeness" -> q395TCloseness _,
     "q388_dp_release" -> q388DpRelease _,
     "q378_benford_audit" -> q378BenfordAudit _,
     "q379_kmv_distinct" -> q379KmvDistinct _,
@@ -1461,6 +1530,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q395_t_closeness" -> q395Oracle,
     "q388_dp_release" -> q388Oracle,
     "q378_benford_audit" -> q378Oracle,
     "q379_kmv_distinct" -> q379Oracle,

@@ -4074,7 +4074,53 @@ object TextAnalysis {
          CAST(max(score_ppm) AS BIGINT) AS score_ppm
        FROM occ GROUP BY 1 ORDER BY score_ppm DESC, phrase ASC LIMIT 10"""
 
+  // ---------------------------------------------------------------- q394
+  /** GOOD–TURING missing mass + Simpson collision probability per source —
+    * the two frequency-spectrum diagnostics between q308's Heaps growth
+    * (how fast vocabulary grows) and q266's Zipf slope (how it decays):
+    * missing mass N₁/N estimates the probability the NEXT token is
+    * unseen (the Good–Turing estimator — the number that says whether a
+    * source's vocabulary is exhausted or still being discovered), and
+    * Simpson's Σc(c−1)/N(N−1) is the repeat-collision probability (high =
+    * templated/boilerplate source). Both are exact integer ratios in ppm
+    * — no smoothing, no logs. One tokenize pass → per-(source, token)
+    * counts → frequency-spectrum rollup per source. Full oracle.
+    */
+  def q394MissingMass(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(expr("cast(sum(c) as bigint)").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        expr("cast(count_if(c = 1) as bigint)").as("n_hapax"),
+        expr("cast(count_if(c = 2) as bigint)").as("n_dis"),
+        expr("cast(sum(cast(c as decimal(38,0)) * (c - 1)) as decimal(38,0))").as("coll"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        col("n_dis"),
+        expr("CAST(n_hapax * 1000000 div n_tokens AS BIGINT)").as("missing_mass_ppm"),
+        expr("CAST(coll * 1000000 div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) AS BIGINT)")
+          .as("simpson_ppm"))
+      .orderBy(col("source"))
+
+  val q394Oracle: String =
+    """WITH tok AS (SELECT source, t FROM (SELECT source,
+             unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+       c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+       agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+                 CAST(count(*) FILTER (c = 2) AS BIGINT) AS n_dis,
+                 CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS coll
+               FROM c GROUP BY 1)
+       SELECT source, n_tokens, vocab, n_hapax, n_dis,
+         CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS missing_mass_ppm,
+         CAST(coll * 1000000 // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+       FROM agg ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_missing_mass" -> q394MissingMass _,
     "q385_rake_keywords" -> q385RakeKeywords _,
     "q377_inv_index_maintain" -> q377InvIndexMaintain _,
     "q374_classifier_f1" -> q374ClassifierF1 _,
@@ -4135,6 +4181,7 @@ object TextAnalysis {
     "q40_text_fingerprint" -> q40Fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q394_missing_mass" -> q394Oracle,
     "q385_rake_keywords" -> q385Oracle,
     "q377_inv_index_maintain" -> q377Oracle,
     "q374_classifier_f1" -> q374Oracle,

@@ -52,7 +52,8 @@ class Round10Spec extends SparkSuite {
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
   //    Profiling.scala 3 / Curation.scala 5 (incl. q368's vocab-sized
   //    distinct (source, gram) frame read by all greedy rounds) /
-  //    EventAnalytics.scala 6 (incl. q386's |days|x|types| daily frame,
+  //    EventAnalytics.scala 8 (incl. q386's |days|x|types| daily frame,
+  //    q393's 16-row mask and coalition-value frames,
   //    read by both join sides) / Cdc.scala 1: stratum-, QI-group-, source-,
   //    day-, users- or K-sized aggregate frames read by several branches.
   //  - SkewBenchWinnow.scala 3 / SkewBenchPacking.scala 1: the
@@ -82,7 +83,7 @@ class Round10Spec extends SparkSuite {
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 18,
       "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
-      "Curation.scala" -> 5, "EventAnalytics.scala" -> 6, "Cdc.scala" -> 1,
+      "Curation.scala" -> 5, "EventAnalytics.scala" -> 8, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)
     assert(counts.toMap === audited,
       s"localCheckpoint inventory drifted — re-audit the new/removed pins " +

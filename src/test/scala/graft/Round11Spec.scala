@@ -1304,4 +1304,98 @@ class Round11Spec extends SparkSuite {
     // the fixture's true rate (~0.2) sits AT p1, so the test must accept h1
     assert(r.getString(4) === "h1", "a real 2x effect must cross the upper bound")
   }
+
+  // ------------------------------------------------------------- q393
+  test("q393: Shapley values replay from the coalition lattice and satisfy the axioms") {
+    import spark.implicits._
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(expr("""cast(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+             + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) as bigint)""").as("m"),
+        expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").as("c"))
+      .select(col("m"), col("c")).as[(Long, Int)].collect()
+    val conv = users.filter(_._2 == 1).map(_._1)
+    def v(s: Long): Long = conv.count(m => (m & ~s & 15L) == 0L).toLong
+    val w = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val chans = Seq(("click", 1L), ("error", 8L), ("signup", 4L), ("view", 2L))
+    val phis = chans.map { case (name, bit) =>
+      name -> (0L until 16L).filter(s => (s & bit) == 0L)
+        .map(s => w(java.lang.Long.bitCount(s)) * (v(s | bit) - v(s))).sum
+    }.toMap
+    val rows = graft.SparkEntry.queries("q393_shapley_attribution")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === phis(r.getString(0)), s"${r.getString(0)} phi")
+      assert(r.getLong(2) === v(15) && r.getLong(3) === v(0))
+      // efficiency axiom, exactly
+      assert(r.getLong(4) === phis.values.sum)
+      assert(r.getLong(4) === (v(15) - v(0)) * 24)
+      assert(r.getBoolean(5))
+    }
+  }
+
+  // ------------------------------------------------------------- q394
+  test("q394: missing mass and Simpson replay from the frequency spectrum") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val rows = graft.SparkEntry.queries("q394_missing_mass")(spark, sf).collect()
+    rows.foreach { r =>
+      val toks = docs.filter(_._1 == r.getString(0))
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val freq = toks.groupBy(identity).map(_._2.length.toLong)
+      val n = toks.length.toLong
+      assert(r.getLong(1) === n && r.getLong(2) === freq.size.toLong)
+      assert(r.getLong(3) === freq.count(_ == 1L).toLong)
+      assert(r.getLong(4) === freq.count(_ == 2L).toLong)
+      assert(r.getLong(5) === freq.count(_ == 1L).toLong * 1000000L / n)
+      assert(r.getLong(6) ===
+        (freq.map(c => BigInt(c) * (c - 1)).sum * 1000000 / (BigInt(n) * (n - 1))).toLong)
+      // spectrum identities: hapax <= vocab, both masses in [0, 1e6]
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(5) <= 1000000L)
+    }
+  }
+
+  // ------------------------------------------------------------- q395
+  test("q395: per-group variational distance replays with zero cells counted") {
+    import spark.implicits._
+    val rows0 = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+    val nn = rows0.length.toLong
+    val segs = rows0.groupBy(_._2).map { case (s, g) => s -> g.size.toLong }
+    val groups = rows0.groupBy(r => (r._1, r._3))
+    val ts = groups.map { case ((nat, band), g) =>
+      val ng = g.size.toLong
+      val l1 = segs.map { case (s, cs) =>
+        val cgs = g.count(_._2 == s).toLong
+        (BigInt(cgs) * nn - BigInt(cs) * ng).abs
+      }.sum
+      ((nat, band), ng, (l1 * 1000000 / (2 * BigInt(ng) * nn)).toLong)
+    }.toSeq
+    val tmax = ts.map(_._3).max
+    val top = ts.sortBy { case ((nat, band), _, t) => (-t, nat, band) }.take(10)
+    val rows = graft.SparkEntry.queries("q395_t_closeness")(spark, sf).collect()
+    rows.zip(top).foreach { case (r, ((nat, band), ng, t)) =>
+      assert(r.getAs[Number](0).longValue === nat && r.getLong(1) === band &&
+        r.getLong(2) === ng && r.getLong(3) === t, s"group ($nat,$band)")
+      assert(r.getLong(4) === tmax && r.getLong(5) === ts.size.toLong)
+      assert(r.getLong(3) <= 1000000L, "variational distance is bounded by 1")
+    }
+  }
+
+  // ------------------------------------------------------------- q396
+  test("q396: cross-correlation recovers every planted lag with antiphase separation") {
+    val rows = graft.SparkEntry.queries("q396_audio_lag_align")(spark, sf).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * 3 + 2, "planted lag formula")
+      assert(r.getBoolean(6), s"seed ${r.getLong(0)}: lag not recovered")
+      assert(r.getLong(3) === r.getLong(2), "detected equals planted")
+      assert(r.getLong(4) > r.getLong(5), "peak strictly separated from runner-up")
+      assert(r.getLong(4) > 0L, "peak correlation positive")
+    }
+  }
 }
