@@ -2796,7 +2796,101 @@ object EventAnalytics {
          CAST(sum(p.phi_x24) OVER () AS BIGINT) = (t.v_full - t.v_empty) * 24 AS efficiency_holds
        FROM phi p, tot t ORDER BY p.channel"""
 
+  // ---------------------------------------------------------------- q400
+  /** THEIL INDEX inequality decomposition of customer spend by nation —
+    * the decomposable companion to q178's Gini (Gini does not split;
+    * Theil T = T_between + T_within EXACTLY, which is why economists use
+    * it to answer "is the inequality across nations or inside them?").
+    * Everything stays on the µ-nat lattice (q341/q381 discipline): each
+    * customer contributes x·round(ln(x·N_g/X_g)·10⁶) to its nation's
+    * within term, each nation contributes X_g·round(ln(X_g·N/(X·N_g))·10⁶)
+    * to the between term, sums ride in DECIMAL(38,0), and the readout is
+    * nano-nats per unit mass (÷X). Quantization makes the decomposition
+    * identity hold only to ≤2 µ-nat per customer — so the identity GAP is
+    * REPORTED (gap_nano) and bounded in Round11Spec instead of silently
+    * absorbed. One orders scan → per-customer spend → nation rollup.
+    * Full oracle.
+    */
+  def q400TheilDecomposition(spark: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").as("x"))
+      .join(Tables.customer(spark, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nat")),
+        "o_custkey")
+    val g = spend.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_g"), expr("cast(sum(x) as bigint)").as("x_g"))
+      .localCheckpoint() // |nations|-row group frame, read by 3 terms
+    val tot = g.agg(expr("cast(sum(n_g) as bigint)").as("nn"),
+      expr("cast(sum(x_g) as bigint)").as("xx"))
+    val within = spend.join(broadcast(g), "nat")
+      .withColumn("lq", expr(
+        "CAST(round(ln(CAST(x AS DOUBLE) * n_g / CAST(x_g AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy(col("nat"))
+      .agg(expr("cast(sum(cast(x as decimal(38,0)) * lq) as decimal(38,0))").as("tw_g"))
+    val terms = g.join(within, "nat").crossJoin(broadcast(tot))
+      .withColumn("lb", expr(
+        "CAST(round(ln(CAST(x_g AS DOUBLE) * nn / (CAST(xx AS DOUBLE) * n_g)) * 1000000) AS BIGINT)"))
+      .withColumn("tb_g", expr("cast(cast(x_g as decimal(38,0)) * lb as decimal(38,0))"))
+      .localCheckpoint() // |nations|-row term frame, read by rows + totals
+    val totalT = spend.crossJoin(broadcast(tot))
+      .withColumn("lq", expr(
+        "CAST(round(ln(CAST(x AS DOUBLE) * nn / CAST(xx AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .agg(expr("cast(sum(cast(x as decimal(38,0)) * lq) as decimal(38,0))").as("tt"))
+    val sums = terms.agg(
+      expr("cast(sum(tw_g) as decimal(38,0))").as("tw"),
+      expr("cast(sum(tb_g) as decimal(38,0))").as("tb"))
+    terms
+      .crossJoin(broadcast(sums)) // 1-row decomposition sums
+      .crossJoin(broadcast(totalT)) // 1-row total
+      .select(col("nat"), col("n_g"), col("x_g"),
+        expr("CAST(tw_g * 1000 div x_g AS BIGINT)").as("t_within_g_nano"),
+        expr("CAST(lb AS BIGINT)").as("between_micro"),
+        expr("CAST(tt * 1000 div xx AS BIGINT)").as("t_total_nano"),
+        expr("CAST(tw * 1000 div xx AS BIGINT)").as("t_within_nano"),
+        expr("CAST(tb * 1000 div xx AS BIGINT)").as("t_between_nano"),
+        expr("CAST((tt - tw - tb) * 1000 div xx AS BIGINT)").as("gap_nano"))
+      .orderBy(col("nat"))
+  }
+
+  val q400Oracle: String =
+    """WITH spend AS (SELECT o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(min(c.c_nationkey) AS BIGINT) AS nat
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+       g AS (SELECT nat, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS x_g FROM spend GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+                 CAST(sum(x_g) AS BIGINT) AS xx FROM g),
+       w AS (SELECT s.nat,
+               CAST(sum(CAST(s.x AS HUGEINT) *
+                 CAST(round(ln(CAST(s.x AS DOUBLE) * g.n_g / CAST(g.x_g AS DOUBLE)) * 1000000) AS BIGINT))
+                 AS HUGEINT) AS tw_g
+             FROM spend s JOIN g ON g.nat = s.nat GROUP BY 1),
+       terms AS (SELECT g.nat, g.n_g, g.x_g, w.tw_g,
+                   CAST(round(ln(CAST(g.x_g AS DOUBLE) * t.nn / (CAST(t.xx AS DOUBLE) * g.n_g)) * 1000000) AS BIGINT) AS lb
+                 FROM g JOIN w ON w.nat = g.nat, tot t),
+       tts AS (SELECT CAST(sum(CAST(s.x AS HUGEINT) *
+                 CAST(round(ln(CAST(s.x AS DOUBLE) * t.nn / CAST(t.xx AS DOUBLE)) * 1000000) AS BIGINT))
+                 AS HUGEINT) AS tt
+               FROM spend s, tot t),
+       sums AS (SELECT CAST(sum(tw_g) AS HUGEINT) AS tw,
+                  CAST(sum(CAST(x_g AS HUGEINT) * lb) AS HUGEINT) AS tb
+                FROM terms)
+       SELECT m.nat, m.n_g, m.x_g,
+         CAST(m.tw_g * 1000 // m.x_g AS BIGINT) AS t_within_g_nano,
+         m.lb AS between_micro,
+         CAST(x.tt * 1000 // t.xx AS BIGINT) AS t_total_nano,
+         CAST(s.tw * 1000 // t.xx AS BIGINT) AS t_within_nano,
+         CAST(s.tb * 1000 // t.xx AS BIGINT) AS t_between_nano,
+         CAST((x.tt - s.tw - s.tb) * 1000 // t.xx AS BIGINT) AS gap_nano
+       FROM terms m, tot t, tts x, sums s
+       ORDER BY m.nat"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q400_theil_decomposition" -> q400TheilDecomposition _,
     "q393_shapley_attribution" -> q393ShapleyAttribution _,
     "q392_sprt" -> q392Sprt _,
     "q386_corr_matrix" -> q386CorrMatrix _,
@@ -2846,6 +2940,7 @@ object EventAnalytics {
     "q124_rolling_anomaly" -> q124RollingAnomaly _)
 
   val oracles: Map[String, String] = Map(
+    "q400_theil_decomposition" -> q400Oracle,
     "q393_shapley_attribution" -> q393Oracle,
     "q392_sprt" -> q392Oracle,
     "q386_corr_matrix" -> q386Oracle,

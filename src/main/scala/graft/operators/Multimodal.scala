@@ -1170,7 +1170,77 @@ object MediaCodecDemo extends Serializable {
        ORDER BY p.seed"""
   }
 
+  // ---------------------------------------------------------------- q398
+  /** IMAGE PATCH EXTRACTION (ViT-style patchify) — the preprocessing
+    * plumbing a vision-encoder training pipeline runs on every image: the
+    * 64×48 grayscale splits into an 8×6 grid of 8×8 patches, each patch
+    * emitting its exact integer stats (sum, min, max) under an explicit
+    * (pattern, tx, ty) schema — the layout a downstream embedder consumes
+    * patch-by-patch. The CONSERVATION certificate rides every row: the
+    * 48 patch sums of a pattern must add back to the whole-image pixel
+    * sum exactly (a lost or doubled border row breaks it loudly). Decode
+    * + patchify in mapPartitions (pixels never shuffle; rows out = 48 per
+    * pattern, not 3072 pixels). Full oracle replays the pattern formula
+    * per patch cell. */
+  def q398ImagePatches(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 8).as("pattern"))
+      .agg(count(lit(1)).as("n_images"))
+    val patches = pats.select(col("pattern")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val bytes = makePatternBmp(p.toInt)
+          def le32(off: Int): Int =
+            (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+              ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+          val w = le32(18); val h = le32(22)
+          val rowSize = (w * 3 + 3) / 4 * 4
+          def pix(x: Int, y: Int): Long =
+            (bytes(54 + y * rowSize + x * 3) & 0xFF).toLong
+          var total = 0L
+          val rows = for (ty <- 0 until h / 8; tx <- 0 until w / 8) yield {
+            var s = 0L; var mn = 255L; var mx = 0L
+            for (dy <- 0 until 8; dx <- 0 until 8) {
+              val v = pix(tx * 8 + dx, ty * 8 + dy)
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            }
+            total += s
+            (p, tx.toLong, ty.toLong, s, mn, mx)
+          }
+          rows.map { case (pp, tx, ty, s, mn, mx) => (pp, tx, ty, s, mn, mx, total) }
+        }
+      }.toDF("pattern", "tx", "ty", "px_sum", "px_min", "px_max", "img_sum")
+    pats.join(patches, "pattern")
+      .withColumn("conserved", expr(
+        "cast(sum(px_sum) OVER (PARTITION BY pattern) as bigint) = img_sum"))
+      .select(col("pattern"), col("tx"), col("ty"), col("px_sum"),
+        col("px_min"), col("px_max"), col("img_sum"), col("conserved"))
+      .orderBy(col("pattern"), col("ty"), col("tx"))
+  }
+
+  val q398Oracle: String =
+    """WITH pats AS (SELECT doc_id % 8 AS pattern FROM documents GROUP BY 1),
+       px AS (SELECT p.pattern, x.i AS x, y.i AS y,
+                (x.i * 31 + y.i * 17 + p.pattern * 97) % 256 AS v
+              FROM pats p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) x,
+                   (SELECT unnest(generate_series(0, 47)) AS i) y),
+       pat AS (SELECT pattern, x // 8 AS tx, y // 8 AS ty,
+                 CAST(sum(v) AS BIGINT) AS px_sum,
+                 CAST(min(v) AS BIGINT) AS px_min,
+                 CAST(max(v) AS BIGINT) AS px_max
+               FROM px GROUP BY 1, 2, 3),
+       tot AS (SELECT pattern, CAST(sum(px_sum) AS BIGINT) AS img_sum FROM pat GROUP BY 1)
+       SELECT CAST(p.pattern AS BIGINT) AS pattern, CAST(p.tx AS BIGINT) AS tx,
+         CAST(p.ty AS BIGINT) AS ty, p.px_sum, p.px_min, p.px_max,
+         t.img_sum,
+         CAST(sum(p.px_sum) OVER (PARTITION BY p.pattern) AS BIGINT) = t.img_sum AS conserved
+       FROM pat p JOIN tot t ON t.pattern = p.pattern
+       ORDER BY p.pattern, p.ty, p.tx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_image_patches" -> q398ImagePatches _,
     "q396_audio_lag_align" -> q396AudioLagAlign _,
     "q384_image_gradient" -> q384ImageGradient _,
     "q356_otsu_threshold" -> q356OtsuThreshold _,
@@ -1189,6 +1259,7 @@ object MediaCodecDemo extends Serializable {
     "q60_multimodal_wav_decode" -> q60WavDecode _)
 
   val oracles: Map[String, String] = Map(
+    "q398_image_patches" -> q398Oracle,
     "q396_audio_lag_align" -> q396Oracle,
     "q384_image_gradient" -> q384Oracle,
     "q356_otsu_threshold" -> q356Oracle,

@@ -1502,7 +1502,137 @@ object Profiling {
        FROM tg, mx ORDER BY tg.t_ppm DESC, tg.c_nationkey ASC, tg.bal_band ASC
        LIMIT 10"""
 
+  // ---------------------------------------------------------------- q397
+  /** HLL SET-ALGEBRA intersection estimate, audited against the exact
+    * overlap — the sketch-algebra layer above q312's single-set HLL: two
+    * sketches MERGE into the union by register max (the HLL closure
+    * property), so |A∩B| falls out by inclusion–exclusion est(A) +
+    * est(B) − est(A∪B) with NO access to the raw sets — the cross-corpus
+    * overlap question (q311 answers it exactly) at sketch cost. Domain:
+    * stride-4 shingle-hash sets of 4 source pairs (measured ~31% overlap
+    * — non-degenerate). Registers, d′ arithmetic, and the
+    * linear-counting fallback are exactly q312's; the estimate stays in
+    * exact DECIMAL(38,0) milli-units; the exact intersection rides as
+    * the audit (at 100 TB you keep 64 registers per source, not the
+    * sets). Full oracle replays registers, all three estimates, and the
+    * subtraction.
+    */
+  def q397HllIntersection(spark: SparkSession, d: String): DataFrame = {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    val sh = Tables.documents(spark, d)
+      .filter(col("source").isin(srcs: _*))
+      .select(col("source"), explode(expr(
+        """CASE WHEN length(text) >= 8
+           THEN transform(sequence(1, length(text) - 7, 4), i -> substring(text, i, 8))
+           ELSE array() END""")).as("s"))
+      .select(col("source"), expr("md5(s)").as("md"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md, 1, 2), 16, 10) AS BIGINT) % 64").as("bucket"),
+        expr("CAST(61 - length(bin(CAST(conv(substring(md, 3, 15), 16, 10) AS BIGINT))) AS BIGINT)").as("rank"))
+    val regs = sh.groupBy(col("source"), col("bucket")).agg(max(col("rank")).as("reg"))
+      .localCheckpoint() // 4x64-row register frame, read by 3 estimates
+    import spark.implicits._
+    val pairs = Seq(("src0", "src1"), ("src0", "src2"), ("src1", "src2"),
+      ("src0", "src3")).toDF("sa", "sb")
+    def estimate(grouped: DataFrame, keys: Seq[String], out: String): DataFrame =
+      grouped
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("hit"),
+          expr("cast(sum(cast(shiftleft(cast(1 as bigint), cast(60 - reg as int)) as decimal(38,0))) as decimal(38,0))").as("dh"))
+        .withColumn("dp", expr("dh + cast(64 - hit as decimal(38,0)) * 1152921504606846976"))
+        .withColumn("raw", expr("cast((cast(2904064 as decimal(38,0)) * 1152921504606846976) div dp as bigint)"))
+        .withColumn(out, expr(
+          """CASE WHEN raw <= 160000 AND hit < 64
+               THEN cast(round(64 * ln(64.0 / (64 - hit)) * 1000) as bigint)
+               ELSE raw END"""))
+        .select((keys.map(col) :+ col(out)): _*)
+    val estSingle = estimate(regs.withColumnRenamed("source", "src"), Seq("src"), "est_milli")
+    val unionRegs = broadcast(pairs)
+      .join(regs, col("source") === col("sa") || col("source") === col("sb"))
+      .groupBy(col("sa"), col("sb"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val estU = estimate(unionRegs, Seq("sa", "sb"), "est_u_milli")
+    val hv = Tables.documents(spark, d)
+      .filter(col("source").isin(srcs: _*))
+      .select(col("source"), explode(expr(
+        """CASE WHEN length(text) >= 8
+           THEN transform(sequence(1, length(text) - 7, 4), i -> substring(text, i, 8))
+           ELSE array() END""")).as("s"))
+      .select(col("source"), expr("md5(s)").as("md")).distinct()
+    val exact = broadcast(pairs)
+      .join(hv.select(col("source").as("s1"), col("md")), col("s1") === col("sa"))
+      .join(hv.select(col("source").as("s2"), col("md")), Seq("md"))
+      .filter(col("s2") === col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_exact_inter"))
+    broadcast(pairs)
+      .join(estSingle.select(col("src").as("sa"), col("est_milli").as("est_a_milli")), "sa")
+      .join(estSingle.select(col("src").as("sb"), col("est_milli").as("est_b_milli")), "sb")
+      .join(estU, Seq("sa", "sb"))
+      .join(exact, Seq("sa", "sb"))
+      .withColumn("est_inter_milli",
+        col("est_a_milli") + col("est_b_milli") - col("est_u_milli"))
+      .select(col("sa"), col("sb"), col("n_exact_inter"), col("est_a_milli"),
+        col("est_b_milli"), col("est_u_milli"), col("est_inter_milli"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val q397Oracle: String =
+    """WITH sh0 AS (SELECT source,
+           md5(s) AS md
+         FROM (SELECT source, unnest(list_transform(
+                 generate_series(1, greatest(len(text) - 7, 0), 4),
+                 i -> substr(text, i, 8))) AS s FROM documents
+               WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+       sh AS (SELECT source,
+               CAST(('0x' || substr(md, 1, 2)) AS BIGINT) % 64 AS bucket,
+               CAST(61 - len(bin(CAST(('0x' || substr(md, 3, 15)) AS BIGINT))) AS BIGINT) AS rank
+             FROM sh0),
+       regs AS (SELECT source, bucket, max(rank) AS reg FROM sh GROUP BY 1, 2),
+       pairs AS (SELECT * FROM (VALUES ('src0', 'src1'), ('src0', 'src2'),
+                 ('src1', 'src2'), ('src0', 'src3')) p(sa, sb)),
+       est1 AS (SELECT source AS src,
+                  count(*) AS hit,
+                  sum(CAST(1 AS HUGEINT) << CAST(60 - reg AS INTEGER)) AS dh
+                FROM regs GROUP BY 1),
+       e1 AS (SELECT src,
+                CASE WHEN CAST(CAST(2904064 AS HUGEINT) * 1152921504606846976
+                       // (dh + CAST(64 - hit AS HUGEINT) * 1152921504606846976) AS BIGINT) <= 160000
+                       AND hit < 64
+                  THEN CAST(round(64 * ln(64.0 / (64 - hit)) * 1000) AS BIGINT)
+                  ELSE CAST(CAST(2904064 AS HUGEINT) * 1152921504606846976
+                       // (dh + CAST(64 - hit AS HUGEINT) * 1152921504606846976) AS BIGINT) END AS est_milli
+              FROM est1),
+       ur AS (SELECT p.sa, p.sb, r.bucket, max(r.reg) AS reg
+              FROM pairs p JOIN regs r ON r.source = p.sa OR r.source = p.sb
+              GROUP BY 1, 2, 3),
+       estu0 AS (SELECT sa, sb, count(*) AS hit,
+                   sum(CAST(1 AS HUGEINT) << CAST(60 - reg AS INTEGER)) AS dh
+                 FROM ur GROUP BY 1, 2),
+       eu AS (SELECT sa, sb,
+                CASE WHEN CAST(CAST(2904064 AS HUGEINT) * 1152921504606846976
+                       // (dh + CAST(64 - hit AS HUGEINT) * 1152921504606846976) AS BIGINT) <= 160000
+                       AND hit < 64
+                  THEN CAST(round(64 * ln(64.0 / (64 - hit)) * 1000) AS BIGINT)
+                  ELSE CAST(CAST(2904064 AS HUGEINT) * 1152921504606846976
+                       // (dh + CAST(64 - hit AS HUGEINT) * 1152921504606846976) AS BIGINT) END AS est_u_milli
+              FROM estu0),
+       dv AS (SELECT DISTINCT source, md FROM sh0),
+       ex AS (SELECT p.sa, p.sb, CAST(count(*) AS BIGINT) AS n_exact_inter
+              FROM pairs p JOIN dv a ON a.source = p.sa
+              JOIN dv b ON b.source = p.sb AND b.md = a.md
+              GROUP BY 1, 2)
+       SELECT p.sa, p.sb, ex.n_exact_inter,
+         ea.est_milli AS est_a_milli, eb.est_milli AS est_b_milli,
+         eu.est_u_milli,
+         ea.est_milli + eb.est_milli - eu.est_u_milli AS est_inter_milli
+       FROM pairs p
+       JOIN e1 ea ON ea.src = p.sa
+       JOIN e1 eb ON eb.src = p.sb
+       JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+       JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+       ORDER BY p.sa, p.sb"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q397_hll_intersection" -> q397HllIntersection _,
     "q395_t_closeness" -> q395TCloseness _,
     "q388_dp_release" -> q388DpRelease _,
     "q378_benford_audit" -> q378BenfordAudit _,
@@ -1530,6 +1660,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q397_hll_intersection" -> q397Oracle,
     "q395_t_closeness" -> q395Oracle,
     "q388_dp_release" -> q388Oracle,
     "q378_benford_audit" -> q378Oracle,

@@ -1180,6 +1180,141 @@ object StreamingOps {
        GROUP BY c.event_type, t.n_tested, t.n_alarm_days, t.max_ratio_ppm
        ORDER BY c.event_type"""
 
+  // ---------------------------------------------------------------- q399
+  final case class HystEvent(event_type: String, day: String)
+  final case class HystState(event_type: String, n_days: Long, cal_sum: Long,
+                             target: Long, breach_streak: Long,
+                             quiet_streak: Long, alarm: Boolean,
+                             n_breach_days: Long, n_pages: Long,
+                             days_in_alarm: Long, open_day: String,
+                             open_count: Long)
+  final case class HystOut(event_type: String, n_days: Long, target: Long,
+                           n_breach_days: Long, n_pages: Long,
+                           days_in_alarm: Long)
+
+  /** HYSTERESIS (flap-suppression) volume alarm — the ops layer q383 and
+    * q354 hand their breach flags to: a raw threshold pages on EVERY
+    * breach day (a noisy metric oscillating around the line pages
+    * nightly), while the hysteresis machine turns ON only after 2
+    * consecutive breaches and OFF only after 3 consecutive quiet days —
+    * the standard alert-manager debounce, run as a per-type
+    * mapGroupsWithState fold (a dozen scalars of state at any volume;
+    * q354's open-day and calibration contracts). Breach = 5% above the
+    * first-5-closed-days mean, decided by the exact cross-multiplication
+    * x·20 > T·21. Readout per type: breach days (= what naive paging
+    * would send), hysteresis pages (OFF→ON transitions), and days spent
+    * in alarm. The batch oracle replays the state machine via its
+    * CLOSED FORM — state(i) = (latest day with breach-streak ≥ 2) >
+    * (latest day with quiet-streak ≥ 3), two prefix-max windows over
+    * gaps-islands streaks — equality certifies machine ≡ closed form.
+    */
+  val Q399CalDays = 5L
+
+  def q399StreamHysteresisAlarm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.eventsStream(spark, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      .as[HystEvent]
+    val folded = ev.groupByKey(_.event_type)
+      .mapGroupsWithState[HystState, HystOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[HystEvent], state: GroupState[HystState]) =>
+          var st = state.getOption.getOrElse(HystState(tpe, 0L, 0L, 0L, 0L, 0L,
+            alarm = false, 0L, 0L, 0L, "", 0L))
+          def closeDay(x: Long): Unit = {
+            val n = st.n_days + 1
+            if (n <= Q399CalDays) {
+              val cal = st.cal_sum + x
+              val t = if (n == Q399CalDays) cal / Q399CalDays else 0L
+              st = st.copy(n_days = n, cal_sum = cal, target = t)
+            } else {
+              val breach = x * 20L > st.target * 21L
+              val bs = if (breach) st.breach_streak + 1 else 0L
+              val qs = if (breach) 0L else st.quiet_streak + 1
+              var alarm = st.alarm
+              var pages = st.n_pages
+              if (!alarm && bs >= 2L) { alarm = true; pages += 1 }
+              if (alarm && qs >= 3L) alarm = false
+              st = st.copy(n_days = n, breach_streak = bs, quiet_streak = qs,
+                alarm = alarm,
+                n_breach_days = st.n_breach_days + (if (breach) 1L else 0L),
+                n_pages = pages,
+                days_in_alarm = st.days_in_alarm + (if (alarm) 1L else 0L))
+            }
+          }
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (st.open_day == "") st = st.copy(open_day = r.day, open_count = 1L)
+            else if (r.day == st.open_day) st = st.copy(open_count = st.open_count + 1L)
+            else {
+              closeDay(st.open_count)
+              st = st.copy(open_day = r.day, open_count = 1L)
+            }
+          }
+          state.update(st)
+          HystOut(tpe, st.n_days, st.target, st.n_breach_days, st.n_pages,
+            st.days_in_alarm)
+      }
+    val out = runToMemory(spark, folded.toDF(),
+      s"stream_hyst_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("event_type"))
+      .agg(max(struct(col("n_days"), col("target"), col("n_breach_days"),
+        col("n_pages"), col("days_in_alarm"))).as("s"))
+      .select(col("event_type"), col("s.n_days").as("n_days"),
+        col("s.target").as("target"),
+        col("s.n_breach_days").as("n_breach_days"),
+        col("s.n_pages").as("n_pages"),
+        col("s.days_in_alarm").as("days_in_alarm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q399Oracle: String =
+    s"""WITH daily AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+       closed AS (SELECT * FROM daily dd
+                  WHERE day < (SELECT max(day) FROM daily m
+                               WHERE m.event_type = dd.event_type)),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+              FROM closed),
+       tgt AS (SELECT event_type, CAST(sum(x) // $Q399CalDays AS BIGINT) AS target
+               FROM rk WHERE rn <= $Q399CalDays GROUP BY 1),
+       b AS (SELECT r.event_type, r.rn, t.target,
+               CASE WHEN r.x * 20 > t.target * 21 THEN 1 ELSE 0 END AS br
+             FROM rk r JOIN tgt t ON t.event_type = r.event_type
+             WHERE r.rn > $Q399CalDays),
+       st AS (SELECT *,
+               rn - coalesce(max(CASE WHEN br = 0 THEN rn END) OVER (
+                 PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), $Q399CalDays) AS bs,
+               rn - coalesce(max(CASE WHEN br = 1 THEN rn END) OVER (
+                 PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), $Q399CalDays) AS qs
+             FROM b),
+       evd AS (SELECT *,
+               coalesce(max(CASE WHEN br = 1 AND bs >= 2 THEN rn END) OVER (
+                 PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_on,
+               coalesce(max(CASE WHEN br = 0 AND qs >= 3 THEN rn END) OVER (
+                 PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_off
+             FROM st),
+       sm AS (SELECT *, last_on > last_off AS al,
+               coalesce(lag(last_on > last_off) OVER (
+                 PARTITION BY event_type ORDER BY rn), false) AS al_prev
+             FROM evd),
+       agg AS (SELECT event_type, target,
+                 CAST(sum(br) AS BIGINT) AS n_breach_days,
+                 CAST(sum(CASE WHEN al AND NOT al_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_pages,
+                 CAST(sum(CASE WHEN al THEN 1 ELSE 0 END) AS BIGINT) AS days_in_alarm
+               FROM sm GROUP BY 1, 2),
+       nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM closed GROUP BY 1)
+       SELECT nd.event_type, nd.n_days, coalesce(a.target, 0) AS target,
+         coalesce(a.n_breach_days, 0) AS n_breach_days,
+         coalesce(a.n_pages, 0) AS n_pages,
+         coalesce(a.days_in_alarm, 0) AS days_in_alarm
+       FROM nd LEFT JOIN agg a ON a.event_type = nd.event_type
+       ORDER BY nd.event_type"""
+
   // ---------------------------------------------------------------- q354
   final case class CusumEvent(event_type: String, day: String)
   final case class CusumState(event_type: String, n_days: Long, cal_sum: Long,
@@ -1818,6 +1953,7 @@ object StreamingOps {
     "q354_stream_cusum_alarm" -> q354StreamCusumAlarm _,
     "q383_stream_seasonal_monitor" -> q383StreamSeasonalMonitor _,
     "q391_stream_psi_monitor" -> q391StreamPsiMonitor _,
+    "q399_stream_hysteresis_alarm" -> q399StreamHysteresisAlarm _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1847,6 +1983,7 @@ object StreamingOps {
     "q354_stream_cusum_alarm" -> q354Oracle,
     "q383_stream_seasonal_monitor" -> q383Oracle,
     "q391_stream_psi_monitor" -> q391Oracle,
+    "q399_stream_hysteresis_alarm" -> q399Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

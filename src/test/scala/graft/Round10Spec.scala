@@ -50,10 +50,12 @@ class Round10Spec extends SparkSuite {
   //    slice-sized (≤Q314Slice×3-long) label-round frames, q357's
   //    slice-sized 10-queries×vectors dot frame (read by 3 branches).
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
-  //    Profiling.scala 3 / Curation.scala 5 (incl. q368's vocab-sized
+  //    Profiling.scala 4 (incl. q397's 4x64-row register frame) /
+  //    Curation.scala 5 (incl. q368's vocab-sized
   //    distinct (source, gram) frame read by all greedy rounds) /
   //    EventAnalytics.scala 8 (incl. q386's |days|x|types| daily frame,
-  //    q393's 16-row mask and coalition-value frames,
+  //    q393's 16-row mask and coalition-value frames, q400's two
+  //    |nations|-row group/term frames,
   //    read by both join sides) / Cdc.scala 1: stratum-, QI-group-, source-,
   //    day-, users- or K-sized aggregate frames read by several branches.
   //  - SkewBenchWinnow.scala 3 / SkewBenchPacking.scala 1: the
@@ -82,8 +84,8 @@ class Round10Spec extends SparkSuite {
       s"localCheckpoint pin audit failures:\n${offenders.mkString("\n")}")
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 18,
-      "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 3,
-      "Curation.scala" -> 5, "EventAnalytics.scala" -> 8, "Cdc.scala" -> 1,
+      "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 4,
+      "Curation.scala" -> 5, "EventAnalytics.scala" -> 10, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1)
     assert(counts.toMap === audited,
       s"localCheckpoint inventory drifted — re-audit the new/removed pins " +

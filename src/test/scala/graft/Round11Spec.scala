@@ -1398,4 +1398,137 @@ class Round11Spec extends SparkSuite {
       assert(r.getLong(4) > 0L, "peak correlation positive")
     }
   }
+
+  // ------------------------------------------------------------- q397
+  test("q397: HLL register algebra — union registers are pairwise max, estimates replay") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    def md(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap { case (_, t) =>
+        (0 to t.length - 8 by 4).map(i => md(t.substring(i, i + 8)))
+      }.toSet
+    }
+    def regsOf(hs: Set[String]): Map[Long, Long] =
+      hs.map { h =>
+        val bucket = java.lang.Long.parseLong(h.take(2), 16) % 64
+        val h60 = java.lang.Long.parseLong(h.slice(2, 17), 16)
+        (bucket, 61L - java.lang.Long.toBinaryString(h60).length)
+      }.groupBy(_._1).map { case (b, g) => b -> g.map(_._2).max }
+    def est(regs: Map[Long, Long]): Long = {
+      val hit = regs.size.toLong
+      val dh = regs.values.map(r => BigInt(1) << (60 - r).toInt).sum
+      val dp = dh + BigInt(64 - hit) * BigInt(1152921504606846976L)
+      val raw = (BigInt(2904064) * BigInt(1152921504606846976L) / dp).toLong
+      if (raw <= 160000 && hit < 64)
+        math.round(64 * math.log(64.0 / (64 - hit)) * 1000)
+      else raw
+    }
+    val pairs = Seq(("src0", "src1"), ("src0", "src2"), ("src0", "src3"), ("src1", "src2"))
+    val rows = graft.SparkEntry.queries("q397_hll_intersection")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    pairs.foreach { case (a, b) =>
+      val r = rows((a, b))
+      val (ra, rb) = (regsOf(shingles(a)), regsOf(shingles(b)))
+      // the closure property: union registers ARE the pairwise max
+      val ru = (ra.keySet ++ rb.keySet).map(k =>
+        k -> math.max(ra.getOrElse(k, -1L), rb.getOrElse(k, -1L))).toMap
+      assert(r.getLong(2) === (shingles(a) intersect shingles(b)).size.toLong)
+      assert(r.getLong(3) === est(ra) && r.getLong(4) === est(rb))
+      assert(r.getLong(5) === est(ru), "union estimate from max-merged registers")
+      assert(r.getLong(6) === est(ra) + est(rb) - est(ru))
+    }
+  }
+
+  // ------------------------------------------------------------- q398
+  test("q398: patches tile the image exactly — conservation and bounds replay") {
+    val rows = graft.SparkEntry.queries("q398_image_patches")(spark, sf).collect()
+    assert(rows.length === 8 * 48)
+    rows.groupBy(_.getLong(0)).foreach { case (p, patches) =>
+      def v(x: Int, y: Int): Long = ((x * 31 + y * 17 + p * 97) & 0xFF).toLong
+      assert(patches.length === 48)
+      var imgSum = 0L
+      for (y <- 0 until 48; x <- 0 until 64) imgSum += v(x, y)
+      patches.foreach { r =>
+        val (tx, ty) = (r.getLong(1).toInt, r.getLong(2).toInt)
+        val vs = for (dy <- 0 until 8; dx <- 0 until 8)
+          yield v(tx * 8 + dx, ty * 8 + dy)
+        assert(r.getLong(3) === vs.sum && r.getLong(4) === vs.min &&
+          r.getLong(5) === vs.max, s"pattern $p tile ($tx,$ty)")
+        assert(r.getLong(6) === imgSum && r.getBoolean(7), "conservation")
+      }
+      assert(patches.map(_.getLong(3)).sum === imgSum)
+    }
+  }
+
+  // ------------------------------------------------------------- q399
+  test("q399: the hysteresis machine suppresses pages vs naive breach alerting") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(CAST(ts AS DATE) AS STRING)"))
+      .as[(String, String)].collect()
+    val rows = graft.SparkEntry.queries("q399_stream_hysteresis_alarm")(spark, sf).collect()
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val daily = ev.filter(_._1 == tpe).groupBy(_._2)
+        .map { case (dy, g) => (dy, g.size.toLong) }.toSeq.sortBy(_._1).dropRight(1)
+      val target = daily.take(5).map(_._2).sum / 5
+      var bs = 0L; var qs = 0L; var alarm = false
+      var breaches = 0L; var pages = 0L; var inAlarm = 0L
+      daily.drop(5).foreach { case (_, x) =>
+        val breach = x * 20 > target * 21
+        bs = if (breach) bs + 1 else 0; qs = if (breach) 0 else qs + 1
+        if (!alarm && bs >= 2) { alarm = true; pages += 1 }
+        if (alarm && qs >= 3) alarm = false
+        if (breach) breaches += 1
+        if (alarm) inAlarm += 1
+      }
+      assert(r.getLong(1) === daily.size.toLong && r.getLong(2) === target)
+      assert(r.getLong(3) === breaches && r.getLong(4) === pages &&
+        r.getLong(5) === inAlarm, s"$tpe machine state")
+      // the point of the operator: strictly fewer pages than naive
+      if (breaches > 1) assert(pages < breaches, s"$tpe: no suppression measured")
+    }
+  }
+
+  // ------------------------------------------------------------- q400
+  test("q400: Theil decomposition — identity gap within the quantization bound") {
+    import spark.implicits._
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").as("x"))
+      .join(graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey").cast("long").as("nat")),
+        "o_custkey")
+      .select(col("nat"), col("x")).as[(Long, Long)].collect()
+    val (nn, xx) = (spend.length.toLong, spend.map(_._2).sum)
+    def lq(num: Double, den: Double): Long = math.round(math.log(num / den) * 1000000)
+    val byNat = spend.groupBy(_._1)
+    val tw = byNat.values.map { g =>
+      val (ng, xg) = (g.size.toLong, g.map(_._2).sum)
+      g.map(c => BigInt(c._2) * lq(c._2.toDouble * ng, xg.toDouble)).sum
+    }.sum
+    val tb = byNat.values.map { g =>
+      val (ng, xg) = (g.size.toLong, g.map(_._2).sum)
+      BigInt(xg) * lq(xg.toDouble * nn, xx.toDouble * ng)
+    }.sum
+    val tt = spend.map(c => BigInt(c._2) * lq(c._2.toDouble * nn, xx.toDouble)).sum
+    val rows = graft.SparkEntry.queries("q400_theil_decomposition")(spark, sf).collect()
+    assert(rows.length === byNat.size)
+    rows.foreach { r =>
+      val g = byNat(r.getLong(0))
+      assert(r.getLong(1) === g.size.toLong && r.getLong(2) === g.map(_._2).sum)
+      assert(r.getLong(5) === (tt * 1000 / xx).toLong)
+      assert(r.getLong(6) === (tw * 1000 / xx).toLong)
+      assert(r.getLong(7) === (tb * 1000 / xx).toLong)
+      assert(r.getLong(8) === ((tt - tw - tb) * 1000 / xx).toLong)
+      // identity gap bounded by quantization: <= 2 mu-nat per unit mass = 2000 nano
+      assert(math.abs(r.getLong(8)) <= 2000L, s"identity gap ${r.getLong(8)} nano")
+      // inequality is nonnegative and decomposes into nonneg-ish parts
+      assert(r.getLong(5) > 0L && r.getLong(6) > 0L && r.getLong(7) > 0L)
+    }
+  }
 }
