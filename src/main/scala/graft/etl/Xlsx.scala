@@ -204,9 +204,9 @@ object Xlsx {
     // never hits AMBIGUOUS_REFERENCE. Both collects are K-sized (schema
     // decisions, the CSV-inference contract).
     val headerVals: Map[String, String] = cells.filter(col("rownum") === 1)
-      .select(col("colref"), col("value")).collect()
+      .select(col("colref"), col("value")).collect() // K-sized: header row only, bound = one workbook's columns
       .flatMap(r => Option(r.getString(1)).map(r.getString(0) -> _)).toMap
-    val allRefs: Seq[String] = cells.select(col("colref")).distinct().collect()
+    val allRefs: Seq[String] = cells.select(col("colref")).distinct().collect() // K-sized: distinct column refs, bound = one workbook
       .map(_.getString(0)).toSeq
       .sortBy(ref => (ref.length, ref)) // A..Z then AA.. — spreadsheet order
     require(allRefs.nonEmpty, s"$path: empty sheet")

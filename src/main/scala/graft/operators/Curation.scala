@@ -1294,20 +1294,29 @@ object Curation {
     var selected = List.empty[String]
     var steps = List.empty[(Int, String, Long, Long)]
     var cum = 0L
-    for (step <- 1 to Q368Steps) {
+    var step = 1
+    var exhausted = false
+    // degenerate corpora (fewer sources than steps, or full coverage before
+    // the last round) leave NO candidate — emit fewer steps, mirroring the
+    // unrolled oracle's row-dropping behavior, instead of throwing
+    while (step <= Q368Steps && !exhausted) {
       val remaining = selected.foldLeft(g)((df, s) => df.filter(col("source") =!= s))
       val cand = if (covered == null) remaining
                  else remaining.join(covered, Seq("gk"), "left_anti")
-      val pick = cand.groupBy(col("source")).agg(count(lit(1)).as("m"))
+      cand.groupBy(col("source")).agg(count(lit(1)).as("m"))
         .orderBy(col("m").desc, col("source").asc).limit(1)
-        .collect()(0) // 1-row greedy argmax (K-sized driver traffic)
-      val (src, marginal) = (pick.getString(0), pick.getLong(1))
-      cum += marginal
-      steps = steps :+ ((step, src, marginal, cum))
-      selected = selected :+ src
-      val newCov = g.filter(col("source") === src).select(col("gk"))
-      covered = if (covered == null) newCov
-                else covered.unionByName(newCov).distinct()
+        .collect().headOption match { // 1-row greedy argmax (K-sized driver traffic)
+        case None => exhausted = true
+        case Some(pick) =>
+          val (src, marginal) = (pick.getString(0), pick.getLong(1))
+          cum += marginal
+          steps = steps :+ ((step, src, marginal, cum))
+          selected = selected :+ src
+          val newCov = g.filter(col("source") === src).select(col("gk"))
+          covered = if (covered == null) newCov
+                    else covered.unionByName(newCov).distinct()
+          step += 1
+      }
     }
     import spark.implicits._
     steps.toDF("step", "source", "marginal_grams", "cum_grams")

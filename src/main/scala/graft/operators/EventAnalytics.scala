@@ -2530,6 +2530,172 @@ object EventAnalytics {
            > CAST(38416 AS HUGEINT) * n1 * n2 * var_q AS reject_95
        FROM cte"""
 
+  // ---------------------------------------------------------------- q407
+  /** ALLEN INTERVAL-RELATION CENSUS between per-user activity spans —
+    * the full 13-relation temporal-logic vocabulary (before/meets/
+    * overlaps/starts/during/finishes/equals + inverses) counted over
+    * every user's (event-type, event-type) span pair: q259 asks WHETHER
+    * intervals overlap, this asks HOW — the disjoint-vs-containment
+    * split is what separates "clicking stopped before errors began"
+    * (causal candidate) from "errors lived inside the click span"
+    * (correlated noise). Span = [first, last] event µs per (user, type);
+    * the classifier is one total, mutually-exclusive CASE over exact µs
+    * comparisons evaluated top-down IDENTICALLY in both engines
+    * (degenerate single-event point spans included — 'meets' on a point
+    * boundary is declared by CASE order, not left undefined). Scale
+    * shape: the pair generator is a user-keyed EQUI-join of the
+    * |users|×|types| span frame with itself — ≤ C(|types|,2) = 10 pairs
+    * per user, never corpus×corpus; one events scan, then K-sized
+    * census rows. Full oracle.
+    */
+  def q407AllenCensus(spark: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(spark, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(expr("min(unix_micros(ts))").as("s"),
+        expr("max(unix_micros(ts))").as("e"))
+      .localCheckpoint() // |users|x|types|-sized span frame, both join sides
+    val a = iv.select(col("user_id"), col("event_type").as("ta"),
+      col("s").as("s1"), col("e").as("e1"))
+    val b = iv.select(col("user_id"), col("event_type").as("tb"),
+      col("s").as("s2"), col("e").as("e2"))
+    val rel =
+      """CASE
+           WHEN e1 < s2 THEN 'before'
+           WHEN s1 > e2 THEN 'after'
+           WHEN e1 = s2 THEN 'meets'
+           WHEN s1 = e2 THEN 'met_by'
+           WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+           WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+           WHEN s1 = s2 THEN 'started_by'
+           WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+           WHEN e1 = e2 THEN 'finished_by'
+           WHEN s1 > s2 AND e1 < e2 THEN 'during'
+           WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+           WHEN s1 < s2 THEN 'overlaps'
+           ELSE 'overlapped_by' END"""
+    a.join(b, "user_id").filter(col("ta") < col("tb"))
+      .withColumn("relation", expr(rel))
+      .groupBy(col("ta"), col("tb"), col("relation"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("ta"), col("tb"), col("relation"))
+  }
+
+  val q407Oracle: String =
+    """WITH iv AS (SELECT user_id, event_type,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+           FROM events GROUP BY 1, 2),
+       p AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb,
+               a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+             FROM iv a JOIN iv b ON b.user_id = a.user_id
+             WHERE a.event_type < b.event_type),
+       r AS (SELECT ta, tb,
+               CASE
+                 WHEN e1 < s2 THEN 'before'
+                 WHEN s1 > e2 THEN 'after'
+                 WHEN e1 = s2 THEN 'meets'
+                 WHEN s1 = e2 THEN 'met_by'
+                 WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                 WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                 WHEN s1 = s2 THEN 'started_by'
+                 WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+                 WHEN e1 = e2 THEN 'finished_by'
+                 WHEN s1 > s2 AND e1 < e2 THEN 'during'
+                 WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+                 WHEN s1 < s2 THEN 'overlaps'
+                 ELSE 'overlapped_by' END AS relation
+             FROM p)
+       SELECT ta, tb, relation, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ---------------------------------------------------------------- q405
+  /** KRUSKAL–WALLIS H TEST across the five market segments on customer
+    * balance — q382's Mann–Whitney generalized to k groups (the one-way
+    * ANOVA-on-ranks a curation stack runs before trusting any per-segment
+    * difference): midrank ties (rank2 = twice the average rank, exact
+    * integers), twice-rank sums R2_g per segment, and the quantized-exact
+    * pipeline H_milli = 3000·Σ(R2_g² div 4n_g) div (N(N+1)) − 3000(N+1),
+    * tie-corrected by ·(N³−N) div (N³−N−Σ(t³−t)) — every division a
+    * truncating integer division REPLAYED identically by the oracle (the
+    * q382 var_q discipline: exact-replayable, each step deterministic in
+    * both engines), clamped at 0 before correction so the truncation
+    * noise floor on null data cannot flip signs between engines. Readout
+    * per segment: n_g, R2_g, with H, H′ and the α=0.05 decision against
+    * χ²₄ = 9.488 riding every row. Scale shape: ranks via the q134/q402
+    * two-phase pattern (per-value counts → ≤1,100 domain-bounded cent
+    * bands → broadcast offsets → within-band running sum) — never a
+    * global corpus window; the value frame is bounded by the cents
+    * domain at any corpus size. Full oracle.
+    */
+  def q405KruskalWallis(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = graft.sources.Tables.customer(spark, d)
+      .select(col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("x"))
+    val cs = cust.groupBy(col("x"), col("seg")).agg(count(lit(1)).as("cg"))
+      .localCheckpoint() // value-domain-sized (≤1.1M cent values × 5 segs)
+    val xcnt = cs.groupBy(col("x")).agg(expr("cast(sum(cg) as bigint)").as("c"))
+      .localCheckpoint() // value-domain-sized (≤1.1M distinct cent values)
+    val off = xcnt.withColumn("b", expr("x div 10000"))
+      .groupBy(col("b")).agg(expr("cast(sum(c) as bigint)").as("bc"))
+      .withColumn("boff", expr("cast(coalesce(sum(bc) OVER (ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)"))
+      .select(col("b"), col("boff")) // ≤1,100 rows (domain-bounded bands)
+    val wx = Window.partitionBy(col("b")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rank2 = xcnt.withColumn("b", expr("x div 10000"))
+      .join(broadcast(off), "b")
+      .withColumn("cum", sum(col("c")).over(wx))
+      .select(col("x"), expr("2 * (boff + cum - c + 1) + c - 1").as("r2"))
+    val perSeg = cs.join(rank2, "x")
+      .groupBy(col("seg"))
+      .agg(expr("cast(sum(cg) as bigint)").as("n_g"),
+        expr("cast(sum(cast(cg as decimal(38,0)) * r2) as decimal(38,0))").as("r2s"))
+    val ties = xcnt.agg(
+      expr("cast(sum(c) as bigint)").as("n"),
+      expr("cast(sum(cast(c as decimal(38,0)) * c * c - c) as decimal(38,0))").as("t3"))
+    val h = perSeg
+      .agg(expr("cast(sum(r2s * r2s div (4 * cast(n_g as decimal(38,0)))) as decimal(38,0))").as("s"))
+      .crossJoin(broadcast(ties)) // 1-row totals
+      .withColumn("h_milli", expr(
+        """greatest(cast(3000 * s div (cast(n as decimal(38,0)) * (n + 1)) - 3000 * (n + 1) as bigint),
+           cast(0 as bigint))"""))
+      .withColumn("hp_milli", expr(
+        """cast(cast(h_milli as decimal(38,0)) * (cast(n as decimal(38,0)) * n * n - n)
+           div (cast(n as decimal(38,0)) * n * n - n - t3) as bigint)"""))
+      .select(col("n"), expr("cast(t3 as bigint)").as("t3"),
+        col("h_milli"), col("hp_milli"),
+        (col("hp_milli") > 9488L).as("reject_95"))
+    perSeg.crossJoin(broadcast(h)) // 1-row statistic attaches to 5 rows
+      .select(col("seg"), col("n_g"), expr("cast(r2s as bigint)").as("r2_sum"),
+        col("n"), col("t3"), col("h_milli"), col("hp_milli"), col("reject_95"))
+      .orderBy(col("seg"))
+  }
+
+  val q405Oracle: String =
+    """WITH base AS (SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+       r AS (SELECT seg,
+               2 * rank() OVER (ORDER BY x ASC) + count(*) OVER (PARTITION BY x) - 1 AS r2
+             FROM base),
+       ps AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+                sum(CAST(r2 AS HUGEINT)) AS r2s
+              FROM r GROUP BY 1),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+             FROM (SELECT count(*) AS c FROM base GROUP BY x)),
+       hh AS (SELECT t.n, t.t3,
+                greatest(CAST(3000 * (SELECT sum(r2s * r2s // (4 * CAST(n_g AS HUGEINT))) FROM ps)
+                  // (CAST(t.n AS HUGEINT) * (t.n + 1)) - 3000 * (t.n + 1) AS BIGINT),
+                  0) AS h_milli
+              FROM t),
+       hp AS (SELECT n, CAST(t3 AS BIGINT) AS t3, h_milli,
+                CAST(CAST(h_milli AS HUGEINT) * (CAST(n AS HUGEINT) * n * n - n)
+                  // (CAST(n AS HUGEINT) * n * n - n - t3) AS BIGINT) AS hp_milli
+              FROM hh)
+       SELECT ps.seg, ps.n_g, CAST(ps.r2s AS BIGINT) AS r2_sum,
+         hp.n, hp.t3, hp.h_milli, hp.hp_milli,
+         hp.hp_milli > 9488 AS reject_95
+       FROM ps, hp ORDER BY ps.seg"""
+
   // ---------------------------------------------------------------- q386
   /** PEARSON CORRELATION MATRIX of daily volumes between every event-type
     * pair — "which streams co-move": a traffic-shaping incident that dents
@@ -2554,9 +2720,12 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"),
         expr("cast(sum(xa) as bigint)").as("sa"),
         expr("cast(sum(xb) as bigint)").as("sb"),
-        expr("cast(sum(xa * xb) as bigint)").as("sab"),
-        expr("cast(sum(xa * xa) as bigint)").as("saa"),
-        expr("cast(sum(xb * xb) as bigint)").as("sbb"))
+        // products summed in DECIMAL(38,0), never BIGINT: daily counts of
+        // 10^9 square to 10^18 per day and the non-ANSI BIGINT sum would
+        // wrap silently at large SF (the q343 CUSUM wrap class)
+        expr("cast(sum(cast(xa as decimal(38,0)) * xb) as decimal(38,0))").as("sab"),
+        expr("cast(sum(cast(xa as decimal(38,0)) * xa) as decimal(38,0))").as("saa"),
+        expr("cast(sum(cast(xb as decimal(38,0)) * xb) as decimal(38,0))").as("sbb"))
       .withColumn("cov_n", expr("CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
       .withColumn("var_a", expr("CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DECIMAL(38,0))"))
       .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
@@ -2574,9 +2743,9 @@ object EventAnalytics {
        p AS (SELECT a.event_type AS ta, b.event_type AS tb,
                count(*) AS n,
                CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb,
-               CAST(sum(a.x * b.x) AS BIGINT) AS sab,
-               CAST(sum(a.x * a.x) AS BIGINT) AS saa,
-               CAST(sum(b.x * b.x) AS BIGINT) AS sbb
+               sum(CAST(a.x AS HUGEINT) * b.x) AS sab,
+               sum(CAST(a.x AS HUGEINT) * a.x) AS saa,
+               sum(CAST(b.x AS HUGEINT) * b.x) AS sbb
              FROM daily a JOIN daily b ON b.day = a.day
              WHERE a.event_type < b.event_type GROUP BY 1, 2),
        m AS (SELECT ta, tb, CAST(n AS BIGINT) AS n,
@@ -2891,6 +3060,8 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q400_theil_decomposition" -> q400TheilDecomposition _,
+    "q405_kruskal_wallis" -> q405KruskalWallis _,
+    "q407_allen_census" -> q407AllenCensus _,
     "q393_shapley_attribution" -> q393ShapleyAttribution _,
     "q392_sprt" -> q392Sprt _,
     "q386_corr_matrix" -> q386CorrMatrix _,
@@ -2941,6 +3112,8 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q400_theil_decomposition" -> q400Oracle,
+    "q405_kruskal_wallis" -> q405Oracle,
+    "q407_allen_census" -> q407Oracle,
     "q393_shapley_attribution" -> q393Oracle,
     "q392_sprt" -> q392Oracle,
     "q386_corr_matrix" -> q386Oracle,

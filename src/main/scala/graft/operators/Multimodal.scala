@@ -1239,7 +1239,79 @@ object MediaCodecDemo extends Serializable {
        FROM pat p JOIN tot t ON t.pattern = p.pattern
        ORDER BY p.pattern, p.ty, p.tx"""
 
+  // ---------------------------------------------------------------- q404
+  /** QUANTIZED RUN-LENGTH compression estimate per image — the
+    * posterized-thumbnail storage question (q403 asks it for posting
+    * lists, q387 for time series; this is the pixel-domain member): after
+    * 4-level quantization (v div 64 — the palette a thumbnail cache
+    * stores), each scanline becomes runs of equal levels, and RLE cost is
+    * 2 bytes per run (level, length ≤ 255) vs 1 byte per raw pixel. The
+    * readout per pattern: run count, the exact ratio in ppm, and the
+    * CONSERVATION certificate (the decoder saw exactly w·h pixels — a
+    * dropped scanline breaks it loudly, the q398 contract). Decode +
+    * run-count in mapPartitions over REAL BMP bytes (pixels never
+    * shuffle; one row out per pattern). Full oracle replays the pattern
+    * pixel formula, the quantization, and the run starts with a lag
+    * window.
+    */
+  def q404RleEstimate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 8).as("pattern"))
+      .agg(count(lit(1)).as("n_images"))
+    val runs = pats.select(col("pattern")).as[Long]
+      .mapPartitions { it =>
+        it.map { p =>
+          val bytes = makePatternBmp(p.toInt)
+          def le32(off: Int): Int =
+            (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+              ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+          val w = le32(18); val h = le32(22)
+          val rowSize = (w * 3 + 3) / 4 * 4
+          def pix(x: Int, y: Int): Long =
+            (bytes(54 + y * rowSize + x * 3) & 0xFF).toLong
+          var nRuns = 0L; var nPix = 0L
+          for (y <- 0 until h) {
+            var prev = -1L
+            for (x <- 0 until w) {
+              val q = pix(x, y) / 64
+              nPix += 1
+              if (q != prev) { nRuns += 1; prev = q }
+            }
+          }
+          (p, nRuns, nPix)
+        }
+      }.toDF("pattern", "n_runs", "n_pixels")
+    pats.join(runs, "pattern")
+      .select(col("pattern"), col("n_images"), col("n_runs"), col("n_pixels"),
+        expr("n_pixels = 3072").as("conserved"),
+        expr("cast(n_runs * 2 * 1000000 div n_pixels as bigint)").as("rle_ratio_ppm"))
+      .orderBy(col("pattern"))
+  }
+
+  val q404Oracle: String =
+    """WITH pats AS (SELECT doc_id % 8 AS pattern, count(*) AS n_images
+           FROM documents GROUP BY 1),
+       px AS (SELECT p.pattern, y.i AS y, x.i AS x,
+                ((x.i * 31 + y.i * 17 + p.pattern * 97) % 256) // 64 AS q
+              FROM (SELECT DISTINCT pattern FROM pats) p,
+                   (SELECT unnest(generate_series(0, 63)) AS i) x,
+                   (SELECT unnest(generate_series(0, 47)) AS i) y),
+       r AS (SELECT pattern, y, x, q,
+               CASE WHEN lag(q) OVER (PARTITION BY pattern, y ORDER BY x ASC)
+                    IS DISTINCT FROM q THEN 1 ELSE 0 END AS st
+             FROM px),
+       agg AS (SELECT pattern, CAST(sum(st) AS BIGINT) AS n_runs,
+                 CAST(count(*) AS BIGINT) AS n_pixels
+               FROM r GROUP BY 1)
+       SELECT CAST(p.pattern AS BIGINT) AS pattern,
+         CAST(p.n_images AS BIGINT) AS n_images, a.n_runs, a.n_pixels,
+         a.n_pixels = 3072 AS conserved,
+         CAST(a.n_runs * 2 * 1000000 // a.n_pixels AS BIGINT) AS rle_ratio_ppm
+       FROM pats p JOIN agg a USING (pattern) ORDER BY p.pattern"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q404_rle_estimate" -> q404RleEstimate _,
     "q398_image_patches" -> q398ImagePatches _,
     "q396_audio_lag_align" -> q396AudioLagAlign _,
     "q384_image_gradient" -> q384ImageGradient _,
@@ -1260,6 +1332,7 @@ object MediaCodecDemo extends Serializable {
 
   val oracles: Map[String, String] = Map(
     "q398_image_patches" -> q398Oracle,
+    "q404_rle_estimate" -> q404Oracle,
     "q396_audio_lag_align" -> q396Oracle,
     "q384_image_gradient" -> q384Oracle,
     "q356_otsu_threshold" -> q356Oracle,

@@ -1514,7 +1514,13 @@ object Profiling {
     * linear-counting fallback are exactly q312's; the estimate stays in
     * exact DECIMAL(38,0) milli-units; the exact intersection rides as
     * the audit (at 100 TB you keep 64 registers per source, not the
-    * sets). Full oracle replays registers, all three estimates, and the
+    * sets). DECLARED SEMANTICS: the estimate is SIGNED — for
+    * near-disjoint pairs inclusion–exclusion can legitimately go
+    * negative (sketch error exceeds the true overlap), and the audit
+    * reports that signed value rather than clamping to 0, because the
+    * magnitude of the undershoot IS the error readout a capacity
+    * planner needs (pinned on a planted disjoint pair in Round12Spec).
+    * Full oracle replays registers, all three estimates, and the
     * subtraction.
     */
   def q397HllIntersection(spark: SparkSession, d: String): DataFrame = {
@@ -1562,12 +1568,17 @@ object Profiling {
       .join(hv.select(col("source").as("s1"), col("md")), col("s1") === col("sa"))
       .join(hv.select(col("source").as("s2"), col("md")), Seq("md"))
       .filter(col("s2") === col("sb"))
-      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_exact_inter"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_ex"))
     broadcast(pairs)
       .join(estSingle.select(col("src").as("sa"), col("est_milli").as("est_a_milli")), "sa")
       .join(estSingle.select(col("src").as("sb"), col("est_milli").as("est_b_milli")), "sb")
       .join(estU, Seq("sa", "sb"))
-      .join(exact, Seq("sa", "sb"))
+      // LEFT join: a fully disjoint pair has no exact-intersection row and
+      // must still appear with n_exact_inter = 0 — the near-disjoint case
+      // is exactly the one the signed estimate exists to surface
+      // (Round12Spec plants it)
+      .join(exact, Seq("sa", "sb"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_ex"), lit(0L)))
       .withColumn("est_inter_milli",
         col("est_a_milli") + col("est_b_milli") - col("est_u_milli"))
       .select(col("sa"), col("sb"), col("n_exact_inter"), col("est_a_milli"),
@@ -1620,7 +1631,8 @@ object Profiling {
               FROM pairs p JOIN dv a ON a.source = p.sa
               JOIN dv b ON b.source = p.sb AND b.md = a.md
               GROUP BY 1, 2)
-       SELECT p.sa, p.sb, ex.n_exact_inter,
+       SELECT p.sa, p.sb,
+         CAST(COALESCE(ex.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
          ea.est_milli AS est_a_milli, eb.est_milli AS est_b_milli,
          eu.est_u_milli,
          ea.est_milli + eb.est_milli - eu.est_u_milli AS est_inter_milli
@@ -1628,10 +1640,102 @@ object Profiling {
        JOIN e1 ea ON ea.src = p.sa
        JOIN e1 eb ON eb.src = p.sb
        JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
-       JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+       LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
        ORDER BY p.sa, p.sb"""
 
+  // ---------------------------------------------------------------- q402
+  /** SPEARMAN RANK CORRELATION between customer balance and order count —
+    * the outlier-robust monotone-association readout q53's Pearson can't
+    * give (one whale balance drags a Pearson r; ranks cap its leverage at
+    * 1 position): does holding more money go with ordering more?
+    * Semantics DECLARED exactly: average (midrank) ties — rx2 = 2·minrank
+    * + tiecount − 1 is TWICE the average rank, kept integer — and the
+    * classical d² form rho = 1 − 6Σd²/(n³−n) over those midranks (the
+    * form every table uses when tie mass is small), with BOTH tie masses
+    * Σ(t³−t) reported so a reader sees exactly when the Pearson-on-ranks
+    * form would diverge. All integer: Σδ² (δ = rx2−ry2 = 2d) sums in
+    * DECIMAL(38,0), rho in exact ppm by one truncating division.
+    *
+    * Scale shape: NO single-task corpus window — balance ranks come from
+    * the q134 two-phase pattern (per-value counts → ≤1,100 domain-bounded
+    * cent-band buckets → broadcast offsets → within-bucket running sum),
+    * so the rank of every one of 1.5 M customers at sf1 is an equi-join
+    * against a value frame bounded by the CENTS DOMAIN (≤1.1 M rows at
+    * ANY corpus size); order-count ranks ride a ≤|max orders per
+    * customer|-row frame. Two corpus passes (customer scan + orders
+    * rollup), then joins against the bounded value frames. Full oracle
+    * (DuckDB replays with plain rank() windows — the independent spec).
+    */
+  def q402SpearmanRank(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oc = Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("y"))
+    def base = Tables.customer(spark, d)
+      .select(col("c_custkey"), expr("cast(round(c_acctbal * 100) as bigint)").as("x"))
+      .join(oc, Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("y"))
+    // per-value count frames: x is bounded by the cents domain, y by the
+    // max per-customer order count — both corpus-size-independent
+    val xcnt = base.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // value-domain-sized (≤1.1M distinct cent values at any SF)
+    val ycnt = base.groupBy(col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // value-domain-sized (≤ max orders/customer rows)
+    // two-phase min-rank over x: bucket totals (≤1,100 rows) → offsets →
+    // within-bucket running count; never a global ORDER BY window
+    val xb = xcnt.withColumn("b", expr("x div 10000"))
+    val off = xb.groupBy(col("b")).agg(expr("cast(sum(c) as bigint)").as("bc"))
+      .withColumn("boff", expr("cast(coalesce(sum(bc) OVER (ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)"))
+      .select(col("b"), col("boff")) // ≤1,100 rows (domain-bounded bands)
+    val wx = Window.partitionBy(col("b")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xr = xb.join(broadcast(off), "b")
+      .withColumn("cum", sum(col("c")).over(wx))
+      .select(col("x"),
+        expr("2 * (boff + cum - c + 1) + c - 1").as("rx2"))
+    val wy = Window.orderBy(col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val yr = ycnt.withColumn("cum", sum(col("c")).over(wy)) // K-sized frame: the global window is over ≤|max orders| rows
+      .select(col("y"), expr("2 * (cum - c + 1) + c - 1").as("ry2"))
+    val joined = base.join(xr, "x").join(broadcast(yr), "y")
+    val ties = xcnt.agg(expr("cast(sum(cast(c as decimal(38,0)) * c * c - c) as decimal(38,0))").as("t"))
+      .select(expr("cast(t as bigint)").as("tx3"))
+      .crossJoin(ycnt.agg(expr("cast(sum(cast(c as decimal(38,0)) * c * c - c) as decimal(38,0))").as("t"))
+        .select(expr("cast(t as bigint)").as("ty3")))
+    joined.agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(rx2 - ry2 as decimal(38,0)) * (rx2 - ry2)) as decimal(38,0))").as("d2"))
+      .crossJoin(broadcast(ties)) // 1-row tie masses
+      .select(col("n"),
+        expr("cast(d2 as bigint)").as("sum_d2_x4"),
+        col("tx3"), col("ty3"),
+        expr("""cast((2 * (cast(n as decimal(38,0)) * n * n - n) - 3 * d2) * 1000000
+               div (2 * (cast(n as decimal(38,0)) * n * n - n)) as bigint)""").as("rho_ppm"))
+  }
+
+  val q402Oracle: String =
+    """WITH oc AS (SELECT o_custkey AS c_custkey, count(*) AS y
+           FROM orders GROUP BY 1),
+       base AS (SELECT c.c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+                  COALESCE(oc.y, 0) AS y
+                FROM customer c LEFT JOIN oc USING (c_custkey)),
+       r AS (SELECT c_custkey,
+               2 * rank() OVER (ORDER BY x ASC) + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+               2 * rank() OVER (ORDER BY y ASC) + count(*) OVER (PARTITION BY y) - 1 AS ry2
+             FROM base),
+       tx AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT) AS tx3
+              FROM (SELECT count(*) AS c FROM base GROUP BY x)),
+       ty AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS BIGINT) AS ty3
+              FROM (SELECT count(*) AS c FROM base GROUP BY y)),
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(rx2 - ry2 AS HUGEINT) * (rx2 - ry2)) AS d2
+               FROM r)
+       SELECT a.n, CAST(a.d2 AS BIGINT) AS sum_d2_x4, tx.tx3, ty.ty3,
+         CAST((2 * (CAST(a.n AS HUGEINT) * a.n * a.n - a.n) - 3 * a.d2) * 1000000
+              // (2 * (CAST(a.n AS HUGEINT) * a.n * a.n - a.n)) AS BIGINT) AS rho_ppm
+       FROM agg a, tx, ty"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_spearman_rank" -> q402SpearmanRank _,
     "q397_hll_intersection" -> q397HllIntersection _,
     "q395_t_closeness" -> q395TCloseness _,
     "q388_dp_release" -> q388DpRelease _,
@@ -1660,6 +1764,7 @@ object Profiling {
     "q99_histogram" -> q99Histogram _)
 
   val oracles: Map[String, String] = Map(
+    "q402_spearman_rank" -> q402Oracle,
     "q397_hll_intersection" -> q397Oracle,
     "q395_t_closeness" -> q395Oracle,
     "q388_dp_release" -> q388Oracle,

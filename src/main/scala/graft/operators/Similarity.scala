@@ -3390,8 +3390,14 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     val sq = dots.withColumn("rc", row_number().over(wc)).filter(col("rc") <= k)
       .select(col("qid"), col("vec_id"), col("dotx"))
-    val hits = ex.join(sq.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    // left-join from the qid frame so a recall-0 query (SQ8 and exact
+    // top-10 disjoint) still emits a row with n_hits = 0 — the worst
+    // degradation is exactly the case the audit exists to surface
+    val hits = dots.select(col("qid")).distinct()
+      .join(ex.join(sq.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+              .groupBy(col("qid")).agg(count(lit(1)).as("h")),
+            Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"))
     // worst SQ8 pick by the EXACT order = lexicographic min of (dotx, -id)
     val worst = sq.groupBy(col("qid"))
       .agg(min(struct(col("dotx"), (-col("vec_id")).as("nid"))).as("w"))
@@ -3430,9 +3436,12 @@ object Similarity {
        sq AS (SELECT qid, vec_id, dotx,
                 row_number() OVER (PARTITION BY qid ORDER BY dotc DESC, vec_id ASC) AS rc
               FROM dots),
-       hits AS (SELECT e.qid, count(*) AS n_hits
+       qids AS (SELECT DISTINCT qid FROM dots),
+       hits0 AS (SELECT e.qid, count(*) AS n_hits
                 FROM ex e JOIN sq s ON e.qid = s.qid AND e.vec_id = s.vec_id
                 WHERE e.rx <= 10 AND s.rc <= 10 GROUP BY 1),
+       hits AS (SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits
+                FROM qids q LEFT JOIN hits0 h ON h.qid = q.qid),
        worst AS (SELECT qid, dotx AS wd, vec_id AS wv FROM sq
                  WHERE rc <= 10
                  QUALIFY row_number() OVER (PARTITION BY qid

@@ -1741,21 +1741,35 @@ object TextAnalysis {
     * well is irrelevant to the contract — the matrix itself is
     * bit-deterministic and fully oracle-replayed.
     *
-    * Scale shape: THREE documents passes total (plan-asserted) — one
-    * tokenize feeding the (lang, token-hash) count aggregate, one
-    * tokenize for scoring, one priors pass. Everything else derives from
-    * the vocab-sized count table: totals, vocabulary size, the
-    * vocab×languages model (languages broadcast), and the scoring join
-    * carries md5-prefix hashes, never token text. The per-doc argmax is a
-    * window over languages-many rows per doc keyed by doc_id — high-NDV,
-    * the sweep-safe direction.
+    * Scale shape (round 12): a PURE PROBE — the per-doc predictions live
+    * in the stored nb_pred artifact (q401 is the driven build; zero
+    * documents scans here, plan-asserted), and this query is the K²-row
+    * confusion rollup over it. Inside the build: one tokenize feeding
+    * the (lang, token-hash) count aggregate, one tokenize for scoring,
+    * one priors pass; everything else derives from the vocab-sized count
+    * table, and the scoring join carries md5-prefix hashes, never token
+    * text. The per-doc argmax is a window over languages-many rows per
+    * doc keyed by doc_id — high-NDV, the sweep-safe direction.
     */
   /** Per-document naive-Bayes predictions (doc_id, lang_true, lang_pred)
-    * — the q238 classifier up to (and including) the argmax, factored so
-    * the q252 agreement readout scores the same predictions q238's
-    * confusion matrix rolls up.
+    * — the q238 classifier up to (and including) the argmax, served OFF
+    * THE STORED ARTIFACT (round 12, verdict #4): q238's confusion matrix,
+    * q252's agreement readout, and q374's F1 table all consume the same
+    * prediction frame, and before this round each re-ran the full
+    * token×|langs| scoring join (~3 s each at sf0.1; q374's sf1 limiter
+    * at 19.6 s). The predictions are now a driven artifact — built once
+    * by q401 (oracle-checked), probed by all three — exactly the
+    * lm/cluster/index persistence contract (q234/q235/q375): at 100 TB
+    * you score the corpus once per model refresh and every eval readout
+    * reads the stored predictions.
     */
-  private[graft] def naiveBayesPredictions(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def naiveBayesPredictions(spark: SparkSession, d: String): DataFrame =
+    Artifacts.buildOrGet(spark, "nb_pred", d, Some(("doc_id", 8)))(
+      buildNbPredictions(spark, d))
+
+  /** The one prediction pass: tokenize → vocab-sized count table →
+    * vocab×|langs| model → scoring join → per-doc argmax. */
+  private def buildNbPredictions(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"),
@@ -1838,6 +1852,34 @@ object TextAnalysis {
   val q238Oracle: String =
     s"""WITH $nbOraclePrelude
        SELECT lang_true, lang_pred, count(*) AS n_docs
+       FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------- q401
+  /** Build the NB PREDICTION ARTIFACT — the driven, measured version of
+    * the scoring job q238 / q252 / q374 amortize (round 12 closes the
+    * last rebuilt-per-probe family the round-11 verdict found):
+    * force-rebuilds the stored per-document prediction table (doc_id,
+    * lang_true, lang_pred — doc_id-bucketed for the q252 join), then
+    * reports the acceptance summary a model-refresh gate reads: the
+    * confusion cells with an exact doc_id-sum checksum pinning WHICH
+    * documents landed in each cell, not just how many. One prediction
+    * pass per bench run, total — the three consumers are pure probes
+    * (PlanSpec-ceilinged at zero documents scans). Full oracle replays
+    * train + score + argmax.
+    */
+  def q401BuildNbPredictions(spark: SparkSession, d: String): DataFrame = {
+    val p = Artifacts.rebuild(spark, "nb_pred", d, Some(("doc_id", 8)))(
+      buildNbPredictions(spark, d))
+    p.groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(doc_id) as bigint)").as("doc_id_sum"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
+  val q401Oracle: String =
+    s"""WITH $nbOraclePrelude
+       SELECT lang_true, lang_pred, count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
        FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // ---------------------------------------------------------------- q236
@@ -3749,14 +3791,15 @@ object TextAnalysis {
     * truncated ratio ever divides another. Corpus-wide macro-F1 (mean
     * of per-class F1s) and micro-F1 (= accuracy for single-label
     * multiclass — the identity is real, not a shortcut) ride every row.
-    * One prediction pass (shared [[naiveBayesPredictions]] machinery),
-    * then K-row frames. Oracle reuses the q238 prediction prelude.
+    * A pure probe of the stored nb_pred artifact (q401 builds it; zero
+    * documents scans here, plan-asserted), then K-row frames. Oracle
+    * reuses the q238 prediction prelude.
     */
   def q374ClassifierF1(spark: SparkSession, d: String): DataFrame = {
-    // ONE prediction pass: collapse to the K²-row confusion matrix first,
-    // then every tp/fp/fn rollup reads the tiny pinned frame — three lazy
-    // references to the raw prediction frame would re-run the whole NB
-    // corpus scan per consumer (measured 3.5 s → q238-parity without it)
+    // collapse the stored predictions to the K²-row confusion matrix
+    // first, then every tp/fp/fn rollup reads the tiny pinned frame —
+    // three lazy references to the prediction frame would re-read the
+    // artifact per consumer
     val cm = naiveBayesPredictions(spark, d)
       .groupBy(col("lang_true"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
@@ -3832,13 +3875,20 @@ object TextAnalysis {
     Artifacts.buildOrGet(spark, "inv_index", d, Some(("th", 8)))(
       buildInvIndex(spark, d))
 
-  private def buildInvIndex(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+  /** The postings build over an arbitrary (doc_id, text) frame — shared
+    * by the driven q375 build and the SkewBenchIndex rehearsal (which
+    * feeds it a planted Zipf-head stop word).
+    */
+  private[graft] def invIndexOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .select(col("doc_id"), expr(md5l("t")).as("th"))
       .groupBy(col("th"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+
+  private def buildInvIndex(spark: SparkSession, d: String): DataFrame =
+    invIndexOf(Tables.documents(spark, d))
 
   def q375BuildInvIndex(spark: SparkSession, d: String): DataFrame = {
     val idx = Artifacts.rebuild(spark, "inv_index", d, Some(("th", 8)))(
@@ -3916,6 +3966,62 @@ object TextAnalysis {
          CAST(count(*) AS BIGINT) AS n_terms_matched
        FROM idx i JOIN terms t ON t.th = i.th
        GROUP BY i.doc_id ORDER BY score_mu DESC, i.doc_id ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- q403
+  /** POSTING-LIST DELTA-GAP COMPRESSION ESTIMATE off the stored inverted
+    * index — the storage-planning readout (q387's Gorilla argument, now
+    * for the text index) an index deployment runs before choosing its
+    * posting encoding: doc_ids sorted ascending make gaps small, so
+    * Σ bits(gap) ≪ 64·df and the varint byte cost (⌈bits/7⌉ per gap, the
+    * LEB128 cost model) quantifies the win per list. Audited on the 20
+    * highest-df terms — deliberately the LONGEST lists, where encoding
+    * matters and where the densest gaps give the best ratios (the
+    * hot-term direction SkewBenchIndex rehearses). Cost model exact:
+    * bits(v) = length of v's binary string (no log2 doubles), first
+    * posting charged 64 bits (10 varint bytes). ZERO text scans: everything rides the stored
+    * th-bucketed postings; the per-term lag window partitions on th.
+    * Full oracle replays build, term selection, gaps, and both cost
+    * models.
+    */
+  def q403PostingCompression(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = invIndexTable(spark, d)
+    val terms = idx.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("th").asc).limit(20)
+    val w = Window.partitionBy(col("th")).orderBy(col("doc_id").asc)
+    idx.join(broadcast(terms), "th")
+      .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1).over(w))
+      .withColumn("bits", expr(
+        "CASE WHEN gap IS NULL THEN cast(64 as bigint) ELSE cast(length(bin(gap)) as bigint) END"))
+      .groupBy(col("th"), col("df"))
+      .agg(expr("cast(sum(bits) as bigint)").as("delta_bits"),
+        expr("cast(sum((bits + 6) div 7) as bigint)").as("varint_bytes"))
+      .withColumn("raw_bytes", expr("df * 8"))
+      .withColumn("ratio_ppm", expr("varint_bytes * 1000000 div raw_bytes"))
+      .select(col("th"), col("df"), col("delta_bits"), col("varint_bytes"),
+        col("raw_bytes"), col("ratio_ppm"))
+      .orderBy(col("df").desc, col("th").asc)
+  }
+
+  val q403Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       terms AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1
+                 ORDER BY df DESC, th ASC LIMIT 20),
+       g AS (SELECT i.th, t.df, i.doc_id,
+               i.doc_id - lag(i.doc_id) OVER (PARTITION BY i.th ORDER BY i.doc_id ASC) AS gap
+             FROM idx i JOIN terms t USING (th)),
+       b AS (SELECT th, df,
+               CASE WHEN gap IS NULL THEN 64 ELSE len(bin(gap)) END AS bits
+             FROM g)
+       SELECT th, df, CAST(sum(bits) AS BIGINT) AS delta_bits,
+         CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes,
+         CAST(df * 8 AS BIGINT) AS raw_bytes,
+         CAST(sum((bits + 6) // 7) * 1000000 // (df * 8) AS BIGINT) AS ratio_ppm
+       FROM b GROUP BY th, df ORDER BY df DESC, th ASC"""
 
   // ---------------------------------------------------------------- q377
   /** Incremental MAINTENANCE of the q375 inverted-index artifact — the
@@ -4124,6 +4230,8 @@ object TextAnalysis {
     "q385_rake_keywords" -> q385RakeKeywords _,
     "q377_inv_index_maintain" -> q377InvIndexMaintain _,
     "q374_classifier_f1" -> q374ClassifierF1 _,
+    "q401_build_nb_predictions" -> q401BuildNbPredictions _,
+    "q403_posting_compression" -> q403PostingCompression _,
     "q375_build_inv_index" -> q375BuildInvIndex _,
     "q376_index_probe_topk" -> q376IndexProbeTopk _,
     "q364_kneser_ney" -> q364KneserNey _,
@@ -4185,6 +4293,8 @@ object TextAnalysis {
     "q385_rake_keywords" -> q385Oracle,
     "q377_inv_index_maintain" -> q377Oracle,
     "q374_classifier_f1" -> q374Oracle,
+    "q401_build_nb_predictions" -> q401Oracle,
+    "q403_posting_compression" -> q403Oracle,
     "q375_build_inv_index" -> q375Oracle,
     "q376_index_probe_topk" -> q376Oracle,
     "q364_kneser_ney" -> q364Oracle,

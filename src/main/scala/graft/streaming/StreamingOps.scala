@@ -1315,6 +1315,102 @@ object StreamingOps {
        FROM nd LEFT JOIN agg a ON a.event_type = nd.event_type
        ORDER BY nd.event_type"""
 
+  // ---------------------------------------------------------------- q406
+  final case class TbEvent(event_type: String, tus: Long, event_id: Long)
+  final case class TbState(last_tus: Long, tokens_milli: Long,
+                           n_events: Long, n_admitted: Long)
+  final case class TbOut(event_type: String, n_events: Long, n_admitted: Long,
+                         n_dropped: Long, final_tokens_milli: Long)
+
+  /** STREAMING TOKEN-BUCKET rate limiter audit — the admission front door
+    * every ingest endpoint runs (q299 meters quota by token MASS; this is
+    * the REQUEST-rate twin): a per-type bucket holds ≤2,000 milli-tokens,
+    * each event costs 1,000, and the bucket refills at Q406RateMilli
+    * milli-tokens/second of EVENT TIME — refill = Δt_µs·rate div 10⁶,
+    * exact integers, so the machine is a deterministic fold over
+    * (ts, event_id)-ordered events (no wall clock anywhere). Run as a
+    * per-type mapGroupsWithState fold (4 scalars of state at any
+    * volume). The audit runs on the 1%-SHADOW stream (event_id % 100 = 0)
+    * — the canary pattern production limiters are audited with, and the
+    * bound that keeps the oracle's per-event recursive replay tractable
+    * at every SF: the DuckDB oracle replays the fold step-for-step with a
+    * recursive CTE (the q137 recursion machinery pointed at a state
+    * machine), so machine ≡ replay is checked event-by-event, not just in
+    * aggregate. Readout per type: events seen, admitted, dropped, and the
+    * final bucket level.
+    */
+  val Q406CapMilli = 2000L
+  val Q406CostMilli = 1000L
+  val Q406RateMilli = 1L // milli-tokens per second of event time
+
+  def q406StreamTokenBucket(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.eventsStream(spark, d)
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"))
+      .as[TbEvent]
+    val folded = ev.groupByKey(_.event_type)
+      .mapGroupsWithState[TbState, TbOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[TbEvent], state: GroupState[TbState]) =>
+          var st = state.getOption.getOrElse(
+            TbState(Long.MinValue, Q406CapMilli, 0L, 0L))
+          rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+            val before =
+              if (st.last_tus == Long.MinValue) Q406CapMilli
+              else math.min(Q406CapMilli,
+                st.tokens_milli + (r.tus - st.last_tus) * Q406RateMilli / 1000000L)
+            val admitted = before >= Q406CostMilli
+            st = TbState(r.tus,
+              if (admitted) before - Q406CostMilli else before,
+              st.n_events + 1L,
+              st.n_admitted + (if (admitted) 1L else 0L))
+          }
+          state.update(st)
+          TbOut(tpe, st.n_events, st.n_admitted, st.n_events - st.n_admitted,
+            st.tokens_milli)
+      }
+    val out = runToMemory(spark, folded.toDF(),
+      s"stream_tb_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("event_type"))
+      .agg(max(struct(col("n_events"), col("n_admitted"), col("n_dropped"),
+        col("final_tokens_milli"))).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.n_admitted").as("n_admitted"),
+        col("s.n_dropped").as("n_dropped"),
+        col("s.final_tokens_milli").as("final_tokens_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val q406Oracle: String =
+    s"""WITH RECURSIVE ev AS (
+         SELECT event_type, epoch_us(ts) AS tus, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts ASC, event_id ASC) AS rn
+         FROM events WHERE event_id % 100 = 0),
+       tb AS (
+         SELECT event_type, rn, tus,
+           CAST($Q406CapMilli - $Q406CostMilli AS BIGINT) AS after_milli,
+           CAST(1 AS BIGINT) AS adm
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.event_type, e.rn, e.tus,
+           least($Q406CapMilli,
+             p.after_milli + (e.tus - p.tus) * $Q406RateMilli // 1000000)
+           - CASE WHEN least($Q406CapMilli,
+               p.after_milli + (e.tus - p.tus) * $Q406RateMilli // 1000000)
+               >= $Q406CostMilli THEN $Q406CostMilli ELSE 0 END AS after_milli,
+           CASE WHEN least($Q406CapMilli,
+               p.after_milli + (e.tus - p.tus) * $Q406RateMilli // 1000000)
+               >= $Q406CostMilli THEN 1 ELSE 0 END AS adm
+         FROM tb p JOIN ev e
+           ON e.event_type = p.event_type AND e.rn = p.rn + 1)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(adm) AS BIGINT) AS n_admitted,
+         CAST(count(*) - sum(adm) AS BIGINT) AS n_dropped,
+         CAST(arg_max(after_milli, rn) AS BIGINT) AS final_tokens_milli
+       FROM tb GROUP BY event_type ORDER BY event_type"""
+
   // ---------------------------------------------------------------- q354
   final case class CusumEvent(event_type: String, day: String)
   final case class CusumState(event_type: String, n_days: Long, cal_sum: Long,
@@ -1954,6 +2050,7 @@ object StreamingOps {
     "q383_stream_seasonal_monitor" -> q383StreamSeasonalMonitor _,
     "q391_stream_psi_monitor" -> q391StreamPsiMonitor _,
     "q399_stream_hysteresis_alarm" -> q399StreamHysteresisAlarm _,
+    "q406_stream_token_bucket" -> q406StreamTokenBucket _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -1984,6 +2081,7 @@ object StreamingOps {
     "q383_stream_seasonal_monitor" -> q383Oracle,
     "q391_stream_psi_monitor" -> q391Oracle,
     "q399_stream_hysteresis_alarm" -> q399Oracle,
+    "q406_stream_token_bucket" -> q406Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

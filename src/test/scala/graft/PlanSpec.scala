@@ -233,7 +233,9 @@ class PlanSpec extends SparkSuite {
       "q234_build_cluster_table" -> ("documents", 0),    // report reads the just-written artifact
       "q235_build_ivf_index" -> ("embeddings", 0),       // report reads the just-written index
       "q236_build_bigram_lm" -> ("documents", 0),        // report reads the just-written model
-      "q238_naive_bayes_langid" -> ("documents", 1),     // scoring pass; count/prior tables checkpoint-pinned
+      "q238_naive_bayes_langid" -> ("documents", 0),     // pure probe of the stored nb_pred artifact (q401 builds)
+      "q374_classifier_f1" -> ("documents", 0),          // pure probe of the stored nb_pred artifact
+      "q401_build_nb_predictions" -> ("documents", 0),   // report reads the just-written artifact
       "q239_incremental_neardup" -> ("documents", 3),    // batch build ×2 + candidate-pruned verification read
       "q240_build_band_index" -> ("documents", 0),       // report reads the just-written index
       "q241_ivf_recall" -> ("embeddings", 0),            // eval runs entirely off the stored index tables
