@@ -1368,7 +1368,62 @@ object Curation {
          CAST(c.cum * 1000000 // u.u AS BIGINT) AS coverage_ppm
        FROM cumt c, u ORDER BY c.step"""
 
+  // ---------------------------------------------------------------- q409
+  /** WEIGHTED-JACCARD SOURCE SIMILARITY MATRIX — the corpus-overlap
+    * readout a mixture planner (q119/q254/q340 family) consults before
+    * weighting sources: J_w(a,b) = Σ_t min(w_a(t), w_b(t)) / Σ_t
+    * max(w_a(t), w_b(t)) over token OCCURRENCE counts — the
+    * frequency-aware form (plain Jaccard q311 treats 1 and 10,000
+    * occurrences identically; this one doesn't). Exact and
+    * driver-friendly via the identity Σmax = W_a + W_b − Σmin, so only
+    * the INTERSECTION join materializes — non-shared tokens contribute
+    * min = 0 and never join. Scale shape: one tokenize into the
+    * vocab-sized (source, token-hash) count table, a token-keyed
+    * self-join bounded by ≤|sources| rows per hash (never corpus²), and
+    * a |sources|²/2-row readout; totals broadcast. All integer counts,
+    * jaccard in exact ppm. Full oracle.
+    */
+  def q409WeightedJaccard(spark: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).as("w"))
+      .localCheckpoint() // vocab-sized (source x token) count table, read twice
+    val tot = cnt.groupBy(col("source")).agg(expr("cast(sum(w) as bigint)").as("tw"))
+    val a = cnt.select(col("source").as("sa"), col("th"), col("w").as("wa"))
+    val b = cnt.select(col("source").as("sb"), col("th"), col("w").as("wb"))
+    a.join(b, "th").filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(expr("cast(sum(least(wa, wb)) as bigint)").as("sum_min"))
+      .join(broadcast(tot.select(col("source").as("sa"), col("tw").as("w_a"))), "sa")
+      .join(broadcast(tot.select(col("source").as("sb"), col("tw").as("w_b"))), "sb")
+      .withColumn("jaccard_ppm",
+        expr("sum_min * 1000000 div (w_a + w_b - sum_min)"))
+      .select(col("sa"), col("sb"), col("w_a"), col("w_b"), col("sum_min"),
+        col("jaccard_ppm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  val q409Oracle: String =
+    """WITH cnt AS (SELECT source,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th, count(*) AS w
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> '' GROUP BY 1, 2),
+       tot AS (SELECT source, CAST(sum(w) AS BIGINT) AS tw FROM cnt GROUP BY 1),
+       p AS (SELECT a.source AS sa, b.source AS sb,
+               CAST(sum(least(a.w, b.w)) AS BIGINT) AS sum_min
+             FROM cnt a JOIN cnt b ON b.th = a.th AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT p.sa, p.sb, ta.tw AS w_a, tb.tw AS w_b, p.sum_min,
+         CAST(p.sum_min * 1000000 // (ta.tw + tb.tw - p.sum_min) AS BIGINT) AS jaccard_ppm
+       FROM p JOIN tot ta ON ta.source = p.sa
+       JOIN tot tb ON tb.source = p.sb
+       ORDER BY p.sa, p.sb"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q409_weighted_jaccard" -> q409WeightedJaccard _,
     "q368_coverage_selection" -> q368CoverageSelection _,
     "q366_selection_parity" -> q366SelectionParity _,
     "q350_domain_reweight" -> q350DomainReweight _,
@@ -1388,6 +1443,7 @@ object Curation {
     "q69_curation_pipeline" -> q69CurationPipeline _)
 
   val oracles: Map[String, String] = Map(
+    "q409_weighted_jaccard" -> q409Oracle,
     "q368_coverage_selection" -> q368Oracle,
     "q366_selection_parity" -> q366Oracle,
     "q350_domain_reweight" -> q350Oracle,

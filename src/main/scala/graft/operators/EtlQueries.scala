@@ -1524,7 +1524,71 @@ object EtlQueries {
          moved * 4 < mod_moved AS rendezvous_beats_mod
        FROM agg, bal"""
 
+  // ---------------------------------------------------------------- q413
+  /** FULL-SYNC MERGE (WHEN NOT MATCHED BY SOURCE THEN DELETE) — the table
+    * SYNC semantics q75's upsert-merge can't express (upsert never
+    * removes): given a target snapshot and a source "truth" state, one
+    * full-outer classification splits every key into insert / update /
+    * delete / unchanged, and the applied result must equal the source
+    * EXACTLY — certified by an order-independent content checksum
+    * (Σ key·cents mod p in DECIMAL(38,0), the q191 reconciliation trick)
+    * computed over both and compared as a riding boolean. The
+    * target/source pair is carved deterministically from orders (target
+    * drops keys ≡0 mod 7, source drops ≡0 mod 5 and reprices ≡0 mod 3),
+    * so every class is non-empty at every SF. One shuffle on the merge
+    * key; counts + checksum equality are the readout. Full oracle.
+    */
+  def q413MergeSync(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d).select(col("o_orderkey").as("k"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+    val target = o.filter(col("k") % 7 =!= 0)
+    val source = o.filter(col("k") % 5 =!= 0)
+      .select(col("k"),
+        expr("CASE WHEN k % 3 = 0 THEN c + 10000 ELSE c END").as("c"))
+    val j = target.select(col("k"), col("c").as("tc"))
+      .join(source.select(col("k"), col("c").as("sc")), Seq("k"), "full_outer")
+      .withColumn("cls", expr(
+        """CASE WHEN tc IS NULL THEN 'insert'
+           WHEN sc IS NULL THEN 'delete'
+           WHEN tc <> sc THEN 'update' ELSE 'unchanged' END"""))
+    val counts = j.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    // apply: survivors keep source values; deletes drop — then certify
+    // applied ≡ source by checksum
+    val applied = j.filter(col("cls") =!= "delete")
+      .select(col("k"), col("sc").as("c"))
+    def ck(df: DataFrame) = df.agg(expr(
+      "cast(sum(cast(k % 1000000007 * (c % 1000000007) % 1000000007 as decimal(38,0))) % 1000000007 as bigint)").as("ck"))
+    val cert = ck(applied).crossJoin(ck(source).withColumnRenamed("ck", "ck_src"))
+      .select((col("ck") === col("ck_src")).as("sync_exact"))
+    counts.crossJoin(broadcast(cert)) // 1-row certificate rides each class
+      .select(col("cls"), col("n"), col("sync_exact"))
+      .orderBy(col("cls"))
+  }
+
+  val q413Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       t AS (SELECT * FROM o WHERE k % 7 <> 0),
+       s AS (SELECT k, CASE WHEN k % 3 = 0 THEN c + 10000 ELSE c END AS c
+             FROM o WHERE k % 5 <> 0),
+       j AS (SELECT coalesce(t.k, s.k) AS k, t.c AS tc, s.c AS sc
+             FROM t FULL OUTER JOIN s ON s.k = t.k),
+       cls AS (SELECT k, tc, sc,
+                CASE WHEN tc IS NULL THEN 'insert'
+                  WHEN sc IS NULL THEN 'delete'
+                  WHEN tc <> sc THEN 'update' ELSE 'unchanged' END AS cls
+              FROM j),
+       counts AS (SELECT cls, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY 1),
+       cka AS (SELECT CAST(sum(k % 1000000007 * (sc % 1000000007) % 1000000007)
+                 % 1000000007 AS BIGINT) AS ck
+               FROM cls WHERE cls <> 'delete'),
+       cks AS (SELECT CAST(sum(k % 1000000007 * (c % 1000000007) % 1000000007)
+                 % 1000000007 AS BIGINT) AS ck FROM s)
+       SELECT counts.cls, counts.n, cka.ck = cks.ck AS sync_exact
+       FROM counts, cka, cks ORDER BY counts.cls"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q413_merge_sync" -> q413MergeSync _,
     "q390_rendezvous_shards" -> q390RendezvousShards _,
     "q389_hilbert_layout" -> q389HilbertLayout _,
     "q335_zorder_layout" -> q335ZorderLayout _,
@@ -1562,6 +1626,7 @@ object EtlQueries {
     "q101_bucketed_join" -> q101BucketedJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q413_merge_sync" -> q413Oracle,
     "q390_rendezvous_shards" -> q390Oracle,
     "q389_hilbert_layout" -> q389Oracle,
     "q335_zorder_layout" -> q335Oracle,

@@ -2530,6 +2530,170 @@ object EventAnalytics {
            > CAST(38416 AS HUGEINT) * n1 * n2 * var_q AS reject_95
        FROM cte"""
 
+  // ---------------------------------------------------------------- q414
+  /** AUTOCORRELATION SPECTRUM (correlogram, lags 1–14) of the daily event
+    * volume — q222 measures lag-1; capacity planning needs the whole
+    * first two weeks of lags to see the weekly cycle (a lag-7 peak) and
+    * distinguish trend from seasonality. Per lag k: Pearson r between
+    * y(t) and y(t+k) over the paired days, decided entirely in
+    * DECIMAL(38,0) (the q386 discipline): n, Σx, Σy, Σxy, Σx², Σy² per
+    * lag, r²_ppm = cov²·10⁶ div (varx·vary) + cov's exact sign. One
+    * events scan → |days|-row daily frame → 14× explode → per-lag
+    * self-join on the tiny frame. Full oracle.
+    */
+  def q414AcfSpectrum(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(expr("CAST(ts AS DATE)").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // |days|-sized daily frame, both join sides
+    val lags = spark.range(1, 15).select(col("id").as("lag"))
+    val a = daily.select(col("day"), col("x").as("xa"))
+    val b = daily.select(col("day").as("day2"), col("x").as("xb"))
+    broadcast(lags).crossJoin(a)
+      .withColumn("day2", expr("date_add(day, cast(lag as int))"))
+      .join(b, "day2")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(xa) as bigint)").as("sa"),
+        expr("cast(sum(xb) as bigint)").as("sb"),
+        expr("cast(sum(cast(xa as decimal(38,0)) * xb) as decimal(38,0))").as("sab"),
+        expr("cast(sum(cast(xa as decimal(38,0)) * xa) as decimal(38,0))").as("saa"),
+        expr("cast(sum(cast(xb as decimal(38,0)) * xb) as decimal(38,0))").as("sbb"))
+      .withColumn("cov_n", expr("CAST(CAST(n AS DECIMAL(38,0)) * sab - CAST(sa AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
+      .withColumn("var_a", expr("CAST(CAST(n AS DECIMAL(38,0)) * saa - CAST(sa AS DECIMAL(38,0)) * sa AS DECIMAL(38,0))"))
+      .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
+      .select(col("lag"), col("n"),
+        expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
+        expr("CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0 ELSE cov_n * cov_n * 1000000 div (var_a * var_b) END AS BIGINT)")
+          .as("r2_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  val q414Oracle: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+       lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+       p AS (SELECT l.lag, a.x AS xa, b.x AS xb
+             FROM lags l
+             JOIN daily a ON true
+             JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+       m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+               sum(CAST(xa AS HUGEINT) * xb) AS sab,
+               sum(CAST(xa AS HUGEINT) * xa) AS saa,
+               sum(CAST(xb AS HUGEINT) * xb) AS sbb
+             FROM p GROUP BY 1),
+       c AS (SELECT lag, n,
+               CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS cov_n,
+               CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS var_a,
+               CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS var_b
+             FROM m)
+       SELECT CAST(lag AS BIGINT) AS lag, n,
+         CAST(sign(cov_n) AS BIGINT) AS cov_sign,
+         CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
+           ELSE cov_n * cov_n * 1000000 // (var_a * var_b) END AS BIGINT) AS r2_ppm
+       FROM c ORDER BY lag"""
+
+  // ---------------------------------------------------------------- q417
+  /** WEEK-OVER-WEEK REVENUE BRIDGE (price/volume waterfall) per order
+    * priority — the finance decomposition q155's period-over-period
+    * deltas feed but never split: did revenue move because we sold MORE
+    * orders or BIGGER orders? Exact integer decomposition scaled by
+    * n_prev so no division appears: volume effect = Δn·R₀, price effect
+    * = n₀·R₁ − n₁·R₀, and the identity volume + price = n₀·ΔR is
+    * checked as a riding boolean — a real structural certificate (a
+    * mis-lagged join breaks it loudly), all in DECIMAL(38,0). One
+    * orders scan → |weeks|×|priorities| frame → lag window on the tiny
+    * frame. Full oracle.
+    */
+  def q417RevenueBridge(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("cast(date_trunc('week', o_orderdate) as date)").as("week"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(round(o_totalprice * 100) as decimal(38,0))) as decimal(38,0))").as("r"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("week").asc)
+    weekly
+      .withColumn("n0", lag(col("n"), 1).over(w))
+      .withColumn("r0", lag(col("r"), 1).over(w))
+      .filter(col("n0").isNotNull)
+      .withColumn("volume_x", expr("CAST((n - n0) AS DECIMAL(38,0)) * r0"))
+      .withColumn("price_x", expr("CAST(n0 AS DECIMAL(38,0)) * r - CAST(n AS DECIMAL(38,0)) * r0"))
+      .select(col("priority"), expr("cast(week as string)").as("week"),
+        col("n0"), col("n").as("n1"),
+        expr("cast(r0 as bigint)").as("rev_prev"),
+        expr("cast(r as bigint)").as("rev_cur"),
+        expr("cast(volume_x as bigint)").as("volume_x"),
+        expr("cast(price_x as bigint)").as("price_x"),
+        expr("volume_x + price_x = CAST(n0 AS DECIMAL(38,0)) * (r - r0)").as("bridge_exact"))
+      .orderBy(col("priority"), col("week"))
+  }
+
+  val q417Oracle: String =
+    """WITH weekly AS (SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS week,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS r
+           FROM orders GROUP BY 1, 2),
+       lg AS (SELECT *, lag(n) OVER (PARTITION BY priority ORDER BY week ASC) AS n0,
+                lag(r) OVER (PARTITION BY priority ORDER BY week ASC) AS r0
+              FROM weekly)
+       SELECT priority, CAST(week AS VARCHAR) AS week, n0, n AS n1,
+         CAST(r0 AS BIGINT) AS rev_prev, CAST(r AS BIGINT) AS rev_cur,
+         CAST((n - n0) * r0 AS BIGINT) AS volume_x,
+         CAST(n0 * r - n * r0 AS BIGINT) AS price_x,
+         (n - n0) * r0 + (n0 * r - n * r0) = n0 * (r - r0) AS bridge_exact
+       FROM lg WHERE n0 IS NOT NULL
+       ORDER BY priority, week"""
+
+  // ---------------------------------------------------------------- q415
+  /** EVENT-ORDER INVERSION AUDIT — the log-pipeline health check a 100 TB
+    * event landing zone runs nightly: within a user's stream ordered by
+    * event time, assigned event_ids should be non-decreasing (ids are
+    * allocated at ingest); every ADJACENT inversion (id drops between
+    * consecutive events) is a reordering introduced by the transport —
+    * the number that decides whether downstream sessionization can trust
+    * arrival order. One events scan, per-user lag window (high-NDV
+    * partition — the sweep-safe direction), readout per event_type plus
+    * exact global ppm. Full oracle.
+    */
+  def q415InversionAudit(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("inv", expr(
+        "CASE WHEN event_id < lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) THEN 1 ELSE 0 END"))
+    val byType = flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(inv) as bigint)").as("n_inversions"))
+    val g = byType.agg(expr("cast(sum(n_events) as bigint)").as("tn"),
+      expr("cast(sum(n_inversions) as bigint)").as("ti"))
+    byType.crossJoin(broadcast(g)) // 1-row global totals
+      .select(col("event_type"), col("n_events"), col("n_inversions"),
+        expr("n_inversions * 1000000 div n_events").as("type_ppm"),
+        expr("ti * 1000000 div tn").as("global_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q415Oracle: String =
+    """WITH f AS (SELECT event_type,
+             CASE WHEN event_id < lag(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               THEN 1 ELSE 0 END AS inv
+           FROM events),
+       bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(inv) AS BIGINT) AS n_inversions
+              FROM f GROUP BY 1),
+       g AS (SELECT CAST(sum(n_events) AS BIGINT) AS tn,
+               CAST(sum(n_inversions) AS BIGINT) AS ti FROM bt)
+       SELECT bt.event_type, bt.n_events, bt.n_inversions,
+         CAST(bt.n_inversions * 1000000 // bt.n_events AS BIGINT) AS type_ppm,
+         CAST(g.ti * 1000000 // g.tn AS BIGINT) AS global_ppm
+       FROM bt, g ORDER BY bt.event_type"""
+
   // ---------------------------------------------------------------- q407
   /** ALLEN INTERVAL-RELATION CENSUS between per-user activity spans —
     * the full 13-relation temporal-logic vocabulary (before/meets/
@@ -3062,6 +3226,9 @@ object EventAnalytics {
     "q400_theil_decomposition" -> q400TheilDecomposition _,
     "q405_kruskal_wallis" -> q405KruskalWallis _,
     "q407_allen_census" -> q407AllenCensus _,
+    "q414_acf_spectrum" -> q414AcfSpectrum _,
+    "q417_revenue_bridge" -> q417RevenueBridge _,
+    "q415_inversion_audit" -> q415InversionAudit _,
     "q393_shapley_attribution" -> q393ShapleyAttribution _,
     "q392_sprt" -> q392Sprt _,
     "q386_corr_matrix" -> q386CorrMatrix _,
@@ -3114,6 +3281,9 @@ object EventAnalytics {
     "q400_theil_decomposition" -> q400Oracle,
     "q405_kruskal_wallis" -> q405Oracle,
     "q407_allen_census" -> q407Oracle,
+    "q414_acf_spectrum" -> q414Oracle,
+    "q417_revenue_bridge" -> q417Oracle,
+    "q415_inversion_audit" -> q415Oracle,
     "q393_shapley_attribution" -> q393Oracle,
     "q392_sprt" -> q392Oracle,
     "q386_corr_matrix" -> q386Oracle,

@@ -1310,8 +1310,80 @@ object MediaCodecDemo extends Serializable {
          CAST(a.n_runs * 2 * 1000000 // a.n_pixels AS BIGINT) AS rle_ratio_ppm
        FROM pats p JOIN agg a USING (pattern) ORDER BY p.pattern"""
 
+  // ---------------------------------------------------------------- q412
+  /** DPCM BIT-COST ESTIMATE over real PCM bytes — q387's delta encoding
+    * argument applied to the audio lane (q404 to pixels, q403 to
+    * postings): a square-wave-ish signal has tiny first differences most
+    * samples, so charging bits(|Δ|)+1 per sample (first charged 16)
+    * measures how far below 16·n a delta codec lands — the number that
+    * picks PCM vs DPCM for an audio landing zone. Exact integer cost
+    * model (bits = binary-string length, the q387/q403 convention), full
+    * decode in mapPartitions over REAL WAV bytes (samples never shuffle;
+    * one row out per pattern), conservation certificate (decoder saw
+    * exactly n samples). Full oracle replays the synth signal formula,
+    * the deltas, and the bit charges.
+    */
+  def q412DpcmEstimate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pats = Tables.documents(spark, d)
+      .groupBy((col("doc_id") % 4).as("seed"))
+      .agg(count(lit(1)).as("n_docs"))
+    val costs = pats.select(col("seed")).as[Long]
+      .mapPartitions { it =>
+        it.map { p =>
+          val bytes = makePatternWav(p.toInt)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(40) / 2
+          var bits = 0L
+          var prev = 0L
+          var i = 0
+          while (i < n) {
+            val s = bb.getShort(44 + i * 2).toLong
+            bits += (if (i == 0) 16L
+                     else java.lang.Long.toBinaryString(math.abs(s - prev)).length + 1L)
+            prev = s
+            i += 1
+          }
+          (p, n.toLong, bits)
+        }
+      }.toDF("seed", "n_samples", "dpcm_bits")
+    pats.join(costs, "seed")
+      .select(col("seed"), col("n_docs"), col("n_samples"),
+        (col("n_samples") === lit(Q153Frames.toLong * Q153SamplesPerFrame)).as("conserved"),
+        col("dpcm_bits"),
+        expr("n_samples * 16").as("raw_bits"),
+        expr("dpcm_bits * 1000000 div (n_samples * 16)").as("ratio_ppm"))
+      .orderBy(col("seed"))
+  }
+
+  val q412Oracle: String = {
+    val n = Q153Frames * Q153SamplesPerFrame
+    s"""WITH pats AS (SELECT doc_id % 4 AS seed, CAST(count(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY 1),
+       sig AS (SELECT p.seed, i.i,
+                 CASE WHEN i.i // 256 < p.seed * 8 THEN 0
+                   WHEN (i.i // 8) % 2 = 0 THEN 1000 ELSE -1000 END AS v
+               FROM (SELECT DISTINCT seed FROM pats) p, range($n) i(i)),
+       dd AS (SELECT seed, i, v,
+                v - lag(v) OVER (PARTITION BY seed ORDER BY i ASC) AS d
+              FROM sig),
+       b AS (SELECT seed,
+               CASE WHEN d IS NULL THEN 16 ELSE len(bin(abs(d))) + 1 END AS bits
+             FROM dd),
+       agg AS (SELECT seed, CAST(sum(bits) AS BIGINT) AS dpcm_bits,
+                 CAST(count(*) AS BIGINT) AS n_samples
+               FROM b GROUP BY 1)
+       SELECT CAST(p.seed AS BIGINT) AS seed, p.n_docs, a.n_samples,
+         a.n_samples = $n AS conserved, a.dpcm_bits,
+         CAST(a.n_samples * 16 AS BIGINT) AS raw_bits,
+         CAST(a.dpcm_bits * 1000000 // (a.n_samples * 16) AS BIGINT) AS ratio_ppm
+       FROM pats p JOIN agg a USING (seed) ORDER BY p.seed"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q404_rle_estimate" -> q404RleEstimate _,
+    "q412_dpcm_estimate" -> q412DpcmEstimate _,
     "q398_image_patches" -> q398ImagePatches _,
     "q396_audio_lag_align" -> q396AudioLagAlign _,
     "q384_image_gradient" -> q384ImageGradient _,
@@ -1333,6 +1405,7 @@ object MediaCodecDemo extends Serializable {
   val oracles: Map[String, String] = Map(
     "q398_image_patches" -> q398Oracle,
     "q404_rle_estimate" -> q404Oracle,
+    "q412_dpcm_estimate" -> q412Oracle,
     "q396_audio_lag_align" -> q396Oracle,
     "q384_image_gradient" -> q384Oracle,
     "q356_otsu_threshold" -> q356Oracle,

@@ -1734,8 +1734,71 @@ object Profiling {
               // (2 * (CAST(a.n AS HUGEINT) * a.n * a.n - a.n)) AS BIGINT) AS rho_ppm
        FROM agg a, tx, ty"""
 
+  // ---------------------------------------------------------------- q408
+  /** DICTIONARY-ENCODING BENEFIT AUDIT per column — the storage-planning
+    * readout (q403 for posting lists, q387 for series, q404 for pixels;
+    * this is the COLUMNAR-WRITER member, the decision parquet's writer
+    * makes per column chunk): dictionary cost = the distinct values'
+    * characters once + n fixed-width codes of ⌈log₂ d⌉ bits, vs the raw
+    * concatenated bytes. Low-cardinality columns (returnflag: 3 values →
+    * 2-bit codes) compress ~30×; near-unique ones don't — the audit is
+    * the number that picks PLAIN vs DICT. Exact integers: code width via
+    * bin() length, sizes in exact bytes, ratio in ppm. One lineitem scan
+    * melted to (column, value) long form → per-column dictionary
+    * aggregate (value-domain-bounded per column). Full oracle.
+    */
+  def q408DictEncoding(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(
+      col("l_returnflag").as("v1"),
+      col("l_linestatus").as("v2"),
+      expr("cast(l_shipdate as string)").as("v3"),
+      expr("cast(cast(l_quantity as bigint) as string)").as("v4"))
+    val long = li.select(explode(expr(
+      """map('l_returnflag', v1, 'l_linestatus', v2,
+             'l_shipdate', v3, 'l_quantity', v4)"""))
+      .as(Seq("col_name", "v")))
+    long.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(expr("cast(sum(c) as bigint)").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        expr("cast(sum(c * length(v)) as bigint)").as("raw_bytes"),
+        expr("cast(sum(length(v)) as bigint)").as("dict_chars"))
+      .withColumn("code_bits",
+        expr("cast(length(bin(greatest(n_distinct - 1, 1))) as bigint)"))
+      .withColumn("dict_bytes",
+        expr("dict_chars + (n_rows * code_bits + 7) div 8"))
+      .withColumn("ratio_ppm", expr("dict_bytes * 1000000 div raw_bytes"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("raw_bytes"), col("dict_chars"), col("code_bits"),
+        col("dict_bytes"), col("ratio_ppm"))
+      .orderBy(col("col_name"))
+  }
+
+  val q408Oracle: String =
+    """WITH src AS (SELECT CAST(l_returnflag AS VARCHAR) AS v1,
+             CAST(l_linestatus AS VARCHAR) AS v2,
+             CAST(l_shipdate AS VARCHAR) AS v3,
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v4 FROM lineitem),
+       lng AS (SELECT 'l_returnflag' AS col_name, v1 AS v FROM src
+               UNION ALL SELECT 'l_linestatus', v2 FROM src
+               UNION ALL SELECT 'l_shipdate', v3 FROM src
+               UNION ALL SELECT 'l_quantity', v4 FROM src),
+       cnt AS (SELECT col_name, v, count(*) AS c FROM lng GROUP BY 1, 2),
+       agg AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(c * len(v)) AS BIGINT) AS raw_bytes,
+                 CAST(sum(len(v)) AS BIGINT) AS dict_chars
+               FROM cnt GROUP BY 1),
+       b AS (SELECT *, CAST(len(bin(greatest(n_distinct - 1, 1))) AS BIGINT) AS code_bits
+             FROM agg)
+       SELECT col_name, n_rows, n_distinct, raw_bytes, dict_chars, code_bits,
+         CAST(dict_chars + (n_rows * code_bits + 7) // 8 AS BIGINT) AS dict_bytes,
+         CAST((dict_chars + (n_rows * code_bits + 7) // 8) * 1000000 // raw_bytes AS BIGINT) AS ratio_ppm
+       FROM b ORDER BY col_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q402_spearman_rank" -> q402SpearmanRank _,
+    "q408_dict_encoding" -> q408DictEncoding _,
     "q397_hll_intersection" -> q397HllIntersection _,
     "q395_t_closeness" -> q395TCloseness _,
     "q388_dp_release" -> q388DpRelease _,
@@ -1765,6 +1828,7 @@ object Profiling {
 
   val oracles: Map[String, String] = Map(
     "q402_spearman_rank" -> q402Oracle,
+    "q408_dict_encoding" -> q408Oracle,
     "q397_hll_intersection" -> q397Oracle,
     "q395_t_closeness" -> q395Oracle,
     "q388_dp_release" -> q388Oracle,

@@ -813,6 +813,104 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---------------------------------------------------------------- q416
+  /** NPROBE → RECALL TUNING CURVE off the stored IVF index — the plot an
+    * ANN deployment reads before fixing its latency/quality knob (q241
+    * gates ONE operating point; this measures the whole dial): for
+    * nprobe ∈ 1..4, the recall@10 of probing that many inverted lists,
+    * over the 10-query sample against the exact brute-force top-10.
+    * Candidates carry the MINIMUM probe rank that admits them, so the
+    * sweep is one explode over the already-scored candidate frame — the
+    * corpus is scored ONCE for all four curve points, not four times.
+    * Monotonicity (more probes ⇒ recall never drops) is asserted in
+    * Round12Spec. Zero training inside the probe (stored centroid +
+    * assignment tables). Full oracle replays training, probe ranking,
+    * the sweep, and both rankings.
+    */
+  def q416NprobeCurve(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = ivfCentroidTable(spark, d)
+    val assigned = ivfAssignTable(spark, d)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ed").as("qe"))
+      .localCheckpoint() // 10 rows, read by three consumers
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    val scored = assigned.select(col("vec_id"), col("ed"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineCols(spark, "ed", "qe"))
+      .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
+      .select(col("qid"), col("vec_id"), col("cos_u"))
+    val bftop = scored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_u").desc, col("cid").asc)
+    val probes = cent.crossJoin(broadcast(queries))
+      .withColumn("sim", cosineCols(spark, "ce", "qe"))
+      .withColumn("sim_u", expr("cast(round(sim * 1000000) as bigint)"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= IvfNProbe)
+      .select(col("qid"), col("cid"), col("pr"))
+    val candRank = assigned.select(col("vec_id"), col("cid"))
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(min(col("pr")).as("pr"))
+    val sweep = candRank
+      .crossJoin(broadcast(spark.range(1, IvfNProbe + 1L)
+        .select(col("id").as("nprobe"))))
+      .filter(col("pr") <= col("nprobe"))
+      .join(scored, Seq("qid", "vec_id"))
+    val wqp = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos_u").desc, col("vec_id").asc)
+    val hits = sweep.withColumn("rn", row_number().over(wqp))
+      .filter(col("rn") <= 10)
+      .join(bftop, Seq("qid", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+    spark.range(1, IvfNProbe + 1L).select(col("id").as("nprobe"))
+      .join(hits, Seq("nprobe"), "left")
+      .withColumn("n_hits", coalesce(col("h"), lit(0L)))
+      .select(col("nprobe"), col("n_hits"),
+        expr("n_hits * 1000000 div 100").as("recall_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
+  val q416Oracle: String =
+    s"""WITH $trainedOraclePrelude,
+       probes AS (SELECT vec_id AS qid, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY CAST(round(sim * 1000000) AS BIGINT) DESC, cid ASC) AS pr
+                  FROM pairT WHERE vec_id < 10
+                  QUALIFY pr <= $IvfNProbe),
+       bf AS (SELECT q.vec_id AS qid, e.vec_id,
+                CAST(round(1000000 *
+                  sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE)) /
+                  (sqrt(sum(CAST(e.embedding[r.j+1] AS DOUBLE) * CAST(e.embedding[r.j+1] AS DOUBLE))) *
+                   sqrt(sum(CAST(q.embedding[r.j+1] AS DOUBLE) * CAST(q.embedding[r.j+1] AS DOUBLE))))) AS BIGINT) AS cos_u
+              FROM ev e, ev q, range(64) r(j)
+              WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id GROUP BY 1, 2),
+       bftop AS (SELECT qid, vec_id FROM bf
+                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_u DESC, vec_id ASC) <= 10),
+       candr AS (SELECT p.qid, a.vec_id, min(p.pr) AS pr
+                 FROM assignedT a JOIN probes p ON a.cid = p.cid
+                 WHERE a.vec_id <> p.qid GROUP BY 1, 2),
+       sweep AS (SELECT n.nprobe, c.qid, c.vec_id, b.cos_u
+                 FROM (SELECT unnest(generate_series(1, $IvfNProbe)) AS nprobe) n
+                 JOIN candr c ON c.pr <= n.nprobe
+                 JOIN bf b ON b.qid = c.qid AND b.vec_id = c.vec_id),
+       ivftop AS (SELECT nprobe, qid, vec_id FROM sweep
+                  QUALIFY row_number() OVER (PARTITION BY nprobe, qid
+                    ORDER BY cos_u DESC, vec_id ASC) <= 10),
+       hits AS (SELECT i.nprobe, count(*) AS h FROM ivftop i
+                JOIN bftop t ON t.qid = i.qid AND t.vec_id = i.vec_id
+                GROUP BY 1)
+       SELECT CAST(n.nprobe AS BIGINT) AS nprobe,
+         CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+         CAST(COALESCE(h.h, 0) * 1000000 // 100 AS BIGINT) AS recall_ppm
+       FROM (SELECT unnest(generate_series(1, $IvfNProbe)) AS nprobe) n
+       LEFT JOIN hits h ON h.nprobe = n.nprobe
+       ORDER BY nprobe"""
+
   val q241Oracle: String =
     s"""WITH $trainedOraclePrelude,
        probes AS (SELECT vec_id AS qid, cid FROM pairT WHERE vec_id < 10
@@ -3738,6 +3836,7 @@ object Similarity {
     "q51_similarity_ivf_topk" -> q51IvfTopK _,
     "q235_build_ivf_index" -> q235BuildIvfIndex _,
     "q241_ivf_recall" -> q241IvfRecall _,
+    "q416_nprobe_curve" -> q416NprobeCurve _,
     "q245_ivf_drift" -> q245IvfDrift _,
     "q249_semantic_dedup" -> q249SemanticDedup _,
     "q166_filtered_ivf" -> q166FilteredIvf _,
@@ -3786,6 +3885,7 @@ object Similarity {
     "q51_similarity_ivf_topk" -> q51Oracle,
     "q235_build_ivf_index" -> q235Oracle,
     "q241_ivf_recall" -> q241Oracle,
+    "q416_nprobe_curve" -> q416Oracle,
     "q245_ivf_drift" -> q245Oracle,
     "q249_semantic_dedup" -> q249Oracle,
     "q166_filtered_ivf" -> q166Oracle,

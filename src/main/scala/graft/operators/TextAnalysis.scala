@@ -4023,6 +4023,129 @@ object TextAnalysis {
          CAST(sum((bits + 6) // 7) * 1000000 // (df * 8) AS BIGINT) AS ratio_ppm
        FROM b GROUP BY th, df ORDER BY df DESC, th ASC"""
 
+  // ---------------------------------------------------------------- q410
+  /** BOOLEAN-AND PERCOLATION off the stored index — reverse search, the
+    * alerting primitive (Elasticsearch's percolator): subscriptions are
+    * STORED QUERIES and each document must answer "which subscriptions
+    * match me?". Five two-term AND subscriptions are derived
+    * deterministically from the index itself (consecutive pairs of the
+    * 6 highest-df terms — the worst case: the LONGEST posting lists),
+    * and a document matches when it contains BOTH terms — evaluated as
+    * a postings⋈terms join counting distinct matched terms per doc
+    * (= arity ⟺ match), NEVER a per-document loop over queries. The
+    * readout per subscription: matching docs, the id range, and total
+    * matched term-occurrences. ZERO text scans (q376's serving-path
+    * argument, now for the percolation direction). Full oracle replays
+    * build, term selection, and the AND semantics.
+    */
+  def q410Percolate(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = invIndexTable(spark, d)
+    val top6 = idx.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("th").asc).limit(6)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("th").asc))) // 6-row frame
+    val subs = top6.select((col("r") - 1).cast("long").as("query_id"), col("th"))
+      .unionByName(top6.filter(col("r") >= 2)
+        .select((col("r") - 2).cast("long").as("query_id"), col("th")))
+      .filter(col("query_id") < 5 && col("query_id") >= 0)
+    val m = idx.join(broadcast(subs), "th")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("th")).as("n_terms"),
+        expr("cast(sum(tf) as bigint)").as("occ"))
+      .filter(col("n_terms") === 2)
+    m.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_matching_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("cast(sum(occ) as bigint)").as("matched_occurrences"))
+      .orderBy(col("query_id"))
+  }
+
+  val q410Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       top6 AS (SELECT th, row_number() OVER (ORDER BY count(*) DESC, th ASC) AS r
+                FROM idx GROUP BY th ORDER BY count(*) DESC, th ASC LIMIT 6),
+       subs AS (SELECT r - 1 AS query_id, th FROM top6 WHERE r - 1 < 5
+                UNION ALL
+                SELECT r - 2, th FROM top6 WHERE r >= 2 AND r - 2 < 5),
+       m AS (SELECT s.query_id, i.doc_id,
+               count(DISTINCT i.th) AS n_terms, CAST(sum(i.tf) AS BIGINT) AS occ
+             FROM idx i JOIN subs s ON s.th = i.th
+             GROUP BY 1, 2 HAVING count(DISTINCT i.th) = 2)
+       SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(count(*) AS BIGINT) AS n_matching_docs,
+         CAST(min(doc_id) AS BIGINT) AS min_doc,
+         CAST(max(doc_id) AS BIGINT) AS max_doc,
+         CAST(sum(occ) AS BIGINT) AS matched_occurrences
+       FROM m GROUP BY query_id ORDER BY query_id"""
+
+  // ---------------------------------------------------------------- q411
+  /** ROARING-BITMAP CONTAINER SIZING audit off the stored index — the
+    * bitmap-index companion to q403's varint estimate: posting lists
+    * partition into 2¹⁶-wide doc_id containers, and per container the
+    * ROARING RULE picks the cheapest of three encodings — sorted array
+    * (2 + 2n bytes), fixed bitmap (2 + 8192), run-length (2 + 4·runs,
+    * runs = maximal consecutive-id spans via one lag window) — exactly
+    * how production bitmap indexes (roaring) decide, expressed as a
+    * LEAST() over exact byte costs. Audited on the 5 highest-df lists;
+    * per term: containers, best-encoding bytes, the naive
+    * one-bitmap-per-container cost, and the saving in ppm. Zero text
+    * scans; windows partition on (th, container). Full oracle.
+    */
+  def q411RoaringSizing(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = invIndexTable(spark, d)
+    val terms = idx.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("th").asc).limit(5)
+    val w = Window.partitionBy(col("th"), col("container"))
+      .orderBy(col("doc_id").asc)
+    val conts = idx.join(broadcast(terms), "th")
+      .withColumn("container", expr("doc_id div 65536"))
+      .withColumn("run_start", expr(
+        "CASE WHEN doc_id - lag(doc_id, 1) OVER (PARTITION BY th, container ORDER BY doc_id ASC) = 1 THEN 0 ELSE 1 END"))
+      .groupBy(col("th"), col("df"), col("container"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(run_start) as bigint)").as("n_runs"))
+      .withColumn("best_bytes", expr(
+        "2 + least(2 * n, cast(8192 as bigint), 4 * n_runs)"))
+    conts.groupBy(col("th"), col("df"))
+      .agg(count(lit(1)).as("n_containers"),
+        expr("cast(sum(best_bytes) as bigint)").as("roaring_bytes"),
+        expr("cast(sum(2 + 8192) as bigint)").as("naive_bitmap_bytes"))
+      .withColumn("saving_ppm", expr(
+        "(naive_bitmap_bytes - roaring_bytes) * 1000000 div naive_bitmap_bytes"))
+      .select(col("th"), col("df"), col("n_containers"), col("roaring_bytes"),
+        col("naive_bitmap_bytes"), col("saving_ppm"))
+      .orderBy(col("df").desc, col("th").asc)
+  }
+
+  val q411Oracle: String =
+    """WITH tok AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS th
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         WHERE t <> ''),
+       idx AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+       terms AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1
+                 ORDER BY df DESC, th ASC LIMIT 5),
+       g AS (SELECT i.th, t.df, i.doc_id // 65536 AS container, i.doc_id,
+               CASE WHEN i.doc_id - lag(i.doc_id) OVER (
+                 PARTITION BY i.th, i.doc_id // 65536 ORDER BY i.doc_id ASC) = 1
+                 THEN 0 ELSE 1 END AS run_start
+             FROM idx i JOIN terms t USING (th)),
+       c AS (SELECT th, df, container, count(*) AS n,
+               CAST(sum(run_start) AS BIGINT) AS n_runs
+             FROM g GROUP BY 1, 2, 3),
+       e AS (SELECT *, 2 + least(2 * n, 8192, 4 * n_runs) AS best_bytes FROM c)
+       SELECT th, df, CAST(count(*) AS BIGINT) AS n_containers,
+         CAST(sum(best_bytes) AS BIGINT) AS roaring_bytes,
+         CAST(sum(2 + 8192) AS BIGINT) AS naive_bitmap_bytes,
+         CAST((sum(2 + 8192) - sum(best_bytes)) * 1000000 // sum(2 + 8192) AS BIGINT) AS saving_ppm
+       FROM e GROUP BY th, df ORDER BY df DESC, th ASC"""
+
   // ---------------------------------------------------------------- q377
   /** Incremental MAINTENANCE of the q375 inverted-index artifact — the
     * nightly index refresh without a corpus re-scan (the q250/q242/q324
@@ -4232,6 +4355,8 @@ object TextAnalysis {
     "q374_classifier_f1" -> q374ClassifierF1 _,
     "q401_build_nb_predictions" -> q401BuildNbPredictions _,
     "q403_posting_compression" -> q403PostingCompression _,
+    "q410_percolate" -> q410Percolate _,
+    "q411_roaring_sizing" -> q411RoaringSizing _,
     "q375_build_inv_index" -> q375BuildInvIndex _,
     "q376_index_probe_topk" -> q376IndexProbeTopk _,
     "q364_kneser_ney" -> q364KneserNey _,
@@ -4295,6 +4420,8 @@ object TextAnalysis {
     "q374_classifier_f1" -> q374Oracle,
     "q401_build_nb_predictions" -> q401Oracle,
     "q403_posting_compression" -> q403Oracle,
+    "q410_percolate" -> q410Oracle,
+    "q411_roaring_sizing" -> q411Oracle,
     "q375_build_inv_index" -> q375Oracle,
     "q376_index_probe_topk" -> q376Oracle,
     "q364_kneser_ney" -> q364Oracle,

@@ -44,7 +44,8 @@ class Round10Spec extends SparkSuite {
   //    argmax pins, probe streams (config-count rows), batch-sized q377
   //    maintenance postings, q374's K²-sized
   //    confusion matrix (read by 3 rollups).
-  //  - Similarity.scala 17: K-row centroid/codebook rounds, ≤20-row probe
+  //  - Similarity.scala 18: K-row centroid/codebook rounds, ≤20-row probe
+  //    sets (incl. q416's 10-row query frame),
   //    sets, 10-row query frames, vec-count×2-long k-center rounds
   //    (fault-tolerance tradeoff documented at q292), q344's two
   //    slice-sized (≤Q314Slice×3-long) label-round frames, q357's
@@ -52,9 +53,11 @@ class Round10Spec extends SparkSuite {
   //  - Sampling.scala 6 (incl. q342's ≤2^20-row bucket-offset frame) /
   //    Profiling.scala 6 (incl. q397's 4x64-row register frame and
   //    q402's two value-domain-bounded per-value count frames) /
-  //    Curation.scala 5 (incl. q368's vocab-sized
-  //    distinct (source, gram) frame read by all greedy rounds) /
-  //    EventAnalytics.scala 13 (incl. q386's |days|x|types| daily frame,
+  //    Curation.scala 6 (incl. q368's vocab-sized
+  //    distinct (source, gram) frame read by all greedy rounds and
+  //    q409's vocab-sized (source, token) count table) /
+  //    EventAnalytics.scala 14 (incl. q386's |days|x|types| daily frame,
+  //    q414's |days|-row daily frame,
   //    q393's 16-row mask and coalition-value frames, q400's two
   //    |nations|-row group/term frames, q405's two value-domain-bounded
   //    per-value count frames, q407's |users|x|types| span frame,
@@ -86,8 +89,8 @@ class Round10Spec extends SparkSuite {
       s"localCheckpoint pin audit failures:\n${offenders.mkString("\n")}")
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 18,
-      "Similarity.scala" -> 17, "Sampling.scala" -> 6, "Profiling.scala" -> 6,
-      "Curation.scala" -> 5, "EventAnalytics.scala" -> 13, "Cdc.scala" -> 1,
+      "Similarity.scala" -> 18, "Sampling.scala" -> 6, "Profiling.scala" -> 6,
+      "Curation.scala" -> 6, "EventAnalytics.scala" -> 14, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1,
       "SkewBenchIndex.scala" -> 1)
     assert(counts.toMap === audited,

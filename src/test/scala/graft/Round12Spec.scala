@@ -230,6 +230,132 @@ class Round12Spec extends SparkSuite {
     assert(rows.forall(r => rels(r.getString(2))))
   }
 
+  test("q408: dictionary audit knows returnflag is a 3-value column") {
+    val rows = SparkEntry.queries("q408_dict_encoding")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rf = rows("l_returnflag")
+    assert(rf.getLong(2) === 3L, "returnflag has exactly 3 distinct values")
+    assert(rf.getLong(5) === 2L, "3 values need 2-bit codes")
+    assert(rf.getLong(3) === rf.getLong(1), "1-char values: raw bytes = rows")
+    // dict wins hugely on a 1-char 3-value column: 2 bits vs 8
+    assert(rf.getLong(7) < 300000L, "dictionary must win on returnflag")
+    rows.values.foreach { r =>
+      assert(r.getLong(6) === r.getLong(4) + (r.getLong(1) * r.getLong(5) + 7) / 8,
+        s"dict_bytes formula must hold for ${r.getString(0)}")
+    }
+  }
+
+  test("q409: weighted Jaccard bounds on all 190 source pairs") {
+    val rows = SparkEntry.queries("q409_weighted_jaccard")(spark, sf).collect()
+    assert(rows.length === 190, "C(20,2) source pairs")
+    rows.foreach { r =>
+      val (wa, wb, smin, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(smin <= math.min(wa, wb), "Σmin bounded by either total")
+      assert(j >= 0L && j <= 1000000L)
+    }
+  }
+
+  test("q410: percolation emits all five subscriptions with sane ranges") {
+    val rows = SparkEntry.queries("q410_percolate")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, "top-df term pairs must co-occur somewhere")
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) >= 2L * r.getLong(1),
+        "each matching doc carries >= 1 occurrence of each of the 2 terms")
+    }
+  }
+
+  test("q411: roaring never loses to the naive bitmap") {
+    val rows = SparkEntry.queries("q411_roaring_sizing")(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4), "LEAST() can't exceed the bitmap cost")
+      assert(r.getLong(5) >= 0L)
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("q412: DPCM brute replay of the seed-0 square wave") {
+    val rows = SparkEntry.queries("q412_dpcm_estimate")(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(3)), "sample conservation must hold")
+    val s0 = rows.find(_.getLong(0) === 0L).get
+    // seed 0: 8192 samples alternating ±1000 every 8 samples — Δ≠0 exactly
+    // at i % 8 == 0 (1,023 times, |Δ|=2000 → 12 bits), Δ=0 elsewhere
+    // (7,168 times → 2 bits), first sample 16
+    val expected = 16L + 1023L * 12L + 7168L * 2L
+    assert(s0.getLong(4) === expected, s"seed-0 dpcm bits must be $expected")
+    rows.foreach(r => assert(r.getLong(4) < r.getLong(5), "DPCM must beat raw"))
+  }
+
+  test("q413: merge-sync class counts follow the carving arithmetic") {
+    val rows = SparkEntry.queries("q413_merge_sync")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("insert", "delete", "update", "unchanged"))
+    assert(rows.values.forall(_.getBoolean(2)), "apply must equal source exactly")
+    // carving: inserts are keys ≡0 (mod 7) ∧ ≢0 (mod 5); deletes the
+    // mirror image; brute-count from the orders table
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(rows("insert").getLong(1) ===
+      keys.count(k => k % 7 == 0 && k % 5 != 0).toLong)
+    assert(rows("delete").getLong(1) ===
+      keys.count(k => k % 5 == 0 && k % 7 != 0).toLong)
+    assert(rows("update").getLong(1) ===
+      keys.count(k => k % 7 != 0 && k % 5 != 0 && k % 3 == 0).toLong)
+  }
+
+  test("q414: correlogram emits all 14 lags with bounded r²") {
+    val rows = SparkEntry.queries("q414_acf_spectrum")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 14L))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(math.abs(r.getLong(2)) <= 1L)
+      // pairs shrink as the lag grows (contiguous daily series)
+      assert(r.getLong(1) > 0L)
+    }
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      "pair count must be non-increasing in the lag")
+  }
+
+  test("q415: inversion audit is conservation-consistent") {
+    val rows = SparkEntry.queries("q415_inversion_audit")(spark, sf).collect()
+    val tn = rows.map(_.getLong(1)).sum
+    val ti = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(4) === ti * 1000000 / tn, "global ppm must ride every row")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the synthetic generator allocates event_ids in ts order, so the
+    // planted truth is ZERO inversions — the audit's null result is the
+    // certificate (any nonzero here means the window mis-orders)
+    assert(ti === 0L)
+  }
+
+  test("q416: recall curve is monotone non-decreasing in nprobe") {
+    val rows = SparkEntry.queries("q416_nprobe_curve")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 4L))
+    val hits = rows.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
+      "more probes can only add candidates")
+    assert(hits.forall(h => h >= 0L && h <= 100L))
+    rows.foreach(r => assert(r.getLong(2) === r.getLong(1) * 10000L))
+  }
+
+  test("q417: bridge identity holds on every week transition") {
+    val rows = SparkEntry.queries("q417_revenue_bridge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(8)), "waterfall identity must be exact")
+    rows.foreach { r =>
+      // recompute the identity from the emitted integers
+      val (n0, n1, r0, r1) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getLong(6) === (n1 - n0) * r0)
+      assert(r.getLong(7) === n0 * r1 - n1 * r0)
+    }
+  }
+
   test("closing gate self-test: a planted undocumented key would fail") {
     // the gate must actually discriminate: a key whose number appears in
     // no document is reported missing, and the range expansion works
