@@ -1551,16 +1551,22 @@ object EtlQueries {
         """CASE WHEN tc IS NULL THEN 'insert'
            WHEN sc IS NULL THEN 'delete'
            WHEN tc <> sc THEN 'update' ELSE 'unchanged' END"""))
-    val counts = j.groupBy(col("cls")).agg(count(lit(1)).as("n"))
-    // apply: survivors keep source values; deletes drop — then certify
-    // applied ≡ source by checksum
-    val applied = j.filter(col("cls") =!= "delete")
-      .select(col("k"), col("sc").as("c"))
-    def ck(df: DataFrame) = df.agg(expr(
-      "cast(sum(cast(k % 1000000007 * (c % 1000000007) % 1000000007 as decimal(38,0))) % 1000000007 as bigint)").as("ck"))
-    val cert = ck(applied).crossJoin(ck(source).withColumnRenamed("ck", "ck_src"))
+    // ONE pass over the classification: per-class counts AND the partial
+    // checksum of the would-be-applied rows (survivors keep source
+    // values, so the applied checksum is the non-delete partial sum);
+    // the source checksum comes from an INDEPENDENT source scan so the
+    // certificate actually cross-checks two computations
+    val cls = j.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(k % 1000000007 * (coalesce(sc, 0) % 1000000007) % 1000000007 as decimal(38,0))) as decimal(38,0))").as("ckp"))
+      .localCheckpoint() // 4-row class frame, read by counts + checksum
+    val ckApplied = cls.filter(col("cls") =!= "delete")
+      .agg(expr("cast(sum(ckp) % 1000000007 as bigint)").as("ck"))
+    val ckSrc = source.agg(expr(
+      "cast(sum(cast(k % 1000000007 * (c % 1000000007) % 1000000007 as decimal(38,0))) % 1000000007 as bigint)").as("ck_src"))
+    val cert = ckApplied.crossJoin(ckSrc)
       .select((col("ck") === col("ck_src")).as("sync_exact"))
-    counts.crossJoin(broadcast(cert)) // 1-row certificate rides each class
+    cls.crossJoin(broadcast(cert)) // 1-row certificate rides each class
       .select(col("cls"), col("n"), col("sync_exact"))
       .orderBy(col("cls"))
   }

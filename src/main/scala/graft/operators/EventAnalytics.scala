@@ -2669,6 +2669,7 @@ object EventAnalytics {
     val byType = flagged.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         expr("cast(sum(inv) as bigint)").as("n_inversions"))
+      .localCheckpoint() // |types|-sized rollup, read by totals + final join
     val g = byType.agg(expr("cast(sum(n_events) as bigint)").as("tn"),
       expr("cast(sum(n_inversions) as bigint)").as("ti"))
     byType.crossJoin(broadcast(g)) // 1-row global totals

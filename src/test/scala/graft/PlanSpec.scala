@@ -348,7 +348,24 @@ class PlanSpec extends SparkSuite {
       "q352_pack_fragmentation" -> ("documents", 2),     // the q342 two-phase shape: count pass + banded rollup
       "q353_conformal_sets" -> ("embeddings", 0),        // scores/labels ride the stored artifacts; quantile is BucketRank over the calibration slice
       "q354_stream_cusum_alarm" -> ("events", 0),        // stream pre-run; summary reads the memory sink
-      "q355_border_detect" -> ("documents", 1))          // map-only id scan; pixels never leave the partition
+      "q355_border_detect" -> ("documents", 1),          // map-only id scan; pixels never leave the partition
+      // round 12: the stored-index/artifact probes added this round hold
+      // the zero-scan contract (the q51/q376 serving-path argument)
+      "q403_posting_compression" -> ("documents", 0),    // pure stored-postings probe
+      "q410_percolate" -> ("documents", 0),              // percolation rides the stored postings only
+      "q411_roaring_sizing" -> ("documents", 0),         // container sizing off the stored postings
+      "q416_nprobe_curve" -> ("embeddings", 0),          // stored centroid + assignment tables only
+      "q404_rle_estimate" -> ("documents", 2),           // pattern-id scan forked by the n_images join-back; both map-only id scans
+      "q412_dpcm_estimate" -> ("documents", 2),          // pattern-id scan forked by the n_docs join-back; both map-only id scans
+      "q409_weighted_jaccard" -> ("documents", 1),       // ONE tokenize into the pinned count table
+      "q407_allen_census" -> ("events", 1),              // one scan into the pinned span frame
+      "q414_acf_spectrum" -> ("events", 1),              // one scan into the pinned daily frame
+      "q415_inversion_audit" -> ("events", 1),           // one scan; window + rollup share it
+      "q417_revenue_bridge" -> ("orders", 1),            // one scan into the weekly frame
+      "q413_merge_sync" -> ("orders", 3),                // target/source carvings + checksum legs share scans
+      "q402_spearman_rank" -> ("customer", 3),           // base read by count frames + final join (value frames pinned)
+      "q405_kruskal_wallis" -> ("customer", 1),          // one scan into the pinned (value, seg) counts
+      "q408_dict_encoding" -> ("lineitem", 1))           // one melt pass
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

@@ -45,8 +45,7 @@ class Round10Spec extends SparkSuite {
   //    maintenance postings, q374's K²-sized
   //    confusion matrix (read by 3 rollups).
   //  - Similarity.scala 18: K-row centroid/codebook rounds, ≤20-row probe
-  //    sets (incl. q416's 10-row query frame),
-  //    sets, 10-row query frames, vec-count×2-long k-center rounds
+  //    sets, 10-row query frames (incl. q416's), vec-count×2-long k-center rounds
   //    (fault-tolerance tradeoff documented at q292), q344's two
   //    slice-sized (≤Q314Slice×3-long) label-round frames, q357's
   //    slice-sized 10-queries×vectors dot frame (read by 3 branches).
@@ -56,8 +55,8 @@ class Round10Spec extends SparkSuite {
   //    Curation.scala 6 (incl. q368's vocab-sized
   //    distinct (source, gram) frame read by all greedy rounds and
   //    q409's vocab-sized (source, token) count table) /
-  //    EventAnalytics.scala 14 (incl. q386's |days|x|types| daily frame,
-  //    q414's |days|-row daily frame,
+  //    EventAnalytics.scala 15 (incl. q386's |days|x|types| daily frame,
+  //    q414's |days|-row daily frame, q415's |types|-row rollup,
   //    q393's 16-row mask and coalition-value frames, q400's two
   //    |nations|-row group/term frames, q405's two value-domain-bounded
   //    per-value count frames, q407's |users|x|types| span frame,
@@ -90,9 +89,10 @@ class Round10Spec extends SparkSuite {
     val audited = Map(
       "Warehouse.scala" -> 1, "Dedup.scala" -> 10, "TextAnalysis.scala" -> 18,
       "Similarity.scala" -> 18, "Sampling.scala" -> 6, "Profiling.scala" -> 6,
-      "Curation.scala" -> 6, "EventAnalytics.scala" -> 14, "Cdc.scala" -> 1,
+      "Curation.scala" -> 6, "EventAnalytics.scala" -> 15, "Cdc.scala" -> 1,
       "SkewBenchWinnow.scala" -> 3, "SkewBenchPacking.scala" -> 1,
-      "SkewBenchIndex.scala" -> 1)
+      "SkewBenchIndex.scala" -> 1,
+      "EtlQueries.scala" -> 1) // q413's 4-row class frame (counts + checksum)
     assert(counts.toMap === audited,
       s"localCheckpoint inventory drifted — re-audit the new/removed pins " +
         s"for boundedness and update this table.\n  found: ${counts.toMap}\n" +

@@ -356,6 +356,16 @@ class Round12Spec extends SparkSuite {
     }
   }
 
+  test("closing gate: catalog is gapless and COVERAGE.md header states the count") {
+    val nums = SparkEntry.queries.keys.toSeq.map(qNum).sorted
+    assert(nums === (1 to nums.max), "catalog must be gapless q01..qMAX")
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    assert(cov.contains(s"every one of the ${nums.max} queries (gapless q01–q${nums.max})"),
+      s"COVERAGE.md header must state the current count ${nums.max} — " +
+        "the rounds-9..11 stale-counter class is a red build now")
+  }
+
   test("closing gate self-test: a planted undocumented key would fail") {
     // the gate must actually discriminate: a key whose number appears in
     // no document is reported missing, and the range expansion works
