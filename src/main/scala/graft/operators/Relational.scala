@@ -1640,7 +1640,126 @@ object Relational {
        FROM lineitem l JOIN b ON l.l_returnflag = b.g
        GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------- q418
+  /** TUKEY IQR FENCES per group — THE textbook outlier rule (box-plot
+    * whiskers: outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]), the rank-based
+    * companion to q176's median/MAD and q132's percentile clamp, exact
+    * end to end: type-7 (linear-interpolated) quartiles live on the
+    * ×4 integer lattice — pos = (n−1)/4 in QUARTERS, so Q1_x4 =
+    * v[lo]·(4−rem) + v[lo+1]·rem is an exact integer — and the 1.5·IQR
+    * fences live on the ×8 lattice (fence_lo_x8 = 5·Q1_x4 − 3·Q3_x4),
+    * so the outlier comparison v·8 < fence is pure integers, no float
+    * boundary anywhere. Scale shape: quartile ROWS are selected by the
+    * q134/q132 two-phase bucket rank ([[BucketRank.select]] — never a
+    * single-task per-group sort), bounds broadcast back, one
+    * counting pass. 3 lineitem scans total (counts + selection +
+    * outlier count), plan-ceilinged. Full oracle replays rank selection
+    * and both lattices.
+    */
+  def q418TukeyFences(spark: SparkSession, d: String): DataFrame = {
+    val x = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val sel = BucketRank.select(x, "l_returnflag",
+      bucket = expr("v div 100000"),
+      ord = Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+      targets = Seq(expr("1 + (__n - 1) div 4"), expr("2 + (__n - 1) div 4"),
+        expr("1 + (3 * (__n - 1)) div 4"), expr("2 + (3 * (__n - 1)) div 4")))
+    val qs = sel.groupBy(col("l_returnflag"))
+      .agg(max(col("__n")).as("n_rows"),
+        expr("""cast(sum(CASE WHEN __grank = 1 + (__n - 1) div 4 THEN v * (4 - (__n - 1) % 4) ELSE 0 END
+             + CASE WHEN __grank = 2 + (__n - 1) div 4 THEN v * ((__n - 1) % 4) ELSE 0 END) as bigint)""").as("q1_x4"),
+        expr("""cast(sum(CASE WHEN __grank = 1 + (3 * (__n - 1)) div 4 THEN v * (4 - (3 * (__n - 1)) % 4) ELSE 0 END
+             + CASE WHEN __grank = 2 + (3 * (__n - 1)) div 4 THEN v * ((3 * (__n - 1)) % 4) ELSE 0 END) as bigint)""").as("q3_x4"))
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"))
+      .join(broadcast(qs), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("q1_x4")).as("q1_x4"), max(col("q3_x4")).as("q3_x4"),
+        expr("cast(sum(CASE WHEN v * 8 < 5 * q1_x4 - 3 * q3_x4 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_low_outliers"),
+        expr("cast(sum(CASE WHEN v * 8 > 5 * q3_x4 - 3 * q1_x4 THEN 1 ELSE 0 END) as bigint)")
+          .as("n_high_outliers"))
+      .withColumn("iqr_x4", expr("q3_x4 - q1_x4"))
+      .select(col("l_returnflag"), col("n_rows"), col("q1_x4"), col("q3_x4"),
+        col("iqr_x4"), col("n_low_outliers"), col("n_high_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q418Oracle: String =
+    """WITH x AS (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber FROM lineitem),
+       r AS (SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY v, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+             FROM x),
+       qs AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN rn = 1 + (n - 1) // 4 THEN v * (4 - (n - 1) % 4) ELSE 0 END
+                  + CASE WHEN rn = 2 + (n - 1) // 4 THEN v * ((n - 1) % 4) ELSE 0 END) AS BIGINT) AS q1_x4,
+               CAST(sum(CASE WHEN rn = 1 + (3 * (n - 1)) // 4 THEN v * (4 - (3 * (n - 1)) % 4) ELSE 0 END
+                  + CASE WHEN rn = 2 + (3 * (n - 1)) // 4 THEN v * ((3 * (n - 1)) % 4) ELSE 0 END) AS BIGINT) AS q3_x4
+             FROM r GROUP BY 1)
+       SELECT x.l_returnflag, qs.n_rows, qs.q1_x4, qs.q3_x4,
+         CAST(qs.q3_x4 - qs.q1_x4 AS BIGINT) AS iqr_x4,
+         CAST(sum(CASE WHEN x.v * 8 < 5 * qs.q1_x4 - 3 * qs.q3_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+         CAST(sum(CASE WHEN x.v * 8 > 5 * qs.q3_x4 - 3 * qs.q1_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+       FROM x JOIN qs ON qs.l_returnflag = x.l_returnflag
+       GROUP BY 1, 2, 3, 4, 5 ORDER BY 1"""
+
+  // ---------------------------------------------------------------- q420
+  /** TOP-K WITH AN 'OTHER' ROLLUP — the universal reporting pattern no
+    * single relational operator gives (top-N truncation silently DROPS
+    * the tail; a report needs it accounted): per order priority, the 3
+    * highest-revenue weeks keep their identity and every other week
+    * folds into one 'OTHER' row carrying the residual revenue and the
+    * folded week count — so each priority's rows still sum to its exact
+    * total (the conservation property top-N alone breaks). Rank over
+    * the |weeks|×|priorities| aggregate (tiny frame), exact cents.
+    * Full oracle.
+    */
+  def q420TopkOthers(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("cast(date_trunc('week', o_orderdate) as date)").as("week"))
+      .agg(expr("cast(sum(cast(round(o_totalprice * 100) as decimal(38,0))) as decimal(38,0))").as("r"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("r").desc, col("week").asc)
+    weekly.withColumn("rk", row_number().over(w))
+      .withColumn("bucket",
+        expr("CASE WHEN rk <= 3 THEN cast(week as string) ELSE 'OTHER' END"))
+      .groupBy(col("priority"), col("bucket"))
+      .agg(expr("cast(sum(r) as bigint)").as("revenue_cents"),
+        expr("cast(sum(n_orders) as bigint)").as("n_orders"),
+        count(lit(1)).as("n_weeks"))
+      .orderBy(col("priority"), col("revenue_cents").desc, col("bucket"))
+  }
+
+  val q420Oracle: String =
+    """WITH weekly AS (SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS week,
+             sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS r,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1, 2),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY priority
+                ORDER BY r DESC, week ASC) AS rk FROM weekly)
+       SELECT priority,
+         CASE WHEN rk <= 3 THEN CAST(week AS VARCHAR) ELSE 'OTHER' END AS bucket,
+         CAST(sum(r) AS BIGINT) AS revenue_cents,
+         CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         CAST(count(*) AS BIGINT) AS n_weeks
+       FROM rk GROUP BY 1, 2
+       ORDER BY priority, revenue_cents DESC, bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q418_tukey_fences" -> q418TukeyFences _,
+    "q420_topk_others" -> q420TopkOthers _,
     "q215_minmax_scaling" -> q215MinmaxScaling _,
     "q207_collation_group" -> q207CollationGroup _,
     "q201_topk_with_ties" -> q201TopkWithTies _,
@@ -1695,6 +1814,8 @@ object Relational {
     "q123_frequent_pairs" -> q123FrequentPairs _)
 
   val oracles: Map[String, String] = Map(
+    "q418_tukey_fences" -> q418Oracle,
+    "q420_topk_others" -> q420Oracle,
     "q215_minmax_scaling" -> q215Oracle,
     "q207_collation_group" -> q207Oracle,
     "q201_topk_with_ties" -> q201Oracle,

@@ -1411,6 +1411,59 @@ object StreamingOps {
          CAST(arg_max(after_milli, rn) AS BIGINT) AS final_tokens_milli
        FROM tb GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q419
+  final case class HbEvent(event_type: String, tus: Long, event_id: Long)
+  final case class HbState(last_tus: Long, max_gap_us: Long, n_events: Long)
+  final case class HbOut(event_type: String, n_events: Long,
+                         max_gap_us: Long, last_tus: Long)
+
+  /** STREAMING HEARTBEAT (dead-feed) MONITOR — the first alarm an ingest
+    * on-call wires: per event type, the LONGEST silence between
+    * consecutive events in event time, folded online by a per-type
+    * mapGroupsWithState (3 scalars of state at any volume; rows sorted
+    * by (ts, event_id) inside the batch, the q406 ordering contract).
+    * A feed whose max gap suddenly dwarfs its historical one died and
+    * recovered — the number a heartbeat SLO is written against. The
+    * batch oracle replays the fold with one lag window per type —
+    * machine ≡ window, value-exact in µs. The final event time rides
+    * so the "currently silent since" readout is derivable downstream.
+    */
+  def q419StreamHeartbeat(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.eventsStream(spark, d)
+      .select(col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"))
+      .as[HbEvent]
+    val folded = ev.groupByKey(_.event_type)
+      .mapGroupsWithState[HbState, HbOut](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[HbEvent], state: GroupState[HbState]) =>
+          var st = state.getOption.getOrElse(HbState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+            val gap = if (st.last_tus == Long.MinValue) 0L else r.tus - st.last_tus
+            st = HbState(r.tus, math.max(st.max_gap_us, gap), st.n_events + 1L)
+          }
+          state.update(st)
+          HbOut(tpe, st.n_events, st.max_gap_us, st.last_tus)
+      }
+    val out = runToMemory(spark, folded.toDF(),
+      s"stream_hb_${System.nanoTime()}", OutputMode.Update())
+    out.groupBy(col("event_type"))
+      .agg(max(struct(col("n_events"), col("max_gap_us"), col("last_tus"))).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.max_gap_us").as("max_gap_us"), col("s.last_tus").as("last_tus"))
+      .orderBy(col("event_type"))
+  }
+
+  val q419Oracle: String =
+    """WITH g AS (SELECT event_type, epoch_us(ts) AS tus,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS gap
+           FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+         CAST(max(tus) AS BIGINT) AS last_tus
+       FROM g GROUP BY 1 ORDER BY 1"""
+
   // ---------------------------------------------------------------- q354
   final case class CusumEvent(event_type: String, day: String)
   final case class CusumState(event_type: String, n_days: Long, cal_sum: Long,
@@ -2051,6 +2104,7 @@ object StreamingOps {
     "q391_stream_psi_monitor" -> q391StreamPsiMonitor _,
     "q399_stream_hysteresis_alarm" -> q399StreamHysteresisAlarm _,
     "q406_stream_token_bucket" -> q406StreamTokenBucket _,
+    "q419_stream_heartbeat" -> q419StreamHeartbeat _,
     "q290_stream_lm_gate" -> q290StreamLmGate _,
     "q280_stream_ivf_monitor" -> q280StreamIvfMonitor _,
     "q265_stream_window_topk" -> q265StreamWindowTopk _,
@@ -2082,6 +2136,7 @@ object StreamingOps {
     "q391_stream_psi_monitor" -> q391Oracle,
     "q399_stream_hysteresis_alarm" -> q399Oracle,
     "q406_stream_token_bucket" -> q406Oracle,
+    "q419_stream_heartbeat" -> q419Oracle,
     "q290_stream_lm_gate" -> q290Oracle,
     "q280_stream_ivf_monitor" -> q280Oracle,
     "q265_stream_window_topk" -> q265Oracle,

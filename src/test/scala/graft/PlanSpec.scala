@@ -365,7 +365,9 @@ class PlanSpec extends SparkSuite {
       "q413_merge_sync" -> ("orders", 3),                // target/source carvings + checksum legs share scans
       "q402_spearman_rank" -> ("customer", 3),           // base read by count frames + final join (value frames pinned)
       "q405_kruskal_wallis" -> ("customer", 1),          // one scan into the pinned (value, seg) counts
-      "q408_dict_encoding" -> ("lineitem", 1))           // one melt pass
+      "q408_dict_encoding" -> ("lineitem", 1),           // one melt pass
+      "q418_tukey_fences" -> ("lineitem", 3),            // BucketRank counts + selection + outlier count
+      "q420_topk_others" -> ("orders", 1))               // one scan into the weekly frame
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)

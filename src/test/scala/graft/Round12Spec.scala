@@ -366,6 +366,58 @@ class Round12Spec extends SparkSuite {
         "the rounds-9..11 stale-counter class is a red build now")
   }
 
+  test("q418: quartile lattice brute replay per returnflag") {
+    val rows = SparkEntry.queries("q418_tukey_fences")(spark, sf).collect()
+    assert(rows.length === 3)
+    val base = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "cast(round(l_extendedprice * 100) as bigint) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val vs = base.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = vs.length
+      def qx4(num: Long): Long = {
+        val lo = (num / 4).toInt; val rem = num % 4
+        vs(lo) * (4 - rem) + (if (rem > 0) vs(lo + 1) * rem else 0L)
+      }
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === qx4(n - 1L), s"q1 for ${r.getString(0)}")
+      assert(r.getLong(3) === qx4(3L * (n - 1)), s"q3 for ${r.getString(0)}")
+      val (q1, q3) = (r.getLong(2), r.getLong(3))
+      assert(r.getLong(5) === vs.count(v => v * 8 < 5 * q1 - 3 * q3).toLong)
+      assert(r.getLong(6) === vs.count(v => v * 8 > 5 * q3 - 3 * q1).toLong)
+    }
+  }
+
+  test("q419: heartbeat fold equals the brute per-type max gap") {
+    val rows = SparkEntry.queries("q419_stream_heartbeat")(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS tus", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val ts = ev.filter(_._1 == r.getString(0)).sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      assert(r.getLong(1) === ts.length.toLong)
+      assert(r.getLong(2) === (if (gaps.isEmpty) 0L else gaps.max))
+      assert(r.getLong(3) === ts.max)
+    }
+  }
+
+  test("q420: OTHER rollup conserves each priority's exact total") {
+    val rows = SparkEntry.queries("q420_topk_others")(spark, sf).collect()
+    val byP = rows.groupBy(_.getString(0))
+    val totals = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority AS p",
+        "cast(round(o_totalprice * 100) as decimal(38,0)) AS c")
+      .groupBy("p").agg(expr("cast(sum(c) as bigint)").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byP.foreach { case (p, rs) =>
+      assert(rs.map(_.getLong(2)).sum === totals(p),
+        s"priority $p rows must sum to the exact total (conservation)")
+      assert(rs.count(_.getString(1) != "OTHER") <= 3)
+      assert(rs.count(_.getString(1) == "OTHER") <= 1)
+    }
+  }
+
   test("closing gate self-test: a planted undocumented key would fail") {
     // the gate must actually discriminate: a key whose number appears in
     // no document is reported missing, and the range expansion works
