@@ -1380,8 +1380,10 @@ object Curation {
     * min = 0 and never join. Scale shape: one tokenize into the
     * vocab-sized (source, token-hash) count table, a token-keyed
     * self-join bounded by ≤|sources| rows per hash (never corpus²), and
-    * a |sources|²/2-row readout; totals broadcast. All integer counts,
-    * jaccard in exact ppm. Full oracle.
+    * a STRUCTURALLY |sources|²/2-row readout — the intersection result is
+    * left-joined onto the full C(n,2) pair frame so disjoint sources get
+    * their J=0 row instead of silently vanishing; totals broadcast. All
+    * integer counts, jaccard in exact ppm. Full oracle.
     */
   def q409WeightedJaccard(spark: SparkSession, d: String): DataFrame = {
     val cnt = Tables.documents(spark, d)
@@ -1394,11 +1396,18 @@ object Curation {
     val tot = cnt.groupBy(col("source")).agg(expr("cast(sum(w) as bigint)").as("tw"))
     val a = cnt.select(col("source").as("sa"), col("th"), col("w").as("wa"))
     val b = cnt.select(col("source").as("sb"), col("th"), col("w").as("wb"))
-    a.join(b, "th").filter(col("sa") < col("sb"))
+    val inter = a.join(b, "th").filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb"))
-      .agg(expr("cast(sum(least(wa, wb)) as bigint)").as("sum_min"))
-      .join(broadcast(tot.select(col("source").as("sa"), col("tw").as("w_a"))), "sa")
-      .join(broadcast(tot.select(col("source").as("sb"), col("tw").as("w_b"))), "sb")
+      .agg(expr("cast(sum(least(wa, wb)) as bigint)").as("sm"))
+    // The intersection join alone drops pairs with an empty overlap (no
+    // J=0 row) — the C(n,2)-row contract would then be data-dependent.
+    // Left-joining onto the full |sources|² /2 pair frame (built from the
+    // |sources|-sized totals, broadcast) makes the shape structural.
+    tot.select(col("source").as("sa"), col("tw").as("w_a"))
+      .crossJoin(broadcast(tot.select(col("source").as("sb"), col("tw").as("w_b"))))
+      .filter(col("sa") < col("sb"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .withColumn("sum_min", expr("coalesce(sm, CAST(0 AS BIGINT))"))
       .withColumn("jaccard_ppm",
         expr("sum_min * 1000000 div (w_a + w_b - sum_min)"))
       .select(col("sa"), col("sb"), col("w_a"), col("w_b"), col("sum_min"),
@@ -1415,12 +1424,16 @@ object Curation {
        p AS (SELECT a.source AS sa, b.source AS sb,
                CAST(sum(least(a.w, b.w)) AS BIGINT) AS sum_min
              FROM cnt a JOIN cnt b ON b.th = a.th AND a.source < b.source
-             GROUP BY 1, 2)
-       SELECT p.sa, p.sb, ta.tw AS w_a, tb.tw AS w_b, p.sum_min,
-         CAST(p.sum_min * 1000000 // (ta.tw + tb.tw - p.sum_min) AS BIGINT) AS jaccard_ppm
-       FROM p JOIN tot ta ON ta.source = p.sa
-       JOIN tot tb ON tb.source = p.sb
-       ORDER BY p.sa, p.sb"""
+             GROUP BY 1, 2),
+       pairs AS (SELECT ta.source AS sa, tb.source AS sb,
+                   ta.tw AS w_a, tb.tw AS w_b
+                 FROM tot ta JOIN tot tb ON ta.source < tb.source)
+       SELECT pairs.sa, pairs.sb, pairs.w_a, pairs.w_b,
+         COALESCE(p.sum_min, 0) AS sum_min,
+         CAST(COALESCE(p.sum_min, 0) * 1000000
+              // (pairs.w_a + pairs.w_b - COALESCE(p.sum_min, 0)) AS BIGINT) AS jaccard_ppm
+       FROM pairs LEFT JOIN p ON p.sa = pairs.sa AND p.sb = pairs.sb
+       ORDER BY pairs.sa, pairs.sb"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q409_weighted_jaccard" -> q409WeightedJaccard _,

@@ -2537,7 +2537,8 @@ object EventAnalytics {
     * distinguish trend from seasonality. Per lag k: Pearson r between
     * y(t) and y(t+k) over the paired days, decided entirely in
     * DECIMAL(38,0) (the q386 discipline): n, Σx, Σy, Σxy, Σx², Σy² per
-    * lag, r²_ppm = cov²·10⁶ div (varx·vary) + cov's exact sign. One
+    * lag, r²_ppm staged as (|cov|·10⁶ div varx)·|cov| div vary + cov's
+    * exact sign. One
     * events scan → |days|-row daily frame → 14× explode → per-lag
     * self-join on the tiny frame. Full oracle.
     */
@@ -2564,7 +2565,16 @@ object EventAnalytics {
       .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
       .select(col("lag"), col("n"),
         expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
-        expr("CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0 ELSE cov_n * cov_n * 1000000 div (var_a * var_b) END AS BIGINT)")
+        // r²_ppm via TWO divisions on |cov| (never cov²·10⁶ in one term):
+        // the single-division form needs |cov|² · 10⁶ and var_a·var_b to
+        // both fit 38 digits — dead at ~3 days of 10⁹-event volume. The
+        // staged form's largest intermediate is |cov|·10⁶ ≤ 10⁶·√(vavb)
+        // and t1·|cov| ≤ 10⁶·var_b, safe while days·daily_volume ≤ ~9e12
+        // (10⁹/day for 25 years). abs() keeps every operand nonnegative so
+        // Spark div (trunc) and DuckDB // agree by construction.
+        expr("""CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
+               ELSE CAST(abs(cov_n) * 1000000 div var_a AS DECIMAL(38,0))
+                    * abs(cov_n) div var_b END AS BIGINT)""")
           .as("r2_ppm"))
       .orderBy(col("lag"))
   }
@@ -2591,7 +2601,8 @@ object EventAnalytics {
        SELECT CAST(lag AS BIGINT) AS lag, n,
          CAST(sign(cov_n) AS BIGINT) AS cov_sign,
          CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
-           ELSE cov_n * cov_n * 1000000 // (var_a * var_b) END AS BIGINT) AS r2_ppm
+           ELSE (abs(cov_n) * 1000000 // var_a) * abs(cov_n) // var_b
+           END AS BIGINT) AS r2_ppm
        FROM c ORDER BY lag"""
 
   // ---------------------------------------------------------------- q417
@@ -2664,8 +2675,9 @@ object EventAnalytics {
       .orderBy(col("ts").asc, col("event_id").asc)
     val flagged = Tables.events(spark, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("inv", expr(
-        "CASE WHEN event_id < lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) THEN 1 ELSE 0 END"))
+      .withColumn("inv",
+        when(col("event_id") < lag(col("event_id"), 1).over(w), lit(1))
+          .otherwise(lit(0)))
     val byType = flagged.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         expr("cast(sum(inv) as bigint)").as("n_inversions"))
@@ -2868,7 +2880,8 @@ object EventAnalytics {
     * q220's lagged cross-correlation asks when; this asks which pairs, for
     * all pairs at once. Exactness: r itself is irrational, so the readout
     * is r² in ppm decided entirely in DECIMAL(38,0) — cov = n·Σxy−ΣxΣy,
-    * var likewise, r²_ppm = cov²·10⁶ div (varx·vary) — plus cov's exact
+    * var likewise, r²_ppm staged as (|cov|·10⁶ div varx)·|cov| div vary
+    * — plus cov's exact
     * sign (the direction r² discards). One events scan → |days|×|types|
     * daily frame (the q343 argument) → self-join on day upper-triangle →
     * K(K−1)/2 rows. Full oracle.
@@ -2896,7 +2909,12 @@ object EventAnalytics {
       .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
       .select(col("ta"), col("tb"), col("n"),
         expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
-        expr("CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0 ELSE cov_n * cov_n * 1000000 div (var_a * var_b) END AS BIGINT)")
+        // staged two-division r²_ppm — see q414's overflow-envelope note:
+        // the single-division cov²·10⁶ form wraps DECIMAL(38,0) at ~3 days
+        // of 10⁹-event volume; this form is safe to days·volume ≈ 9e12.
+        expr("""CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
+               ELSE CAST(abs(cov_n) * 1000000 div var_a AS DECIMAL(38,0))
+                    * abs(cov_n) div var_b END AS BIGINT)""")
           .as("r2_ppm"))
       .orderBy(col("ta"), col("tb"))
   }
@@ -2921,7 +2939,8 @@ object EventAnalytics {
        SELECT ta, tb, n,
          CAST(sign(cov_n) AS BIGINT) AS cov_sign,
          CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
-           ELSE cov_n * cov_n * 1000000 // (var_a * var_b) END AS BIGINT) AS r2_ppm
+           ELSE (abs(cov_n) * 1000000 // var_a) * abs(cov_n) // var_b
+           END AS BIGINT) AS r2_ppm
        FROM m ORDER BY ta, tb"""
 
   // ---------------------------------------------------------------- q387

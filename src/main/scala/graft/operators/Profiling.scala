@@ -1752,7 +1752,11 @@ object Profiling {
       col("l_returnflag").as("v1"),
       col("l_linestatus").as("v2"),
       expr("cast(l_shipdate as string)").as("v3"),
-      expr("cast(cast(l_quantity as bigint) as string)").as("v4"))
+      // round() before the BIGINT cast: Spark's cast truncates toward zero
+      // while DuckDB's rounds half away — round() in both engines makes the
+      // quantization agree by construction (TPC-H quantities are integral,
+      // but the contract must not depend on that)
+      expr("cast(cast(round(l_quantity) as bigint) as string)").as("v4"))
     val long = li.select(explode(expr(
       """map('l_returnflag', v1, 'l_linestatus', v2,
              'l_shipdate', v3, 'l_quantity', v4)"""))
@@ -1778,7 +1782,7 @@ object Profiling {
     """WITH src AS (SELECT CAST(l_returnflag AS VARCHAR) AS v1,
              CAST(l_linestatus AS VARCHAR) AS v2,
              CAST(l_shipdate AS VARCHAR) AS v3,
-             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS v4 FROM lineitem),
+             CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR) AS v4 FROM lineitem),
        lng AS (SELECT 'l_returnflag' AS col_name, v1 AS v FROM src
                UNION ALL SELECT 'l_linestatus', v2 FROM src
                UNION ALL SELECT 'l_shipdate', v3 FROM src
