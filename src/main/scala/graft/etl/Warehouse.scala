@@ -24,6 +24,8 @@ object Warehouse extends Logging {
     """(?is)\s*DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+([\w.`]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val AlterRenameColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*""".r
 
   /** Execute whitelisted statements in order; non-whitelisted statements are
     * dropped (logged), matching `filter_sql_commands` semantics. DELETE and
@@ -48,6 +50,9 @@ object Warehouse extends Logging {
           c.trim -> e.trim
         }.toMap
         updateWhere(spark, table, parsed, cond)
+        spark.emptyDataFrame
+      case AlterRenameColStmt(table, from, to) =>
+        renameColumn(spark, table, from, to)
         spark.emptyDataFrame
       case sql => spark.sql(sql)
     }
@@ -77,6 +82,19 @@ object Warehouse extends Logging {
     }
     overwriteSelf(spark, updated, table)
   }
+
+  /** ALTER TABLE ... RENAME COLUMN — whitelisted by the reference
+    * (pipeline.py:112 admits ALTER) but a v2-only command in Spark SQL
+    * (v1 session-catalog parquet tables refuse it), so it routes through
+    * the same documented rewrite-on-write path as DELETE/UPDATE. On a
+    * row-level table format (Iceberg/Delta) this is metadata-only; the
+    * API boundary keeps that swap localized. ALTER TABLE ADD COLUMNS
+    * needs no shim — Catalyst's v1 command supports parquet tables
+    * natively (pre-evolution files read NULL for the new column) and
+    * flows straight through `spark.sql`.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Unit =
+    overwriteSelf(spark, spark.table(table).withColumnRenamed(from, to), table)
 
   /** DROP a managed table AND clear any stale on-disk location a previous
     * JVM left in the warehouse dir (the fresh in-memory catalog doesn't

@@ -487,6 +487,57 @@ object EtlQueries {
          min(o_orderkey) AS min_key
        FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---------------------------------------------------------------- q421
+  /** SCHEMA EVOLUTION end-to-end through the statement surface — the one
+    * whitelisted DDL verb (reference pipeline.py:112 admits ALTER) that
+    * q88's DELETE/UPDATE pass never exercised, and the path every
+    * long-lived warehouse hits: stage customers as a managed table,
+    * `ALTER TABLE ... ADD COLUMNS` (native v1 path — pre-evolution rows
+    * read NULL for the new column), `ALTER TABLE ... RENAME COLUMN`
+    * (routed through the documented rewrite shim — the command is
+    * v2-only in Spark SQL, see Warehouse.renameColumn), append
+    * post-evolution rows that POPULATE the new column (saveAsTable
+    * append resolves by NAME, so the evolved schema binds correctly),
+    * then read the mixed generations back in one aggregate. The oracle
+    * replays both generations in ANSI SQL.
+    */
+  def q421AlterEvolution(spark: SparkSession, d: String): DataFrame = {
+    val table = "graft_q421_customer"
+    graft.etl.Warehouse.dropManagedTable(spark, table)
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").saveAsTable(table)
+    graft.etl.Warehouse.runStatements(spark, Seq(
+      s"ALTER TABLE $table ADD COLUMNS (loyalty_tier STRING)",
+      s"ALTER TABLE $table RENAME COLUMN c_mktsegment TO segment"))
+    Tables.customer(spark, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal"),
+        lit("gold").as("loyalty_tier"))
+      .write.mode("append").saveAsTable(table)
+    spark.table(table)
+      .groupBy(col("segment"), expr("coalesce(loyalty_tier, 'none')").as("tier"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(round(c_acctbal * 100) as decimal(38,0))) as bigint)").as("bal_cents"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("segment"), col("tier"))
+  }
+
+  val q421Oracle: String =
+    """WITH base AS (SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+             CAST(NULL AS VARCHAR) AS loyalty_tier FROM customer),
+       app AS (SELECT c_custkey + 10000000 AS c_custkey,
+             c_mktsegment AS segment, c_acctbal, 'gold' AS loyalty_tier
+           FROM customer WHERE c_acctbal > 9000.0),
+       t AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+       SELECT segment, COALESCE(loyalty_tier, 'none') AS tier,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS BIGINT) AS bal_cents,
+         min(c_custkey) AS min_key, max(c_custkey) AS max_key
+       FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---------------------------------------------------------------- q89
   /** Schema-drift detection as a query: an expected contract (expressed in
     * source-dialect type names via TypeMapping.schemaFromSource) diffed
@@ -1625,6 +1676,7 @@ object EtlQueries {
     "q75_merge_upsert" -> q75MergeUpsert _,
     "q82_orc_roundtrip" -> q82OrcRoundtrip _,
     "q88_sql_delete_update" -> q88SqlDeleteUpdate _,
+    "q421_alter_evolution" -> q421AlterEvolution _,
     "q89_schema_drift" -> q89SchemaDrift _,
     "q93_xml_roundtrip" -> q93XmlRoundtrip _,
     "q96_jdbc_roundtrip" -> q96JdbcRoundtrip _,
@@ -1663,6 +1715,7 @@ object EtlQueries {
     "q75_merge_upsert" -> q75Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
     "q88_sql_delete_update" -> q88Oracle,
+    "q421_alter_evolution" -> q421Oracle,
     "q89_schema_drift" -> q89Oracle,
     "q93_xml_roundtrip" -> q93Oracle,
     "q96_jdbc_roundtrip" -> q96Oracle,

@@ -311,6 +311,31 @@ class OperatorsSpec extends SparkSuite {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("warehouse runs ALTER TABLE schema evolution: ADD COLUMNS native, RENAME COLUMN via rewrite") {
+    // round 13: the last whitelisted DDL verb with zero coverage
+    // (reference pipeline.py:112 admits ALTER). ADD COLUMNS flows
+    // through Catalyst's v1 command (pre-evolution rows read NULL);
+    // RENAME COLUMN is v2-only in Spark SQL and must route through the
+    // Warehouse rewrite shim, not fail in the parser.
+    val db = "graft_test_alter"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    graft.etl.Warehouse.runStatements(spark, Seq(
+      s"CREATE DATABASE $db",
+      s"CREATE TABLE $db.t (id INT, v STRING) USING parquet",
+      s"INSERT INTO $db.t VALUES (1, 'a'), (2, 'b')",
+      s"ALTER TABLE $db.t ADD COLUMNS (w STRING)",
+      s"ALTER TABLE $db.t RENAME COLUMN v TO label",
+      s"INSERT INTO $db.t VALUES (3, 'c', 'post-evolution')"))
+    val t = spark.table(s"$db.t")
+    assert(t.columns.toSeq == Seq("id", "label", "w"),
+      s"evolved schema mismatch: ${t.columns.mkString(",")}")
+    val rows = t.orderBy(col("id")).collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, "a", None), (2, "b", None),
+      (3, "c", Some("post-evolution"))))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("xlsx dispatch routes to the OOXML reader; a non-xlsx file fails with a clear message") {
     // round 7: .xlsx is a real format now (graft.etl.Xlsx); dispatching a
     // file that is not actually a ZIP/OOXML container must still fail

@@ -367,7 +367,9 @@ class PlanSpec extends SparkSuite {
       "q405_kruskal_wallis" -> ("customer", 1),          // one scan into the pinned (value, seg) counts
       "q408_dict_encoding" -> ("lineitem", 1),           // one melt pass
       "q418_tukey_fences" -> ("lineitem", 3),            // BucketRank counts + selection + outlier count
-      "q420_topk_others" -> ("orders", 1))               // one scan into the weekly frame
+      "q420_topk_others" -> ("orders", 1),               // one scan into the weekly frame
+      // round 13
+      "q421_alter_evolution" -> ("customer", 0))         // readout scans only the evolved managed table; the two customer staging/append legs run eagerly at build time
     ceilings.foreach { case (q, (table, ceiling)) =>
       val df = graft.SparkEntry.queries(q)(spark, sf)
       val n = graft.Explain.scanCounts(df).getOrElse(table, 0)
