@@ -69,6 +69,39 @@ final class Fernet(keyBase64: String) extends Serializable {
 
   def decryptString(token: String): String = new String(decrypt(token), UTF_8)
 
+  /** Decrypt with time-to-live enforcement — the public-spec behavior of
+    * `cryptography.fernet.Fernet.decrypt(token, ttl=...)`: after HMAC
+    * verification (never before — expiry decisions must not run on
+    * unauthenticated bytes), reject a token whose embedded timestamp is
+    * older than `ttlSec` before `nowSec`, and reject one stamped more
+    * than [[Fernet.MaxClockSkewSec]] (60 s, the reference library's
+    * `_MAX_CLOCK_SKEW`) in the FUTURE of `nowSec` — a skewed writer
+    * clock must not mint tokens that outlive their ttl. Both checks
+    * apply only on this overload, matching the reference library:
+    * ttl-less `decrypt(token)` never expires. `nowSec` is injectable so
+    * expiry and skew are testable without sleeping.
+    */
+  def decrypt(token: String, ttlSec: Long, nowSec: Long): Array[Byte] = {
+    val plaintext = decrypt(token) // full parse + HMAC verify first
+    val ts = timestamp(token)
+    require(ts + ttlSec >= nowSec, "Fernet token expired")
+    require(ts <= nowSec + Fernet.MaxClockSkewSec,
+      "Fernet token timestamp too far in the future")
+    plaintext
+  }
+
+  def decrypt(token: String, ttlSec: Long): Array[Byte] =
+    decrypt(token, ttlSec, System.currentTimeMillis() / 1000L)
+
+  /** The token's embedded creation time (seconds since epoch). Parse-only —
+    * callers that act on it must have verified the token (decrypt does).
+    */
+  private[graft] def timestamp(token: String): Long = {
+    val raw = Fernet.decodeB64Url(token)
+    require(raw.length >= 9, "Fernet token too short")
+    ByteBuffer.wrap(raw.slice(1, 9)).getLong
+  }
+
   private def nextIv(): Array[Byte] = {
     val iv = new Array[Byte](16)
     random.nextBytes(iv)
@@ -77,6 +110,12 @@ final class Fernet(keyBase64: String) extends Serializable {
 }
 
 object Fernet {
+  /** Maximum tolerated FUTURE skew of a token's timestamp during
+    * ttl-checked decrypts — the public spec's 60 s (`_MAX_CLOCK_SKEW` in
+    * the reference's `cryptography` library).
+    */
+  val MaxClockSkewSec: Long = 60L
+
   /** Fresh random 32-byte key, urlsafe-base64 — parity with
     * `Fernet.generate_key()` (/root/reference/pipeline.py:72).
     */
