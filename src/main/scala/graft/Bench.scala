@@ -40,10 +40,18 @@ object Bench {
     // queries — for targeted scale rehearsals; unset = the full catalog.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Streaming startup-vs-data split (round-12 verdict item 6): the
+    // streaming harness meters every drive-to-completion into
+    // StreamMetrics; snapshotting the cumulative counters around each query
+    // attributes (startup sec, data sec, micro-batches) per catalog entry.
+    // Per query the pass with the smaller streaming wall wins — the same
+    // min-across-passes de-noising rule as the headline times.
+    val streamSplit = scala.collection.mutable.Map[String, (Double, Double, Long)]()
     def runPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
+        val sm0 = graft.streaming.StreamMetrics.snapshot
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
@@ -51,6 +59,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val sm1 = graft.streaming.StreamMetrics.snapshot
+        val (su, da, nb) =
+          ((sm1._1 - sm0._1) / 1000.0, (sm1._2 - sm0._2) / 1000.0, sm1._3 - sm0._3)
+        if (nb > 0 && streamSplit.get(name).forall { case (s0, d0, _) => su + da < s0 + d0 })
+          streamSplit(name) = (su, da, nb)
         // defensive: no operator caches anymore (round 2), but any future one
         // must not bill its memory to later queries
         spark.catalog.clearCache()
@@ -97,6 +110,17 @@ object Bench {
     // target/bench_times.json regardless of stdout bounds).
     warm.foreach(w => println(line("total_warm", w)))
     println(line("total", cold))
+    // Per-streaming-query [startup_sec, data_sec, micro_batches] from the
+    // min-wall pass — prints BEFORE the min map (diagnostic, so it loses
+    // to the headline record under tail truncation).
+    def splitLine: Option[String] =
+      if (streamSplit.isEmpty) None else Some {
+        val ss = streamSplit.toSeq.sortBy(_._1).map { case (k, (s, dd, nb)) =>
+          "\"" + short(k) + "\":[" + ms(s) + "," + ms(dd) + "," + nb + "]"
+        }.mkString("{", ",", "}")
+        s"""{"queries":$ss,"metric":"stream_split","unit":"sec","note":"[startup,data,batches] per streaming query, min-wall pass"}"""
+      }
+    splitLine.foreach(println)
     minp.foreach(m => println(line("total_min", m)))
     // Truncation-independent record: the full per-query map also lands in a
     // FILE (round 5's stdout tail lost 80 of 222 per-query values), so the
@@ -107,6 +131,7 @@ object Bench {
       try {
         out.println(line("total", cold))
         warm.foreach(w => out.println(line("total_warm", w)))
+        splitLine.foreach(out.println)
         minp.foreach(m => out.println(line("total_min", m)))
       } finally out.close()
     } catch { case e: Throwable =>
@@ -123,7 +148,9 @@ object Bench {
     val record = minp.getOrElse(cold)
     val builds = record.filter(_._1.contains("_build_")).map(_._2).sum
     val probes = record.filterNot(_._1.contains("_build_")).map(_._2).sum
-    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total_builds":${ms(builds)},"total_probes":${ms(probes)},"total":${ms(cold.map(_._2).sum)}}""")
+    val streamStartup = streamSplit.values.map(_._1).sum
+    val streamData = streamSplit.values.map(_._2).sum
+    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total_builds":${ms(builds)},"total_probes":${ms(probes)},"stream_startup":${ms(streamStartup)},"stream_data":${ms(streamData)},"total":${ms(cold.map(_._2).sum)}}""")
     spark.stop()
   }
 }

@@ -30,6 +30,27 @@ object StreamingOps {
     */
   val LocalStreamShufflePartitions = "8"
 
+  /** Start a streaming query (by-name — the clock covers planning inside
+    * `start()` too), drive it to termination, and record the
+    * wall-vs-execution split plus micro-batch count into [[StreamMetrics]].
+    * Every local drive-to-completion site routes through here so the
+    * split covers the whole streaming catalog.
+    */
+  private[graft] def drainAndMeter(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t0 = System.nanoTime()
+    val q = start
+    try q.awaitTermination()
+    finally q.stop()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val prog = q.recentProgress
+    val execMs = prog.iterator.map { p =>
+      val v = p.durationMs.get("triggerExecution")
+      if (v == null) 0L else v.longValue()
+    }.sum
+    StreamMetrics.record(wallMs, execMs, prog.length.toLong)
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the result. `complete` mode for aggregations.
     *
@@ -49,14 +70,12 @@ object StreamingOps {
       // advance still runs, so append-mode session windows emit), then
       // terminate — no processAllAvailable poll loop waiting to observe an
       // idle source, which billed every streaming query a fixed latency tax.
-      val q = stream.writeStream
+      drainAndMeter(stream.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
+        .start())
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
@@ -224,7 +243,7 @@ object StreamingOps {
       graft.etl.Warehouse.dropManagedTable(spark, table)
       spark.sql(s"CREATE TABLE $table (event_id BIGINT, event_type STRING, value DOUBLE) USING parquet")
     }
-    val q = graft.sources.Tables.eventsStream(spark, d)
+    drainAndMeter(graft.sources.Tables.eventsStream(spark, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -233,9 +252,7 @@ object StreamingOps {
           .write.mode("append").saveAsTable(table)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+      .start())
     table
   }
 
@@ -274,7 +291,7 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     try {
-      val q = stream.writeStream
+      drainAndMeter(stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val rejected = graft.operators.Dedup
             .incrementalNearDupMatches(corpus, bands,
@@ -286,9 +303,7 @@ object StreamingOps {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
+        .start())
     } finally spark.conf.set(key, prev)
     graft.operators.Dedup.incrementalBatchFixture(spark, d)
       .groupBy(col("category")).agg(count(lit(1)).as("n_seen"))
@@ -1712,7 +1727,7 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     try {
-      val q = stream.writeStream
+      drainAndMeter(stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val flagged = graft.operators.Dedup
             .winnowSelect(b.select(col("doc_id"), col("text")),
@@ -1726,9 +1741,7 @@ object StreamingOps {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
+        .start())
     } finally spark.conf.set(key, prev)
     copies.unionByName(novel)
       .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
@@ -1797,7 +1810,7 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     try {
-      val q = stream.writeStream
+      drainAndMeter(stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val blf = b.select(col("vec_id").as("bid"),
               posexplode(col("ed")).as(Seq("dim", "x")))
@@ -1835,9 +1848,7 @@ object StreamingOps {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
+        .start())
     } finally spark.conf.set(key, prev)
     copies.unionByName(inverses)
       .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
@@ -2021,7 +2032,7 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     try {
-      val q = stream.writeStream
+      drainAndMeter(stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           val pos = b
             .select(col("doc_id"),
@@ -2040,9 +2051,7 @@ object StreamingOps {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
+        .start())
     } finally spark.conf.set(key, prev)
     copies.unionByName(novel)
       .groupBy(col("kind")).agg(count(lit(1)).as("n_seen"))
