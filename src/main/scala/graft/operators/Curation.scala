@@ -115,7 +115,7 @@ object Curation {
     val offsets = bucketed.groupBy(col("__bucket"))
       .agg(sum(col(valueCol)).as("__bucket_sum"))
       .withColumn("__offset",
-        coalesce(sum(col("__bucket_sum")).over(Window.orderBy(col("__bucket"))
+        coalesce(sum(col("__bucket_sum")).over(Window.orderBy(col("__bucket")) // bucket-summary-sized offsets frame (<= 2^20 rows)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bucket"), col("__offset"))
     local.join(broadcast(offsets), "__bucket")
@@ -470,7 +470,7 @@ object Curation {
         when(col("sid") <= 7, "train").when(col("sid") === 8, "val").otherwise("test"))
       .withColumn("naive_leaky_sources",
         sum(when(col("n_naive_splits") > 1, 1L).otherwise(0L))
-          .over(Window.partitionBy()))
+          .over(Window.partitionBy())) // |sources|-sized split frame
     perSource.groupBy(col("split"))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         count(lit(1)).as("n_sources"),
@@ -520,10 +520,10 @@ object Curation {
     val offsets = docs.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__bucket_n"))
       .withColumn("__offset",
-        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket"))
+        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket")) // bucket-summary-sized offsets frame
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__n", sum(col("__bucket_n")).over(
-        Window.orderBy(col("__bucket"))
+        Window.orderBy(col("__bucket")) // bucket-summary-sized offsets frame
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__bucket"), col("__offset"), col("__n"))
     local.join(broadcast(offsets), "__bucket")
@@ -581,8 +581,8 @@ object Curation {
     // also yields the corpus count N)
     val gb = dd.select(col("n_chars").as("gv"), col("doc_id").as("gid"))
       .withColumn("bucket", expr("gv div 50"))
-    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("bucket"))
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1) // bucket-summary-sized offsets frame
+    val wAll = Window.orderBy(col("bucket")) // bucket-summary-sized offsets frame
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = gb.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
@@ -1142,7 +1142,7 @@ object Curation {
       .withColumn("wbase", expr("m * 1000000 div mt"))
       .withColumn("rem", expr("m * 1000000 % mt"))
       .localCheckpoint() // sources-sized weight frame; read by the rank leg and the leftover total
-    val wR = Window.orderBy(col("rem").desc, col("source").asc)
+    val wR = Window.orderBy(col("rem").desc, col("source").asc) // |sources|-sized weight frame
     sized.withColumn("rk", row_number().over(wR))
       .crossJoin(broadcast(sized.agg(
         expr("cast(1000000 - sum(wbase) as bigint)").as("leftover"))))

@@ -292,7 +292,10 @@ object EtlQueries {
     Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
-      .write.mode("overwrite").format("jdbc").options(base).save()
+      // batchsize bands the staging INSERTs (Spark's default 1000 makes
+      // the embedded-Derby write the dominant cost as rows grow 10×)
+      .write.mode("overwrite").format("jdbc")
+      .options(base + ("batchsize" -> "10000")).save()
     jdbcPartitionedRead(spark, base)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -301,15 +304,41 @@ object EtlQueries {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** The parallel read itself (shared with the partition-count test). */
-  def jdbcPartitionedRead(spark: SparkSession, base: Map[String, String]): DataFrame =
+  /** The parallel read itself (shared with the partition-count test).
+    *
+    * Bounds are derived from the LIVE key range (one scalar MIN/MAX probe
+    * pushed to the source engine) rather than hardcoded — round-13 close
+    * of the q146 scale outlier: Spark's first/last range predicates are
+    * open-ended, so static bounds stay CORRECT as the table grows but
+    * silently stripe every row beyond them into the last partition; the
+    * sf1 replica's shifted keys drained 90% of the table through one
+    * connection that way (13.2× growth at 10× data). Deriving bounds is
+    * what a production range-partitioned JDBC drain does before every
+    * run; the probe costs one 1-row aggregate. `fetchsize` bands the
+    * per-round-trip row count (Derby's default row-at-a-time cursor
+    * chatter dominates a 10×-taller drain otherwise).
+    */
+  def jdbcPartitionedRead(spark: SparkSession, base: Map[String, String]): DataFrame = {
+    val (lo, hi) = {
+      val conn = java.sql.DriverManager.getConnection(base("url"))
+      try {
+        // Spark's JDBC writer quotes column names, so Derby stores them
+        // case-sensitively lowercase — the probe must quote them too
+        val rs = conn.createStatement().executeQuery(
+          s"""SELECT MIN("o_orderkey"), MAX("o_orderkey") FROM ${base("dbtable")}""")
+        rs.next()
+        (rs.getLong(1), rs.getLong(2))
+      } finally conn.close()
+    }
     spark.read.format("jdbc")
       .options(base ++ Map(
         "partitionColumn" -> "o_orderkey",
-        "lowerBound" -> "0",
-        "upperBound" -> "100000",
-        "numPartitions" -> "4"))
+        "lowerBound" -> lo.toString,
+        "upperBound" -> (hi + 1L).toString, // upperBound is exclusive
+        "numPartitions" -> "4",
+        "fetchsize" -> "10000"))
       .load()
+  }
 
   val q146Oracle: String =
     """SELECT o_orderpriority, count(*) AS n,

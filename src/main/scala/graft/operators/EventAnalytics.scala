@@ -640,7 +640,7 @@ object EventAnalytics {
     obs
       .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
       .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("next_type"))))
-      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy())) // |types|^2-row transition frame
       .withColumn("num", expr(
         "cast(o as decimal(38,0)) * cast(nn as decimal(38,0)) - cast(rt as decimal(38,0)) * cast(ct as decimal(38,0))"))
       .withColumn("term_micro", expr(
@@ -1039,7 +1039,7 @@ object EventAnalytics {
                (order by day_offset rows between unbounded preceding and current row)
                as bigint)"""))
       .withColumn("n_users", first(col("users_at_offset")).over(
-        Window.orderBy(col("day_offset"))
+        Window.orderBy(col("day_offset")) // |day-offsets|-sized frame
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("day_offset"), col("cum_cents"),
         expr("CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0")
@@ -1428,13 +1428,13 @@ object EventAnalytics {
       .agg(expr("""cast(sum(CASE WHEN event_type = 'purchase'
                    THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)""")
         .as("x"))
-    val wOrd = Window.orderBy(col("day"))
+    val wOrd = Window.orderBy(col("day")) // |days|-sized daily frame
     daily
       .withColumn("i", row_number().over(wOrd))
       .withColumn("cum", sum(col("x")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("tot", sum(col("x")).over(Window.partitionBy()))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy())) // |days|-sized daily frame
+      .withColumn("tot", sum(col("x")).over(Window.partitionBy())) // |days|-sized daily frame
       .withColumn("dev", expr(
         "abs(cast(n as decimal(38,0)) * cum - cast(i as decimal(38,0)) * tot)"))
       .orderBy(col("dev").desc, col("day"))
@@ -1477,7 +1477,7 @@ object EventAnalytics {
                    THEN cast(round(value * 100) as bigint) ELSE 0 END) as bigint)""")
         .as("x"))
     daily
-      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("day"))))
+      .withColumn("px", lag(col("x"), 1).over(Window.orderBy(col("day")))) // |days|-sized daily frame
       .filter(col("px").isNotNull)
       .groupBy()
       .agg(count(lit(1)).as("n_pairs"),
@@ -1783,7 +1783,7 @@ object EventAnalytics {
       date_trunc("MINUTE", col("ts")).as("chunk"))
     val carry = ev.groupBy(col("chunk")).agg(max(col("tus")).as("cmax"))
       .withColumn("carry_in", coalesce(
-        max(col("cmax")).over(Window.orderBy(col("chunk"))
+        max(col("cmax")).over(Window.orderBy(col("chunk")) // |minutes|-sized chunk frame
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(LateSentinel)))
       .select(col("chunk"), col("carry_in"))
@@ -1856,8 +1856,8 @@ object EventAnalytics {
     val per = ev.groupBy(col("c")).agg(
       count_if(col("event_type") === "view").as("a1"),
       count_if(col("event_type") === "purchase").as("a2"))
-    val wc = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
+    val wc = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, 0) // value-domain-sized per-cent count frame
+    val wAll = Window.partitionBy() // value-domain-sized per-cent count frame
     val stepped = per
       .withColumn("cum1", sum(col("a1")).over(wc))
       .withColumn("cum2", sum(col("a2")).over(wc))
@@ -2025,10 +2025,10 @@ object EventAnalytics {
       .select(col("d1"), col("d2"),
         (col("c2") - col("c1")).as("dc"), (col("d2") - col("d1")).as("dd"))
       .withColumn("slope", expr("CAST(dc AS DOUBLE) / CAST(dd AS DOUBLE)"))
-    val wr = Window.orderBy(col("slope").asc, col("dc").asc, col("dd").asc,
+    val wr = Window.orderBy(col("slope").asc, col("dc").asc, col("dd").asc, // |days|^2-row slope-pair frame
       col("d1").asc, col("d2").asc)
     val ranked = pairs.withColumn("rn", row_number().over(wr))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy())) // |days|^2-row slope-pair frame
     val median = ranked
       .filter(expr("rn = (np + 1) div 2 OR rn = np div 2 + 1"))
       .agg(avg(col("slope")).as("ts_slope_raw"), max(col("np")).as("n_pairs"))
@@ -2086,7 +2086,7 @@ object EventAnalytics {
     val mins = Tables.events(spark, d)
       .select(date_trunc("MINUTE", col("ts")).as("m")).distinct()
     val lagged = mins
-      .withColumn("prev", lag(col("m"), 1).over(Window.orderBy(col("m"))))
+      .withColumn("prev", lag(col("m"), 1).over(Window.orderBy(col("m")))) // |minutes|-sized frame
       .withColumn("gap_min",
         when(col("prev").isNull, lit(0L))
           .otherwise(expr("(unix_micros(m) - unix_micros(prev)) div 60000000 - 1")))
@@ -2224,7 +2224,7 @@ object EventAnalytics {
         .select(col("node"), expr(
           "cast((1000000000000 * 15) div (100 * n_nodes) + inflow as bigint)").as("r"))
     }
-    val wr = Window.orderBy(col("r").desc, col("node").asc)
+    val wr = Window.orderBy(col("r").desc, col("node").asc) // |nodes|-sized rank frame (event-type graph)
     rFinal.join(broadcast(tot.withColumnRenamed("src", "node")), Seq("node"), "left")
       .na.fill(0L, Seq("tot"))
       .select(col("node"), col("tot").as("out_transitions"),
@@ -2408,9 +2408,9 @@ object EventAnalytics {
       expr("cast(count_if(NOT death) as bigint)").as("n_censored"))
     val byT = iv.groupBy(col("t")).agg(count(lit(1)).as("c_all"),
       expr("cast(count_if(death) as bigint)").as("d"))
-    val wDesc = Window.orderBy(col("t").desc)
+    val wDesc = Window.orderBy(col("t").desc) // duration-domain-sized frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAsc = Window.orderBy(col("t").asc)
+    val wAsc = Window.orderBy(col("t").asc) // duration-domain-sized frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byT.withColumn("n_risk", expr("cast(0 as bigint)") + sum(col("c_all")).over(wDesc))
       .filter(col("d") > 0).filter(col("n_risk") > col("d"))
@@ -2481,7 +2481,7 @@ object EventAnalytics {
         (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
     val byV = o.groupBy(col("v")).agg(expr("cast(sum(g1) as bigint)").as("c1"),
       count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v").asc)
+    val w = Window.orderBy(col("v").asc) // value-domain-sized per-value count frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = byV.withColumn("cum", sum(col("c")).over(w))
     ranked.agg(
@@ -3028,7 +3028,7 @@ object EventAnalytics {
     val inDay = ev.withColumn("rn", row_number().over(wDay))
       .withColumn("ps", sum(col("inc")).over(
         wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wOff = Window.orderBy(col("day").asc)
+    val wOff = Window.orderBy(col("day").asc) // |days|-sized offsets frame
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ev.groupBy(col("day"))
       .agg(count(lit(1)).as("cnt"), expr("cast(sum(inc) as bigint)").as("tot"))

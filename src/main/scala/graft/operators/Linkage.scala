@@ -161,7 +161,7 @@ object Linkage {
       Window.partitionBy(col("bucket")).orderBy(col("name"), col("id"))))
     val offsets = c.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(
-        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), // block-summary-sized offsets frame
         lit(0L)))
       .select(col("bucket"), col("off"))
     val ranked = local.join(broadcast(offsets), Seq("bucket"))

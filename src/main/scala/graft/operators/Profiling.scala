@@ -175,7 +175,7 @@ object Profiling {
     val offsets = o.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__bucket_n"))
       .withColumn("__offset",
-        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket"))
+        coalesce(sum(col("__bucket_n")).over(Window.orderBy(col("__bucket")) // bucket-summary-sized offsets frame
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bucket"), col("__offset"))
     val n1 = o.agg(count(lit(1)).as("__n"))
@@ -451,9 +451,9 @@ object Profiling {
         expr("cast(round(o_totalprice * 100) as bigint)").as("vc"))
       .groupBy(col("day"))
       .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("x"))
-    val wAll = Window.orderBy(col("day"))
+    val wAll = Window.orderBy(col("day")) // |days|-sized daily frame
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wRun = Window.orderBy(col("day"))
+    val wRun = Window.orderBy(col("day")) // |days|-sized daily frame
       .rowsBetween(Window.unboundedPreceding, 0)
     // pu/pd run in DECIMAL(38,0): DuckDB sums BIGINT windows in HUGEINT
     // internally, so only the Spark side would wrap under default
@@ -602,8 +602,8 @@ object Profiling {
       .agg(expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").as("sp"))
       .withColumn("bucket", expr("sp div 100000000"))
     val wLocal = Window.partitionBy(col("bucket")).orderBy(col("sp"), col("o_custkey"))
-    val wBucket = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("bucket"))
+    val wBucket = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1) // bucket-summary-sized offsets frame
+    val wAll = Window.orderBy(col("bucket")) // bucket-summary-sized frame
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // per-bucket counts: the only globally-windowed frame is this tiny
     // bucket table (cumulative offsets + the global n both ride it)
@@ -692,9 +692,9 @@ object Profiling {
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("sp").desc, col("o_custkey"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wB = Window.orderBy(col("bucket").desc)
+    val wB = Window.orderBy(col("bucket").desc) // bucket-summary-sized offsets frame
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("bucket"))
+    val wAll = Window.orderBy(col("bucket")) // bucket-summary-sized frame
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = s.groupBy(col("bucket"))
       .agg(expr("cast(sum(cast(sp as decimal(38,0))) as decimal(38,0))").as("bsum"),
@@ -1693,7 +1693,7 @@ object Profiling {
       .withColumn("cum", sum(col("c")).over(wx))
       .select(col("x"),
         expr("2 * (boff + cum - c + 1) + c - 1").as("rx2"))
-    val wy = Window.orderBy(col("y").asc)
+    val wy = Window.orderBy(col("y").asc) // value-domain-sized per-value count frame
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val yr = ycnt.withColumn("cum", sum(col("c")).over(wy)) // K-sized frame: the global window is over ≤|max orders| rows
       .select(col("y"), expr("2 * (cum - c + 1) + c - 1").as("ry2"))

@@ -1022,7 +1022,7 @@ object Relational {
     def quintile(metric: Column, asc: Boolean): Column = {
       val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
       else Seq(metric.desc, col("o_custkey").asc)
-      ntile(5).over(Window.orderBy(ord: _*)).cast("long")
+      ntile(5).over(Window.orderBy(ord: _*)).cast("long") // |customers|-sized agg frame: documented q161 single-exchange tradeoff
     }
     per
       .withColumn("r_q", quintile(col("last_order"), asc = false))
@@ -1300,7 +1300,7 @@ object Relational {
     val wLocal = Window.partitionBy(col("bucket")).orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = g.withColumn("lmax", max(col("gmax")).over(wLocal))
-    val wBucket = Window.orderBy(col("bucket"))
+    val wBucket = Window.orderBy(col("bucket")) // bucket-summary-sized frame
       .rowsBetween(Window.unboundedPreceding, -1)
     // one row per bucket — the only globally-ordered window runs over the
     // bucket count, not the data
@@ -1408,7 +1408,7 @@ object Relational {
       .select(col("o_orderkey").as("k"))
     val starts = k.join(k.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
     val ends = k.join(k.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
-    val w = Window.orderBy(col("k"))
+    val w = Window.orderBy(col("k")) // island-boundary frame (<= #gaps+1 rows)
     val s = starts.withColumn("rn", row_number().over(w))
       .select(col("rn"), col("k").as("island_start"))
     val e = ends.withColumn("rn", row_number().over(w))

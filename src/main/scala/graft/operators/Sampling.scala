@@ -197,7 +197,7 @@ object Sampling {
       .select(col("c_custkey"), col("c_acctbal"))
       .withColumn("bucket", expr("cast(round(c_acctbal * 100) as bigint) div 100000"))
     val wLocal = Window.partitionBy(col("bucket")).orderBy(col("c_acctbal"), col("c_custkey"))
-    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1) // bucket-summary-sized offsets frame (<= 2^20 rows)
     val offsets = c.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
       .select(col("bucket"), col("off"))
@@ -502,7 +502,7 @@ object Sampling {
       .withColumn("rem", (lit(QuotaTotal) * col("n_docs")) % col("t"))
       .withColumn("slots_left",
         lit(QuotaTotal) - sum(col("base")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+          org.apache.spark.sql.expressions.Window.partitionBy())) // (lang,source)-strata-sized quota frame
       .withColumn("rk", row_number().over(w))
       .select(col("lang"), col("source"), col("n_docs"),
         (col("base") + when(col("rk") <= col("slots_left"), 1L).otherwise(0L))
@@ -786,7 +786,7 @@ object Sampling {
     */
   def tokenPrefixSum(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wB = Window.orderBy(col("bucket"))
+    val wB = Window.orderBy(col("bucket")) // bucket-summary-sized offsets frame (<= 2^20 rows)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("bucket"))
       .agg(expr("cast(sum(n_tok) as bigint)").as("bsum"))

@@ -599,7 +599,7 @@ object Similarity {
     val cand = assigned.filter(pred)
     val q = assigned.filter(col("vec_id") === queryId).select(col("ed").as("qe"))
     val listSizes = cand.groupBy(col("cid")).agg(count(lit(1)).as("n_qual"))
-    val byAffinity = Window.orderBy(col("sim").desc, col("cid").asc)
+    val byAffinity = Window.orderBy(col("sim").desc, col("cid").asc) // K-sized centroid-affinity frame
     val probes = cent.crossJoin(broadcast(q))
       .withColumn("sim", cosineCols(spark, "ce", "qe"))
       .join(broadcast(listSizes), Seq("cid"), "left") // empty lists still rank
@@ -1357,7 +1357,7 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(10)
     top.withColumn("rank", // 10-row frame: the window never sees the corpus
-        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long")) // 10-row frame
       .select(col("rank"), col("vec_id"), col("adc_dist"))
   }
 
@@ -1600,7 +1600,7 @@ object Similarity {
       .filter(col("doc_id") =!= 0)
       .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
       .withColumn("bm25_rank", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long")) // 50-row frame
       .select(col("doc_id"), col("bm25_rank"))
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), expr(toDouble).as("ed"))
     val q = emb.filter(col("vec_id") === 0).select(col("ed").as("qe"))
@@ -1610,7 +1610,7 @@ object Similarity {
       .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
       .orderBy(col("cos_u").desc, col("vec_id")).limit(50)
       .withColumn("dense_rank", row_number().over(
-        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
+        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long")) // 50-row frame
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     sparseRanked.join(denseRanked, Seq("doc_id"), "full_outer")
       .na.fill(0L, Seq("bm25_rank", "dense_rank"))
@@ -1795,7 +1795,7 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(10)
     top.withColumn("rank", // 10-row frame: the window never sees the corpus
-        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+        row_number().over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long")) // 10-row frame
       .select(col("rank"), col("vec_id"), col("list_cid"), col("adc_dist"))
   }
 
@@ -3140,7 +3140,7 @@ object Similarity {
       .filter(col("doc_id") =!= 0)
       .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
       .withColumn("br", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long")) // 50-row frame
       .select(col("doc_id"), col("br"))
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), expr(toDouble).as("ed"))
     val q = emb.filter(col("vec_id") === 0).select(col("ed").as("qe"))
@@ -3150,7 +3150,7 @@ object Similarity {
       .withColumn("cos_u", expr("cast(round(cos * 1000000) as bigint)"))
       .orderBy(col("cos_u").desc, col("vec_id")).limit(50)
       .withColumn("dr", row_number().over(
-        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long"))
+        Window.orderBy(col("cos_u").desc, col("vec_id"))).cast("long")) // 50-row frame
       .select(col("vec_id").as("doc_id"), col("dr"))
     val common = sparseRanked.join(denseRanked, "doc_id")
       .localCheckpoint() // ≤50 rows; both pair sides read it
@@ -3747,7 +3747,7 @@ object Similarity {
       .withColumn("pos", expr(s"cast(cast(lab = $L as int) as long)"))
       .withColumn("band",
         expr("-((score + 1152921504606846976) div 17592186044416)"))
-    val wB = Window.orderBy(col("band"))
+    val wB = Window.orderBy(col("band")) // band-summary-sized offsets frame (<= 2^17 rows)
       .rowsBetween(Window.unboundedPreceding, -1) // ≤ 2^17-band frame
     val offsets = scores.groupBy(col("band")).agg(count(lit(1)).as("bc"))
       .withColumn("off", coalesce(sum(col("bc")).over(wB), lit(0L)))

@@ -759,7 +759,7 @@ object TextAnalysis {
       .withColumn("cum", sum(col("n")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .withColumn("total", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+        org.apache.spark.sql.expressions.Window.partitionBy())) // vocab-sized frame
       .localCheckpoint() // |vocab| rows; each target probes this frame
     val targets = spark.createDataFrame(
       CoverageTargets.map(t => Tuple1(t))).toDF("pct")
@@ -1164,7 +1164,7 @@ object TextAnalysis {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("new_types"))
     curve.withColumn("cum_types",
-        sum(col("new_types")).over(Window.orderBy(col("decile"))
+        sum(col("new_types")).over(Window.orderBy(col("decile")) // 10-row decile frame
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
       .orderBy(col("decile"))
   }
@@ -1214,7 +1214,7 @@ object TextAnalysis {
     obs
       .withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy(col("w1"))))
       .withColumn("c_y", sum(col("c_xy")).over(Window.partitionBy(col("w2"))))
-      .withColumn("nn", sum(col("c_xy")).over(Window.partitionBy()))
+      .withColumn("nn", sum(col("c_xy")).over(Window.partitionBy())) // distinct-bigram-sized obs frame (vocab^2-bounded PMI census)
       .filter(col("c_xy") >= 5)
       .withColumn("lift",
         expr("CAST(c_xy * nn AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)"))
@@ -2382,7 +2382,7 @@ object TextAnalysis {
         .orderBy(col("key"), col("doc_id"))).cast("long"))
     val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(
-        sum(col("__bn")).over(Window.orderBy(col("__b"))
+        sum(col("__bn")).over(Window.orderBy(col("__b")) // bucket-summary-sized offsets frame
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__off"))
     val n1 = perDoc.agg(count(lit(1)).as("__n"))
@@ -2462,7 +2462,7 @@ object TextAnalysis {
       .select(col("key").as("thr"), col("__grank"))
       // decile index recovered by ranking the 9-row boundary frame itself
       .withColumn("decile", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__grank"))).cast("long"))
+        org.apache.spark.sql.expressions.Window.orderBy(col("__grank"))).cast("long")) // 9-row boundary frame
       .select(col("decile"), col("thr"))
     perDoc.crossJoin(broadcast(bounds))
       .groupBy(col("decile"), col("thr"))
@@ -2608,7 +2608,7 @@ object TextAnalysis {
         .orderBy(col("wkey"), col("doc_id"))).cast("long"))
     val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(
-        sum(col("__bn")).over(Window.orderBy(col("__b"))
+        sum(col("__bn")).over(Window.orderBy(col("__b")) // bucket-summary-sized offsets frame
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__off"))
     val n1 = perDoc.agg(count(lit(1)).as("__n"))
@@ -2894,7 +2894,7 @@ object TextAnalysis {
         bucket = expr("doc_id div 4096"),
         ord = Seq(col("doc_id")), targets = targets)
       .select(col("doc_id").as("thr"), col("__grank"))
-      .withColumn("ck", row_number().over(Window.orderBy(col("__grank"))).cast("long"))
+      .withColumn("ck", row_number().over(Window.orderBy(col("__grank"))).cast("long")) // |targets|-row boundary frame
       .select(col("ck"), col("thr"))
     val firstDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -2908,7 +2908,7 @@ object TextAnalysis {
       .filter(col("doc_id") <= col("thr"))
       .groupBy(col("ck"))
       .agg(count(lit(1)).as("n_docs"), expr("cast(sum(nt) as bigint)").as("n_tokens"))
-    val w4 = Window.orderBy(col("ck"))
+    val w4 = Window.orderBy(col("ck")) // |targets|-row checkpoint frame
     prefix.join(vocab, "ck")
       .withColumn("new_tokens",
         col("vocab") - coalesce(lag(col("vocab"), 1).over(w4), lit(0L)))
@@ -3583,7 +3583,7 @@ object TextAnalysis {
         count(lit(1)).as("n_source_docs"))
       .select(col("source"), col("n_source_docs"), col("c.u").as("u"),
         col("c.doc_id").as("doc_id"), col("c.s").as("s"), col("c.y").as("y"))
-    val wr = Window.orderBy(col("u").asc, col("doc_id").asc)
+    val wr = Window.orderBy(col("u").asc, col("doc_id").asc) // |sources|-sized frame
     champs.withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("source"), col("doc_id"), col("s"), col("u"),
