@@ -43,6 +43,16 @@ object Linkage {
                     maxBlockSize: Int = MaxBlockSize): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       substring(col(nameCol), 1, blockPrefixLen).as("blk"))
+      // Explicit user shuffle at default parallelism (round 13): the
+      // per-pair levenshtein cost is INVISIBLE to AQE's size-based
+      // partition coalescing, which folded the sf1 rehearsal's 7.4M-pair
+      // join onto a handful of tasks (53 s, while 10× the pairs at sf10
+      // ran 40 s on naturally-larger shuffle bytes). A user-specified
+      // partition count is exempt from AQE coalescing, and the skew-guard
+      // window plus the self-join reuse this ONE exchange — no extra
+      // shuffle, just guaranteed parallelism for the quadratic-per-block
+      // compute.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("blk"))
     // Cap-and-rank skew guard (Dedup.MaxBucketSize pattern): rank by id
     // inside each block, keep the lowest maxBlockSize. One extra window
     // over the already-required block shuffle — no new exchange.
@@ -117,6 +127,9 @@ object Linkage {
       .select(col("c_custkey").as("id"), col("c_name").as("name"),
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
         substring(col("c_name"), 1, 16).as("blk"))
+      // user-pinned parallelism for the levenshtein join — see
+      // fuzzySelfJoin's AQE-coalescing note
+      .repartition(spark.sparkContext.defaultParallelism, col("blk"))
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
