@@ -1110,7 +1110,11 @@ class Round11Spec extends SparkSuite {
       val vb = n * ys.map(v => BigInt(v) * v).sum - BigInt(ys.sum) * ys.sum
       assert(r.getLong(2) === days.size.toLong)
       assert(r.getLong(3) === cov.signum.toLong)
-      val r2 = if (va == 0 || vb == 0) 0L else (cov * cov * 1000000 / (va * vb)).toLong
+      // round 13: the engine computes r² via the staged two-division form
+      // on |cov| (overflow-envelope fix — see q386's scaladoc); the replay
+      // must truncate at the same two points or it drifts by 1 ppm
+      val r2 = if (va == 0 || vb == 0) 0L
+        else (cov.abs * 1000000 / va * cov.abs / vb).toLong
       assert(r.getLong(4) === r2, s"($ta,$tb) r2")
       assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "Cauchy-Schwarz bound")
     }
