@@ -1007,10 +1007,10 @@ object Relational {
     * each quintile is a rank-defined ntile over a TOTAL order
     * (metric, custkey), so both engines bin identically (no interpolation
     * flavor, the q132/q134 rule); the final cube is ≤125 cells regardless
-    * of customer count. At 10⁹ customers the per-metric rank would switch
-    * to q134's two-phase form — same semantics, noted not needed at
-    * fixture scale where the window runs over the compact per-customer
-    * aggregate, not the fact table.
+    * of customer count. Round 13: the per-metric rank IS the two-phase
+    * form (bucket-local row_number + broadcast bucket offsets + exact
+    * ntile arithmetic) — no unpartitioned window touches the per-customer
+    * frame, so the plan holds at 10⁹ customers, not just fixture scale.
     */
   def q161RfmSegmentation(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1019,15 +1019,43 @@ object Relational {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
         expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").as("spend_c"))
-    def quintile(metric: Column, asc: Boolean): Column = {
-      val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
-      else Seq(metric.desc, col("o_custkey").asc)
-      ntile(5).over(Window.orderBy(ord: _*)).cast("long") // |customers|-sized agg frame: documented q161 single-exchange tradeoff
+    // Round 13: each quintile was ntile(5) over an UNPARTITIONED window —
+    // the whole per-customer frame through one task. Now the two-phase
+    // form (q199/BucketRank pattern): bucket sorts consistently with the
+    // metric's DESC order (negated value/day), bucket-local row_number,
+    // broadcast bucket offsets → global rank, then SQL ntile's EXACT
+    // arithmetic (first n%k tiles get one extra row) so the unchanged
+    // DuckDB native-ntile oracle still matches hash-for-hash. The total n
+    // rides the bucket-summary frame — no extra scan, no driver action.
+    def quintile2(df: DataFrame, bucket: Column, ord: Seq[Column], out: String): DataFrame = {
+      val withB = df.withColumn("__b", bucket)
+      val local = withB.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__b")).orderBy(ord: _*)).cast("long"))
+      val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+        .withColumn("__off", coalesce(sum(col("__bn")).over(
+          Window.orderBy(col("__b")) // bucket-summary-sized offsets frame (|days| / |order-counts| / spend-millions buckets)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__nn", sum(col("__bn")).over(
+          Window.orderBy(col("__b")) // bucket-summary-sized offsets frame (same tiny frame, unbounded total)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("__b"), col("__off"), col("__nn"))
+      local.join(broadcast(offsets), "__b")
+        .withColumn("__gr", col("__off") + col("__rn"))
+        .withColumn(out, expr(
+          """CASE WHEN __gr <= (__nn div 5 + 1) * (__nn % 5)
+               THEN (__gr - 1) div (__nn div 5 + 1) + 1
+               ELSE (__nn % 5) + (__gr - (__nn div 5 + 1) * (__nn % 5) - 1)
+                    div (__nn div 5) + 1 END""").cast("long"))
+        .drop("__b", "__rn", "__off", "__gr", "__nn")
     }
-    per
-      .withColumn("r_q", quintile(col("last_order"), asc = false))
-      .withColumn("f_q", quintile(col("n_orders"), asc = false))
-      .withColumn("m_q", quintile(col("spend_c"), asc = false))
+    val ranked = Seq(
+      (expr("-datediff(last_order, DATE '1990-01-01')"),
+        Seq(col("o_custkey").asc), "r_q"),
+      (-col("n_orders"), Seq(col("o_custkey").asc), "f_q"),
+      (expr("-(spend_c div 1000000)"),
+        Seq(col("spend_c").desc, col("o_custkey").asc), "m_q"))
+      .foldLeft(per) { case (df, (b, o, out)) => quintile2(df, b, o, out) }
+    ranked
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         expr("cast(sum(cast(spend_c as decimal(38,0))) as bigint)").as("segment_spend_c"))

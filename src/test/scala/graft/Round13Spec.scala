@@ -54,11 +54,9 @@ class Round13Spec extends SparkSuite {
   //    duration-domain, value-domain (exact-cents census), |types|²,
   //    |days|² slope pairs, |sources|, |nodes| (event-type graph),
   //    (lang,source) strata, vocab and distinct-bigram census frames.
-  //  - the one data-scale site, documented as a tradeoff: q161's
-  //    |customers|-sized ntile quintile (Relational.scala) — acceptable
-  //    while |customers| ≪ |orders|; the BucketRank two-phase is the
-  //    stated upgrade path if customer cardinality ever matches fact
-  //    cardinality.
+  //  - q161's quintiles, formerly the one data-scale site (|customers|-
+  //    sized ntile), now run the two-phase form — its remaining
+  //    unpartitioned windows are the bucket-summary offset/total pair.
   test("unpartitioned-window inventory: every site is size-audited, none corpus-sized") {
     val root = java.nio.file.Paths.get("src/main/scala")
     val counts = scala.collection.mutable.Map.empty[String, Int]
@@ -83,7 +81,7 @@ class Round13Spec extends SparkSuite {
     val audited = Map(
       "Sampling.scala" -> 4, "Similarity.scala" -> 9, "Linkage.scala" -> 1,
       "TextAnalysis.scala" -> 10, "EventAnalytics.scala" -> 17,
-      "Curation.scala" -> 7, "Relational.scala" -> 3, "Profiling.scala" -> 10)
+      "Curation.scala" -> 7, "Relational.scala" -> 4, "Profiling.scala" -> 10)
     assert(counts.toMap === audited,
       s"unpartitioned-window inventory drifted — re-audit the new/removed " +
         s"sites for boundedness and update this table.\n  found: ${counts.toMap}\n" +
