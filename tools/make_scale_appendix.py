@@ -14,7 +14,10 @@ import json, sys
 
 
 def min_map(path):
-    maps = [json.loads(l)["queries"] for l in open(path) if l.strip()]
+    # skip the stream_split diagnostic line (its per-query values are
+    # [startup, data, batches] arrays, not seconds)
+    lines = [json.loads(l) for l in open(path) if l.strip()]
+    maps = [d["queries"] for d in lines if d.get("metric") != "stream_split"]
     out = {}
     for m in maps:
         for q, v in m.items():
