@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object CryptoFunctions extends Logging {
 
-  // One codec per key per executor JVM (Cipher/Mac instances are created
-  // per call inside Fernet; this only avoids re-decoding the key per row).
+  // One codec per key per executor JVM; inside Fernet, Cipher/Mac
+  // instances are thread-local and re-init'd per call (round 13 — a fresh
+  // getInstance() per row was the dominant constant in q27/q192), so this
+  // cache only avoids re-decoding the key per row.
   @transient private lazy val codecs =
     new java.util.concurrent.ConcurrentHashMap[String, Fernet]()
 

@@ -23,6 +23,15 @@ final class Fernet(keyBase64: String) extends Serializable {
   @transient private lazy val signingKey = new SecretKeySpec(keyBytes.slice(0, 16), "HmacSHA256")
   @transient private lazy val encryptionKey = new SecretKeySpec(keyBytes.slice(16, 32), "AES")
   @transient private lazy val random = new SecureRandom()
+  // Cipher/Mac are NOT thread-safe but ARE reusable: a fresh
+  // getInstance() per row was the dominant constant in the per-row
+  // crypto queries (q27/q192 were the appendix's heaviest data-linear
+  // rows). One instance per executor thread, re-init'd per call (init
+  // is cheap; allocation + provider lookup is not).
+  @transient private lazy val cipherTL =
+    ThreadLocal.withInitial[Cipher](() => Cipher.getInstance("AES/CBC/PKCS5Padding"))
+  @transient private lazy val macTL =
+    ThreadLocal.withInitial[Mac](() => Mac.getInstance("HmacSHA256"))
 
   require(Fernet.decodeB64Url(keyBase64).length == 32,
     "Fernet key must be 32 bytes, urlsafe-base64 encoded")
@@ -36,12 +45,12 @@ final class Fernet(keyBase64: String) extends Serializable {
     * token bytes against the spec's structure.
     */
   private[graft] def encryptAt(plaintext: Array[Byte], timestampSec: Long, iv: Array[Byte]): String = {
-    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    val cipher = cipherTL.get()
     cipher.init(Cipher.ENCRYPT_MODE, encryptionKey, new IvParameterSpec(iv))
     val ciphertext = cipher.doFinal(plaintext)
     val body = ByteBuffer.allocate(1 + 8 + 16 + ciphertext.length)
       .put(0x80.toByte).putLong(timestampSec).put(iv).put(ciphertext).array()
-    val mac = Mac.getInstance("HmacSHA256")
+    val mac = macTL.get()
     mac.init(signingKey)
     val tag = mac.doFinal(body)
     Fernet.encodeB64Url(body ++ tag)
@@ -56,13 +65,13 @@ final class Fernet(keyBase64: String) extends Serializable {
     require(raw(0) == 0x80.toByte, "Unsupported Fernet token version")
     val body = raw.slice(0, raw.length - 32)
     val tag = raw.slice(raw.length - 32, raw.length)
-    val mac = Mac.getInstance("HmacSHA256")
+    val mac = macTL.get()
     mac.init(signingKey)
     val expected = mac.doFinal(body)
     require(MessageDigest.isEqual(expected, tag), "Fernet HMAC verification failed")
     val iv = raw.slice(9, 25)
     val ciphertext = raw.slice(25, raw.length - 32)
-    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+    val cipher = cipherTL.get()
     cipher.init(Cipher.DECRYPT_MODE, encryptionKey, new IvParameterSpec(iv))
     cipher.doFinal(ciphertext)
   }
