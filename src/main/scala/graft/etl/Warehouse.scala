@@ -92,9 +92,22 @@ object Warehouse extends Logging {
     * needs no shim — Catalyst's v1 command supports parquet tables
     * natively (pre-evolution files read NULL for the new column) and
     * flows straight through `spark.sql`.
+    *
+    * A missing source column fails LOUDLY (real ALTER TABLE errors on an
+    * unknown column; `withColumnRenamed` alone silently no-ops and would
+    * still rewrite the whole table). Backticks in the statement's
+    * identifiers are stripped before the lookup — the regex admits them
+    * but `withColumnRenamed` treats a backtick literally, so a backticked
+    * rename would otherwise "succeed" without renaming anything.
     */
-  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Unit =
-    overwriteSelf(spark, spark.table(table).withColumnRenamed(from, to), table)
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Unit = {
+    val (f, t) = (from.replace("`", ""), to.replace("`", ""))
+    val df = spark.table(table)
+    require(df.columns.contains(f),
+      s"ALTER TABLE $table RENAME COLUMN: no such column '$f' " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    overwriteSelf(spark, df.withColumnRenamed(f, t), table)
+  }
 
   /** DROP a managed table AND clear any stale on-disk location a previous
     * JVM left in the warehouse dir (the fresh in-memory catalog doesn't

@@ -319,25 +319,42 @@ object EtlQueries {
     * chatter dominates a 10×-taller drain otherwise).
     */
   def jdbcPartitionedRead(spark: SparkSession, base: Map[String, String]): DataFrame = {
-    val (lo, hi) = {
-      val conn = java.sql.DriverManager.getConnection(base("url"))
+    // Probe connection built from the FULL JDBC option map (driver/user/
+    // password/etc. as java.sql properties), not the bare URL — a probe
+    // that drops credentials would fail against any authenticated source
+    // even though the partitioned read itself would have connected fine.
+    val bounds = {
+      val props = new java.util.Properties()
+      base.foreach { case (k, v) =>
+        if (k != "url" && k != "dbtable") props.setProperty(k, v)
+      }
+      val conn = java.sql.DriverManager.getConnection(base("url"), props)
       try {
         // Spark's JDBC writer quotes column names, so Derby stores them
         // case-sensitively lowercase — the probe must quote them too
         val rs = conn.createStatement().executeQuery(
           s"""SELECT MIN("o_orderkey"), MAX("o_orderkey") FROM ${base("dbtable")}""")
         rs.next()
-        (rs.getLong(1), rs.getLong(2))
+        val lo = rs.getLong(1)
+        // SQL MIN/MAX over an EMPTY table is NULL and getLong reports it
+        // as 0 — only rs.wasNull distinguishes "empty" from "min key 0".
+        // An empty stage gets a trivial single-partition read instead of
+        // four range predicates over a fabricated [0, 1) key space.
+        if (rs.wasNull()) None else Some((lo, rs.getLong(2)))
       } finally conn.close()
     }
-    spark.read.format("jdbc")
-      .options(base ++ Map(
-        "partitionColumn" -> "o_orderkey",
-        "lowerBound" -> lo.toString,
-        "upperBound" -> (hi + 1L).toString, // upperBound is exclusive
-        "numPartitions" -> "4",
-        "fetchsize" -> "10000"))
-      .load()
+    bounds match {
+      case None => spark.read.format("jdbc").options(base).load()
+      case Some((lo, hi)) =>
+        spark.read.format("jdbc")
+          .options(base ++ Map(
+            "partitionColumn" -> "o_orderkey",
+            "lowerBound" -> lo.toString,
+            "upperBound" -> (hi + 1L).toString, // upperBound is exclusive
+            "numPartitions" -> "4",
+            "fetchsize" -> "10000"))
+          .load()
+    }
   }
 
   val q146Oracle: String =

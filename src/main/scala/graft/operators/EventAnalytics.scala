@@ -2530,6 +2530,43 @@ object EventAnalytics {
            > CAST(38416 AS HUGEINT) * n1 * n2 * var_q AS reject_95
        FROM cte"""
 
+  /** Staged exact r²_ppm over DECIMAL(38,0) moment columns `cov_n`,
+    * `var_a`, `var_b` — shared by q414 (autocorrelation spectrum) and
+    * q386 (correlation matrix). Two divisions on |cov| (never cov²·10⁶
+    * in one term): the single-division form needs |cov|²·10⁶ and
+    * var_a·var_b to both fit 38 digits — dead at ~3 days of 10⁹-event
+    * volume. abs() keeps every operand nonnegative so Spark `div`
+    * (trunc) and DuckDB `//` agree by construction.
+    *
+    * LOUD envelope guard (round-13 ADVICE): Spark's `div` narrows its
+    * result to BIGINT while DuckDB's `//` stays HUGEINT, so beyond the
+    * envelope the engines would silently DIVERGE (Spark nulls/wraps the
+    * staged quotient, DuckDB keeps truncating). The guard raises instead.
+    * Safety proof when both guards pass:
+    *  - every moment < 1e32 ⇒ |cov|·10⁶ < 1e38 fits DECIMAL(38,0);
+    *  - t1 = |cov|·10⁶ div var_a fits BIGINT: for var_a < 1e25 the
+    *    second guard pins |cov| ≤ 9·10¹²·var_a ⇒ t1 ≤ 9·10¹⁸ < 2⁶³
+    *    (and 9·10¹²·var_a < 9·10³⁷ so the guard's own multiply cannot
+    *    overflow); for var_a ≥ 1e25, t1 < 1e32·10⁶/1e25 = 10¹³;
+    *  - t1·|cov| ≤ 10⁶·cov²/var_a ≤ 10⁶·var_b < 10³⁸ by Cauchy–Schwarz
+    *    (an identity for genuine moments n·Σxy−ΣxΣy / n·Σx²−(Σx)²).
+    * The old documented envelope (days·daily_volume ≲ 9e12) sits far
+    * inside both guards — they never fire on data the formula is exact
+    * for, and an out-of-envelope run now fails with a named error
+    * instead of a hash mismatch. Round14Spec replays both directions.
+    */
+  private[graft] val R2PpmStagedSql: String =
+    """CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
+       WHEN var_a >= CAST('100000000000000000000000000000000' AS DECIMAL(38,0))
+         OR var_b >= CAST('100000000000000000000000000000000' AS DECIMAL(38,0))
+         OR abs(cov_n) >= CAST('100000000000000000000000000000000' AS DECIMAL(38,0))
+         THEN CAST(raise_error('r2_ppm envelope exceeded: a second moment is beyond 1e32; the staged DECIMAL(38,0) r2 readout would overflow — rescale the series (see EventAnalytics.R2PpmStagedSql)') AS BIGINT)
+       WHEN var_a < CAST('10000000000000000000000000' AS DECIMAL(38,0))
+         AND abs(cov_n) > CAST(9000000000000 AS DECIMAL(38,0)) * var_a
+         THEN CAST(raise_error('r2_ppm envelope exceeded: |cov|/var_a is beyond the BIGINT div range; the staged quotient would wrap — rescale the series (see EventAnalytics.R2PpmStagedSql)') AS BIGINT)
+       ELSE CAST(abs(cov_n) * 1000000 div var_a AS DECIMAL(38,0))
+            * abs(cov_n) div var_b END AS BIGINT)"""
+
   // ---------------------------------------------------------------- q414
   /** AUTOCORRELATION SPECTRUM (correlogram, lags 1–14) of the daily event
     * volume — q222 measures lag-1; capacity planning needs the whole
@@ -2565,17 +2602,9 @@ object EventAnalytics {
       .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
       .select(col("lag"), col("n"),
         expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
-        // r²_ppm via TWO divisions on |cov| (never cov²·10⁶ in one term):
-        // the single-division form needs |cov|² · 10⁶ and var_a·var_b to
-        // both fit 38 digits — dead at ~3 days of 10⁹-event volume. The
-        // staged form's largest intermediate is |cov|·10⁶ ≤ 10⁶·√(vavb)
-        // and t1·|cov| ≤ 10⁶·var_b, safe while days·daily_volume ≤ ~9e12
-        // (10⁹/day for 25 years). abs() keeps every operand nonnegative so
-        // Spark div (trunc) and DuckDB // agree by construction.
-        expr("""CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
-               ELSE CAST(abs(cov_n) * 1000000 div var_a AS DECIMAL(38,0))
-                    * abs(cov_n) div var_b END AS BIGINT)""")
-          .as("r2_ppm"))
+        // staged two-division r²_ppm with the LOUD envelope guard — the
+        // full overflow argument lives on R2PpmStagedSql above
+        expr(R2PpmStagedSql).as("r2_ppm"))
       .orderBy(col("lag"))
   }
 
@@ -2909,13 +2938,9 @@ object EventAnalytics {
       .withColumn("var_b", expr("CAST(CAST(n AS DECIMAL(38,0)) * sbb - CAST(sb AS DECIMAL(38,0)) * sb AS DECIMAL(38,0))"))
       .select(col("ta"), col("tb"), col("n"),
         expr("CAST(sign(cov_n) AS BIGINT)").as("cov_sign"),
-        // staged two-division r²_ppm — see q414's overflow-envelope note:
-        // the single-division cov²·10⁶ form wraps DECIMAL(38,0) at ~3 days
-        // of 10⁹-event volume; this form is safe to days·volume ≈ 9e12.
-        expr("""CAST(CASE WHEN var_a = 0 OR var_b = 0 THEN 0
-               ELSE CAST(abs(cov_n) * 1000000 div var_a AS DECIMAL(38,0))
-                    * abs(cov_n) div var_b END AS BIGINT)""")
-          .as("r2_ppm"))
+        // staged two-division r²_ppm with the LOUD envelope guard — the
+        // full overflow argument lives on R2PpmStagedSql above
+        expr(R2PpmStagedSql).as("r2_ppm"))
       .orderBy(col("ta"), col("tb"))
   }
 

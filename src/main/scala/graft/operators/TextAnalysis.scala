@@ -2894,7 +2894,7 @@ object TextAnalysis {
         bucket = expr("doc_id div 4096"),
         ord = Seq(col("doc_id")), targets = targets)
       .select(col("doc_id").as("thr"), col("__grank"))
-      .withColumn("ck", row_number().over(Window.orderBy(col("__grank"))).cast("long")) // |targets|-row boundary frame
+      .withColumn("ck", row_number().over(Window.orderBy(col("__grank"))).cast("long")) // |targets|-sized boundary frame
       .select(col("ck"), col("thr"))
     val firstDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -2908,7 +2908,7 @@ object TextAnalysis {
       .filter(col("doc_id") <= col("thr"))
       .groupBy(col("ck"))
       .agg(count(lit(1)).as("n_docs"), expr("cast(sum(nt) as bigint)").as("n_tokens"))
-    val w4 = Window.orderBy(col("ck")) // |targets|-row checkpoint frame
+    val w4 = Window.orderBy(col("ck")) // |targets|-sized checkpoint frame
     prefix.join(vocab, "ck")
       .withColumn("new_tokens",
         col("vocab") - coalesce(lag(col("vocab"), 1).over(w4), lit(0L)))

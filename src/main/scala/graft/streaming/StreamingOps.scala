@@ -36,12 +36,31 @@ object StreamingOps {
     * Every local drive-to-completion site routes through here so the
     * split covers the whole streaming catalog.
     */
+  /** Progress-buffer retention while a metered query drains. The default
+    * (100) silently CAPS `recentProgress`, so a stream with more
+    * micro-batches would under-report execMs and batch count — inflating
+    * the "startup" share of the split. Raised to a bound none of the
+    * local drives approach (the longest catalog stream runs ~30 batches).
+    */
+  private val MeteredProgressRetention = "100000"
+
   private[graft] def drainAndMeter(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val t0 = System.nanoTime()
     val q = start
+    // Set immediately after start() returns (the session handle only
+    // exists once the query does). The retention conf is re-read at every
+    // progress APPEND and only trims when the buffer exceeds it, so the
+    // only way to lose an update is >100 completed batches before this
+    // line runs — start() returns before the first batch finishes.
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = q.sparkSession.conf.get(key)
+    q.sparkSession.conf.set(key, MeteredProgressRetention)
     try q.awaitTermination()
-    finally q.stop()
+    finally {
+      q.stop()
+      q.sparkSession.conf.set(key, prev)
+    }
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val prog = q.recentProgress
     val execMs = prog.iterator.map { p =>

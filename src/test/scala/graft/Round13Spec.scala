@@ -30,7 +30,11 @@ class Round13Spec extends SparkSuite {
   // global window must become a BucketRank two-phase (bucket-local rank +
   // broadcast bucket offsets) or a persisted artifact, never a single
   // partition.
-  private val sizeTag = ".*(-sized|[0-9]\\s*rows?\\b|\\brows?\\b).*".r
+  // "-sized" or a digit-adjacent row count ("10-row", "2^20-row", "50
+  // rows"). A bare "row"/"rows" token is NOT a size claim — "// one row
+  // per bucket" and incidental prose must fail, not pass (round-13
+  // ADVICE: the loose \brows?\b alternative accepted any such line).
+  private val sizeTag = ".*(-sized|[0-9](\\^[0-9]+)?\\s*-?\\s*rows?\\b).*".r
 
   private[graft] def windowOffense(l: String): Option[String] =
     if (l.toLowerCase.contains("corpus")) Some("CORPUS-ANNOTATED")
@@ -97,6 +101,14 @@ class Round13Spec extends SparkSuite {
       """    val w = Window.orderBy(col("x")) // 10-row frame""").isEmpty)
     assert(windowOffense(
       """    val w = Window.partitionBy() // vocab-sized frame""").isEmpty)
+    // vague prose containing a bare "row"/"rows" token is NOT a size
+    // claim (round-13 ADVICE: the old regex accepted these)
+    assert(windowOffense(
+      """    val w = Window.orderBy(col("x")) // one row per bucket""").isDefined)
+    assert(windowOffense(
+      """    val w = Window.orderBy(col("x")) // stamps rows in order""").isDefined)
+    assert(windowOffense(
+      """    val w = Window.orderBy(col("x")) // ≤2^20-row bucket frame""").isEmpty)
     // the fluent partitioned form is NOT in scope for this audit
     assert(!isUnpartitionedWindowDecl(
       """    val w = Window.partitionBy(col("g")).orderBy(col("x"))"""))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-14 hardening (round-13 ADVICE + verdict items).
+  *
+  *  - The staged r²_ppm readout (q414/q386) carries a LOUD overflow
+  *    envelope: Spark's `div` narrows to BIGINT while DuckDB's `//` stays
+  *    HUGEINT, so an out-of-envelope series used to DIVERGE (null/wrap vs
+  *    truncate) instead of failing. Both guard branches are replayed here
+  *    against planted moments, and the in-envelope arm is replayed
+  *    value-exact against driver-side BigInt math so the guard cannot
+  *    silently change the formula.
+  *  - renameColumn validates its inputs: a missing source column fails
+  *    loudly (real ALTER TABLE errors; withColumnRenamed silently no-ops
+  *    and still rewrites the table) and backticked identifiers rename the
+  *    intended column instead of "succeeding" without renaming.
+  *  - The empty-stage JDBC bounds probe: MIN/MAX over an empty table is
+  *    SQL NULL, which rs.getLong reports as 0 — the probe must detect it
+  *    via wasNull and fall back to a trivial single-partition read, not
+  *    fabricate a [0, 1) key range.
+  */
+class Round14Spec extends SparkSuite {
+
+  // ------------------------------------------ r2_ppm envelope guard
+  private def r2Frame(covN: String, varA: String, varB: String): DataFrame =
+    spark.range(1).selectExpr(
+      s"CAST($covN AS DECIMAL(38,0)) AS cov_n",
+      s"CAST($varA AS DECIMAL(38,0)) AS var_a",
+      s"CAST($varB AS DECIMAL(38,0)) AS var_b")
+
+  private def r2Of(covN: String, varA: String, varB: String): Long =
+    r2Frame(covN, varA, varB)
+      .selectExpr(s"${graft.operators.EventAnalytics.R2PpmStagedSql} AS r2_ppm")
+      .collect()(0).getLong(0) // 1-row planted-moment frame
+
+  test("r2_ppm staged form matches driver-side BigInt math in envelope") {
+    // genuine-moment shape: x=[1,2,3], y=[2,4,7] scaled by 1e6 per day
+    // (n=3, cov_n = n*Sxy - Sx*Sy, var likewise — C-S holds)
+    val s = BigInt(1000000)
+    val (n, sa, sb) = (BigInt(3), BigInt(6) * s, BigInt(13) * s)
+    val sab = BigInt(31) * s * s; val saa = BigInt(14) * s * s
+    val sbb = BigInt(69) * s * s
+    val cov = n * sab - sa * sb
+    val va = n * saa - sa * sa; val vb = n * sbb - sb * sb
+    val expected = (cov.abs * 1000000 / va) * cov.abs / vb
+    assert(r2Of(cov.toString, va.toString, vb.toString) === expected.toLong)
+    // perfectly correlated series: r2_ppm lands exactly at 1e6
+    assert(r2Of("8", "8", "8") === 1000000L)
+    assert(r2Of("0", "5", "7") === 0L)
+    assert(r2Of("3", "0", "7") === 0L) // degenerate variance short-circuits
+  }
+
+  test("r2_ppm fails LOUDLY beyond the 1e32 moment envelope") {
+    val big = "1" + "0" * 32 // 1e32
+    val e = intercept[Exception] { r2Of("5", big, "7") }
+    assert(e.getMessage.contains("r2_ppm envelope exceeded"))
+    val e2 = intercept[Exception] { r2Of(big, "7", "5") }
+    assert(e2.getMessage.contains("r2_ppm envelope exceeded"))
+  }
+
+  test("r2_ppm fails LOUDLY where the staged quotient would wrap BIGINT") {
+    // |cov|/var_a = 1e16 > 9e12: |cov|*1e6 div var_a would need 1e22 —
+    // far past Long.Max; pre-guard this wrapped/nulled while DuckDB kept
+    // truncating in HUGEINT (the round-13 ADVICE divergence)
+    val e = intercept[Exception] { r2Of("1" + "0" * 16, "1", "1" + "0" * 16) }
+    assert(e.getMessage.contains("r2_ppm envelope exceeded"))
+  }
+
+  // ------------------------------------------ renameColumn validation
+  test("renameColumn: missing source column fails loudly; backticks rename the real column") {
+    val t = "graft_r14_rename"
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+    spark.range(3).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").saveAsTable(t)
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.Warehouse.runStatements(spark,
+        Seq(s"ALTER TABLE $t RENAME COLUMN nope TO v2"))
+    }
+    assert(e.getMessage.contains("no such column"))
+    assert(spark.table(t).columns.toSeq === Seq("id", "v"), "failed rename must not rewrite")
+    // backticked identifiers used to be captured VERBATIM — withColumnRenamed
+    // then looked for a column literally named `v` and silently no-opd
+    graft.etl.Warehouse.runStatements(spark,
+      Seq(s"ALTER TABLE $t RENAME COLUMN `v` TO `v2`"))
+    assert(spark.table(t).columns.toSeq === Seq("id", "v2"))
+    graft.etl.Warehouse.dropManagedTable(spark, t)
+  }
+
+  // ------------------------------------------ empty-stage JDBC probe
+  test("jdbcPartitionedRead: empty stage falls back to a plain read instead of 0-bound ranges") {
+    val home = graft.core.Scratch.dir("derby_r14")
+    System.setProperty("derby.system.home", home)
+    val base = Map(
+      "url" -> s"jdbc:derby:$home/graftdb;create=true",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "orders_stage_empty")
+    spark.range(0).selectExpr("id AS o_orderkey")
+      .write.mode("overwrite").format("jdbc").options(base).save()
+    val df = graft.operators.EtlQueries.jdbcPartitionedRead(spark, base)
+    assert(df.count() === 0L)
+    assert(df.rdd.getNumPartitions === 1,
+      "empty stage must read through ONE trivial partition, not fabricated ranges")
+  }
+}
