@@ -68,6 +68,7 @@ object StreamingOps {
       if (v == null) 0L else v.longValue()
     }.sum
     StreamMetrics.record(wallMs, execMs, prog.length.toLong)
+    StateMetrics.record(q.name, prog)
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table and

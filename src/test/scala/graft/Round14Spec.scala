@@ -87,6 +87,44 @@ class Round14Spec extends SparkSuite {
     graft.etl.Warehouse.dropManagedTable(spark, t)
   }
 
+  // ------------------------------------------ streaming state laws
+  // The StateMetrics capture (StreamStateBench's instrument) pinned at
+  // fixture scale: resident state must follow KEY populations exactly —
+  // one row per stateful group/key — and stream-stream join state must
+  // be watermark-EVICTED, never retained for the stream's length. These
+  // are the laws the sf0.1/sf1 rehearsal in SCALE.md measures at scale;
+  // a state leak (rows tracking events past keys) fails here first.
+  private def stateOf(name: String): Seq[graft.streaming.StateMetrics.OperatorState] = {
+    graft.streaming.StateMetrics.clear()
+    SparkEntry.queries(name)(spark, sf).count()
+    graft.streaming.StateMetrics.drives.flatMap(_.operators)
+  }
+
+  test("streaming state is key-bounded: one row per user / per dedup key") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    val eventIds = ev.select("event_id").distinct().count()
+    val st46 = stateOf("q46_stream_stateful")
+    assert(st46.map(_.peakRows).sum === users,
+      "per-user stateful aggregation must hold EXACTLY one state row per user")
+    val st45 = stateOf("q45_stream_dedup")
+    assert(st45.map(_.peakRows).sum === eventIds,
+      "streaming dedup must hold EXACTLY one state row per distinct key")
+  }
+
+  test("stream-stream join state is watermark-bounded and evicted") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val joinSides = ev.filter(
+      org.apache.spark.sql.functions.col("event_type").isin("click", "purchase")).count()
+    val st = stateOf("q110_stream_stream_join")
+    val peak = st.map(_.peakRows).sum
+    val fin = st.map(_.finalRows).sum
+    assert(peak > 0L && peak <= joinSides,
+      "join state must buffer at most the click/purchase rows, never the whole stream")
+    assert(fin < peak,
+      "the terminal watermark advance must EVICT buffered join state")
+  }
+
   // ------------------------------------------ empty-stage JDBC probe
   test("jdbcPartitionedRead: empty stage falls back to a plain read instead of 0-bound ranges") {
     val home = graft.core.Scratch.dir("derby_r14")

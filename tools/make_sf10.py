@@ -2,25 +2,41 @@
 """Build the 100x scale-rehearsal dataset (SCALE.md "Measured at sf10").
 
 Same key-shift pattern as make_sf1.py but 100 replicas of sf0.1 into
-target/sf10 (~1.4 GB). This is a TARGETED rehearsal set for the heavy
-families (round-12 verdict item 1: q98/q194 fuzzy linkage, q401 NB build,
-q192 per-row AES, q235/q240/q314 index builds, q118 packing prefix sum) —
-NOT a full-catalog replica:
+target/sf10 (~1.4 GB). Round-14 rebuild (round-13 verdict item 1): the
+documents table now PRESERVES the planted-fixture invariants at 100
+replicas, so the dedup/LSH/fingerprint certificate families run at sf10:
 
-  - the planted-twin invariants (q30/q40/q133 rely on doc_id < 1e6 offsets
-    and doc_id % 1e6 uniqueness) are NOT preserved at 100 replicas
-    (doc_id += r*1e5 reaches 9.95e6 and collides mod 1e6 across r, r+10) —
-    do not run the planted-fixture queries against sf10;
-  - embeddings ARE replicated here (make_sf1 copies them as-is): vec_id
-    += r*1e4 and the vector is ROTATED by r%64 dimensions — norms and
-    within-replica geometry are preserved exactly while replicas point in
-    different directions, so the IVF/kNN builds see a genuinely 100x
-    corpus, not 100 coincident copies (which would measure the degenerate
-    all-duplicates regime, a different experiment).
+  - doc_id += r * 1e7 (round 13 used r * 1e5, which reached 9.95e6 and
+    collided mod 1e6 across replicas r, r+10). With 1e7 blocks every
+    planted offset the fixtures use (+5e5 truncated copy, +6e5 identical
+    copy, +1e6 twin) stays strictly inside its replica's block — no
+    cross-replica id collisions, and `doc_id % 1e6` still lands planted
+    ids on a real base doc (x < 5e3) for the metadata joins.
+  - text is REWRITTEN per replica by a bijective affine cipher on
+    'a'..'z' (replica 0 verbatim; replica r>0 maps letter i -> a*i+b mod
+    26 with distinct non-identity (a, b)). This is the documents analog
+    of the customer c_name rewrite below and the embeddings rotation:
+    100 replicas of IDENTICAL text would put ~100 docs in every minhash/
+    simhash band bucket and grow the candidate-pair work 100x per 10x
+    data — the all-duplicates SKEW regime, a different experiment
+    (make_sf1 deliberately keeps that regime at 10 copies as the
+    adversarial sf1 arm; SkewBench owns the extreme). The cipher
+    preserves length (n_chars stays exact), the space structure (tokens
+    per doc, token lengths), and the within-replica duplicate structure
+    (the base corpus's 8 exact-dup pairs stay dups inside every
+    replica), while replicas become textually distinct — vocabulary and
+    shingle space grow ~100x, the genuinely-bigger-corpus direction.
 
-customer c_name is rewritten to the shifted key (the make_sf1 argument:
-identical names would grow q98's blocks 100x and square the fuzzy-join
-work — that is a skew experiment, not a scale-up; SkewBench owns that).
+  - embeddings: vec_id += r*1e4 and the vector is ROTATED by r%64
+    dimensions — norms and within-replica geometry are preserved exactly
+    while replicas point in different directions, so the IVF/kNN builds
+    see a genuinely 100x corpus. Planted ANN twins live at vec_id + 1e6
+    and the max real id is 99e4+1999 < 1e6: twin invariants hold.
+  - customer: custkey += r*1e7 (NOT make_sf1's 1e8: at 100 replicas a
+    1e8 shift makes 10-digit keys, and lpad(...,9) TRUNCATES them —
+    colliding names grow q98/q194's prefix-16 blocks 10x and square the
+    fuzzy-join work). 1e7 keeps every key 9-digit, names unique, and the
+    block-size law identical to sf0.1/sf1.
 
 Usage: python3 tools/make_sf10.py   (driver-side tooling; duckdb required)
 """
@@ -29,6 +45,21 @@ import duckdb, shutil, os
 SRC = "/root/testdata/sf0.1"
 DST = "target/sf10"
 R = 100
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+# distinct non-identity affine maps i -> a*i + b (mod 26), a coprime to 26
+AFFINE = [(a, b) for a in (3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+          for b in range(26)]
+
+def doc_select(r: int) -> str:
+    shift = r * 10_000_000
+    if r == 0:
+        return f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet'"
+    a, b = AFFINE[r - 1]
+    tgt = "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+    return (f"SELECT doc_id + {shift} AS doc_id, "
+            f"translate(text, '{ALPHA}', '{tgt}') AS text, "
+            f"lang, source, n_chars FROM '{SRC}/documents.parquet'")
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -40,18 +71,11 @@ specs = {
     "orders": f"""SELECT o_orderkey + r.i * 1000000000 AS o_orderkey, o_custkey,
         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet', range({R}) r(i)""",
-    # r*1e7, NOT make_sf1's r*1e8: at 100 replicas an 1e8 shift makes
-    # 10-digit keys, and lpad(...,9) TRUNCATES them — colliding names grow
-    # q98/q194's prefix-16 blocks 10x and square the fuzzy-join work (a skew
-    # experiment, not a scale-up). 1e7 keeps every key 9-digit (max
-    # 99e7+15000 < 1e9), names unique, and the block-size law identical to
-    # sf0.1/sf1 (last two digits free inside a prefix block).
     "customer": f"""SELECT c_custkey + r.i * 10000000 AS c_custkey,
         'Customer#' || lpad(CAST(c_custkey + r.i * 10000000 AS VARCHAR), 9, '0') AS c_name,
         c_nationkey, c_acctbal, c_mktsegment
         FROM '{SRC}/customer.parquet', range({R}) r(i)""",
-    "documents": f"""SELECT doc_id + r.i * 100000 AS doc_id, text, lang, source, n_chars
-        FROM '{SRC}/documents.parquet', range({R}) r(i)""",
+    "documents": "\nUNION ALL\n".join(doc_select(r) for r in range(R)),
     "events": f"""SELECT event_id + r.i * 1000000000000 AS event_id, ts,
         user_id + r.i * 10000000 AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet', range({R}) r(i)""",
@@ -65,6 +89,28 @@ specs = {
 for t, q in specs.items():
     con.sql(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(t, con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0])
+
+# invariant self-checks: distinct ids, planted offsets clear of every base
+# block, per-replica text distinctness (cipher non-identity), n_chars exact
+DOCS = f"'{DST}/documents.parquet'"
+checks = {
+    "doc ids distinct": f"SELECT count(*) = count(DISTINCT doc_id) FROM {DOCS}",
+    "planted offsets stay in-block":
+        f"SELECT max(doc_id % 10000000) + 1000000 < 10000000 FROM {DOCS}",
+    "n_chars still exact": f"SELECT bool_and(n_chars = len(text)) FROM {DOCS}",
+    "replicas textually distinct":
+        f"""SELECT count(DISTINCT text) > 99 * (SELECT count(DISTINCT text)
+           FROM '{SRC}/documents.parquet') FROM {DOCS}""",
+    "within-replica dup pairs preserved":
+        f"""SELECT count(*) = 100 * (SELECT count(*) FROM (
+             SELECT text FROM '{SRC}/documents.parquet'
+             GROUP BY text HAVING count(*) > 1))
+           FROM (SELECT text FROM {DOCS} GROUP BY text HAVING count(*) > 1)""",
+}
+for name, sql in checks.items():
+    ok = con.sql(sql).fetchone()[0]
+    print(("OK  " if ok else "FAIL"), name)
+    assert ok, name
 
 for t in ["nation", "region", "part", "supplier"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
