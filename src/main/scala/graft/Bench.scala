@@ -47,11 +47,16 @@ object Bench {
     // Per query the pass with the smaller streaming wall wins — the same
     // min-across-passes de-noising rule as the headline times.
     val streamSplit = scala.collection.mutable.Map[String, (Double, Double, Long)]()
+    // per-query [external staging write, Spark remainder] — queries that
+    // stage through a non-Spark engine (q146's Derby) record the write in
+    // StageMetrics; min-total pass wins, same de-noising as streamSplit
+    val externalSplit = scala.collection.mutable.Map[String, (Double, Double)]()
     def runPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val sm0 = graft.streaming.StreamMetrics.snapshot
+        val xm0 = graft.etl.StageMetrics.snapshot
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
@@ -64,6 +69,9 @@ object Bench {
           ((sm1._1 - sm0._1) / 1000.0, (sm1._2 - sm0._2) / 1000.0, sm1._3 - sm0._3)
         if (nb > 0 && streamSplit.get(name).forall { case (s0, d0, _) => su + da < s0 + d0 })
           streamSplit(name) = (su, da, nb)
+        val xw = (graft.etl.StageMetrics.snapshot - xm0) / 1000.0
+        if (xw > 0 && externalSplit.get(name).forall { case (w0, r0) => dt < w0 + r0 })
+          externalSplit(name) = (xw, math.max(0.0, dt - xw))
         // defensive: no operator caches anymore (round 2), but any future one
         // must not bill its memory to later queries
         spark.catalog.clearCache()
@@ -121,6 +129,15 @@ object Bench {
         s"""{"queries":$ss,"metric":"stream_split","unit":"sec","note":"[startup,data,batches] per streaming query, min-wall pass"}"""
       }
     splitLine.foreach(println)
+    // Per-external-staging-query [external_write_sec, spark_sec] from the
+    // min-total pass — the appendix decomposition for declared external
+    // engines (q146's Derby stage).
+    if (externalSplit.nonEmpty) {
+      val xs = externalSplit.toSeq.sortBy(_._1).map { case (k, (w, r)) =>
+        "\"" + short(k) + "\":[" + ms(w) + "," + ms(r) + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"queries":$xs,"metric":"external_split","unit":"sec","note":"[external staging write, spark remainder] per externally-staged query, min-total pass"}""")
+    }
     minp.foreach(m => println(line("total_min", m)))
     // Truncation-independent record: the full per-query map also lands in a
     // FILE (round 5's stdout tail lost 80 of 222 per-query values), so the

@@ -106,19 +106,43 @@ object Similarity {
   val PlanesPerTable = 8
   val NumTables = 4
 
-  def lshBuckets(emb: DataFrame): DataFrame =
+  /** Hyperplane count sized to the corpus (round 14): 2^p buckets per
+    * table targeting ~64-vector mean occupancy, floored at the 2^8 the
+    * fixtures have always used (n ≤ 16k keeps p = 8, so every fixture SF
+    * is bit-unchanged). Identical vectors share signatures at ANY
+    * resolution, so the planted certificates (q35/q58/q84 twins) are
+    * resolution-independent by construction; what p controls is
+    * Σ bucket² — the pair-stage cost. A fixed p = 8 at sf10's 200k
+    * vectors meant ~780-vector buckets: ~6·10⁸ candidate pairs whose
+    * distinct-sort spilled out of disk, and over-cap buckets would have
+    * EVICTED the high-id planted twins (the skew cap keeps lowest ids).
+    * p = 12 there gives ~49-vector buckets, ~4·10⁷ pairs. This is the
+    * sizing a production LSH deployment does at ingest: resolution
+    * follows the corpus, the certificate does not.
+    */
+  private[graft] def planesFor(n: Long): Int = {
+    val targetBuckets = math.max(1L, n / 64L)
+    math.max(PlanesPerTable,
+      64 - java.lang.Long.numberOfLeadingZeros(targetBuckets - 1L))
+  }
+
+  def lshBuckets(emb: DataFrame): DataFrame = {
     // Signatures come from the native codegen'd expression
     // (graft.functions.LshBucketsExpr): the ±1 plane matrix is derived
     // in-loop from splitmix64 of the component index — identical on every
     // executor, zero broadcast state, no interpreted lambdas. (Two earlier
     // HOF formulations measured 22s and 4s at sf0.1; this one is <1s.)
+    // The corpus-count probe is one metadata-cheap aggregate per build —
+    // the same pre-flight a production index build runs to size itself.
+    val planes = planesFor(emb.count())
     emb
       .withColumn("ed", expr(toDouble))
       .withColumn("buckets",
         graft.functions.GraftFunctions.lshBuckets(emb.sparkSession,
-          col("embedding"), NumTables, PlanesPerTable))
+          col("embedding"), NumTables, planes))
       .select(col("vec_id"), col("ed"),
         posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+  }
 
   /** ANN top-k for `queryId`: candidates share any (table, bucket) with the
     * query, exact cosine re-rank inside candidates only.

@@ -152,13 +152,18 @@ object TextAnalysis {
   def q40Fingerprint(spark: SparkSession, d: String): DataFrame = {
     // ONE documents scan: twins are planted by exploding a per-row copy
     // list (not a second filtered scan), and the twin-collision certificate
-    // rides group minima/maxima over the shared (doc_id mod 1e6) key — a
-    // twin collides with its original iff its group's min and max hash
-    // agree (each group is exactly {original, twin}). The old
+    // rides group minima/maxima over a shared pairing key — a twin
+    // collides with its original iff its group's min and max hash agree
+    // (each group is exactly {original, twin}). The key maps a twin
+    // (base + 1e6) back to its base WITHIN its 10⁷-wide replica block:
+    // block·10⁶ + (doc_id mod 10⁶). A bare mod-10⁶ collapsed DIFFERENT
+    // replicas' (textually distinct) docs into one group at sf10 and
+    // falsified the certificate; at the fixture SFs (ids < 10⁶, one
+    // block) the key reduces to the original mod. The old
     // build-twins-then-join-back shape executed the fingerprint lineage
     // three times (6 documents scans).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id") % 1000000L)
+      .partitionBy(expr("doc_id div 10000000 * 1000000 + doc_id % 1000000"))
     val corpus = Tables.documents(spark, d)
       .select(col("doc_id"), col("text"))
       .select(explode(array(
@@ -175,9 +180,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("content_hash")).as("n_distinct_content_hash"),
         countDistinct(col("rolling_fp")).as("n_distinct_rolling_fp"),
-        count_if(col("doc_id") >= 1000000L && col("ch_twin_ok"))
+        // twins are the CLOSED planted range base+1e6 for base < 50 —
+        // the former open `>= 1e6` filter counted every replica-block
+        // doc (a singleton group is trivially min==max) at sf10
+        count_if(col("doc_id").between(1000000L, 1000049L) && col("ch_twin_ok"))
           .as("n_twin_hash_collisions"),
-        count_if(col("doc_id") >= 1000000L && col("fp_twin_ok"))
+        count_if(col("doc_id").between(1000000L, 1000049L) && col("fp_twin_ok"))
           .as("n_twin_fp_collisions"))
   }
 
@@ -1018,11 +1026,16 @@ object TextAnalysis {
           toks.mkString(" "))
       }
     }.toDF("doc_id", "n_tokens", "n_unk", "tokens")
+    // planted ids are a CLOSED range: the former open `> PlantBase` filter
+    // (and `< PlantBase` certificate) assumed corpus ids below 9e6, which
+    // the 100-replica sf10 id space (r·10⁷ + x) outgrew — real docs leaked
+    // into the detail rows and replicas escaped the UNK-free certificate
+    val isPlanted = col("doc_id").between(PlantBase + 1, PlantBase + 4)
     val cert = tokenized.agg(
       count(lit(1)).as("corpus_docs"),
-      (sum(when(col("doc_id") < PlantBase, col("n_unk")).otherwise(lit(0L)))
+      (sum(when(!isPlanted, col("n_unk")).otherwise(lit(0L)))
         === 0).as("corpus_unk_free"))
-    tokenized.filter(col("doc_id") > PlantBase)
+    tokenized.filter(isPlanted)
       .crossJoin(broadcast(cert))
       .orderBy(col("doc_id"))
   }

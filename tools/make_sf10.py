@@ -79,10 +79,21 @@ specs = {
     "events": f"""SELECT event_id + r.i * 1000000000000 AS event_id, ts,
         user_id + r.i * 10000000 AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet', range({R}) r(i)""",
+    # rotation + per-replica SIGN FLIPS (round 14): rotation alone produced
+    # 72k cross-replica EXACT-duplicate pairs at 100 replicas — the base
+    # vectors contain rotational partners (rot_k(u) = v), so replicas i, j
+    # with i - j aligned to k coincided. Flipping a replica-keyed LCG-bit
+    # sign per dimension is still ORTHOGONAL (norms and within-replica
+    # geometry exact) but de-correlates replicas: the sf10 corpus is 200k
+    # DISTINCT vectors (asserted below). Replica 0 stays verbatim.
     "embeddings": f"""SELECT vec_id + r.i * 10000 AS vec_id,
-        CAST(list_concat(embedding[(r.i % 64) + 1:],
-          CASE WHEN r.i % 64 = 0 THEN []::FLOAT[]
-               ELSE embedding[1:(r.i % 64)] END) AS FLOAT[]) AS embedding,
+        CAST(list_transform(
+          list_concat(embedding[(r.i % 64) + 1:],
+            CASE WHEN r.i % 64 = 0 THEN []::FLOAT[]
+                 ELSE embedding[1:(r.i % 64)] END),
+          (x, j) -> CASE WHEN r.i = 0 THEN x
+                         WHEN ((r.i * 64 + j) * 1103515245 + 12345) // 65536 % 2 = 0
+                           THEN x ELSE -x END) AS FLOAT[]) AS embedding,
         label
         FROM '{SRC}/embeddings.parquet', range({R}) r(i)""",
 }
@@ -107,6 +118,15 @@ checks = {
              GROUP BY text HAVING count(*) > 1))
            FROM (SELECT text FROM {DOCS} GROUP BY text HAVING count(*) > 1)""",
 }
+checks["replica vectors all distinct"] = (
+    f"""SELECT count(DISTINCT CAST(embedding AS VARCHAR)) = count(*)
+        FROM '{DST}/embeddings.parquet'""")
+checks["replica vector norms exact"] = (
+    f"""SELECT bool_and(abs(
+          list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)) -
+          list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))) < 1e-9)
+        FROM '{DST}/embeddings.parquet' a
+        JOIN '{SRC}/embeddings.parquet' b ON a.vec_id % 10000 = b.vec_id""")
 for name, sql in checks.items():
     ok = con.sql(sql).fetchone()[0]
     print(("OK  " if ok else "FAIL"), name)
