@@ -108,7 +108,10 @@ class Round10Spec extends SparkSuite {
   // invisible to the line-level audit.
   private val harnessFiles = Set("Bench.scala", "SkewBench.scala",
     "SkewBenchPacking.scala", "SkewBenchWinnow.scala",
-    "SkewBenchSubstring.scala", "SkewBenchIndex.scala")
+    "SkewBenchSubstring.scala", "SkewBenchIndex.scala",
+    // round 14: the streaming state-scale rehearsal main — its collect is
+    // the 1-row key-population denominator readout
+    "StreamStateBench.scala")
 
   test("collect inventory: every driver materialization is size-audited") {
     val root = java.nio.file.Paths.get("src/main/scala")
