@@ -57,8 +57,14 @@ object StreamStateBench {
       s"""{"sf":"$sfDir","events":${denom.getLong(0)},"users":${denom.getLong(1)},""" +
         s""""event_ids":${denom.getLong(2)},"hour_type_groups":${denom.getLong(3)}}""")
 
+    // SPARK_GRAFT_BENCH_ONLY=q44_...,q45_... restricts the drive — at sf10
+    // each heavy stateful query gets its OWN JVM: the HDFS-backed provider
+    // retains finished queries' state maps on-heap until maintenance
+    // unloads them, so back-to-back multi-query drives conflate footprints
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val fns = SparkEntry.queries
-    Stateful.foreach { name =>
+    Stateful.filter(n => only.forall(_.contains(n))).foreach { name =>
       graft.streaming.StateMetrics.clear()
       val rows = fns(name)(spark, sfDir).count()
       val drives = graft.streaming.StateMetrics.drives

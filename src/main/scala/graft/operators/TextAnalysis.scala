@@ -1003,6 +1003,33 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Count-only WordPiece: token count, or -1 on a dead end ([UNK]).
+    * The organic-corpus pass needs ONLY (n_tokens, n_unk) — the per-token
+    * strings survive the planted filter for 4 docs out of the corpus — so
+    * the hot loop never allocates token arrays, `mkString` strings, or the
+    * per-trial `"##" + sub` concat (continuations match against a
+    * pre-stripped set). Segmentation is the same greedy longest-match;
+    * equivalence to [[wordpiece]] is pinned in Round14Spec.
+    */
+  def wordpieceCount(word: String, prefix: Set[String], cont: Set[String],
+      maxLen: Int): Int = {
+    var n = 0
+    var start = 0
+    while (start < word.length) {
+      var end = math.min(word.length, start + maxLen)
+      val inVocab = if (start == 0) prefix else cont
+      var len = -1
+      while (end > start && len < 0) {
+        if (inVocab.contains(word.substring(start, end))) len = end - start
+        else end -= 1
+      }
+      if (len < 0) return -1
+      n += 1
+      start = end
+    }
+    n
+  }
+
   private val PlantBase = 9000000L
 
   def q133WordpieceTokenize(spark: SparkSession, d: String): DataFrame = {
@@ -1017,13 +1044,31 @@ object TextAnalysis {
     val vocabB = spark.sparkContext.broadcast(WordpieceVocab.toSet)
     val tokenized = docs.as[(Long, String)].mapPartitions { it =>
       val vocab = vocabB.value
-      val maxLen = vocab.iterator
-        .map(t => if (t.startsWith("##")) t.length - 2 else t.length).max
+      val prefix = vocab.filterNot(_.startsWith("##"))
+      val cont = vocab.collect { case t if t.startsWith("##") => t.substring(2) }
+      val maxLen = (prefix.iterator.map(_.length) ++ cont.iterator.map(_.length)).max
       it.map { case (id, text) =>
-        val toks = text.split(' ').iterator.filter(_.nonEmpty)
-          .flatMap(w => wordpiece(w, vocab, maxLen)).toArray
-        (id, toks.length.toLong, toks.count(_ == "[UNK]").toLong,
-          toks.mkString(" "))
+        if (id >= PlantBase + 1 && id <= PlantBase + 4) {
+          // planted detail rows: full segmentation strings (exactly 4 docs;
+          // CLOSED range — organic sf10 replica ids exceed PlantBase)
+          val toks = text.split(' ').iterator.filter(_.nonEmpty)
+            .flatMap(w => wordpiece(w, vocab, maxLen)).toArray
+          (id, toks.length.toLong, toks.count(_ == "[UNK]").toLong,
+            toks.mkString(" "))
+        } else {
+          // organic corpus: count-only — no token arrays, no mkString
+          var n = 0L; var unk = 0L
+          val words = text.split(' ')
+          var i = 0
+          while (i < words.length) {
+            if (words(i).nonEmpty) {
+              val c = wordpieceCount(words(i), prefix, cont, maxLen)
+              if (c < 0) { n += 1; unk += 1 } else n += c
+            }
+            i += 1
+          }
+          (id, n, unk, "")
+        }
       }
     }.toDF("doc_id", "n_tokens", "n_unk", "tokens")
     // planted ids are a CLOSED range: the former open `> PlantBase` filter

@@ -100,6 +100,37 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Like [[runToMemory]] but the sink is a parquet scratch directory via
+    * `foreachBatch` — for streams whose output is KEY-LINEAR (one row per
+    * session/key), where the memory sink is an anti-scale pattern: it
+    * collects every result row into DRIVER memory. The sf10 rehearsal
+    * demonstrated it — q44's 9.5M-session table broke
+    * `spark.driver.maxResultSize` at 100× data while the executors were
+    * fine. Complete-mode batches overwrite (the last batch IS the result);
+    * append-mode batches accumulate — same observable semantics as the
+    * memory sink, but rows flow executor→disk and the driver never holds
+    * the result. This is the local stand-in for the production sink
+    * (files/table), not a harness shortcut.
+    */
+  def runToScratch(spark: SparkSession, stream: DataFrame, name: String,
+                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, LocalStreamShufflePartitions)
+    val dir = graft.core.Scratch.dir(s"stream_out_$name")
+    val saveMode = if (mode == OutputMode.Append()) "append" else "overwrite"
+    try {
+      drainAndMeter(stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(saveMode).parquet(dir)
+        }
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    } finally spark.conf.set(key, prev)
+    spark.read.schema(stream.schema).parquet(dir)
+  }
+
   /** Streaming tumbling-window aggregation with a 10-minute watermark —
     * twin of EventTime.q23 and checked against the same DuckDB oracle.
     * (With complete output the watermark does not drop anything here; it
@@ -116,14 +147,17 @@ object StreamingOps {
       .orderBy(col("ws"), col("event_type"))
   }
 
-  /** Streaming session windows (30-minute gap) — twin of EventTime.q25. */
+  /** Streaming session windows (30-minute gap) — twin of EventTime.q25.
+    * One output row per SESSION (key-linear): sinks through
+    * [[runToScratch]], never the driver-resident memory sink.
+    */
   def q44StreamSession(spark: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(spark, d)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         graft.core.Exact.dsum(col("value")).as("total"))
-    runToMemory(spark, agg, s"stream_session_${System.nanoTime()}")
+    runToScratch(spark, agg, s"stream_session_${System.nanoTime()}")
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total"))
       .orderBy(col("user_id"), col("session_start"))
@@ -138,7 +172,8 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"))
-    runToMemory(spark, deduped, s"stream_dedup_${System.nanoTime()}", OutputMode.Append())
+    // key-linear append output (one row per distinct event): scratch sink
+    runToScratch(spark, deduped, s"stream_dedup_${System.nanoTime()}", OutputMode.Append())
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
@@ -458,7 +493,8 @@ object StreamingOps {
       .as[UserEvent]
     val sessions = sessionize(spark, stream, gapMinutes = 30L)
     val name = s"sessionize_${System.nanoTime()}"
-    runToMemory(spark, sessions.toDF(), name, OutputMode.Append())
+    // one row per closed session (key-linear) → scratch sink, not driver
+    runToScratch(spark, sessions.toDF(), name, OutputMode.Append())
       .orderBy(col("user_id"), col("session_start"))
   }
 

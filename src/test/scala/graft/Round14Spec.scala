@@ -171,6 +171,26 @@ class Round14Spec extends SparkSuite {
     assert(e.getMessage.contains("LIE"))
   }
 
+  // ------------------------------------------ wordpiece count-only path
+  test("wordpieceCount agrees with wordpiece on every segmentation class") {
+    import graft.operators.TextAnalysis
+    val vocab = TextAnalysis.WordpieceVocab.toSet
+    val prefix = vocab.filterNot(_.startsWith("##"))
+    val cont = vocab.collect { case t if t.startsWith("##") => t.substring(2) }
+    val maxLen = (prefix.iterator.map(_.length) ++ cont.iterator.map(_.length)).max
+    val rng = new scala.util.Random(14)
+    val letters = "abcdefghijklmnopqrstuvwxyz4"
+    val words = Seq("customer", "streaming", "the", "zzqx", "spark4me", "a") ++
+      (1 to 500).map(_ => (1 to (1 + rng.nextInt(12)))
+        .map(_ => letters(rng.nextInt(letters.length))).mkString)
+    words.foreach { w =>
+      val full = TextAnalysis.wordpiece(w, vocab, maxLen)
+      val fast = TextAnalysis.wordpieceCount(w, prefix, cont, maxLen)
+      val expected = if (full == Seq("[UNK]")) -1 else full.length
+      assert(fast === expected, s"word '$w': wordpiece=$full, count=$fast")
+    }
+  }
+
   // ------------------------------------------ empty-stage JDBC probe
   test("jdbcPartitionedRead: empty stage falls back to a plain read instead of 0-bound ranges") {
     val home = graft.core.Scratch.dir("derby_r14")
