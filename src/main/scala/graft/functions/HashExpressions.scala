@@ -168,6 +168,62 @@ object TextKernels {
     val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
     org.apache.spark.unsafe.types.UTF8String.fromString(Marks.matcher(nfd).replaceAll(""))
   }
+
+  /** Number of BPE-ish tokens — matches of `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]`
+    * — in ONE zero-allocation byte scan. `size(regexp_extract_all(...))`
+    * materializes every matched token into an array only to take its
+    * length; at corpus scale that is pure constant waste (q39's dominant
+    * cost at sf10). Run-starts are counted for the letter/digit classes
+    * (the regex alternation is greedy, so matches are maximal runs); every
+    * other character is its own single-char token. Non-ASCII code points
+    * are counted once via their UTF-8 LEAD byte (continuation bytes
+    * `10xxxxxx` are skipped), exactly as a per-character regex sees them.
+    * Equivalence to the regex form is pinned in Round14Spec.
+    */
+  def bpeTokenCount(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes
+    var i = 0
+    var count = 0L
+    var prevCls = 0 // 0 = boundary, 1 = in letter run, 2 = in digit run
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII byte
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+          if (prevCls != 1) count += 1
+          prevCls = 1
+        } else if (b >= '0' && b <= '9') {
+          if (prevCls != 2) count += 1
+          prevCls = 2
+        } else if (b == ' ') {
+          prevCls = 0
+        } else { // ASCII punctuation/control: its own token
+          count += 1
+          prevCls = 0
+        }
+      } else { // non-ASCII: count the code point once, at its lead byte
+        if ((b & 0xC0) != 0x80) count += 1
+        prevCls = 0
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** Number of single-space-split fields = (' ' bytes) + 1 — the
+    * `size(split(text, ' '))` count (both engines keep empty fields)
+    * without materializing the substring array. ' ' is a single ASCII
+    * byte, so a byte scan is exact for any UTF-8 payload.
+    */
+  def wsTokenCount(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes
+    var i = 0
+    var count = 1L
+    while (i < n) {
+      if (s.getByte(i) == ' ') count += 1
+      i += 1
+    }
+    count
+  }
 }
 
 object VectorKernels {
@@ -282,6 +338,28 @@ case class AccentFoldExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** bpe_token_count(string) → bigint (one-pass regex-free token count) */
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeTokenCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels$$.MODULE$$.bpeTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+/** ws_token_count(string) → bigint (split-on-space field count, no array) */
+case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wsTokenCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels$$.MODULE$$.wsTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCountExpr =
+    copy(child = newChild)
+}
+
 /** Constructor-argument extraction for the SQL registration paths: the
   * size/count parameters are expression-tree constants, so they must be
   * foldable literals — a column reference or wrong-typed literal gets a
@@ -343,6 +421,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_fold_accents"),
       info("graft_fold_accents"),
       (exprs: Seq[Expression]) => AccentFoldExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count"),
+      (exprs: Seq[Expression]) => BpeTokenCountExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_ws_token_count"),
+      info("graft_ws_token_count"),
+      (exprs: Seq[Expression]) => WsTokenCountExpr(exprs.head)))
   }
 }
 
@@ -373,6 +457,20 @@ object GraftFunctions {
       exprs => CountMinEstimateExpr(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fold_accents",
       exprs => AccentFoldExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bpe_token_count",
+      exprs => BpeTokenCountExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ws_token_count",
+      exprs => WsTokenCountExpr(exprs.head), "scala_udf")
+  }
+
+  def bpeTokenCount(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_bpe_token_count", s)
+  }
+
+  def wsTokenCount(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_ws_token_count", s)
   }
 
   def foldAccents(spark: SparkSession, s: Column): Column = {

@@ -104,14 +104,21 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- q39
-  /** Token counting, whitespace + BPE-ish regex segmentation (letter runs /
-    * digit runs / single other), aggregated per source.
+  /** Token counting, whitespace + BPE-ish segmentation (letter runs /
+    * digit runs / single other), aggregated per source. Both counts run
+    * through native one-pass codegen'd kernels
+    * (`TextKernels.{wsTokenCount,bpeTokenCount}`) — the former
+    * `size(split(...))` / `size(regexp_extract_all(...))` forms
+    * materialized every token of every document into an array only to
+    * take its length. The DuckDB oracle keeps the regex/split replay,
+    * which is the standing proof the countings agree.
     */
   def q39TokenCount(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("ws_tokens",
+        graft.functions.GraftFunctions.wsTokenCount(spark, col("text")))
       .withColumn("re_tokens",
-        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast("long"))
+        graft.functions.GraftFunctions.bpeTokenCount(spark, col("text")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2340,9 +2347,8 @@ object TextAnalysis {
   def q274TokenizerFertility(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("lang"),
-        size(split(col("text"), " ")).cast("long").as("w"),
-        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-          .cast("long").as("st"),
+        graft.functions.GraftFunctions.wsTokenCount(spark, col("text")).as("w"),
+        graft.functions.GraftFunctions.bpeTokenCount(spark, col("text")).as("st"),
         length(col("text")).cast("long").as("ch"),
         expr("octet_length(text)").cast("long").as("by"))
       .groupBy(col("lang"))

@@ -191,6 +191,35 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------ one-pass token-count kernels
+  test("bpe/ws token-count kernels agree with the regex/split forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      "the quick brown fox", "abc123def", "a1b2c3", "  leading",
+      "trailing  ", "two  spaces", "", " ", "...", "a.b,c;d",
+      "mixed CASE Words", "42 is 6x7!", "café naïve", // 2-byte UTF-8
+      "日本語 テスト",                   // 3-byte UTF-8
+      "emoji 😀 end",                                  // 4-byte UTF-8
+      "tab\tsep", "newline\nsep", "a-b_c", "(parens) [brackets]",
+      "12345", "!!!???", "x") ++
+      (1 to 200).map { i =>
+        val rng = new scala.util.Random(i)
+        (1 to rng.nextInt(40)).map(_ =>
+          "abcXYZ019 .,!é世".charAt(rng.nextInt(15))).mkString
+      }
+    val df = cases.toDF("text").select(
+      graft.functions.GraftFunctions.bpeTokenCount(spark, col("text")).as("bpe_fast"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .cast("long").as("bpe_ref"),
+      graft.functions.GraftFunctions.wsTokenCount(spark, col("text")).as("ws_fast"),
+      size(split(col("text"), " ")).cast("long").as("ws_ref"),
+      col("text"))
+    val bad = df.filter(col("bpe_fast") =!= col("bpe_ref") ||
+      col("ws_fast") =!= col("ws_ref")).collect() // tiny fixture frame
+    assert(bad.isEmpty, s"kernel/regex disagreement: ${bad.mkString("; ")}")
+  }
+
   // ------------------------------------------ empty-stage JDBC probe
   test("jdbcPartitionedRead: empty stage falls back to a plain read instead of 0-bound ranges") {
     val home = graft.core.Scratch.dir("derby_r14")
