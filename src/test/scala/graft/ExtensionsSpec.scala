@@ -62,6 +62,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val foldedStr = spark.sql(
         "SELECT graft_fold_accents('Café Zürich') AS f").collect()(0).getString(0)
       assert(foldedStr == "Cafe Zurich")
+      val bpe = spark.sql(
+        "SELECT graft_bpe_token_count('ab1 cd!é') AS n").collect()(0).getLong(0)
+      assert(bpe == 5L) // 'ab' '1' 'cd' '!' 'é'
+      val ws = spark.sql(
+        "SELECT graft_ws_token_count('a  b c') AS n").collect()(0).getLong(0)
+      assert(ws == 4L) // split keeps the empty middle field
       // size parameters must be literals — a column reference gets a clear
       // error naming the function, not a ClassCastException
       val err = intercept[Exception] {
