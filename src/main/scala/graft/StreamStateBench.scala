@@ -36,6 +36,7 @@ object StreamStateBench {
     "q45_stream_dedup",
     "q46_stream_stateful",
     "q52_stream_sliding_window",
+    "q87_stream_sessionize",
     "q110_stream_stream_join",
     "q143_stream_outer_join")
 

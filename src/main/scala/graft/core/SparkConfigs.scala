@@ -64,20 +64,30 @@ object SparkConfigs {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    // Streaming state-store provider. The default HDFS-backed store keeps
-    // every loaded state map ON-HEAP (UnsafeRow pairs in a ConcurrentHashMap,
-    // ~2 retained versions per store) — measured at the sf10 rehearsal, a
-    // 10M-key stateful query GC-thrashes a 64 GB heap. RocksDB moves resident
-    // state off-heap with changelog-style deltas; at 100 TB / 1000 executors
-    // it is the only provider whose memory is bounded independently of key
-    // count. Opt-in via env so fixture-scale runs (and the DuckDB oracle
-    // gate) keep the stock provider: SPARK_GRAFT_STATE_PROVIDER=rocksdb.
-    val withState = sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
-      case Some("rocksdb") => b.config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => b
-    }
+    val withState = stateProviderClass(sys.env.get("SPARK_GRAFT_STATE_PROVIDER"))
+      .fold(b)(b.config("spark.sql.streaming.stateStore.providerClass", _))
     applyScaleDefaults(withState).getOrCreate()
   }
+
+  /** Streaming state-store provider resolution. The default HDFS-backed
+    * store keeps every loaded state map ON-HEAP (UnsafeRow pairs in a
+    * ConcurrentHashMap, ~2 retained versions per store) — measured at the
+    * sf10 rehearsal, a 10M-key stateful query GC-thrashes a 64 GB heap.
+    * RocksDB moves resident state off-heap with changelog-style deltas; at
+    * 100 TB / 1000 executors it is the only provider whose memory is
+    * bounded independently of key count. Opt-in via env so fixture-scale
+    * runs (and the DuckDB oracle gate) keep the stock provider:
+    * SPARK_GRAFT_STATE_PROVIDER=rocksdb. Values are trimmed and
+    * case-normalized, and an UNRECOGNIZED value fails fast — a typo at a
+    * 100×-scale rehearsal must not silently fall back to the on-heap
+    * provider and defeat the memory-bounding intent. Pinned in Round15Spec.
+    */
+  private[graft] def stateProviderClass(raw: Option[String]): Option[String] =
+    raw.map(_.trim.toLowerCase) match {
+      case Some("rocksdb") => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Some("hdfs") | Some("") | None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PROVIDER='$other' is not recognized (expected 'rocksdb' or 'hdfs')")
+    }
 }

@@ -1024,11 +1024,18 @@ object TextAnalysis {
     var start = 0
     while (start < word.length) {
       var end = math.min(word.length, start + maxLen)
-      val inVocab = if (start == 0) prefix else cont
       var len = -1
       while (end > start && len < 0) {
-        if (inVocab.contains(word.substring(start, end))) len = end - start
-        else end -= 1
+        val sub = word.substring(start, end)
+        // start==0 consults the FULL vocab (prefix ∪ "##"+cont), exactly as
+        // [[wordpiece]] does with cand=sub — a word literally starting with
+        // "##" may match a continuation entry as its first token.
+        val hit =
+          if (start == 0)
+            prefix.contains(sub) ||
+              (sub.startsWith("##") && cont.contains(sub.substring(2)))
+          else cont.contains(sub)
+        if (hit) len = end - start else end -= 1
       }
       if (len < 0) return -1
       n += 1

@@ -107,10 +107,13 @@ object StreamingOps {
     * demonstrated it — q44's 9.5M-session table broke
     * `spark.driver.maxResultSize` at 100× data while the executors were
     * fine. Complete-mode batches overwrite (the last batch IS the result);
-    * append-mode batches accumulate — same observable semantics as the
-    * memory sink, but rows flow executor→disk and the driver never holds
-    * the result. This is the local stand-in for the production sink
-    * (files/table), not a harness shortcut.
+    * append-mode batches accumulate under per-batchId epoch directories —
+    * same observable semantics as the memory sink, but rows flow
+    * executor→disk, the driver never holds the result, and a replayed
+    * micro-batch (failure between sink write and checkpoint commit)
+    * overwrites its own epoch instead of double-appending. This is the
+    * local stand-in for the production sink (files/table), not a harness
+    * shortcut; the replay-idempotence law is pinned in Round15Spec.
     */
   def runToScratch(spark: SparkSession, stream: DataFrame, name: String,
                    mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -118,17 +121,35 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, LocalStreamShufflePartitions)
     val dir = graft.core.Scratch.dir(s"stream_out_$name")
-    val saveMode = if (mode == OutputMode.Append()) "append" else "overwrite"
+    val append = mode == OutputMode.Append()
     try {
       drainAndMeter(stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(saveMode).parquet(dir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeScratchBatch(batch, batchId, dir, append)
         }
         .outputMode(mode)
+        .queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start())
     } finally spark.conf.set(key, prev)
-    spark.read.schema(stream.schema).parquet(dir)
+    val reader = spark.read.schema(stream.schema)
+    if (append) reader.option("recursiveFileLookup", "true").parquet(dir)
+    else reader.parquet(dir)
+  }
+
+  /** The per-micro-batch scratch writer behind [[runToScratch]]'s
+    * foreachBatch. Exactly-once under retries: a foreachBatch sink is
+    * at-least-once (a failure between the batch write and the checkpoint
+    * commit replays the batch). Complete mode is naturally idempotent (the
+    * last batch overwrites the whole dir and IS the result); append mode
+    * keys each batch to its own epoch directory so a re-delivered batchId
+    * overwrites its previous attempt instead of double-appending. The
+    * forced-replay law is pinned in Round15Spec.
+    */
+  private[graft] def writeScratchBatch(batch: DataFrame, batchId: Long,
+      dir: String, append: Boolean): Unit = {
+    val target = if (append) s"$dir/batch_$batchId" else dir
+    batch.write.mode("overwrite").parquet(target)
   }
 
   /** Streaming tumbling-window aggregation with a 10-minute watermark —

@@ -180,9 +180,14 @@ class Round14Spec extends SparkSuite {
     val maxLen = (prefix.iterator.map(_.length) ++ cont.iterator.map(_.length)).max
     val rng = new scala.util.Random(14)
     val letters = "abcdefghijklmnopqrstuvwxyz4"
-    val words = Seq("customer", "streaming", "the", "zzqx", "spark4me", "a") ++
+    // '#'-leading words exercise the start==0 full-vocab rule: a word that
+    // literally begins with "##" may match a continuation entry first.
+    val words = Seq("customer", "streaming", "the", "zzqx", "spark4me", "a",
+      "##ing", "##ings", "##zz", "#the", "##", "###s") ++
       (1 to 500).map(_ => (1 to (1 + rng.nextInt(12)))
-        .map(_ => letters(rng.nextInt(letters.length))).mkString)
+        .map(_ => letters(rng.nextInt(letters.length))).mkString) ++
+      (1 to 200).map(_ => (1 to (1 + rng.nextInt(10)))
+        .map(_ => "abc#"(rng.nextInt(4))).mkString)
     words.foreach { w =>
       val full = TextAnalysis.wordpiece(w, vocab, maxLen)
       val fast = TextAnalysis.wordpieceCount(w, prefix, cont, maxLen)
