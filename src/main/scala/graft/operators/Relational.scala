@@ -1241,8 +1241,20 @@ object Relational {
     * iterate-to-fixpoint shape q97's connected components hand-rolls, but
     * engine-managed). The walk is a binary tree over custkeys (children
     * 2k/2k+1), so depth counts/sums have a closed form the oracle pins and
-    * the recursion genuinely iterates log₂(n) times. DuckDB runs the
-    * textually identical statement — SQL-standard semantics on both sides.
+    * the recursion genuinely iterates log₂(n) times.
+    *
+    * Scale shape (round-15 fix, caught by the sf10 rehearsal): the
+    * child-edge condition is spelled `c_custkey DIV 2 = k` rather than the
+    * equivalent `c_custkey = 2k OR c_custkey = 2k+1` — an OR of equalities
+    * is not an equi-join to Catalyst, so every recursion step planned a
+    * broadcast-NESTED-LOOP of frontier × customer: ~10¹² comparisons at
+    * the sf10 replica (385 s; the widest frontier is ~half the key space
+    * against 1.5M customers). The DIV form hash-joins each step —
+    * 385.8 → 7.9 s at sf10, 25.8 → 8.4 s at sf1: the per-iteration fixed
+    * cost now dominates and the walk is ~flat per 10×. Same predicate
+    * algebraically (both keys positive; 1 DIV 2 = 0 matches no frontier);
+    * the oracle keeps the OR spelling, so the two engines pin the
+    * semantics from both forms.
     */
   def q137RecursiveCte(spark: SparkSession, d: String): DataFrame = {
     Tables.customer(spark, d).createOrReplaceTempView("customer_rec")
@@ -1252,7 +1264,7 @@ object Relational {
            UNION ALL
            SELECT c.c_custkey, w.depth + 1
            FROM walk w JOIN customer_rec c
-             ON c.c_custkey = w.k * 2 OR c.c_custkey = w.k * 2 + 1)
+             ON c.c_custkey DIV 2 = w.k)
          SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM walk GROUP BY depth ORDER BY depth""")
   }
