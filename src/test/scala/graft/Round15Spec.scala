@@ -65,6 +65,20 @@ class Round15Spec extends SparkSuite {
     assert(e.getMessage.contains("not recognized"))
   }
 
+  // -------------------------------------- recursive CTE stays an equi-join
+  test("q137: every recursion step hash-joins, never nested-loop") {
+    // The sf10 rehearsal caught the OR-of-equalities spelling planning a
+    // broadcast nested-loop of frontier x customer per step (385.8 s at
+    // 100x vs 7.9 s hash-joined). The DIV-form predicate must stay an
+    // equi-join to Catalyst; a regression reintroduces a silent
+    // 100x-scale killer invisible at fixture scale.
+    val df = graft.operators.Relational.q137RecursiveCte(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "recursion step degraded to nested-loop:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   // -------------------------------------- scratch drives carry query names
   test("runToScratch drives record a non-null query name in StateMetrics") {
     graft.streaming.StateMetrics.clear()

@@ -18,10 +18,10 @@ SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_STATE_PROVIDER=rocksdb \
 for q in $HEAVY; do
   for prov in hdfs rocksdb; do
     echo "[state] sf10 $q $prov ($(date +%H:%M:%S))"
-    SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_BENCH_ONLY="$q" \
+    { time SPARK_GRAFT_SF_DIR=target/sf10 SPARK_GRAFT_BENCH_ONLY="$q" \
       SPARK_GRAFT_STATE_PROVIDER=$prov \
-      /usr/bin/time -v sbt -batch "runMain graft.StreamStateBench" \
-      > /tmp/state_sf10_${q}_${prov}.log 2>&1
+      sbt -batch "runMain graft.StreamStateBench" \
+      > /tmp/state_sf10_${q}_${prov}.log 2>&1 ; } 2> /tmp/state_sf10_${q}_${prov}.time
   done
 done
 echo "[state] done"
