@@ -36,6 +36,29 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
 
+    // Host canary (round-15 verdict item 1): a CONSTANT synthetic workload
+    // — sf-independent, data-independent, identical every round — timed at
+    // session start and end, so every cross-round comparison carries its
+    // own contention index. The driver bench window has inflated the
+    // catalog s/query 0.773 → 1.457 across four rounds on code that
+    // same-window A/Bs place at ≤1.04× of r13; the canary makes that
+    // attribution mechanical: catalog drift WITHOUT canary drift is code,
+    // catalog drift WITH matching canary drift is the host. One map-side
+    // sum (pure CPU/codegen) plus one small shuffle, ~1–2 s uncontended.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      // xxhash64 + modulo keeps the ANSI-mode sum far from Long range
+      // (a raw multiply-sum overflow-throws at 2e8 rows)
+      spark.range(0L, 200000000L, 1, 32)
+        .selectExpr("sum(xxhash64(id) % 100000) AS s").collect()
+      spark.range(0L, 8000000L, 1, 32)
+        .selectExpr("id % 1024 AS k").groupBy("k").count()
+        .selectExpr("sum(count) AS n").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // untimed: pay codegen/JIT once so start and end are comparable
+    val canaryStart = canary()
+
     // SPARK_GRAFT_BENCH_ONLY=q98_...,q97_... restricts the pass to named
     // queries — for targeted scale rehearsals; unset = the full catalog.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -167,7 +190,8 @@ object Bench {
     val probes = record.filterNot(_._1.contains("_build_")).map(_._2).sum
     val streamStartup = streamSplit.values.map(_._1).sum
     val streamData = streamSplit.values.map(_._2).sum
-    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total_builds":${ms(builds)},"total_probes":${ms(probes)},"stream_startup":${ms(streamStartup)},"stream_data":${ms(streamData)},"total":${ms(cold.map(_._2).sum)}}""")
+    val canaryEnd = canary()
+    println(s"""{"metric":"bench_summary","n_queries":${cold.size},"total_warm":$warmTotal,"total_min":$minTotal,"total_builds":${ms(builds)},"total_probes":${ms(probes)},"stream_startup":${ms(streamStartup)},"stream_data":${ms(streamData)},"canary_start":${ms(canaryStart)},"canary_end":${ms(canaryEnd)},"total":${ms(cold.map(_._2).sum)}}""")
     spark.stop()
   }
 }

@@ -6,8 +6,11 @@ import java.util.concurrent.atomic.AtomicBoolean
 /** Process-wide scratch-directory manager for queries that need a local
   * interchange directory (JSONL/ORC/CSV round-trips).
   *
-  * One directory per key, reused across invocations (writers run with
-  * `mode("overwrite")`, so reuse replaces rather than accumulates), and ONE
+  * One directory per key, reused across invocations (batch writers run with
+  * `mode("overwrite")`, so reuse replaces rather than accumulates; the one
+  * accumulating caller — the append-mode stream sink, which keys epochs to
+  * per-batch subdirectories — calls [[clearDir]] at run start so a reused
+  * key never resurrects a prior run's epochs), and ONE
   * JVM shutdown hook for all of them — a long-lived session that invokes the
   * round-trip queries repeatedly neither leaks corpus-sized copies in /tmp
   * nor registers an unbounded number of hooks.
@@ -24,6 +27,23 @@ object Scratch {
         dirs.values.foreach(p => scala.util.Try(deleteRecursively(p)))))
     }
     dirs.getOrElseUpdate(key, Files.createTempDirectory(s"graft-$key")).toString
+  }
+
+  /** Empty `dir`'s contents without removing the directory itself (the
+    * registry caches the Path, so the mapping stays valid). Append-mode
+    * stream sinks call this at run start: they accumulate per-batch epoch
+    * subdirectories rather than overwriting, so a reused key must not read
+    * back a prior invocation's epochs.
+    */
+  def clearDir(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.isDirectory(root)) {
+      val children = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        children.iterator().asScala.toSeq.foreach(deleteRecursively)
+      } finally children.close()
+    }
   }
 
   def deleteRecursively(root: Path): Unit = {

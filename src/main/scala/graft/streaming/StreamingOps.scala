@@ -122,6 +122,12 @@ object StreamingOps {
     spark.conf.set(key, LocalStreamShufflePartitions)
     val dir = graft.core.Scratch.dir(s"stream_out_$name")
     val append = mode == OutputMode.Append()
+    // Append mode accumulates per-batch epoch dirs, so a reused query name
+    // must start from an empty dir — otherwise the recursiveFileLookup
+    // read-back would silently include a PRIOR invocation's surviving
+    // batch_N epochs whenever the new run produces fewer batches. (Complete
+    // mode overwrites the whole dir per batch; nothing to clear.)
+    if (append) graft.core.Scratch.clearDir(dir)
     try {
       drainAndMeter(stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

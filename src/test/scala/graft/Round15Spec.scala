@@ -19,7 +19,7 @@ class Round15Spec extends SparkSuite {
   // -------------------------------------- scratch-sink replay idempotence
   test("append-mode scratch sink is idempotent under micro-batch replay") {
     import graft.streaming.StreamingOps
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val dir = graft.core.Scratch.dir("test-replay-append") // JVM-exit cleaned
     val b0 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
     val b1 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
     StreamingOps.writeScratchBatch(b0, 0L, dir, append = true)
@@ -37,7 +37,7 @@ class Round15Spec extends SparkSuite {
 
   test("complete-mode scratch sink: last delivered batch IS the result") {
     import graft.streaming.StreamingOps
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay-c").toString
+    val dir = graft.core.Scratch.dir("test-replay-complete") // JVM-exit cleaned
     val b0 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
     val b1 = spark.range(0, 4).selectExpr("id", "id * 3 AS v")
     StreamingOps.writeScratchBatch(b0, 0L, dir, append = false)
@@ -66,17 +66,40 @@ class Round15Spec extends SparkSuite {
   }
 
   // -------------------------------------- recursive CTE stays an equi-join
-  test("q137: every recursion step hash-joins, never nested-loop") {
+  test("q137: the frontier-step predicate plans a hash join, never nested-loop") {
     // The sf10 rehearsal caught the OR-of-equalities spelling planning a
     // broadcast nested-loop of frontier x customer per step (385.8 s at
     // 100x vs 7.9 s hash-joined). The DIV-form predicate must stay an
     // equi-join to Catalyst; a regression reintroduces a silent
     // 100x-scale killer invisible at fixture scale.
-    val df = graft.operators.Relational.q137RecursiveCte(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "recursion step degraded to nested-loop:\n" + plan.take(800))
-    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    //
+    // Asserting over q137's own executedPlan is VACUOUS: UnionLoopExec
+    // stores the recursion step as a LogicalPlan replanned per iteration at
+    // runtime, so the top-level plan string never shows the step's join
+    // node under EITHER spelling (round-15 ADVICE, verified empirically).
+    // Instead, plan ONE frontier step directly — a one-row frontier joined
+    // to customer on exactly the predicate q137's recursion uses — and pin
+    // both directions: the DIV form must hash-join, and the OR form (the
+    // counterfactual this guards against) must still nested-loop, proving
+    // the probe can fail.
+    graft.operators.Relational.q137RecursiveCte(spark, sf).collect() // registers customer_rec
+    // The frontier must be a genuine relation (like the recursion's
+    // previous-iteration output) — a literal one-row subquery constant-folds
+    // the key into the scan filter and no join is planned at all.
+    spark.range(1, 4).selectExpr("id AS k").createOrReplaceTempView("frontier_probe")
+    def stepPlan(pred: String): String = spark.sql(
+      s"""SELECT c.c_custkey FROM frontier_probe w
+          JOIN customer_rec c ON $pred""").queryExecution.executedPlan.toString
+    val divPlan = stepPlan("c.c_custkey DIV 2 = w.k")
+    assert(divPlan.contains("HashJoin"),
+      "frontier step no longer hash-joins:\n" + divPlan.take(800))
+    assert(!divPlan.contains("BroadcastNestedLoopJoin"), divPlan.take(800))
+    assert(!divPlan.contains("CartesianProduct"), divPlan.take(800))
+    val orPlan = stepPlan("c.c_custkey = w.k * 2 OR c.c_custkey = w.k * 2 + 1")
+    assert(orPlan.contains("BroadcastNestedLoopJoin"),
+      "probe lost sensitivity — the OR spelling should still plan a " +
+        "nested-loop; if Catalyst learned to hash OR-of-equalities, " +
+        "re-validate the q137 spelling and update this pin:\n" + orPlan.take(800))
   }
 
   // -------------------------------------- scratch drives carry query names
