@@ -12,6 +12,9 @@
 # Usage: bash tools/bench_ab.sh [out_prefix]   (default /tmp/ab)
 set -e
 OUT="${1:-/tmp/ab}"
+# run() cd's into each side's checkout, so a relative OUT silently points
+# somewhere else (or nowhere) inside the worktree — force absolute
+case "$OUT" in /*) ;; *) OUT="$(pwd)/$OUT" ;; esac
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 
 echo "[ab] pre-building both HEADs"
